@@ -1,0 +1,397 @@
+"""Batched edit-distance and alignment-score kernels.
+
+Distributed counterpart of the reference's batch similarity engines
+(szs.LevenshteinDistances / LevenshteinDistancesUTF8 /
+NeedlemanWunschScores / SmithWatermanScores, C API
+include/stringzillas/stringzillas.h:181-481). Semantics contracts:
+
+- Levenshtein: unit costs reproduce classic Wagner-Fischer
+  (reference oracle test/similarities.py:48-77); non-unit costs use
+  the 3-state Gotoh affine-gap DP where a gap of length g costs
+  ``open + extend*(g-1)`` and reduces to linear when open == extend
+  (reference oracle test/similarities.py:79-125, engine cost fork
+  noted at test/similarities.py:128-141);
+- UTF-8 Levenshtein: same DP over codepoints rather than bytes
+  (stringzillas.h:255-318);
+- Needleman-Wunsch: global-alignment *maximum* score under a 256->32
+  ``byte_to_class`` map and a 32x32 int8 class-cost matrix with
+  affine gaps (open/extend non-positive, gap of length g scores
+  ``open + extend*(g-1)``); with diag-0 / off-diag -1 costs and
+  open=extend=-1 it equals minus the Levenshtein distance — the
+  reference's own cross-check (test/similarities.py:451-488);
+- Smith-Waterman: local alignment (floor at 0, max over all cells)
+  with the same cost model (stringzillas.h:414-481).
+
+Implementation is a row-wise DP vectorized across BOTH the batch and
+the column axis: substitution/deletion states are elementwise from
+the previous row; the insertion state within a row is a prefix-scan
+(``running-min of (S[k]-extend*k)``), so each row costs O(B * n2)
+NumPy work with no Python-level inner loop. Slow per-pair oracles
+(`levenshtein_slow`, `gotoh_slow`, ...) are kept for tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "levenshtein_batch",
+    "levenshtein_slow",
+    "gotoh_distance_slow",
+    "needleman_wunsch_batch",
+    "smith_waterman_batch",
+    "nw_gotoh_slow",
+    "sw_gotoh_slow",
+    "strings_to_padded",
+    "utf8_to_padded",
+]
+
+_BIG = np.int64(1 << 40)  # effective +infinity for min-DPs
+_NEG = -_BIG
+
+
+def strings_to_padded(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack byte strings into a (B, maxlen) int16 matrix (values 0..255,
+    padded with -1) plus a (B,) length vector."""
+    lens = np.array([len(s) for s in items], dtype=np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    mat = np.full((len(items), max(maxlen, 1)), -1, dtype=np.int16)
+    for i, s in enumerate(items):
+        if len(s):
+            mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    return mat, lens
+
+
+def utf8_to_padded(items: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack unicode strings as codepoint matrices (padded with -1)."""
+    lens = np.array([len(s) for s in items], dtype=np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    mat = np.full((len(items), max(maxlen, 1)), -1, dtype=np.int64)
+    for i, s in enumerate(items):
+        if s:
+            mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[: len(s)]
+    return mat, lens
+
+
+def _gather_results(snap: np.ndarray) -> np.ndarray:
+    return snap
+
+
+def levenshtein_batch(
+    a_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    b_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    match: int = 0,
+    mismatch: int = 1,
+    open: int = 1,
+    extend: int = 1,
+) -> np.ndarray:
+    """Pairwise (not cross-product) edit distances for aligned batches.
+
+    ``a_items[i]`` is scored against ``b_items[i]``; returns (B,) int64
+    (the engine's uint64 matrix diagonal). Accepts raw byte lists or
+    pre-padded (matrix, lengths) pairs — pass codepoint matrices from
+    ``utf8_to_padded`` for the UTF-8 variant.
+    """
+    a_mat, a_lens = strings_to_padded(a_items) if isinstance(a_items, list) else a_items
+    b_mat, b_lens = strings_to_padded(b_items) if isinstance(b_items, list) else b_items
+    batch = a_mat.shape[0]
+    if batch == 0:
+        return np.zeros(0, dtype=np.int64)
+    n2 = b_mat.shape[1]
+    cols = np.arange(n2 + 1, dtype=np.int64)
+
+    match, mismatch, open_, extend = int(match), int(mismatch), int(open), int(extend)
+
+    # Row 0: S[0][j] = I[0][j] = open + extend*(j-1); D[0][j] = inf
+    gap0 = np.where(cols > 0, open_ + extend * (cols - 1), 0)
+    S = np.broadcast_to(gap0, (batch, n2 + 1)).copy()
+    D = np.full((batch, n2 + 1), _BIG, dtype=np.int64)
+    I = np.full((batch, n2 + 1), _BIG, dtype=np.int64)
+    I[:, 1:] = S[:, 1:]
+
+    out = np.zeros(batch, dtype=np.int64)
+    # Strings with a_len == 0: distance is the gap cost of b.
+    done0 = a_lens == 0
+    if done0.any():
+        bl = b_lens[done0]
+        out[done0] = np.where(bl > 0, open_ + extend * (bl - 1), 0)
+
+    max_rows = int(a_lens.max()) if batch else 0
+    b_valid = b_mat >= 0  # (B, n2)
+    extend_cols = extend * cols  # for the prefix scan
+
+    for i in range(1, max_rows + 1):
+        active = a_lens >= i
+        a_char = a_mat[:, i - 1 : i]  # (B, 1)
+        sub_cost = np.where(b_mat == a_char, match, mismatch)  # (B, n2)
+
+        prev_best = np.minimum(np.minimum(S, D), I)  # (B, n2+1), row i-1
+
+        S_new = np.empty_like(S)
+        D_new = np.empty_like(D)
+        boundary = open_ + extend * (i - 1)
+        S_new[:, 0] = boundary
+        D_new[:, 0] = boundary
+        S_new[:, 1:] = prev_best[:, :-1] + sub_cost
+        D_new[:, 1:] = np.minimum(S[:, 1:] + open_, D[:, 1:] + extend)
+
+        # I_new[j] = min_{k<j}( S_new[k] + open + extend*(j-1-k) )
+        #          = extend*j + runmin_k<j( S_new[k] + open - extend*(k+1) )
+        shifted = S_new + (open_ - extend) - extend_cols  # S_new[k]+open-extend*(k+1)
+        runmin = np.minimum.accumulate(shifted, axis=1)
+        I_new = np.empty_like(I)
+        I_new[:, 0] = _BIG
+        I_new[:, 1:] = extend_cols[1:] + runmin[:, :-1]
+
+        # Freeze finished rows (a_len < i) by keeping their old state.
+        if not active.all():
+            keep = ~active
+            S_new[keep] = S[keep]
+            D_new[keep] = D[keep]
+            I_new[keep] = I[keep]
+        S, D, I = S_new, D_new, I_new
+
+        finishing = a_lens == i
+        if finishing.any():
+            idx = np.nonzero(finishing)[0]
+            j = b_lens[idx]
+            best = np.minimum(np.minimum(S[idx, j], D[idx, j]), I[idx, j])
+            out[idx] = best
+
+    return out
+
+
+def _class_mats(a_mat: np.ndarray, b_mat: np.ndarray, byte_to_class: np.ndarray):
+    a_cls = np.where(a_mat >= 0, byte_to_class[np.maximum(a_mat, 0)], 0)
+    b_cls = np.where(b_mat >= 0, byte_to_class[np.maximum(b_mat, 0)], 0)
+    return a_cls.astype(np.int64), b_cls.astype(np.int64)
+
+
+def needleman_wunsch_batch(
+    a_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    b_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    byte_to_class: np.ndarray,
+    class_costs: np.ndarray,
+    open: int = -1,
+    extend: int = -1,
+) -> np.ndarray:
+    """Pairwise global-alignment max scores (Gotoh, affine gaps)."""
+    a_mat, a_lens = strings_to_padded(a_items) if isinstance(a_items, list) else a_items
+    b_mat, b_lens = strings_to_padded(b_items) if isinstance(b_items, list) else b_items
+    batch = a_mat.shape[0]
+    if batch == 0:
+        return np.zeros(0, dtype=np.int64)
+    n2 = b_mat.shape[1]
+    cols = np.arange(n2 + 1, dtype=np.int64)
+    open_, extend = int(open), int(extend)
+    byte_to_class = np.asarray(byte_to_class, dtype=np.int64)
+    class_costs = np.asarray(class_costs, dtype=np.int64)
+    a_cls, b_cls = _class_mats(a_mat, b_mat, byte_to_class)
+
+    gap0 = np.where(cols > 0, open_ + extend * (cols - 1), 0)
+    S = np.broadcast_to(gap0, (batch, n2 + 1)).copy()
+    D = np.full((batch, n2 + 1), _NEG, dtype=np.int64)
+    I = np.full((batch, n2 + 1), _NEG, dtype=np.int64)
+    I[:, 1:] = S[:, 1:]
+
+    out = np.zeros(batch, dtype=np.int64)
+    done0 = a_lens == 0
+    if done0.any():
+        bl = b_lens[done0]
+        out[done0] = np.where(bl > 0, open_ + extend * (bl - 1), 0)
+
+    max_rows = int(a_lens.max()) if batch else 0
+    extend_cols = extend * cols
+
+    for i in range(1, max_rows + 1):
+        active = a_lens >= i
+        sub = class_costs[a_cls[:, i - 1 : i], b_cls]  # (B, n2)
+
+        prev_best = np.maximum(np.maximum(S, D), I)
+
+        S_new = np.empty_like(S)
+        D_new = np.empty_like(D)
+        boundary = open_ + extend * (i - 1)
+        S_new[:, 0] = boundary
+        D_new[:, 0] = boundary
+        S_new[:, 1:] = prev_best[:, :-1] + sub
+        D_new[:, 1:] = np.maximum(S[:, 1:] + open_, D[:, 1:] + extend)
+
+        shifted = S_new + (open_ - extend) - extend_cols
+        runmax = np.maximum.accumulate(shifted, axis=1)
+        I_new = np.empty_like(I)
+        I_new[:, 0] = _NEG
+        I_new[:, 1:] = extend_cols[1:] + runmax[:, :-1]
+
+        if not active.all():
+            keep = ~active
+            S_new[keep] = S[keep]
+            D_new[keep] = D[keep]
+            I_new[keep] = I[keep]
+        S, D, I = S_new, D_new, I_new
+
+        finishing = a_lens == i
+        if finishing.any():
+            idx = np.nonzero(finishing)[0]
+            j = b_lens[idx]
+            out[idx] = np.maximum(np.maximum(S[idx, j], D[idx, j]), I[idx, j])
+
+    return out
+
+
+def smith_waterman_batch(
+    a_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    b_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    byte_to_class: np.ndarray,
+    class_costs: np.ndarray,
+    open: int = -1,
+    extend: int = -1,
+) -> np.ndarray:
+    """Pairwise local-alignment max scores (Gotoh, floor at zero)."""
+    a_mat, a_lens = strings_to_padded(a_items) if isinstance(a_items, list) else a_items
+    b_mat, b_lens = strings_to_padded(b_items) if isinstance(b_items, list) else b_items
+    batch = a_mat.shape[0]
+    if batch == 0:
+        return np.zeros(0, dtype=np.int64)
+    n2 = b_mat.shape[1]
+    cols = np.arange(n2 + 1, dtype=np.int64)
+    open_, extend = int(open), int(extend)
+    byte_to_class = np.asarray(byte_to_class, dtype=np.int64)
+    class_costs = np.asarray(class_costs, dtype=np.int64)
+    a_cls, b_cls = _class_mats(a_mat, b_mat, byte_to_class)
+
+    # Local alignment: boundaries are 0, states floored at 0 via H.
+    H = np.zeros((batch, n2 + 1), dtype=np.int64)
+    D = np.full((batch, n2 + 1), _NEG, dtype=np.int64)
+    best = np.zeros(batch, dtype=np.int64)
+
+    b_valid_cols = np.concatenate([[False], np.ones(n2, dtype=bool)])
+    col_in_b = cols[None, 1:] <= b_lens[:, None]  # (B, n2) col j valid for pair
+
+    max_rows = int(a_lens.max()) if batch else 0
+    extend_cols = extend * cols
+
+    for i in range(1, max_rows + 1):
+        active = a_lens >= i
+        sub = class_costs[a_cls[:, i - 1 : i], b_cls]
+
+        H_new = np.empty_like(H)
+        D_new = np.empty_like(D)
+        H_new[:, 0] = 0
+        D_new[:, 0] = _NEG
+        D_new[:, 1:] = np.maximum(H[:, 1:] + open_, D[:, 1:] + extend)
+        diag = H[:, :-1] + sub
+
+        # I within the row depends on the floored H of the same row; the
+        # floor breaks the clean scan, so compute H without I first, then
+        # refine with a scan over the floored values. Because gap scores
+        # are non-positive, I can never raise a cell above the scan over
+        # the already-floored H row, so one pass suffices:
+        H_tmp = np.maximum(np.maximum(diag, D_new[:, 1:]), 0)
+        base = np.empty_like(H)
+        base[:, 0] = 0
+        base[:, 1:] = H_tmp
+        shifted = base + (open_ - extend) - extend_cols
+        runmax = np.maximum.accumulate(shifted, axis=1)
+        I_row = np.full_like(H, _NEG)
+        I_row[:, 1:] = extend_cols[1:] + runmax[:, :-1]
+        H_new[:, 1:] = np.maximum(H_tmp, np.maximum(I_row[:, 1:], 0))
+
+        if not active.all():
+            keep = ~active
+            H_new[keep] = H[keep]
+            D_new[keep] = D[keep]
+        H, D = H_new, D_new
+
+        # Track the best cell within each pair's valid rectangle.
+        if active.any():
+            masked = np.where(col_in_b & active[:, None], H[:, 1:], 0)
+            best = np.maximum(best, masked.max(axis=1, initial=0))
+
+    return best
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def levenshtein_slow(s1, s2) -> int:
+    """Classic Wagner-Fischer, the reference's own unit-cost oracle
+    (test/similarities.py:48-77)."""
+    m = np.zeros((len(s1) + 1, len(s2) + 1), dtype=int)
+    m[:, 0] = np.arange(len(s1) + 1)
+    m[0, :] = np.arange(len(s2) + 1)
+    for i in range(1, len(s1) + 1):
+        for j in range(1, len(s2) + 1):
+            cost = 0 if s1[i - 1] == s2[j - 1] else 1
+            m[i, j] = min(m[i - 1, j] + 1, m[i, j - 1] + 1, m[i - 1, j - 1] + cost)
+    return int(m[len(s1), len(s2)])
+
+
+def gotoh_distance_slow(a, b, match=0, mismatch=1, open=1, extend=1) -> int:
+    """3-state affine-gap edit distance; same shape as the reference's
+    independent oracle (test/similarities.py:79-125), generalized with a
+    match cost."""
+    inf = float("inf")
+    la, lb = len(a), len(b)
+    S = [[inf] * (lb + 1) for _ in range(la + 1)]
+    D = [[inf] * (lb + 1) for _ in range(la + 1)]
+    I = [[inf] * (lb + 1) for _ in range(la + 1)]
+    S[0][0] = 0
+    for i in range(1, la + 1):
+        D[i][0] = open + extend * (i - 1)
+        S[i][0] = D[i][0]
+    for j in range(1, lb + 1):
+        I[0][j] = open + extend * (j - 1)
+        S[0][j] = I[0][j]
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = match if a[i - 1] == b[j - 1] else mismatch
+            S[i][j] = min(S[i - 1][j - 1], D[i - 1][j - 1], I[i - 1][j - 1]) + cost
+            D[i][j] = min(S[i - 1][j] + open, D[i - 1][j] + extend)
+            I[i][j] = min(S[i][j - 1] + open, I[i][j - 1] + extend)
+    return int(min(S[la][lb], D[la][lb], I[la][lb]))
+
+
+def nw_gotoh_slow(a, b, byte_to_class, class_costs, open=-1, extend=-1) -> int:
+    """Slow global-alignment (max) Gotoh oracle."""
+    neg = float("-inf")
+    la, lb = len(a), len(b)
+    ac = [int(byte_to_class[c]) for c in a]
+    bc = [int(byte_to_class[c]) for c in b]
+    S = [[neg] * (lb + 1) for _ in range(la + 1)]
+    D = [[neg] * (lb + 1) for _ in range(la + 1)]
+    I = [[neg] * (lb + 1) for _ in range(la + 1)]
+    S[0][0] = 0
+    for i in range(1, la + 1):
+        D[i][0] = open + extend * (i - 1)
+        S[i][0] = D[i][0]
+    for j in range(1, lb + 1):
+        I[0][j] = open + extend * (j - 1)
+        S[0][j] = I[0][j]
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            sub = int(class_costs[ac[i - 1]][bc[j - 1]])
+            S[i][j] = max(S[i - 1][j - 1], D[i - 1][j - 1], I[i - 1][j - 1]) + sub
+            D[i][j] = max(S[i - 1][j] + open, D[i - 1][j] + extend)
+            I[i][j] = max(S[i][j - 1] + open, I[i][j - 1] + extend)
+    return int(max(S[la][lb], D[la][lb], I[la][lb]))
+
+
+def sw_gotoh_slow(a, b, byte_to_class, class_costs, open=-1, extend=-1) -> int:
+    """Slow local-alignment (max, floored) Gotoh oracle."""
+    neg = float("-inf")
+    la, lb = len(a), len(b)
+    ac = [int(byte_to_class[c]) for c in a]
+    bc = [int(byte_to_class[c]) for c in b]
+    H = [[0] * (lb + 1) for _ in range(la + 1)]
+    D = [[neg] * (lb + 1) for _ in range(la + 1)]
+    I = [[neg] * (lb + 1) for _ in range(la + 1)]
+    best = 0
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            sub = int(class_costs[ac[i - 1]][bc[j - 1]])
+            D[i][j] = max(H[i - 1][j] + open, D[i - 1][j] + extend)
+            I[i][j] = max(H[i][j - 1] + open, I[i][j - 1] + extend)
+            H[i][j] = max(0, H[i - 1][j - 1] + sub, D[i][j], I[i][j])
+            best = max(best, H[i][j])
+    return int(best)
