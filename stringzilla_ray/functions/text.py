@@ -1,0 +1,147 @@
+"""Vectorized per-string scalar operators over Arrow string columns.
+
+Distributed equivalents of the reference's single-string functions
+(python surface listed in python/README.md:127-300 — find / rfind /
+count / contains / starts-ends-with / byteset search / split / strip /
+translate / casefold / normalize / codepoint count). Each function
+takes and returns pyarrow Arrays so it can run inside
+``map_batches(batch_format="pyarrow")`` with zero row materialization;
+CPython ``str`` semantics are the oracle exactly as in the reference's
+own tests (test/find.py:503-560 uses ``str`` as the baseline).
+
+Byte-oriented ops (translate, bytesum, hash) work on the Arrow tape
+(data buffer + offsets) directly with NumPy — the same
+"contiguous tape + offsets" layout the reference's ``Strs`` uses
+(python/README.md:62-104).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "find",
+    "count_substring",
+    "contains",
+    "starts_with",
+    "ends_with",
+    "count_byteset",
+    "split_count",
+    "token_count",
+    "strip",
+    "translate",
+    "casefold",
+    "normalize",
+    "utf8_count",
+    "byte_length",
+    "tape_of",
+]
+
+
+def tape_of(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (tape, offsets) view of a string/binary column —
+    the Arrow layout is exactly the reference's u32/u64 tape
+    (include/stringzillas/README.md:85-104)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, np.uint8)
+    return data, offsets.astype(np.int64)
+
+
+def find(arr, needle: str) -> pa.Array:
+    """First byte offset of ``needle`` in each string, -1 if absent
+    (sz.find semantics, python/README.md:127-151)."""
+    return pc.find_substring(arr, needle)
+
+
+def count_substring(arr, needle: str, allowoverlap: bool = False) -> pa.Array:
+    """Occurrences of ``needle`` per string; the non-overlap count is
+    Arrow-native, the overlap variant counts via lookahead regex."""
+    if not allowoverlap:
+        return pc.count_substring(arr, needle)
+    pattern = f"(?={re.escape(needle)})"
+    return pc.count_substring_regex(arr, pattern)
+
+
+def contains(arr, needle: str) -> pa.Array:
+    return pc.match_substring(arr, needle)
+
+
+def starts_with(arr, prefix: str) -> pa.Array:
+    return pc.starts_with(arr, prefix)
+
+
+def ends_with(arr, suffix: str) -> pa.Array:
+    return pc.ends_with(arr, suffix)
+
+
+def count_byteset(arr, chars: str) -> pa.Array:
+    """How many characters of each string belong to ``chars``
+    (sz.count_byteset, python/README.md:153-173)."""
+    pattern = "[" + re.escape(chars) + "]"
+    return pc.count_substring_regex(arr, pattern)
+
+
+def split_count(arr, sep: str) -> pa.Array:
+    """Number of fields after splitting on ``sep`` (len(s.split(sep)))."""
+    return pc.add(pc.count_substring(arr, sep), 1)
+
+
+def token_count(arr) -> pa.Array:
+    """Whitespace token count (sz.utf8_split_whitespaces cardinality)."""
+    return pc.list_value_length(pc.utf8_split_whitespace(arr))
+
+
+def strip(arr, chars: str | None = None) -> pa.Array:
+    if chars is None:
+        return pc.utf8_trim_whitespace(arr)
+    return pc.utf8_trim(arr, chars)
+
+
+def translate(arr, table: bytes) -> pa.Array:
+    """256-byte LUT transform (sz.translate / sz_lookup,
+    python/README.md:264-278) applied to the whole tape in one NumPy
+    gather — the columnar analogue of the reference's in-place loop."""
+    assert len(table) == 256
+    tape, offsets = tape_of(arr)
+    lut = np.frombuffer(table, dtype=np.uint8)
+    translated = lut[tape]
+    return pa.Array.from_buffers(
+        pa.large_binary() if offsets.dtype == np.int64 else pa.binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64 if offsets.dtype == np.int64 else np.int32).tobytes()), pa.py_buffer(translated.tobytes())],
+    )
+
+
+def casefold(arr) -> pa.Array:
+    """Full Unicode case folding — semantics of sz.utf8_uncased_fold
+    (python/README.md:609-629; 'ß'→'ss', 'ﬃ'→'ffi'); CPython
+    str.casefold implements the same Unicode full-fold tables."""
+    pylist = arr.to_pylist() if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks().to_pylist()
+    return pa.array([s.casefold() if s is not None else None for s in pylist], type=pa.string())
+
+
+def normalize(arr, form: str = "NFC") -> pa.Array:
+    """Unicode normalization (sz.utf8_norm, python/README.md:631-644)."""
+    pylist = arr.to_pylist() if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks().to_pylist()
+    return pa.array([unicodedata.normalize(form, s) if s is not None else None for s in pylist], type=pa.string())
+
+
+def utf8_count(arr) -> pa.Array:
+    """Codepoint count (sz.utf8_count, python/README.md:597-607)."""
+    return pc.utf8_length(arr)
+
+
+def byte_length(arr) -> pa.Array:
+    return pc.binary_length(arr)

@@ -1,0 +1,226 @@
+"""Deduplication operators for large text corpora.
+
+First-class training-data-pipeline components built on the bit-parity
+kernels:
+
+- exact_dedup: seeded AES-64 content hash (functions/szhash.py) ->
+  hash-keyed groupby -> deterministic first (min id). Hash-partition +
+  per-group head, the canonical exact-dedup shape at scale.
+- minhash_dedup_pairs: rolling MinHash signatures -> LSH bands ->
+  candidate pairs -> verified n-gram Jaccard >= threshold.
+- simhash: 64-bit SimHash over whitespace tokens; near-dup candidates
+  share all but <= k bits (queried via bucketed groupby on rotations).
+- ngram_jaccard: exact character-n-gram Jaccard verification kernel.
+- embedding near-dup lives in stages/ann.py (cosine >= threshold).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from stringzilla_ray.functions import szhash
+from stringzilla_ray.functions.text import tape_of
+from stringzilla_ray.stages.blocking import band_keys_for_batch
+from stringzilla_ray.stages.fingerprint import Fingerprinter, minhash_matrix
+
+
+def add_text_hash(batch: pa.Table, text_column: str = "text", seed: int = 0,
+                  out_column: str = "text_hash") -> pa.Table:
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offsets = tape_of(col)
+    return batch.append_column(out_column, pa.array(szhash.hash_batch(tape, offsets, seed), pa.uint64()))
+
+
+def exact_dedup(ds, id_column: str, text_column: str = "text", seed: int = 0):
+    """Keep one row (minimum id) per distinct text value.
+
+    Hash-partitioned: the shuffle key is the 64-bit content hash, so
+    only (hash, id) metadata plus the winning rows move. Deterministic
+    tie-break by minimum id reproduces the reference's stable-first
+    semantics for duplicate keys (sort.h stability contract).
+    """
+    hashed = ds.map_batches(
+        lambda b: add_text_hash(b, text_column, seed), batch_format="pyarrow"
+    )
+    winners = (
+        hashed.groupby("text_hash")
+        .min(id_column)
+        .rename_columns({f"min({id_column})": id_column})
+    )
+    return winners.join(
+        hashed,
+        join_type="inner",
+        num_partitions=16,
+        on=("text_hash", id_column),
+    )
+
+
+def ngram_set_hashes(texts: list[str], n: int = 3) -> list[np.ndarray]:
+    """Sorted unique uint64 hashes of each text's character n-grams."""
+    out = []
+    for t in texts:
+        data = t.encode()
+        if len(data) < n:
+            out.append(np.zeros(0, dtype=np.uint64))
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(arr, n).astype(np.uint64)
+        # polynomial combine then splitmix for dispersion
+        h = np.zeros(len(win), dtype=np.uint64)
+        for k in range(n):
+            h = h * np.uint64(1099511628211) + win[:, k]
+        from stringzilla_ray.functions.fingerprint import splitmix64
+
+        out.append(np.unique(splitmix64(h)))
+    return out
+
+
+def ngram_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted unique hash sets."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+class MinHashForDocs(Fingerprinter):
+    """Fingerprinter preconfigured for a flat documents table."""
+
+    def __init__(self, ndim=128, widths=(3, 4, 5, 7), seed=0, text_column="text"):
+        super().__init__(ndim=ndim, window_widths=widths, seed=seed, text_column=text_column)
+
+
+def minhash_dedup_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    ndim: int = 128,
+    bands: int = 32,
+    seed: int = 0,
+    jaccard_threshold: float = 0.8,
+    ngram: int = 3,
+):
+    """Near-duplicate pairs by MinHash LSH, verified with exact n-gram
+    Jaccard. Returns (left, right, jaccard) with left < right.
+    """
+    rows_per_band = ndim // bands
+    assert bands * rows_per_band == ndim
+
+    signed = ds.map_batches(
+        MinHashForDocs,
+        fn_constructor_kwargs=dict(ndim=ndim, seed=seed, text_column=text_column),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 32),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mh = minhash_matrix(batch, ndim)
+        keys = band_keys_for_batch(mh, bands, rows_per_band)
+        n = len(batch)
+        ids = batch[id_column]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = ids.take(pa.array(np.repeat(np.arange(n), bands), pa.int64()))
+        return pa.table({id_column: rep, "band_key": pa.array(keys.ravel(), pa.uint64())})
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group[id_column].to_pylist()))
+        left, right = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                left.append(ids[i])
+                right.append(ids[j])
+        typ = group[id_column].type
+        return pa.table({"left": pa.array(left, typ), "right": pa.array(right, typ)})
+
+    pairs = (
+        signed.map_batches(explode, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["left", "right"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    # Verify with exact n-gram Jaccard via broadcast text lookup.
+    import ray
+
+    texts = {}
+    for batch in ds.select_columns([id_column, text_column]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
+            texts[i] = t
+    texts_ref = ray.put(texts)
+
+    class Verifier:
+        def __init__(self, texts_ref, n, threshold):
+            self.texts = ray.get(texts_ref)
+            self.n = n
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lefts = batch["left"].to_pylist()
+            rights = batch["right"].to_pylist()
+            la = ngram_set_hashes([self.texts[i] for i in lefts], self.n)
+            lb = ngram_set_hashes([self.texts[i] for i in rights], self.n)
+            jac = [ngram_jaccard(a, b) for a, b in zip(la, lb)]
+            keep = [j >= self.threshold for j in jac]
+            t = pa.table(
+                {
+                    "left": batch["left"],
+                    "right": batch["right"],
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+            return t.filter(pa.array(keep, pa.bool_()))
+
+    return pairs.map_batches(
+        Verifier,
+        fn_constructor_kwargs=dict(texts_ref=texts_ref, n=ngram, threshold=jaccard_threshold),
+        batch_format="pyarrow",
+        concurrency=(1, 32),
+    )
+
+
+def simhash_batch(texts: list[str], seed: int = 0) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens -> (N,) uint64.
+
+    All tokens of the batch are hashed in ONE vectorized hash_batch
+    call over a shared tape, then per-text bit votes reduce with
+    np.add.reduceat — no per-token Python in the hot path.
+    """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    token_lists = [t.split() for t in texts]
+    counts = np.array([len(toks) for toks in token_lists], dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    all_tokens = [tok.encode() for toks in token_lists for tok in toks]
+    tape = np.frombuffer(b"".join(all_tokens), dtype=np.uint8)
+    offsets = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in all_tokens], out=offsets[1:])
+    hashes = szhash.hash_batch(tape, offsets, seed)
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+    votes_terms = (2 * ((hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)) - 1
+    nonempty = counts > 0
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1][nonempty]
+    votes = np.add.reduceat(votes_terms, starts, axis=0)
+    sign = (votes >= 0).astype(np.uint64)
+    out[nonempty] = (sign << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def add_simhash(batch: pa.Table, text_column: str = "text", seed: int = 0) -> pa.Table:
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return batch.append_column("simhash", pa.array(simhash_batch(col.to_pylist(), seed), pa.uint64()))

@@ -1,0 +1,223 @@
+"""Pair scoring: signature-gated, batched edit-distance verification.
+
+The actor-pool counterpart of the reference's batch Levenshtein engine
+(szs.LevenshteinDistances over candidate pairs — SURVEY.md §2.3). Each
+candidate pair gets:
+
+- ``jaccard``: fraction of agreeing MinHash dims (the cheap sketch
+  estimate of shingle-set similarity);
+- a three-way gate (the cluster analogue of the reference's L1
+  size-tier test, similarities/serial.hpp:3334-3336): pairs with
+  signature agreement >= jaccard_accept match outright; below
+  jaccard_reject they are rejected; the uncertain middle band runs the
+  batched byte-Levenshtein DP on length-capped canonical docs;
+- ``sim``: 1 - distance / max(len) on the scored prefix;
+- ``is_match``: the final decision.
+
+Joining text back onto id pairs uses either a broadcast lookup
+(docs side put in the object store ONCE via ray.put and read per actor
+in __init__ — never re-shipped per batch) or, above a size threshold,
+two hash-partitioned Dataset.joins — the two strategies the ray guide
+prescribes for small / large sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from stringzilla_ray.functions import similarity as sim
+from stringzilla_ray.state.config import ERConfig
+
+
+def _pack_docs(batch_iter) -> dict[str, tuple[bytes, np.ndarray]]:
+    """conv_id -> (doc_prefix_bytes, signature) lookup dict."""
+    lookup: dict[str, tuple[bytes, np.ndarray]] = {}
+    for batch in batch_iter:
+        convs = batch["conv_id"].to_pylist()
+        docs = batch["norm_doc"].to_pylist()
+        mh = batch["minhash"].to_numpy(zero_copy_only=False)
+        for c, d, m in zip(convs, docs, mh):
+            lookup[c] = (d.encode(), np.asarray(m, dtype=np.uint32))
+    return lookup
+
+
+class PairScorer:
+    """Actor-pool UDF scoring (left, right) id pairs via a broadcast doc map."""
+
+    def __init__(self, docs_ref, cfg: ERConfig):
+        self.cfg = cfg
+        self.lookup = ray.get(docs_ref)  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        left_ids = batch["left"].to_pylist()
+        right_ids = batch["right"].to_pylist()
+        n = len(left_ids)
+        if n == 0:
+            return _empty_scores()
+
+        left_docs, right_docs = [], []
+        left_sigs = np.empty((n, cfg.ndim), dtype=np.uint32)
+        right_sigs = np.empty((n, cfg.ndim), dtype=np.uint32)
+        for i, (l, r) in enumerate(zip(left_ids, right_ids)):
+            dl, sl = self.lookup[l]
+            dr, sr = self.lookup[r]
+            left_docs.append(dl)
+            right_docs.append(dr)
+            left_sigs[i] = sl
+            right_sigs[i] = sr
+        return score_pair_batch(left_ids, right_ids, left_docs, right_docs,
+                                left_sigs, right_sigs, cfg)
+
+
+def _empty_scores() -> pa.Table:
+    return pa.table(
+        {
+            "left": pa.array([], pa.string()),
+            "right": pa.array([], pa.string()),
+            "jaccard": pa.array([], pa.float64()),
+            "sim": pa.array([], pa.float64()),
+            "is_match": pa.array([], pa.bool_()),
+            "scored_by": pa.array([], pa.string()),
+        }
+    )
+
+
+def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
+                     left_sigs: np.ndarray, right_sigs: np.ndarray,
+                     cfg: ERConfig) -> pa.Table:
+    """Vectorized gate + DP scoring of aligned pair arrays."""
+    n = len(left_ids)
+    jaccard = (left_sigs == right_sigs).mean(axis=1)
+
+    llen = np.array([len(d) for d in left_docs], dtype=np.int64)
+    rlen = np.array([len(d) for d in right_docs], dtype=np.int64)
+    maxlen = np.maximum(llen, rlen)
+    minlen = np.minimum(llen, rlen)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        len_ratio = np.where(maxlen > 0, minlen / np.maximum(maxlen, 1), 1.0)
+
+    accept = jaccard >= cfg.jaccard_accept
+    reject = (jaccard < cfg.jaccard_reject) | (len_ratio < cfg.length_ratio_gate)
+    uncertain = ~(accept | reject)
+
+    sim_score = np.where(accept, 1.0, 0.0)
+    scored_by = np.where(accept, "sketch", "gate")
+
+    if uncertain.any():
+        # Containment similarity on the common-length prefix: robust to
+        # truncated variants (a truncated duplicate is a near-exact
+        # prefix of its base), while unrelated docs sharing only a
+        # short boilerplate opener still diverge over min(len) bytes.
+        # The length_ratio_gate above bounds how much truncation this
+        # can accept.
+        idx = np.nonzero(uncertain)[0]
+        cap = cfg.score_prefix_bytes
+        m = np.minimum(minlen[idx], cap)
+        a = [left_docs[i][: m[k]] for k, i in enumerate(idx)]
+        b = [right_docs[i][: m[k]] for k, i in enumerate(idx)]
+        dist = sim.levenshtein_batch(a, b)
+        s = 1.0 - dist / np.maximum(m, 1)
+        sim_score[idx] = s
+        scored_by_list = scored_by.tolist()
+        for k, i in enumerate(idx):
+            scored_by_list[i] = "dp"
+        scored_by = np.array(scored_by_list)
+
+    is_match = np.where(uncertain, sim_score >= cfg.sim_threshold, accept)
+
+    return pa.table(
+        {
+            "left": pa.array(left_ids, pa.string()),
+            "right": pa.array(right_ids, pa.string()),
+            "jaccard": pa.array(jaccard, pa.float64()),
+            "sim": pa.array(sim_score, pa.float64()),
+            "is_match": pa.array(is_match, pa.bool_()),
+            "scored_by": pa.array(scored_by.tolist(), pa.string()),
+        }
+    )
+
+
+def score_pairs_broadcast(pairs, signed, cfg: ERConfig):
+    """Broadcast strategy: materialize the docs lookup once (ray.put),
+    score pairs in an actor pool. Right for doc sides that fit in
+    worker memory (cfg.broadcast_threshold_rows)."""
+    lookup = _pack_docs(
+        signed.select_columns(["conv_id", "norm_doc", "minhash"]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"
+        )
+    )
+    docs_ref = ray.put(lookup)
+    return pairs.map_batches(
+        PairScorer,
+        fn_constructor_kwargs=dict(docs_ref=docs_ref, cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.scoring_batch_size,
+        concurrency=(1, 64),
+    )
+
+
+class _JoinedScorer:
+    """Scores pairs that already carry doc_l/doc_r/minhash_l/minhash_r."""
+
+    def __init__(self, cfg: ERConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = len(batch)
+        if n == 0:
+            return _empty_scores()
+        left_ids = batch["left"].to_pylist()
+        right_ids = batch["right"].to_pylist()
+        left_docs = [d.encode() for d in batch["norm_doc_l"].to_pylist()]
+        right_docs = [d.encode() for d in batch["norm_doc_r"].to_pylist()]
+        left_sigs = batch["minhash_l"].combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(n, cfg.ndim) if isinstance(batch["minhash_l"], pa.ChunkedArray) else batch["minhash_l"].flatten().to_numpy(zero_copy_only=False).reshape(n, cfg.ndim)
+        right_sigs = batch["minhash_r"].combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(n, cfg.ndim) if isinstance(batch["minhash_r"], pa.ChunkedArray) else batch["minhash_r"].flatten().to_numpy(zero_copy_only=False).reshape(n, cfg.ndim)
+        return score_pair_batch(left_ids, right_ids, left_docs, right_docs,
+                                np.ascontiguousarray(left_sigs), np.ascontiguousarray(right_sigs), cfg)
+
+
+def score_pairs_join(pairs, signed, cfg: ERConfig):
+    """Shuffle strategy: two hash-partitioned joins attach left/right
+    docs + signatures, then the scorer pool runs. The scale path when
+    the doc side is too large to broadcast."""
+    docs = signed.select_columns(["conv_id", "norm_doc", "minhash"])
+    left_joined = pairs.join(
+        docs,
+        join_type="inner",
+        num_partitions=cfg.join_num_partitions,
+        on=("left",),
+        right_on=("conv_id",),
+        right_suffix="_l",
+    )
+    # after join: columns left, right, ..., conv_id, doc, minhash
+    left_joined = left_joined.rename_columns(
+        {"norm_doc": "norm_doc_l", "minhash": "minhash_l"}
+    ).drop_columns(["conv_id"])
+    both = left_joined.join(
+        docs,
+        join_type="inner",
+        num_partitions=cfg.join_num_partitions,
+        on=("right",),
+        right_on=("conv_id",),
+        right_suffix="_r",
+    )
+    both = both.rename_columns({"norm_doc": "norm_doc_r", "minhash": "minhash_r"}).drop_columns(["conv_id"])
+    return both.map_batches(
+        _JoinedScorer,
+        fn_constructor_kwargs=dict(cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.scoring_batch_size,
+        concurrency=(1, 64),
+    )
+
+
+def score_pairs(pairs, signed, cfg: ERConfig):
+    """Strategy dispatch: broadcast for small doc sides, join otherwise."""
+    if signed.count() <= cfg.broadcast_threshold_rows:
+        return score_pairs_broadcast(pairs, signed, cfg)
+    return score_pairs_join(pairs, signed, cfg)

@@ -1,0 +1,57 @@
+"""Parameter dataclasses for the flagship entity-resolution pipeline.
+
+All seeds / geometry flow from one config so every stage output is a
+pure function of (input, config) — the determinism contract that makes
+checkpoints resumable and reruns byte-identical (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    """Flagship blocking + scoring + clustering parameters."""
+
+    # Fingerprinting (reference defaults: 64 dims per window width,
+    # include/stringzillas/README.md:264-266; widths subset of the
+    # engine defaults in c/stringzillas/fingerprints.cuh:42)
+    ndim: int = 128
+    window_widths: tuple[int, ...] = (5, 7, 9, 11)
+    seed: int = 0
+
+    # LSH banding: bands * rows_per_band == ndim
+    bands: int = 32
+    rows_per_band: int = 4
+
+    # Skew control: blocks larger than this are salted into sub-blocks
+    # (SURVEY.md §4.2); cross-salt representatives keep connectivity.
+    max_block_size: int = 256
+
+    # Scoring
+    score_prefix_bytes: int = 2048  # DP runs on at most this many bytes
+    jaccard_accept: float = 0.92    # signature agreement that accepts outright
+    jaccard_reject: float = 0.35    # signature agreement below which we reject
+    sim_threshold: float = 0.80     # normalized edit similarity for a match
+    length_ratio_gate: float = 0.5  # reject pairs whose byte lengths differ 2x+
+
+    # Clustering
+    max_lp_iters: int = 12
+
+    # Execution
+    fingerprint_batch_size: int = 512
+    scoring_batch_size: int = 2048
+    fingerprint_concurrency: int | None = None  # None -> let Ray autoscale tasks
+    scoring_concurrency: int | None = None
+    join_num_partitions: int = 16
+    broadcast_threshold_rows: int = 2_000_000  # docs side small enough to broadcast
+
+    def __post_init__(self):
+        assert self.bands * self.rows_per_band == self.ndim, "bands*rows must equal ndim"
+
+    def params_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True, default=list)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]

@@ -1,0 +1,185 @@
+"""Deterministic synthetic transcript corpus with ground-truth entities.
+
+Implements FIXTURES.md §1: the flagship input table
+``(conv_id, turn_idx, role, text, tool, ts)`` plus a ground-truth
+``(conv_id, entity_id)`` table for evaluation only (the pipeline never
+parses conv_id). Everything derives from one integer seed; a scale
+knob multiplies the entity count (the analogue of the reference's
+SZ_TESTS_SEED / SZ_TESTS_MULTIPLIER, test/sz_helpers.py:1272-1309).
+
+Variants per entity (each shares the entity's ground-truth cluster):
+exact duplicate, small-edit duplicate (1..5 single-char edits),
+whitespace/case noise, row-reordered duplicate (same turns, shuffled
+input order — must cluster purely via the stable canonical sort), and
+a truncated variant. One "viral" entity contributes a near-duplicate
+skew block; unrelated entities share boilerplate openers so naive
+prefix blocking would over-merge.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+
+BASE_TS = 1_700_000_000_000_000  # microseconds; fixed epoch for determinism
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu data query batch stream shard block merge sort hash scan "
+    "café straße naïve 東京 résumé"
+).split()
+
+_BOILERPLATE = [
+    "Hello, how can I help you today?",
+    "Thanks for reaching out to support.",
+    "Let me look into that for you.",
+]
+
+_TOOLS = ["search", "code", "browse", "none"]
+_ROLES = ["user", "assistant", "tool"]
+
+
+def _random_turn_text(rng: random.Random) -> str:
+    target = rng.randint(20, 400)
+    parts = []
+    size = 0
+    while size < target:
+        w = rng.choice(_WORDS)
+        parts.append(w)
+        size += len(w) + 1
+    if rng.random() < 0.05:
+        parts.append("😀")
+    return " ".join(parts)
+
+
+def _small_edits(rng: random.Random, turns: list[str], k: int) -> list[str]:
+    turns = list(turns)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    for _ in range(k):
+        ti = rng.randrange(len(turns))
+        s = turns[ti]
+        if not s:
+            continue
+        pos = rng.randrange(len(s))
+        op = rng.random()
+        if op < 0.34:
+            s = s[:pos] + rng.choice(alphabet) + s[pos:]
+        elif op < 0.67:
+            s = s[:pos] + s[pos + 1 :]
+        else:
+            s = s[:pos] + rng.choice(alphabet) + s[pos + 1 :]
+        turns[ti] = s
+    return turns
+
+
+def _whitespace_case_noise(rng: random.Random, turns: list[str]) -> list[str]:
+    out = []
+    for s in turns:
+        chars = []
+        for ch in s:
+            if ch == " " and rng.random() < 0.1:
+                chars.append("  ")
+            elif ch.isalpha() and rng.random() < 0.05:
+                chars.append(ch.swapcase())
+            else:
+                chars.append(ch)
+        out.append("".join(chars))
+    return out
+
+
+def generate_transcripts(
+    seed: int = 42,
+    entities: int = 200,
+    viral_fraction: float = 0.07,
+) -> tuple[pa.Table, pa.Table]:
+    """Returns (transcripts, truth) Arrow tables.
+
+    transcripts: conv_id string, turn_idx int32, role string,
+                 text string, tool string, ts timestamp[us]
+    truth:       conv_id string, entity_id int64
+    """
+    rng = random.Random(seed)
+    conv_rows: list[tuple] = []  # (conv_id, turn_idx, role, text, tool, ts)
+    truth_rows: list[tuple] = []
+
+    viral_convs = max(2, int(entities * 3 * viral_fraction))
+
+    conv_counter = 0
+    for entity in range(entities):
+        n_turns = rng.randint(5, 40)
+        boiler = rng.choice(_BOILERPLATE)
+        base_turns = [boiler] + [_random_turn_text(rng) for _ in range(n_turns - 1)]
+        base_roles = [_ROLES[i % 3] for i in range(n_turns)]
+        base_tools = [rng.choice(_TOOLS) if r == "tool" else "" for r in base_roles]
+
+        is_viral = entity == 0
+        n_variants = viral_convs if is_viral else rng.randint(1, 5)
+
+        variants: list[list[str]] = [base_turns]
+        for v in range(1, n_variants):
+            kind = rng.randrange(5)
+            if kind == 0:
+                variants.append(list(base_turns))  # exact duplicate
+            elif kind == 1:
+                variants.append(_small_edits(rng, base_turns, rng.randint(1, 5)))
+            elif kind == 2:
+                variants.append(_whitespace_case_noise(rng, base_turns))
+            elif kind == 3:
+                variants.append(list(base_turns))  # reordered rows (same turns)
+            else:
+                drop = rng.randint(1, 2)
+                variants.append(base_turns[: max(3, n_turns - drop)])
+
+        for v, turns in enumerate(variants):
+            conv_id = f"conv-{conv_counter:07d}"
+            conv_counter += 1
+            truth_rows.append((conv_id, entity))
+            conv_offset = rng.randint(0, 10_000) * 1_000_000
+            order = list(range(len(turns)))
+            rng.shuffle(order)  # rows always emitted in shuffled order
+            for turn_idx in order:
+                ts = BASE_TS + conv_offset + turn_idx * 30_000_000
+                if rng.random() < 0.05:
+                    ts = BASE_TS + conv_offset  # duplicated timestamp
+                role = base_roles[turn_idx % len(base_roles)]
+                tool = base_tools[turn_idx % len(base_tools)]
+                conv_rows.append((conv_id, turn_idx, role, turns[turn_idx], tool, ts))
+
+    # Shuffle conversations' rows globally too
+    rng.shuffle(conv_rows)
+
+    transcripts = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in conv_rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in conv_rows], pa.int32()),
+            "role": pa.array([r[2] for r in conv_rows], pa.string()),
+            "text": pa.array([r[3] for r in conv_rows], pa.string()),
+            "tool": pa.array([r[4] for r in conv_rows], pa.string()),
+            "ts": pa.array(np.array([r[5] for r in conv_rows], dtype="datetime64[us]")),
+        }
+    )
+    truth = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in truth_rows], pa.string()),
+            "entity_id": pa.array([r[1] for r in truth_rows], pa.int64()),
+        }
+    )
+    return transcripts, truth
+
+
+def write_corpus(out_dir: str, seed: int = 42, entities: int = 200) -> tuple[str, str]:
+    """Writes transcripts.parquet + truth.parquet under out_dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    transcripts, truth = generate_transcripts(seed=seed, entities=entities)
+    tpath = os.path.join(out_dir, "transcripts.parquet")
+    gpath = os.path.join(out_dir, "truth.parquet")
+    pq.write_table(transcripts, tpath)
+    pq.write_table(truth, gpath)
+    return tpath, gpath

@@ -1,0 +1,83 @@
+"""End-to-end flagship pipeline tests on the deterministic synthetic corpus."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from stringzilla_ray import synth
+from stringzilla_ray.pipelines.er import resolve_entities
+from stringzilla_ray.pipelines.eval import pairwise_f1
+from stringzilla_ray.stages.canonicalize import (
+    canonical_doc_from_turns,
+    canonicalize,
+    split_canonical_doc,
+)
+from stringzilla_ray.state.config import ERConfig
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    transcripts, truth = synth.generate_transcripts(seed=42, entities=40)
+    return transcripts, truth
+
+
+def test_canonical_doc_roundtrip():
+    turn_idx = np.array([2, 0, 1])
+    roles = ["tool", "user", "assistant"]
+    texts = ["t2 text", "t0 text", "t1 text"]
+    doc = canonical_doc_from_turns(turn_idx, roles, texts)
+    turns = split_canonical_doc(doc)
+    assert turns == [("user", "t0 text"), ("assistant", "t1 text"), ("tool", "t2 text")]
+
+
+def test_canonicalize_stage_invariant(ray_session, corpus):
+    """Per-turn text equality under stable turn ordering: the canonical
+    doc reconstructs every turn's exact text in turn_idx order."""
+    import ray.data
+
+    transcripts, _ = corpus
+    ds = ray.data.from_arrow(transcripts)
+    canonical = canonicalize(ds).to_pandas()
+
+    src = transcripts.to_pandas()
+    src_sorted = src.sort_values(["conv_id", "turn_idx"], kind="stable")
+    for conv_id, group in list(src_sorted.groupby("conv_id"))[:25]:
+        doc = canonical.loc[canonical.conv_id == conv_id, "doc"].iloc[0]
+        turns = split_canonical_doc(doc)
+        assert [t for _, t in turns] == group["text"].tolist(), conv_id
+        assert [r for r, _ in turns] == group["role"].tolist(), conv_id
+
+    # row order of the input must not matter: canonicalizing a shuffled
+    # copy yields identical docs
+    shuffled = src.sample(frac=1.0, random_state=7)
+    ds2 = ray.data.from_pandas(shuffled)
+    canonical2 = canonicalize(ds2).to_pandas()
+    merged = canonical.merge(canonical2, on="conv_id", suffixes=("_a", "_b"))
+    assert (merged.doc_a == merged.doc_b).all()
+    assert (merged.content_hash_a == merged.content_hash_b).all()
+
+
+def test_flagship_f1(ray_session, corpus):
+    import ray.data
+
+    transcripts, truth = corpus
+    ds = ray.data.from_arrow(transcripts)
+    clusters = resolve_entities(ds, ERConfig()).to_pandas()
+    metrics = pairwise_f1(clusters, truth.to_pandas())
+    assert metrics["conversations"] == truth.num_rows
+    assert metrics["f1"] >= 0.99, metrics
+
+
+def test_flagship_parallelism_invariance(ray_session, corpus):
+    """Same clusters regardless of input block structure — the
+    distributed analogue of the reference's backend differential sweep
+    (test/sz_helpers.py:1356-1420)."""
+    import ray.data
+
+    transcripts, _ = corpus
+    a = ray.data.from_arrow(transcripts)
+    b = ray.data.from_arrow(transcripts).repartition(13)
+    ca = resolve_entities(a, ERConfig()).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    cb = resolve_entities(b, ERConfig()).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ca, cb)
