@@ -1,44 +1,438 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/ray.shutdown() here or in anything these callables use.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship entity-resolution pipeline over the
+deterministic synthetic transcript corpus (the north-rule input shape;
+synthesised because the driver tables have no transcripts), sized for
+sf0.001-scale smoke.
+
+``queries()`` exposes one callable per implemented operator family
+from SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL where the op is SQL-expressible.
+Column names match between both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _synth_transcripts(sf_dir: str):
+    """Deterministic synthetic transcripts cached per scale under /tmp.
+
+    Entity count scales with the driver's sf (sf0.001 -> 30 entities,
+    sf0.01 -> 90, sf0.1 -> 300): small enough for the smoke/correctness
+    rounds, large enough to exercise blocking and skew splitting.
+    """
+    from stringzilla_ray import synth
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
+    entities = {"sf0.001": 30, "sf0.01": 90, "sf0.1": 300}.get(scale, 30)
+    cache = f"/tmp/stringzilla_ray_corpus/{scale}-seed42-e{entities}"
+    tpath = os.path.join(cache, "transcripts.parquet")
+    if not os.path.exists(tpath):
+        synth.write_corpus(cache, seed=42, entities=entities)
+    return tpath
+
+
+# --------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship ER pipeline at sf0.001 scale; returns (conv_id, cluster_id)."""
+    import ray.data
+
+    from stringzilla_ray.pipelines.er import run_er_on_parquet
+    from stringzilla_ray.state.config import ERConfig
+
+    tpath = _synth_transcripts("/root/testdata/sf0.001")
+    clusters = run_er_on_parquet(tpath, ERConfig())
+    return clusters
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_find_substring(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "pos": pc.cast(pc.find_substring(t["text"], "data"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_count_substring(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n": pc.cast(pc.count_substring(t["text"], "data"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_contains_filter(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.match_substring(t["text"], "merge")).select(["doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_startswith_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    flagged = ds.map_batches(
+        lambda t: pa.table(
+            {"lang": t["lang"], "sw": pc.cast(pc.starts_with(t["text"], "the "), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        flagged.groupby("lang").sum("sw").rename_columns({"sum(sw)": "n_startswith"})
+    )
+
+
+def _q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_utf8_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_codepoints": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_sorted_topk(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # stable lexicographic top-k: composite key (text, doc_id) mirrors the
+    # reference's stable sort + top (Strs.sorted(top=k), sort.h:48-114)
+    return ds.sort(["text", "doc_id"]).limit(20)
+
+
+def _q_exact_dedup(sf_dir: str):
+    from stringzilla_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = exact_dedup(ds, id_column="doc_id", text_column="text")
+    return out.select_columns(["doc_id", "lang"])
+
+
+def _q_intersect(sf_dir: str):
+    import ray.data
+
+    c = _read(sf_dir, "customer", columns=["c_nationkey"]).unique("c_nationkey")
+    s = _read(sf_dir, "supplier", columns=["s_nationkey"]).unique("s_nationkey")
+    c = c.rename_columns({"c_nationkey": "nationkey"})
+    s = s.rename_columns({"s_nationkey": "nationkey"})
+    return c.join(s, join_type="inner", num_partitions=4, on=("nationkey",))
+
+
+def _q_groupby_events(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").mean("value").rename_columns({"mean(value)": "avg_value"})
+    return out.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "avg_value": pc.round(t["avg_value"], ndigits=6)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_events_count_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return ds.groupby("event_type").count().rename_columns({"count()": "n"})
+
+
+def _q_ordered_groupby(sf_dir: str):
+    """Canonicalization parity on a real table: per-user event-type
+    sequence in stable (ts, event_id) order — the same stable-sort
+    assembly the flagship uses for turns."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def assemble(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        types = g["event_type"].to_pylist()
+        seq = "|".join(types[i] for i in order)
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "seq": pa.array([seq], pa.string()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(assemble, batch_format="pyarrow")
+
+
+def _q_tpch_q1(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def extend(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    agged = (
+        ds.map_batches(extend, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            *_sum_aggs(
+                ("l_quantity", "sum_qty"),
+                ("l_extendedprice", "sum_base_price"),
+                ("disc_price", "sum_disc_price"),
+            )
+        )
+    )
+    return agged.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.round(t["sum_qty"], ndigits=4),
+                "sum_base_price": pc.round(t["sum_base_price"], ndigits=4),
+                "sum_disc_price": pc.round(t["sum_disc_price"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sum_aggs(*pairs):
+    from ray.data.aggregate import Sum
+
+    return [Sum(col, alias_name=alias) for col, alias in pairs]
+
+
+def _q_ann_topk(sf_dir: str):
+    from stringzilla_ray.stages.ann import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    query = np.array(emb["embedding"][0].as_py(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, query, k=10)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cosine": pc.round(t["cosine"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_minhash_dedup(sf_dir: str):
+    """Near-dup pairs over documents (rows-only check: no SQL oracle)."""
+    from stringzilla_ray.stages.dedup import minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, jaccard_threshold=0.8)
+
+
+def _q_simhash(sf_dir: str):
+    from stringzilla_ray.stages.dedup import add_simhash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_simhash(t).select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+
+
+def _q_language_id(sf_dir: str):
+    from stringzilla_ray.stages.textstats import add_language
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    labeled = ds.map_batches(add_language, batch_format="pyarrow")
+    return labeled.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": t["lang_pred"],
+                "correct": pc.cast(pc.equal(t["lang_pred"], t["lang"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_quality(sf_dir: str):
+    from stringzilla_ray.stages.textstats import add_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_quality, batch_format="pyarrow").select_columns(
+        ["doc_id", "quality", "alpha_ratio", "stopword_ratio"]
+    )
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from stringzilla_ray.stages.textstats import add_doc_fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_doc_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "doc_fp"]
+    )
+
+
+def _q_bytesum(sf_dir: str):
+    from stringzilla_ray.functions.szhash import bytesum_batch
+    from stringzilla_ray.functions.text import tape_of
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tape, offsets = tape_of(col)
+        return pa.table(
+            {"doc_id": t["doc_id"], "bsum": pa.array(bytesum_batch(tape, offsets).astype(np.int64), pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_flagship_clusters(sf_dir: str):
+    """Flagship ER on the synthetic transcripts for this sf (rows-only)."""
+    from stringzilla_ray.pipelines.er import run_er_on_parquet
+    from stringzilla_ray.state.config import ERConfig
+
+    tpath = _synth_transcripts(sf_dir)
+    return run_er_on_parquet(tpath, ERConfig())
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from stringzilla_ray.stages.ann import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, threshold=0.99, nbits=4)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"left": t["left"], "right": t["right"]}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "find_substring": _q_find_substring,
+        "count_substring": _q_count_substring,
+        "contains_filter": _q_contains_filter,
+        "startswith_by_lang": _q_startswith_by_lang,
+        "token_count": _q_token_count,
+        "utf8_count": _q_utf8_count,
+        "sorted_topk": _q_sorted_topk,
+        "exact_dedup": _q_exact_dedup,
+        "intersect_nationkeys": _q_intersect,
+        "events_avg_by_type": _q_groupby_events,
+        "events_count_by_type": _q_events_count_by_type,
+        "ordered_groupby_seq": _q_ordered_groupby,
+        "tpch_q1": _q_tpch_q1,
+        "ann_topk": _q_ann_topk,
+        "bytesum": _q_bytesum,
+        "minhash_near_dup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "language_id": _q_language_id,
+        "quality_score": _q_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "flagship_er_clusters": _q_flagship_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "find_substring": (
+            "SELECT doc_id, CAST(instr(text, 'data') - 1 AS BIGINT) AS pos FROM documents"
+        ),
+        "count_substring": (
+            "SELECT doc_id, CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS n "
+            "FROM documents"
+        ),
+        "contains_filter": (
+            "SELECT doc_id, n_chars FROM documents WHERE instr(text, 'merge') > 0"
+        ),
+        "startswith_by_lang": (
+            "SELECT lang, CAST(sum(CASE WHEN text LIKE 'the %' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_startswith FROM documents GROUP BY lang"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "utf8_count": "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_codepoints FROM documents",
+        "sorted_topk": (
+            "SELECT doc_id, text FROM documents ORDER BY text, doc_id LIMIT 20"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, any_value(lang) AS lang FROM documents GROUP BY text"
+        ),
+        "intersect_nationkeys": (
+            "SELECT DISTINCT c_nationkey AS nationkey FROM customer "
+            "INTERSECT SELECT DISTINCT s_nationkey FROM supplier"
+        ),
+        "events_avg_by_type": (
+            "SELECT event_type, round(avg(value), 6) AS avg_value FROM events GROUP BY event_type"
+        ),
+        "events_count_by_type": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+        ),
+        "ordered_groupby_seq": (
+            "SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS seq "
+            "FROM events GROUP BY user_id"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice), 4) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT qe FROM q)), 6) AS cosine "
+            "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        # bytesum / sketches / heuristics / flagship: no SQL oracle
+        # (rows-only checks) — sketch seeds and heuristic profiles are
+        # not SQL-expressible.
+    }

@@ -84,6 +84,7 @@ def levenshtein_batch(
     mismatch: int = 1,
     open: int = 1,
     extend: int = 1,
+    max_distances: np.ndarray | None = None,
 ) -> np.ndarray:
     """Pairwise (not cross-product) edit distances for aligned batches.
 
@@ -91,6 +92,13 @@ def levenshtein_batch(
     (the engine's uint64 matrix diagonal). Accepts raw byte lists or
     pre-padded (matrix, lengths) pairs — pass codepoint matrices from
     ``utf8_to_padded`` for the UTF-8 variant.
+
+    ``max_distances`` (B,) enables banded early exit: once a pair's
+    whole DP row exceeds its bound (the row minimum is a lower bound on
+    the final distance when all costs are non-negative), the pair is
+    frozen and reported as ``max_distances[i] + 1`` — enough for a
+    threshold decision without finishing the matrix. The analogue of
+    the reference's size-tiered fast paths for thresholded workloads.
     """
     a_mat, a_lens = strings_to_padded(a_items) if isinstance(a_items, list) else a_items
     b_mat, b_lens = strings_to_padded(b_items) if isinstance(b_items, list) else b_items
@@ -117,10 +125,26 @@ def levenshtein_batch(
         out[done0] = np.where(bl > 0, open_ + extend * (bl - 1), 0)
 
     max_rows = int(a_lens.max()) if batch else 0
-    b_valid = b_mat >= 0  # (B, n2)
     extend_cols = extend * cols  # for the prefix scan
 
+    bounds = None
+    if max_distances is not None and min(match, mismatch, open_, extend) >= 0:
+        bounds = np.asarray(max_distances, dtype=np.int64)
+        a_lens = a_lens.copy()  # pruning zeroes out abandoned pairs
+
     for i in range(1, max_rows + 1):
+        if bounds is not None and (i & 15) == 0:
+            # Early exit: every DP path crosses each row once and costs
+            # are non-negative, so the row minimum lower-bounds the
+            # final distance; pairs already past their bound report
+            # bound+1 (enough for a threshold decision) and stop.
+            row_min = np.minimum(np.minimum(S, D), I).min(axis=1)
+            pruned = (a_lens >= i) & (row_min > bounds)
+            if pruned.any():
+                out[pruned] = bounds[pruned] + 1
+                a_lens[pruned] = 0
+            if not (a_lens >= i).any():
+                break
         active = a_lens >= i
         a_char = a_mat[:, i - 1 : i]  # (B, 1)
         sub_cost = np.where(b_mat == a_char, match, mismatch)  # (B, n2)

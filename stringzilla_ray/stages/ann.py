@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+from stringzilla_ray.util import actor_pool_limits
 
 
 def _emb_matrix(batch: pa.Table, column: str) -> np.ndarray:
@@ -66,7 +67,7 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10,
         fn_constructor_kwargs=dict(query_ref=query_ref, id_column=id_column,
                                    emb_column=emb_column, k=k),
         batch_format="pyarrow",
-        concurrency=(1, 32),
+        concurrency=actor_pool_limits(32),
     )
     return partial.sort(["cosine", id_column], descending=[True, False]).limit(k)
 
@@ -125,7 +126,7 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, nbits: int = 8, seed: int = 0,
                                    emb_column=emb_column, k=k,
                                    planes_ref=planes_ref, probes=probes_arr),
         batch_format="pyarrow",
-        concurrency=(1, 32),
+        concurrency=actor_pool_limits(32),
     )
     return partial.sort(["cosine", id_column], descending=[True, False]).limit(k)
 

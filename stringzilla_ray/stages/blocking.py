@@ -26,6 +26,7 @@ import pyarrow as pa
 from stringzilla_ray.functions import szhash
 from stringzilla_ray.stages.fingerprint import minhash_matrix
 from stringzilla_ray.state.config import ERConfig
+from stringzilla_ray.util import actor_pool_limits
 
 
 def band_keys_for_batch(mh: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
@@ -126,7 +127,7 @@ def blocked_pairs(signed, cfg: ERConfig):
         fn_constructor_kwargs=dict(cfg=cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 64),
+        concurrency=actor_pool_limits(),
     )
     pairs = bands.groupby("band_key").map_groups(
         lambda g: _emit_block_pairs(g, cfg.max_block_size),

@@ -20,19 +20,100 @@ import pyarrow.compute as pc
 import ray.data
 
 from stringzilla_ray.state.config import ERConfig
+from stringzilla_ray.util import actor_pool_limits
 
 
 def _symmetric_edges(edges):
-    fwd = edges.select_columns(["left", "right"]).rename_columns({"left": "src", "right": "dst"})
-    rev = edges.select_columns(["left", "right"]).rename_columns({"right": "src", "left": "dst"})
+    fwd = edges.select_columns(["left", "right"]).rename_columns(
+        {"left": "src", "right": "dst"}
+    ).select_columns(["src", "dst"])
+    rev = edges.select_columns(["left", "right"]).rename_columns(
+        {"right": "src", "left": "dst"}
+    ).select_columns(["src", "dst"])
     return fwd.union(rev)
 
 
-def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = None):
+# Edge sets below this size cluster on the driver with union-find: the
+# candidate-match graph is orders of magnitude smaller than the input
+# (it only contains near-duplicate pairs), so even a 10^12-turn run
+# usually lands under this; the dataset-shuffle path below covers the
+# rest.
+DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
+
+
+def _union_find_clusters(nodes, edges):
+    """Driver-side union-find over a small edge set; nodes stream in."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        if rb < ra:  # deterministic: smaller id wins as root
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    for batch in edges.select_columns(["left", "right"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for a, b in zip(batch["left"].to_pylist(), batch["right"].to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            union(a, b)
+
+    import pyarrow as pa
+
+    # Broadcast the final root map and assign per batch.
+    roots = {x: find(x) for x in list(parent)}
+
+    import ray
+
+    roots_ref = ray.put(roots)
+
+    class Assign:
+        def __init__(self, roots_ref):
+            self.roots = ray.get(roots_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["conv_id"].to_pylist()
+            return pa.table(
+                {
+                    "conv_id": pa.array(ids, pa.string()),
+                    "cluster_id": pa.array([self.roots.get(i, i) for i in ids], pa.string()),
+                }
+            )
+
+    return nodes.select_columns(["conv_id"]).map_batches(
+        Assign,
+        fn_constructor_kwargs=dict(roots_ref=roots_ref),
+        batch_format="pyarrow",
+        concurrency=actor_pool_limits(8),
+    )
+
+
+def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = None,
+                      force_distributed: bool = False):
     """nodes: Dataset with conv_id; edges: Dataset with (left, right)
-    match pairs. Returns Dataset (conv_id, cluster_id)."""
+    match pairs. Returns Dataset (conv_id, cluster_id).
+
+    Dispatch: small edge sets (the common case — edges are candidate
+    matches, a vanishing fraction of the input) union-find on the
+    driver in one pass; larger graphs run the distributed
+    min-label-propagation loop.
+    """
     parts = num_partitions or cfg.join_num_partitions
     sym = _symmetric_edges(edges).materialize()
+
+    if not force_distributed and sym.count() <= 2 * DRIVER_UNION_FIND_MAX_EDGES:
+        return _union_find_clusters(nodes, edges)
 
     labels = nodes.select_columns(["conv_id"]).map_batches(
         lambda t: t.append_column("label", t["conv_id"]),

@@ -24,6 +24,7 @@ from stringzilla_ray.functions import szhash
 from stringzilla_ray.functions.text import tape_of
 from stringzilla_ray.stages.blocking import band_keys_for_batch
 from stringzilla_ray.stages.fingerprint import Fingerprinter, minhash_matrix
+from stringzilla_ray.util import actor_pool_limits
 
 
 def add_text_hash(batch: pa.Table, text_column: str = "text", seed: int = 0,
@@ -116,7 +117,7 @@ def minhash_dedup_pairs(
         fn_constructor_kwargs=dict(ndim=ndim, seed=seed, text_column=text_column),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 32),
+        concurrency=actor_pool_limits(32),
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -185,7 +186,7 @@ def minhash_dedup_pairs(
         Verifier,
         fn_constructor_kwargs=dict(texts_ref=texts_ref, n=ngram, threshold=jaccard_threshold),
         batch_format="pyarrow",
-        concurrency=(1, 32),
+        concurrency=actor_pool_limits(32),
     )
 
 

@@ -19,6 +19,7 @@ import pyarrow as pa
 from stringzilla_ray.functions import fingerprint as fpk
 from stringzilla_ray.functions.text import tape_of
 from stringzilla_ray.state.config import ERConfig
+from stringzilla_ray.util import actor_pool_limits
 
 
 class Fingerprinter:
@@ -62,7 +63,7 @@ def fingerprint_stage(canonical, cfg: ERConfig):
         zero_copy_batch=True,
         # autoscaling actor pool: sizes itself to the cluster's CPUs,
         # so the same code scales N -> 4N without retuning
-        concurrency=cfg.fingerprint_concurrency or (1, 64),
+        concurrency=cfg.fingerprint_concurrency or actor_pool_limits(),
     )
     return canonical.map_batches(Fingerprinter, **kwargs)
 

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from stringzilla_ray.functions import szhash
+from stringzilla_ray.util import actor_pool_limits
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -80,7 +81,7 @@ def decode_features(ds, strict: bool = False, seed: int = 0, batch_size: int = 6
         fn_constructor_kwargs=dict(strict=strict, seed=seed),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 16),
+        concurrency=actor_pool_limits(16),
     )
 
 

@@ -30,6 +30,7 @@ import ray
 
 from stringzilla_ray.functions import similarity as sim
 from stringzilla_ray.state.config import ERConfig
+from stringzilla_ray.util import actor_pool_limits
 
 
 def _pack_docs(batch_iter) -> dict[str, tuple[bytes, np.ndarray]]:
@@ -119,7 +120,10 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
         m = np.minimum(minlen[idx], cap)
         a = [left_docs[i][: m[k]] for k, i in enumerate(idx)]
         b = [right_docs[i][: m[k]] for k, i in enumerate(idx)]
-        dist = sim.levenshtein_batch(a, b)
+        # distances beyond (1 - threshold) * m can't match: let the DP
+        # prune those pairs early (reported as bound+1, sim below τ)
+        max_d = (m * (1.0 - cfg.sim_threshold)).astype(np.int64) + 1
+        dist = sim.levenshtein_batch(a, b, max_distances=max_d)
         s = 1.0 - dist / np.maximum(m, 1)
         sim_score[idx] = s
         scored_by_list = scored_by.tolist()
@@ -156,7 +160,7 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig):
         fn_constructor_kwargs=dict(docs_ref=docs_ref, cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
-        concurrency=(1, 64),
+        concurrency=actor_pool_limits(),
     )
 
 
@@ -212,7 +216,7 @@ def score_pairs_join(pairs, signed, cfg: ERConfig):
         fn_constructor_kwargs=dict(cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
-        concurrency=(1, 64),
+        concurrency=actor_pool_limits(),
     )
 
 

@@ -34,7 +34,7 @@ class ERConfig:
     # Scoring
     score_prefix_bytes: int = 2048  # DP runs on at most this many bytes
     jaccard_accept: float = 0.92    # signature agreement that accepts outright
-    jaccard_reject: float = 0.35    # signature agreement below which we reject
+    jaccard_reject: float = 0.55    # signature agreement below which we reject
     sim_threshold: float = 0.80     # normalized edit similarity for a match
     length_ratio_gate: float = 0.5  # reject pairs whose byte lengths differ 2x+
 
