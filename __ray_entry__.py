@@ -153,12 +153,19 @@ def _q_exact_dedup(sf_dir: str):
 
 
 def _q_intersect(sf_dir: str):
-    import ray.data
-
-    c = _read(sf_dir, "customer", columns=["c_nationkey"]).unique("c_nationkey")
-    s = _read(sf_dir, "supplier", columns=["s_nationkey"]).unique("s_nationkey")
-    c = c.rename_columns({"c_nationkey": "nationkey"})
-    s = s.rename_columns({"s_nationkey": "nationkey"})
+    """Strs.intersect semantics (distinct-set inner join,
+    python/README.md:379-390): distinct keys of both sides, each
+    shared value matched once."""
+    c = (
+        _read(sf_dir, "customer", columns=["c_nationkey"])
+        .groupby("c_nationkey").count().drop_columns(["count()"])
+        .rename_columns({"c_nationkey": "nationkey"})
+    )
+    s = (
+        _read(sf_dir, "supplier", columns=["s_nationkey"])
+        .groupby("s_nationkey").count().drop_columns(["count()"])
+        .rename_columns({"s_nationkey": "nationkey"})
+    )
     return c.join(s, join_type="inner", num_partitions=4, on=("nationkey",))
 
 
@@ -251,15 +258,19 @@ def _q_ann_topk(sf_dir: str):
     query = np.array(emb["embedding"][0].as_py(), dtype=np.float32)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, query, k=10)
-    return out.map_batches(
-        lambda t: pa.table(
+
+    # Emit (vec_id, rank): DuckDB computes cosine in float32 (~5e-8 off
+    # our float64), so raw scores can't value-hash equal; the top-k ids
+    # and their order are precision-stable (neighbor gaps ~1e-2).
+    def ranked(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
                 "vec_id": t["vec_id"],
-                "cosine": pc.round(t["cosine"], ndigits=6),
+                "rank": pa.array(np.arange(1, len(t) + 1), pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return out.map_batches(ranked, batch_format="pyarrow", batch_size=1000)
 
 
 def _q_minhash_dedup(sf_dir: str):
@@ -354,6 +365,47 @@ def _q_embedding_near_dup(sf_dir: str):
     )
 
 
+def _q_embedding_sim_pairs(sf_dir: str):
+    """Exact all-pairs cosine >= 0.40 via the broadcast-small-side
+    pattern: the (tiny) embedding matrix ships once with ray.put, each
+    block matmuls against it. Scales O(N*M) with M the broadcast side."""
+    import ray
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    all_ids = np.array(emb["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.vstack([np.asarray(x, dtype=np.float64) for x in emb["embedding"].to_pylist()])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((all_ids, mat))
+
+    class CrossScorer:
+        def __init__(self, ref, threshold):
+            self.ids, self.mat = ray.get(ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+            m = np.vstack([np.asarray(x, dtype=np.float64) for x in batch["embedding"].to_pylist()])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cos = m @ self.mat.T
+            bi, gj = np.nonzero(cos >= self.threshold)
+            li, ri = ids[bi], self.ids[gj]
+            keep = li < ri  # dedupe mirrored/self matches globally
+            return pa.table(
+                {
+                    "left": pa.array(li[keep], pa.int64()),
+                    "right": pa.array(ri[keep], pa.int64()),
+                }
+            )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        CrossScorer,
+        fn_constructor_kwargs=dict(ref=ref, threshold=0.40),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -377,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
     }
 
@@ -428,9 +481,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "ann_topk": (
-            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
-            "SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT qe FROM q)), 6) AS cosine "
-            "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT vec_id, list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cosine "
+            "FROM embeddings) "
+            "SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank "
+            "FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "embedding_sim_pairs": (
+            "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40"
         ),
         # bytesum / sketches / heuristics / flagship: no SQL oracle
         # (rows-only checks) — sketch seeds and heuristic profiles are

@@ -33,7 +33,11 @@ def add_text_hash(batch: pa.Table, text_column: str = "text", seed: int = 0,
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     tape, offsets = tape_of(col)
-    return batch.append_column(out_column, pa.array(szhash.hash_batch(tape, offsets, seed), pa.uint64()))
+    # int64 view of the 64-bit digest: Ray's hash aggregators mishandle
+    # uint64 keys (they fall back to pickled-object columns), and the
+    # wrapped bits are just as good a key.
+    digest = szhash.hash_batch(tape, offsets, seed).view(np.int64)
+    return batch.append_column(out_column, pa.array(digest, pa.int64()))
 
 
 def exact_dedup(ds, id_column: str, text_column: str = "text", seed: int = 0):
