@@ -166,7 +166,7 @@ def _q_intersect(sf_dir: str):
         .groupby("s_nationkey").count().drop_columns(["count()"])
         .rename_columns({"s_nationkey": "nationkey"})
     )
-    return c.join(s, join_type="inner", num_partitions=4, on=("nationkey",))
+    return c.join(s, join_type="inner", num_partitions=2, on=("nationkey",))
 
 
 def _q_groupby_events(sf_dir: str):

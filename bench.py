@@ -1,0 +1,193 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+--scaling runs the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs
+plus the scaling efficiency (recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Synthetic transcript corpus sizing per sf (bench must stress the
+# shuffles and the scoring pool, not just fixed overheads).
+BENCH_ENTITIES = {"sf0.001": 60, "sf0.01": 250, "sf0.1": 1000}
+
+
+def _corpus_path(sf_name: str) -> str:
+    from stringzilla_ray import synth
+
+    entities = BENCH_ENTITIES.get(sf_name, 250)
+    cache = f"/tmp/stringzilla_ray_bench/{sf_name}-seed42-e{entities}"
+    tpath = os.path.join(cache, "transcripts.parquet")
+    if not os.path.exists(tpath):
+        synth.write_corpus(cache, seed=42, entities=entities)
+    return tpath
+
+
+def run_benchmarks() -> dict:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from stringzilla_ray.pipelines.er import run_er_on_parquet
+    from stringzilla_ray.stages.ann import brute_force_topk
+    from stringzilla_ray.stages.dedup import exact_dedup, minhash_dedup_pairs
+    from stringzilla_ray.stages.textstats import add_quality, add_token_counts
+    from stringzilla_ray.state.config import ERConfig
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    tpath = _corpus_path(sf_name)
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    pq.read_table(tpath)
+    for t in ("documents", "events", "lineitem", "embeddings"):
+        pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # headline: flagship entity resolution over transcripts
+    timed("flagship_er", lambda: run_er_on_parquet(tpath, ERConfig()).count())
+
+    # corpus-ops over the driver tables
+    timed(
+        "exact_dedup",
+        lambda: exact_dedup(
+            __import__("ray").data.read_parquet(
+                os.path.join(SF_DIR, "documents.parquet"),
+                columns=["doc_id", "text"],
+            ),
+            id_column="doc_id",
+        ).count(),
+    )
+    timed(
+        "minhash_near_dup",
+        lambda: minhash_dedup_pairs(
+            __import__("ray").data.read_parquet(
+                os.path.join(SF_DIR, "documents.parquet"),
+                columns=["doc_id", "text"],
+            )
+        ).count(),
+    )
+    timed(
+        "text_featurize",
+        lambda: __import__("ray")
+        .data.read_parquet(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(add_quality, batch_format="pyarrow")
+        .map_batches(add_token_counts, batch_format="pyarrow")
+        .count(),
+    )
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    query = np.array(emb["embedding"][0].as_py(), dtype=np.float32)
+    timed(
+        "ann_topk",
+        lambda: brute_force_topk(
+            __import__("ray").data.read_parquet(
+                os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+            ),
+            query,
+            k=10,
+        ).count(),
+    )
+
+    # transcript volume for throughput context
+    meta = pq.read_metadata(tpath)
+    turns = meta.num_rows
+    headline = timings["flagship_er"]
+    return {
+        "metric": "flagship_er_seconds",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_name,
+        "num_cpus": NUM_CPUS,
+        "transcript_turns": turns,
+        "turns_per_sec": round(turns / headline, 1) if headline else None,
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh processes —
+    the sandbox stand-in for cluster sizes N and 4N."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    tp_lo = r_lo["transcript_turns"] / t_lo
+    tp_hi = r_hi["transcript_turns"] / t_hi
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "turns_per_sec_lo": round(tp_lo, 1),
+        "turns_per_sec_hi": round(tp_hi, 1),
+        "queries": {"flagship_er_lo": t_lo, "flagship_er_hi": t_hi},
+        "sf": r_hi["sf"],
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_benchmarks()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

@@ -7,134 +7,180 @@ bit-parity hash kernel, seeded by band index so bands never collide
 across band ids). Conversations sharing a band key become candidate
 pairs.
 
+Execution is all NATIVE Ray Data operators — no per-group Python:
+  1. explode signatures to (conv_id, band_key) rows (map_batches),
+  2. count rows per key (groupby.count), join the counts back,
+  3. drop singleton keys (no pairs), salt oversized keys (skew cap),
+  4. SELF-JOIN on band_key -> candidate pairs, keep left < right,
+  5. distinct pairs via groupby.max (carries the oversized flag).
+
 Skew control (the cluster-level version of the reference's size-tiered
 scheduling, include/stringzillas/similarities/serial.hpp:3334-3347):
-groups larger than ``max_block_size`` are split deterministically into
-salt sub-blocks by hash(conv_id); pairs are emitted within each
-sub-block, plus every sub-block's minimum conv_id is linked to every
-other sub-block's minimum — preserving transitive connectivity of a
-true duplicate cloud while capping the O(g^2) pair blowup at
-O(s * cap^2 + s^2). Oversized blocks are counted in an
-``oversized_blocks`` metric column on the pair rows' side channel.
+keys with more than ``max_block_size`` members split deterministically
+into ceil(g/cap) salt sub-blocks by hash(conv_id); pairs form within
+each sub-block, and a small deterministic sample of members (~4 per
+sub-block) forms a cross-salt representative block that keeps a true
+duplicate cloud transitively connected while capping the O(g^2) pair
+blowup at O(g*cap). Salted rows carry ``oversized_block=1`` so the
+metric survives into the pair table.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from stringzilla_ray.functions import szhash
+from stringzilla_ray.functions.fingerprint import splitmix64
 from stringzilla_ray.stages.fingerprint import minhash_matrix
 from stringzilla_ray.state.config import ERConfig
 from stringzilla_ray.util import actor_pool_limits
 
 
 def band_keys_for_batch(mh: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
-    """(B, bands) uint64 band keys from a (B, ndim) uint32 signature."""
+    """(B, bands) int64 band keys from a (B, ndim) uint32 signature."""
     n = mh.shape[0]
-    out = np.empty((n, bands), dtype=np.uint64)
+    out = np.empty((n, bands), dtype=np.int64)
     for band in range(bands):
         rows = np.ascontiguousarray(mh[:, band * rows_per_band : (band + 1) * rows_per_band])
         tape = rows.view(np.uint8).reshape(-1)
         width = rows_per_band * 4
         offsets = np.arange(n + 1, dtype=np.int64) * width
-        out[:, band] = szhash.hash_batch(tape, offsets, seed=band)
+        out[:, band] = szhash.hash_batch(tape, offsets, seed=band).view(np.int64)
     return out
 
 
-class BandExploder:
-    """map_batches UDF: one output row per (conversation, band)."""
-
-    def __init__(self, cfg: ERConfig):
-        self.cfg = cfg
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        mh = minhash_matrix(batch, cfg.ndim)
-        keys = band_keys_for_batch(mh, cfg.bands, cfg.rows_per_band)
-        n = len(batch)
-        conv = batch["conv_id"]
-        if isinstance(conv, pa.ChunkedArray):
-            conv = conv.combine_chunks()
-        conv_rep = conv.take(pa.array(np.repeat(np.arange(n), cfg.bands), pa.int64()))
-        return pa.table(
-            {
-                "conv_id": conv_rep,
-                "band_key": pa.array(keys.ravel(), pa.uint64()),
-            }
-        )
-
-
-def _pairs_from_ids(ids: list[str]) -> list[tuple[str, str]]:
-    ids = sorted(ids)
-    return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-
-
-def _emit_block_pairs(group: pa.Table, max_block_size: int) -> pa.Table:
-    ids = sorted(set(group["conv_id"].to_pylist()))
-    g = len(ids)
-    left: list[str] = []
-    right: list[str] = []
-    oversized = 0
-    if g >= 2:
-        if g <= max_block_size:
-            for a, b in _pairs_from_ids(ids):
-                left.append(a)
-                right.append(b)
-        else:
-            # Salted split: deterministic by content hash of the id.
-            oversized = 1
-            nsalt = -(-g // max_block_size)  # ceil
-            salts = np.array([szhash.hash_bytes(i, seed=7) % nsalt for i in ids])
-            reps = []
-            for s in range(nsalt):
-                bucket = [ids[k] for k in np.nonzero(salts == s)[0]]
-                if not bucket:
-                    continue
-                reps.append(bucket[0])  # ids sorted -> deterministic representative
-                for a, b in _pairs_from_ids(bucket):
-                    left.append(a)
-                    right.append(b)
-            for a, b in _pairs_from_ids(reps):
-                left.append(a)
-                right.append(b)
-    if not left:
-        return pa.table(
-            {
-                "left": pa.array([], pa.string()),
-                "right": pa.array([], pa.string()),
-                "oversized_block": pa.array([], pa.int8()),
-            }
-        )
+def explode_bands(batch: pa.Table, cfg: ERConfig) -> pa.Table:
+    """One output row per (conversation, band). Stateless task — the
+    blocking stage shares its execution graph with shuffle aggregator
+    actors, so it must not pin an actor pool of its own."""
+    mh = minhash_matrix(batch, cfg.ndim)
+    keys = band_keys_for_batch(mh, cfg.bands, cfg.rows_per_band)
+    n = len(batch)
+    conv = batch["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    conv_rep = conv.take(pa.array(np.repeat(np.arange(n), cfg.bands), pa.int64()))
     return pa.table(
         {
-            "left": pa.array(left, pa.string()),
-            "right": pa.array(right, pa.string()),
-            "oversized_block": pa.array([oversized] * len(left), pa.int8()),
+            "conv_id": conv_rep,
+            "band_key": pa.array(keys.ravel(), pa.int64()),
         }
     )
 
 
-def blocked_pairs(signed, cfg: ERConfig):
-    """signed Dataset (conv_id, minhash, ...) -> distinct candidate pairs.
+def _conv_hashes(conv: pa.Array) -> np.ndarray:
+    from stringzilla_ray.functions.text import tape_of
 
-    Two shuffles: groupby(band_key) for block formation, then
-    groupby(left, right) to dedup pairs that co-occurred in several
-    bands (SURVEY.md §7.3).
+    tape, offsets = tape_of(pc.cast(conv, pa.large_binary()))
+    return szhash.hash_batch(tape, offsets, seed=7)
+
+
+def _salt_batch(batch: pa.Table, cap: int, oversized_ref) -> pa.Table:
+    """Salt rows whose band key is in the broadcast oversized census."""
+    import ray
+
+    oversized_map = ray.get(oversized_ref)
+    keys = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    conv = batch["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+
+    if oversized_map:
+        keys_i64 = keys.view(np.int64)
+        counts = np.array([oversized_map.get(int(k), 0) for k in keys_i64], dtype=np.int64)
+    else:
+        counts = np.zeros(len(keys), dtype=np.int64)
+    oversized = counts > cap
+    final_keys = keys.copy()  # uint64 workspace
+    conv_pieces = [conv]
+    key_pieces = [final_keys]
+    flag_pieces = [oversized.astype(np.int8)]
+
+    if oversized.any():
+        ch = _conv_hashes(conv)
+        nsalt = np.maximum(-(-counts // cap), 1).astype(np.uint64)  # ceil(g/cap)
+        salt = ch % nsalt
+        salted_keys = splitmix64(keys ^ (salt + np.uint64(1)))
+        final_keys[oversized] = salted_keys[oversized]
+        # deterministic representative sample (~4 per salt bucket) goes
+        # into a cross-salt linking block so the cloud stays connected
+        rep_every = np.maximum(counts // (nsalt.astype(np.int64) * 4), 1).astype(np.uint64)
+        is_rep = oversized & ((splitmix64(ch ^ keys) % rep_every) == 0)
+        if is_rep.any():
+            rep_idx = np.nonzero(is_rep)[0]
+            rep_keys = splitmix64(keys[rep_idx] ^ np.uint64(0xBADC0FFEE))
+            conv_pieces.append(conv.take(pa.array(rep_idx, pa.int64())))
+            key_pieces.append(rep_keys)
+            flag_pieces.append(np.ones(len(rep_idx), dtype=np.int8))
+
+    all_keys = np.ascontiguousarray(np.concatenate(key_pieces)).view(np.int64)
+    conv_out = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in conv_pieces]
+    )
+    return pa.table(
+        {
+            "conv_id": conv_out,
+            "band_key": pa.array(all_keys, pa.int64()),
+            "oversized_block": pa.array(np.concatenate(flag_pieces), pa.int8()),
+        }
+    )
+
+
+def _pairs_from_join(batch: pa.Table) -> pa.Table:
+    lt = pc.less(batch["left"], batch["right"])
+    batch = batch.filter(lt)
+    return batch.select(["left", "right", "oversized_block"])
+
+
+def blocked_pairs(signed, cfg: ERConfig):
+    """signed Dataset (conv_id, minhash, ...) -> candidate pairs
+    (left, right, oversized_block).
+
+    Two wide ops total: one aggregate to find oversized keys (the
+    result is tiny — only keys above the cap — and broadcasts via
+    ray.put), and ONE self-join on the salted band key. Pairs that
+    co-occur in several bands are emitted once per band; the scorer
+    and union-find tolerate duplicates, and dropping the distinct
+    aggregate saves a full extra shuffle of the pair table.
     """
+    import ray
+
+    from stringzilla_ray.util import join_partitions
+
+    parts = join_partitions(cfg.join_num_partitions)
     bands = signed.map_batches(
-        BandExploder,
-        fn_constructor_kwargs=dict(cfg=cfg),
+        explode_bands,
+        fn_kwargs=dict(cfg=cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=actor_pool_limits(),
     )
-    pairs = bands.groupby("band_key").map_groups(
-        lambda g: _emit_block_pairs(g, cfg.max_block_size),
+    # Oversized-key census: aggregate then keep only keys above the cap
+    # (a vanishing fraction) on the driver.
+    counts = bands.groupby("band_key").count().rename_columns({"count()": "n"})
+    big = counts.filter(expr=f"n > {cfg.max_block_size}")
+    oversized = {}
+    for b in big.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, c in zip(b["band_key"].to_pylist(), b["n"].to_pylist()):
+            oversized[k] = c
+    oversized_ref = ray.put(oversized)
+
+    salted = bands.map_batches(
+        _salt_batch,
+        fn_kwargs=dict(cap=cfg.max_block_size, oversized_ref=oversized_ref),
         batch_format="pyarrow",
     )
-    # Distinct pairs: groupby + max keeps one row per (left, right) and
-    # carries the oversized flag along.
-    return pairs.groupby(["left", "right"]).max("oversized_block").rename_columns(
-        {"max(oversized_block)": "oversized_block"}
+    left = salted.rename_columns({"conv_id": "left"})
+    right = salted.select_columns(["band_key", "conv_id"]).rename_columns(
+        {"conv_id": "right"}
+    )
+    joined = left.join(right, join_type="inner", num_partitions=parts, on=("band_key",))
+    pairs = joined.map_batches(_pairs_from_join, batch_format="pyarrow")
+    # Distinct pairs: exact-duplicate clouds co-occur in EVERY band, so
+    # without this aggregate the densest blocks inflate ~bands-fold.
+    return (
+        pairs.groupby(["left", "right"])
+        .max("oversized_block")
+        .rename_columns({"max(oversized_block)": "oversized_block"})
     )

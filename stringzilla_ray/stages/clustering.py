@@ -109,7 +109,9 @@ def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = 
     driver in one pass; larger graphs run the distributed
     min-label-propagation loop.
     """
-    parts = num_partitions or cfg.join_num_partitions
+    from stringzilla_ray.util import join_partitions
+
+    parts = join_partitions(num_partitions or cfg.join_num_partitions)
     sym = _symmetric_edges(edges).materialize()
 
     if not force_distributed and sym.count() <= 2 * DRIVER_UNION_FIND_MAX_EDGES:

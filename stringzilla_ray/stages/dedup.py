@@ -59,7 +59,7 @@ def exact_dedup(ds, id_column: str, text_column: str = "text", seed: int = 0):
     return winners.join(
         hashed,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=__import__("stringzilla_ray.util", fromlist=["join_partitions"]).join_partitions(16),
         on=("text_hash", id_column),
     )
 

@@ -26,37 +26,53 @@ class Fingerprinter:
     """Actor-pool UDF: one parameter table per worker, batches stream through."""
 
     def __init__(self, ndim: int, window_widths: tuple[int, ...], seed: int,
-                 text_column: str = "norm_doc", emit_counts: bool = False):
+                 text_column: str = "norm_doc", emit_counts: bool = False,
+                 backend: str = "fast"):
         self.ndim = ndim
         self.widths = tuple(window_widths)
         self.seed = seed
         self.text_column = text_column
         self.emit_counts = emit_counts
-        # Engine-init work amortized across batches: per-dim params +
-        # power tables (the analogue of szs engine construction).
-        self.params = fpk.dim_parameters(ndim, self.widths, seed)
+        self.backend = backend
+        if backend == "reference":
+            # Engine-init work amortized across batches: per-dim params
+            # (the analogue of szs engine construction).
+            self.params = fpk.dim_parameters(ndim, self.widths, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.text_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         tape, offsets = tape_of(col)
-        hashes, counts = fpk.fingerprint_batch(
-            tape, offsets, ndim=self.ndim, widths=self.widths, seed=self.seed
-        )
+        if self.backend == "reference":
+            hashes, counts = fpk.fingerprint_batch(
+                tape, offsets, ndim=self.ndim, widths=self.widths, seed=self.seed
+            )
+        else:
+            from stringzilla_ray.functions.fastfp import oph_fingerprint_batch
+
+            hashes = oph_fingerprint_batch(
+                tape, offsets, ndim=self.ndim, widths=self.widths, seed=self.seed
+            )
+            counts = None
         mh = pa.FixedSizeListArray.from_arrays(pa.array(hashes.ravel(), pa.uint32()), self.ndim)
         batch = batch.append_column("minhash", mh)
-        if self.emit_counts:
+        if self.emit_counts and counts is not None:
             mc = pa.FixedSizeListArray.from_arrays(pa.array(counts.ravel(), pa.uint32()), self.ndim)
             batch = batch.append_column("mincount", mc)
         return batch
 
 
 def fingerprint_stage(canonical, cfg: ERConfig):
-    """canonical Dataset (conv_id, doc, ...) -> + minhash column."""
+    """canonical Dataset (conv_id, doc, ...) -> + minhash column.
+
+    The upstream groupby often emits few large blocks; repartition so
+    the actor pool actually fans out (tasks are per block)."""
+    canonical = canonical.repartition(actor_pool_limits()[1] * 2)
     kwargs = dict(
         fn_constructor_kwargs=dict(
-            ndim=cfg.ndim, window_widths=cfg.window_widths, seed=cfg.seed
+            ndim=cfg.ndim, window_widths=cfg.window_widths, seed=cfg.seed,
+            backend=cfg.fingerprint_backend,
         ),
         batch_format="pyarrow",
         batch_size=cfg.fingerprint_batch_size,

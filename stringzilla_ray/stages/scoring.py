@@ -155,6 +155,9 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig):
         )
     )
     docs_ref = ray.put(lookup)
+    from stringzilla_ray.util import actor_pool_limits as _apl
+
+    pairs = pairs.repartition(_apl()[1] * 2)
     return pairs.map_batches(
         PairScorer,
         fn_constructor_kwargs=dict(docs_ref=docs_ref, cfg=cfg),
@@ -193,7 +196,7 @@ def score_pairs_join(pairs, signed, cfg: ERConfig):
     left_joined = pairs.join(
         docs,
         join_type="inner",
-        num_partitions=cfg.join_num_partitions,
+        num_partitions=__import__("stringzilla_ray.util", fromlist=["join_partitions"]).join_partitions(cfg.join_num_partitions),
         on=("left",),
         right_on=("conv_id",),
         right_suffix="_l",
@@ -205,7 +208,7 @@ def score_pairs_join(pairs, signed, cfg: ERConfig):
     both = left_joined.join(
         docs,
         join_type="inner",
-        num_partitions=cfg.join_num_partitions,
+        num_partitions=__import__("stringzilla_ray.util", fromlist=["join_partitions"]).join_partitions(cfg.join_num_partitions),
         on=("right",),
         right_on=("conv_id",),
         right_suffix="_r",

@@ -22,6 +22,10 @@ class ERConfig:
     ndim: int = 128
     window_widths: tuple[int, ...] = (5, 7, 9, 11)
     seed: int = 0
+    # "fast" = BuzHash + one-permutation MinHash (production);
+    # "reference" = bit-parity with the reference engine's fallback
+    # backend (golden-tested, ~15x slower)
+    fingerprint_backend: str = "fast"
 
     # LSH banding: bands * rows_per_band == ndim
     bands: int = 32
@@ -32,7 +36,7 @@ class ERConfig:
     max_block_size: int = 256
 
     # Scoring
-    score_prefix_bytes: int = 2048  # DP runs on at most this many bytes
+    score_prefix_bytes: int = 1024  # DP runs on at most this many bytes
     jaccard_accept: float = 0.92    # signature agreement that accepts outright
     jaccard_reject: float = 0.55    # signature agreement below which we reject
     sim_threshold: float = 0.80     # normalized edit similarity for a match

@@ -14,3 +14,16 @@ def actor_pool_limits(cap: int = 64) -> tuple[int, int]:
     except Exception:
         cpus = 8
     return (1, max(1, min(cap, cpus)))
+
+
+def join_partitions(cap: int = 16) -> int:
+    """Hash-join/shuffle partition count bounded by cluster CPUs: join
+    aggregators are actors, and asking for more partitions than CPUs
+    deadlocks a small session while adding nothing on a big one."""
+    try:
+        import ray
+
+        cpus = int(ray.available_resources().get("CPU", 0)) or 8
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus))
