@@ -28,7 +28,17 @@ import numpy as np
 
 from stringzilla_ray.functions.fingerprint import splitmix64
 
-__all__ = ["oph_fingerprint_batch"]
+__all__ = ["oph_fingerprint_batch", "truncate_tape"]
+
+
+def truncate_tape(tape: np.ndarray, offsets: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """New (tape, offsets) keeping only each string's first ``cap`` bytes."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    new_lens = np.minimum(lens, cap)
+    new_offsets = np.concatenate([[0], np.cumsum(new_lens)])
+    idx = np.repeat(offsets[:-1] - new_offsets[:-1], new_lens) + np.arange(new_offsets[-1])
+    return tape[idx], new_offsets
 
 _U64 = np.uint64
 _EMPTY32 = np.uint32(0xFFFFFFFF)

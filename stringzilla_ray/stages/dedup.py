@@ -132,7 +132,7 @@ def minhash_dedup_pairs(
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         rep = ids.take(pa.array(np.repeat(np.arange(n), bands), pa.int64()))
-        return pa.table({id_column: rep, "band_key": pa.array(keys.ravel(), pa.uint64())})
+        return pa.table({id_column: rep, "band_key": pa.array(keys.ravel(), pa.int64())})
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group[id_column].to_pylist()))

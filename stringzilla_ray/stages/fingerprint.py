@@ -25,15 +25,20 @@ from stringzilla_ray.util import actor_pool_limits
 class Fingerprinter:
     """Actor-pool UDF: one parameter table per worker, batches stream through."""
 
+    PREFIX_WIDTHS = (5, 7, 9, 11)  # narrow windows suit short prefixes
+
     def __init__(self, ndim: int, window_widths: tuple[int, ...], seed: int,
                  text_column: str = "norm_doc", emit_counts: bool = False,
-                 backend: str = "fast"):
+                 backend: str = "fast", prefix_ndim: int = 0,
+                 prefix_sig_bytes: int = 512):
         self.ndim = ndim
         self.widths = tuple(window_widths)
         self.seed = seed
         self.text_column = text_column
         self.emit_counts = emit_counts
         self.backend = backend
+        self.prefix_ndim = prefix_ndim
+        self.prefix_sig_bytes = prefix_sig_bytes
         if backend == "reference":
             # Engine-init work amortized across batches: per-dim params
             # (the analogue of szs engine construction).
@@ -57,6 +62,18 @@ class Fingerprinter:
             counts = None
         mh = pa.FixedSizeListArray.from_arrays(pa.array(hashes.ravel(), pa.uint32()), self.ndim)
         batch = batch.append_column("minhash", mh)
+        if self.prefix_ndim:
+            from stringzilla_ray.functions.fastfp import oph_fingerprint_batch, truncate_tape
+
+            ptape, poffsets = truncate_tape(tape, offsets, self.prefix_sig_bytes)
+            phashes = oph_fingerprint_batch(
+                ptape, poffsets, ndim=self.prefix_ndim, widths=self.PREFIX_WIDTHS,
+                seed=self.seed + 1,
+            )
+            pmh = pa.FixedSizeListArray.from_arrays(
+                pa.array(phashes.ravel(), pa.uint32()), self.prefix_ndim
+            )
+            batch = batch.append_column("prefix_minhash", pmh)
         if self.emit_counts and counts is not None:
             mc = pa.FixedSizeListArray.from_arrays(pa.array(counts.ravel(), pa.uint32()), self.ndim)
             batch = batch.append_column("mincount", mc)
@@ -72,7 +89,8 @@ def fingerprint_stage(canonical, cfg: ERConfig):
     kwargs = dict(
         fn_constructor_kwargs=dict(
             ndim=cfg.ndim, window_widths=cfg.window_widths, seed=cfg.seed,
-            backend=cfg.fingerprint_backend,
+            backend=cfg.fingerprint_backend, prefix_ndim=cfg.prefix_ndim,
+            prefix_sig_bytes=cfg.prefix_sig_bytes,
         ),
         batch_format="pyarrow",
         batch_size=cfg.fingerprint_batch_size,

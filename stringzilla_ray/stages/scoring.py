@@ -33,15 +33,16 @@ from stringzilla_ray.state.config import ERConfig
 from stringzilla_ray.util import actor_pool_limits
 
 
-def _pack_docs(batch_iter) -> dict[str, tuple[bytes, np.ndarray]]:
-    """conv_id -> (doc_prefix_bytes, signature) lookup dict."""
-    lookup: dict[str, tuple[bytes, np.ndarray]] = {}
+def _pack_docs(batch_iter) -> dict[str, tuple[bytes, np.ndarray, np.ndarray]]:
+    """conv_id -> (doc_bytes, signature, prefix_signature) lookup dict."""
+    lookup: dict[str, tuple[bytes, np.ndarray, np.ndarray]] = {}
     for batch in batch_iter:
         convs = batch["conv_id"].to_pylist()
         docs = batch["norm_doc"].to_pylist()
         mh = batch["minhash"].to_numpy(zero_copy_only=False)
-        for c, d, m in zip(convs, docs, mh):
-            lookup[c] = (d.encode(), np.asarray(m, dtype=np.uint32))
+        pmh = batch["prefix_minhash"].to_numpy(zero_copy_only=False)
+        for c, d, m, pm in zip(convs, docs, mh, pmh):
+            lookup[c] = (d.encode(), np.asarray(m, dtype=np.uint32), np.asarray(pm, dtype=np.uint32))
     return lookup
 
 
@@ -63,15 +64,20 @@ class PairScorer:
         left_docs, right_docs = [], []
         left_sigs = np.empty((n, cfg.ndim), dtype=np.uint32)
         right_sigs = np.empty((n, cfg.ndim), dtype=np.uint32)
+        left_psigs = np.empty((n, cfg.prefix_ndim), dtype=np.uint32)
+        right_psigs = np.empty((n, cfg.prefix_ndim), dtype=np.uint32)
         for i, (l, r) in enumerate(zip(left_ids, right_ids)):
-            dl, sl = self.lookup[l]
-            dr, sr = self.lookup[r]
+            dl, sl, pl = self.lookup[l]
+            dr, sr, pr = self.lookup[r]
             left_docs.append(dl)
             right_docs.append(dr)
             left_sigs[i] = sl
             right_sigs[i] = sr
+            left_psigs[i] = pl
+            right_psigs[i] = pr
         return score_pair_batch(left_ids, right_ids, left_docs, right_docs,
-                                left_sigs, right_sigs, cfg)
+                                left_sigs, right_sigs, cfg,
+                                left_psigs, right_psigs)
 
 
 def _empty_scores() -> pa.Table:
@@ -89,7 +95,9 @@ def _empty_scores() -> pa.Table:
 
 def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
                      left_sigs: np.ndarray, right_sigs: np.ndarray,
-                     cfg: ERConfig) -> pa.Table:
+                     cfg: ERConfig,
+                     left_psigs: np.ndarray | None = None,
+                     right_psigs: np.ndarray | None = None) -> pa.Table:
     """Vectorized gate + DP scoring of aligned pair arrays."""
     n = len(left_ids)
     jaccard = (left_sigs == right_sigs).mean(axis=1)
@@ -102,11 +110,24 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
         len_ratio = np.where(maxlen > 0, minlen / np.maximum(maxlen, 1), 1.0)
 
     accept = jaccard >= cfg.jaccard_accept
+    scored_by = np.where(accept, "sketch", "gate")
+    if left_psigs is not None and cfg.prefix_ndim:
+        # Prefix-containment accept: a truncated duplicate is a
+        # near-exact prefix of its base, so its prefix signatures agree
+        # even when whole-doc agreement drops with the truncated share;
+        # the length-ratio gate bounds how much truncation this admits.
+        prefix_jaccard = (left_psigs == right_psigs).mean(axis=1)
+        prefix_ok = (
+            (prefix_jaccard >= cfg.prefix_accept)
+            & (len_ratio >= cfg.length_ratio_gate)
+            & (jaccard >= cfg.jaccard_reject)
+        )
+        scored_by = np.where(prefix_ok & ~accept, "prefix", scored_by)
+        accept = accept | prefix_ok
     reject = (jaccard < cfg.jaccard_reject) | (len_ratio < cfg.length_ratio_gate)
     uncertain = ~(accept | reject)
 
     sim_score = np.where(accept, 1.0, 0.0)
-    scored_by = np.where(accept, "sketch", "gate")
 
     if uncertain.any():
         # Containment similarity on the common-length prefix: robust to
@@ -150,7 +171,7 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig):
     score pairs in an actor pool. Right for doc sides that fit in
     worker memory (cfg.broadcast_threshold_rows)."""
     lookup = _pack_docs(
-        signed.select_columns(["conv_id", "norm_doc", "minhash"]).iter_batches(
+        signed.select_columns(["conv_id", "norm_doc", "minhash", "prefix_minhash"]).iter_batches(
             batch_size=8192, batch_format="pyarrow"
         )
     )
@@ -182,17 +203,27 @@ class _JoinedScorer:
         right_ids = batch["right"].to_pylist()
         left_docs = [d.encode() for d in batch["norm_doc_l"].to_pylist()]
         right_docs = [d.encode() for d in batch["norm_doc_r"].to_pylist()]
-        left_sigs = batch["minhash_l"].combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(n, cfg.ndim) if isinstance(batch["minhash_l"], pa.ChunkedArray) else batch["minhash_l"].flatten().to_numpy(zero_copy_only=False).reshape(n, cfg.ndim)
-        right_sigs = batch["minhash_r"].combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(n, cfg.ndim) if isinstance(batch["minhash_r"], pa.ChunkedArray) else batch["minhash_r"].flatten().to_numpy(zero_copy_only=False).reshape(n, cfg.ndim)
-        return score_pair_batch(left_ids, right_ids, left_docs, right_docs,
-                                np.ascontiguousarray(left_sigs), np.ascontiguousarray(right_sigs), cfg)
+        def fsl(name, width):
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return np.ascontiguousarray(
+                col.flatten().to_numpy(zero_copy_only=False).reshape(n, width)
+            )
+
+        return score_pair_batch(
+            left_ids, right_ids, left_docs, right_docs,
+            fsl("minhash_l", cfg.ndim), fsl("minhash_r", cfg.ndim), cfg,
+            fsl("prefix_minhash_l", cfg.prefix_ndim),
+            fsl("prefix_minhash_r", cfg.prefix_ndim),
+        )
 
 
 def score_pairs_join(pairs, signed, cfg: ERConfig):
     """Shuffle strategy: two hash-partitioned joins attach left/right
     docs + signatures, then the scorer pool runs. The scale path when
     the doc side is too large to broadcast."""
-    docs = signed.select_columns(["conv_id", "norm_doc", "minhash"])
+    docs = signed.select_columns(["conv_id", "norm_doc", "minhash", "prefix_minhash"])
     left_joined = pairs.join(
         docs,
         join_type="inner",
@@ -203,7 +234,7 @@ def score_pairs_join(pairs, signed, cfg: ERConfig):
     )
     # after join: columns left, right, ..., conv_id, doc, minhash
     left_joined = left_joined.rename_columns(
-        {"norm_doc": "norm_doc_l", "minhash": "minhash_l"}
+        {"norm_doc": "norm_doc_l", "minhash": "minhash_l", "prefix_minhash": "prefix_minhash_l"}
     ).drop_columns(["conv_id"])
     both = left_joined.join(
         docs,
@@ -213,7 +244,7 @@ def score_pairs_join(pairs, signed, cfg: ERConfig):
         right_on=("conv_id",),
         right_suffix="_r",
     )
-    both = both.rename_columns({"norm_doc": "norm_doc_r", "minhash": "minhash_r"}).drop_columns(["conv_id"])
+    both = both.rename_columns({"norm_doc": "norm_doc_r", "minhash": "minhash_r", "prefix_minhash": "prefix_minhash_r"}).drop_columns(["conv_id"])
     return both.map_batches(
         _JoinedScorer,
         fn_constructor_kwargs=dict(cfg=cfg),

@@ -20,7 +20,7 @@ class ERConfig:
     # include/stringzillas/README.md:264-266; widths subset of the
     # engine defaults in c/stringzillas/fingerprints.cuh:42)
     ndim: int = 128
-    window_widths: tuple[int, ...] = (5, 7, 9, 11)
+    window_widths: tuple[int, ...] = (8, 12, 16, 24)
     seed: int = 0
     # "fast" = BuzHash + one-permutation MinHash (production);
     # "reference" = bit-parity with the reference engine's fallback
@@ -35,9 +35,18 @@ class ERConfig:
     # (SURVEY.md §4.2); cross-salt representatives keep connectivity.
     max_block_size: int = 256
 
+    # Prefix signature: a second sketch over the first
+    # prefix_sig_bytes of the normalized doc. A truncated duplicate is
+    # a near-exact PREFIX of its base, so prefix-signature agreement
+    # accepts it without the DP; unrelated docs sharing only a short
+    # boilerplate opener stay below the threshold.
+    prefix_sig_bytes: int = 512
+    prefix_ndim: int = 64
+    prefix_accept: float = 0.9
+
     # Scoring
     score_prefix_bytes: int = 1024  # DP runs on at most this many bytes
-    jaccard_accept: float = 0.92    # signature agreement that accepts outright
+    jaccard_accept: float = 0.85    # signature agreement that accepts outright
     jaccard_reject: float = 0.55    # signature agreement below which we reject
     sim_threshold: float = 0.80     # normalized edit similarity for a match
     length_ratio_gate: float = 0.5  # reject pairs whose byte lengths differ 2x+
