@@ -23,7 +23,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Synthetic transcript corpus sizing per sf (bench must stress the
 # shuffles and the scoring pool, not just fixed overheads).
-BENCH_ENTITIES = {"sf0.001": 60, "sf0.01": 250, "sf0.1": 1000}
+BENCH_ENTITIES = {"sf0.001": 100, "sf0.01": 1000, "sf0.1": 6000}
 
 
 def _corpus_path(sf_name: str) -> str:

@@ -51,20 +51,20 @@ def band_keys_for_batch(mh: np.ndarray, bands: int, rows_per_band: int) -> np.nd
     return out
 
 
-def explode_bands(batch: pa.Table, cfg: ERConfig) -> pa.Table:
-    """One output row per (conversation, band). Stateless task — the
-    blocking stage shares its execution graph with shuffle aggregator
-    actors, so it must not pin an actor pool of its own."""
+def explode_bands(batch: pa.Table, cfg: ERConfig, id_column: str = "conv_id") -> pa.Table:
+    """One output row per (row, band). Stateless task — the blocking
+    stage shares its execution graph with shuffle aggregator actors, so
+    it must not pin an actor pool of its own."""
     mh = minhash_matrix(batch, cfg.ndim)
     keys = band_keys_for_batch(mh, cfg.bands, cfg.rows_per_band)
     n = len(batch)
-    conv = batch["conv_id"]
+    conv = batch[id_column]
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
     conv_rep = conv.take(pa.array(np.repeat(np.arange(n), cfg.bands), pa.int64()))
     return pa.table(
         {
-            "conv_id": conv_rep,
+            id_column: conv_rep,
             "band_key": pa.array(keys.ravel(), pa.int64()),
         }
     )
@@ -73,17 +73,19 @@ def explode_bands(batch: pa.Table, cfg: ERConfig) -> pa.Table:
 def _conv_hashes(conv: pa.Array) -> np.ndarray:
     from stringzilla_ray.functions.text import tape_of
 
+    if pa.types.is_integer(conv.type):
+        return splitmix64(conv.to_numpy(zero_copy_only=False).astype(np.uint64) + np.uint64(7))
     tape, offsets = tape_of(pc.cast(conv, pa.large_binary()))
     return szhash.hash_batch(tape, offsets, seed=7)
 
 
-def _salt_batch(batch: pa.Table, cap: int, oversized_ref) -> pa.Table:
+def _salt_batch(batch: pa.Table, cap: int, oversized_ref, id_column: str = "conv_id") -> pa.Table:
     """Salt rows whose band key is in the broadcast oversized census."""
     import ray
 
     oversized_map = ray.get(oversized_ref)
     keys = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    conv = batch["conv_id"]
+    conv = batch[id_column]
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
 
@@ -121,7 +123,7 @@ def _salt_batch(batch: pa.Table, cap: int, oversized_ref) -> pa.Table:
     )
     return pa.table(
         {
-            "conv_id": conv_out,
+            id_column: conv_out,
             "band_key": pa.array(all_keys, pa.int64()),
             "oversized_block": pa.array(np.concatenate(flag_pieces), pa.int8()),
         }
@@ -134,7 +136,7 @@ def _pairs_from_join(batch: pa.Table) -> pa.Table:
     return batch.select(["left", "right", "oversized_block"])
 
 
-def blocked_pairs(signed, cfg: ERConfig):
+def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
     """signed Dataset (conv_id, minhash, ...) -> candidate pairs
     (left, right, oversized_block).
 
@@ -152,7 +154,7 @@ def blocked_pairs(signed, cfg: ERConfig):
     parts = join_partitions(cfg.join_num_partitions)
     bands = signed.map_batches(
         explode_bands,
-        fn_kwargs=dict(cfg=cfg),
+        fn_kwargs=dict(cfg=cfg, id_column=id_column),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -168,12 +170,13 @@ def blocked_pairs(signed, cfg: ERConfig):
 
     salted = bands.map_batches(
         _salt_batch,
-        fn_kwargs=dict(cap=cfg.max_block_size, oversized_ref=oversized_ref),
+        fn_kwargs=dict(cap=cfg.max_block_size, oversized_ref=oversized_ref,
+                       id_column=id_column),
         batch_format="pyarrow",
     )
-    left = salted.rename_columns({"conv_id": "left"})
-    right = salted.select_columns(["band_key", "conv_id"]).rename_columns(
-        {"conv_id": "right"}
+    left = salted.rename_columns({id_column: "left"})
+    right = salted.select_columns(["band_key", id_column]).rename_columns(
+        {id_column: "right"}
     )
     joined = left.join(right, join_type="inner", num_partitions=parts, on=("band_key",))
     pairs = joined.map_batches(_pairs_from_join, batch_format="pyarrow")

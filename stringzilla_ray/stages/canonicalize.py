@@ -79,12 +79,14 @@ def add_content_hash(batch: pa.Table, seed: int = 0) -> pa.Table:
     if isinstance(docs, pa.ChunkedArray):
         docs = docs.combine_chunks()
     tape, offsets = tape_of(docs)
-    hashes = szhash.hash_batch(tape, offsets, seed=seed)
+    # int64 view of the seeded AES-64 digest: Ray aggregates mishandle
+    # uint64 group keys, and the wrapped bits key identically.
+    hashes = szhash.hash_batch(tape, offsets, seed=seed).view("int64")
     doc_bytes = pc.binary_length(pc.cast(docs, pa.large_binary())).cast(pa.int64())
     norm = pa.array([normalize_for_matching(d) for d in docs.to_pylist()], pa.string())
     batch = batch.append_column("norm_doc", norm)
     batch = batch.append_column("doc_bytes", doc_bytes)
-    return batch.append_column("content_hash", pa.array(hashes, pa.uint64()))
+    return batch.append_column("content_hash", pa.array(hashes, pa.int64()))
 
 
 def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821

@@ -41,11 +41,11 @@ def _symmetric_edges(edges):
 DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
 
 
-def _union_find_clusters(nodes, edges):
+def _union_find_clusters(nodes, edges, id_column: str = "conv_id"):
     """Driver-side union-find over a small edge set; nodes stream in."""
-    parent: dict[str, str] = {}
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -53,7 +53,7 @@ def _union_find_clusters(nodes, edges):
             parent[x], x = root, parent[x]
         return root
 
-    def union(a: str, b: str) -> None:
+    def union(a, b) -> None:
         ra, rb = find(a), find(b)
         if ra == rb:
             return
@@ -79,28 +79,31 @@ def _union_find_clusters(nodes, edges):
     roots_ref = ray.put(roots)
 
     class Assign:
-        def __init__(self, roots_ref):
+        def __init__(self, roots_ref, id_column):
             self.roots = ray.get(roots_ref)
+            self.id_column = id_column
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["conv_id"].to_pylist()
+            col = batch[self.id_column]
+            id_type = col.type if not isinstance(col, pa.ChunkedArray) else col.chunk(0).type if col.num_chunks else pa.string()
+            ids = col.to_pylist()
             return pa.table(
                 {
-                    "conv_id": pa.array(ids, pa.string()),
-                    "cluster_id": pa.array([self.roots.get(i, i) for i in ids], pa.string()),
+                    self.id_column: pa.array(ids, id_type),
+                    "cluster_id": pa.array([self.roots.get(i, i) for i in ids], id_type),
                 }
             )
 
-    return nodes.select_columns(["conv_id"]).map_batches(
+    return nodes.select_columns([id_column]).map_batches(
         Assign,
-        fn_constructor_kwargs=dict(roots_ref=roots_ref),
+        fn_constructor_kwargs=dict(roots_ref=roots_ref, id_column=id_column),
         batch_format="pyarrow",
         concurrency=actor_pool_limits(8),
     )
 
 
 def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = None,
-                      force_distributed: bool = False):
+                      force_distributed: bool = False, id_column: str = "conv_id"):
     """nodes: Dataset with conv_id; edges: Dataset with (left, right)
     match pairs. Returns Dataset (conv_id, cluster_id).
 
@@ -115,10 +118,10 @@ def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = 
     sym = _symmetric_edges(edges).materialize()
 
     if not force_distributed and sym.count() <= 2 * DRIVER_UNION_FIND_MAX_EDGES:
-        return _union_find_clusters(nodes, edges)
+        return _union_find_clusters(nodes, edges, id_column)
 
-    labels = nodes.select_columns(["conv_id"]).map_batches(
-        lambda t: t.append_column("label", t["conv_id"]),
+    labels = nodes.select_columns([id_column]).map_batches(
+        lambda t: t.rename_columns({id_column: "conv_id"}).append_column("label", t[id_column]),
         batch_format="pyarrow",
     ).materialize()
 
@@ -151,4 +154,4 @@ def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = 
         if not changed:
             break
 
-    return labels.rename_columns({"label": "cluster_id"})
+    return labels.rename_columns({"conv_id": id_column, "label": "cluster_id"}) if id_column != "conv_id" else labels.rename_columns({"label": "cluster_id"})

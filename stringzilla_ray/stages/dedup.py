@@ -96,7 +96,9 @@ def ngram_jaccard(a: np.ndarray, b: np.ndarray) -> float:
 class MinHashForDocs(Fingerprinter):
     """Fingerprinter preconfigured for a flat documents table."""
 
-    def __init__(self, ndim=128, widths=(3, 4, 5, 7), seed=0, text_column="text"):
+    def __init__(self, ndim=128, widths=(8, 12, 16, 24), seed=0, text_column="text"):
+        # wide windows: word-order-sensitive shingles keep docs that
+        # merely share vocabulary from colliding in every band
         super().__init__(ndim=ndim, window_widths=widths, seed=seed, text_column=text_column)
 
 
@@ -113,6 +115,9 @@ def minhash_dedup_pairs(
     """Near-duplicate pairs by MinHash LSH, verified with exact n-gram
     Jaccard. Returns (left, right, jaccard) with left < right.
     """
+    from stringzilla_ray.stages.blocking import blocked_pairs
+    from stringzilla_ray.state.config import ERConfig
+
     rows_per_band = ndim // bands
     assert bands * rows_per_band == ndim
 
@@ -124,34 +129,13 @@ def minhash_dedup_pairs(
         concurrency=actor_pool_limits(32),
     )
 
-    def explode(batch: pa.Table) -> pa.Table:
-        mh = minhash_matrix(batch, ndim)
-        keys = band_keys_for_batch(mh, bands, rows_per_band)
-        n = len(batch)
-        ids = batch[id_column]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        rep = ids.take(pa.array(np.repeat(np.arange(n), bands), pa.int64()))
-        return pa.table({id_column: rep, "band_key": pa.array(keys.ravel(), pa.int64())})
-
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_column].to_pylist()))
-        left, right = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                left.append(ids[i])
-                right.append(ids[j])
-        typ = group[id_column].type
-        return pa.table({"left": pa.array(left, typ), "right": pa.array(right, typ)})
-
-    pairs = (
-        signed.map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["left", "right"])
-        .count()
-        .drop_columns(["count()"])
+    # Reuse the flagship's salted self-join blocking (skew-capped).
+    block_cfg = ERConfig(
+        ndim=ndim, bands=bands, rows_per_band=rows_per_band, seed=seed,
+        window_widths=(8, 12, 16, 24),
     )
+    pairs = blocked_pairs(signed.materialize(), block_cfg, id_column=id_column)
+    pairs = pairs.drop_columns(["oversized_block"])
 
     # Verify with exact n-gram Jaccard via broadcast text lookup.
     import ray

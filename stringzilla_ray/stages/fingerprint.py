@@ -60,8 +60,7 @@ class Fingerprinter:
                 tape, offsets, ndim=self.ndim, widths=self.widths, seed=self.seed
             )
             counts = None
-        mh = pa.FixedSizeListArray.from_arrays(pa.array(hashes.ravel(), pa.uint32()), self.ndim)
-        batch = batch.append_column("minhash", mh)
+        batch = batch.append_column("minhash", _sig_binary(hashes))
         if self.prefix_ndim:
             from stringzilla_ray.functions.fastfp import oph_fingerprint_batch, truncate_tape
 
@@ -70,13 +69,9 @@ class Fingerprinter:
                 ptape, poffsets, ndim=self.prefix_ndim, widths=self.PREFIX_WIDTHS,
                 seed=self.seed + 1,
             )
-            pmh = pa.FixedSizeListArray.from_arrays(
-                pa.array(phashes.ravel(), pa.uint32()), self.prefix_ndim
-            )
-            batch = batch.append_column("prefix_minhash", pmh)
+            batch = batch.append_column("prefix_minhash", _sig_binary(phashes))
         if self.emit_counts and counts is not None:
-            mc = pa.FixedSizeListArray.from_arrays(pa.array(counts.ravel(), pa.uint32()), self.ndim)
-            batch = batch.append_column("mincount", mc)
+            batch = batch.append_column("mincount", _sig_binary(counts))
         return batch
 
 
@@ -102,10 +97,32 @@ def fingerprint_stage(canonical, cfg: ERConfig):
     return canonical.map_batches(Fingerprinter, **kwargs)
 
 
-def minhash_matrix(batch: pa.Table, ndim: int) -> np.ndarray:
-    """(B, ndim) uint32 view of a fixed-size-list minhash column."""
-    col = batch["minhash"]
+def _sig_binary(mat: np.ndarray) -> pa.Array:
+    """(B, ndim) uint32 -> large_binary rows (4*ndim bytes each).
+
+    Signatures travel as opaque fixed-width binary: zero-copy to build,
+    zero-copy to decode, and — unlike fixed_size_list — a legal payload
+    column for Arrow hash joins.
+    """
+    n, ndim = mat.shape
+    data = np.ascontiguousarray(mat).view(np.uint8).reshape(-1)
+    offsets = (np.arange(n + 1, dtype=np.int64) * (4 * ndim))
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())]
+    )
+
+
+def sig_matrix(col, ndim: int) -> np.ndarray:
+    """(B, ndim) uint32 view of a binary signature column."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False)
-    return flat.reshape(len(batch), ndim)
+    from stringzilla_ray.functions.text import tape_of
+
+    tape, offsets = tape_of(col)
+    flat = tape[offsets[0] : offsets[-1]]
+    return np.ascontiguousarray(flat).view(np.uint32).reshape(len(col), ndim)
+
+
+def minhash_matrix(batch: pa.Table, ndim: int) -> np.ndarray:
+    """(B, ndim) uint32 view of the minhash column."""
+    return sig_matrix(batch["minhash"], ndim)

@@ -33,17 +33,31 @@ from stringzilla_ray.state.config import ERConfig
 from stringzilla_ray.util import actor_pool_limits
 
 
-def _pack_docs(batch_iter) -> dict[str, tuple[bytes, np.ndarray, np.ndarray]]:
-    """conv_id -> (doc_bytes, signature, prefix_signature) lookup dict."""
-    lookup: dict[str, tuple[bytes, np.ndarray, np.ndarray]] = {}
+def _pack_docs(batch_iter, id_column: str = "conv_id") -> dict:
+    """id -> (doc_bytes, signature, prefix_signature) lookup dict."""
+    lookup: dict = {}
     for batch in batch_iter:
-        convs = batch["conv_id"].to_pylist()
+        convs = batch[id_column].to_pylist()
         docs = batch["norm_doc"].to_pylist()
-        mh = batch["minhash"].to_numpy(zero_copy_only=False)
-        pmh = batch["prefix_minhash"].to_numpy(zero_copy_only=False)
-        for c, d, m, pm in zip(convs, docs, mh, pmh):
-            lookup[c] = (d.encode(), np.asarray(m, dtype=np.uint32), np.asarray(pm, dtype=np.uint32))
+        # decode whole-batch signature matrices once, then slice rows
+        m_all = _decode_sigs(batch["minhash"])
+        pm_all = _decode_sigs(batch["prefix_minhash"])
+        for i, (c, d) in enumerate(zip(convs, docs)):
+            lookup[c] = (d.encode(), m_all[i], pm_all[i])
     return lookup
+
+
+def _decode_sigs(col) -> np.ndarray:
+    import pyarrow as _pa
+
+    if isinstance(col, _pa.ChunkedArray):
+        col = col.combine_chunks()
+    from stringzilla_ray.functions.text import tape_of
+
+    tape, offsets = tape_of(col)
+    width = int(offsets[1] - offsets[0]) // 4 if len(col) else 0
+    flat = tape[offsets[0] : offsets[-1]]
+    return np.ascontiguousarray(flat).view(np.uint32).reshape(len(col), max(width, 1))
 
 
 class PairScorer:
@@ -154,10 +168,11 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
 
     is_match = np.where(uncertain, sim_score >= cfg.sim_threshold, accept)
 
+    id_type = pa.string() if (n == 0 or isinstance(left_ids[0], str)) else pa.int64()
     return pa.table(
         {
-            "left": pa.array(left_ids, pa.string()),
-            "right": pa.array(right_ids, pa.string()),
+            "left": pa.array(left_ids, id_type),
+            "right": pa.array(right_ids, id_type),
             "jaccard": pa.array(jaccard, pa.float64()),
             "sim": pa.array(sim_score, pa.float64()),
             "is_match": pa.array(is_match, pa.bool_()),
@@ -166,14 +181,15 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
     )
 
 
-def score_pairs_broadcast(pairs, signed, cfg: ERConfig):
+def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
     """Broadcast strategy: materialize the docs lookup once (ray.put),
     score pairs in an actor pool. Right for doc sides that fit in
     worker memory (cfg.broadcast_threshold_rows)."""
     lookup = _pack_docs(
-        signed.select_columns(["conv_id", "norm_doc", "minhash", "prefix_minhash"]).iter_batches(
+        signed.select_columns([id_column, "norm_doc", "minhash", "prefix_minhash"]).iter_batches(
             batch_size=8192, batch_format="pyarrow"
-        )
+        ),
+        id_column,
     )
     docs_ref = ray.put(lookup)
     from stringzilla_ray.util import actor_pool_limits as _apl
@@ -203,48 +219,40 @@ class _JoinedScorer:
         right_ids = batch["right"].to_pylist()
         left_docs = [d.encode() for d in batch["norm_doc_l"].to_pylist()]
         right_docs = [d.encode() for d in batch["norm_doc_r"].to_pylist()]
-        def fsl(name, width):
-            col = batch[name]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            return np.ascontiguousarray(
-                col.flatten().to_numpy(zero_copy_only=False).reshape(n, width)
-            )
-
         return score_pair_batch(
             left_ids, right_ids, left_docs, right_docs,
-            fsl("minhash_l", cfg.ndim), fsl("minhash_r", cfg.ndim), cfg,
-            fsl("prefix_minhash_l", cfg.prefix_ndim),
-            fsl("prefix_minhash_r", cfg.prefix_ndim),
+            _decode_sigs(batch["minhash_l"]), _decode_sigs(batch["minhash_r"]), cfg,
+            _decode_sigs(batch["prefix_minhash_l"]),
+            _decode_sigs(batch["prefix_minhash_r"]),
         )
 
 
-def score_pairs_join(pairs, signed, cfg: ERConfig):
+def score_pairs_join(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
     """Shuffle strategy: two hash-partitioned joins attach left/right
     docs + signatures, then the scorer pool runs. The scale path when
     the doc side is too large to broadcast."""
-    docs = signed.select_columns(["conv_id", "norm_doc", "minhash", "prefix_minhash"])
+    docs = signed.select_columns([id_column, "norm_doc", "minhash", "prefix_minhash"])
     left_joined = pairs.join(
         docs,
         join_type="inner",
         num_partitions=__import__("stringzilla_ray.util", fromlist=["join_partitions"]).join_partitions(cfg.join_num_partitions),
         on=("left",),
-        right_on=("conv_id",),
+        right_on=(id_column,),
         right_suffix="_l",
     )
     # after join: columns left, right, ..., conv_id, doc, minhash
     left_joined = left_joined.rename_columns(
         {"norm_doc": "norm_doc_l", "minhash": "minhash_l", "prefix_minhash": "prefix_minhash_l"}
-    ).drop_columns(["conv_id"])
+    ).drop_columns([id_column])
     both = left_joined.join(
         docs,
         join_type="inner",
         num_partitions=__import__("stringzilla_ray.util", fromlist=["join_partitions"]).join_partitions(cfg.join_num_partitions),
         on=("right",),
-        right_on=("conv_id",),
+        right_on=(id_column,),
         right_suffix="_r",
     )
-    both = both.rename_columns({"norm_doc": "norm_doc_r", "minhash": "minhash_r", "prefix_minhash": "prefix_minhash_r"}).drop_columns(["conv_id"])
+    both = both.rename_columns({"norm_doc": "norm_doc_r", "minhash": "minhash_r", "prefix_minhash": "prefix_minhash_r"}).drop_columns([id_column])
     return both.map_batches(
         _JoinedScorer,
         fn_constructor_kwargs=dict(cfg=cfg),
@@ -254,8 +262,8 @@ def score_pairs_join(pairs, signed, cfg: ERConfig):
     )
 
 
-def score_pairs(pairs, signed, cfg: ERConfig):
+def score_pairs(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
     """Strategy dispatch: broadcast for small doc sides, join otherwise."""
     if signed.count() <= cfg.broadcast_threshold_rows:
-        return score_pairs_broadcast(pairs, signed, cfg)
-    return score_pairs_join(pairs, signed, cfg)
+        return score_pairs_broadcast(pairs, signed, cfg, id_column)
+    return score_pairs_join(pairs, signed, cfg, id_column)
