@@ -24,7 +24,7 @@ import ray.data
 
 from stringzilla_ray.stages.blocking import blocked_pairs
 from stringzilla_ray.stages.canonicalize import canonicalize
-from stringzilla_ray.stages.clustering import label_propagation
+from stringzilla_ray.stages.clustering import assign_clusters
 from stringzilla_ray.stages.fingerprint import fingerprint_stage
 from stringzilla_ray.stages.scoring import score_pairs
 from stringzilla_ray.state.checkpoint import checkpointed
@@ -58,7 +58,38 @@ def resolve_entities(
     # Node collapse: one representative conversation per distinct
     # canonical content; rep = lexicographic-min conv_id (stable-first
     # duplicate semantics, reference sort.h stability contract).
+    # Small-side dispatch: below the broadcast threshold the winner map
+    # is a few MB of (hash, id) — compute it on the driver and filter
+    # with one map; above it, groupby-min + hash join.
     def build_reps():
+        import numpy as np
+        import pyarrow as pa
+
+        import ray
+
+        n = signed.count()
+        if n <= cfg.broadcast_threshold_rows:
+            best: dict[int, str] = {}
+            for b in signed.select_columns(["content_hash", "conv_id"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            ):
+                for h, c in zip(b["content_hash"].to_pylist(), b["conv_id"].to_pylist()):
+                    prev = best.get(h)
+                    if prev is None or c < prev:
+                        best[h] = c
+            ref = ray.put(best)
+
+            def keep_winners(batch: pa.Table, ref=ref) -> pa.Table:
+                import ray as _ray
+
+                winners = _ray.get(ref)
+                hs = batch["content_hash"].to_pylist()
+                cs = batch["conv_id"].to_pylist()
+                mask = [winners.get(h) == c for h, c in zip(hs, cs)]
+                return batch.filter(pa.array(mask, pa.bool_()))
+
+            return signed.map_batches(keep_winners, batch_format="pyarrow")
+
         winners = (
             signed.groupby("content_hash")
             .min("conv_id")
@@ -95,39 +126,17 @@ def resolve_entities(
         # clustering; pin it rather than re-running block + score.
         edges = edges.materialize()
 
-    node_clusters = checkpointed(
+    # Assign every conversation its component id (the minimum content
+    # hash of the component) — one broadcast map over conv rows in the
+    # union-find path, a join in the distributed fallback.
+    conv_nodes = signed.select_columns(["conv_id", "content_hash"])
+    clusters = checkpointed(
         "clusters",
         checkpoint_dir,
         h,
-        lambda: label_propagation(
-            reps.select_columns(["content_hash"]), edges, cfg, id_column="content_hash"
-        ),
+        lambda: assign_clusters(conv_nodes, edges, cfg, node_column="content_hash"),
     )
-
-    # Expand back to conversations and translate the int64 cluster key
-    # into its representative conv_id (a stable, human-readable label).
-    conv_nodes = signed.select_columns(["conv_id", "content_hash"])
-    with_cluster = conv_nodes.join(
-        node_clusters,
-        join_type="inner",
-        num_partitions=parts,
-        on=("content_hash",),
-    ).select_columns(["conv_id", "cluster_id"])
-
-    rep_names = (
-        reps.select_columns(["content_hash", "conv_id"])
-        .rename_columns({"content_hash": "cluster_id", "conv_id": "cluster_rep"})
-    )
-    labeled = with_cluster.join(
-        rep_names,
-        join_type="inner",
-        num_partitions=parts,
-        on=("cluster_id",),
-    )
-    return (
-        labeled.select_columns(["conv_id", "cluster_rep"])
-        .rename_columns({"cluster_rep": "cluster_id"})
-    )
+    return clusters
 
 
 def run_er_on_parquet(

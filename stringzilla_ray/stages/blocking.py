@@ -136,6 +136,110 @@ def _pairs_from_join(batch: pa.Table) -> pa.Table:
     return batch.select(["left", "right", "oversized_block"])
 
 
+def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
+    """Small-side fast path: collect (id, band_key) rows (ints, a few
+    MB up to the dispatch threshold), then census + salting + pair
+    generation run as plain NumPy on the driver — zero shuffles. The
+    pair table this emits is returned as a regular Dataset, so the
+    downstream scorer is unchanged. Mirrors the broadcast-small-side
+    join idiom; the self-join path below is the at-scale twin with
+    identical semantics."""
+    import ray.data
+
+    from stringzilla_ray.stages.fingerprint import sig_matrix
+
+    id_parts, key_parts = [], []
+    for batch in signed.select_columns([id_column, "minhash"]).iter_batches(
+        batch_size=16384, batch_format="pyarrow"
+    ):
+        mh = sig_matrix(batch["minhash"], cfg.ndim)
+        keys = band_keys_for_batch(mh, cfg.bands, cfg.rows_per_band)
+        col = batch[id_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = col.to_numpy(zero_copy_only=False)
+        id_parts.append(np.repeat(ids, cfg.bands))
+        key_parts.append(keys.ravel())
+    ids = np.concatenate(id_parts) if id_parts else np.zeros(0, np.int64)
+    keys = np.concatenate(key_parts).astype(np.uint64) if key_parts else np.zeros(0, np.uint64)
+
+    # census + salting (same scheme as the distributed path)
+    uniq, inverse, counts = np.unique(keys, return_inverse=True, return_counts=True)
+    row_counts = counts[inverse]
+    cap = cfg.max_block_size
+    oversized = row_counts > cap
+    final_keys = keys.copy()
+    flags = oversized.astype(np.int8)
+    extra_ids, extra_keys = [], []
+    if oversized.any():
+        ch = splitmix64(ids.astype(np.uint64) + np.uint64(7)) if ids.dtype.kind in "iu" else None
+        if ch is None:
+            import pyarrow as _pa
+
+            ch = _conv_hashes(_pa.array(ids))
+        nsalt = np.maximum(-(-row_counts // cap), 1).astype(np.uint64)
+        salt = ch % nsalt
+        salted = splitmix64(keys ^ (salt + np.uint64(1)))
+        final_keys[oversized] = salted[oversized]
+        rep_every = np.maximum(row_counts // (nsalt.astype(np.int64) * 4), 1).astype(np.uint64)
+        is_rep = oversized & ((splitmix64(ch ^ keys) % rep_every) == 0)
+        if is_rep.any():
+            extra_ids.append(ids[is_rep])
+            extra_keys.append(splitmix64(keys[is_rep] ^ np.uint64(0xBADC0FFEE)))
+    if extra_ids:
+        ids = np.concatenate([ids] + extra_ids)
+        final_keys = np.concatenate([final_keys] + extra_keys)
+        flags = np.concatenate([flags, np.ones(sum(len(x) for x in extra_ids), np.int8)])
+
+    order = np.lexsort((ids, final_keys))
+    ids_s, keys_s, flags_s = ids[order], final_keys[order], flags[order]
+    boundaries = np.nonzero(np.concatenate([[True], keys_s[1:] != keys_s[:-1], [True]]))[0]
+
+    lefts, rights, oflags = [], [], []
+    for a, b in zip(boundaries[:-1], boundaries[1:]):
+        g = b - a
+        if g < 2:
+            continue
+        members = np.unique(ids_s[a:b])
+        g = len(members)
+        if g < 2:
+            continue
+        iu, ju = np.triu_indices(g, 1)
+        lefts.append(members[iu])
+        rights.append(members[ju])
+        oflags.append(np.full(len(iu), flags_s[a], np.int8))
+
+    if not lefts:
+        empty = pa.table(
+            {
+                "left": pa.array([], pa.int64()),
+                "right": pa.array([], pa.int64()),
+                "oversized_block": pa.array([], pa.int8()),
+            }
+        )
+        return ray.data.from_arrow(empty)
+
+    left = np.concatenate(lefts)
+    right = np.concatenate(rights)
+    flag = np.concatenate(oflags)
+    # distinct pairs with max flag, via one lexsort over (left, right)
+    orderp = np.lexsort((flag, right, left))
+    lp, rp, fp_ = left[orderp], right[orderp], flag[orderp]
+    newgrp = np.concatenate([[True], (lp[1:] != lp[:-1]) | (rp[1:] != rp[:-1])])
+    grp_id = np.cumsum(newgrp) - 1
+    maxflag = np.zeros(grp_id[-1] + 1, np.int8)
+    np.maximum.at(maxflag, grp_id, fp_)
+    keep = newgrp
+    table = pa.table(
+        {
+            "left": pa.array(lp[keep], pa.int64()),
+            "right": pa.array(rp[keep], pa.int64()),
+            "oversized_block": pa.array(maxflag, pa.int8()),
+        }
+    )
+    return ray.data.from_arrow(table)
+
+
 def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
     """signed Dataset (conv_id, minhash, ...) -> candidate pairs
     (left, right, oversized_block).
@@ -150,6 +254,16 @@ def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
     import ray
 
     from stringzilla_ray.util import join_partitions
+
+    # Small-side dispatch: below the threshold the whole (id, band_key)
+    # relation is a few MB of ints — census, salting and pair-gen run
+    # as driver NumPy with zero shuffles. Above it, the salted
+    # self-join below does the same thing distributed.
+    if (
+        signed.count() * cfg.bands <= cfg.driver_blocking_rows
+        and id_column != "conv_id"  # int-keyed node graph only
+    ):
+        return _blocked_pairs_driver(signed, cfg, id_column)
 
     parts = join_partitions(cfg.join_num_partitions)
     bands = signed.map_batches(

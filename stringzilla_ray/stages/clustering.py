@@ -102,6 +102,78 @@ def _union_find_clusters(nodes, edges, id_column: str = "conv_id"):
     )
 
 
+def assign_clusters(members, edges, cfg: ERConfig, node_column: str = "content_hash",
+                    out_column: str = "cluster_id"):
+    """Cluster ER-graph nodes and assign every member row directly.
+
+    ``members`` carries one row per conversation with its node key
+    (``node_column``); ``edges`` connect node keys. The union-find
+    fast path broadcasts the root map and labels member rows in ONE
+    map_batches — no joins; the distributed LP path labels the
+    distinct nodes first and joins back (the scale fallback).
+    Output: members' columns minus the node key, plus ``out_column``
+    (the component's minimum node key).
+    """
+    sym_count = edges.count()
+    if sym_count <= DRIVER_UNION_FIND_MAX_EDGES:
+        import ray
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for batch in edges.select_columns(["left", "right"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            for a, b in zip(batch["left"].to_pylist(), batch["right"].to_pylist()):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        roots = {x: find(x) for x in list(parent)}
+        roots_ref = ray.put(roots)
+
+        def assign(batch: pa.Table, roots_ref=roots_ref) -> pa.Table:
+            import ray as _ray
+
+            r = _ray.get(roots_ref)
+            keys = batch[node_column].to_pylist()
+            labels = [r.get(k, k) for k in keys]
+            batch = batch.drop_columns([node_column])
+            return batch.append_column(out_column, pa.array(labels, pa.int64()))
+
+        return members.map_batches(assign, batch_format="pyarrow")
+
+    # every edge endpoint also appears as a member row, so the member
+    # node-key column covers the node set (duplicates collapse in LP's
+    # first groupby-min round)
+    node_labels = label_propagation(
+        members.select_columns([node_column]),
+        edges,
+        cfg,
+        force_distributed=True,
+        id_column=node_column,
+    )
+    from stringzilla_ray.util import join_partitions
+
+    out = members.join(
+        node_labels,
+        join_type="inner",
+        num_partitions=join_partitions(cfg.join_num_partitions),
+        on=(node_column,),
+    )
+    return out.drop_columns([node_column]).rename_columns({"cluster_id": out_column}) if out_column != "cluster_id" else out.drop_columns([node_column])
+
+
 def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = None,
                       force_distributed: bool = False, id_column: str = "conv_id"):
     """nodes: Dataset with conv_id; edges: Dataset with (left, right)

@@ -75,26 +75,45 @@ class Fingerprinter:
         return batch
 
 
+def _fingerprint_fn(batch: pa.Table, **kwargs) -> pa.Table:
+    return Fingerprinter(**kwargs)(batch)
+
+
 def fingerprint_stage(canonical, cfg: ERConfig):
     """canonical Dataset (conv_id, doc, ...) -> + minhash column.
 
     The upstream groupby often emits few large blocks; repartition so
-    the actor pool actually fans out (tasks are per block)."""
+    tasks actually fan out (tasks are per block).
+
+    Execution mode: stateless tasks by default — the fast backend's
+    per-worker setup is a few 256-entry tables (microseconds), and
+    measured pool spin-up dwarfs it on short jobs. Set
+    ``cfg.fingerprint_concurrency`` to pin an actor pool instead (the
+    engine-handle idiom; right when per-actor setup is genuinely
+    expensive or the cluster is long-lived).
+    """
     canonical = canonical.repartition(actor_pool_limits()[1] * 2)
-    kwargs = dict(
-        fn_constructor_kwargs=dict(
-            ndim=cfg.ndim, window_widths=cfg.window_widths, seed=cfg.seed,
-            backend=cfg.fingerprint_backend, prefix_ndim=cfg.prefix_ndim,
-            prefix_sig_bytes=cfg.prefix_sig_bytes,
-        ),
+    ctor = dict(
+        ndim=cfg.ndim, window_widths=cfg.window_widths, seed=cfg.seed,
+        backend=cfg.fingerprint_backend, prefix_ndim=cfg.prefix_ndim,
+        prefix_sig_bytes=cfg.prefix_sig_bytes,
+    )
+    if cfg.fingerprint_concurrency:
+        return canonical.map_batches(
+            Fingerprinter,
+            fn_constructor_kwargs=ctor,
+            batch_format="pyarrow",
+            batch_size=cfg.fingerprint_batch_size,
+            zero_copy_batch=True,
+            concurrency=cfg.fingerprint_concurrency,
+        )
+    return canonical.map_batches(
+        _fingerprint_fn,
+        fn_kwargs=ctor,
         batch_format="pyarrow",
         batch_size=cfg.fingerprint_batch_size,
         zero_copy_batch=True,
-        # autoscaling actor pool: sizes itself to the cluster's CPUs,
-        # so the same code scales N -> 4N without retuning
-        concurrency=cfg.fingerprint_concurrency or actor_pool_limits(),
     )
-    return canonical.map_batches(Fingerprinter, **kwargs)
 
 
 def _sig_binary(mat: np.ndarray) -> pa.Array:

@@ -181,26 +181,79 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
     )
 
 
-def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
-    """Broadcast strategy: materialize the docs lookup once (ray.put),
-    score pairs in an actor pool. Right for doc sides that fit in
-    worker memory (cfg.broadcast_threshold_rows)."""
-    lookup = _pack_docs(
-        signed.select_columns([id_column, "norm_doc", "minhash", "prefix_minhash"]).iter_batches(
-            batch_size=8192, batch_format="pyarrow"
-        ),
-        id_column,
+def _pack_doc_arrays(signed, id_column: str):
+    """Columnar broadcast payload: (sorted ids, doc tape, offsets,
+    sig matrix, prefix-sig matrix). Arrays ship through the object
+    store zero-copy; tasks look ids up with searchsorted — no python
+    dict to deserialize per worker."""
+    from stringzilla_ray.functions.text import tape_of
+
+    ids_parts, doc_parts, off_parts, sig_parts, psig_parts = [], [], [], [], []
+    for batch in signed.select_columns(
+        [id_column, "norm_doc", "minhash", "prefix_minhash"]
+    ).iter_batches(batch_size=16384, batch_format="pyarrow"):
+        col = batch[id_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids_parts.append(col.to_numpy(zero_copy_only=False))
+        doc_col = batch["norm_doc"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        tape, offs = tape_of(pc_cast_binary(doc_col))
+        doc_parts.append(np.asarray(tape[offs[0] : offs[-1]]))
+        off_parts.append((offs - offs[0])[1:] - 0)
+        sig_parts.append(_decode_sigs(batch["minhash"]))
+        psig_parts.append(_decode_sigs(batch["prefix_minhash"]))
+
+    ids = np.concatenate(ids_parts)
+    lens = np.concatenate([np.diff(np.concatenate([[0], o])) for o in off_parts])
+    tape = np.concatenate(doc_parts) if doc_parts else np.zeros(0, np.uint8)
+    sigs = np.vstack(sig_parts)
+    psigs = np.vstack(psig_parts)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    # sorted id index + permutation back into the (unmoved) payload
+    order = np.argsort(ids, kind="stable")
+    return (ids[order], order.astype(np.int64), tape, offsets, sigs, psigs)
+
+
+def pc_cast_binary(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.large_binary())
+
+
+def _score_against_ref(batch: pa.Table, docs_ref=None, cfg: ERConfig = None) -> pa.Table:
+    sorted_ids, perm, tape, offsets, sigs, psigs = ray.get(docs_ref)
+    n = len(batch)
+    if n == 0:
+        return _empty_scores()
+    left = batch["left"].to_numpy(zero_copy_only=False)
+    right = batch["right"].to_numpy(zero_copy_only=False)
+    il = perm[np.searchsorted(sorted_ids, left)]
+    ir = perm[np.searchsorted(sorted_ids, right)]
+    mv = memoryview(np.ascontiguousarray(tape))
+    left_docs = [mv[offsets[i] : offsets[i + 1]] for i in il]
+    right_docs = [mv[offsets[i] : offsets[i + 1]] for i in ir]
+    return score_pair_batch(
+        left.tolist(), right.tolist(), left_docs, right_docs,
+        sigs[il], sigs[ir], cfg, psigs[il], psigs[ir],
     )
-    docs_ref = ray.put(lookup)
+
+
+def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
+    """Broadcast strategy: pack the doc side into columnar arrays ONCE
+    (ray.put; zero-copy reads per task), score pairs with stateless
+    tasks. Right for doc sides that fit in worker memory
+    (cfg.broadcast_threshold_rows)."""
+    docs_ref = ray.put(_pack_doc_arrays(signed, id_column))
     from stringzilla_ray.util import actor_pool_limits as _apl
 
     pairs = pairs.repartition(_apl()[1] * 2)
     return pairs.map_batches(
-        PairScorer,
-        fn_constructor_kwargs=dict(docs_ref=docs_ref, cfg=cfg),
+        _score_against_ref,
+        fn_kwargs=dict(docs_ref=docs_ref, cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
-        concurrency=actor_pool_limits(),
     )
 
 

@@ -27,9 +27,13 @@ class ERConfig:
     # backend (golden-tested, ~15x slower)
     fingerprint_backend: str = "fast"
 
-    # LSH banding: bands * rows_per_band == ndim
-    bands: int = 32
-    rows_per_band: int = 4
+    # LSH banding: bands * rows_per_band <= ndim. 6-row bands keep the
+    # per-pair collision probability j^6 low for moderately-similar
+    # unrelated docs (the web-scale candidate-flood risk) while 21
+    # bands keep recall >= 1-(1-j^6)^21 ~ 0.96+ for j >= 0.7 true
+    # near-dups — and transitivity + the prefix gate recover the tail.
+    bands: int = 21
+    rows_per_band: int = 6
 
     # Skew control: blocks larger than this are salted into sub-blocks
     # (SURVEY.md §4.2); cross-salt representatives keep connectivity.
@@ -61,9 +65,10 @@ class ERConfig:
     scoring_concurrency: int | None = None
     join_num_partitions: int = 16
     broadcast_threshold_rows: int = 2_000_000  # docs side small enough to broadcast
+    driver_blocking_rows: int = 4_000_000      # band rows small enough for driver pair-gen
 
     def __post_init__(self):
-        assert self.bands * self.rows_per_band == self.ndim, "bands*rows must equal ndim"
+        assert self.bands * self.rows_per_band <= self.ndim, "bands*rows must fit in ndim"
 
     def params_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True, default=list)

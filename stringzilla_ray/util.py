@@ -13,7 +13,8 @@ def actor_pool_limits(cap: int = 64) -> tuple[int, int]:
         cpus = int(ray.available_resources().get("CPU", 0)) or 8
     except Exception:
         cpus = 8
-    return (1, max(1, min(cap, cpus)))
+    hi = max(1, min(cap, cpus))
+    return (max(1, hi // 2), hi)
 
 
 def join_partitions(cap: int = 16) -> int:
