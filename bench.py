@@ -29,7 +29,7 @@ BENCH_ENTITIES = {"sf0.001": 100, "sf0.01": 1000, "sf0.1": 6000}
 def _corpus_path(sf_name: str) -> str:
     from stringzilla_ray import synth
 
-    entities = BENCH_ENTITIES.get(sf_name, 250)
+    entities = int(os.environ.get("GRAFT_BENCH_ENTITIES", 0)) or BENCH_ENTITIES.get(sf_name, 250)
     cache = f"/tmp/stringzilla_ray_bench/{sf_name}-seed42-e{entities}"
     tpath = os.path.join(cache, "transcripts.parquet")
     if not os.path.exists(tpath):

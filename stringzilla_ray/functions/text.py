@@ -67,11 +67,25 @@ def find(arr, needle: str) -> pa.Array:
 
 def count_substring(arr, needle: str, allowoverlap: bool = False) -> pa.Array:
     """Occurrences of ``needle`` per string; the non-overlap count is
-    Arrow-native, the overlap variant counts via lookahead regex."""
+    Arrow-native, the overlap variant scans the tape with NumPy (RE2
+    has no lookahead)."""
     if not allowoverlap:
         return pc.count_substring(arr, needle)
-    pattern = f"(?={re.escape(needle)})"
-    return pc.count_substring_regex(arr, pattern)
+    nb = needle.encode()
+    w = len(nb)
+    tape, offsets = tape_of(arr if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks())
+    n = len(offsets) - 1
+    if len(tape) < w or w == 0:
+        return pa.array([0] * n, pa.int64())
+    hit = np.ones(len(tape) - w + 1, dtype=bool)
+    pat = np.frombuffer(nb, dtype=np.uint8)
+    for k in range(w):
+        hit &= tape[k : k + len(hit)] == pat[k]
+    csum = np.concatenate([[0], np.cumsum(hit)])
+    starts = offsets[:-1]
+    ends = np.maximum(offsets[1:] - w + 1, starts)
+    counts = csum[np.minimum(ends, len(csum) - 1)] - csum[np.minimum(starts, len(csum) - 1)]
+    return pa.array(counts.astype(np.int64), pa.int64())
 
 
 def contains(arr, needle: str) -> pa.Array:
@@ -99,8 +113,9 @@ def split_count(arr, sep: str) -> pa.Array:
 
 
 def token_count(arr) -> pa.Array:
-    """Whitespace token count (sz.utf8_split_whitespaces cardinality)."""
-    return pc.list_value_length(pc.utf8_split_whitespace(arr))
+    """Whitespace token count (sz.utf8_split_whitespaces cardinality;
+    matches str.split() — empty and all-space strings count 0)."""
+    return pc.cast(pc.count_substring_regex(arr, r"\S+"), pa.int64())
 
 
 def strip(arr, chars: str | None = None) -> pa.Array:

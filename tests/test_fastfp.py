@@ -1,0 +1,97 @@
+"""Tests for the fast OPH/BuzHash fingerprint backend and text ops."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stringzilla_ray.functions import text
+from stringzilla_ray.functions.fastfp import oph_fingerprint_batch, truncate_tape
+
+
+def _tape(datas):
+    tape = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    offsets = np.zeros(len(datas) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in datas], out=offsets[1:])
+    return tape, offsets
+
+
+def test_oph_determinism_and_shapes():
+    datas = [b"hello world this is a document", b"another doc", b"", b"xy"]
+    tape, offsets = _tape(datas)
+    s1 = oph_fingerprint_batch(tape, offsets, ndim=128, widths=(8, 12, 16, 24))
+    s2 = oph_fingerprint_batch(tape, offsets, ndim=128, widths=(8, 12, 16, 24))
+    assert s1.shape == (4, 128) and s1.dtype == np.uint32
+    np.testing.assert_array_equal(s1, s2)
+    # too-short strings stay empty
+    assert (s1[2] == 0xFFFFFFFF).all() and (s1[3] == 0xFFFFFFFF).all()
+
+
+def test_oph_batch_equals_single():
+    rng = np.random.default_rng(3)
+    datas = [rng.integers(97, 123, rng.integers(10, 400), dtype=np.uint8).tobytes() for _ in range(20)]
+    tape, offsets = _tape(datas)
+    s_all = oph_fingerprint_batch(tape, offsets, ndim=64, widths=(5, 9), seed=11)
+    for i, d in enumerate(datas):
+        t, o = _tape([d])
+        s = oph_fingerprint_batch(t, o, ndim=64, widths=(5, 9), seed=11)
+        np.testing.assert_array_equal(s[0], s_all[i], err_msg=str(i))
+
+
+def test_oph_similarity_monotone():
+    rng = np.random.default_rng(1)
+    base = rng.integers(97, 123, 4000, dtype=np.uint8).tobytes()
+    few = bytearray(base)
+    for i in range(0, 4000, 400):  # 10 edits
+        few[i] = 120
+    many = bytearray(base)
+    for i in range(0, 4000, 40):  # 100 edits
+        many[i] = 120
+    other = rng.integers(97, 123, 4000, dtype=np.uint8).tobytes()
+    tape, offsets = _tape([base, bytes(few), bytes(many), other])
+    s = oph_fingerprint_batch(tape, offsets)
+    agree = lambda i, j: (s[i] == s[j]).mean()
+    assert agree(0, 1) > agree(0, 2) > agree(0, 3)
+    assert agree(0, 1) > 0.7
+    assert agree(0, 3) < 0.1
+
+
+def test_truncate_tape():
+    datas = [b"abcdefghij", b"xy", b""]
+    tape, offsets = _tape(datas)
+    t2, o2 = truncate_tape(tape, offsets, 4)
+    assert bytes(t2[o2[0]:o2[1]]) == b"abcd"
+    assert bytes(t2[o2[1]:o2[2]]) == b"xy"
+    assert o2[2] == o2[3]
+
+
+def test_text_ops_match_python():
+    vals = ["hello world", "", "aaa", "the quick brown fox", "ß-Straße Test"]
+    arr = pa.array(vals, pa.string())
+    assert text.find(arr, "o").to_pylist() == [v.find("o") for v in vals]
+    assert text.count_substring(arr, "a").to_pylist() == [v.count("a") for v in vals]
+    assert text.count_substring(arr, "aa", allowoverlap=True).to_pylist() == [2 if v == "aaa" else 0 for v in vals]
+    assert text.contains(arr, "world").to_pylist() == [("world" in v) for v in vals]
+    assert text.starts_with(arr, "the").to_pylist() == [v.startswith("the") for v in vals]
+    assert text.ends_with(arr, "fox").to_pylist() == [v.endswith("fox") for v in vals]
+    assert text.utf8_count(arr).to_pylist() == [len(v) for v in vals]
+    assert text.casefold(arr).to_pylist() == [v.casefold() for v in vals]
+    assert text.token_count(arr).to_pylist() == [len(v.split()) for v in vals]
+    assert text.strip(pa.array(["  x ", "y"], pa.string())).to_pylist() == ["x", "y"]
+
+
+def test_translate_lut():
+    table = bytes(range(256)).upper()  # identity except a-z -> A-Z
+    arr = pa.array(["abc", "XYZ", ""], pa.string())
+    out = text.translate(arr, table).to_pylist()
+    assert out == [b"ABC", b"XYZ", b""]
+
+
+def test_bytesum_and_hash_columns():
+    from stringzilla_ray.functions.szhash import bytesum_batch, hash_batch
+    from stringzilla_ray.functions.text import tape_of
+
+    arr = pa.array(["abc", "", "hello"], pa.string())
+    tape, offsets = tape_of(arr)
+    np.testing.assert_array_equal(bytesum_batch(tape, offsets), [sum(b"abc"), 0, sum(b"hello")])
+    h1 = hash_batch(tape, offsets, 42)
+    assert len(set(h1.tolist())) == 3

@@ -1,0 +1,188 @@
+"""Smoke + semantics tests for the corpus-pipeline stages:
+dedup, text analysis, ANN, multimodal plumbing, checkpoint/resume,
+distributed label propagation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta", "iota"]
+    texts = []
+    for i in range(60):
+        texts.append(" ".join(rng.choice(words, size=30)))
+    # exact duplicates
+    texts[10] = texts[0]
+    texts[11] = texts[0]
+    # near duplicate (edit a word)
+    texts[12] = texts[1].replace("alpha", "alphx", 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(60), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_exact_dedup(ray_session, docs_table):
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.from_arrow(docs_table)
+    out = exact_dedup(ds, id_column="doc_id").to_pandas()
+    # 60 rows, 2 exact dup copies removed
+    assert len(out) == 58
+    texts = docs_table["text"].to_pylist()
+    # representative of the duplicated text is the minimum doc_id (0)
+    kept_for_dup = out[out.text == texts[0]]
+    assert list(kept_for_dup.doc_id) == [0]
+
+
+def test_minhash_dedup_pairs(ray_session, docs_table):
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import minhash_dedup_pairs
+
+    ds = ray.data.from_arrow(docs_table)
+    out = minhash_dedup_pairs(ds, jaccard_threshold=0.7).to_pandas()
+    pairs = set(zip(out.left, out.right))
+    assert (0, 10) in pairs and (0, 11) in pairs and (10, 11) in pairs
+    assert (1, 12) in pairs  # near-dup survives verification
+    # no unrelated pair sneaks in with jaccard >= 0.7
+    assert (out.jaccard >= 0.7).all()
+
+
+def test_simhash_hamming(ray_session, docs_table):
+    from stringzilla_ray.stages.dedup import simhash_batch
+
+    texts = docs_table["text"].to_pylist()
+    sh = simhash_batch(texts)
+    assert sh[0] == sh[10] == sh[11]  # exact dups -> identical simhash
+    # near dup: small hamming distance
+    ham = bin(int(sh[1]) ^ int(sh[12])).count("1")
+    assert ham <= 12
+    # determinism
+    np.testing.assert_array_equal(sh, simhash_batch(texts))
+
+
+def test_textstats(ray_session, docs_table):
+    from stringzilla_ray.stages.textstats import (
+        add_doc_fingerprint,
+        add_language,
+        add_quality,
+        add_token_counts,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([
+                      "the cat and the dog sat on a mat for a while that day",
+                      "der hund und die katze sind nicht auf der straße für immer",
+                      "一只猫和一只狗坐在垫子上面看着窗外的风景和行人们走过",
+                  ], pa.string())})
+    langs = add_language(t)["lang_pred"].to_pylist()
+    assert langs == ["en", "de", "zh"]
+    q = add_quality(t)
+    assert (np.array(q["quality"].to_pylist()) >= 0).all()
+    tc = add_token_counts(t)
+    assert tc["ws_tokens"].to_pylist()[0] == 14
+    fp1 = add_doc_fingerprint(t)["doc_fp"].to_pylist()
+    fp2 = add_doc_fingerprint(t)["doc_fp"].to_pylist()
+    assert fp1 == fp2 and len(set(fp1)) == 3
+
+
+def test_ann_topk(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.ann import brute_force_topk, embedding_near_dup_pairs, lsh_topk
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((100, 16)).astype(np.float32)
+    base[7] = base[3] * 1.001 + 0.001  # near-duplicate pair
+    t = pa.table({
+        "vec_id": pa.array(np.arange(100), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    query = base[3]
+    top = brute_force_topk(ds, query, k=5).to_pandas()
+    assert list(top.vec_id[:2]) == [3, 7] or list(top.vec_id[:2]) == [7, 3]
+    # exact top-1 from LSH variant includes the query's own vector
+    lsh = lsh_topk(ds, query, k=5, nbits=6).to_pandas()
+    assert 3 in set(lsh.vec_id)
+    near = embedding_near_dup_pairs(ds, threshold=0.999, nbits=4).to_pandas()
+    assert (3, 7) in set(zip(near.left, near.right))
+
+
+def test_multimodal_stub(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.multimodal import DecodeStub, decode_features, synthetic_media_table
+
+    t = synthetic_media_table(n=12, seed=1)
+    ds = ray.data.from_arrow(t)
+    out = decode_features(ds, strict=False).to_pandas()
+    assert len(out) == 12
+    feats = np.vstack(out.features.values)
+    assert feats.shape == (12, DecodeStub.FEATURE_DIM)
+    # deterministic given payload + seed
+    out2 = decode_features(ray.data.from_arrow(t), strict=False).to_pandas()
+    np.testing.assert_array_equal(feats, np.vstack(out2.features.values))
+    # strict mode is an honest NotImplementedError
+    with pytest.raises(Exception):
+        decode_features(ray.data.from_arrow(t), strict=True).materialize()
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data
+
+    from stringzilla_ray import synth
+    from stringzilla_ray.pipelines.er import resolve_entities
+    from stringzilla_ray.state.checkpoint import stage_manifest
+    from stringzilla_ray.state.config import ERConfig
+
+    transcripts, _ = synth.generate_transcripts(seed=1, entities=12)
+    cfg = ERConfig()
+    ckpt = str(tmp_path / "ckpt")
+
+    out1 = resolve_entities(ray.data.from_arrow(transcripts), cfg, checkpoint_dir=ckpt).to_pandas()
+    m = stage_manifest(ckpt, "signatures")
+    assert m and m["params_hash"] == cfg.params_hash() and m["rows"] > 0
+    assert m["files"], "per-partition lineage missing"
+
+    # rerun: stages resume from manifests and results are identical
+    out2 = resolve_entities(ray.data.from_arrow(transcripts), cfg, checkpoint_dir=ckpt).to_pandas()
+    pd.testing.assert_frame_equal(
+        out1.sort_values("conv_id").reset_index(drop=True),
+        out2.sort_values("conv_id").reset_index(drop=True),
+    )
+
+    # config change invalidates the checkpoint
+    cfg2 = ERConfig(sim_threshold=0.9)
+    resolve_entities(ray.data.from_arrow(transcripts), cfg2, checkpoint_dir=ckpt).to_pandas()
+    m2 = stage_manifest(ckpt, "signatures")
+    assert m2["params_hash"] == cfg2.params_hash()
+
+
+def test_distributed_label_propagation(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.clustering import label_propagation
+    from stringzilla_ray.state.config import ERConfig
+
+    nodes = ray.data.from_arrow(pa.table({"conv_id": pa.array([f"n{i}" for i in range(8)], pa.string())}))
+    edges = ray.data.from_arrow(pa.table({
+        "left": pa.array(["n0", "n1", "n4", "n6"], pa.string()),
+        "right": pa.array(["n1", "n2", "n5", "n7"], pa.string()),
+    }))
+    out = label_propagation(nodes, edges, ERConfig(max_lp_iters=6), force_distributed=True).to_pandas()
+    by_node = dict(zip(out.conv_id, out.cluster_id))
+    assert by_node["n0"] == by_node["n1"] == by_node["n2"] == "n0"
+    assert by_node["n4"] == by_node["n5"] == "n4"
+    assert by_node["n6"] == by_node["n7"] == "n6"
+    assert by_node["n3"] == "n3"
