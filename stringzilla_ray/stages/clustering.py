@@ -116,38 +116,56 @@ def assign_clusters(members, edges, cfg: ERConfig, node_column: str = "content_h
     """
     sym_count = edges.count()
     if sym_count <= DRIVER_UNION_FIND_MAX_EDGES:
+        import numpy as np
+
         import ray
 
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
+        # Vectorized connected components on the driver: dense-relabel
+        # the edge-touched nodes, then min-label propagation with
+        # pointer jumping — O(E) NumPy per round, ~log(diameter) rounds.
+        lefts, rights = [], []
         for batch in edges.select_columns(["left", "right"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
+            batch_size=262144, batch_format="pyarrow"
         ):
-            for a, b in zip(batch["left"].to_pylist(), batch["right"].to_pylist()):
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-        roots = {x: find(x) for x in list(parent)}
-        roots_ref = ray.put(roots)
+            lefts.append(batch["left"].to_numpy(zero_copy_only=False))
+            rights.append(batch["right"].to_numpy(zero_copy_only=False))
+        if lefts:
+            left = np.concatenate(lefts)
+            right = np.concatenate(rights)
+            node_ids = np.unique(np.concatenate([left, right]))
+            li = np.searchsorted(node_ids, left)
+            ri = np.searchsorted(node_ids, right)
+            label = np.arange(len(node_ids), dtype=np.int64)
+            for _ in range(64):  # converges in O(log diameter) rounds
+                prev = label
+                nxt = label.copy()
+                np.minimum.at(nxt, li, label[ri])
+                np.minimum.at(nxt, ri, label[li])
+                nxt = nxt[nxt]  # pointer jumping
+                label = nxt
+                if (label == prev).all():
+                    break
+            sorted_ids = node_ids
+            root_of = node_ids[label]
+        else:
+            sorted_ids = np.zeros(0, dtype=np.int64)
+            root_of = sorted_ids
+
+        roots_ref = ray.put((sorted_ids, root_of))
 
         def assign(batch: pa.Table, roots_ref=roots_ref) -> pa.Table:
+            import numpy as _np
+
             import ray as _ray
 
-            r = _ray.get(roots_ref)
-            keys = batch[node_column].to_pylist()
-            labels = [r.get(k, k) for k in keys]
+            ids_sorted, roots = _ray.get(roots_ref)
+            keys = batch[node_column].to_numpy(zero_copy_only=False)
+            labels = keys.copy()
+            if len(ids_sorted):
+                pos = _np.searchsorted(ids_sorted, keys)
+                pos = _np.minimum(pos, len(ids_sorted) - 1)
+                found = ids_sorted[pos] == keys
+                labels[found] = roots[pos[found]]
             batch = batch.drop_columns([node_column])
             return batch.append_column(out_column, pa.array(labels, pa.int64()))
 
