@@ -25,7 +25,7 @@ from stringzilla_ray.util import actor_pool_limits
 class Fingerprinter:
     """Actor-pool UDF: one parameter table per worker, batches stream through."""
 
-    PREFIX_WIDTHS = (5, 7, 9, 11)  # narrow windows suit short prefixes
+    PREFIX_WIDTHS = (5, 9)  # narrow windows suit short prefixes
 
     def __init__(self, ndim: int, window_widths: tuple[int, ...], seed: int,
                  text_column: str = "norm_doc", emit_counts: bool = False,

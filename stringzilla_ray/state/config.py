@@ -20,7 +20,7 @@ class ERConfig:
     # include/stringzillas/README.md:264-266; widths subset of the
     # engine defaults in c/stringzillas/fingerprints.cuh:42)
     ndim: int = 128
-    window_widths: tuple[int, ...] = (8, 12, 16, 24)
+    window_widths: tuple[int, ...] = (8, 14)
     seed: int = 0
     # "fast" = BuzHash + one-permutation MinHash (production);
     # "reference" = bit-parity with the reference engine's fallback
