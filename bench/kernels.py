@@ -1,0 +1,73 @@
+"""Single-core kernel micro-benchmarks (no Ray) — the numbers BASELINE.md
+compares against the reference's published single-node figures.
+
+Run: python bench/kernels.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def bench(fn, *args, repeat=3):
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.time()
+        fn(*args)
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    from stringzilla_ray.functions import szhash
+    from stringzilla_ray.functions.fastfp import oph_fingerprint_batch
+    from stringzilla_ray.functions.fingerprint import fingerprint_batch
+    from stringzilla_ray.functions.similarity import levenshtein_batch
+
+    rng = np.random.default_rng(0)
+    out = {}
+
+    # AES-64 hash over 100-byte strings (reference sz_hash GB/s scale)
+    n, width = 20000, 100
+    tape = rng.integers(0, 256, n * width, dtype=np.uint8)
+    offsets = np.arange(n + 1, dtype=np.int64) * width
+    dt = bench(szhash.hash_batch, tape, offsets, 42)
+    out["hash64_100B_MBps_per_core"] = round(n * width / dt / 1e6, 2)
+
+    # MinHash fingerprints, production config (128 dims, widths 8/14)
+    docs, dlen = 400, 2700
+    tape = rng.integers(97, 123, docs * dlen, dtype=np.uint8)
+    offsets = np.arange(docs + 1, dtype=np.int64) * dlen
+    dt = bench(oph_fingerprint_batch, tape, offsets, 128, (8, 14), 0)
+    out["minhash_fast_MBps_per_core"] = round(docs * dlen / dt / 1e6, 2)
+    out["minhash_fast_Mhashps_per_core"] = round(docs * dlen * 128 / dt / 1e6, 1)
+
+    # Reference-parity backend (per-dim modular rolling hash)
+    docs_r = 40
+    offsets_r = np.arange(docs_r + 1, dtype=np.int64) * dlen
+    dt = bench(fingerprint_batch, tape[: docs_r * dlen], offsets_r, 128, (8, 14), 0)
+    out["minhash_parity_MBps_per_core"] = round(docs_r * dlen / dt / 1e6, 3)
+
+    # Batched byte Levenshtein, 100-byte pairs, unit costs
+    pairs = 512
+    a = [bytes(rng.integers(97, 123, 100, dtype=np.uint8)) for _ in range(pairs)]
+    b = [bytes(rng.integers(97, 123, 100, dtype=np.uint8)) for _ in range(pairs)]
+    dt = bench(levenshtein_batch, a, b)
+    out["levenshtein_100B_MCUPS_per_core"] = round(pairs * 100 * 100 / dt / 1e6, 1)
+
+    # 1000-byte pairs
+    pairs = 64
+    a = [bytes(rng.integers(97, 123, 1000, dtype=np.uint8)) for _ in range(pairs)]
+    b = [bytes(rng.integers(97, 123, 1000, dtype=np.uint8)) for _ in range(pairs)]
+    dt = bench(levenshtein_batch, a, b)
+    out["levenshtein_1KB_MCUPS_per_core"] = round(pairs * 1000 * 1000 / dt / 1e6, 1)
+
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()

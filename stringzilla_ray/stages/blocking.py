@@ -191,37 +191,48 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
         final_keys = np.concatenate([final_keys] + extra_keys)
         flags = np.concatenate([flags, np.ones(sum(len(x) for x in extra_ids), np.int8)])
 
+    # dedupe (key, id) rows, then segment by key — all vectorized
     order = np.lexsort((ids, final_keys))
     ids_s, keys_s, flags_s = ids[order], final_keys[order], flags[order]
-    boundaries = np.nonzero(np.concatenate([[True], keys_s[1:] != keys_s[:-1], [True]]))[0]
+    if len(ids_s):
+        fresh = np.concatenate([[True], (keys_s[1:] != keys_s[:-1]) | (ids_s[1:] != ids_s[:-1])])
+        ids_s, keys_s, flags_s = ids_s[fresh], keys_s[fresh], flags_s[fresh]
 
-    lefts, rights, oflags = [], [], []
-    for a, b in zip(boundaries[:-1], boundaries[1:]):
-        g = b - a
-        if g < 2:
-            continue
-        members = np.unique(ids_s[a:b])
-        g = len(members)
-        if g < 2:
-            continue
-        iu, ju = np.triu_indices(g, 1)
-        lefts.append(members[iu])
-        rights.append(members[ju])
-        oflags.append(np.full(len(iu), flags_s[a], np.int8))
-
-    if not lefts:
-        empty = pa.table(
-            {
-                "left": pa.array([], pa.int64()),
-                "right": pa.array([], pa.int64()),
-                "oversized_block": pa.array([], pa.int8()),
-            }
-        )
+    empty = pa.table(
+        {
+            "left": pa.array([], pa.int64()),
+            "right": pa.array([], pa.int64()),
+            "oversized_block": pa.array([], pa.int8()),
+        }
+    )
+    if len(ids_s) == 0:
         return ray.data.from_arrow(empty)
 
-    left = np.concatenate(lefts)
-    right = np.concatenate(rights)
-    flag = np.concatenate(oflags)
+    seg_start_mask = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+    seg_id = np.cumsum(seg_start_mask) - 1
+    seg_starts = np.nonzero(seg_start_mask)[0]
+    seg_sizes = np.diff(np.concatenate([seg_starts, [len(ids_s)]]))
+
+    # all i<j pairs per segment without a Python loop: expand each row
+    # position into (size - 1 - local_i) right partners
+    local_i = np.arange(len(ids_s)) - seg_starts[seg_id]
+    row_sizes = seg_sizes[seg_id] - 1 - local_i  # partners to the right
+    keep_rows = row_sizes > 0
+    if not keep_rows.any():
+        return ray.data.from_arrow(empty)
+    row_pos = np.nonzero(keep_rows)[0]
+    row_len = row_sizes[keep_rows]
+    row_off = np.concatenate([[0], np.cumsum(row_len)])
+    total_pairs = int(row_off[-1])
+    li = np.repeat(row_pos, row_len)
+    step = np.arange(total_pairs) - np.repeat(row_off[:-1], row_len)
+    ri = li + 1 + step
+    left = ids_s[li]
+    right = ids_s[ri]
+    lo = np.minimum(left, right)
+    hi = np.maximum(left, right)
+    left, right = lo, hi
+    flag = np.maximum(flags_s[li], flags_s[ri])
     # distinct pairs with max flag, via one lexsort over (left, right)
     orderp = np.lexsort((flag, right, left))
     lp, rp, fp_ = left[orderp], right[orderp], flag[orderp]
