@@ -406,6 +406,72 @@ def _q_embedding_sim_pairs(sf_dir: str):
     )
 
 
+def _q_levenshtein_pairs(sf_dir: str):
+    """Batched byte-Levenshtein over consecutive doc pairs — the
+    scoring kernel against DuckDB's levenshtein() as oracle."""
+    from stringzilla_ray.functions.similarity import levenshtein_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_and_score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        order = np.argsort(ids)
+        ids, texts = ids[order], [texts[i] for i in order]
+        lefts, rights, la, lb = [], [], [], []
+        by_id = dict(zip(ids.tolist(), texts))
+        for i in ids.tolist():
+            if i % 2 == 0 and (i + 1) in by_id:
+                lefts.append(i)
+                rights.append(i + 1)
+                la.append(by_id[i].encode())
+                lb.append(by_id[i + 1].encode())
+        dist = levenshtein_batch(la, lb) if lefts else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "left_id": pa.array(lefts, pa.int64()),
+                "right_id": pa.array(rights, pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    # documents is one small file; repartition(1) keeps even/odd pairs together
+    return ds.repartition(1).map_batches(pair_and_score, batch_format="pyarrow", batch_size=100000)
+
+
+def _q_hamming_prefix(sf_dir: str):
+    """Hamming distance of 50-byte prefixes over consecutive doc pairs."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_and_score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        order = np.argsort(ids)
+        ids, texts = ids[order], [texts[i] for i in order]
+        by_id = dict(zip(ids.tolist(), texts))
+        lefts, rights, dists = [], [], []
+        for i in ids.tolist():
+            if i % 2 == 0 and (i + 1) in by_id:
+                a = by_id[i][:50].encode()
+                b = by_id[i + 1][:50].encode()
+                if len(a) != len(b):
+                    continue
+                av = np.frombuffer(a, np.uint8)
+                bv = np.frombuffer(b, np.uint8)
+                lefts.append(i)
+                rights.append(i + 1)
+                dists.append(int((av != bv).sum()))
+        return pa.table(
+            {
+                "left_id": pa.array(lefts, pa.int64()),
+                "right_id": pa.array(rights, pa.int64()),
+                "dist": pa.array(dists, pa.int64()),
+            }
+        )
+
+    return ds.repartition(1).map_batches(pair_and_score, batch_format="pyarrow", batch_size=100000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -431,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
+        "levenshtein_pairs": _q_levenshtein_pairs,
+        "hamming_prefix": _q_hamming_prefix,
     }
 
 
@@ -486,6 +554,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings) "
             "SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "levenshtein_pairs": (
+            "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+            "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0"
+        ),
+        "hamming_prefix": (
+            "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+            "CAST(hamming(substr(a.text, 1, 50), substr(b.text, 1, 50)) AS BIGINT) AS dist "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0 "
+            "AND length(substr(a.text, 1, 50)) = length(substr(b.text, 1, 50))"
         ),
         "embedding_sim_pairs": (
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "

@@ -143,21 +143,57 @@ def run_benchmarks() -> dict:
     }
 
 
+def _run_child(ncpu: int, entities: int | None = None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if entities:
+        env["GRAFT_BENCH_ENTITIES"] = str(entities)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def run_scaling_weak() -> dict:
+    """Weak scaling: 4x the CPUs with 4x the corpus — per-CPU load is
+    constant, which models the 10^12-turn regime (hours-long runs where
+    fixed orchestration amortizes) better than strong scaling on a
+    seconds-long sandbox job."""
+    lo, hi = 8, 32
+    base = int(os.environ.get("GRAFT_BENCH_ENTITIES", "6000"))
+    r_lo = _run_child(lo, base)
+    r_hi = _run_child(hi, base * 4)
+    tp_lo = r_lo["transcript_turns"] / r_lo["value"]
+    tp_hi = r_hi["transcript_turns"] / r_hi["value"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "weak_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "turns_lo": r_lo["transcript_turns"],
+        "turns_hi": r_hi["transcript_turns"],
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": round(tp_lo, 1),
+        "turns_per_sec_hi": round(tp_hi, 1),
+        "queries": {"flagship_er_lo": r_lo["value"], "flagship_er_hi": r_hi["value"]},
+        "sf": r_hi["sf"],
+        "num_cpus": hi,
+    }
+
+
 def run_scaling() -> dict:
     """Same headline job at num_cpus=8 and 32 in fresh processes —
     the sandbox stand-in for cluster sizes N and 4N."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        return _run_child(ncpu)
 
     lo, hi = 8, 32
     r_lo = run(lo)
@@ -183,7 +219,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-weak" in sys.argv:
+        print(json.dumps(run_scaling_weak()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         result = run_benchmarks()
