@@ -472,6 +472,133 @@ def _q_hamming_prefix(sf_dir: str):
     return ds.repartition(1).map_batches(pair_and_score, batch_format="pyarrow", batch_size=100000)
 
 
+def _q_rfind(sf_dir: str):
+    from stringzilla_ray.functions.text import rfind
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "pos": rfind(t["text"], "data")}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_find_first_of(sf_dir: str):
+    from stringzilla_ray.functions.text import find_first_of
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "pos": find_first_of(t["text"], "qxz")}),
+        batch_format="pyarrow",
+    )
+
+
+def _pair_docs_batch(t: pa.Table):
+    ids = np.asarray(t["doc_id"].to_pylist())
+    texts = t["text"].to_pylist()
+    order = np.argsort(ids)
+    by_id = {int(ids[i]): texts[i] for i in order}
+    lefts, la, lb = [], [], []
+    for i in sorted(by_id):
+        if i % 2 == 0 and (i + 1) in by_id:
+            lefts.append(i)
+            la.append(by_id[i].encode())
+            lb.append(by_id[i + 1].encode())
+    return lefts, la, lb
+
+
+def _q_nw_unit_pairs(sf_dir: str):
+    """Needleman-Wunsch with unit costs over consecutive doc pairs —
+    equals minus the Levenshtein distance (the reference's own
+    cross-check, test/similarities.py:451-488), so DuckDB's
+    levenshtein() oracles the NW kernel."""
+    from stringzilla_ray.functions.similarity import needleman_wunsch_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    byte_to_class = (np.arange(256) % 32).astype(np.uint8)
+    class_costs = np.full((32, 32), -1, dtype=np.int8)
+    np.fill_diagonal(class_costs, 0)
+
+    def f(t: pa.Table) -> pa.Table:
+        lefts, la, lb = _pair_docs_batch(t)
+        score = needleman_wunsch_batch(la, lb, byte_to_class, class_costs, open=-1, extend=-1) if lefts else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "left_id": pa.array(lefts, pa.int64()),
+                "score": pa.array(score, pa.int64()),
+            }
+        )
+
+    return ds.repartition(1).map_batches(f, batch_format="pyarrow", batch_size=100000)
+
+
+def _q_sw_substring(sf_dir: str):
+    """Smith-Waterman self-containment property: the local-alignment
+    score of (text, text[10:50]) under +1/-1 costs is exactly the
+    substring's length — a closed-form SQL oracle for the SW kernel."""
+    from stringzilla_ray.functions.similarity import smith_waterman_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    byte_to_class = (np.arange(256) % 32).astype(np.uint8)
+    class_costs = np.full((32, 32), -1, dtype=np.int8)
+    np.fill_diagonal(class_costs, 1)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = [x.encode() for x in t["text"].to_pylist()]
+        subs = [x[10:50] for x in texts]
+        score = smith_waterman_batch(texts, subs, byte_to_class, class_costs, open=-1, extend=-1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(score, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_sample_with_replacement(sf_dir: str):
+    """Strs.sample semantics: reproducible draws with replacement from
+    the doc-id collection (rows-only: the PRNG is ours)."""
+    from stringzilla_ray.functions.collection import sample_indices
+
+    import pyarrow.parquet as _pq
+
+    ids = _pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])["doc_id"].to_numpy()
+    import ray.data
+
+    draws = sample_indices(len(ids), 100, seed=42)
+    t = pa.table(
+        {
+            "draw_idx": pa.array(np.arange(100), pa.int64()),
+            "doc_id": pa.array(np.sort(ids)[draws], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def _q_shuffled_head(sf_dir: str):
+    """Strs.shuffled semantics: reproducible permutation; returns the
+    first 20 doc ids under seed 7 (rows-only)."""
+    from stringzilla_ray.functions.collection import shuffle_permutation
+
+    import pyarrow.parquet as _pq
+
+    import ray.data
+
+    ids = np.sort(
+        _pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])["doc_id"].to_numpy()
+    )
+    perm = shuffle_permutation(len(ids), seed=7)
+    t = pa.table(
+        {
+            "position": pa.array(np.arange(20), pa.int64()),
+            "doc_id": pa.array(ids[perm[:20]], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -499,6 +626,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_er_clusters": _q_flagship_clusters,
         "levenshtein_pairs": _q_levenshtein_pairs,
         "hamming_prefix": _q_hamming_prefix,
+        "rfind_substring": _q_rfind,
+        "find_first_of": _q_find_first_of,
+        "nw_unit_pairs": _q_nw_unit_pairs,
+        "sw_substring": _q_sw_substring,
+        "sample_with_replacement": _q_sample_with_replacement,
+        "shuffled_head": _q_shuffled_head,
     }
 
 
@@ -554,6 +687,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings) "
             "SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "rfind_substring": (
+            "SELECT doc_id, CAST(CASE WHEN instr(text, 'data') > 0 THEN "
+            "length(text) - instr(reverse(text), reverse('data')) + 1 - length('data') "
+            "ELSE -1 END AS BIGINT) AS pos FROM documents"
+        ),
+        "find_first_of": (
+            "SELECT doc_id, CAST(coalesce(least(nullif(instr(text, 'q'), 0), "
+            "nullif(instr(text, 'x'), 0), nullif(instr(text, 'z'), 0)) - 1, -1) AS BIGINT) AS pos "
+            "FROM documents"
+        ),
+        "nw_unit_pairs": (
+            "SELECT a.doc_id AS left_id, CAST(-levenshtein(a.text, b.text) AS BIGINT) AS score "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0"
+        ),
+        "sw_substring": (
+            "SELECT doc_id, CAST(GREATEST(LEAST(length(text) - 10, 40), 0) AS BIGINT) AS score "
+            "FROM documents"
         ),
         "levenshtein_pairs": (
             "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "

@@ -100,6 +100,39 @@ def ends_with(arr, suffix: str) -> pa.Array:
     return pc.ends_with(arr, suffix)
 
 
+def rfind(arr, needle: str) -> pa.Array:
+    """Last byte offset of ``needle`` per string, -1 if absent
+    (sz.rfind, python/README.md:127-151). CPython str.rfind per row —
+    C-speed, and the oracle the reference itself tests against."""
+    vals = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr).to_pylist()
+    return pa.array([v.rfind(needle) if v is not None else None for v in vals], pa.int64())
+
+
+def find_first_of(arr, chars: str) -> pa.Array:
+    """Offset of the first character from ``chars`` per string, -1 if
+    none (sz.find_first_of, python/README.md:153-173). Vectorized tape
+    scan: one membership table lookup over all bytes, one segmented
+    argmax for the first hit."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    n = len(offsets) - 1
+    member = np.zeros(256, dtype=bool)
+    member[np.frombuffer(chars.encode("latin-1", "ignore"), dtype=np.uint8)] = True
+    if len(tape) == 0:
+        return pa.array([-1] * n, pa.int64())
+    hits = member[tape]
+    # first hit per segment: cumulative count trick
+    csum = np.concatenate([[0], np.cumsum(hits)])
+    out = np.full(n, -1, dtype=np.int64)
+    has = csum[offsets[1:]] > csum[offsets[:-1]]
+    if has.any():
+        # position of the (csum[start]+1)-th hit
+        hit_pos = np.nonzero(hits)[0]
+        first_idx = csum[offsets[:-1][has]]
+        out[has] = hit_pos[first_idx] - offsets[:-1][has]
+    return pa.array(out, pa.int64())
+
+
 def count_byteset(arr, chars: str) -> pa.Array:
     """How many characters of each string belong to ``chars``
     (sz.count_byteset, python/README.md:153-173)."""

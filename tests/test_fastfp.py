@@ -95,3 +95,41 @@ def test_bytesum_and_hash_columns():
     np.testing.assert_array_equal(bytesum_batch(tape, offsets), [sum(b"abc"), 0, sum(b"hello")])
     h1 = hash_batch(tape, offsets, 42)
     assert len(set(h1.tolist())) == 3
+
+
+def test_rfind_and_find_first_of():
+    vals = ["hello world", "", "xyzzy", "no match here ok", "aqa"]
+    arr = pa.array(vals, pa.string())
+    assert text.rfind(arr, "o").to_pylist() == [v.rfind("o") for v in vals]
+    expected = []
+    for v in vals:
+        pos = [v.find(c) for c in "qxz" if v.find(c) >= 0]
+        expected.append(min(pos) if pos else -1)
+    assert text.find_first_of(arr, "qxz").to_pylist() == expected
+
+
+def test_collection_ops():
+    from stringzilla_ray.functions.collection import (
+        sample_indices,
+        shuffle_permutation,
+        stable_argsort,
+    )
+
+    s1 = sample_indices(100, 50, seed=42)
+    s2 = sample_indices(100, 50, seed=42)
+    np.testing.assert_array_equal(s1, s2)
+    assert (s1 >= 0).all() and (s1 < 100).all()
+    assert len(np.unique(sample_indices(5, 200, seed=1))) == 5  # replacement
+
+    p1 = shuffle_permutation(64, seed=7)
+    np.testing.assert_array_equal(np.sort(p1), np.arange(64))
+    assert not (p1 == np.arange(64)).all()
+    np.testing.assert_array_equal(p1, shuffle_permutation(64, seed=7))
+
+    vals = np.array([3, 1, 3, 2, 1])
+    asc = stable_argsort(vals)
+    np.testing.assert_array_equal(vals[asc], [1, 1, 2, 3, 3])
+    assert list(asc) == [1, 4, 3, 0, 2]  # stability: equal keys keep order
+    desc = stable_argsort(vals, descending=True)
+    np.testing.assert_array_equal(vals[desc], [3, 3, 2, 1, 1])
+    assert list(desc) == [0, 2, 3, 1, 4]
