@@ -186,3 +186,79 @@ def test_distributed_label_propagation(ray_session):
     assert by_node["n4"] == by_node["n5"] == "n4"
     assert by_node["n6"] == by_node["n7"] == "n6"
     assert by_node["n3"] == "n3"
+
+
+def test_sources_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from stringzilla_ray import synth
+    from stringzilla_ray.sources.transcripts import read_transcripts, write_partitioned
+
+    tpath, _ = synth.write_corpus(str(tmp_path / "corpus"), seed=3, entities=10)
+    ds = read_transcripts(tpath)
+    assert set(ds.schema().names) == {"conv_id", "turn_idx", "role", "text"}
+    n = ds.count()
+    manifest = write_partitioned(ds, str(tmp_path / "out"), min_rows_per_file=500)
+    assert manifest["rows"] == n
+    back = ray.data.read_parquet(str(tmp_path / "out"))
+    assert back.count() == n
+    with pytest.raises(ValueError):
+        read_transcripts(tpath, columns=["conv_id", "not_a_column"])
+
+
+def test_flagship_reference_backend(ray_session):
+    """The bit-parity fingerprint backend drives the same pipeline."""
+    import ray.data
+
+    from stringzilla_ray import synth
+    from stringzilla_ray.pipelines.er import resolve_entities
+    from stringzilla_ray.pipelines.eval import pairwise_f1
+    from stringzilla_ray.state.config import ERConfig
+
+    transcripts, truth = synth.generate_transcripts(seed=1, entities=10)
+    cfg = ERConfig(fingerprint_backend="reference", ndim=64, bands=16, rows_per_band=4)
+    out = resolve_entities(ray.data.from_arrow(transcripts), cfg).to_pandas()
+    m = pairwise_f1(out, truth.to_pandas())
+    assert m["f1"] >= 0.95, m
+
+
+def test_flagship_seed_sweep(ray_session):
+    """FIXTURES.md seed sweep: F1 >= 0.99 holds across generator seeds."""
+    import ray.data
+
+    from stringzilla_ray import synth
+    from stringzilla_ray.pipelines.er import resolve_entities
+    from stringzilla_ray.pipelines.eval import pairwise_f1
+    from stringzilla_ray.state.config import ERConfig
+
+    for seed in (0, 314159):
+        transcripts, truth = synth.generate_transcripts(seed=seed, entities=25)
+        out = resolve_entities(ray.data.from_arrow(transcripts), ERConfig()).to_pandas()
+        m = pairwise_f1(out, truth.to_pandas())
+        assert m["f1"] >= 0.99, (seed, m)
+
+
+def test_skew_salting_triggers(ray_session):
+    """A dominant viral entity exceeds max_block_size: salting must
+    engage (oversized flag set) and recall must survive the split."""
+    import ray.data
+
+    from stringzilla_ray import synth
+    from stringzilla_ray.pipelines.er import resolve_entities
+    from stringzilla_ray.pipelines.eval import pairwise_f1
+    from stringzilla_ray.stages.blocking import blocked_pairs
+    from stringzilla_ray.stages.canonicalize import canonicalize
+    from stringzilla_ray.stages.fingerprint import fingerprint_stage
+    from stringzilla_ray.state.config import ERConfig
+
+    transcripts, truth = synth.generate_transcripts(seed=5, entities=30, viral_fraction=0.5)
+    cfg = ERConfig(max_block_size=8)
+    ds = ray.data.from_arrow(transcripts)
+    signed = fingerprint_stage(canonicalize(ds), cfg).materialize()
+    # node-level blocking must flag oversized blocks
+    pairs = blocked_pairs(signed, cfg, id_column="content_hash").to_pandas()
+    assert pairs.oversized_block.sum() > 0, "salting did not trigger"
+    out = resolve_entities(ray.data.from_arrow(transcripts), cfg).to_pandas()
+    m = pairwise_f1(out, truth.to_pandas())
+    assert m["recall"] >= 0.98, m
+    assert m["precision"] == 1.0, m
