@@ -224,9 +224,28 @@ def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = 
             on=("src",),
         ).select_columns(["dst", "label"]).rename_columns({"dst": "conv_id"})
         candidates = labels.select_columns(["conv_id", "label"]).union(msgs)
-        new_labels = candidates.groupby("conv_id").min("label").rename_columns(
-            {"min(label)": "label"}
-        ).materialize()
+
+        def _enforce(t: pa.Table) -> pa.Table:
+            # Ray's hash-shuffle aggregators occasionally emit
+            # pickled-object extension columns for non-numeric
+            # aggregates; rebuild plain columns so the next round's
+            # join sees concrete Arrow types.
+            def plain(col):
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if isinstance(col.type, pa.ExtensionType):
+                    return pa.array(col.to_pylist())
+                return col
+
+            return pa.table({"conv_id": plain(t["conv_id"]), "label": plain(t["label"])})
+
+        new_labels = (
+            candidates.groupby("conv_id")
+            .min("label")
+            .rename_columns({"min(label)": "label"})
+            .map_batches(_enforce, batch_format="pyarrow")
+            .materialize()
+        )
 
         # convergence: did any node's label change?
         changed = (
