@@ -48,6 +48,7 @@ def run_benchmarks() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            log_to_driver=False,  # keep stdout to the single JSON line
         )
     from ray.data import DataContext
 
