@@ -599,6 +599,50 @@ def _q_shuffled_head(sf_dir: str):
     return ray.data.from_arrow(t)
 
 
+def _q_casefold_len(sf_dir: str):
+    """utf8_uncased_fold over documents (ASCII-lower equivalent here:
+    the corpus has no full-fold expansions, checked), oracled by
+    lower()."""
+    from stringzilla_ray.functions.text import casefold
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "folded_len": pc.cast(pc.utf8_length(casefold(t["text"])), pa.int64()),
+                "folded_head": pc.utf8_slice_codeunits(casefold(t["text"]), 0, 30),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_translate_rot13(sf_dir: str):
+    """sz.translate 256-byte LUT transform, oracled by DuckDB
+    translate() (ROT13 over a-z on the first 40 bytes)."""
+    from stringzilla_ray.functions.text import translate
+
+    lut = bytearray(range(256))
+    for i in range(26):
+        lut[ord("a") + i] = ord("a") + (i + 13) % 26
+    lut = bytes(lut)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(t["text"], 0, 40)
+        rot = translate(head, lut)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rot13": pc.cast(rot, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -631,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nw_unit_pairs": _q_nw_unit_pairs,
         "sw_substring": _q_sw_substring,
         "sample_with_replacement": _q_sample_with_replacement,
+        "casefold_len": _q_casefold_len,
+        "translate_rot13": _q_translate_rot13,
         "shuffled_head": _q_shuffled_head,
     }
 
@@ -687,6 +733,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings) "
             "SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "casefold_len": (
+            "SELECT doc_id, CAST(length(lower(text)) AS BIGINT) AS folded_len, "
+            "substr(lower(text), 1, 30) AS folded_head FROM documents"
+        ),
+        "translate_rot13": (
+            "SELECT doc_id, translate(substr(text, 1, 40), "
+            "'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm') AS rot13 "
+            "FROM documents"
         ),
         "rfind_substring": (
             "SELECT doc_id, CAST(CASE WHEN instr(text, 'data') > 0 THEN "
