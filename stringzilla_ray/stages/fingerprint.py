@@ -7,8 +7,9 @@ per-dimension parameter tables once per actor in ``__init__`` and the
 ``__call__`` runs the vectorized rolling-hash kernel over each Arrow
 batch's string tape zero-copy.
 
-Adds a ``minhash`` column: fixed_size_list<uint32>[ndim] (optionally
-``mincount`` too), one signature per canonical document.
+Adds a ``minhash`` column (fixed-width large_binary holding ndim
+uint32 values — a joinable signature payload; decode with
+``sig_matrix``), plus an optional ``prefix_minhash`` / ``mincount``.
 """
 
 from __future__ import annotations
