@@ -56,6 +56,95 @@ def _canonicalize_group(group: pa.Table) -> pa.Table:
     )
 
 
+_PIECE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("doc", pa.large_string()),
+        ("n_turns", pa.int32()),
+        ("first_turn", pa.int64()),
+        ("edge", pa.int8()),
+    ]
+)
+
+
+def _assemble_sorted_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized doc assembly over a (conv_id, turn_idx)-sorted slice.
+
+    Zero per-row Python: one element-wise join builds the turn strings,
+    one list-join per block builds the docs. The first and last
+    conversation of the slice may continue in neighbouring slices, so
+    they are emitted as ``edge=1`` pieces for the (tiny) merge pass.
+    """
+    n = len(batch)
+    if n == 0:
+        return _PIECE_SCHEMA.empty_table()
+    conv = batch["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    turn_str = pc.binary_join_element_wise(
+        pc.cast(batch["role"], pa.large_string()),
+        pc.cast(batch["text"], pa.large_string()),
+        pa.scalar(FIELD_SEP, pa.large_string()),
+    )
+    if isinstance(turn_str, pa.ChunkedArray):
+        turn_str = turn_str.combine_chunks()
+    if n > 1:
+        neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.nonzero(neq)[0] + 1])
+    else:
+        starts = np.zeros(1, dtype=np.int64)
+    group_offsets = np.concatenate([starts, [n]]).astype(np.int64)
+    lists = pa.LargeListArray.from_arrays(pa.array(group_offsets, pa.int64()), turn_str)
+    docs = pc.binary_join(lists, pa.scalar(TURN_SEP, pa.large_string()))
+    g = len(starts)
+    edge = np.zeros(g, dtype=np.int8)
+    edge[0] = 1
+    edge[-1] = 1
+    starts_idx = pa.array(starts, pa.int64())
+    return pa.table(
+        {
+            "conv_id": conv.take(starts_idx),
+            "doc": docs,
+            "n_turns": pa.array(np.diff(group_offsets).astype(np.int32), pa.int32()),
+            "first_turn": pc.cast(batch["turn_idx"].take(starts_idx), pa.int64()),
+            "edge": pa.array(edge, pa.int8()),
+        }
+    )
+
+
+def _merge_edge_pieces(edge_tbl: pa.Table) -> pa.Table:
+    """Stitch boundary pieces (ordered per conversation by their first
+    turn index — pieces are disjoint turn ranges of the global sort).
+    The input is O(sorted blocks) rows — 2 per block regardless of
+    corpus size — so this runs on the driver with no shuffle."""
+    convs = edge_tbl["conv_id"].to_pylist()
+    firsts = edge_tbl["first_turn"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((firsts, np.asarray(convs, dtype=object)))
+    docs = edge_tbl["doc"].to_pylist()
+    n_turns = edge_tbl["n_turns"].to_numpy(zero_copy_only=False)
+    out_conv, out_doc, out_n = [], [], []
+    i = 0
+    while i < len(order):
+        j = i
+        parts = []
+        total = 0
+        while j < len(order) and convs[order[j]] == convs[order[i]]:
+            parts.append(docs[order[j]])
+            total += int(n_turns[order[j]])
+            j += 1
+        out_conv.append(convs[order[i]])
+        out_doc.append(TURN_SEP.join(parts))
+        out_n.append(total)
+        i = j
+    return pa.table(
+        {
+            "conv_id": pa.array(out_conv, pa.string()),
+            "doc": pa.array(out_doc, pa.large_string()),
+            "n_turns": pa.array(out_n, pa.int32()),
+        }
+    )
+
+
 _WS_RUN = __import__("re").compile(r"\s+")
 
 
@@ -92,11 +181,34 @@ def add_content_hash(batch: pa.Table, seed: int = 0) -> pa.Table:
 def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821
     """transcripts Dataset -> canonical conversations Dataset.
 
-    One groupby shuffle keyed on conv_id (SURVEY.md §7.3); the group
-    body is tiny, and the content hash runs vectorized per batch
-    afterwards (the AES kernel amortizes across the whole block).
+    ONE wide op — a range-partitioned sort on (conv_id, turn_idx) —
+    then fully vectorized batch assembly (no per-group Python, the
+    round-1 scaling floor). Conversations straddling sorted-block
+    boundaries are emitted as edge pieces and stitched by a merge
+    groupby that only ever sees ~2 rows per block. Requires turn_idx
+    to be unique within a conversation (the input contract); if ties
+    occur their relative order follows the distributed sort, not the
+    input row order.
     """
-    grouped = transcripts.groupby("conv_id").map_groups(
-        _canonicalize_group, batch_format="pyarrow"
+    import ray.data as rd
+
+    pieces = transcripts.sort(["conv_id", "turn_idx"]).map_batches(
+        _assemble_sorted_batch, batch_format="pyarrow", batch_size=None
     )
-    return grouped.map_batches(add_content_hash, batch_format="pyarrow")
+    # Two consumers (interior + edge) — pin the assembled pieces once
+    # rather than re-running the sort per branch.
+    pieces = pieces.materialize()
+    complete = pieces.filter(expr="edge == 0").drop_columns(["first_turn", "edge"])
+    # Edge pieces are 2 per sorted block — O(blocks), never O(corpus) —
+    # so they merge on the driver instead of paying a groupby shuffle.
+    import ray as _ray
+
+    refs = pieces.filter(expr="edge == 1").to_arrow_refs()
+    parts = [t for t in _ray.get(refs) if len(t)]
+    if parts:
+        edge_tbl = pa.concat_tables([t.select(_PIECE_SCHEMA.names) for t in parts])
+        merged = rd.from_arrow(_merge_edge_pieces(edge_tbl))
+        out = complete.union(merged)
+    else:
+        out = complete
+    return out.map_batches(add_content_hash, batch_format="pyarrow")
