@@ -64,29 +64,45 @@ def resolve_entities(
     def build_reps():
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         import ray
 
         n = signed.count()
         if n <= cfg.broadcast_threshold_rows:
-            best: dict[int, str] = {}
+            # Vectorized winner census: Arrow sort by (hash, conv_id),
+            # segment-first per hash — no per-row Python. The broadcast
+            # payload is (sorted hashes, winner conv ids): O(distinct).
+            parts = []
             for b in signed.select_columns(["content_hash", "conv_id"]).iter_batches(
                 batch_size=65536, batch_format="pyarrow"
             ):
-                for h, c in zip(b["content_hash"].to_pylist(), b["conv_id"].to_pylist()):
-                    prev = best.get(h)
-                    if prev is None or c < prev:
-                        best[h] = c
-            ref = ray.put(best)
+                parts.append(b.select(["content_hash", "conv_id"]))
+            allrows = pa.concat_tables(parts).sort_by(
+                [("content_hash", "ascending"), ("conv_id", "ascending")]
+            )
+            hs = allrows["content_hash"].to_numpy()
+            first = np.concatenate([[True], hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, bool)
+            win_hash = hs[first]
+            win_conv = np.asarray(
+                allrows["conv_id"].combine_chunks().take(
+                    pa.array(np.nonzero(first)[0], pa.int64())
+                ).to_pylist(),
+                dtype=object,
+            )
+            ref = ray.put((win_hash, win_conv))
 
             def keep_winners(batch: pa.Table, ref=ref) -> pa.Table:
+                import numpy as _np
+
                 import ray as _ray
 
-                winners = _ray.get(ref)
-                hs = batch["content_hash"].to_pylist()
-                cs = batch["conv_id"].to_pylist()
-                mask = [winners.get(h) == c for h, c in zip(hs, cs)]
-                return batch.filter(pa.array(mask, pa.bool_()))
+                w_hash, w_conv = _ray.get(ref)
+                hs = batch["content_hash"].to_numpy(zero_copy_only=False)
+                pos = _np.searchsorted(w_hash, hs)
+                convs = _np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+                mask = w_conv[pos] == convs
+                return batch.filter(pa.array(mask.astype(bool)))
 
             return signed.map_batches(keep_winners, batch_format="pyarrow")
 

@@ -136,90 +136,78 @@ def _pairs_from_join(batch: pa.Table) -> pa.Table:
     return batch.select(["left", "right", "oversized_block"])
 
 
-def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
-    """Small-side fast path: collect (id, band_key) rows (ints, a few
-    MB up to the dispatch threshold), then census + salting + pair
-    generation run as plain NumPy on the driver — zero shuffles. The
-    pair table this emits is returned as a regular Dataset, so the
-    downstream scorer is unchanged. Mirrors the broadcast-small-side
-    join idiom; the self-join path below is the at-scale twin with
-    identical semantics."""
-    import ray.data
+def _collect_band_keys(signed, cfg: ERConfig, id_column: str):
+    """(ids (N,) int64, K (N, bands) uint64) — band keys computed in
+    PARALLEL map_batches tasks (the AES band hashing is the expensive
+    part), only the int results pulled to the driver."""
+    from stringzilla_ray.stages.fingerprint import minhash_matrix
 
-    from stringzilla_ray.stages.fingerprint import sig_matrix
+    # fixed-width binary carries the (bands,) int64 key vector per row
+    def add_keys(batch: pa.Table) -> pa.Table:
+        mh = minhash_matrix(batch, cfg.ndim)
+        keys = band_keys_for_batch(mh, cfg.bands, cfg.rows_per_band)
+        n = len(batch)
+        data = np.ascontiguousarray(keys).view(np.uint8).reshape(-1)
+        offs = np.arange(n + 1, dtype=np.int64) * (8 * cfg.bands)
+        col = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())],
+        )
+        return pa.table({id_column: batch[id_column], "band_keys": col})
 
     id_parts, key_parts = [], []
-    for batch in signed.select_columns([id_column, "minhash"]).iter_batches(
-        batch_size=16384, batch_format="pyarrow"
+    for batch in (
+        signed.select_columns([id_column, "minhash"])
+        .map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=16384, batch_format="pyarrow")
     ):
-        mh = sig_matrix(batch["minhash"], cfg.ndim)
-        keys = band_keys_for_batch(mh, cfg.bands, cfg.rows_per_band)
         col = batch[id_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        ids = col.to_numpy(zero_copy_only=False)
-        id_parts.append(np.repeat(ids, cfg.bands))
-        key_parts.append(keys.ravel())
-    ids = np.concatenate(id_parts) if id_parts else np.zeros(0, np.int64)
-    keys = np.concatenate(key_parts).astype(np.uint64) if key_parts else np.zeros(0, np.uint64)
+        id_parts.append(col.to_numpy(zero_copy_only=False))
+        from stringzilla_ray.functions.text import tape_of
 
-    # census + salting (same scheme as the distributed path)
-    uniq, inverse, counts = np.unique(keys, return_inverse=True, return_counts=True)
-    row_counts = counts[inverse]
-    cap = cfg.max_block_size
-    oversized = row_counts > cap
-    final_keys = keys.copy()
-    flags = oversized.astype(np.int8)
-    extra_ids, extra_keys = [], []
-    if oversized.any():
-        ch = splitmix64(ids.astype(np.uint64) + np.uint64(7)) if ids.dtype.kind in "iu" else None
-        if ch is None:
-            import pyarrow as _pa
+        kcol = batch["band_keys"]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        tape, offs = tape_of(kcol)
+        flat = np.ascontiguousarray(tape[offs[0] : offs[-1]])
+        key_parts.append(flat.view(np.int64).reshape(len(batch), cfg.bands))
+    if not id_parts:
+        return np.zeros(0, np.int64), np.zeros((0, cfg.bands), np.uint64)
+    ids = np.concatenate(id_parts)
+    K = np.vstack(key_parts).astype(np.int64).view(np.uint64)
+    return ids, K
 
-            ch = _conv_hashes(_pa.array(ids))
-        nsalt = np.maximum(-(-row_counts // cap), 1).astype(np.uint64)
-        salt = ch % nsalt
-        salted = splitmix64(keys ^ (salt + np.uint64(1)))
-        final_keys[oversized] = salted[oversized]
-        rep_every = np.maximum(row_counts // (nsalt.astype(np.int64) * 4), 1).astype(np.uint64)
-        is_rep = oversized & ((splitmix64(ch ^ keys) % rep_every) == 0)
-        if is_rep.any():
-            extra_ids.append(ids[is_rep])
-            extra_keys.append(splitmix64(keys[is_rep] ^ np.uint64(0xBADC0FFEE)))
-    if extra_ids:
-        ids = np.concatenate([ids] + extra_ids)
-        final_keys = np.concatenate([final_keys] + extra_keys)
-        flags = np.concatenate([flags, np.ones(sum(len(x) for x in extra_ids), np.int8)])
 
-    # dedupe (key, id) rows, then segment by key — all vectorized
-    order = np.lexsort((ids, final_keys))
-    ids_s, keys_s, flags_s = ids[order], final_keys[order], flags[order]
-    if len(ids_s):
-        fresh = np.concatenate([[True], (keys_s[1:] != keys_s[:-1]) | (ids_s[1:] != ids_s[:-1])])
-        ids_s, keys_s, flags_s = ids_s[fresh], keys_s[fresh], flags_s[fresh]
+_EMPTY_PAIRS = {
+    "left": pa.array([], pa.int64()),
+    "right": pa.array([], pa.int64()),
+    "oversized_block": pa.array([], pa.int8()),
+}
 
-    empty = pa.table(
-        {
-            "left": pa.array([], pa.int64()),
-            "right": pa.array([], pa.int64()),
-            "oversized_block": pa.array([], pa.int8()),
-        }
-    )
-    if len(ids_s) == 0:
-        return ray.data.from_arrow(empty)
 
+def _expand_pairs_chunk(ids_s, keys_s, flags_s, bands_s, shared):
+    """All i<j pairs of each key segment in this (key-aligned) slice,
+    kept only when this occurrence is the pair's canonical generator
+    (min generating band for normal blocks; min rep band for cross-salt
+    rep blocks when no normal block generates it). Exactly reproduces
+    the distinct output of a global generate-then-dedupe, with no
+    global sort of the pair stream.
+    """
+    (sorted_ids, K, ch_nodes, ov_keys, ov_counts, cap) = shared
+    n = len(ids_s)
+    if n == 0:
+        return pa.table(_EMPTY_PAIRS)
     seg_start_mask = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
     seg_id = np.cumsum(seg_start_mask) - 1
     seg_starts = np.nonzero(seg_start_mask)[0]
-    seg_sizes = np.diff(np.concatenate([seg_starts, [len(ids_s)]]))
-
-    # all i<j pairs per segment without a Python loop: expand each row
-    # position into (size - 1 - local_i) right partners
-    local_i = np.arange(len(ids_s)) - seg_starts[seg_id]
-    row_sizes = seg_sizes[seg_id] - 1 - local_i  # partners to the right
+    seg_sizes = np.diff(np.concatenate([seg_starts, [n]]))
+    local_i = np.arange(n) - seg_starts[seg_id]
+    row_sizes = seg_sizes[seg_id] - 1 - local_i
     keep_rows = row_sizes > 0
     if not keep_rows.any():
-        return ray.data.from_arrow(empty)
+        return pa.table(_EMPTY_PAIRS)
     row_pos = np.nonzero(keep_rows)[0]
     row_len = row_sizes[keep_rows]
     row_off = np.concatenate([[0], np.cumsum(row_len)])
@@ -229,26 +217,161 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
     ri = li + 1 + step
     left = ids_s[li]
     right = ids_s[ri]
+    src_band = bands_s[li]  # == bands_s[ri] within a segment
+    from_rep = src_band < 0  # rep blocks carry band = -(band+1)
+    src_band = np.where(from_rep, -src_band - 1, src_band)
+
+    # node positions for the gen-matrix lookups
+    pi = np.searchsorted(sorted_ids, left)
+    pj = np.searchsorted(sorted_ids, right)
+    Ki = K[pi]  # (P, bands) uint64
+    Kj = K[pj]
+    eq = Ki == Kj
+    # oversized keys need same-salt (and the block must not be salted
+    # apart); non-oversized equal keys always co-generate
+    gen = eq.copy()
+    rep_gen = np.zeros_like(eq)
+    if len(ov_keys):
+        ovpos = np.searchsorted(ov_keys, Ki)
+        ovpos = np.minimum(ovpos, len(ov_keys) - 1)
+        is_ov = eq & (ov_keys[ovpos] == Ki)
+        if is_ov.any():
+            cnt = ov_counts[ovpos]
+            nsalt = (-(-cnt // cap)).astype(np.uint64)
+            chi = ch_nodes[pi][:, None]
+            chj = ch_nodes[pj][:, None]
+            same_salt = (chi % nsalt) == (chj % nsalt)
+            gen[is_ov] = same_salt[is_ov]
+            # rep-block co-occurrence: both chosen as cross-salt reps
+            rep_every = np.maximum(cnt // (nsalt.astype(np.int64) * 4), 1).astype(np.uint64)
+            ri_rep = (splitmix64(chi ^ Ki) % rep_every) == 0
+            rj_rep = (splitmix64(chj ^ Ki) % rep_every) == 0
+            rep_gen = is_ov & ri_rep & rj_rep
+    bands_n = eq.shape[1]
+    band_index = np.arange(bands_n)
+    first_gen = np.where(gen, band_index[None, :], bands_n).min(axis=1)
+    first_rep = np.where(rep_gen, band_index[None, :], bands_n).min(axis=1)
+    canonical = np.where(
+        from_rep,
+        (first_gen == bands_n) & (first_rep == src_band),
+        first_gen == src_band,
+    )
+    if not canonical.any():
+        return pa.table(_EMPTY_PAIRS)
+    # flag: any generating occurrence oversized (rep blocks always are)
+    if len(ov_keys):
+        flag_any = ((gen & is_ov) | rep_gen).any(axis=1)
+    else:
+        flag_any = np.zeros(total_pairs, dtype=bool)
+    left, right, flag_any = left[canonical], right[canonical], flag_any[canonical]
     lo = np.minimum(left, right)
     hi = np.maximum(left, right)
-    left, right = lo, hi
-    flag = np.maximum(flags_s[li], flags_s[ri])
-    # distinct pairs with max flag, via one lexsort over (left, right)
-    orderp = np.lexsort((flag, right, left))
-    lp, rp, fp_ = left[orderp], right[orderp], flag[orderp]
-    newgrp = np.concatenate([[True], (lp[1:] != lp[:-1]) | (rp[1:] != rp[:-1])])
-    grp_id = np.cumsum(newgrp) - 1
-    maxflag = np.zeros(grp_id[-1] + 1, np.int8)
-    np.maximum.at(maxflag, grp_id, fp_)
-    keep = newgrp
-    table = pa.table(
+    return pa.table(
         {
-            "left": pa.array(lp[keep], pa.int64()),
-            "right": pa.array(rp[keep], pa.int64()),
-            "oversized_block": pa.array(maxflag, pa.int8()),
+            "left": pa.array(lo, pa.int64()),
+            "right": pa.array(hi, pa.int64()),
+            "oversized_block": pa.array(flag_any.astype(np.int8), pa.int8()),
         }
     )
-    return ray.data.from_arrow(table)
+
+
+def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
+    """Small-side fast path: band keys computed in parallel tasks, the
+    census + salting run as driver NumPy over int arrays (O(N*bands)
+    vectorized — a few seconds per 10^6 nodes), and the quadratic part
+    (segment pair expansion + dedupe) fans out as key-range-sharded
+    Ray tasks. No shuffles; the self-join path below is the at-scale
+    twin with identical semantics."""
+    import ray
+    import ray.data
+
+    ids_nodes, K = _collect_band_keys(signed, cfg, id_column)
+    n_nodes = len(ids_nodes)
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+    bands = cfg.bands
+    cap = cfg.max_block_size
+
+    keys = K.ravel()
+    ids = np.repeat(ids_nodes, bands)
+    band_of = np.tile(np.arange(bands, dtype=np.int64), n_nodes)
+
+    # census; only oversized keys (a vanishing fraction) are retained
+    uniq, inverse, counts = np.unique(keys, return_inverse=True, return_counts=True)
+    row_counts = counts[inverse]
+    ov_mask_u = counts > cap
+    ov_keys = uniq[ov_mask_u]
+    ov_counts = counts[ov_mask_u]
+
+    oversized = row_counts > cap
+    final_keys = keys.copy()
+    flags = oversized.astype(np.int8)
+    ch_rows = splitmix64(ids.astype(np.uint64) + np.uint64(7))
+    if oversized.any():
+        nsalt = np.maximum(-(-row_counts // cap), 1).astype(np.uint64)
+        salt = ch_rows % nsalt
+        salted = splitmix64(keys ^ (salt + np.uint64(1)))
+        final_keys[oversized] = salted[oversized]
+        rep_every = np.maximum(row_counts // (nsalt.astype(np.int64) * 4), 1).astype(np.uint64)
+        is_rep = oversized & ((splitmix64(ch_rows ^ keys) % rep_every) == 0)
+        if is_rep.any():
+            ids = np.concatenate([ids, ids[is_rep]])
+            final_keys = np.concatenate(
+                [final_keys, splitmix64(keys[is_rep] ^ np.uint64(0xBADC0FFEE))]
+            )
+            flags = np.concatenate([flags, np.ones(int(is_rep.sum()), np.int8)])
+            # rep rows carry band = -(band+1): canonicalized in the task
+            band_of = np.concatenate([band_of, -band_of[is_rep] - 1])
+
+    order = np.lexsort((ids, final_keys))
+    ids_s = ids[order]
+    keys_s = final_keys[order]
+    flags_s = flags[order]
+    bands_s = band_of[order]
+    fresh = np.concatenate([[True], (keys_s[1:] != keys_s[:-1]) | (ids_s[1:] != ids_s[:-1])])
+    ids_s, keys_s, flags_s, bands_s = (
+        ids_s[fresh], keys_s[fresh], flags_s[fresh], bands_s[fresh]
+    )
+
+    # node-order index for the task-side gen-matrix lookups
+    node_order = np.argsort(ids_nodes, kind="stable")
+    sorted_ids = ids_nodes[node_order]
+    shared_ref = ray.put(
+        (
+            sorted_ids,
+            np.ascontiguousarray(K[node_order]),
+            splitmix64(sorted_ids.astype(np.uint64) + np.uint64(7)),
+            ov_keys,
+            ov_counts,
+            cap,
+        )
+    )
+
+    expand = ray.remote(_expand_pairs_chunk)
+    # key-aligned shards: cut at segment boundaries so every key's
+    # block lives wholly in one task
+    from stringzilla_ray.util import actor_pool_limits
+
+    n_rows = len(ids_s)
+    n_shards = min(actor_pool_limits()[1] * 2, max(1, n_rows // 16384) or 1)
+    cuts = [0]
+    if n_shards > 1 and n_rows:
+        approx = np.linspace(0, n_rows, n_shards + 1)[1:-1].astype(np.int64)
+        seg_first = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+        starts = np.nonzero(seg_first)[0]
+        for a in approx:
+            c = int(starts[np.searchsorted(starts, a)]) if a <= starts[-1] else n_rows
+            if c > cuts[-1]:
+                cuts.append(c)
+    cuts.append(n_rows)
+    refs = [
+        expand.remote(ids_s[a:b], keys_s[a:b], flags_s[a:b], bands_s[a:b], shared_ref)
+        for a, b in zip(cuts[:-1], cuts[1:])
+        if b > a
+    ]
+    if not refs:
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+    return ray.data.from_arrow_refs(refs)
 
 
 def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):

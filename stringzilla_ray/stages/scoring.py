@@ -114,7 +114,20 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
                      right_psigs: np.ndarray | None = None) -> pa.Table:
     """Vectorized gate + DP scoring of aligned pair arrays."""
     n = len(left_ids)
-    jaccard = (left_sigs == right_sigs).mean(axis=1)
+    # EMPTY (0xFFFFFFFF) dims mark windows wider than the doc; two
+    # unrelated tiny docs would otherwise share all-skip signatures and
+    # sketch-accept at jaccard 1.0 (ADVICE r1). Agreement counts only
+    # dims where at least one side is real; all-skip pairs get
+    # jaccard 0 and fall through to the DP/reject gates.
+    _EMPTY = np.uint32(0xFFFFFFFF)
+    valid = (left_sigs != _EMPTY) | (right_sigs != _EMPTY)
+    nvalid = valid.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaccard = np.where(
+            nvalid > 0,
+            ((left_sigs == right_sigs) & valid).sum(axis=1) / np.maximum(nvalid, 1),
+            0.0,
+        )
 
     llen = np.array([len(d) for d in left_docs], dtype=np.int64)
     rlen = np.array([len(d) for d in right_docs], dtype=np.int64)
@@ -130,7 +143,14 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
         # near-exact prefix of its base, so its prefix signatures agree
         # even when whole-doc agreement drops with the truncated share;
         # the length-ratio gate bounds how much truncation this admits.
-        prefix_jaccard = (left_psigs == right_psigs).mean(axis=1)
+        # Same EMPTY masking as above (docs < 5 bytes are all-skip).
+        pvalid = (left_psigs != _EMPTY) | (right_psigs != _EMPTY)
+        npvalid = pvalid.sum(axis=1)
+        prefix_jaccard = np.where(
+            npvalid > 0,
+            ((left_psigs == right_psigs) & pvalid).sum(axis=1) / np.maximum(npvalid, 1),
+            0.0,
+        )
         prefix_ok = (
             (prefix_jaccard >= cfg.prefix_accept)
             & (len_ratio >= cfg.length_ratio_gate)
@@ -315,8 +335,21 @@ def score_pairs_join(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
     )
 
 
+def doc_side_fits_broadcast(signed, cfg: ERConfig) -> bool:
+    """True when the doc side fits the object-store broadcast budget —
+    BOTH row and byte limits must hold (row counts alone under-gate
+    multi-KB docs; doc_bytes is already a column)."""
+    if signed.count() > cfg.broadcast_threshold_rows:
+        return False
+    try:
+        total = signed.sum("doc_bytes")
+    except Exception:
+        return True  # no doc_bytes column: fall back to the row gate
+    return (total or 0) <= cfg.broadcast_threshold_bytes
+
+
 def score_pairs(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
     """Strategy dispatch: broadcast for small doc sides, join otherwise."""
-    if signed.count() <= cfg.broadcast_threshold_rows:
+    if doc_side_fits_broadcast(signed, cfg):
         return score_pairs_broadcast(pairs, signed, cfg, id_column)
     return score_pairs_join(pairs, signed, cfg, id_column)

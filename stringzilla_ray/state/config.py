@@ -65,6 +65,11 @@ class ERConfig:
     scoring_concurrency: int | None = None
     join_num_partitions: int = 16
     broadcast_threshold_rows: int = 2_000_000  # docs side small enough to broadcast
+    # Byte budget for shipping the doc side through the object store
+    # once (ray.put + zero-copy reads). Row counts alone under-gate:
+    # 2M rows x multi-KB docs is tens of GB, so BOTH limits must hold
+    # before the broadcast twin runs (VERDICT r1).
+    broadcast_threshold_bytes: int = 4 << 30
     driver_blocking_rows: int = 4_000_000      # band rows small enough for driver pair-gen
 
     def __post_init__(self):
