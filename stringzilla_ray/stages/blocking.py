@@ -187,18 +187,17 @@ _EMPTY_PAIRS = {
 }
 
 
-def _expand_pairs_chunk(ids_s, keys_s, flags_s, bands_s, shared):
-    """All i<j pairs of each key segment in this (key-aligned) slice,
-    kept only when this occurrence is the pair's canonical generator
-    (min generating band for normal blocks; min rep band for cross-salt
-    rep blocks when no normal block generates it). Exactly reproduces
-    the distinct output of a global generate-then-dedupe, with no
-    global sort of the pair stream.
-    """
-    (sorted_ids, K, ch_nodes, ov_keys, ov_counts, cap) = shared
+def _expand_pairs_chunk(ids_s, keys_s, flags_s, n_buckets):
+    """Round 1: all i<j pairs of each key segment in this (key-aligned)
+    slice, RAW (duplicates across bands allowed), hash-partitioned into
+    ``n_buckets`` outputs for the round-2 dedupe tasks. Returns a list
+    of (lo, hi, flag) array triples — one per bucket."""
     n = len(ids_s)
+    empty = [
+        (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int8))
+    ] * n_buckets
     if n == 0:
-        return pa.table(_EMPTY_PAIRS)
+        return empty
     seg_start_mask = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
     seg_id = np.cumsum(seg_start_mask) - 1
     seg_starts = np.nonzero(seg_start_mask)[0]
@@ -207,7 +206,7 @@ def _expand_pairs_chunk(ids_s, keys_s, flags_s, bands_s, shared):
     row_sizes = seg_sizes[seg_id] - 1 - local_i
     keep_rows = row_sizes > 0
     if not keep_rows.any():
-        return pa.table(_EMPTY_PAIRS)
+        return empty
     row_pos = np.nonzero(keep_rows)[0]
     row_len = row_sizes[keep_rows]
     row_off = np.concatenate([[0], np.cumsum(row_len)])
@@ -215,62 +214,44 @@ def _expand_pairs_chunk(ids_s, keys_s, flags_s, bands_s, shared):
     li = np.repeat(row_pos, row_len)
     step = np.arange(total_pairs) - np.repeat(row_off[:-1], row_len)
     ri = li + 1 + step
-    left = ids_s[li]
-    right = ids_s[ri]
-    src_band = bands_s[li]  # == bands_s[ri] within a segment
-    from_rep = src_band < 0  # rep blocks carry band = -(band+1)
-    src_band = np.where(from_rep, -src_band - 1, src_band)
+    # ids ascend within a segment (lexsort upstream), so left < right
+    lo = ids_s[li]
+    hi = ids_s[ri]
+    flag = np.maximum(flags_s[li], flags_s[ri])
+    bucket = (
+        splitmix64(lo.view(np.uint64) ^ splitmix64(hi.view(np.uint64)))
+        % np.uint64(n_buckets)
+    ).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    lo, hi, flag, bucket = lo[order], hi[order], flag[order], bucket[order]
+    bounds = np.searchsorted(bucket, np.arange(n_buckets + 1))
+    return [
+        (lo[a:b], hi[a:b], flag[a:b])
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
 
-    # node positions for the gen-matrix lookups
-    pi = np.searchsorted(sorted_ids, left)
-    pj = np.searchsorted(sorted_ids, right)
-    Ki = K[pi]  # (P, bands) uint64
-    Kj = K[pj]
-    eq = Ki == Kj
-    # oversized keys need same-salt (and the block must not be salted
-    # apart); non-oversized equal keys always co-generate
-    gen = eq.copy()
-    rep_gen = np.zeros_like(eq)
-    if len(ov_keys):
-        ovpos = np.searchsorted(ov_keys, Ki)
-        ovpos = np.minimum(ovpos, len(ov_keys) - 1)
-        is_ov = eq & (ov_keys[ovpos] == Ki)
-        if is_ov.any():
-            cnt = ov_counts[ovpos]
-            nsalt = (-(-cnt // cap)).astype(np.uint64)
-            chi = ch_nodes[pi][:, None]
-            chj = ch_nodes[pj][:, None]
-            same_salt = (chi % nsalt) == (chj % nsalt)
-            gen[is_ov] = same_salt[is_ov]
-            # rep-block co-occurrence: both chosen as cross-salt reps
-            rep_every = np.maximum(cnt // (nsalt.astype(np.int64) * 4), 1).astype(np.uint64)
-            ri_rep = (splitmix64(chi ^ Ki) % rep_every) == 0
-            rj_rep = (splitmix64(chj ^ Ki) % rep_every) == 0
-            rep_gen = is_ov & ri_rep & rj_rep
-    bands_n = eq.shape[1]
-    band_index = np.arange(bands_n)
-    first_gen = np.where(gen, band_index[None, :], bands_n).min(axis=1)
-    first_rep = np.where(rep_gen, band_index[None, :], bands_n).min(axis=1)
-    canonical = np.where(
-        from_rep,
-        (first_gen == bands_n) & (first_rep == src_band),
-        first_gen == src_band,
-    )
-    if not canonical.any():
+
+def _dedupe_pair_bucket(*pieces):
+    """Round 2: distinct (left, right) with max flag over one hash
+    bucket — the task-level equivalent of the distributed path's
+    groupby-max, with every occurrence of a pair guaranteed to land in
+    the same bucket."""
+    los = np.concatenate([p[0] for p in pieces])
+    his = np.concatenate([p[1] for p in pieces])
+    flags = np.concatenate([p[2] for p in pieces])
+    if len(los) == 0:
         return pa.table(_EMPTY_PAIRS)
-    # flag: any generating occurrence oversized (rep blocks always are)
-    if len(ov_keys):
-        flag_any = ((gen & is_ov) | rep_gen).any(axis=1)
-    else:
-        flag_any = np.zeros(total_pairs, dtype=bool)
-    left, right, flag_any = left[canonical], right[canonical], flag_any[canonical]
-    lo = np.minimum(left, right)
-    hi = np.maximum(left, right)
+    order = np.lexsort((flags, his, los))
+    lo, hi, fl = los[order], his[order], flags[order]
+    newgrp = np.concatenate([[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+    grp_id = np.cumsum(newgrp) - 1
+    maxflag = np.zeros(grp_id[-1] + 1, np.int8)
+    np.maximum.at(maxflag, grp_id, fl)
     return pa.table(
         {
-            "left": pa.array(lo, pa.int64()),
-            "right": pa.array(hi, pa.int64()),
-            "oversized_block": pa.array(flag_any.astype(np.int8), pa.int8()),
+            "left": pa.array(lo[newgrp], pa.int64()),
+            "right": pa.array(hi[newgrp], pa.int64()),
+            "oversized_block": pa.array(maxflag, pa.int8()),
         }
     )
 
@@ -294,15 +275,10 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
 
     keys = K.ravel()
     ids = np.repeat(ids_nodes, bands)
-    band_of = np.tile(np.arange(bands, dtype=np.int64), n_nodes)
 
-    # census; only oversized keys (a vanishing fraction) are retained
+    # census (vectorized; O(N*bands) ints)
     uniq, inverse, counts = np.unique(keys, return_inverse=True, return_counts=True)
     row_counts = counts[inverse]
-    ov_mask_u = counts > cap
-    ov_keys = uniq[ov_mask_u]
-    ov_counts = counts[ov_mask_u]
-
     oversized = row_counts > cap
     final_keys = keys.copy()
     flags = oversized.astype(np.int8)
@@ -320,58 +296,55 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
                 [final_keys, splitmix64(keys[is_rep] ^ np.uint64(0xBADC0FFEE))]
             )
             flags = np.concatenate([flags, np.ones(int(is_rep.sum()), np.int8)])
-            # rep rows carry band = -(band+1): canonicalized in the task
-            band_of = np.concatenate([band_of, -band_of[is_rep] - 1])
 
     order = np.lexsort((ids, final_keys))
     ids_s = ids[order]
     keys_s = final_keys[order]
     flags_s = flags[order]
-    bands_s = band_of[order]
     fresh = np.concatenate([[True], (keys_s[1:] != keys_s[:-1]) | (ids_s[1:] != ids_s[:-1])])
-    ids_s, keys_s, flags_s, bands_s = (
-        ids_s[fresh], keys_s[fresh], flags_s[fresh], bands_s[fresh]
-    )
+    ids_s, keys_s, flags_s = ids_s[fresh], keys_s[fresh], flags_s[fresh]
 
-    # node-order index for the task-side gen-matrix lookups
-    node_order = np.argsort(ids_nodes, kind="stable")
-    sorted_ids = ids_nodes[node_order]
-    shared_ref = ray.put(
-        (
-            sorted_ids,
-            np.ascontiguousarray(K[node_order]),
-            splitmix64(sorted_ids.astype(np.uint64) + np.uint64(7)),
-            ov_keys,
-            ov_counts,
-            cap,
-        )
-    )
-
-    expand = ray.remote(_expand_pairs_chunk)
-    # key-aligned shards: cut at segment boundaries so every key's
-    # block lives wholly in one task
+    # Key-aligned shards, BALANCED BY ESTIMATED PAIR COUNT (a skewed
+    # cloud concentrates the quadratic work in a few segments; row
+    # counts alone would leave one task with nearly all pairs).
     from stringzilla_ray.util import actor_pool_limits
 
     n_rows = len(ids_s)
-    n_shards = min(actor_pool_limits()[1] * 2, max(1, n_rows // 16384) or 1)
-    cuts = [0]
-    if n_shards > 1 and n_rows:
-        approx = np.linspace(0, n_rows, n_shards + 1)[1:-1].astype(np.int64)
-        seg_first = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
-        starts = np.nonzero(seg_first)[0]
-        for a in approx:
-            c = int(starts[np.searchsorted(starts, a)]) if a <= starts[-1] else n_rows
-            if c > cuts[-1]:
-                cuts.append(c)
-    cuts.append(n_rows)
-    refs = [
-        expand.remote(ids_s[a:b], keys_s[a:b], flags_s[a:b], bands_s[a:b], shared_ref)
+    seg_first = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+    starts = np.nonzero(seg_first)[0]
+    sizes = np.diff(np.concatenate([starts, [n_rows]]))
+    est_pairs = np.concatenate([[0], np.cumsum(sizes * (sizes - 1) // 2)])
+    total_est = int(est_pairs[-1])
+    if total_est == 0:
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+    n_shards = int(min(actor_pool_limits()[1] * 2, max(1, total_est // 65536)))
+    if n_shards <= 1:
+        # tiny workload: inline on the driver, no task round-trips
+        buckets = _expand_pairs_chunk(ids_s, keys_s, flags_s, 1)
+        return ray.data.from_arrow(_dedupe_pair_bucket(buckets[0]))
+
+    targets = np.linspace(0, total_est, n_shards + 1)[1:-1]
+    seg_cut = np.unique(np.searchsorted(est_pairs, targets))
+    cuts = [0] + [int(starts[c]) for c in seg_cut if 0 < starts[c] < n_rows] + [n_rows]
+    cuts = sorted(set(cuts))
+
+    n_buckets = max(2, min(n_shards, 32))
+    expand = ray.remote(_expand_pairs_chunk)
+    dedupe = ray.remote(_dedupe_pair_bucket)
+    shard_refs = [
+        expand.options(num_returns=n_buckets).remote(
+            ids_s[a:b], keys_s[a:b], flags_s[a:b], n_buckets
+        )
         for a, b in zip(cuts[:-1], cuts[1:])
         if b > a
     ]
-    if not refs:
+    if not shard_refs:
         return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
-    return ray.data.from_arrow_refs(refs)
+    out_refs = [
+        dedupe.remote(*[shard[bk] for shard in shard_refs])
+        for bk in range(n_buckets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
