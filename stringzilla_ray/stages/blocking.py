@@ -187,17 +187,23 @@ _EMPTY_PAIRS = {
 }
 
 
-def _expand_pairs_chunk(ids_s, keys_s, flags_s, n_buckets):
-    """Round 1: all i<j pairs of each key segment in this (key-aligned)
-    slice, RAW (duplicates across bands allowed), hash-partitioned into
-    ``n_buckets`` outputs for the round-2 dedupe tasks. Returns a list
-    of (lo, hi, flag) array triples — one per bucket."""
-    n = len(ids_s)
+def _expand_pairs_chunk(ids_u, keys_u, flags_u, n_buckets):
+    """Round 1: lexsort this key-disjoint slice, dedupe (key, id) rows,
+    expand all i<j pairs per key segment RAW (duplicates across bands
+    allowed), and hash-partition them into ``n_buckets`` outputs for
+    the round-2 dedupe tasks. The slice owns complete key groups (the
+    driver shards by key hash), so sorting locally is exact. Returns a
+    list of (lo, hi, flag) array triples — one per bucket."""
     empty = [
         (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int8))
     ] * n_buckets
-    if n == 0:
+    if len(ids_u) == 0:
         return empty
+    order = np.lexsort((ids_u, keys_u))
+    ids_s, keys_s, flags_s = ids_u[order], keys_u[order], flags_u[order]
+    fresh = np.concatenate([[True], (keys_s[1:] != keys_s[:-1]) | (ids_s[1:] != ids_s[:-1])])
+    ids_s, keys_s, flags_s = ids_s[fresh], keys_s[fresh], flags_s[fresh]
+    n = len(ids_s)
     seg_start_mask = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
     seg_id = np.cumsum(seg_start_mask) - 1
     seg_starts = np.nonzero(seg_start_mask)[0]
@@ -297,45 +303,43 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
             )
             flags = np.concatenate([flags, np.ones(int(is_rep.sum()), np.int8)])
 
-    order = np.lexsort((ids, final_keys))
-    ids_s = ids[order]
-    keys_s = final_keys[order]
-    flags_s = flags[order]
-    fresh = np.concatenate([[True], (keys_s[1:] != keys_s[:-1]) | (ids_s[1:] != ids_s[:-1])])
-    ids_s, keys_s, flags_s = ids_s[fresh], keys_s[fresh], flags_s[fresh]
-
-    # Key-aligned shards, BALANCED BY ESTIMATED PAIR COUNT (a skewed
-    # cloud concentrates the quadratic work in a few segments; row
-    # counts alone would leave one task with nearly all pairs).
+    # Shard rows by KEY HASH: every key group lands wholly in one shard
+    # (local lexsort + segment expansion is then exact), and salted
+    # sub-block keys are splitmix-scattered, so a skewed cloud's
+    # quadratic work spreads uniformly instead of serializing into one
+    # task. The per-shard sort replaces a single-core global lexsort —
+    # the last O(N log N) driver stage of round 1.
     from stringzilla_ray.util import actor_pool_limits
 
-    n_rows = len(ids_s)
-    seg_first = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
-    starts = np.nonzero(seg_first)[0]
-    sizes = np.diff(np.concatenate([starts, [n_rows]]))
-    est_pairs = np.concatenate([[0], np.cumsum(sizes * (sizes - 1) // 2)])
-    total_est = int(est_pairs[-1])
+    est = np.where(
+        counts <= cap,
+        counts * (counts - 1) // 2,
+        (-(-counts // cap)) * (cap * (cap - 1) // 2),
+    )
+    total_est = int(est.sum())
     if total_est == 0:
         return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
     n_shards = int(min(actor_pool_limits()[1] * 2, max(1, total_est // 65536)))
     if n_shards <= 1:
         # tiny workload: inline on the driver, no task round-trips
-        buckets = _expand_pairs_chunk(ids_s, keys_s, flags_s, 1)
+        buckets = _expand_pairs_chunk(ids, final_keys, flags, 1)
         return ray.data.from_arrow(_dedupe_pair_bucket(buckets[0]))
 
-    targets = np.linspace(0, total_est, n_shards + 1)[1:-1]
-    seg_cut = np.unique(np.searchsorted(est_pairs, targets))
-    cuts = [0] + [int(starts[c]) for c in seg_cut if 0 < starts[c] < n_rows] + [n_rows]
-    cuts = sorted(set(cuts))
+    shard_of = (splitmix64(final_keys ^ np.uint64(0xA5A5)) % np.uint64(n_shards)).astype(
+        np.uint16
+    )
+    order = np.argsort(shard_of, kind="stable")
+    bounds = np.searchsorted(shard_of[order], np.arange(n_shards + 1))
+    ids_o, keys_o, flags_o = ids[order], final_keys[order], flags[order]
 
     n_buckets = max(2, min(n_shards, 32))
     expand = ray.remote(_expand_pairs_chunk)
     dedupe = ray.remote(_dedupe_pair_bucket)
     shard_refs = [
         expand.options(num_returns=n_buckets).remote(
-            ids_s[a:b], keys_s[a:b], flags_s[a:b], n_buckets
+            ids_o[a:b], keys_o[a:b], flags_o[a:b], n_buckets
         )
-        for a, b in zip(cuts[:-1], cuts[1:])
+        for a, b in zip(bounds[:-1], bounds[1:])
         if b > a
     ]
     if not shard_refs:
