@@ -77,7 +77,7 @@ def _assemble_sorted_batch(batch: pa.Table) -> pa.Table:
     """
     n = len(batch)
     if n == 0:
-        return _PIECE_SCHEMA.empty_table()
+        return add_content_hash(_PIECE_SCHEMA.empty_table())
     conv = batch["conv_id"]
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
@@ -101,7 +101,7 @@ def _assemble_sorted_batch(batch: pa.Table) -> pa.Table:
     edge[0] = 1
     edge[-1] = 1
     starts_idx = pa.array(starts, pa.int64())
-    return pa.table(
+    out = pa.table(
         {
             "conv_id": conv.take(starts_idx),
             "doc": docs,
@@ -110,6 +110,10 @@ def _assemble_sorted_batch(batch: pa.Table) -> pa.Table:
             "edge": pa.array(edge, pa.int8()),
         }
     )
+    # Fused hashing: the content hash + normalized view are computed in
+    # the SAME task (one fewer full-corpus map stage + barrier). Edge
+    # pieces get re-hashed after stitching; wasted work is 2 rows/block.
+    return add_content_hash(out)
 
 
 def _merge_edge_pieces(edge_tbl: pa.Table) -> pa.Table:
@@ -145,7 +149,11 @@ def _merge_edge_pieces(edge_tbl: pa.Table) -> pa.Table:
     )
 
 
-_WS_RUN = __import__("re").compile(r"\s+")
+# Explicit ASCII whitespace class: Python's \s would ALSO match the
+# 0x1C-0x1F separators (they are Unicode whitespace), silently merging
+# turn boundaries in the matching view; this class keeps them intact
+# and matches the Arrow RE2 kernel used by the batch variant.
+_WS_RUN = __import__("re").compile(r"[ \t\n\r\f\v]+")
 
 
 def normalize_for_matching(doc: str) -> str:
@@ -154,11 +162,30 @@ def normalize_for_matching(doc: str) -> str:
     reference's uncased/normalization operators
     (utf8_uncased_fold python/README.md:609-629, utf8_norm :631-644):
     near-duplicates differing only in case or spacing share shingles.
-    The separators 0x1E/0x1F are not whitespace, so turn structure
-    survives."""
+    The separators 0x1E/0x1F stay intact, so turn structure survives."""
     import unicodedata
 
     return _WS_RUN.sub(" ", unicodedata.normalize("NFC", doc).casefold())
+
+
+def normalize_batch(docs: pa.Array) -> pa.Array:
+    """Vectorized ``normalize_for_matching`` over a whole column: the
+    whitespace-run collapse runs as ONE Arrow RE2 kernel, then NFC +
+    casefold run as ONE CPython call over the NUL-joined block (no
+    per-row Python). Neither fold nor NFC can create whitespace or
+    compose across a NUL, so the op order is equivalent per row."""
+    import unicodedata
+
+    if isinstance(docs, pa.ChunkedArray):
+        docs = docs.combine_chunks()
+    if len(docs) == 0:
+        return pa.array([], pa.string())
+    squeezed = pc.replace_substring_regex(
+        pc.cast(docs, pa.large_string()), pattern=r"[ \t\n\r\f\v]+", replacement=" "
+    )
+    joined = "\x00".join(squeezed.to_pylist())
+    folded = unicodedata.normalize("NFC", joined).casefold()
+    return pa.array(folded.split("\x00"), pa.string())
 
 
 def add_content_hash(batch: pa.Table, seed: int = 0) -> pa.Table:
@@ -172,8 +199,7 @@ def add_content_hash(batch: pa.Table, seed: int = 0) -> pa.Table:
     # uint64 group keys, and the wrapped bits key identically.
     hashes = szhash.hash_batch(tape, offsets, seed=seed).view("int64")
     doc_bytes = pc.binary_length(pc.cast(docs, pa.large_binary())).cast(pa.int64())
-    norm = pa.array([normalize_for_matching(d) for d in docs.to_pylist()], pa.string())
-    batch = batch.append_column("norm_doc", norm)
+    batch = batch.append_column("norm_doc", normalize_batch(docs))
     batch = batch.append_column("doc_bytes", doc_bytes)
     return batch.append_column("content_hash", pa.array(hashes, pa.int64()))
 
@@ -207,8 +233,8 @@ def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821
     parts = [t for t in _ray.get(refs) if len(t)]
     if parts:
         edge_tbl = pa.concat_tables([t.select(_PIECE_SCHEMA.names) for t in parts])
-        merged = rd.from_arrow(_merge_edge_pieces(edge_tbl))
+        merged = rd.from_arrow(add_content_hash(_merge_edge_pieces(edge_tbl)))
         out = complete.union(merged)
     else:
         out = complete
-    return out.map_batches(add_content_hash, batch_format="pyarrow")
+    return out

@@ -93,7 +93,15 @@ def fingerprint_stage(canonical, cfg: ERConfig):
     engine-handle idiom; right when per-actor setup is genuinely
     expensive or the cluster is long-lived).
     """
-    canonical = canonical.repartition(actor_pool_limits()[1] * 2)
+    try:
+        have = canonical.num_blocks()
+    except Exception:
+        have = 0
+    want = actor_pool_limits()[1] * 2
+    if not have or have < want:
+        # only pay a repartition pass when the upstream really emits
+        # too few blocks to keep the pool busy (tasks are per block)
+        canonical = canonical.repartition(want)
     ctor = dict(
         ndim=cfg.ndim, window_widths=cfg.window_widths, seed=cfg.seed,
         backend=cfg.fingerprint_backend, prefix_ndim=cfg.prefix_ndim,

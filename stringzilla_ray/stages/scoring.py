@@ -112,7 +112,30 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
                      cfg: ERConfig,
                      left_psigs: np.ndarray | None = None,
                      right_psigs: np.ndarray | None = None) -> pa.Table:
-    """Vectorized gate + DP scoring of aligned pair arrays."""
+    """Vectorized gate + DP scoring with pre-materialized doc buffers."""
+    llen = np.array([len(d) for d in left_docs], dtype=np.int64)
+    rlen = np.array([len(d) for d in right_docs], dtype=np.int64)
+
+    def get_docs(idx, m):
+        a = [left_docs[i][: m[k]] for k, i in enumerate(idx)]
+        b = [right_docs[i][: m[k]] for k, i in enumerate(idx)]
+        return a, b
+
+    return score_pair_core(left_ids, right_ids, llen, rlen,
+                           left_sigs, right_sigs, cfg,
+                           left_psigs, right_psigs, get_docs)
+
+
+def score_pair_core(left_ids, right_ids, llen, rlen,
+                    left_sigs: np.ndarray, right_sigs: np.ndarray,
+                    cfg: ERConfig,
+                    left_psigs, right_psigs, get_docs) -> pa.Table:
+    """Vectorized gate + DP scoring of aligned pair arrays.
+
+    ``get_docs(idx, m)`` materializes byte buffers (capped to m) ONLY
+    for the uncertain pairs that reach the DP — the overwhelming
+    majority gate on signatures + lengths alone, so the per-pair
+    doc-slicing Python never runs for them."""
     n = len(left_ids)
     # EMPTY (0xFFFFFFFF) dims mark windows wider than the doc; two
     # unrelated tiny docs would otherwise share all-skip signatures and
@@ -129,8 +152,6 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
             0.0,
         )
 
-    llen = np.array([len(d) for d in left_docs], dtype=np.int64)
-    rlen = np.array([len(d) for d in right_docs], dtype=np.int64)
     maxlen = np.maximum(llen, rlen)
     minlen = np.minimum(llen, rlen)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -173,8 +194,7 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
         idx = np.nonzero(uncertain)[0]
         cap = cfg.score_prefix_bytes
         m = np.minimum(minlen[idx], cap)
-        a = [left_docs[i][: m[k]] for k, i in enumerate(idx)]
-        b = [right_docs[i][: m[k]] for k, i in enumerate(idx)]
+        a, b = get_docs(idx, m)
         # distances beyond (1 - threshold) * m can't match: let the DP
         # prune those pairs early (reported as bound+1, sim below τ)
         max_d = (m * (1.0 - cfg.sim_threshold)).astype(np.int64) + 1
@@ -251,12 +271,18 @@ def _score_against_ref(batch: pa.Table, docs_ref=None, cfg: ERConfig = None) -> 
     right = batch["right"].to_numpy(zero_copy_only=False)
     il = perm[np.searchsorted(sorted_ids, left)]
     ir = perm[np.searchsorted(sorted_ids, right)]
-    mv = memoryview(np.ascontiguousarray(tape))
-    left_docs = [mv[offsets[i] : offsets[i + 1]] for i in il]
-    right_docs = [mv[offsets[i] : offsets[i + 1]] for i in ir]
-    return score_pair_batch(
-        left.tolist(), right.tolist(), left_docs, right_docs,
-        sigs[il], sigs[ir], cfg, psigs[il], psigs[ir],
+    llen = offsets[il + 1] - offsets[il]
+    rlen = offsets[ir + 1] - offsets[ir]
+
+    def get_docs(idx, m):
+        mv = memoryview(np.ascontiguousarray(tape))
+        a = [mv[offsets[il[i]] : offsets[il[i]] + m[k]] for k, i in enumerate(idx)]
+        b = [mv[offsets[ir[i]] : offsets[ir[i]] + m[k]] for k, i in enumerate(idx)]
+        return a, b
+
+    return score_pair_core(
+        left, right, llen, rlen,
+        sigs[il], sigs[ir], cfg, psigs[il], psigs[ir], get_docs,
     )
 
 
@@ -288,15 +314,29 @@ class _JoinedScorer:
         n = len(batch)
         if n == 0:
             return _empty_scores()
-        left_ids = batch["left"].to_pylist()
-        right_ids = batch["right"].to_pylist()
-        left_docs = [d.encode() for d in batch["norm_doc_l"].to_pylist()]
-        right_docs = [d.encode() for d in batch["norm_doc_r"].to_pylist()]
-        return score_pair_batch(
-            left_ids, right_ids, left_docs, right_docs,
+        import pyarrow.compute as pc
+
+        left_ids = batch["left"].to_numpy(zero_copy_only=False)
+        right_ids = batch["right"].to_numpy(zero_copy_only=False)
+        dl = batch["norm_doc_l"]
+        dr = batch["norm_doc_r"]
+        if isinstance(dl, pa.ChunkedArray):
+            dl = dl.combine_chunks()
+        if isinstance(dr, pa.ChunkedArray):
+            dr = dr.combine_chunks()
+        llen = pc.binary_length(pc.cast(dl, pa.large_binary())).to_numpy().astype(np.int64)
+        rlen = pc.binary_length(pc.cast(dr, pa.large_binary())).to_numpy().astype(np.int64)
+
+        def get_docs(idx, m):
+            a = [dl[int(i)].as_py().encode()[: m[k]] for k, i in enumerate(idx)]
+            b = [dr[int(i)].as_py().encode()[: m[k]] for k, i in enumerate(idx)]
+            return a, b
+
+        return score_pair_core(
+            left_ids, right_ids, llen, rlen,
             _decode_sigs(batch["minhash_l"]), _decode_sigs(batch["minhash_r"]), cfg,
             _decode_sigs(batch["prefix_minhash_l"]),
-            _decode_sigs(batch["prefix_minhash_r"]),
+            _decode_sigs(batch["prefix_minhash_r"]), get_docs,
         )
 
 
