@@ -199,8 +199,13 @@ def add_content_hash(batch: pa.Table, seed: int = 0) -> pa.Table:
     # uint64 group keys, and the wrapped bits key identically.
     hashes = szhash.hash_batch(tape, offsets, seed=seed).view("int64")
     doc_bytes = pc.binary_length(pc.cast(docs, pa.large_binary())).cast(pa.int64())
-    batch = batch.append_column("norm_doc", normalize_batch(docs))
+    norm = normalize_batch(docs)
+    batch = batch.append_column("norm_doc", norm)
     batch = batch.append_column("doc_bytes", doc_bytes)
+    batch = batch.append_column(
+        "doc_bytes_norm",
+        pc.binary_length(pc.cast(norm, pa.large_binary())).cast(pa.int64()),
+    )
     return batch.append_column("content_hash", pa.array(hashes, pa.int64()))
 
 

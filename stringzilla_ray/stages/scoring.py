@@ -129,13 +129,15 @@ def score_pair_batch(left_ids, right_ids, left_docs, right_docs,
 def score_pair_core(left_ids, right_ids, llen, rlen,
                     left_sigs: np.ndarray, right_sigs: np.ndarray,
                     cfg: ERConfig,
-                    left_psigs, right_psigs, get_docs) -> pa.Table:
+                    left_psigs, right_psigs, get_docs=None) -> pa.Table:
     """Vectorized gate + DP scoring of aligned pair arrays.
 
     ``get_docs(idx, m)`` materializes byte buffers (capped to m) ONLY
     for the uncertain pairs that reach the DP — the overwhelming
     majority gate on signatures + lengths alone, so the per-pair
-    doc-slicing Python never runs for them."""
+    doc-slicing Python never runs for them. With ``get_docs=None``
+    (the two-phase broadcast path) uncertain pairs are emitted as
+    ``scored_by='dp-pending'`` placeholders for a later DP stage."""
     n = len(left_ids)
     # EMPTY (0xFFFFFFFF) dims mark windows wider than the doc; two
     # unrelated tiny docs would otherwise share all-skip signatures and
@@ -184,7 +186,7 @@ def score_pair_core(left_ids, right_ids, llen, rlen,
 
     sim_score = np.where(accept, 1.0, 0.0)
 
-    if uncertain.any():
+    if uncertain.any() and get_docs is not None:
         # Containment similarity on the common-length prefix: robust to
         # truncated variants (a truncated duplicate is a near-exact
         # prefix of its base), while unrelated docs sharing only a
@@ -201,12 +203,14 @@ def score_pair_core(left_ids, right_ids, llen, rlen,
         dist = sim.levenshtein_batch(a, b, max_distances=max_d)
         s = 1.0 - dist / np.maximum(m, 1)
         sim_score[idx] = s
-        scored_by_list = scored_by.tolist()
-        for k, i in enumerate(idx):
-            scored_by_list[i] = "dp"
-        scored_by = np.array(scored_by_list)
+        scored_by = scored_by.copy()
+        scored_by[idx] = "dp"
+    elif uncertain.any():
+        scored_by = scored_by.copy().astype("U10")
+        scored_by[np.nonzero(uncertain)[0]] = "dp-pending"
 
-    is_match = np.where(uncertain, sim_score >= cfg.sim_threshold, accept)
+    is_match = np.where(uncertain & (get_docs is not None),
+                        sim_score >= cfg.sim_threshold, accept)
 
     id_type = pa.string() if (n == 0 or isinstance(left_ids[0], str)) else pa.int64()
     return pa.table(
@@ -221,39 +225,71 @@ def score_pair_core(left_ids, right_ids, llen, rlen,
     )
 
 
-def _pack_doc_arrays(signed, id_column: str):
-    """Columnar broadcast payload: (sorted ids, doc tape, offsets,
-    sig matrix, prefix-sig matrix). Arrays ship through the object
-    store zero-copy; tasks look ids up with searchsorted — no python
-    dict to deserialize per worker."""
-    from stringzilla_ray.functions.text import tape_of
-
-    ids_parts, doc_parts, off_parts, sig_parts, psig_parts = [], [], [], [], []
+def _pack_sig_arrays(signed, id_column: str):
+    """Columnar SIGNATURE broadcast payload: (sorted ids, permutation,
+    doc lengths, sig matrix, prefix-sig matrix). ~10x smaller than the
+    docs themselves (the round-1 design shipped the whole doc tape
+    through the driver — the pipeline's largest serial stage); the few
+    pairs that reach the DP fetch their doc bytes separately."""
+    ids_parts, len_parts, sig_parts, psig_parts = [], [], [], []
     for batch in signed.select_columns(
-        [id_column, "norm_doc", "minhash", "prefix_minhash"]
+        [id_column, "doc_bytes_norm", "minhash", "prefix_minhash"]
     ).iter_batches(batch_size=16384, batch_format="pyarrow"):
         col = batch[id_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         ids_parts.append(col.to_numpy(zero_copy_only=False))
-        doc_col = batch["norm_doc"]
-        if isinstance(doc_col, pa.ChunkedArray):
-            doc_col = doc_col.combine_chunks()
-        tape, offs = tape_of(pc_cast_binary(doc_col))
-        doc_parts.append(np.asarray(tape[offs[0] : offs[-1]]))
-        off_parts.append((offs - offs[0])[1:] - 0)
+        len_parts.append(batch["doc_bytes_norm"].to_numpy(zero_copy_only=False))
         sig_parts.append(_decode_sigs(batch["minhash"]))
         psig_parts.append(_decode_sigs(batch["prefix_minhash"]))
 
     ids = np.concatenate(ids_parts)
-    lens = np.concatenate([np.diff(np.concatenate([[0], o])) for o in off_parts])
-    tape = np.concatenate(doc_parts) if doc_parts else np.zeros(0, np.uint8)
+    lens = np.concatenate(len_parts).astype(np.int64)
     sigs = np.vstack(sig_parts)
     psigs = np.vstack(psig_parts)
-    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-    # sorted id index + permutation back into the (unmoved) payload
     order = np.argsort(ids, kind="stable")
-    return (ids[order], order.astype(np.int64), tape, offsets, sigs, psigs)
+    return (ids[order], order.astype(np.int64), lens, sigs, psigs)
+
+
+def _fetch_docs_for_ids(signed, id_column: str, needed: np.ndarray):
+    """(sorted ids, tape, offsets) for ONLY the requested ids — one
+    parallel filter pass over the doc side, small result."""
+    import ray as _ray
+
+    from stringzilla_ray.functions.text import tape_of
+
+    needed_ref = _ray.put(np.sort(needed))
+
+    def keep(batch: pa.Table, needed_ref=needed_ref) -> pa.Table:
+        want = _ray.get(needed_ref)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        if len(want) == 0:
+            mask = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
+            mask = want[pos] == ids
+        return batch.select([id_column, "norm_doc"]).filter(pa.array(mask.astype(bool)))
+
+    parts = _ray.get(
+        signed.map_batches(keep, batch_format="pyarrow").to_arrow_refs()
+    )
+    parts = [t for t in parts if len(t)]
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    tbl = pa.concat_tables(parts)
+    ids = tbl[id_column].to_numpy()
+    doc_col = tbl["norm_doc"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    tape, offs = tape_of(pc_cast_binary(doc_col))
+    tape = np.asarray(tape[offs[0] : offs[-1]])
+    offs = (offs - offs[0]).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    lens = np.diff(offs)[order]
+    new_offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    # re-pack the tape in sorted-id order
+    src = np.repeat(offs[:-1][order] - new_offs[:-1], lens) + np.arange(new_offs[-1])
+    return ids[order], tape[src], new_offs
 
 
 def pc_cast_binary(col):
@@ -262,8 +298,10 @@ def pc_cast_binary(col):
     return pc.cast(col, pa.large_binary())
 
 
-def _score_against_ref(batch: pa.Table, docs_ref=None, cfg: ERConfig = None) -> pa.Table:
-    sorted_ids, perm, tape, offsets, sigs, psigs = ray.get(docs_ref)
+def _gate_against_ref(batch: pa.Table, meta_ref=None, cfg: ERConfig = None) -> pa.Table:
+    """Phase 1: signature + length gating (no docs). Uncertain pairs
+    come back as scored_by='dp-pending' placeholders."""
+    sorted_ids, perm, lens, sigs, psigs = ray.get(meta_ref)
     n = len(batch)
     if n == 0:
         return _empty_scores()
@@ -271,36 +309,84 @@ def _score_against_ref(batch: pa.Table, docs_ref=None, cfg: ERConfig = None) -> 
     right = batch["right"].to_numpy(zero_copy_only=False)
     il = perm[np.searchsorted(sorted_ids, left)]
     ir = perm[np.searchsorted(sorted_ids, right)]
+    return score_pair_core(
+        left, right, lens[il], lens[ir],
+        sigs[il], sigs[ir], cfg, psigs[il], psigs[ir], None,
+    )
+
+
+def _dp_score_pending(batch: pa.Table, docs_ref=None, cfg: ERConfig = None) -> pa.Table:
+    """Phase 2: batched Levenshtein over the (few) dp-pending pairs,
+    docs fetched from the small targeted broadcast."""
+    n = len(batch)
+    if n == 0:
+        return _empty_scores()
+    doc_ids, tape, offsets = ray.get(docs_ref)
+    left = batch["left"].to_numpy(zero_copy_only=False)
+    right = batch["right"].to_numpy(zero_copy_only=False)
+    il = np.searchsorted(doc_ids, left)
+    ir = np.searchsorted(doc_ids, right)
     llen = offsets[il + 1] - offsets[il]
     rlen = offsets[ir + 1] - offsets[ir]
-
-    def get_docs(idx, m):
-        mv = memoryview(np.ascontiguousarray(tape))
-        a = [mv[offsets[il[i]] : offsets[il[i]] + m[k]] for k, i in enumerate(idx)]
-        b = [mv[offsets[ir[i]] : offsets[ir[i]] + m[k]] for k, i in enumerate(idx)]
-        return a, b
-
-    return score_pair_core(
-        left, right, llen, rlen,
-        sigs[il], sigs[ir], cfg, psigs[il], psigs[ir], get_docs,
+    m = np.minimum(np.minimum(llen, rlen), cfg.score_prefix_bytes)
+    mv = memoryview(np.ascontiguousarray(tape))
+    a = [mv[offsets[i] : offsets[i] + m[k]] for k, i in enumerate(il)]
+    b = [mv[offsets[i] : offsets[i] + m[k]] for k, i in enumerate(ir)]
+    max_d = (m * (1.0 - cfg.sim_threshold)).astype(np.int64) + 1
+    dist = sim.levenshtein_batch(a, b, max_distances=max_d)
+    s = 1.0 - dist / np.maximum(m, 1)
+    id_type = pa.string() if left.dtype.kind not in "iu" else pa.int64()
+    return pa.table(
+        {
+            "left": pa.array(left, id_type),
+            "right": pa.array(right, id_type),
+            "jaccard": batch["jaccard"],
+            "sim": pa.array(s, pa.float64()),
+            "is_match": pa.array(s >= cfg.sim_threshold, pa.bool_()),
+            "scored_by": pa.array(["dp"] * n, pa.string()),
+        }
     )
 
 
 def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
-    """Broadcast strategy: pack the doc side into columnar arrays ONCE
-    (ray.put; zero-copy reads per task), score pairs with stateless
-    tasks. Right for doc sides that fit in worker memory
-    (cfg.broadcast_threshold_rows)."""
-    docs_ref = ray.put(_pack_doc_arrays(signed, id_column))
+    """Broadcast strategy, two-phase: (1) ship ONLY signatures +
+    lengths (~10x smaller than docs) and gate every pair in stateless
+    tasks; (2) the dp-pending remainder (a vanishing fraction, by
+    design of the gates) fetches just ITS doc bytes via one parallel
+    filter pass and runs the batched DP. The doc tape never moves
+    through the driver."""
+    import ray.data as rd
+
     from stringzilla_ray.util import actor_pool_limits as _apl
 
+    meta_ref = ray.put(_pack_sig_arrays(signed, id_column))
     pairs = pairs.repartition(_apl()[1] * 2)
-    return pairs.map_batches(
-        _score_against_ref,
+    gated = pairs.map_batches(
+        _gate_against_ref,
+        fn_kwargs=dict(meta_ref=meta_ref, cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.scoring_batch_size,
+    ).materialize()
+    pend_parts = [
+        t for t in ray.get(
+            gated.filter(expr="scored_by == 'dp-pending'").to_arrow_refs()
+        ) if len(t)
+    ]
+    decided = gated.filter(expr="scored_by != 'dp-pending'")
+    if not pend_parts:
+        return decided
+    pend = pa.concat_tables(pend_parts)
+    needed = np.unique(
+        np.concatenate([pend["left"].to_numpy(), pend["right"].to_numpy()])
+    )
+    docs_ref = ray.put(_fetch_docs_for_ids(signed, id_column, needed))
+    dp_scored = rd.from_arrow(pend).map_batches(
+        _dp_score_pending,
         fn_kwargs=dict(docs_ref=docs_ref, cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
     )
+    return decided.union(dp_scored)
 
 
 class _JoinedScorer:
