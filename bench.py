@@ -17,6 +17,17 @@ import subprocess
 import sys
 import time
 
+# Must be set BEFORE ray.init so every Ray worker inherits it: Arrow's
+# bundled jemalloc pool decays dirty pages back to the OS, and on this
+# host concurrent first-touch page faults serialize — 32-proc aggregate
+# copy bandwidth is 16.8 GB/s under jemalloc vs 115 GB/s under the
+# system allocator. Sort/shuffle workers never import stringzilla_ray
+# (which pins the pool itself), so the env var is the only lever.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+# Keep glibc from returning large buffers to the OS between batches
+# (same first-touch fault storm, ~1.8x on 32-proc alloc churn).
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -52,8 +63,16 @@ def run_benchmarks() -> dict:
         )
     from ray.data import DataContext
 
+    from ray.data.context import ShuffleStrategy
+
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    # Per-operator object-store reservations intermittently stall task
+    # submission on this single-node box (measured: 37 s outliers on a
+    # 14 s sort stage with 94% idle CPUs). Budgets exist to protect
+    # multi-tenant clusters; the bench owns the whole node.
+    ctx.op_resource_reservation_enabled = False
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)

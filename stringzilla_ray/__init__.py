@@ -20,3 +20,34 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Arrow's bundled jemalloc pool returns dirty pages to the OS almost
+# immediately (decay-driven), so every new batch allocation re-faults
+# pages. On hosts where first-touch faults serialize (measured here:
+# 32-proc aggregate copy bandwidth 16.8 GB/s under jemalloc vs
+# 115 GB/s under the system allocator) that collapses scaling of
+# every allocation-heavy stage. Pin the system pool for any process
+# that imports this package; worker processes that never do are
+# covered by ARROW_DEFAULT_MEMORY_POOL=system set before ray.init
+# (see bench.py / tests/conftest.py).
+import os as _os
+
+_os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+try:  # switch the already-initialized default pool too
+    import pyarrow as _pa
+
+    if _pa.default_memory_pool().backend_name != "system":
+        _pa.set_memory_pool(_pa.system_memory_pool())
+except Exception:  # pragma: no cover - pyarrow always present in prod
+    pass
+
+# Push-based shuffle streams sort/shuffle map outputs into merge tasks
+# instead of materializing the full p x p block matrix; measured 2x on
+# the flagship's canonicalize sort at 32 CPUs (19-26 s vs 43-47 s on
+# the 1.67M-turn corpus) and it is the multi-node-scalable choice.
+try:
+    from ray.data.context import DataContext as _DC, ShuffleStrategy as _SS
+
+    _DC.get_current().shuffle_strategy = _SS.SORT_SHUFFLE_PUSH_BASED
+except Exception:  # pragma: no cover - ray always present in prod
+    pass

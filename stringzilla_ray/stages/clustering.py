@@ -20,7 +20,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from stringzilla_ray.state.config import ERConfig
-from stringzilla_ray.util import actor_pool_limits
 
 
 def _symmetric_edges(edges):
@@ -41,65 +40,79 @@ def _symmetric_edges(edges):
 DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
 
 
-def _union_find_clusters(nodes, edges, id_column: str = "conv_id"):
-    """Driver-side union-find over a small edge set; nodes stream in."""
-    parent: dict = {}
+def _edges_to_numpy(edges):
+    """Stream a (left, right) edge Dataset into two NumPy arrays."""
+    import numpy as np
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(a, b) -> None:
-        ra, rb = find(a), find(b)
-        if ra == rb:
-            return
-        if rb < ra:  # deterministic: smaller id wins as root
-            ra, rb = rb, ra
-        parent[rb] = ra
-
+    lefts, rights = [], []
     for batch in edges.select_columns(["left", "right"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
+        batch_size=262144, batch_format="pyarrow"
     ):
-        for a, b in zip(batch["left"].to_pylist(), batch["right"].to_pylist()):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            union(a, b)
+        lefts.append(batch["left"].to_numpy(zero_copy_only=False))
+        rights.append(batch["right"].to_numpy(zero_copy_only=False))
+    if not lefts:
+        return None, None
+    return np.concatenate(lefts), np.concatenate(rights)
 
-    import pyarrow as pa
 
-    # Broadcast the final root map and assign per batch.
-    roots = {x: find(x) for x in list(parent)}
+def _cc_roots(left, right):
+    """Vectorized connected components: dense-relabel edge endpoints,
+    then min-label propagation with pointer jumping — O(E) NumPy per
+    round, ~log(diameter) rounds. Works for any node dtype (ids are
+    relabeled to dense ints up front). Returns (sorted node_ids, root
+    per node) where root is the component's minimum node id."""
+    import numpy as np
 
+    node_ids, inverse = np.unique(np.concatenate([left, right]), return_inverse=True)
+    li = inverse[: len(left)]
+    ri = inverse[len(left):]
+    label = np.arange(len(node_ids), dtype=np.int64)
+    for _ in range(64):  # converges in O(log diameter) rounds
+        prev = label
+        nxt = label.copy()
+        np.minimum.at(nxt, li, label[ri])
+        np.minimum.at(nxt, ri, label[li])
+        nxt = nxt[nxt]  # pointer jumping
+        label = nxt
+        if (label == prev).all():
+            break
+    return node_ids, node_ids[label]
+
+
+def _union_find_clusters(nodes, edges, id_column: str = "conv_id"):
+    """Driver-side vectorized CC over a small edge set; nodes stream
+    in. Assignment is a broadcast ``pc.index_in`` lookup per batch —
+    no per-row Python."""
     import ray
 
-    roots_ref = ray.put(roots)
+    left, right = _edges_to_numpy(edges)
+    if left is None:
+        node_list, root_list = [], []
+    else:
+        node_ids, roots = _cc_roots(left, right)
+        node_list, root_list = node_ids.tolist(), roots.tolist()
 
-    class Assign:
-        def __init__(self, roots_ref, id_column):
-            self.roots = ray.get(roots_ref)
-            self.id_column = id_column
+    roots_ref = ray.put((node_list, root_list))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch[self.id_column]
-            id_type = col.type if not isinstance(col, pa.ChunkedArray) else col.chunk(0).type if col.num_chunks else pa.string()
-            ids = col.to_pylist()
-            return pa.table(
-                {
-                    self.id_column: pa.array(ids, id_type),
-                    "cluster_id": pa.array([self.roots.get(i, i) for i in ids], id_type),
-                }
+    def assign(batch: pa.Table, roots_ref=roots_ref, id_column=id_column) -> pa.Table:
+        import ray as _ray
+
+        node_list, root_list = _ray.get(roots_ref)
+        col = batch[id_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if node_list:
+            value_set = pa.array(node_list, col.type)
+            roots_arr = pa.array(root_list, col.type)
+            idx = pc.index_in(col, value_set=value_set)
+            cluster = pc.if_else(
+                pc.is_valid(idx), pc.take(roots_arr, pc.fill_null(idx, 0)), col
             )
+        else:
+            cluster = col
+        return pa.table({id_column: col, "cluster_id": cluster})
 
-    return nodes.select_columns([id_column]).map_batches(
-        Assign,
-        fn_constructor_kwargs=dict(roots_ref=roots_ref, id_column=id_column),
-        batch_format="pyarrow",
-        concurrency=actor_pool_limits(8),
-    )
+    return nodes.select_columns([id_column]).map_batches(assign, batch_format="pyarrow")
 
 
 def assign_clusters(members, edges, cfg: ERConfig, node_column: str = "content_hash",
@@ -120,33 +133,9 @@ def assign_clusters(members, edges, cfg: ERConfig, node_column: str = "content_h
 
         import ray
 
-        # Vectorized connected components on the driver: dense-relabel
-        # the edge-touched nodes, then min-label propagation with
-        # pointer jumping — O(E) NumPy per round, ~log(diameter) rounds.
-        lefts, rights = [], []
-        for batch in edges.select_columns(["left", "right"]).iter_batches(
-            batch_size=262144, batch_format="pyarrow"
-        ):
-            lefts.append(batch["left"].to_numpy(zero_copy_only=False))
-            rights.append(batch["right"].to_numpy(zero_copy_only=False))
-        if lefts:
-            left = np.concatenate(lefts)
-            right = np.concatenate(rights)
-            node_ids = np.unique(np.concatenate([left, right]))
-            li = np.searchsorted(node_ids, left)
-            ri = np.searchsorted(node_ids, right)
-            label = np.arange(len(node_ids), dtype=np.int64)
-            for _ in range(64):  # converges in O(log diameter) rounds
-                prev = label
-                nxt = label.copy()
-                np.minimum.at(nxt, li, label[ri])
-                np.minimum.at(nxt, ri, label[li])
-                nxt = nxt[nxt]  # pointer jumping
-                label = nxt
-                if (label == prev).all():
-                    break
-            sorted_ids = node_ids
-            root_of = node_ids[label]
+        left, right = _edges_to_numpy(edges)
+        if left is not None:
+            sorted_ids, root_of = _cc_roots(left, right)
         else:
             sorted_ids = np.zeros(0, dtype=np.int64)
             root_of = sorted_ids

@@ -1,4 +1,12 @@
+import os
+
 import pytest
+
+# Before ray.init so workers inherit it — see stringzilla_ray/__init__.py
+# for the measured jemalloc-vs-system page-fault story on this host.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 
 
 @pytest.fixture(scope="session")
