@@ -73,12 +73,12 @@ def resolve_entities(
             # Vectorized winner census: Arrow sort by (hash, conv_id),
             # segment-first per hash — no per-row Python. The broadcast
             # payload is (sorted hashes, winner conv ids): O(distinct).
-            parts = []
+            batches = []
             for b in signed.select_columns(["content_hash", "conv_id"]).iter_batches(
                 batch_size=65536, batch_format="pyarrow"
             ):
-                parts.append(b.select(["content_hash", "conv_id"]))
-            allrows = pa.concat_tables(parts).sort_by(
+                batches.append(b.select(["content_hash", "conv_id"]))
+            allrows = pa.concat_tables(batches).sort_by(
                 [("content_hash", "ascending"), ("conv_id", "ascending")]
             )
             hs = allrows["content_hash"].to_numpy()

@@ -64,11 +64,12 @@ def exact_dedup(ds, id_column: str, text_column: str = "text", seed: int = 0):
     )
 
 
-def ngram_set_hashes(texts: list[str], n: int = 3) -> list[np.ndarray]:
-    """Sorted unique uint64 hashes of each text's character n-grams."""
+def ngram_set_hashes(texts, n: int = 3) -> list[np.ndarray]:
+    """Sorted unique uint64 hashes of each text's character n-grams.
+    Accepts str or bytes-like (memoryview slices of a doc tape)."""
     out = []
     for t in texts:
-        data = t.encode()
+        data = t.encode() if isinstance(t, str) else t
         if len(data) < n:
             out.append(np.zeros(0, dtype=np.uint64))
             continue
@@ -102,6 +103,102 @@ class MinHashForDocs(Fingerprinter):
         super().__init__(ndim=ndim, window_widths=widths, seed=seed, text_column=text_column)
 
 
+def _verify_against_ref(batch: pa.Table, docs_ref=None, n: int = 3,
+                        threshold: float = 0.8) -> pa.Table:
+    """Stateless verifier: n-gram Jaccard from a broadcast doc tape
+    holding ONLY the docs that appear in candidate pairs."""
+    import ray
+
+    if len(batch) == 0:
+        return pa.table({"left": batch["left"], "right": batch["right"],
+                         "jaccard": pa.array([], pa.float64())})
+    ids_sorted, tape, offsets = ray.get(docs_ref)
+    left = batch["left"].to_numpy(zero_copy_only=False)
+    right = batch["right"].to_numpy(zero_copy_only=False)
+    il = np.searchsorted(ids_sorted, left)
+    ir = np.searchsorted(ids_sorted, right)
+    mv = memoryview(np.ascontiguousarray(tape))
+    la = ngram_set_hashes([mv[offsets[i]:offsets[i + 1]] for i in il], n)
+    lb = ngram_set_hashes([mv[offsets[i]:offsets[i + 1]] for i in ir], n)
+    jac = np.array([ngram_jaccard(a, b) for a, b in zip(la, lb)], dtype=np.float64)
+    t = pa.table({"left": batch["left"], "right": batch["right"],
+                  "jaccard": pa.array(jac, pa.float64())})
+    return t.filter(pa.array(jac >= threshold))
+
+
+def _verify_joined(batch: pa.Table, n: int = 3, threshold: float = 0.8) -> pa.Table:
+    """Stateless verifier over pairs that already carry text_l/text_r."""
+    if len(batch) == 0:
+        return pa.table({"left": batch["left"], "right": batch["right"],
+                         "jaccard": pa.array([], pa.float64())})
+    la = ngram_set_hashes(batch["text_l"].to_pylist(), n)
+    lb = ngram_set_hashes(batch["text_r"].to_pylist(), n)
+    jac = np.array([ngram_jaccard(a, b) for a, b in zip(la, lb)], dtype=np.float64)
+    t = pa.table({"left": batch["left"], "right": batch["right"],
+                  "jaccard": pa.array(jac, pa.float64())})
+    return t.filter(pa.array(jac >= threshold))
+
+
+def verify_pairs_ngram(pairs, ds, id_column: str, text_column: str,
+                       n: int = 3, threshold: float = 0.8,
+                       strategy: str = "auto"):
+    """Attach exact n-gram Jaccard to candidate (left, right) pairs and
+    keep those >= threshold. Dispatch mirrors score_pairs: below the
+    broadcast budget, ONE parallel filter pass fetches the docs that
+    candidate pairs actually reference (never the whole corpus, and
+    never row-by-row through the driver) and ships them once via
+    ray.put; at scale, two hash-partitioned joins attach the texts."""
+    import ray
+
+    from stringzilla_ray.stages.scoring import _fetch_docs_for_ids
+    from stringzilla_ray.state.config import ERConfig
+    from stringzilla_ray.util import join_partitions
+
+    if strategy == "auto":
+        cfg = ERConfig()
+        strategy = (
+            "broadcast" if ds.count() <= cfg.broadcast_threshold_rows else "join"
+        )
+    if strategy == "broadcast":
+        pairs = pairs.materialize()  # candidate pairs: LSH-filtered, small
+        id_parts = []
+        for b in pairs.select_columns(["left", "right"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            id_parts.append(b["left"].to_numpy(zero_copy_only=False))
+            id_parts.append(b["right"].to_numpy(zero_copy_only=False))
+        if not id_parts:
+            return pairs.map_batches(
+                lambda t: t.append_column("jaccard", pa.array([], pa.float64())),
+                batch_format="pyarrow",
+            )
+        needed = np.unique(np.concatenate(id_parts))
+        docs_ref = ray.put(_fetch_docs_for_ids(ds, id_column, needed, text_column))
+        return pairs.map_batches(
+            _verify_against_ref,
+            fn_kwargs=dict(docs_ref=docs_ref, n=n, threshold=threshold),
+            batch_format="pyarrow",
+        )
+
+    docs = ds.select_columns([id_column, text_column])
+    parts = join_partitions(16)
+    # Ray's join drops the right key column when on != right_on, so
+    # only the payload column needs renaming between the two joins.
+    j = pairs.join(
+        docs, join_type="inner", num_partitions=parts,
+        on=("left",), right_on=(id_column,), right_suffix="_l",
+    ).rename_columns({text_column: "text_l"})
+    j = j.join(
+        docs, join_type="inner", num_partitions=parts,
+        on=("right",), right_on=(id_column,), right_suffix="_r",
+    ).rename_columns({text_column: "text_r"})
+    return j.map_batches(
+        _verify_joined,
+        fn_kwargs=dict(n=n, threshold=threshold),
+        batch_format="pyarrow",
+    )
+
+
 def minhash_dedup_pairs(
     ds,
     id_column: str = "doc_id",
@@ -111,6 +208,7 @@ def minhash_dedup_pairs(
     seed: int = 0,
     jaccard_threshold: float = 0.8,
     ngram: int = 3,
+    verify_strategy: str = "auto",
 ):
     """Near-duplicate pairs by MinHash LSH, verified with exact n-gram
     Jaccard. Returns (left, right, jaccard) with left < right.
@@ -130,51 +228,19 @@ def minhash_dedup_pairs(
     )
 
     # Reuse the flagship's salted self-join blocking (skew-capped).
+    # Only the (id, signature) projection is pinned — blocking consumes
+    # its input twice, but the doc texts need not sit in the store.
     block_cfg = ERConfig(
         ndim=ndim, bands=bands, rows_per_band=rows_per_band, seed=seed,
         window_widths=(8, 12, 16, 24),
     )
-    pairs = blocked_pairs(signed.materialize(), block_cfg, id_column=id_column)
+    sigs = signed.select_columns([id_column, "minhash"]).materialize()
+    pairs = blocked_pairs(sigs, block_cfg, id_column=id_column)
     pairs = pairs.drop_columns(["oversized_block"])
 
-    # Verify with exact n-gram Jaccard via broadcast text lookup.
-    import ray
-
-    texts = {}
-    for batch in ds.select_columns([id_column, text_column]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
-            texts[i] = t
-    texts_ref = ray.put(texts)
-
-    class Verifier:
-        def __init__(self, texts_ref, n, threshold):
-            self.texts = ray.get(texts_ref)
-            self.n = n
-            self.threshold = threshold
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lefts = batch["left"].to_pylist()
-            rights = batch["right"].to_pylist()
-            la = ngram_set_hashes([self.texts[i] for i in lefts], self.n)
-            lb = ngram_set_hashes([self.texts[i] for i in rights], self.n)
-            jac = [ngram_jaccard(a, b) for a, b in zip(la, lb)]
-            keep = [j >= self.threshold for j in jac]
-            t = pa.table(
-                {
-                    "left": batch["left"],
-                    "right": batch["right"],
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
-            return t.filter(pa.array(keep, pa.bool_()))
-
-    return pairs.map_batches(
-        Verifier,
-        fn_constructor_kwargs=dict(texts_ref=texts_ref, n=ngram, threshold=jaccard_threshold),
-        batch_format="pyarrow",
-        concurrency=actor_pool_limits(32),
+    return verify_pairs_ngram(
+        pairs, ds, id_column, text_column, ngram, jaccard_threshold,
+        strategy=verify_strategy,
     )
 
 

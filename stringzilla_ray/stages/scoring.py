@@ -251,7 +251,8 @@ def _pack_sig_arrays(signed, id_column: str):
     return (ids[order], order.astype(np.int64), lens, sigs, psigs)
 
 
-def _fetch_docs_for_ids(signed, id_column: str, needed: np.ndarray):
+def _fetch_docs_for_ids(signed, id_column: str, needed: np.ndarray,
+                        text_column: str = "norm_doc"):
     """(sorted ids, tape, offsets) for ONLY the requested ids — one
     parallel filter pass over the doc side, small result."""
     import ray as _ray
@@ -268,7 +269,7 @@ def _fetch_docs_for_ids(signed, id_column: str, needed: np.ndarray):
         else:
             pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
             mask = want[pos] == ids
-        return batch.select([id_column, "norm_doc"]).filter(pa.array(mask.astype(bool)))
+        return batch.select([id_column, text_column]).filter(pa.array(mask.astype(bool)))
 
     parts = _ray.get(
         signed.map_batches(keep, batch_format="pyarrow").to_arrow_refs()
@@ -277,8 +278,8 @@ def _fetch_docs_for_ids(signed, id_column: str, needed: np.ndarray):
     if not parts:
         return np.zeros(0, np.int64), np.zeros(0, np.uint8), np.zeros(1, np.int64)
     tbl = pa.concat_tables(parts)
-    ids = tbl[id_column].to_numpy()
-    doc_col = tbl["norm_doc"]
+    ids = tbl[id_column].to_numpy(zero_copy_only=False)
+    doc_col = tbl[text_column]
     if isinstance(doc_col, pa.ChunkedArray):
         doc_col = doc_col.combine_chunks()
     tape, offs = tape_of(pc_cast_binary(doc_col))
@@ -389,41 +390,35 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     return decided.union(dp_scored)
 
 
-class _JoinedScorer:
+def _score_joined_batch(batch: pa.Table, cfg: ERConfig = None) -> pa.Table:
     """Scores pairs that already carry doc_l/doc_r/minhash_l/minhash_r."""
+    n = len(batch)
+    if n == 0:
+        return _empty_scores()
+    import pyarrow.compute as pc
 
-    def __init__(self, cfg: ERConfig):
-        self.cfg = cfg
+    left_ids = batch["left"].to_numpy(zero_copy_only=False)
+    right_ids = batch["right"].to_numpy(zero_copy_only=False)
+    dl = batch["norm_doc_l"]
+    dr = batch["norm_doc_r"]
+    if isinstance(dl, pa.ChunkedArray):
+        dl = dl.combine_chunks()
+    if isinstance(dr, pa.ChunkedArray):
+        dr = dr.combine_chunks()
+    llen = pc.binary_length(pc.cast(dl, pa.large_binary())).to_numpy().astype(np.int64)
+    rlen = pc.binary_length(pc.cast(dr, pa.large_binary())).to_numpy().astype(np.int64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        n = len(batch)
-        if n == 0:
-            return _empty_scores()
-        import pyarrow.compute as pc
+    def get_docs(idx, m):
+        a = [dl[int(i)].as_py().encode()[: m[k]] for k, i in enumerate(idx)]
+        b = [dr[int(i)].as_py().encode()[: m[k]] for k, i in enumerate(idx)]
+        return a, b
 
-        left_ids = batch["left"].to_numpy(zero_copy_only=False)
-        right_ids = batch["right"].to_numpy(zero_copy_only=False)
-        dl = batch["norm_doc_l"]
-        dr = batch["norm_doc_r"]
-        if isinstance(dl, pa.ChunkedArray):
-            dl = dl.combine_chunks()
-        if isinstance(dr, pa.ChunkedArray):
-            dr = dr.combine_chunks()
-        llen = pc.binary_length(pc.cast(dl, pa.large_binary())).to_numpy().astype(np.int64)
-        rlen = pc.binary_length(pc.cast(dr, pa.large_binary())).to_numpy().astype(np.int64)
-
-        def get_docs(idx, m):
-            a = [dl[int(i)].as_py().encode()[: m[k]] for k, i in enumerate(idx)]
-            b = [dr[int(i)].as_py().encode()[: m[k]] for k, i in enumerate(idx)]
-            return a, b
-
-        return score_pair_core(
-            left_ids, right_ids, llen, rlen,
-            _decode_sigs(batch["minhash_l"]), _decode_sigs(batch["minhash_r"]), cfg,
-            _decode_sigs(batch["prefix_minhash_l"]),
-            _decode_sigs(batch["prefix_minhash_r"]), get_docs,
-        )
+    return score_pair_core(
+        left_ids, right_ids, llen, rlen,
+        _decode_sigs(batch["minhash_l"]), _decode_sigs(batch["minhash_r"]), cfg,
+        _decode_sigs(batch["prefix_minhash_l"]),
+        _decode_sigs(batch["prefix_minhash_r"]), get_docs,
+    )
 
 
 def score_pairs_join(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
@@ -431,33 +426,46 @@ def score_pairs_join(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
     docs + signatures, then the scorer pool runs. The scale path when
     the doc side is too large to broadcast."""
     docs = signed.select_columns([id_column, "norm_doc", "minhash", "prefix_minhash"])
+    from stringzilla_ray.util import join_partitions
+
+    # Each hash join spawns num_partitions aggregator actors for the
+    # lifetime of its execution graph. Lazily chaining the blocking
+    # self-join + both scoring joins into ONE graph over-subscribes a
+    # small session's CPUs and deadlocks (observed at 4 CPUs); the
+    # barriers below bound each graph to a single join. The pair table
+    # is LSH-bounded, and the joined intermediates move exactly the
+    # bytes the join itself shuffles.
+    pairs = pairs.materialize()
+    # Ray's join DROPS the right key column when on != right_on, so
+    # only the payload columns need renaming between the two joins.
     left_joined = pairs.join(
         docs,
         join_type="inner",
-        num_partitions=__import__("stringzilla_ray.util", fromlist=["join_partitions"]).join_partitions(cfg.join_num_partitions),
+        num_partitions=join_partitions(cfg.join_num_partitions),
         on=("left",),
         right_on=(id_column,),
         right_suffix="_l",
     )
-    # after join: columns left, right, ..., conv_id, doc, minhash
     left_joined = left_joined.rename_columns(
         {"norm_doc": "norm_doc_l", "minhash": "minhash_l", "prefix_minhash": "prefix_minhash_l"}
-    ).drop_columns([id_column])
+    ).materialize()
     both = left_joined.join(
         docs,
         join_type="inner",
-        num_partitions=__import__("stringzilla_ray.util", fromlist=["join_partitions"]).join_partitions(cfg.join_num_partitions),
+        num_partitions=join_partitions(cfg.join_num_partitions),
         on=("right",),
         right_on=(id_column,),
         right_suffix="_r",
     )
-    both = both.rename_columns({"norm_doc": "norm_doc_r", "minhash": "minhash_r", "prefix_minhash": "prefix_minhash_r"}).drop_columns([id_column])
+    both = both.rename_columns({"norm_doc": "norm_doc_r", "minhash": "minhash_r", "prefix_minhash": "prefix_minhash_r"})
+    # Stateless tasks: the scorer's per-worker setup is just the config
+    # dataclass, and a pinned pool would contend with the join's
+    # aggregator actors for CPU slots in the same graph.
     return both.map_batches(
-        _JoinedScorer,
-        fn_constructor_kwargs=dict(cfg=cfg),
+        _score_joined_batch,
+        fn_kwargs=dict(cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
-        concurrency=actor_pool_limits(),
     )
 
 

@@ -69,6 +69,26 @@ def test_flagship_f1(ray_session, corpus):
     assert metrics["f1"] >= 0.99, metrics
 
 
+def test_flagship_scale_twins(ray_session, corpus):
+    """Force every size-dispatch to its AT-SCALE twin (join scoring,
+    distributed blocking, no driver broadcasts) — the clusters must be
+    identical to the small-side fast paths' output. Guards the twins
+    that sandbox-sized runs never exercise (VERDICT r1)."""
+    import ray.data
+
+    transcripts, _ = corpus
+    scale_cfg = ERConfig(
+        broadcast_threshold_rows=0,
+        broadcast_threshold_bytes=0,
+        driver_blocking_rows=0,
+    )
+    a = resolve_entities(ray.data.from_arrow(transcripts), ERConfig()).to_pandas()
+    b = resolve_entities(ray.data.from_arrow(transcripts), scale_cfg).to_pandas()
+    a = a.sort_values("conv_id").reset_index(drop=True)
+    b = b.sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_flagship_parallelism_invariance(ray_session, corpus):
     """Same clusters regardless of input block structure — the
     distributed analogue of the reference's backend differential sweep
