@@ -352,22 +352,6 @@ def _q_flagship_clusters(sf_dir: str):
     return run_er_on_parquet(tpath, ERConfig())
 
 
-def _q_embedding_near_dup(sf_dir: str):
-    from stringzilla_ray.stages.ann import embedding_near_dup_pairs
-
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # threshold sits just under the corpus max pairwise cosine (~0.51)
-    # so the query returns rows; LSH-bucket recall at this similarity is
-    # partial by design (rows-only check, deterministic given the seed)
-    out = embedding_near_dup_pairs(ds, threshold=0.45, nbits=4)
-    return out.map_batches(
-        lambda t: pa.table(
-            {"left": pc.cast(t["left"], pa.int64()), "right": pc.cast(t["right"], pa.int64())}
-        ),
-        batch_format="pyarrow",
-    )
-
-
 def _q_embedding_sim_pairs(sf_dir: str):
     """Exact all-pairs cosine >= 0.40 via the broadcast-small-side
     pattern: the (tiny) embedding matrix ships once with ray.put, each
@@ -646,6 +630,237 @@ def _q_translate_rot13(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_word_count(sf_dir: str):
+    """Maximal [0-9A-Za-z_]+ runs per doc (the byte-class word splitter;
+    RE2 \\w+ — exactly mirrorable by DuckDB regexp_extract_all)."""
+    from stringzilla_ray.functions.segment import word_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "n_words": word_count(t["text"])}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_sentence_count(sf_dir: str):
+    """Sentence-terminator runs after a deterministic punctuation
+    injection (the corpus has none); both sides apply the same
+    replace(' the ' -> '. ')."""
+    from stringzilla_ray.functions.segment import sentence_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        injected = pc.replace_substring(t["text"], pattern=" the ", replacement=". ")
+        return pa.table({"doc_id": t["doc_id"], "n_sentences": sentence_count(injected)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_newline_count(sf_dir: str):
+    """sz_utf8_newlines semantics (CRLF = one delimiter; U+2028 is a
+    newline): both sides inject CRLF for ' the ' and LINE SEPARATOR for
+    ' data ', then count delimiters."""
+    from stringzilla_ray.functions.segment import newline_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        x = pc.replace_substring(t["text"], pattern=" the ", replacement="\r\n")
+        x = pc.replace_substring(x, pattern=" data ", replacement=" ")
+        return pa.table({"doc_id": t["doc_id"], "n_newlines": newline_count(x)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_split_rows(sf_dir: str):
+    """Row-exploding split (the Strs split surface as a flat operator:
+    one output row per field), vs DuckDB unnest(string_split(...))."""
+    from stringzilla_ray.functions.segment import split_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        values, parents = split_column(t["text"], " ")
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(parents), "token": values})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_find_last_of(sf_dir: str):
+    from stringzilla_ray.functions.segment import find_last_of
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "pos": find_last_of(t["text"], "qxz")}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_find_first_not_of(sf_dir: str):
+    from stringzilla_ray.functions.segment import find_first_not_of
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "pos": find_first_not_of(t["text"], " aeiou")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_find_last_not_of(sf_dir: str):
+    from stringzilla_ray.functions.segment import find_last_not_of
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "pos": find_last_not_of(t["text"], " aeiou")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_uncased_count(sf_dir: str):
+    """Fold-then-count (utf8_uncased_matches): mixed case injected
+    deterministically on both sides, then a case-insensitive count.
+    fold='lower' keeps the oracle exact (SQL lower())."""
+    from stringzilla_ray.functions.text import uncased_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        injected = pc.replace_substring(t["text"], pattern="data", replacement="DaTa")
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": uncased_count(injected, "DATA", fold="lower")}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_uncased_find(sf_dir: str):
+    """Fold-then-find (utf8_uncased_find) offsets, case injected."""
+    from stringzilla_ray.functions.text import uncased_find
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        injected = pc.replace_substring(t["text"], pattern="merge", replacement="MeRgE")
+        return pa.table(
+            {"doc_id": t["doc_id"], "pos": uncased_find(injected, "MERGE", fold="lower")}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_uncased_topk(sf_dir: str):
+    """Uncased stable ordering (sz_sequence_argsort_uncased): sort by
+    (folded key, doc_id); case injected so folding matters."""
+    from stringzilla_ray.functions.text import uncased_sort_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        injected = pc.replace_substring(t["text"], pattern="a", replacement="A")
+        return pa.table(
+            {"doc_id": t["doc_id"], "key_folded": uncased_sort_key(injected, fold="lower")}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").sort(["key_folded", "doc_id"]).limit(20)
+
+
+def _q_levenshtein_utf8_pairs(sf_dir: str):
+    """Codepoint-level Levenshtein (LevenshteinDistancesUTF8,
+    stringzillas.h:255-318) over consecutive doc pairs with 'a'->'ä'
+    injected (multi-byte codepoints). DuckDB's levenshtein() is
+    byte-based, so the oracle substitutes a distance-preserving
+    single-byte stand-in (chr(1)) for the same symbol instead."""
+    from stringzilla_ray.functions.similarity import levenshtein_batch, utf8_to_padded
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist())
+        texts = [s.replace("a", "ä") for s in t["text"].to_pylist()]
+        by_id = dict(zip(ids.tolist(), texts))
+        lefts, la, lb = [], [], []
+        for i in sorted(by_id):
+            if i % 2 == 0 and (i + 1) in by_id:
+                lefts.append(i)
+                la.append(by_id[i])
+                lb.append(by_id[i + 1])
+        dist = (
+            levenshtein_batch(utf8_to_padded(la), utf8_to_padded(lb))
+            if lefts else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "left_id": pa.array(lefts, pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return ds.repartition(1).map_batches(f, batch_format="pyarrow", batch_size=100000)
+
+
+def _q_grapheme_count(sf_dir: str):
+    """Extended grapheme clusters with combining marks injected
+    ('e' -> e + U+0301), vs DuckDB length_grapheme()."""
+    from stringzilla_ray.functions.segment import grapheme_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        injected = pc.replace_substring(t["text"], pattern="e", replacement="e\u0301")
+        return pa.table({"doc_id": t["doc_id"], "n_graphemes": grapheme_count(injected)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_left_join_suppliers(sf_dir: str):
+    """Left-outer join coverage (intersect.h:92-236 outer variants):
+    suppliers per nation INCLUDING supplier-less nations."""
+    n = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).map_batches(
+        lambda t: pa.table(
+            {"n_nationkey": pc.cast(t["n_nationkey"], pa.int64()), "n_name": t["n_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+    s = (
+        _read(sf_dir, "supplier", columns=["s_nationkey"])
+        .groupby("s_nationkey").count()
+        .rename_columns({"count()": "cnt"})
+    )
+    j = n.join(
+        s, join_type="left_outer", num_partitions=2,
+        on=("n_nationkey",), right_on=("s_nationkey",),
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "n_sup": pc.coalesce(pc.cast(t["cnt"], pa.int64()), pa.scalar(0, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    """EXACT threshold pairs (the oracle-able twin; the LSH-bucketed
+    near-dup variant is pytest-gated against this same exact op)."""
+    from stringzilla_ray.stages.ann import embedding_threshold_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_threshold_pairs(ds, threshold=0.45)
+    return out.map_batches(
+        lambda t: t.select(["left", "right"]), batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -681,6 +896,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "casefold_len": _q_casefold_len,
         "translate_rot13": _q_translate_rot13,
         "shuffled_head": _q_shuffled_head,
+        "word_count": _q_word_count,
+        "sentence_count": _q_sentence_count,
+        "newline_count": _q_newline_count,
+        "split_rows": _q_split_rows,
+        "find_last_of": _q_find_last_of,
+        "find_first_not_of": _q_find_first_not_of,
+        "find_last_not_of": _q_find_last_not_of,
+        "uncased_count": _q_uncased_count,
+        "uncased_find": _q_uncased_find,
+        "uncased_topk": _q_uncased_topk,
+        "levenshtein_utf8_pairs": _q_levenshtein_utf8_pairs,
+        "grapheme_count": _q_grapheme_count,
+        "left_join_suppliers": _q_left_join_suppliers,
     }
 
 
@@ -782,6 +1010,74 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40"
+        ),
+        "word_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS BIGINT) "
+            "AS n_words FROM documents"
+        ),
+        "sentence_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(replace(text, ' the ', '. '), "
+            "'[.!?]+')) AS BIGINT) AS n_sentences FROM documents"
+        ),
+        "newline_count": (
+            "WITH t AS (SELECT doc_id, replace(replace(text, ' the ', chr(13) || chr(10)), "
+            "' data ', chr(8232)) AS x FROM documents) "
+            "SELECT doc_id, CAST((length(x) - length(replace(x, chr(13) || chr(10), ''))) / 2 "
+            "+ (length(x) - length(replace(x, chr(8232), ''))) AS BIGINT) AS n_newlines FROM t"
+        ),
+        "split_rows": (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ),
+        "find_last_of": (
+            "SELECT doc_id, CAST(coalesce(length(text) - least("
+            "nullif(instr(reverse(text), 'q'), 0), nullif(instr(reverse(text), 'x'), 0), "
+            "nullif(instr(reverse(text), 'z'), 0)), -1) AS BIGINT) AS pos FROM documents"
+        ),
+        "find_first_not_of": (
+            "SELECT doc_id, CAST(CASE WHEN length(regexp_extract(text, '^[ aeiou]*')) "
+            "= length(text) THEN -1 ELSE length(regexp_extract(text, '^[ aeiou]*')) END "
+            "AS BIGINT) AS pos FROM documents"
+        ),
+        "find_last_not_of": (
+            "SELECT doc_id, CAST(CASE WHEN length(regexp_extract(reverse(text), '^[ aeiou]*')) "
+            "= length(text) THEN -1 ELSE length(text) - 1 - "
+            "length(regexp_extract(reverse(text), '^[ aeiou]*')) END AS BIGINT) AS pos "
+            "FROM documents"
+        ),
+        "uncased_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(lower(replace(text, 'data', 'DaTa')), "
+            "'data')) AS BIGINT) AS n FROM documents"
+        ),
+        "uncased_find": (
+            "SELECT doc_id, CAST(instr(lower(replace(text, 'merge', 'MeRgE')), 'merge') - 1 "
+            "AS BIGINT) AS pos FROM documents"
+        ),
+        "uncased_topk": (
+            "SELECT doc_id, lower(replace(text, 'a', 'A')) AS key_folded FROM documents "
+            "ORDER BY key_folded, doc_id LIMIT 20"
+        ),
+        "levenshtein_utf8_pairs": (
+            # codepoint distances: chr(1) is a distance-preserving
+            # single-byte stand-in for the Ray side's 'ä' injection
+            # (DuckDB levenshtein counts bytes, not codepoints)
+            "SELECT a.doc_id AS left_id, CAST(levenshtein(replace(a.text, 'a', chr(1)), "
+            "replace(b.text, 'a', chr(1))) AS BIGINT) AS dist "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0"
+        ),
+        "grapheme_count": (
+            "SELECT doc_id, CAST(length_grapheme(replace(text, 'e', 'e' || chr(769))) "
+            "AS BIGINT) AS n_graphemes FROM documents"
+        ),
+        "left_join_suppliers": (
+            "SELECT n.n_name AS n_name, CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_sup "
+            "FROM nation n LEFT JOIN (SELECT s_nationkey, count(*) AS cnt FROM supplier "
+            "GROUP BY s_nationkey) s ON n.n_nationkey = s.s_nationkey"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
         # bytesum / sketches / heuristics / flagship: no SQL oracle
         # (rows-only checks) — sketch seeds and heuristic profiles are

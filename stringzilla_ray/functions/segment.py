@@ -1,0 +1,323 @@
+"""Segmentation + byteset-scan kernels over Arrow string columns.
+
+The distributed batch analogues of the reference's UTF-8 token/segment
+iterators and byteset search family:
+
+- newline scanning with the exact 7-delimiter set + CRLF-as-one rule
+  of ``sz_utf8_newlines`` (include/stringzilla/utf8_tokens.h:17-56);
+- whitespace/word/sentence RUN segmentation (count + explode) — the
+  batch form of the reference's split iterators
+  (python/README.md:188-243);
+- ``find_last_of`` / ``find_first_not_of`` / ``find_last_not_of``
+  byteset scans (include/stringzilla/find.h:272-290), completing the
+  ``find_first_of`` family in functions/text.py;
+- an extended-grapheme-cluster counter approximating UAX #29
+  (utf8_graphemes.h) from Python's unicodedata tables.
+
+All hot paths work on the (tape, offsets) view — one byte-LUT pass
+plus segmented cumsums; no per-row Python except the grapheme
+fallback for non-ASCII rows.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from stringzilla_ray.functions.text import tape_of
+
+__all__ = [
+    "newline_count",
+    "line_count",
+    "byteset_run_count",
+    "word_count",
+    "sentence_count",
+    "split_column",
+    "find_last_of",
+    "find_first_not_of",
+    "find_last_not_of",
+    "grapheme_count",
+]
+
+# The reference's word-character class for the byte-level splitter:
+# ASCII alnum + underscore (RE2's \w — what the SQL oracle can mirror
+# exactly). The UAX#29 word property surface is approximated by
+# grapheme_count + token ops; full WordBreak tables need UCD data the
+# sandbox does not ship.
+_WORD_BYTES = (
+    bytes(range(ord("0"), ord("9") + 1))
+    + bytes(range(ord("A"), ord("Z") + 1))
+    + bytes(range(ord("a"), ord("z") + 1))
+    + b"_"
+)
+_SENTENCE_BYTES = b".!?"
+
+
+def _member_lut(chars: str | bytes) -> np.ndarray:
+    lut = np.zeros(256, dtype=bool)
+    data = chars.encode("latin-1", "ignore") if isinstance(chars, str) else chars
+    lut[np.frombuffer(data, dtype=np.uint8)] = True
+    return lut
+
+
+# ------------------------------------------------------------- newlines
+
+
+def _newline_start_mask(tape: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """True at the FIRST byte of every newline delimiter; a CRLF pair
+    (not split across rows) is one delimiter anchored at the CR
+    (sz_utf8_newlines semantics: \\n \\v \\f \\r, U+0085, U+2028,
+    U+2029, CRLF as a single match)."""
+    n = len(tape)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    one = (tape >= 0x0A) & (tape <= 0x0D)  # \n \v \f \r
+    mask = one.copy()
+    # CRLF: suppress the LF when the same row's previous byte is CR
+    if n > 1:
+        crlf_lf = np.zeros(n, dtype=bool)
+        crlf_lf[1:] = (tape[:-1] == 0x0D) & (tape[1:] == 0x0A)
+        # a row boundary between CR and LF keeps both as separate marks
+        row_starts = offsets[1:-1]  # interior boundaries
+        crlf_lf[row_starts[(row_starts > 0) & (row_starts < n)]] = False
+        mask &= ~crlf_lf
+    # U+0085 = C2 85
+    if n > 1:
+        nel = np.zeros(n, dtype=bool)
+        nel[:-1] = (tape[:-1] == 0xC2) & (tape[1:] == 0x85)
+        mask |= nel
+    # U+2028 / U+2029 = E2 80 A8 / E2 80 A9
+    if n > 2:
+        ls = np.zeros(n, dtype=bool)
+        ls[:-2] = (
+            (tape[:-2] == 0xE2)
+            & (tape[1:-1] == 0x80)
+            & ((tape[2:] == 0xA8) | (tape[2:] == 0xA9))
+        )
+        mask |= ls
+    return mask
+
+
+def newline_count(arr) -> pa.Array:
+    """Number of newline delimiters per string (CRLF pairs count 1)."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    mask = _newline_start_mask(tape, offsets)
+    csum = np.concatenate([[0], np.cumsum(mask)])
+    counts = csum[offsets[1:]] - csum[offsets[:-1]]
+    return pa.array(counts.astype(np.int64), pa.int64())
+
+
+def line_count(arr) -> pa.Array:
+    """Number of lines per string: delimiters + 1 (empty string -> 1,
+    matching len(s.split(sep)) conventions for a fixed delimiter set)."""
+    return pc.add(newline_count(arr), 1)
+
+
+# ------------------------------------------------------------- run counts
+
+
+def byteset_run_count(arr, chars: str | bytes) -> pa.Array:
+    """Number of maximal runs of bytes from ``chars`` per string — one
+    LUT pass + one segmented run-start count. ``word_count`` and
+    ``sentence_count`` are instances of this kernel."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    n = len(tape)
+    nrows = len(offsets) - 1
+    if n == 0:
+        return pa.array([0] * nrows, pa.int64())
+    member = _member_lut(chars)[tape]
+    # run start: member here, non-member before (or row start)
+    start = member.copy()
+    start[1:] &= ~member[:-1]
+    row_starts = offsets[:-1]
+    inbounds = row_starts[row_starts < n]
+    start[inbounds] = member[inbounds]
+    csum = np.concatenate([[0], np.cumsum(start)])
+    counts = csum[offsets[1:]] - csum[offsets[:-1]]
+    return pa.array(counts.astype(np.int64), pa.int64())
+
+
+def word_count(arr) -> pa.Array:
+    """Count of maximal [0-9A-Za-z_]+ runs (RE2 \\w+, SQL-mirrorable)."""
+    return byteset_run_count(arr, _WORD_BYTES)
+
+
+def sentence_count(arr) -> pa.Array:
+    """Count of sentence-terminator runs ([.!?]+) — the rule-based
+    sentence segmentation the SQL oracle can replicate exactly."""
+    return byteset_run_count(arr, _SENTENCE_BYTES)
+
+
+def split_column(col, sep: str):
+    """(values, parent_indices) of splitting every string on ``sep`` —
+    the row-exploding split surface (one row per field downstream).
+    Pure Arrow: split_pattern -> list array -> flatten."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern(col, sep)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    values = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    return values, parents
+
+
+# ------------------------------------------------------------- byteset finds
+
+
+def _first_in_mask(hits: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row offset of the first True in ``hits``, -1 if none."""
+    nrows = len(offsets) - 1
+    out = np.full(nrows, -1, dtype=np.int64)
+    if len(hits) == 0:
+        return out
+    csum = np.concatenate([[0], np.cumsum(hits)])
+    has = csum[offsets[1:]] > csum[offsets[:-1]]
+    if has.any():
+        hit_pos = np.nonzero(hits)[0]
+        first_idx = csum[offsets[:-1][has]]
+        out[has] = hit_pos[first_idx] - offsets[:-1][has]
+    return out
+
+
+def _last_in_mask(hits: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row offset of the last True in ``hits``, -1 if none."""
+    nrows = len(offsets) - 1
+    out = np.full(nrows, -1, dtype=np.int64)
+    if len(hits) == 0:
+        return out
+    csum = np.concatenate([[0], np.cumsum(hits)])
+    has = csum[offsets[1:]] > csum[offsets[:-1]]
+    if has.any():
+        hit_pos = np.nonzero(hits)[0]
+        last_idx = csum[offsets[1:][has]] - 1
+        out[has] = hit_pos[last_idx] - offsets[:-1][has]
+    return out
+
+
+def find_last_of(arr, chars: str) -> pa.Array:
+    """Byte offset of the LAST character from ``chars`` per string, -1
+    if none (sz.find_last_of, find.h:272-290)."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    hits = _member_lut(chars)[tape] if len(tape) else np.zeros(0, bool)
+    return pa.array(_last_in_mask(hits, offsets), pa.int64())
+
+
+def find_first_not_of(arr, chars: str) -> pa.Array:
+    """Byte offset of the first byte NOT in ``chars``, -1 if the whole
+    string is made of ``chars`` (sz.find_first_not_of)."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    hits = ~_member_lut(chars)[tape] if len(tape) else np.zeros(0, bool)
+    return pa.array(_first_in_mask(hits, offsets), pa.int64())
+
+
+def find_last_not_of(arr, chars: str) -> pa.Array:
+    """Byte offset of the last byte NOT in ``chars``, -1 if none."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    hits = ~_member_lut(chars)[tape] if len(tape) else np.zeros(0, bool)
+    return pa.array(_last_in_mask(hits, offsets), pa.int64())
+
+
+# ------------------------------------------------------------- graphemes
+
+_HANGUL_L = (0x1100, 0x115F)
+_HANGUL_V = (0x1160, 0x11A7)
+_HANGUL_T = (0x11A8, 0x11FF)
+_HANGUL_SYL = (0xAC00, 0xD7A3)
+_ZWJ = 0x200D
+_RI = (0x1F1E6, 0x1F1FF)  # regional indicators
+
+
+def _grapheme_count_str(s: str) -> int:
+    """Extended grapheme clusters, approximating UAX #29 GB1-GB13 from
+    unicodedata: CRLF (GB3), controls break (GB4/5), Hangul L/V/T
+    composition (GB6-8), Extend/ZWJ/SpacingMark attach (GB9/9a),
+    ZWJ-joined pictographics (GB11, approximated as ZWJ joining any
+    non-control), and regional-indicator pairing (GB12/13). Exact
+    Extended_Pictographic membership needs emoji-data.txt, which the
+    sandbox lacks — documented approximation, pytest-pinned."""
+    count = 0
+    prev = None  # previous codepoint
+    prev_ri_run = 0
+    for ch in s:
+        cp = ord(ch)
+        cat = unicodedata.category(ch)
+        join = False
+        if prev is not None:
+            pcp = prev
+            if pcp == 0x0D and cp == 0x0A:  # GB3 CRLF
+                join = True
+            elif unicodedata.category(chr(pcp)) in ("Cc", "Cs") or cat in ("Cc", "Cs"):
+                join = False  # GB4/GB5 controls always break
+            elif cat in ("Mn", "Me", "Mc") or cp == _ZWJ or cp == 0x200C:
+                join = True  # GB9/GB9a extend + spacing marks
+            elif pcp == _ZWJ and cat != "Cc":
+                join = True  # GB11 (approx: ZWJ glues the next cluster)
+            elif _RI[0] <= cp <= _RI[1] and _RI[0] <= pcp <= _RI[1] and prev_ri_run % 2 == 1:
+                join = True  # GB12/13: pair flags two at a time
+            elif _HANGUL_L[0] <= pcp <= _HANGUL_L[1] and (
+                _HANGUL_L[0] <= cp <= _HANGUL_V[1] or _HANGUL_SYL[0] <= cp <= _HANGUL_SYL[1]
+            ):
+                join = True  # GB6
+            elif (_HANGUL_V[0] <= pcp <= _HANGUL_V[1] or _is_hangul_lv(pcp)) and (
+                _HANGUL_V[0] <= cp <= _HANGUL_T[1]
+            ):
+                join = True  # GB7
+            elif (_HANGUL_T[0] <= pcp <= _HANGUL_T[1] or _is_hangul_lvt(pcp)) and (
+                _HANGUL_T[0] <= cp <= _HANGUL_T[1]
+            ):
+                join = True  # GB8
+        if not join:
+            count += 1
+        if _RI[0] <= cp <= _RI[1]:
+            prev_ri_run = prev_ri_run + 1 if (prev is not None and _RI[0] <= prev <= _RI[1]) else 1
+        else:
+            prev_ri_run = 0
+        prev = cp
+    return count
+
+
+def _is_hangul_lv(cp: int) -> bool:
+    return _HANGUL_SYL[0] <= cp <= _HANGUL_SYL[1] and (cp - _HANGUL_SYL[0]) % 28 == 0
+
+
+def _is_hangul_lvt(cp: int) -> bool:
+    return _HANGUL_SYL[0] <= cp <= _HANGUL_SYL[1] and (cp - _HANGUL_SYL[0]) % 28 != 0
+
+
+def grapheme_count(arr) -> pa.Array:
+    """Extended-grapheme-cluster count per string. ASCII rows take the
+    vectorized path (clusters = bytes - CRLF joins); only rows with
+    non-ASCII or combining content walk the per-codepoint rules."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    nrows = len(offsets) - 1
+    out = np.zeros(nrows, dtype=np.int64)
+    if len(tape) == 0:
+        return pa.array(out, pa.int64())
+    hi = tape >= 128
+    csum_hi = np.concatenate([[0], np.cumsum(hi)])
+    row_has_hi = csum_hi[offsets[1:]] > csum_hi[offsets[:-1]]
+    # ASCII rows: every byte is a cluster except the LF of a CRLF pair
+    crlf = np.zeros(len(tape), dtype=bool)
+    if len(tape) > 1:
+        crlf[1:] = (tape[:-1] == 0x0D) & (tape[1:] == 0x0A)
+        interior = offsets[1:-1]
+        crlf[interior[(interior > 0) & (interior < len(tape))]] = False
+    csum_crlf = np.concatenate([[0], np.cumsum(crlf)])
+    lens = np.diff(offsets)
+    out[:] = lens - (csum_crlf[offsets[1:]] - csum_crlf[offsets[:-1]])
+    if row_has_hi.any():
+        idx = np.nonzero(row_has_hi)[0]
+        texts = a.take(pa.array(idx, pa.int64())).to_pylist()
+        for k, i in enumerate(idx):
+            out[i] = _grapheme_count_str(texts[k]) if texts[k] is not None else 0
+    return pa.array(out, pa.int64())

@@ -361,7 +361,13 @@ class Hasher:
     def update(self, data: bytes | str) -> "Hasher":
         if isinstance(data, str):
             data = data.encode()
-        self._pending.extend(data)
+        # the short-path replay buffer is only consulted while the total
+        # stays <= 64 bytes; past that, keeping every chunk would retain
+        # a full copy of the stream (ADVICE r1)
+        if self._ins_length <= 64:
+            self._pending.extend(data)
+            if self._ins_length + len(data) > 64:
+                self._pending = self._pending[:0]
         arr = np.frombuffer(bytes(data), dtype=np.uint8)
         pos = 0
         while pos < len(arr):

@@ -37,6 +37,10 @@ __all__ = [
     "translate",
     "casefold",
     "normalize",
+    "uncased_find",
+    "uncased_contains",
+    "uncased_count",
+    "uncased_sort_key",
     "utf8_count",
     "byte_length",
     "tape_of",
@@ -184,6 +188,49 @@ def normalize(arr, form: str = "NFC") -> pa.Array:
     """Unicode normalization (sz.utf8_norm, python/README.md:631-644)."""
     pylist = arr.to_pylist() if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks().to_pylist()
     return pa.array([unicodedata.normalize(form, s) if s is not None else None for s in pylist], type=pa.string())
+
+
+def _fold(arr, fold: str):
+    """fold='full' -> Unicode full case fold (the reference's
+    utf8_uncased semantics, 'ß'→'ss'); fold='lower' -> Unicode
+    lowercase (Arrow-native kernel, exactly mirrorable by SQL lower()).
+    The two differ only on the ~100 full-fold expansion codepoints."""
+    if fold == "lower":
+        return pc.utf8_lower(arr)
+    return casefold(arr)
+
+
+def uncased_find(arr, needle: str, fold: str = "full") -> pa.Array:
+    """First byte offset of ``needle`` under case folding, -1 if absent
+    — the fold-then-find form of utf8_uncased_find
+    (include/stringzilla/utf8_uncased.h:746; python/README.md:614-629).
+    Offsets index the FOLDED text (full folds can change lengths)."""
+    fa = _fold(arr, fold)
+    fn = needle.casefold() if fold == "full" else needle.lower()
+    return pc.cast(pc.find_substring(fa, fn), pa.int64())
+
+
+def uncased_contains(arr, needle: str, fold: str = "full") -> pa.Array:
+    """Case-insensitive containment (utf8_uncased_find >= 0)."""
+    fa = _fold(arr, fold)
+    fn = needle.casefold() if fold == "full" else needle.lower()
+    return pc.match_substring(fa, fn)
+
+
+def uncased_count(arr, needle: str, fold: str = "full") -> pa.Array:
+    """Case-insensitive non-overlapping occurrence count
+    (utf8_uncased_matches, utf8_uncased.h:957)."""
+    fa = _fold(arr, fold)
+    fn = needle.casefold() if fold == "full" else needle.lower()
+    return pc.cast(pc.count_substring(fa, fn), pa.int64())
+
+
+def uncased_sort_key(arr, fold: str = "full") -> pa.Array:
+    """Fold keys for uncased ordering (sz_sequence_argsort_uncased,
+    sort.h:91-114): sort/order by (key, original) for a stable uncased
+    collation — UTF-8 byte order on the folded key equals codepoint
+    order (utf8_uncased_order, utf8_uncased.h:1053)."""
+    return _fold(arr, fold)
 
 
 def utf8_count(arr) -> pa.Array:

@@ -14,6 +14,13 @@ densest blocks) become ONE graph node keyed by the 64-bit content
 hash, so every downstream shuffle moves int64 keys instead of strings
 and exact-duplicate clouds cost O(1) pairs instead of O(k^2).
 
+Known limit (ADVICE r1): a 64-bit node key has expected birthday
+collisions ~n^2/2^65 — negligible at sandbox scale, ~thousands of
+silently merged nodes at the advertised 10^12 turns. The scale fix is
+a (hash(seed=0), hash(seed=1)) composite node key (both already
+computable from the same tape pass; groupbys/joins take multi-column
+keys) — kept out of this round to avoid re-keying every stage.
+
 Every wide boundary can checkpoint to Parquet with lineage manifests;
 a rerun with the same ERConfig resumes from the last completed stage.
 """
@@ -36,9 +43,12 @@ def resolve_entities(
     transcripts: "ray.data.Dataset",
     cfg: ERConfig | None = None,
     checkpoint_dir: str | None = None,
+    input_token: str | None = None,
 ) -> "ray.data.Dataset":
     """transcripts (conv_id, turn_idx, role, text, tool, ts) ->
-    clusters (conv_id, cluster_id)."""
+    clusters (conv_id, cluster_id). ``input_token`` (a fingerprint of
+    the source, e.g. checkpoint.input_token_for_path) gates checkpoint
+    reuse on the INPUT as well as the config."""
     cfg = cfg or ERConfig()
     h = cfg.params_hash()
     parts = join_partitions(cfg.join_num_partitions)
@@ -48,6 +58,7 @@ def resolve_entities(
         checkpoint_dir,
         h,
         lambda: fingerprint_stage(canonicalize(transcripts), cfg),
+        input_token=input_token,
     )
     if checkpoint_dir is None:
         # Consumed by the node-collapse, the final expansion, and (via
@@ -106,10 +117,39 @@ def resolve_entities(
 
             return signed.map_batches(keep_winners, batch_format="pyarrow")
 
+        # Winner census via hash-bucket reduce: the native groupby-min
+        # runs per-group Python (42 s for 215k keys at 8 CPUs measured;
+        # linear in distinct contents), the bucketed form is one
+        # vectorized sort per bucket.
+        from stringzilla_ray.functions.fingerprint import splitmix64
+        from stringzilla_ray.util import reduce_buckets
+
+        n_buckets = reduce_buckets()
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            k = t["content_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+            b = (splitmix64(k ^ np.uint64(0x77)) % np.uint64(n_buckets)).astype(np.int32)
+            return pa.table(
+                {
+                    "content_hash": t["content_hash"],
+                    "conv_id": t["conv_id"],
+                    "bucket": pa.array(b, pa.int32()),
+                }
+            )
+
+        def min_per_hash(g: pa.Table) -> pa.Table:
+            tbl = g.select(["content_hash", "conv_id"]).sort_by(
+                [("content_hash", "ascending"), ("conv_id", "ascending")]
+            )
+            hs = tbl["content_hash"].to_numpy()
+            first = np.concatenate([[True], hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, bool)
+            return tbl.take(pa.array(np.nonzero(first)[0], pa.int64()))
+
         winners = (
-            signed.groupby("content_hash")
-            .min("conv_id")
-            .rename_columns({"min(conv_id)": "conv_id"})
+            signed.select_columns(["content_hash", "conv_id"])
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(min_per_hash, batch_format="pyarrow")
         )
         return winners.join(
             signed,
@@ -118,7 +158,7 @@ def resolve_entities(
             on=("content_hash", "conv_id"),
         )
 
-    reps = checkpointed("nodes", checkpoint_dir, h, build_reps)
+    reps = checkpointed("nodes", checkpoint_dir, h, build_reps, input_token=input_token)
     if checkpoint_dir is None:
         reps = reps.materialize()
 
@@ -127,6 +167,7 @@ def resolve_entities(
         checkpoint_dir,
         h,
         lambda: blocked_pairs(reps, cfg, id_column="content_hash"),
+        input_token=input_token,
     )
 
     scored = checkpointed(
@@ -134,6 +175,7 @@ def resolve_entities(
         checkpoint_dir,
         h,
         lambda: score_pairs(pairs, reps, cfg, id_column="content_hash"),
+        input_token=input_token,
     )
 
     edges = scored.filter(expr="is_match == True")
@@ -151,6 +193,7 @@ def resolve_entities(
         checkpoint_dir,
         h,
         lambda: assign_clusters(conv_nodes, edges, cfg, node_column="content_hash"),
+        input_token=input_token,
     )
     return clusters
 
@@ -187,4 +230,7 @@ def run_er_on_parquet(
         columns=["conv_id", "turn_idx", "role", "text"],
         override_num_blocks=_read_blocks_for(transcripts_path),
     )
-    return resolve_entities(transcripts, cfg, checkpoint_dir)
+    from stringzilla_ray.state.checkpoint import input_token_for_path
+
+    token = input_token_for_path(transcripts_path) if checkpoint_dir else None
+    return resolve_entities(transcripts, cfg, checkpoint_dir, input_token=token)

@@ -105,7 +105,7 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, nbits: int = 8, seed: int = 0,
         def __init__(self, query_ref, id_column, emb_column, k, planes_ref, probes):
             super().__init__(query_ref, id_column, emb_column, k)
             self.planes = ray.get(planes_ref)
-            self.probes = set(probes)
+            self.probes = np.asarray(probes, dtype=np.uint64)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
@@ -113,7 +113,7 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, nbits: int = 8, seed: int = 0,
                                  "cosine": pa.array([], pa.float64())})
             m = _normalize(_emb_matrix(batch, self.emb_column))
             buckets = _bucket_of(m, self.planes)
-            keep = np.array([b in self.probes for b in buckets.tolist()])
+            keep = np.isin(buckets, self.probes)
             if not keep.any():
                 return pa.table({self.id_column: pa.array([], pa.int64()),
                                  "cosine": pa.array([], pa.float64())})
@@ -132,12 +132,22 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, nbits: int = 8, seed: int = 0,
 
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.95, nbits: int = 6, seed: int = 0,
-                             id_column: str = "vec_id", emb_column: str = "embedding"):
+                             id_column: str = "vec_id", emb_column: str = "embedding",
+                             max_bucket_size: int = 4096):
     """(left, right, cosine) pairs with cosine >= threshold. Rows are
     bucketed by hyperplane signature (groupby shuffle), each bucket
     cross-scored with one matmul; high-threshold near-dups almost
     always share all hyperplane signs, mirror-probe misses are accepted
-    as the documented recall trade."""
+    as the documented recall trade.
+
+    Skew cap (same scheme as LSH blocking, stages/blocking.py): buckets
+    with more than ``max_bucket_size`` members split deterministically
+    into ceil(g/cap) salt sub-buckets by id hash, plus a ~4-per-salt
+    representative sample in a cross-salt linking bucket — per-bucket
+    work is bounded O(g*cap) instead of O(g^2) when a hot bucket (e.g.
+    a near-constant embedding cloud) blows up."""
+    from stringzilla_ray.functions.fingerprint import splitmix64
+
     planes_holder = {}
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -146,6 +156,43 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, nbits: int = 6, seed: 
             planes_holder["planes"] = _hyperplanes(m.shape[1], nbits, seed)
         buckets = _bucket_of(m, planes_holder["planes"])
         return batch.append_column("bucket", pa.array(buckets, pa.uint64()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    # Oversized-bucket census: tiny result (only buckets above the cap).
+    counts = bucketed.groupby("bucket").count().rename_columns({"count()": "n"})
+    big = counts.filter(expr=f"n > {max_bucket_size}")
+    oversized = {}
+    for b in big.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for kk, c in zip(b["bucket"].to_pylist(), b["n"].to_pylist()):
+            oversized[kk] = c
+    oversized_ref = ray.put(oversized)
+
+    def salt(batch: pa.Table, oversized_ref=oversized_ref) -> pa.Table:
+        omap = ray.get(oversized_ref)
+        if not omap:
+            return batch
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cnts = np.array([omap.get(int(b), 0) for b in buckets], dtype=np.int64)
+        over = cnts > max_bucket_size
+        final = buckets.copy()
+        pieces = [batch.drop_columns(["bucket"])]
+        if over.any():
+            idh = splitmix64(ids + np.uint64(7))
+            nsalt = np.maximum(-(-cnts // max_bucket_size), 1).astype(np.uint64)
+            final[over] = splitmix64(buckets ^ ((idh % nsalt) + np.uint64(1)))[over]
+            rep_every = np.maximum(cnts // (nsalt.astype(np.int64) * 4), 1).astype(np.uint64)
+            is_rep = over & ((splitmix64(idh ^ buckets) % rep_every) == 0)
+            if is_rep.any():
+                rep_idx = np.nonzero(is_rep)[0]
+                rep = batch.drop_columns(["bucket"]).take(pa.array(rep_idx, pa.int64()))
+                pieces.append(rep)
+                final = np.concatenate(
+                    [final, splitmix64(buckets[rep_idx] ^ np.uint64(0xBADC0FFEE))]
+                )
+        out = pa.concat_tables(pieces)
+        return out.append_column("bucket", pa.array(final, pa.uint64()))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = len(group)
@@ -168,5 +215,48 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, nbits: int = 6, seed: 
                          "right": pa.array(hi, pa.int64()),
                          "cosine": pa.array(cos[iu[mask], ju[mask]].astype(np.float64))})
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    salted = bucketed.map_batches(salt, batch_format="pyarrow")
+    pairs = salted.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # Reps can re-meet in the linking bucket: distinct (left, right).
+    return (
+        pairs.groupby(["left", "right"])
+        .max("cosine")
+        .rename_columns({"max(cosine)": "cosine"})
+    )
+
+
+def embedding_threshold_pairs(ds, threshold: float, id_column: str = "vec_id",
+                              emb_column: str = "embedding"):
+    """EXACT (left, right, cosine) pairs with cosine >= threshold:
+    the corpus matrix is normalized once, ray.put, and every block
+    matmuls against it (O(N^2) work distributed per block — the
+    oracle-able small-corpus twin of embedding_near_dup_pairs)."""
+    ids_parts, emb_parts = [], []
+    for b in ds.select_columns([id_column, emb_column]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        ids_parts.append(b[id_column].to_numpy(zero_copy_only=False))
+        emb_parts.append(_emb_matrix(b, emb_column))
+    all_ids = np.concatenate(ids_parts).astype(np.int64)
+    all_m = _normalize(np.vstack(emb_parts))
+    ref = ray.put((all_ids, all_m))
+
+    def score(batch: pa.Table, ref=ref) -> pa.Table:
+        empty = pa.table({"left": pa.array([], pa.int64()),
+                          "right": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(batch) == 0:
+            return empty
+        ids_all, m_all = ray.get(ref)
+        m = _normalize(_emb_matrix(batch, emb_column))
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = m @ m_all.T
+        bi, aj = np.nonzero(cos >= threshold)
+        keep = ids[bi] < ids_all[aj]  # dedupe + drop self-pairs
+        if not keep.any():
+            return empty
+        return pa.table({"left": pa.array(ids[bi[keep]], pa.int64()),
+                         "right": pa.array(ids_all[aj[keep]], pa.int64()),
+                         "cosine": pa.array(cos[bi, aj][keep].astype(np.float64))})
+
+    return ds.map_batches(score, batch_format="pyarrow")

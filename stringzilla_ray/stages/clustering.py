@@ -32,12 +32,12 @@ def _symmetric_edges(edges):
     return fwd.union(rev)
 
 
-# Edge sets below this size cluster on the driver with union-find: the
-# candidate-match graph is orders of magnitude smaller than the input
-# (it only contains near-duplicate pairs), so even a 10^12-turn run
-# usually lands under this; the dataset-shuffle path below covers the
-# rest.
-DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
+# Edge sets below this size cluster on the driver with vectorized
+# pointer-jumping CC: 50M edges is ~1.6 GB of int64 pairs and a few
+# seconds of NumPy — far below any driver's memory, and the match
+# graph is orders of magnitude smaller than the input (near-duplicate
+# pairs only). The distributed LP loop below covers the rest.
+DRIVER_UNION_FIND_MAX_EDGES = 50_000_000
 
 
 def _edges_to_numpy(edges):
@@ -199,8 +199,11 @@ def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = 
     if not force_distributed and sym.count() <= 2 * DRIVER_UNION_FIND_MAX_EDGES:
         return _union_find_clusters(nodes, edges, id_column)
 
+    # NOTE: pyarrow 16's Table.rename_columns treats a dict as a plain
+    # iterable of new names (dict support landed in 17) — a silent
+    # no-op rename for single-column tables. Build the table explicitly.
     labels = nodes.select_columns([id_column]).map_batches(
-        lambda t: t.rename_columns({id_column: "conv_id"}).append_column("label", t[id_column]),
+        lambda t: pa.table({"conv_id": t[id_column], "label": t[id_column]}),
         batch_format="pyarrow",
     ).materialize()
 
@@ -214,25 +217,48 @@ def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = 
         ).select_columns(["dst", "label"]).rename_columns({"dst": "conv_id"})
         candidates = labels.select_columns(["conv_id", "label"]).union(msgs)
 
-        def _enforce(t: pa.Table) -> pa.Table:
-            # Ray's hash-shuffle aggregators occasionally emit
-            # pickled-object extension columns for non-numeric
-            # aggregates; rebuild plain columns so the next round's
-            # join sees concrete Arrow types.
-            def plain(col):
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                if isinstance(col.type, pa.ExtensionType):
-                    return pa.array(col.to_pylist())
-                return col
+        # Per-node min via hash-bucket reduce: the native groupby-min
+        # runs per-group Python in the reduce — minutes at millions of
+        # distinct nodes (measured on the blocking census) — while a
+        # bucketed vectorized sort handles each bucket in one pass.
+        from stringzilla_ray.functions.fingerprint import splitmix64
+        from stringzilla_ray.util import reduce_buckets
 
-            return pa.table({"conv_id": plain(t["conv_id"]), "label": plain(t["label"])})
+        n_buckets = reduce_buckets()
+
+        def _add_bucket(t: pa.Table) -> pa.Table:
+            col = t["conv_id"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            import numpy as np
+
+            from stringzilla_ray.stages.blocking import _conv_hashes
+
+            b = (splitmix64(_conv_hashes(col) ^ np.uint64(0x33))
+                 % np.uint64(n_buckets)).astype("int32")
+            return pa.table({"conv_id": col, "label": t["label"],
+                             "bucket": pa.array(b, pa.int32())})
+
+        def _min_per_node(g: pa.Table) -> pa.Table:
+            import numpy as np
+
+            tbl = g.select(["conv_id", "label"]).sort_by(
+                [("conv_id", "ascending"), ("label", "ascending")]
+            )
+            ids = tbl["conv_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idv = ids.to_numpy(zero_copy_only=False)
+            first = (
+                np.concatenate([[True], idv[1:] != idv[:-1]])
+                if len(idv) else np.zeros(0, bool)
+            )
+            return tbl.take(pa.array(np.nonzero(first)[0], pa.int64()))
 
         new_labels = (
-            candidates.groupby("conv_id")
-            .min("label")
-            .rename_columns({"min(label)": "label"})
-            .map_batches(_enforce, batch_format="pyarrow")
+            candidates.map_batches(_add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_min_per_node, batch_format="pyarrow")
             .materialize()
         )
 

@@ -36,20 +36,35 @@ def _collect_lineage(data_dir: Path) -> tuple[int, list[dict]]:
     return total, lineage
 
 
+def input_token_for_path(path: str | os.PathLike) -> str:
+    """Cheap input fingerprint for manifest gating: source path + total
+    byte size + max mtime. Rerunning the same config over CHANGED input
+    then invalidates the checkpoint instead of silently resuming from
+    stale Parquet (ADVICE r1)."""
+    p = Path(path)
+    files = sorted(p.rglob("*")) if p.is_dir() else [p]
+    size = sum(f.stat().st_size for f in files if f.is_file())
+    mtime = max((f.stat().st_mtime_ns for f in files if f.is_file()), default=0)
+    return f"{p}:{size}:{mtime}"
+
+
 def checkpointed(
     name: str,
     checkpoint_dir: str | os.PathLike | None,
     params_hash: str,
     builder,
     metrics: dict | None = None,
+    input_token: str | None = None,
 ):
     """Run ``builder() -> Dataset`` through a manifest-gated checkpoint.
 
     With ``checkpoint_dir=None`` the builder's lazy Dataset is returned
     untouched (no materialization). Otherwise: if a valid manifest for
-    ``params_hash`` exists the stage is skipped and the Parquet
-    checkpoint is read back; else the builder runs, writes Parquet to a
-    temp dir, atomically renames it into place, and records lineage.
+    ``params_hash`` (and ``input_token``, when given) exists the stage
+    is skipped and the Parquet checkpoint is read back; else the
+    builder runs, writes Parquet to a temp dir, atomically renames it
+    into place, and records lineage. Callers without an input token
+    must clear ``checkpoint_dir`` themselves when inputs change.
     """
     if checkpoint_dir is None:
         return builder()
@@ -63,7 +78,12 @@ def checkpointed(
             manifest = json.loads(manifest_path.read_text())
         except json.JSONDecodeError:
             manifest = None
-        if manifest and manifest.get("params_hash") == params_hash and data_dir.exists():
+        if (
+            manifest
+            and manifest.get("params_hash") == params_hash
+            and manifest.get("input_token") == input_token
+            and data_dir.exists()
+        ):
             return ray.data.read_parquet(str(data_dir))
 
     # (Re)build: clear any stale output, write atomically.
@@ -79,6 +99,7 @@ def checkpointed(
     manifest = {
         "stage": name,
         "params_hash": params_hash,
+        "input_token": input_token,
         "rows": rows,
         "files": lineage,
         "written_at": time.time(),

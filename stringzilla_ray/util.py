@@ -17,14 +17,34 @@ def actor_pool_limits(cap: int = 64) -> tuple[int, int]:
     return (max(1, hi // 2), hi)
 
 
-def join_partitions(cap: int = 16) -> int:
-    """Hash-join/shuffle partition count bounded by cluster CPUs: join
-    aggregators are actors, and asking for more partitions than CPUs
-    deadlocks a small session while adding nothing on a big one."""
+def reduce_buckets(per_cpu: int = 4, cap: int = 256) -> int:
+    """Bucket count for hash-bucket reduces (the groupby replacement
+    for HIGH-CARDINALITY keys). Ray's native groupby-aggregate runs a
+    per-group Python reduce — minutes at 10^6 distinct keys, unusable
+    at 10^7 pairs; bucketing by key hash leaves a handful of groups,
+    each reduced with one vectorized np.unique/lexsort pass."""
     try:
         import ray
 
         cpus = int(ray.available_resources().get("CPU", 0)) or 8
     except Exception:
         cpus = 8
-    return max(2, min(cap, cpus))
+    return max(4, min(cap, cpus * per_cpu))
+
+
+def join_partitions(cap: int = 16) -> int:
+    """Hash-join partition count bounded by HALF the cluster CPUs: join
+    aggregators are actors that hold their CPU slot for the lifetime of
+    the execution graph, so a join sized to ALL CPUs starves any
+    downstream map/aggregate operator in the same lazy graph and the
+    whole pipeline deadlocks (observed: blocking self-join + distinct
+    groupby at num_partitions == num_cpus == 8). Half leaves slots for
+    the rest of the graph; on a big cluster the cap keeps partitions
+    reasonable anyway."""
+    try:
+        import ray
+
+        cpus = int(ray.available_resources().get("CPU", 0)) or 8
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus // 2))

@@ -1,0 +1,174 @@
+"""Segmentation / byteset / uncased kernel tests.
+
+Oracles are CPython semantics (the reference's own test baseline,
+test/sz_helpers.py) plus hand-pinned Unicode cases for the grapheme
+approximation.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from stringzilla_ray.functions.segment import (
+    byteset_run_count,
+    find_first_not_of,
+    find_last_not_of,
+    find_last_of,
+    grapheme_count,
+    line_count,
+    newline_count,
+    sentence_count,
+    split_column,
+    word_count,
+)
+from stringzilla_ray.functions.text import (
+    uncased_contains,
+    uncased_count,
+    uncased_find,
+    uncased_sort_key,
+)
+
+# the reference's sz_utf8_newlines delimiter set (utf8_tokens.h:17-56)
+_NEWLINES = ["\n", "\v", "\f", "\r", "", " ", " "]
+
+
+def _nl_oracle(s: str) -> int:
+    """Count delimiters with CRLF as one match — a direct reading of
+    the header contract."""
+    i = 0
+    n = 0
+    while i < len(s):
+        if s[i] == "\r" and i + 1 < len(s) and s[i + 1] == "\n":
+            n += 1
+            i += 2
+        elif s[i] in _NEWLINES:
+            n += 1
+            i += 1
+        else:
+            i += 1
+    return n
+
+
+def test_newline_count_reference_set():
+    cases = [
+        "",
+        "plain text no breaks",
+        "a\nb",
+        "a\r\nb",            # CRLF = one
+        "a\rb\nc",           # separate CR and LF = two
+        "a\r\n\r\nb",        # two CRLFs
+        "xy",          # NEL
+        "l1 l2 l3",  # LS / PS
+        "\n\v\f\r",          # all singles; \r at end
+        "mix\r\n tail\r",
+        "\r\r\n",            # CR then CRLF
+    ]
+    got = newline_count(pa.array(cases, pa.string())).to_pylist()
+    want = [_nl_oracle(s) for s in cases]
+    assert got == want, list(zip(cases, got, want))
+    assert line_count(pa.array(cases, pa.string())).to_pylist() == [w + 1 for w in want]
+
+
+def test_newline_crlf_not_merged_across_rows():
+    # row1 ends with CR, row2 starts with LF: NOT a CRLF pair
+    got = newline_count(pa.array(["abc\r", "\ndef"], pa.string())).to_pylist()
+    assert got == [1, 1]
+
+
+def test_word_and_sentence_counts_match_re():
+    import re
+
+    rng = np.random.default_rng(11)
+    alphabet = list("abz AB09_ .!?,;-\t\n")
+    cases = ["".join(rng.choice(alphabet, size=rng.integers(0, 60))) for _ in range(200)]
+    cases += ["", "...", "a_b c!d? e", "  !!x!!  "]
+    arr = pa.array(cases, pa.string())
+    assert word_count(arr).to_pylist() == [len(re.findall(r"[0-9A-Za-z_]+", s)) for s in cases]
+    assert sentence_count(arr).to_pylist() == [len(re.findall(r"[.!?]+", s)) for s in cases]
+    # generic runs: whitespace runs
+    assert byteset_run_count(arr, " \t\n").to_pylist() == [
+        len(re.findall(r"[ \t\n]+", s)) for s in cases
+    ]
+
+
+def test_byteset_finds_match_str_semantics():
+    cases = ["", "xyz", "aaa", "abcq", "qabc", "abqc", "zzz aa", "  a  "]
+    arr = pa.array(cases, pa.string())
+    chars = "qxz"
+
+    def first_of(s):
+        for i, ch in enumerate(s):
+            if ch in chars:
+                return i
+        return -1
+
+    def last_of(s):
+        for i in range(len(s) - 1, -1, -1):
+            if s[i] in chars:
+                return i
+        return -1
+
+    def first_not_of(s):
+        for i, ch in enumerate(s):
+            if ch not in chars:
+                return i
+        return -1
+
+    def last_not_of(s):
+        for i in range(len(s) - 1, -1, -1):
+            if s[i] not in chars:
+                return i
+        return -1
+
+    assert find_last_of(arr, chars).to_pylist() == [last_of(s) for s in cases]
+    assert find_first_not_of(arr, chars).to_pylist() == [first_not_of(s) for s in cases]
+    assert find_last_not_of(arr, chars).to_pylist() == [last_not_of(s) for s in cases]
+
+
+def test_split_column_explodes():
+    arr = pa.array(["a b", "", "x", "p  q"], pa.string())
+    values, parents = split_column(arr, " ")
+    assert values.to_pylist() == ["a", "b", "", "x", "p", "", "q"]
+    assert parents.to_pylist() == [0, 0, 1, 2, 3, 3, 3]
+
+
+def test_uncased_family():
+    arr = pa.array(["Hello World", "STRASSE", "straße", "nope", "HeLLo hello"], pa.string())
+    # full fold: ß == ss
+    assert uncased_contains(arr, "strasse").to_pylist() == [False, True, True, False, False]
+    assert uncased_count(arr, "hello").to_pylist() == [1, 0, 0, 0, 2]
+    f = uncased_find(arr, "WORLD").to_pylist()
+    assert f == [6, -1, -1, -1, -1]
+    # lower fold (SQL-mirrorable): ß stays ß
+    assert uncased_contains(arr, "strasse", fold="lower").to_pylist() == [
+        False, True, False, False, False,
+    ]
+    keys = uncased_sort_key(arr).to_pylist()
+    assert keys == ["hello world", "strasse", "strasse", "nope", "hello hello"]
+
+
+def test_grapheme_count_pinned_cases():
+    cases = {
+        "": 0,
+        "abc": 3,
+        "a\r\nb": 3,                           # CRLF is one cluster
+        "e\u0301": 1,                          # e + combining acute
+        "x\u0301\u0302y": 2,                  # stacked marks attach
+        "\u1100\u1161\u11a8": 1,             # Hangul L+V+T jamo
+        "\uac01": 1,                           # precomposed LVT syllable
+        "\U0001F1FA\U0001F1F8": 1,            # regional-indicator flag pair
+        "\U0001F1FA\U0001F1F8\U0001F1FA\U0001F1F8": 2,  # two flags
+        "\U0001F469\u200d\U0001F4BB": 1,     # woman + ZWJ + laptop
+        "a\u200db": 1,                         # ZWJ joins (GB11 approximation)
+        "\r\n\r\n": 2,
+    }
+    arr = pa.array(list(cases), pa.string())
+    got = grapheme_count(arr).to_pylist()
+    assert got == list(cases.values()), dict(zip(cases, got))
+
+
+def test_ascii_grapheme_fast_path_matches_slow():
+    cases = ["plain ascii", "with\r\ncrlf\r\n", "\n\n\n", "tabs\tand spaces"]
+    arr = pa.array(cases, pa.string())
+    from stringzilla_ray.functions.segment import _grapheme_count_str
+
+    assert grapheme_count(arr).to_pylist() == [_grapheme_count_str(s) for s in cases]
