@@ -311,8 +311,25 @@ def _q_quality(sf_dir: str):
     from stringzilla_ray.stages.textstats import add_quality
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_quality, batch_format="pyarrow").select_columns(
-        ["doc_id", "quality", "alpha_ratio", "stopword_ratio"]
+
+    def to_r6(t: pa.Table) -> pa.Table:
+        # scaled-int emission (floor(x*1e6+0.5), same formula in the SQL
+        # oracle) so the driver's value-hash never rides on float repr
+        def r6(name):
+            x = t[name].to_numpy(zero_copy_only=False)
+            return pa.array(np.floor(x * 1e6 + 0.5).astype(np.int64), pa.int64())
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality_r6": r6("quality"),
+                "alpha_r6": r6("alpha_ratio"),
+                "stop_r6": r6("stopword_ratio"),
+            }
+        )
+
+    return ds.map_batches(add_quality, batch_format="pyarrow").map_batches(
+        to_r6, batch_format="pyarrow"
     )
 
 
@@ -673,6 +690,55 @@ def _q_newline_count(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_partition3(sf_dir: str):
+    """3-way partition at the first ' the ' (reference partition
+    semantics: absent -> (s, '', ''))."""
+    from stringzilla_ray.functions.segment import partition_columns
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        h, m, tl = partition_columns(t["text"], " the ")
+        return pa.table({"doc_id": t["doc_id"], "head": h, "mid": m, "tail": tl})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_rpartition3(sf_dir: str):
+    """3-way partition at the LAST ' the ' (absent -> ('', '', s))."""
+    from stringzilla_ray.functions.segment import rpartition_columns
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        h, m, tl = rpartition_columns(t["text"], " the ")
+        return pa.table({"doc_id": t["doc_id"], "head": h, "mid": m, "tail": tl})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_split_lines(sf_dir: str):
+    """splitlines as a row-exploding operator over the 7-delimiter
+    newline set (CRLF = one separator); newlines injected on both
+    sides the same way as newline_count."""
+    from stringzilla_ray.functions.segment import splitlines_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        x = pc.replace_substring(t["text"], pattern=" the ", replacement="\n")
+        x = pc.replace_substring(x, pattern=" data ", replacement="\r\n")
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        values, parents = splitlines_column(x)
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(parents), "line": values})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_split_rows(sf_dir: str):
     """Row-exploding split (the Strs split surface as a flat operator:
     one output row per field), vs DuckDB unnest(string_split(...))."""
@@ -900,6 +966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_count": _q_sentence_count,
         "newline_count": _q_newline_count,
         "split_rows": _q_split_rows,
+        "partition3": _q_partition3,
+        "rpartition3": _q_rpartition3,
+        "split_lines": _q_split_lines,
         "find_last_of": _q_find_last_of,
         "find_first_not_of": _q_find_first_not_of,
         "find_last_not_of": _q_find_last_not_of,
@@ -1028,6 +1097,28 @@ def oracle_sql() -> dict[str, str]:
         "split_rows": (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
         ),
+        "partition3": (
+            "SELECT doc_id, "
+            "CASE WHEN instr(text, ' the ') > 0 THEN substr(text, 1, instr(text, ' the ') - 1) "
+            "ELSE text END AS head, "
+            "CASE WHEN instr(text, ' the ') > 0 THEN ' the ' ELSE '' END AS mid, "
+            "CASE WHEN instr(text, ' the ') > 0 THEN substr(text, instr(text, ' the ') + 5) "
+            "ELSE '' END AS tail FROM documents"
+        ),
+        "rpartition3": (
+            "WITH p AS (SELECT doc_id, text, CASE WHEN instr(text, ' the ') > 0 THEN "
+            "length(text) - instr(reverse(text), reverse(' the ')) - 3 ELSE 0 END AS pos "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN pos > 0 THEN substr(text, 1, pos - 1) ELSE '' END AS head, "
+            "CASE WHEN pos > 0 THEN ' the ' ELSE '' END AS mid, "
+            "CASE WHEN pos > 0 THEN substr(text, pos + 5) ELSE text END AS tail FROM p"
+        ),
+        "split_lines": (
+            "SELECT doc_id, unnest(regexp_split_to_array("
+            "replace(replace(text, ' the ', chr(10)), ' data ', chr(13) || chr(10)), "
+            "'\\r\\n|[\\n\\v\\f\\r\\x{0085}\\x{2028}\\x{2029}]')) AS line FROM documents"
+        ),
         "find_last_of": (
             "SELECT doc_id, CAST(coalesce(length(text) - least("
             "nullif(instr(reverse(text), 'q'), 0), nullif(instr(reverse(text), 'x'), 0), "
@@ -1079,7 +1170,74 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
-        # bytesum / sketches / heuristics / flagship: no SQL oracle
-        # (rows-only checks) — sketch seeds and heuristic profiles are
-        # not SQL-expressible.
+        "bytesum": (
+            # UTF-8 byte sum reconstructed from codepoints: a k-byte
+            # encoded codepoint's bytes sum to (lead-base + trailing
+            # 0x80s) + the 6-bit groups of the codepoint value.
+            "SELECT doc_id, coalesce((SELECT sum(CASE "
+            "WHEN unicode(c) < 128 THEN unicode(c) "
+            "WHEN unicode(c) < 2048 THEN 320 + (unicode(c) // 64) + (unicode(c) % 64) "
+            "WHEN unicode(c) < 65536 THEN 480 + (unicode(c) // 4096) + ((unicode(c) // 64) % 64) + (unicode(c) % 64) "
+            "ELSE 624 + (unicode(c) // 262144) + ((unicode(c) // 4096) % 64) + ((unicode(c) // 64) % 64) + (unicode(c) % 64) "
+            "END) FROM unnest(string_split(text, '')) AS s(c)), 0)::BIGINT AS bsum "
+            "FROM documents"
+        ),
+        "language_id": (
+            # mirrors stages/textstats.py language_id: CJK share of the
+            # first 400 chars, else stopword-profile overlap on the
+            # distinct words of the first 2000 chars, first-wins ties
+            # in (en, de, fr, es) order.
+            "WITH w AS (SELECT doc_id, lang, "
+            "list_distinct(list_transform(regexp_extract_all(substr(text,1,2000), "
+            "'[0-9A-Za-z_'']+'), x -> lower(x))) AS words, "
+            "len(regexp_extract_all(substr(text,1,400), '[\\x{4e00}-\\x{9fff}]')) AS cjk, "
+            "length(substr(text,1,400)) AS headlen FROM documents), "
+            "s AS (SELECT doc_id, lang, cjk, headlen, "
+            "len(list_intersect(words, ['the','and','of','to','a','in','is','that','for','it'])) AS s_en, "
+            "len(list_intersect(words, ['der','die','und','das','ist','nicht','ein','mit','für','auf'])) AS s_de, "
+            "len(list_intersect(words, ['le','la','et','les','des','est','pour','que','une','dans'])) AS s_fr, "
+            "len(list_intersect(words, ['el','la','de','que','y','los','es','en','por','una'])) AS s_es FROM w), "
+            "p AS (SELECT doc_id, lang, CASE "
+            "WHEN headlen > 0 AND cjk > headlen * 0.2 THEN 'zh' "
+            "WHEN s_es > s_fr AND s_es > s_de AND s_es > s_en THEN 'es' "
+            "WHEN s_fr > s_de AND s_fr > s_en THEN 'fr' "
+            "WHEN s_de > s_en THEN 'de' "
+            "WHEN s_en >= 1 THEN 'en' ELSE 'und' END AS lang_pred FROM s) "
+            "SELECT doc_id, lang_pred, CAST(lang_pred = lang AS BIGINT) AS correct FROM p"
+        ),
+        "quality_score": (
+            # mirrors stages/textstats.py add_quality bit-for-bit (same
+            # IEEE double expression order), emitted as floor(x*1e6+.5)
+            # ints on both sides.
+            "WITH b AS (SELECT doc_id, "
+            "CAST(length(text) AS DOUBLE) AS n_chars, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha, "
+            "CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct, "
+            "CAST(len(regexp_extract_all(text, '\\s')) AS DOUBLE) AS n_space, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS tokens, "
+            "list_slice(regexp_extract_all(lower(text), '\\S+'), 1, 500) AS ws FROM documents), "
+            "r AS (SELECT doc_id, n_chars, n_punct, "
+            "n_alpha / greatest(n_chars, 1.0) AS alpha_ratio, "
+            "n_punct / greatest(n_chars, 1.0) AS punct_ratio, "
+            "CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, x -> list_contains("
+            "['a','and','auf','das','dans','de','der','des','die','ein','el','en','es','est','et',"
+            "'for','für','in','is','it','la','le','les','los','mit','nicht','of','por','pour',"
+            "'que','that','the','to','una','und','une','y'], x))) AS DOUBLE) / len(ws) "
+            "ELSE 0.0 END AS stop_ratio, "
+            "CASE WHEN tokens > 0 THEN (n_chars - n_space) / greatest(tokens, 1.0) ELSE 0.0 END AS mtl "
+            "FROM b) "
+            "SELECT doc_id, "
+            "CAST(floor((least(greatest("
+            "0.3 * least(greatest(alpha_ratio / 0.7, 0), 1) "
+            "+ 0.2 * least(greatest(stop_ratio / 0.2, 0), 1) "
+            "+ 0.2 * least(greatest((mtl - 2) / 4, 0), 1) "
+            "+ 0.2 * least(greatest(n_chars / 200.0, 0), 1) "
+            "+ 0.1 * (1 - least(greatest(punct_ratio / 0.3, 0), 1)), 0), 1)) * 1e6 + 0.5) AS BIGINT) AS quality_r6, "
+            "CAST(floor(alpha_ratio * 1e6 + 0.5) AS BIGINT) AS alpha_r6, "
+            "CAST(floor(stop_ratio * 1e6 + 0.5) AS BIGINT) AS stop_r6 FROM r"
+        ),
+        # sketches (simhash, doc_fingerprint, minhash_near_dup), seeded
+        # sampling/shuffle, and the flagship clusters have no SQL
+        # oracle: AES-hash seeds and the seeded RNG are not
+        # SQL-expressible (rows-only checks; F1/golden-tested in CI).
     }

@@ -167,6 +167,74 @@ def split_column(col, sep: str):
     return values, parents
 
 
+def partition_columns(col, sep: str):
+    """(head, middle, tail) of the reference's 3-way ``partition``
+    (python/README.md:188-243): split at the FIRST occurrence of
+    ``sep``; when absent -> (s, "", ""). All-Arrow: append one sep so
+    split_pattern(max_splits=1) always yields two fields, then slice
+    the synthetic sep back off the tail."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not sep:
+        raise ValueError("empty separator")
+    k = len(sep)
+    found = pc.match_substring(col, sep)
+    lists = pc.split_pattern(pc.binary_join_element_wise(col, sep, ""), sep, max_splits=1)
+    fields = pc.list_flatten(lists)
+    head = fields.take(pa.array(np.arange(0, 2 * len(col), 2), pa.int64()))
+    tail_raw = fields.take(pa.array(np.arange(1, 2 * len(col), 2), pa.int64()))
+    # strip the synthetic trailing sep (k codepoints) back off
+    tail = pc.utf8_replace_slice(tail_raw, -k, 2**31 - 1, "")
+    empty = pa.scalar("", pa.string())
+    middle = pc.if_else(found, pa.scalar(sep, pa.string()), empty)
+    # gate head on found too: when sep is absent but the text ENDS with
+    # a proper prefix of sep, the appended sep creates a junction match
+    # ("of the" + " the " -> "of[ the ]the ") that would corrupt head
+    return pc.if_else(found, head, col), middle, pc.if_else(found, tail, empty)
+
+
+def rpartition_columns(col, sep: str):
+    """(head, middle, tail) splitting at the LAST occurrence of ``sep``;
+    when absent -> ("", "", s) (reference rpartition semantics)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not sep:
+        raise ValueError("empty separator")
+    k = len(sep)
+    found = pc.match_substring(col, sep)
+    lists = pc.split_pattern(
+        pc.binary_join_element_wise(pa.array([sep] * len(col), pa.string()), col, ""),
+        sep,
+        max_splits=1,
+        reverse=True,
+    )
+    fields = pc.list_flatten(lists)
+    head_raw = fields.take(pa.array(np.arange(0, 2 * len(col), 2), pa.int64()))
+    tail = fields.take(pa.array(np.arange(1, 2 * len(col), 2), pa.int64()))
+    head = pc.utf8_slice_codeunits(head_raw, k)
+    empty = pa.scalar("", pa.string())
+    middle = pc.if_else(found, pa.scalar(sep, pa.string()), empty)
+    # mirror of partition's junction hazard: text STARTING with a
+    # proper suffix of sep matches across the prepended sep -> gate tail
+    return pc.if_else(found, head, empty), middle, pc.if_else(found, tail, col)
+
+
+_NEWLINE_REGEX = r"\r\n|[\n\v\f\r\x{0085}\x{2028}\x{2029}]"
+
+
+def splitlines_column(col):
+    """(values, parent_indices) exploding each string into lines on the
+    7-delimiter newline set with CRLF as one separator (split
+    semantics: a trailing newline yields a trailing empty field —
+    SQL-mirrorable with regexp_split_to_array)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern_regex(col, _NEWLINE_REGEX)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    return pc.list_flatten(lists), pc.list_parent_indices(lists)
+
+
 # ------------------------------------------------------------- byteset finds
 
 

@@ -66,99 +66,13 @@ def resolve_entities(
         # canonicalize+fingerprint prefix per consumer.
         signed = signed.materialize()
 
-    # Node collapse: one representative conversation per distinct
-    # canonical content; rep = lexicographic-min conv_id (stable-first
-    # duplicate semantics, reference sort.h stability contract).
-    # Small-side dispatch: below the broadcast threshold the winner map
-    # is a few MB of (hash, id) — compute it on the driver and filter
-    # with one map; above it, groupby-min + hash join.
-    def build_reps():
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        import ray
-
-        n = signed.count()
-        if n <= cfg.broadcast_threshold_rows:
-            # Vectorized winner census: Arrow sort by (hash, conv_id),
-            # segment-first per hash — no per-row Python. The broadcast
-            # payload is (sorted hashes, winner conv ids): O(distinct).
-            batches = []
-            for b in signed.select_columns(["content_hash", "conv_id"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            ):
-                batches.append(b.select(["content_hash", "conv_id"]))
-            allrows = pa.concat_tables(batches).sort_by(
-                [("content_hash", "ascending"), ("conv_id", "ascending")]
-            )
-            hs = allrows["content_hash"].to_numpy()
-            first = np.concatenate([[True], hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, bool)
-            win_hash = hs[first]
-            win_conv = np.asarray(
-                allrows["conv_id"].combine_chunks().take(
-                    pa.array(np.nonzero(first)[0], pa.int64())
-                ).to_pylist(),
-                dtype=object,
-            )
-            ref = ray.put((win_hash, win_conv))
-
-            def keep_winners(batch: pa.Table, ref=ref) -> pa.Table:
-                import numpy as _np
-
-                import ray as _ray
-
-                w_hash, w_conv = _ray.get(ref)
-                hs = batch["content_hash"].to_numpy(zero_copy_only=False)
-                pos = _np.searchsorted(w_hash, hs)
-                convs = _np.asarray(batch["conv_id"].to_pylist(), dtype=object)
-                mask = w_conv[pos] == convs
-                return batch.filter(pa.array(mask.astype(bool)))
-
-            return signed.map_batches(keep_winners, batch_format="pyarrow")
-
-        # Winner census via hash-bucket reduce: the native groupby-min
-        # runs per-group Python (42 s for 215k keys at 8 CPUs measured;
-        # linear in distinct contents), the bucketed form is one
-        # vectorized sort per bucket.
-        from stringzilla_ray.functions.fingerprint import splitmix64
-        from stringzilla_ray.util import reduce_buckets
-
-        n_buckets = reduce_buckets()
-
-        def add_bucket(t: pa.Table) -> pa.Table:
-            k = t["content_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
-            b = (splitmix64(k ^ np.uint64(0x77)) % np.uint64(n_buckets)).astype(np.int32)
-            return pa.table(
-                {
-                    "content_hash": t["content_hash"],
-                    "conv_id": t["conv_id"],
-                    "bucket": pa.array(b, pa.int32()),
-                }
-            )
-
-        def min_per_hash(g: pa.Table) -> pa.Table:
-            tbl = g.select(["content_hash", "conv_id"]).sort_by(
-                [("content_hash", "ascending"), ("conv_id", "ascending")]
-            )
-            hs = tbl["content_hash"].to_numpy()
-            first = np.concatenate([[True], hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, bool)
-            return tbl.take(pa.array(np.nonzero(first)[0], pa.int64()))
-
-        winners = (
-            signed.select_columns(["content_hash", "conv_id"])
-            .map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(min_per_hash, batch_format="pyarrow")
-        )
-        return winners.join(
-            signed,
-            join_type="inner",
-            num_partitions=parts,
-            on=("content_hash", "conv_id"),
-        )
-
-    reps = checkpointed("nodes", checkpoint_dir, h, build_reps, input_token=input_token)
+    reps = checkpointed(
+        "nodes",
+        checkpoint_dir,
+        h,
+        lambda: collapse_nodes(signed, cfg, parts),
+        input_token=input_token,
+    )
     if checkpoint_dir is None:
         reps = reps.materialize()
 
@@ -196,6 +110,99 @@ def resolve_entities(
         input_token=input_token,
     )
     return clusters
+
+
+def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
+    """Node collapse: one representative conversation per distinct
+    canonical content; rep = lexicographic-min conv_id (stable-first
+    duplicate semantics, reference sort.h stability contract).
+    Small-side dispatch: below the broadcast threshold the winner map
+    is a few MB of (hash, id) — compute it on the driver and filter
+    with one map; above it, bucketed groupby-min + hash join."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    parts = parts if parts is not None else join_partitions(cfg.join_num_partitions)
+    n = signed.count()
+    if n <= cfg.broadcast_threshold_rows:
+        # Vectorized winner census: Arrow sort by (hash, conv_id),
+        # segment-first per hash — no per-row Python. The broadcast
+        # payload is (sorted hashes, winner conv ids): O(distinct).
+        batches = []
+        for b in signed.select_columns(["content_hash", "conv_id"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            batches.append(b.select(["content_hash", "conv_id"]))
+        allrows = pa.concat_tables(batches).sort_by(
+            [("content_hash", "ascending"), ("conv_id", "ascending")]
+        )
+        hs = allrows["content_hash"].to_numpy()
+        first = np.concatenate([[True], hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, bool)
+        win_hash = hs[first]
+        win_conv = np.asarray(
+            allrows["conv_id"].combine_chunks().take(
+                pa.array(np.nonzero(first)[0], pa.int64())
+            ).to_pylist(),
+            dtype=object,
+        )
+        ref = ray.put((win_hash, win_conv))
+
+        def keep_winners(batch: pa.Table, ref=ref) -> pa.Table:
+            import numpy as _np
+
+            import ray as _ray
+
+            w_hash, w_conv = _ray.get(ref)
+            hs = batch["content_hash"].to_numpy(zero_copy_only=False)
+            pos = _np.searchsorted(w_hash, hs)
+            convs = _np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+            mask = w_conv[pos] == convs
+            return batch.filter(pa.array(mask.astype(bool)))
+
+        return signed.map_batches(keep_winners, batch_format="pyarrow")
+
+    # Winner census via hash-bucket reduce: the native groupby-min
+    # runs per-group Python (42 s for 215k keys at 8 CPUs measured;
+    # linear in distinct contents), the bucketed form is one
+    # vectorized sort per bucket.
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_buckets = reduce_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["content_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = (splitmix64(k ^ np.uint64(0x77)) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "content_hash": t["content_hash"],
+                "conv_id": t["conv_id"],
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def min_per_hash(g: pa.Table) -> pa.Table:
+        tbl = g.select(["content_hash", "conv_id"]).sort_by(
+            [("content_hash", "ascending"), ("conv_id", "ascending")]
+        )
+        hs = tbl["content_hash"].to_numpy()
+        first = np.concatenate([[True], hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, bool)
+        return tbl.take(pa.array(np.nonzero(first)[0], pa.int64()))
+
+    winners = (
+        signed.select_columns(["content_hash", "conv_id"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(min_per_hash, batch_format="pyarrow")
+    )
+    return winners.join(
+        signed,
+        join_type="inner",
+        num_partitions=parts,
+        on=("content_hash", "conv_id"),
+    )
 
 
 def _read_blocks_for(path: str) -> int:

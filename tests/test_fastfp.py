@@ -133,3 +133,52 @@ def test_collection_ops():
     desc = stable_argsort(vals, descending=True)
     np.testing.assert_array_equal(vals[desc], [3, 3, 2, 1, 1])
     assert list(desc) == [0, 2, 3, 1, 4]
+
+
+def test_random_bytes_and_fill_random():
+    from stringzilla_ray.functions.collection import fill_random, random_bytes
+
+    b1 = random_bytes(100, nonce=3)
+    assert b1 == random_bytes(100, nonce=3)          # reproducible
+    assert b1 != random_bytes(100, nonce=4)          # nonce-keyed
+    assert len(random_bytes(0)) == 0
+    # prefix property: longer draws extend shorter ones (counter stream)
+    assert random_bytes(200, nonce=3)[:100] == b1
+
+    dna = random_bytes(64, nonce=1, alphabet="ACGT")
+    assert set(dna) <= set(b"ACGT")
+    # alphabet maps b % len(alphabet) over the SAME raw stream
+    raw = np.frombuffer(random_bytes(64, nonce=1), dtype=np.uint8)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    assert bytes(lut[raw % 4]) == dna
+
+    buf = bytearray(32)
+    assert fill_random(buf, nonce=3) is None
+    assert bytes(buf) == random_bytes(32, nonce=3)
+    # [start, end) slice fills with the stream at that offset
+    buf2 = bytearray(b"\0" * 32)
+    fill_random(buf2, nonce=3, start=8, end=24)
+    assert bytes(buf2[8:24]) == random_bytes(32, nonce=3)[8:24]
+    assert bytes(buf2[:8]) == b"\0" * 8 and bytes(buf2[24:]) == b"\0" * 8
+
+
+def test_random_strings_block_invariant(ray_session):
+    import ray.data
+
+    from stringzilla_ray.functions.collection import random_bytes, random_strings
+
+    a = random_strings(64, 16, nonce=9).to_pandas().sort_values("row_id")
+    b = (
+        random_strings(64, 16, nonce=9)
+        .repartition(7)
+        .to_pandas()
+        .sort_values("row_id")
+    )
+    assert list(a["text"]) == list(b["text"])        # block-structure invariant
+    assert all(len(t) == 16 for t in a["text"])
+    # row i is the [i*len, (i+1)*len) alphabet-mapped slice of the stream
+    alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+    raw = np.frombuffer(random_bytes(64 * 16, nonce=9), dtype=np.uint8)
+    lut = np.frombuffer(alpha.encode(), dtype=np.uint8)
+    expect = bytes(lut[raw % len(lut)]).decode()
+    assert "".join(a["text"]) == expect

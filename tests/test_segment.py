@@ -172,3 +172,50 @@ def test_ascii_grapheme_fast_path_matches_slow():
     from stringzilla_ray.functions.segment import _grapheme_count_str
 
     assert grapheme_count(arr).to_pylist() == [_grapheme_count_str(s) for s in cases]
+
+
+def test_partition_columns_matches_python():
+    from stringzilla_ray.functions.segment import partition_columns, rpartition_columns
+
+    vals = ["a,b,c", "no-sep", "", ",lead", "trail,", "x,,y", "日,本,語"]
+    for fn, pyfn, sep in (
+        (partition_columns, str.partition, ","),
+        (rpartition_columns, str.rpartition, ","),
+        (partition_columns, str.partition, "::"),
+        (rpartition_columns, str.rpartition, "::"),
+        # junction hazards: text ending/starting with a partial sep
+        # must not match across the synthetic appended/prepended sep
+        (partition_columns, str.partition, " the "),
+        (rpartition_columns, str.rpartition, " the "),
+    ):
+        if sep == ",":
+            src = vals
+        elif sep == "::":
+            src = ["ab::cd::ef", "::x", "y::", "none", ""]
+        else:
+            src = ["of the", "the big data", "x the y the z", " the ",
+                   "the x the", "a the the b", "the"]
+        h, m, t = fn(pa.array(src, pa.string()), sep)
+        got = list(zip(h.to_pylist(), m.to_pylist(), t.to_pylist()))
+        assert got == [pyfn(v, sep) for v in src], (fn.__name__, sep, got)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        partition_columns(pa.array(["x"]), "")
+
+
+def test_splitlines_column_explode():
+    import re
+
+    from stringzilla_ray.functions.segment import splitlines_column
+
+    vals = ["l1\nl2\r\nl3", "a\rb", "u\x0bvw", "end\n", "", " sep "]
+    v, p = splitlines_column(pa.array(vals, pa.string()))
+    exp_v, exp_p = [], []
+    for i, s in enumerate(vals):
+        fields = re.split("\r\n|[\n\x0b\x0c\r\x85  ]", s)
+        exp_v += fields
+        exp_p += [i] * len(fields)
+    assert v.to_pylist() == exp_v
+    assert p.to_pylist() == exp_p
