@@ -24,10 +24,11 @@ import time
 # system allocator. Sort/shuffle workers never import stringzilla_ray
 # (which pins the pool itself), so the env var is the only lever.
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
-# Keep glibc from returning large buffers to the OS between batches
-# (same first-touch fault storm, ~1.8x on 32-proc alloc churn).
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+# Do NOT raise MALLOC_TRIM/MMAP_THRESHOLD_ here: forcing glibc to serve
+# multi-MB Arrow buffers from sbrk heap (instead of mmap) measured 3x
+# slower on the 6.7M-turn corpus (28.7s vs 85.8s for canonicalize+
+# fingerprint at 32 CPUs — heap fragmentation in sort-shuffle workers
+# dwarfs the first-touch fault saving that motivated it at small scale).
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -5,8 +5,9 @@ import pytest
 # Before ray.init so workers inherit it — see stringzilla_ray/__init__.py
 # for the measured jemalloc-vs-system page-fault story on this host.
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+# MALLOC_TRIM/MMAP_THRESHOLD_ deliberately NOT raised — serving large
+# Arrow buffers from sbrk heap measured 3x slower at the 6.7M-turn
+# corpus (see bench.py).
 
 
 @pytest.fixture(scope="session")
