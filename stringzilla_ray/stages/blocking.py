@@ -267,28 +267,15 @@ def _dedupe_pair_bucket(*pieces):
     )
 
 
-def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
-    """Small-side fast path: band keys computed in parallel tasks, the
-    census + salting run as driver NumPy over int arrays (O(N*bands)
-    vectorized — a few seconds per 10^6 nodes), and the quadratic part
-    (segment pair expansion + dedupe) fans out as key-range-sharded
-    Ray tasks. No shuffles; the self-join path below is the at-scale
-    twin with identical semantics."""
-    import ray
-    import ray.data
-
-    ids_nodes, K = _collect_band_keys(signed, cfg, id_column)
-    n_nodes = len(ids_nodes)
-    if n_nodes == 0:
-        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
-    bands = cfg.bands
-    cap = cfg.max_block_size
-
-    keys = K.ravel()
-    ids = np.repeat(ids_nodes, bands)
-
-    # census (vectorized; O(N*bands) ints)
-    uniq, inverse, counts = np.unique(keys, return_inverse=True, return_counts=True)
+def _census_salt(ids: np.ndarray, keys: np.ndarray, cap: int):
+    """Census + salting + cross-salt representatives over a KEY-COMPLETE
+    slice of (id, band_key) rows (every occurrence of each key present —
+    the whole relation on the driver path, one hash shard on the
+    distributed path; counts are identical either way, so both paths
+    salt identically and emit identical pairs). Returns the salted
+    (ids, final_keys, flags) arrays ready for pair expansion."""
+    counts_map = np.unique(keys, return_inverse=True, return_counts=True)
+    uniq, inverse, counts = counts_map
     row_counts = counts[inverse]
     oversized = row_counts > cap
     final_keys = keys.copy()
@@ -307,6 +294,34 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
                 [final_keys, splitmix64(keys[is_rep] ^ np.uint64(0xBADC0FFEE))]
             )
             flags = np.concatenate([flags, np.ones(int(is_rep.sum()), np.int8)])
+    est = np.where(
+        counts <= cap,
+        counts * (counts - 1) // 2,
+        (-(-counts // cap)) * (cap * (cap - 1) // 2),
+    )
+    return ids, final_keys, flags, int(est.sum())
+
+
+def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
+    """Small-side fast path: band keys computed in parallel tasks, the
+    census + salting run as driver NumPy over int arrays (O(N*bands)
+    vectorized — a few seconds per 10^6 nodes), and the quadratic part
+    (segment pair expansion + dedupe) fans out as key-range-sharded
+    Ray tasks. No shuffles; the sharded-expand path below is the
+    at-scale twin with identical semantics."""
+    import ray
+    import ray.data
+
+    ids_nodes, K = _collect_band_keys(signed, cfg, id_column)
+    n_nodes = len(ids_nodes)
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+    bands = cfg.bands
+    cap = cfg.max_block_size
+
+    keys = K.ravel()
+    ids = np.repeat(ids_nodes, bands)
+    ids, final_keys, flags, total_est = _census_salt(ids, keys, cap)
 
     # Shard rows by KEY HASH: every key group lands wholly in one shard
     # (local lexsort + segment expansion is then exact), and salted
@@ -316,12 +331,6 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
     # the last O(N log N) driver stage of round 1.
     from stringzilla_ray.util import actor_pool_limits
 
-    est = np.where(
-        counts <= cap,
-        counts * (counts - 1) // 2,
-        (-(-counts // cap)) * (cap * (cap - 1) // 2),
-    )
-    total_est = int(est.sum())
     if total_est == 0:
         return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
     n_shards = int(min(actor_pool_limits()[1] * 2, max(1, total_est // 65536)))
@@ -356,16 +365,105 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
     return ray.data.from_arrow_refs(out_refs)
 
 
+_EXPAND_CHUNK_PAIRS = 16_000_000  # per-call expansion bound (memory)
+
+
+def _expand_shard_chunked(ids, keys, cap, n_buckets):
+    """Census + salt + pair expansion over one key-complete shard,
+    chunked so a skew-heavy shard never materializes more than
+    ~_EXPAND_CHUNK_PAIRS raw emissions at once. Returns per-bucket
+    (lo, hi, flag) triples like _expand_pairs_chunk."""
+    ids2, fk, fl, est = _census_salt(ids, keys, cap)
+    if est <= _EXPAND_CHUNK_PAIRS:
+        return _expand_pairs_chunk(ids2, fk, fl, n_buckets)
+    # sort once by key; walk contiguous key runs in bounded-est chunks
+    order = np.argsort(fk, kind="stable")
+    ids_s, fk_s, fl_s = ids2[order], fk[order], fl[order]
+    seg_start = np.concatenate([[True], fk_s[1:] != fk_s[:-1]])
+    starts = np.nonzero(seg_start)[0]
+    sizes = np.diff(np.concatenate([starts, [len(fk_s)]]))
+    seg_est = sizes * (sizes - 1) // 2
+    acc = np.cumsum(seg_est)
+    chunk_of_seg = (acc // _EXPAND_CHUNK_PAIRS).astype(np.int64)
+    out = [[] for _ in range(n_buckets)]
+    for c in np.unique(chunk_of_seg):
+        sel = np.nonzero(chunk_of_seg == c)[0]
+        a = starts[sel[0]]
+        b = starts[sel[-1]] + sizes[sel[-1]]
+        for bk, piece in enumerate(_expand_pairs_chunk(ids_s[a:b], fk_s[a:b], fl_s[a:b], n_buckets)):
+            out[bk].append(piece)
+    return [
+        tuple(np.concatenate([p[i] for p in pieces]) for i in range(3))
+        if pieces else (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int8))
+        for pieces in out
+    ]
+
+
+def _expand_shard_table(g: pa.Table, cap: int, n_buckets: int, id_column: str) -> pa.Table:
+    """map_groups body for one band-key hash shard: local census + salt
+    + vectorized pair expansion, pairs pre-bucketed for the dedupe
+    groupby. The shard owns EVERY row of each of its band keys, so the
+    local census equals the global one and the output is identical to
+    the driver fast path's."""
+    col = g[id_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = np.ascontiguousarray(
+        g["band_key"].to_numpy(zero_copy_only=False)
+    ).view(np.uint64)
+    buckets = _expand_shard_chunked(ids, keys, cap, n_buckets)
+    lo = np.concatenate([b[0] for b in buckets])
+    hi = np.concatenate([b[1] for b in buckets])
+    fl = np.concatenate([b[2] for b in buckets])
+    sizes = [len(b[0]) for b in buckets]
+    bk = np.repeat(np.arange(n_buckets, dtype=np.int32), sizes)
+    return pa.table(
+        {
+            "left": pa.array(lo, pa.int64()),
+            "right": pa.array(hi, pa.int64()),
+            "oversized_block": pa.array(fl, pa.int8()),
+            "bucket": pa.array(bk, pa.int32()),
+        }
+    )
+
+
+def _dedupe_bucket_table(g: pa.Table) -> pa.Table:
+    """Distinct (left, right) + max flag over one pair-hash bucket —
+    vectorized lexsort instead of Ray's per-group reduce (which never
+    finished on a 50M-pair corpus)."""
+    lo = g["left"].to_numpy(zero_copy_only=False)
+    hi = g["right"].to_numpy(zero_copy_only=False)
+    fl = g["oversized_block"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((fl, hi, lo))
+    l2, h2, f2 = lo[order], hi[order], fl[order]
+    new = np.ones(len(l2), bool)
+    if len(l2) > 1:
+        new[1:] = (l2[1:] != l2[:-1]) | (h2[1:] != h2[:-1])
+    grp = np.cumsum(new) - 1
+    mx = np.zeros(grp[-1] + 1 if len(grp) else 0, np.int8)
+    if len(grp):
+        np.maximum.at(mx, grp, f2)
+    return pa.table({"left": pa.array(l2[new], pa.int64()),
+                     "right": pa.array(h2[new], pa.int64()),
+                     "oversized_block": pa.array(mx, pa.int8())})
+
+
 def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
     """signed Dataset (conv_id, minhash, ...) -> candidate pairs
     (left, right, oversized_block).
 
-    Two wide ops total: one aggregate to find oversized keys (the
-    result is tiny — only keys above the cap — and broadcasts via
-    ray.put), and ONE self-join on the salted band key. Pairs that
-    co-occur in several bands are emitted once per band; the scorer
-    and union-find tolerate duplicates, and dropping the distinct
-    aggregate saves a full extra shuffle of the pair table.
+    At-scale path (integer ids): TWO one-sided shuffles total —
+    (1) hash-shard the exploded (id, band_key) rows by band-key hash,
+    so each shard owns every row of its keys and runs census + salting
+    + vectorized pair expansion locally (no census broadcast, no
+    self-join, no per-row dict lookups); (2) a pair-hash bucket
+    groupby dedupes (left, right) and maxes the oversized flag.
+    Partitioning assumption: one band key's rows fit one task. Salting
+    bounds each key's EXPANSION at O(g*cap), and the expansion is
+    chunked to bound memory, but a single key with ~10^8 members would
+    still serialize into one shard task — at that scale raise
+    n_shards / lower max_block_size, or pre-split hot keys upstream.
     """
     import ray
 
@@ -373,8 +471,8 @@ def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
 
     # Small-side dispatch: below the threshold the whole (id, band_key)
     # relation is a few MB of ints — census, salting and pair-gen run
-    # as driver NumPy with zero shuffles. Above it, the salted
-    # self-join below does the same thing distributed.
+    # as driver NumPy with zero shuffles. Above it, the sharded
+    # expansion below does the same thing distributed.
     if (
         signed.count() * cfg.bands <= cfg.driver_blocking_rows
         and id_column != "conv_id"  # int-keyed node graph only
@@ -382,6 +480,44 @@ def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
         return _blocked_pairs_driver(signed, cfg, id_column)
 
     from stringzilla_ray.util import reduce_buckets
+
+    sch = signed.schema()
+    id_is_int = pa.types.is_integer(sch.types[sch.names.index(id_column)])
+    if id_is_int:
+        n_shards = reduce_buckets()
+        n_buckets = reduce_buckets()
+        cap = cfg.max_block_size
+
+        def _explode_with_shard(batch: pa.Table) -> pa.Table:
+            tb = explode_bands(batch, cfg, id_column)
+            k = np.ascontiguousarray(
+                tb["band_key"].to_numpy(zero_copy_only=False)
+            ).view(np.uint64)
+            s = (splitmix64(k ^ np.uint64(0x51AD)) % np.uint64(n_shards)).astype(np.int32)
+            return tb.append_column("shard", pa.array(s, pa.int32()))
+
+        import functools
+
+        return (
+            signed.map_batches(
+                _explode_with_shard,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("shard")
+            .map_groups(
+                functools.partial(
+                    _expand_shard_table, cap=cap, n_buckets=n_buckets,
+                    id_column=id_column,
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket")
+            .map_groups(_dedupe_bucket_table, batch_format="pyarrow")
+        )
+
+    # Non-integer ids: legacy census-broadcast + salted self-join path
+    # (the vectorized expansion kernels are int64-keyed).
 
     parts = join_partitions(cfg.join_num_partitions)
     n_buckets = reduce_buckets()

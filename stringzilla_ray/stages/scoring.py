@@ -361,7 +361,14 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     from stringzilla_ray.util import actor_pool_limits as _apl
 
     meta_ref = ray.put(_pack_sig_arrays(signed, id_column))
-    pairs = pairs.repartition(_apl()[1] * 2)
+    # map_batches parallelism is per BLOCK; blocked_pairs' bucket-dedupe
+    # already emits ~4 blocks/CPU, so only re-split when the pair table
+    # arrives under-partitioned (e.g. a single-block tiny run) — a full
+    # repartition of a 30M-row pair table costs more than it buys.
+    pairs = pairs.materialize()
+    want = _apl()[1] * 2
+    if pairs.num_blocks() < want:
+        pairs = pairs.repartition(want)
     gated = pairs.map_batches(
         _gate_against_ref,
         fn_kwargs=dict(meta_ref=meta_ref, cfg=cfg),
