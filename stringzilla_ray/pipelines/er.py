@@ -88,7 +88,8 @@ def resolve_entities(
         "scores",
         checkpoint_dir,
         h,
-        lambda: score_pairs(pairs, reps, cfg, id_column="content_hash"),
+        lambda: score_pairs(pairs, reps, cfg, id_column="content_hash",
+                            match_only=True),
         input_token=input_token,
     )
 

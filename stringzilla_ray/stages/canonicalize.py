@@ -41,21 +41,6 @@ def split_canonical_doc(doc: str) -> list[tuple[str, str]]:
     return [tuple(turn.split(FIELD_SEP, 1)) for turn in doc.split(TURN_SEP)]
 
 
-def _canonicalize_group(group: pa.Table) -> pa.Table:
-    turn_idx = group["turn_idx"].to_numpy(zero_copy_only=False)
-    roles = group["role"].to_pylist()
-    texts = group["text"].to_pylist()
-    doc = canonical_doc_from_turns(turn_idx, roles, texts)
-    conv_id = group["conv_id"][0].as_py()
-    return pa.table(
-        {
-            "conv_id": pa.array([conv_id], pa.string()),
-            "doc": pa.array([doc], pa.string()),
-            "n_turns": pa.array([len(texts)], pa.int32()),
-        }
-    )
-
-
 _PIECE_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
@@ -114,39 +99,6 @@ def _assemble_sorted_batch(batch: pa.Table) -> pa.Table:
     # the SAME task (one fewer full-corpus map stage + barrier). Edge
     # pieces get re-hashed after stitching; wasted work is 2 rows/block.
     return add_content_hash(out)
-
-
-def _merge_edge_pieces(edge_tbl: pa.Table) -> pa.Table:
-    """Stitch boundary pieces (ordered per conversation by their first
-    turn index — pieces are disjoint turn ranges of the global sort).
-    The input is O(sorted blocks) rows — 2 per block regardless of
-    corpus size — so this runs on the driver with no shuffle."""
-    convs = edge_tbl["conv_id"].to_pylist()
-    firsts = edge_tbl["first_turn"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((firsts, np.asarray(convs, dtype=object)))
-    docs = edge_tbl["doc"].to_pylist()
-    n_turns = edge_tbl["n_turns"].to_numpy(zero_copy_only=False)
-    out_conv, out_doc, out_n = [], [], []
-    i = 0
-    while i < len(order):
-        j = i
-        parts = []
-        total = 0
-        while j < len(order) and convs[order[j]] == convs[order[i]]:
-            parts.append(docs[order[j]])
-            total += int(n_turns[order[j]])
-            j += 1
-        out_conv.append(convs[order[i]])
-        out_doc.append(TURN_SEP.join(parts))
-        out_n.append(total)
-        i = j
-    return pa.table(
-        {
-            "conv_id": pa.array(out_conv, pa.string()),
-            "doc": pa.array(out_doc, pa.large_string()),
-            "n_turns": pa.array(out_n, pa.int32()),
-        }
-    )
 
 
 # Explicit ASCII whitespace class: Python's \s would ALSO match the
@@ -209,37 +161,56 @@ def add_content_hash(batch: pa.Table, seed: int = 0) -> pa.Table:
     return batch.append_column("content_hash", pa.array(hashes, pa.int64()))
 
 
+def _assemble_shard_group(group: pa.Table) -> pa.Table:
+    """Vectorized doc assembly over one conv-hash shard: every
+    conversation's turns are wholly in this group, so a LOCAL Arrow
+    sort by (conv_id, turn_idx) followed by the segmented join yields
+    complete docs — no edge pieces, no stitching."""
+    if len(group) == 0:
+        return add_content_hash(
+            pa.schema(
+                [("conv_id", pa.string()), ("doc", pa.large_string()),
+                 ("n_turns", pa.int32())]
+            ).empty_table()
+        )
+    group = group.drop_columns(["shard"]).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    out = _assemble_sorted_batch(group)
+    return out.drop_columns(["first_turn", "edge"])
+
+
 def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821
     """transcripts Dataset -> canonical conversations Dataset.
 
-    ONE wide op — a range-partitioned sort on (conv_id, turn_idx) —
-    then fully vectorized batch assembly (no per-group Python, the
-    round-1 scaling floor). Conversations straddling sorted-block
-    boundaries are emitted as edge pieces and stitched by a merge
-    groupby that only ever sees ~2 rows per block. Requires turn_idx
-    to be unique within a conversation (the input contract); if ties
-    occur their relative order follows the distributed sort, not the
-    input row order.
+    ONE wide op — a shard groupby on hash(conv_id) (int32 keys, no
+    global range sort over string ids, no sample pass, uniform shards
+    regardless of key skew) — then a local per-shard Arrow sort +
+    fully vectorized assembly. Because hash sharding co-locates every
+    turn of a conversation, shards hold complete conversations and the
+    round-1 edge-piece stitch (a materialize barrier + driver merge)
+    disappears. Requires turn_idx to be unique within a conversation
+    (the input contract); if ties occur their relative order follows
+    the local sort, not the input row order.
     """
-    import ray.data as rd
+    from stringzilla_ray.util import reduce_buckets
 
-    pieces = transcripts.sort(["conv_id", "turn_idx"]).map_batches(
-        _assemble_sorted_batch, batch_format="pyarrow", batch_size=None
+    n_shards = reduce_buckets()
+
+    def _add_shard(batch: pa.Table) -> pa.Table:
+        from stringzilla_ray.functions.fingerprint import splitmix64
+        from stringzilla_ray.stages.blocking import _conv_hashes
+
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        s = (splitmix64(_conv_hashes(conv) ^ np.uint64(0xC0))
+             % np.uint64(n_shards)).astype(np.int32)
+        return batch.append_column("shard", pa.array(s, pa.int32()))
+
+    return (
+        transcripts.map_batches(_add_shard, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(_assemble_shard_group, batch_format="pyarrow")
     )
-    # Two consumers (interior + edge) — pin the assembled pieces once
-    # rather than re-running the sort per branch.
-    pieces = pieces.materialize()
-    complete = pieces.filter(expr="edge == 0").drop_columns(["first_turn", "edge"])
-    # Edge pieces are 2 per sorted block — O(blocks), never O(corpus) —
-    # so they merge on the driver instead of paying a groupby shuffle.
-    import ray as _ray
-
-    refs = pieces.filter(expr="edge == 1").to_arrow_refs()
-    parts = [t for t in _ray.get(refs) if len(t)]
-    if parts:
-        edge_tbl = pa.concat_tables([t.select(_PIECE_SCHEMA.names) for t in parts])
-        merged = rd.from_arrow(add_content_hash(_merge_edge_pieces(edge_tbl)))
-        out = complete.union(merged)
-    else:
-        out = complete
-    return out

@@ -41,18 +41,24 @@ DRIVER_UNION_FIND_MAX_EDGES = 50_000_000
 
 
 def _edges_to_numpy(edges):
-    """Stream a (left, right) edge Dataset into two NumPy arrays."""
+    """Pull a (left, right) edge Dataset into two NumPy arrays via
+    parallel block refs (zero-copy plasma reads), not a serial
+    iter_batches stream."""
     import numpy as np
 
-    lefts, rights = [], []
-    for batch in edges.select_columns(["left", "right"]).iter_batches(
-        batch_size=262144, batch_format="pyarrow"
-    ):
-        lefts.append(batch["left"].to_numpy(zero_copy_only=False))
-        rights.append(batch["right"].to_numpy(zero_copy_only=False))
-    if not lefts:
+    import ray
+
+    tables = [
+        t for t in ray.get(edges.select_columns(["left", "right"]).to_arrow_refs())
+        if len(t)
+    ]
+    if not tables:
         return None, None
-    return np.concatenate(lefts), np.concatenate(rights)
+    tbl = pa.concat_tables(tables)
+    return (
+        tbl["left"].to_numpy(zero_copy_only=False),
+        tbl["right"].to_numpy(zero_copy_only=False),
+    )
 
 
 def _cc_roots(left, right):
@@ -66,12 +72,23 @@ def _cc_roots(left, right):
     node_ids, inverse = np.unique(np.concatenate([left, right]), return_inverse=True)
     li = inverse[: len(left)]
     ri = inverse[len(left):]
+    # Pre-sort both edge directions ONCE so each round's per-node min
+    # is a segmented np.minimum.reduceat (contiguous, ~10x faster than
+    # the scattered np.minimum.at ufunc it replaces).
+    src = np.concatenate([li, ri])
+    dst = np.concatenate([ri, li])
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    seg_first = np.concatenate([[True], src_s[1:] != src_s[:-1]])
+    seg_nodes = src_s[seg_first]
+    seg_starts = np.nonzero(seg_first)[0]
     label = np.arange(len(node_ids), dtype=np.int64)
     for _ in range(64):  # converges in O(log diameter) rounds
         prev = label
         nxt = label.copy()
-        np.minimum.at(nxt, li, label[ri])
-        np.minimum.at(nxt, ri, label[li])
+        if len(seg_nodes):
+            mins = np.minimum.reduceat(label[dst_s], seg_starts)
+            nxt[seg_nodes] = np.minimum(nxt[seg_nodes], mins)
         nxt = nxt[nxt]  # pointer jumping
         label = nxt
         if (label == prev).all():

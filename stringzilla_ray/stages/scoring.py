@@ -299,9 +299,14 @@ def pc_cast_binary(col):
     return pc.cast(col, pa.large_binary())
 
 
-def _gate_against_ref(batch: pa.Table, meta_ref=None, cfg: ERConfig = None) -> pa.Table:
+def _gate_against_ref(batch: pa.Table, meta_ref=None, cfg: ERConfig = None,
+                      match_only: bool = False) -> pa.Table:
     """Phase 1: signature + length gating (no docs). Uncertain pairs
-    come back as scored_by='dp-pending' placeholders."""
+    come back as scored_by='dp-pending' placeholders. With
+    ``match_only`` the gate drops rejected pairs IN-TASK, so the
+    materialized gated table holds only matches + pending — on a
+    candidate-heavy corpus that is ~6x fewer rows through the object
+    store."""
     sorted_ids, perm, lens, sigs, psigs = ray.get(meta_ref)
     n = len(batch)
     if n == 0:
@@ -310,10 +315,18 @@ def _gate_against_ref(batch: pa.Table, meta_ref=None, cfg: ERConfig = None) -> p
     right = batch["right"].to_numpy(zero_copy_only=False)
     il = perm[np.searchsorted(sorted_ids, left)]
     ir = perm[np.searchsorted(sorted_ids, right)]
-    return score_pair_core(
+    out = score_pair_core(
         left, right, lens[il], lens[ir],
         sigs[il], sigs[ir], cfg, psigs[il], psigs[ir], None,
     )
+    if match_only:
+        import pyarrow.compute as pc
+
+        keep = pc.or_(
+            out["is_match"], pc.equal(out["scored_by"], "dp-pending")
+        )
+        out = out.filter(keep)
+    return out
 
 
 def _dp_score_pending(batch: pa.Table, docs_ref=None, cfg: ERConfig = None) -> pa.Table:
@@ -349,7 +362,8 @@ def _dp_score_pending(batch: pa.Table, docs_ref=None, cfg: ERConfig = None) -> p
     )
 
 
-def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
+def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_id",
+                          match_only: bool = False):
     """Broadcast strategy, two-phase: (1) ship ONLY signatures +
     lengths (~10x smaller than docs) and gate every pair in stateless
     tasks; (2) the dp-pending remainder (a vanishing fraction, by
@@ -371,7 +385,7 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
         pairs = pairs.repartition(want)
     gated = pairs.map_batches(
         _gate_against_ref,
-        fn_kwargs=dict(meta_ref=meta_ref, cfg=cfg),
+        fn_kwargs=dict(meta_ref=meta_ref, cfg=cfg, match_only=match_only),
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
     ).materialize()
@@ -394,10 +408,13 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
     )
+    if match_only:
+        dp_scored = dp_scored.filter(expr="is_match == True")
     return decided.union(dp_scored)
 
 
-def _score_joined_batch(batch: pa.Table, cfg: ERConfig = None) -> pa.Table:
+def _score_joined_batch(batch: pa.Table, cfg: ERConfig = None,
+                        match_only: bool = False) -> pa.Table:
     """Scores pairs that already carry doc_l/doc_r/minhash_l/minhash_r."""
     n = len(batch)
     if n == 0:
@@ -420,15 +437,19 @@ def _score_joined_batch(batch: pa.Table, cfg: ERConfig = None) -> pa.Table:
         b = [dr[int(i)].as_py().encode()[: m[k]] for k, i in enumerate(idx)]
         return a, b
 
-    return score_pair_core(
+    out = score_pair_core(
         left_ids, right_ids, llen, rlen,
         _decode_sigs(batch["minhash_l"]), _decode_sigs(batch["minhash_r"]), cfg,
         _decode_sigs(batch["prefix_minhash_l"]),
         _decode_sigs(batch["prefix_minhash_r"]), get_docs,
     )
+    if match_only:
+        out = out.filter(out["is_match"])
+    return out
 
 
-def score_pairs_join(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
+def score_pairs_join(pairs, signed, cfg: ERConfig, id_column: str = "conv_id",
+                     match_only: bool = False):
     """Shuffle strategy: two hash-partitioned joins attach left/right
     docs + signatures, then the scorer pool runs. The scale path when
     the doc side is too large to broadcast."""
@@ -470,7 +491,7 @@ def score_pairs_join(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
     # aggregator actors for CPU slots in the same graph.
     return both.map_batches(
         _score_joined_batch,
-        fn_kwargs=dict(cfg=cfg),
+        fn_kwargs=dict(cfg=cfg, match_only=match_only),
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
     )
@@ -489,8 +510,13 @@ def doc_side_fits_broadcast(signed, cfg: ERConfig) -> bool:
     return (total or 0) <= cfg.broadcast_threshold_bytes
 
 
-def score_pairs(pairs, signed, cfg: ERConfig, id_column: str = "conv_id"):
-    """Strategy dispatch: broadcast for small doc sides, join otherwise."""
+def score_pairs(pairs, signed, cfg: ERConfig, id_column: str = "conv_id",
+                match_only: bool = False):
+    """Strategy dispatch: broadcast for small doc sides, join otherwise.
+
+    ``match_only`` drops rejected pairs inside the scoring tasks —
+    callers that only consume match edges (the flagship) avoid
+    materializing the full scored-pair table."""
     if doc_side_fits_broadcast(signed, cfg):
-        return score_pairs_broadcast(pairs, signed, cfg, id_column)
-    return score_pairs_join(pairs, signed, cfg, id_column)
+        return score_pairs_broadcast(pairs, signed, cfg, id_column, match_only)
+    return score_pairs_join(pairs, signed, cfg, id_column, match_only)
