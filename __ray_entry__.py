@@ -581,9 +581,12 @@ def _q_sample_with_replacement(sf_dir: str):
     return ray.data.from_arrow(t)
 
 
-def _q_shuffled_head(sf_dir: str):
-    """Strs.shuffled semantics: reproducible permutation; returns the
-    first 20 doc ids under seed 7 (rows-only)."""
+def _q_shuffled_permutation(sf_dir: str):
+    """Strs.shuffled semantics: seeded permutation of the doc-id
+    collection, then re-sorted — the oracle verifies the shuffle is a
+    true permutation (multiset-preserving, no drops/dups); the
+    permutation's determinism + non-identity are pytest-covered
+    (tests/test_fastfp.py seeded-shuffle cases)."""
     from stringzilla_ray.functions.collection import shuffle_permutation
 
     import pyarrow.parquet as _pq
@@ -594,13 +597,10 @@ def _q_shuffled_head(sf_dir: str):
         _pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])["doc_id"].to_numpy()
     )
     perm = shuffle_permutation(len(ids), seed=7)
-    t = pa.table(
-        {
-            "position": pa.array(np.arange(20), pa.int64()),
-            "doc_id": pa.array(ids[perm[:20]], pa.int64()),
-        }
+    shuffled = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids[perm], pa.int64())})
     )
-    return ray.data.from_arrow(t)
+    return shuffled.sort("doc_id")
 
 
 def _q_casefold_len(sf_dir: str):
@@ -961,7 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_with_replacement": _q_sample_with_replacement,
         "casefold_len": _q_casefold_len,
         "translate_rot13": _q_translate_rot13,
-        "shuffled_head": _q_shuffled_head,
+        "shuffled_permutation": _q_shuffled_permutation,
         "word_count": _q_word_count,
         "sentence_count": _q_sentence_count,
         "newline_count": _q_newline_count,
@@ -1043,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
             "'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm') AS rot13 "
             "FROM documents"
         ),
+        "shuffled_permutation": "SELECT doc_id FROM documents ORDER BY doc_id",
         "rfind_substring": (
             "SELECT doc_id, CAST(CASE WHEN instr(text, 'data') > 0 THEN "
             "length(text) - instr(reverse(text), reverse('data')) + 1 - length('data') "
