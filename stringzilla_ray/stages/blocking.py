@@ -102,7 +102,7 @@ def _salt_batch(batch: pa.Table, cap: int, oversized_ref, id_column: str = "conv
 
     if oversized.any():
         ch = _conv_hashes(conv)
-        nsalt = np.maximum(-(-counts // cap), 1).astype(np.uint64)  # ceil(g/cap)
+        nsalt = _pow2_salt_counts(counts, cap)  # pow2: aligns bands
         salt = ch % nsalt
         salted_keys = splitmix64(keys ^ (salt + np.uint64(1)))
         final_keys[oversized] = salted_keys[oversized]
@@ -267,6 +267,22 @@ def _dedupe_pair_bucket(*pieces):
     )
 
 
+def _pow2_salt_counts(row_counts: np.ndarray, cap: int) -> np.ndarray:
+    """ceil(g/cap) rounded UP to a power of two. A duplicate cloud is
+    oversized in EVERY band, but each band's key groups split it into
+    subsets of slightly different sizes; with raw ceil counts every
+    band then salts the cloud with a DIFFERENT partition, and the
+    cloud's capped pairs multiply by the band count (measured 21x on a
+    20k-member viral cloud). Power-of-two salt counts are nested
+    (x % 2^k refines x % 2^(k-1)), so sub-block partitions coincide
+    across bands and the per-band pair sets collapse in the dedupe
+    instead of unioning. Sub-blocks stay <= cap (rounding up only
+    over-splits, never under-splits)."""
+    raw = np.maximum(-(-row_counts // cap), 1).astype(np.uint64)
+    bits = np.ceil(np.log2(raw.astype(np.float64))).astype(np.uint64)
+    return (np.uint64(1) << bits).astype(np.uint64)
+
+
 def _census_salt(ids: np.ndarray, keys: np.ndarray, cap: int):
     """Census + salting + cross-salt representatives over a KEY-COMPLETE
     slice of (id, band_key) rows (every occurrence of each key present —
@@ -282,7 +298,7 @@ def _census_salt(ids: np.ndarray, keys: np.ndarray, cap: int):
     flags = oversized.astype(np.int8)
     ch_rows = splitmix64(ids.astype(np.uint64) + np.uint64(7))
     if oversized.any():
-        nsalt = np.maximum(-(-row_counts // cap), 1).astype(np.uint64)
+        nsalt = _pow2_salt_counts(row_counts, cap)
         salt = ch_rows % nsalt
         salted = splitmix64(keys ^ (salt + np.uint64(1)))
         final_keys[oversized] = salted[oversized]

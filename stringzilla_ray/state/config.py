@@ -37,7 +37,13 @@ class ERConfig:
 
     # Skew control: blocks larger than this are salted into sub-blocks
     # (SURVEY.md §4.2); cross-salt representatives keep connectivity.
-    max_block_size: int = 256
+    # A duplicate cloud's candidate pairs scale with cap x effective
+    # bands (band membership varies, so per-band sub-block pairs only
+    # partially dedupe); 64 halves the 20k-member viral cloud's pair
+    # table twice over vs 256 with measured F1 unchanged (0.999995 at
+    # 96k entities) — transitive closure only needs connectivity, not
+    # all intra-cloud edges.
+    max_block_size: int = 64
 
     # Prefix signature: a second sketch over the first
     # prefix_sig_bytes of the normalized doc. A truncated duplicate is
