@@ -915,6 +915,72 @@ def _q_left_join_suppliers(sf_dir: str):
     )
 
 
+def _q_anti_join_customers(sf_dir: str):
+    """Customers with no high-value order (left_anti join — the
+    set-difference of intersect.h:92-236's outer/anti variants; the
+    price filter is pushed into the read)."""
+    c = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    o = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 300000"
+    ).select_columns(["o_custkey"])
+    j = c.join(
+        o, join_type="left_anti", num_partitions=4,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_full_join_nation_counts(sf_dir: str):
+    """Per-nation customer and supplier counts via FULL OUTER join on
+    the shared nation key (intersect.h:92-236 outer variants): either
+    side may be absent, counts coalesce to 0."""
+    c = (
+        _read(sf_dir, "customer", columns=["c_nationkey"])
+        .groupby("c_nationkey").count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                    "n_cust": pc.cast(t["count()"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    s = (
+        _read(sf_dir, "supplier", columns=["s_nationkey"])
+        .groupby("s_nationkey").count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                    "n_supp": pc.cast(t["count()"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    f = c.join(s, join_type="full_outer", num_partitions=2, on=("nationkey",))
+    return f.map_batches(
+        lambda t: pa.table(
+            {
+                "nationkey": t["nationkey"],
+                "n_cust": pc.coalesce(t["n_cust"], pa.scalar(0, pa.int64())),
+                "n_supp": pc.coalesce(t["n_supp"], pa.scalar(0, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_embedding_near_dup(sf_dir: str):
     """EXACT threshold pairs (the oracle-able twin; the LSH-bucketed
     near-dup variant is pytest-gated against this same exact op)."""
@@ -978,6 +1044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "levenshtein_utf8_pairs": _q_levenshtein_utf8_pairs,
         "grapheme_count": _q_grapheme_count,
         "left_join_suppliers": _q_left_join_suppliers,
+        "anti_join_customers": _q_anti_join_customers,
+        "full_join_nation_counts": _q_full_join_nation_counts,
     }
 
 
@@ -1165,6 +1233,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.n_name AS n_name, CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_sup "
             "FROM nation n LEFT JOIN (SELECT s_nationkey, count(*) AS cnt FROM supplier "
             "GROUP BY s_nationkey) s ON n.n_nationkey = s.s_nationkey"
+        ),
+        "anti_join_customers": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+            "CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer "
+            "WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+        ),
+        "full_join_nation_counts": (
+            "SELECT CAST(coalesce(c.k, s.k) AS BIGINT) AS nationkey, "
+            "CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_cust, "
+            "CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_supp FROM "
+            "(SELECT c_nationkey AS k, count(*) AS cnt FROM customer GROUP BY c_nationkey) c "
+            "FULL JOIN "
+            "(SELECT s_nationkey AS k, count(*) AS cnt FROM supplier GROUP BY s_nationkey) s "
+            "ON c.k = s.k"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "

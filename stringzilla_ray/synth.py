@@ -183,3 +183,41 @@ def write_corpus(out_dir: str, seed: int = 42, entities: int = 200) -> tuple[str
     pq.write_table(transcripts, tpath)
     pq.write_table(truth, gpath)
     return tpath, gpath
+
+
+def write_corpus_multi(out_dir: str, seeds: tuple[int, ...],
+                       entities: int = 200) -> tuple[str, str]:
+    """K independent same-sized corpora concatenated (conv/entity ids
+    prefixed per shard so nothing collides). The honest weak-scaling
+    "K nodes, K data shards" input: per-shard workload is identical to
+    a single write_corpus at the same entity count — a SINGLE corpus
+    at K*entities instead grows its viral duplicate cloud K-fold, so
+    work per turn rises and weak legs stop being comparable."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    t_parts, g_parts = [], []
+    for i, seed in enumerate(seeds):
+        transcripts, truth = generate_transcripts(seed=seed, entities=entities)
+        prefix = f"x{i}-"
+        t_parts.append(transcripts.set_column(
+            0, "conv_id",
+            pc.binary_join_element_wise(
+                pa.scalar(prefix), transcripts["conv_id"], pa.scalar("")
+            ),
+        ))
+        ent = pc.add(truth["entity_id"], pa.scalar(i * entities, pa.int64()))
+        g_parts.append(pa.table({
+            "conv_id": pc.binary_join_element_wise(
+                pa.scalar(prefix), truth["conv_id"], pa.scalar("")
+            ),
+            "entity_id": ent,
+        }))
+    tpath = os.path.join(out_dir, "transcripts.parquet")
+    gpath = os.path.join(out_dir, "truth.parquet")
+    pq.write_table(pa.concat_tables(t_parts), tpath)
+    pq.write_table(pa.concat_tables(g_parts), gpath)
+    return tpath, gpath
