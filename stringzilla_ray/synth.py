@@ -42,12 +42,27 @@ _TOOLS = ["search", "code", "browse", "none"]
 _ROLES = ["user", "assistant", "tool"]
 
 
-def _random_turn_text(rng: random.Random) -> str:
+def _vocab_for(entities: int) -> list[str]:
+    """Heaps-law vocabulary: real corpora grow distinct vocabulary
+    roughly with the square root of their size. A FIXED tiny vocab
+    makes unrelated entities' texts collide in LSH bands at rates no
+    real corpus has (candidate pairs then grow quadratically with
+    corpus size), so the synthetic vocab scales ~sqrt(entities).
+    Deterministic; small test corpora (<= ~45 entities) keep the
+    original 40-word vocab so golden F1 cases are unchanged."""
+    extra = int(6 * (entities ** 0.5)) - len(_WORDS)
+    if extra <= 0:
+        return list(_WORDS)
+    return list(_WORDS) + [f"tok{i:05d}" for i in range(extra)]
+
+
+def _random_turn_text(rng: random.Random, vocab: list[str] | None = None) -> str:
+    vocab = vocab if vocab is not None else _WORDS
     target = rng.randint(20, 400)
     parts = []
     size = 0
     while size < target:
-        w = rng.choice(_WORDS)
+        w = rng.choice(vocab)
         parts.append(w)
         size += len(w) + 1
     if rng.random() < 0.05:
@@ -106,12 +121,13 @@ def generate_transcripts(
     truth_rows: list[tuple] = []
 
     viral_convs = max(2, int(entities * 3 * viral_fraction))
+    vocab = _vocab_for(entities)
 
     conv_counter = 0
     for entity in range(entities):
         n_turns = rng.randint(5, 40)
         boiler = rng.choice(_BOILERPLATE)
-        base_turns = [boiler] + [_random_turn_text(rng) for _ in range(n_turns - 1)]
+        base_turns = [boiler] + [_random_turn_text(rng, vocab) for _ in range(n_turns - 1)]
         base_roles = [_ROLES[i % 3] for i in range(n_turns)]
         base_tools = [rng.choice(_TOOLS) if r == "tool" else "" for r in base_roles]
 
