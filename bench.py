@@ -48,15 +48,15 @@ def _corpus_path(sf_name: str) -> str:
         # "K nodes, K data regions" model) — a single corpus at
         # K*entities instead grows its viral cloud K-fold and work per
         # turn stops being constant.
-        cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v2multi{shards}-e{entities}"
+        cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v3multi{shards}-e{entities}"
         tpath = os.path.join(cache, "transcripts.parquet")
         if not os.path.exists(tpath):
             synth.write_corpus_multi(
                 cache, seeds=tuple(range(42, 42 + shards)), entities=entities
             )
         return tpath
-    # v2: Heaps-law vocabulary (synth._vocab_for) — v1 caches predate it
-    cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v2seed42-e{entities}"
+    # v3: Heaps-law seed-tagged vocabulary (synth._vocab_for)
+    cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v3seed42-e{entities}"
     tpath = os.path.join(cache, "transcripts.parquet")
     if not os.path.exists(tpath):
         synth.write_corpus(cache, seed=42, entities=entities)

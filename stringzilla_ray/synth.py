@@ -42,18 +42,21 @@ _TOOLS = ["search", "code", "browse", "none"]
 _ROLES = ["user", "assistant", "tool"]
 
 
-def _vocab_for(entities: int) -> list[str]:
+def _vocab_for(entities: int, seed: int) -> list[str]:
     """Heaps-law vocabulary: real corpora grow distinct vocabulary
     roughly with the square root of their size. A FIXED tiny vocab
     makes unrelated entities' texts collide in LSH bands at rates no
     real corpus has (candidate pairs then grow quadratically with
-    corpus size), so the synthetic vocab scales ~sqrt(entities).
-    Deterministic; small test corpora (<= ~45 entities) keep the
-    original 40-word vocab so golden F1 cases are unchanged."""
+    corpus size), so the synthetic vocab scales ~sqrt(entities). The
+    generated tokens are SEED-TAGGED so different-seed corpora model
+    disjoint data domains (write_corpus_multi's weak-scaling shards
+    stay independent instead of cross-colliding). Deterministic;
+    small test corpora (<= ~45 entities) keep the original 40-word
+    vocab so golden F1 cases are unchanged."""
     extra = int(6 * (entities ** 0.5)) - len(_WORDS)
     if extra <= 0:
         return list(_WORDS)
-    return list(_WORDS) + [f"tok{i:05d}" for i in range(extra)]
+    return list(_WORDS) + [f"t{seed}x{i:05d}" for i in range(extra)]
 
 
 def _random_turn_text(rng: random.Random, vocab: list[str] | None = None) -> str:
@@ -121,7 +124,7 @@ def generate_transcripts(
     truth_rows: list[tuple] = []
 
     viral_convs = max(2, int(entities * 3 * viral_fraction))
-    vocab = _vocab_for(entities)
+    vocab = _vocab_for(entities, seed)
 
     conv_counter = 0
     for entity in range(entities):
