@@ -1,6 +1,11 @@
 """Text analysis stages: language ID, quality scoring, token counting,
 document fingerprinting — the per-document featurizers a training-data
 pipeline runs over every shard (all vectorized, all map_batches-able).
+
+The batch entry points (`add_language`, `add_quality`, `add_token_counts`)
+are Arrow/NumPy-vectorized; the scalar `language_id` is kept as the
+readable reference implementation that the vectorized path is tested
+against (tests/test_stages.py).
 """
 
 from __future__ import annotations
@@ -27,10 +32,18 @@ _WORD_RE = re.compile(r"[\w']+", re.UNICODE)
 # BPE-ish token regex: words, numbers, or single non-space symbols
 _BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", re.UNICODE)
 
+# RE2 equivalents of Python's unicode-aware \w / \s for the vectorized
+# kernels (RE2's bare \w and \s are ASCII-only):
+#   \w  ->  [\p{L}\p{N}_]       (str.isalnum + underscore)
+#   \s  ->  space separators Z* plus the control whitespace Python adds
+_RE2_NONWORD = r"[^\p{L}\p{N}_']+"
+_RE2_SPACE_CC = r"\t\n\x0B\f\r \x1C-\x1F\x85\p{Z}"
+
 
 def language_id(texts: list[str]) -> list[str]:
     """Heuristic language ID: CJK codepoint share first, then stopword
-    profile overlap; 'und' when nothing matches."""
+    profile overlap; 'und' when nothing matches. Scalar reference — the
+    production path is the vectorized `add_language`."""
     out = []
     for t in texts:
         if not t:
@@ -50,19 +63,85 @@ def language_id(texts: list[str]) -> list[str]:
     return out
 
 
-def add_language(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    col = batch[text_column]
+def _combined(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return batch.append_column("lang_pred", pa.array(language_id(col.to_pylist()), pa.string()))
+    return col
+
+
+def _list_offsets(list_arr) -> np.ndarray:
+    if isinstance(list_arr, pa.ChunkedArray):
+        list_arr = list_arr.combine_chunks()
+    return list_arr.offsets.to_numpy()
+
+
+def add_language(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Vectorized language ID. One regex tokenizer pass over the first
+    2000 codepoints, then per-profile distinct-word membership via
+    hash lookup (pc.index_in) — no per-row Python."""
+    col = pc.fill_null(_combined(batch[text_column]), "")
+    n = len(col)
+
+    head = pc.utf8_slice_codeunits(col, 0, 400)
+    headlen = pc.utf8_length(head).to_numpy(zero_copy_only=False).astype(np.int64)
+    cjk = (
+        pc.count_substring_regex(head, "[一-鿿]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    zh = cjk > headlen * 0.2
+
+    body = pc.utf8_lower(pc.utf8_slice_codeunits(col, 0, 2000))
+    toks = pc.split_pattern_regex(body, _RE2_NONWORD)
+    offs = _list_offsets(toks)
+    flat = _combined(pc.list_flatten(toks))
+    row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+
+    langs = list(_LANG_PROFILES)
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        profile = pa.array(sorted(_LANG_PROFILES[lang]))
+        idx = pc.index_in(flat, value_set=profile).to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(idx)
+        if hit.any():
+            # distinct (row, profile-word) pairs: set-intersection size
+            pairs = np.unique(row_of[hit] * 16 + idx[hit].astype(np.int64))
+            scores[:, j] = np.bincount(pairs >> 4, minlength=n)
+
+    best = np.argmax(scores, axis=1)  # first max wins == dict-order tie-break
+    lang_arr = np.array(langs)
+    pred = np.where(scores[np.arange(n), best] >= 1, lang_arr[best], "und")
+    pred = np.where(zh, "zh", pred)
+    return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+
+
+def _stopword_ratio(col: pa.Array, cap: int = 500) -> np.ndarray:
+    """Fraction of the first `cap` whitespace tokens that are stopwords
+    (any language profile). Segment-cumsum form of
+    `sum(w in stops for w in t.lower().split()[:cap]) / len(...)`."""
+    lw = pc.utf8_split_whitespace(pc.utf8_lower(col))
+    offs = _list_offsets(lw)
+    flat = _combined(pc.list_flatten(lw))
+    # utf8_split_whitespace emits '' edge tokens that str.split() drops
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(np.int64)
+    all_stops = pa.array(sorted(set().union(*_LANG_PROFILES.values())))
+    member = pc.is_in(flat, value_set=all_stops).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    cum_ne = np.concatenate([[0], np.cumsum(nonempty)])
+    cum_stop = np.concatenate([[0], np.cumsum(member & nonempty)])
+    start, end = offs[:-1], offs[1:]
+    total = cum_ne[end] - cum_ne[start]
+    capped = np.minimum(total, cap)
+    # index where the capped-th non-empty token is reached
+    stop_at = np.searchsorted(cum_ne, cum_ne[start] + capped, side="left")
+    stops = cum_stop[stop_at] - cum_stop[start]
+    return np.where(capped > 0, stops / np.maximum(capped, 1), 0.0)
 
 
 def add_quality(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Length / punctuation / stopword / alpha ratios + a 0..1 quality
     score — the standard cheap quality gates for corpus filtering."""
-    col = batch[text_column]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    col = _combined(batch[text_column])
     n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
     n_alpha = pc.count_substring_regex(col, r"[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.float64)
     n_punct = pc.count_substring_regex(col, r"[\.,;:!\?]").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -75,13 +154,7 @@ def add_quality(batch: pa.Table, text_column: str = "text") -> pa.Table:
     space_ratio = n_space / safe
     mean_token_len = np.where(tokens > 0, (n_chars - n_space) / np.maximum(tokens, 1), 0.0)
 
-    texts = col.to_pylist()
-    stop_ratios = np.zeros(len(texts))
-    all_stops = set().union(*_LANG_PROFILES.values())
-    for i, t in enumerate(texts):
-        ws = t.lower().split()[:500]
-        if ws:
-            stop_ratios[i] = sum(1 for w in ws if w in all_stops) / len(ws)
+    stop_ratios = _stopword_ratio(col)
 
     quality = np.clip(
         0.3 * np.clip(alpha_ratio / 0.7, 0, 1)
@@ -100,12 +173,16 @@ def add_quality(batch: pa.Table, text_column: str = "text") -> pa.Table:
 
 
 def add_token_counts(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    """Whitespace token count + BPE-ish regex token count."""
-    col = batch[text_column]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    """Whitespace token count + BPE-ish regex token count. The BPE
+    count decomposes the alternation `[A-Za-z]+|\\d+|[^\\s\\w\\d]` into
+    three independent RE2 counts (letter runs never contain digits, so
+    the split is exact)."""
+    col = _combined(batch[text_column])
     ws = pc.list_value_length(pc.utf8_split_whitespace(col)).cast(pa.int64())
-    bpe = pa.array([len(_BPE_RE.findall(t)) for t in col.to_pylist()], pa.int64())
+    letter_runs = pc.count_substring_regex(col, r"[A-Za-z]+")
+    digit_runs = pc.count_substring_regex(col, r"\p{Nd}+")
+    other_chars = pc.count_substring_regex(col, rf"[^{_RE2_SPACE_CC}A-Za-z\p{{Nd}}]")
+    bpe = pc.add(pc.add(letter_runs, digit_runs), other_chars).cast(pa.int64())
     batch = batch.append_column("ws_tokens", ws)
     return batch.append_column("bpe_tokens", bpe)
 
@@ -113,8 +190,6 @@ def add_token_counts(batch: pa.Table, text_column: str = "text") -> pa.Table:
 def add_doc_fingerprint(batch: pa.Table, text_column: str = "text", seed: int = 0) -> pa.Table:
     """64-bit rolling content fingerprint (seeded AES hash of the text
     tape) — the content-addressed doc id for lineage."""
-    col = batch[text_column]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    col = _combined(batch[text_column])
     tape, offsets = tape_of(col)
     return batch.append_column("doc_fp", pa.array(szhash.hash_batch(tape, offsets, seed), pa.uint64()))

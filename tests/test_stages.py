@@ -162,6 +162,36 @@ def test_textstats(ray_session, docs_table):
     assert fp1 == fp2 and len(set(fp1)) == 3
 
 
+def test_textstats_vectorized_parity(ray_session, docs_table):
+    """The Arrow/NumPy-vectorized featurizers must agree with the scalar
+    reference implementations on real corpus text + edge cases."""
+    import re as _re
+
+    from stringzilla_ray.stages import textstats as T
+
+    texts = docs_table["text"].to_pylist()[:300] + [
+        "", "  leading and trailing  ", "the " * 700,
+        "一二三四五六七八九十" * 50,
+        "für die Straße, naïve café — 12½ x_9 don't it's",
+        "la ülala la", "tabs\tand\nnews", "a" * 5000, "the",
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+
+    assert T.add_language(t)["lang_pred"].to_pylist() == T.language_id(texts)
+
+    all_stops = set().union(*T._LANG_PROFILES.values())
+
+    def stop_ref(s):
+        ws = s.lower().split()[:500]
+        return sum(1 for w in ws if w in all_stops) / len(ws) if ws else 0.0
+
+    got = T.add_quality(t)["stopword_ratio"].to_numpy()
+    np.testing.assert_allclose(got, [stop_ref(s) for s in texts], atol=1e-12)
+
+    bpe = T.add_token_counts(t)["bpe_tokens"].to_pylist()
+    assert bpe == [len(T._BPE_RE.findall(s)) for s in texts]
+
+
 def test_ann_topk(ray_session):
     import ray.data
 
