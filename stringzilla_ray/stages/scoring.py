@@ -374,7 +374,8 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
 
     from stringzilla_ray.util import actor_pool_limits as _apl
 
-    meta_ref = ray.put(_pack_sig_arrays(signed, id_column))
+    meta = _pack_sig_arrays(signed, id_column)
+    meta_ref = ray.put(meta)
     # map_batches parallelism is per BLOCK; blocked_pairs' bucket-dedupe
     # already emits ~4 blocks/CPU, so only re-split when the pair table
     # arrives under-partitioned (e.g. a single-block tiny run) — a full
@@ -398,15 +399,40 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     if not pend_parts:
         return decided
     pend = pa.concat_tables(pend_parts)
-    needed = np.unique(
-        np.concatenate([pend["left"].to_numpy(), pend["right"].to_numpy()])
-    )
+    left = pend["left"].to_numpy(zero_copy_only=False)
+    right = pend["right"].to_numpy(zero_copy_only=False)
+    needed = np.unique(np.concatenate([left, right]))
     docs_ref = ray.put(_fetch_docs_for_ids(signed, id_column, needed))
-    dp_scored = rd.from_arrow(pend).map_batches(
+    # The DP cost per pair is ~m^2 with m = min(len, cap), so a single
+    # block would serialize the whole banded-DP budget on one core (and
+    # pad short docs up to the block max). Sort by m and cut the table
+    # at equal-cost boundaries: every task gets a length-homogeneous,
+    # equal-work slice.
+    sorted_ids, perm, lens = meta[0], meta[1], meta[2]
+    llen = lens[perm[np.searchsorted(sorted_ids, left)]]
+    rlen = lens[perm[np.searchsorted(sorted_ids, right)]]
+    m = np.minimum(np.minimum(llen, rlen), cfg.score_prefix_bytes)
+    order = np.argsort(m, kind="stable")
+    pend = pend.take(pa.array(order))
+    cost = np.cumsum(m[order].astype(np.float64) ** 2 + 1.0)
+    ntasks = int(min(len(pend), _apl()[1] * 4))
+    bounds = np.unique(
+        np.searchsorted(cost, np.linspace(0.0, cost[-1], ntasks + 1)[1:-1])
+    )
+    starts = np.concatenate([[0], bounds, [len(pend)]])
+    slices = [
+        pend.slice(int(s), int(e - s))
+        for s, e in zip(starts[:-1], starts[1:])
+        if e > s
+    ]
+    # batch_size=None: map_batches would otherwise BUNDLE the small
+    # equal-cost blocks back into one ~batch_size-row task, serializing
+    # the whole DP budget on one core again.
+    dp_scored = rd.from_arrow(slices).map_batches(
         _dp_score_pending,
         fn_kwargs=dict(docs_ref=docs_ref, cfg=cfg),
         batch_format="pyarrow",
-        batch_size=cfg.scoring_batch_size,
+        batch_size=None,
     )
     if match_only:
         dp_scored = dp_scored.filter(expr="is_match == True")
