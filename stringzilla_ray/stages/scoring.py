@@ -225,28 +225,35 @@ def score_pair_core(left_ids, right_ids, llen, rlen,
     )
 
 
+@ray.remote
+def _decode_sig_block(tbl: pa.Table, id_column: str):
+    col = tbl[id_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return (
+        col.to_numpy(zero_copy_only=False),
+        tbl["doc_bytes_norm"].to_numpy(zero_copy_only=False),
+        _decode_sigs(tbl["minhash"]),
+        _decode_sigs(tbl["prefix_minhash"]),
+    )
+
+
 def _pack_sig_arrays(signed, id_column: str):
     """Columnar SIGNATURE broadcast payload: (sorted ids, permutation,
     doc lengths, sig matrix, prefix-sig matrix). ~10x smaller than the
     docs themselves (the round-1 design shipped the whole doc tape
-    through the driver — the pipeline's largest serial stage); the few
-    pairs that reach the DP fetch their doc bytes separately."""
-    ids_parts, len_parts, sig_parts, psig_parts = [], [], [], []
-    for batch in signed.select_columns(
+    through the driver — the pipeline's largest serial stage). The
+    per-block decode runs in parallel stateless tasks over the block
+    refs; the driver only concatenates + argsorts."""
+    refs = signed.select_columns(
         [id_column, "doc_bytes_norm", "minhash", "prefix_minhash"]
-    ).iter_batches(batch_size=16384, batch_format="pyarrow"):
-        col = batch[id_column]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        ids_parts.append(col.to_numpy(zero_copy_only=False))
-        len_parts.append(batch["doc_bytes_norm"].to_numpy(zero_copy_only=False))
-        sig_parts.append(_decode_sigs(batch["minhash"]))
-        psig_parts.append(_decode_sigs(batch["prefix_minhash"]))
-
-    ids = np.concatenate(ids_parts)
-    lens = np.concatenate(len_parts).astype(np.int64)
-    sigs = np.vstack(sig_parts)
-    psigs = np.vstack(psig_parts)
+    ).to_arrow_refs()
+    parts = ray.get([_decode_sig_block.remote(r, id_column) for r in refs])
+    parts = [p for p in parts if len(p[0])]
+    ids = np.concatenate([p[0] for p in parts])
+    lens = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    sigs = np.vstack([p[2] for p in parts])
+    psigs = np.vstack([p[3] for p in parts])
     order = np.argsort(ids, kind="stable")
     return (ids[order], order.astype(np.int64), lens, sigs, psigs)
 
