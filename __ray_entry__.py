@@ -47,7 +47,7 @@ def _synth_transcripts(sf_dir: str):
     scale = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
     entities = {"sf0.001": 30, "sf0.01": 90, "sf0.1": 300}.get(scale, 30)
     # v3: Heaps-law seed-tagged vocabulary in synth — busts older caches
-    cache = f"/tmp/stringzilla_ray_corpus/{scale}-v3seed42-e{entities}"
+    cache = f"/tmp/stringzilla_ray_corpus/{scale}-v4seed42-e{entities}"
     tpath = os.path.join(cache, "transcripts.parquet")
     if not os.path.exists(tpath):
         synth.write_corpus(cache, seed=42, entities=entities)

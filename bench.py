@@ -48,7 +48,7 @@ def _corpus_path(sf_name: str) -> str:
         # "K nodes, K data regions" model) — a single corpus at
         # K*entities instead grows its viral cloud K-fold and work per
         # turn stops being constant.
-        cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v3multi{shards}-e{entities}"
+        cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v4multi{shards}-e{entities}"
         tpath = os.path.join(cache, "transcripts.parquet")
         if not os.path.exists(tpath):
             synth.write_corpus_multi(
@@ -56,7 +56,7 @@ def _corpus_path(sf_name: str) -> str:
             )
         return tpath
     # v3: Heaps-law seed-tagged vocabulary (synth._vocab_for)
-    cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v3seed42-e{entities}"
+    cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v4seed42-e{entities}"
     tpath = os.path.join(cache, "transcripts.parquet")
     if not os.path.exists(tpath):
         synth.write_corpus(cache, seed=42, entities=entities)

@@ -44,11 +44,14 @@ def resolve_entities(
     cfg: ERConfig | None = None,
     checkpoint_dir: str | None = None,
     input_token: str | None = None,
+    canonical: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """transcripts (conv_id, turn_idx, role, text, tool, ts) ->
     clusters (conv_id, cluster_id). ``input_token`` (a fingerprint of
     the source, e.g. checkpoint.input_token_for_path) gates checkpoint
-    reuse on the INPUT as well as the config."""
+    reuse on the INPUT as well as the config. ``canonical`` supplies a
+    pre-canonicalized dataset (the locality-aware parquet path) in
+    place of ``canonicalize(transcripts)``."""
     cfg = cfg or ERConfig()
     h = cfg.params_hash()
     parts = join_partitions(cfg.join_num_partitions)
@@ -57,7 +60,9 @@ def resolve_entities(
         "signatures",
         checkpoint_dir,
         h,
-        lambda: fingerprint_stage(canonicalize(transcripts), cfg),
+        lambda: fingerprint_stage(
+            canonical if canonical is not None else canonicalize(transcripts), cfg
+        ),
         input_token=input_token,
     )
     if checkpoint_dir is None:
@@ -233,12 +238,25 @@ def run_er_on_parquet(
     cfg: ERConfig | None = None,
     checkpoint_dir: str | None = None,
 ) -> "ray.data.Dataset":
+    cfg = cfg or ERConfig()
+    from stringzilla_ray.state.checkpoint import input_token_for_path
+
+    token = input_token_for_path(transcripts_path) if checkpoint_dir else None
+    if cfg.locality_canonicalize:
+        from stringzilla_ray.stages.canonicalize import canonicalize_parquet
+        from stringzilla_ray.util import actor_pool_limits
+
+        canonical = canonicalize_parquet(
+            transcripts_path,
+            census_driver_rows=cfg.census_driver_rows,
+            output_blocks=actor_pool_limits()[1] * 3,
+        )
+        return resolve_entities(
+            None, cfg, checkpoint_dir, input_token=token, canonical=canonical
+        )
     transcripts = ray.data.read_parquet(
         transcripts_path,
         columns=["conv_id", "turn_idx", "role", "text"],
         override_num_blocks=_read_blocks_for(transcripts_path),
     )
-    from stringzilla_ray.state.checkpoint import input_token_for_path
-
-    token = input_token_for_path(transcripts_path) if checkpoint_dir else None
     return resolve_entities(transcripts, cfg, checkpoint_dir, input_token=token)

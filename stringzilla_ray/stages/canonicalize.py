@@ -52,17 +52,20 @@ _PIECE_SCHEMA = pa.schema(
 )
 
 
-def _assemble_sorted_batch(batch: pa.Table) -> pa.Table:
+def _assemble_sorted_batch(batch: pa.Table, fuse_hash: bool = True) -> pa.Table:
     """Vectorized doc assembly over a (conv_id, turn_idx)-sorted slice.
 
     Zero per-row Python: one element-wise join builds the turn strings,
     one list-join per block builds the docs. The first and last
     conversation of the slice may continue in neighbouring slices, so
     they are emitted as ``edge=1`` pieces for the (tiny) merge pass.
+    ``fuse_hash=False`` defers content hashing/normalization to a later
+    (better-parallelized) stage.
     """
     n = len(batch)
     if n == 0:
-        return add_content_hash(_PIECE_SCHEMA.empty_table())
+        empty = _PIECE_SCHEMA.empty_table()
+        return add_content_hash(empty) if fuse_hash else empty
     conv = batch["conv_id"]
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
@@ -98,7 +101,7 @@ def _assemble_sorted_batch(batch: pa.Table) -> pa.Table:
     # Fused hashing: the content hash + normalized view are computed in
     # the SAME task (one fewer full-corpus map stage + barrier). Edge
     # pieces get re-hashed after stitching; wasted work is 2 rows/block.
-    return add_content_hash(out)
+    return add_content_hash(out) if fuse_hash else out
 
 
 # Explicit ASCII whitespace class: Python's \s would ALSO match the
@@ -178,6 +181,207 @@ def _assemble_shard_group(group: pa.Table) -> pa.Table:
     )
     out = _assemble_sorted_batch(group)
     return out.drop_columns(["first_turn", "edge"])
+
+
+def _assemble_complete(batch: pa.Table, fuse_hash: bool = True) -> pa.Table:
+    """Assemble a table KNOWN to hold only complete conversations:
+    local Arrow sort by (conv_id, turn_idx), segmented vectorized join
+    — no edge pieces. With ``fuse_hash=False`` the heavy content
+    hash + normalization are left to a downstream stage."""
+    if len(batch):
+        batch = batch.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    out = _assemble_sorted_batch(batch, fuse_hash=fuse_hash)
+    return out.drop_columns(["first_turn", "edge"])
+
+
+def _parquet_fragments(path: str) -> list[tuple[str, int]]:
+    """(file, row_group_index) descriptors for a parquet file or dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    return [(f, i) for f in files for i in range(pq.ParquetFile(f).num_row_groups)]
+
+
+def _conv_hash_col(conv: pa.Array) -> np.ndarray:
+    from stringzilla_ray.stages.blocking import _conv_hashes
+
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    return _conv_hashes(conv).view(np.int64)
+
+
+def _census_rg(batch: pa.Table) -> pa.Table:
+    """Distinct conversation hashes per row group (column-pruned read)."""
+    import pyarrow.parquet as pq
+
+    parts = []
+    for f, rg in zip(batch["file"].to_pylist(), batch["rg"].to_pylist()):
+        t = pq.ParquetFile(f).read_row_group(rg, columns=["conv_id"])
+        parts.append(np.unique(_conv_hash_col(t["conv_id"])))
+    h = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    return pa.table({"conv_hash": pa.array(h, pa.int64())})
+
+
+def _split_mask(conv: pa.Array, split_ref) -> np.ndarray:
+    import ray
+
+    want = ray.get(split_ref)
+    h = _conv_hash_col(conv)
+    if len(want) == 0:
+        return np.zeros(len(h), dtype=bool)
+    pos = np.minimum(np.searchsorted(want, h), len(want) - 1)
+    return want[pos] == h
+
+
+def _assemble_local_rg(batch: pa.Table, split_ref=None,
+                       columns=("conv_id", "turn_idx", "role", "text")) -> pa.Table:
+    """Read a row group and assemble every NON-spanning conversation in
+    place — the bulk of the corpus never enters a shuffle."""
+    import pyarrow.parquet as pq
+
+    outs = []
+    for f, rg in zip(batch["file"].to_pylist(), batch["rg"].to_pylist()):
+        t = pq.ParquetFile(f).read_row_group(rg, columns=list(columns))
+        mask = _split_mask(t["conv_id"], split_ref)
+        if mask.any():
+            t = t.filter(pa.array(~mask))
+        # fuse_hash=False: a row group is ONE task, so the expensive
+        # hash+normalize would serialize here; it runs after the
+        # split-only repartition instead, fused into the next map stage.
+        outs.append(_assemble_complete(t, fuse_hash=False))
+    return pa.concat_tables(outs)
+
+
+def _split_rows_rg(batch: pa.Table, split_ref=None,
+                   columns=("conv_id", "turn_idx", "role", "text")) -> pa.Table:
+    """Raw turn rows of the boundary-spanning conversations only."""
+    import pyarrow.parquet as pq
+
+    outs = []
+    for f, rg in zip(batch["file"].to_pylist(), batch["rg"].to_pylist()):
+        pf = pq.ParquetFile(f)
+        ids = pf.read_row_group(rg, columns=["conv_id"])
+        mask = _split_mask(ids["conv_id"], split_ref)
+        if not mask.any():
+            continue
+        t = pf.read_row_group(rg, columns=list(columns))
+        outs.append(t.filter(pa.array(mask)))
+    if not outs:
+        return pa.schema(
+            [("conv_id", pa.string()), ("turn_idx", pa.int64()),
+             ("role", pa.string()), ("text", pa.string())]
+        ).empty_table()
+    return pa.concat_tables(outs)
+
+
+def _spanning_hashes(census, driver_rows_gate: int) -> np.ndarray:
+    """Sorted int64 hashes of conversations whose turns appear in more
+    than one row group (their hash occurs >1 time in the per-row-group
+    distinct census). Driver np.unique below the gate, shard groupby
+    above it."""
+    import ray
+
+    census = census.materialize()
+    if census.count() <= driver_rows_gate:
+        parts = [t for t in ray.get(census.to_arrow_refs()) if len(t)]
+        if not parts:
+            return np.zeros(0, np.int64)
+        h = np.sort(np.concatenate([t["conv_hash"].to_numpy() for t in parts]))
+        dup = np.concatenate([[False], h[1:] == h[:-1]])
+        return np.unique(h[dup])
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_buckets = reduce_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["conv_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = (splitmix64(k ^ np.uint64(0x5C)) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def dups_in_bucket(g: pa.Table) -> pa.Table:
+        h = np.sort(g["conv_hash"].to_numpy(zero_copy_only=False))
+        dup = np.concatenate([[False], h[1:] == h[:-1]]) if len(h) else np.zeros(0, bool)
+        return pa.table({"conv_hash": pa.array(np.unique(h[dup]), pa.int64())})
+
+    dups = (
+        census.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dups_in_bucket, batch_format="pyarrow")
+    )
+    parts = [t for t in ray.get(dups.to_arrow_refs()) if len(t)]
+    if not parts:
+        return np.zeros(0, np.int64)
+    return np.sort(np.concatenate([t["conv_hash"].to_numpy() for t in parts]))
+
+
+def canonicalize_parquet(path: str, census_driver_rows: int = 20_000_000,
+                         output_blocks: int | None = None) -> "ray.data.Dataset":  # noqa: F821
+    """Locality-aware canonicalize over a parquet file/dir.
+
+    Conversations in transcript logs are temporally local: almost every
+    conversation's turns land inside one parquet row group (the unit a
+    writer flushes). Exploit that instead of shuffling the full text
+    corpus:
+
+      1. census — per row group, the distinct conv hashes (a pruned
+         conv_id-only columnar read, ~8 bytes per conversation);
+      2. spanning set — hashes occurring in >1 row group (exact: a
+         spanning conversation's hash MUST appear in each group it
+         touches). Driver np.unique below ``census_driver_rows``,
+         shard-groupby twin above it;
+      3. assemble — each row group sorts + joins its non-spanning
+         conversations IN PLACE (zero shuffle bytes); only spanning
+         conversations' raw turns take the existing hash-shard groupby.
+
+    Hash collisions are safe: a collision can only move a conversation
+    into the shuffle path (assembly itself keys on conv_id strings).
+    Degrades gracefully — with every conversation spanning, everything
+    routes to the shuffle path and behavior matches ``canonicalize``.
+    ``output_blocks`` re-splits the assembled output so downstream
+    map_batches stages see more than one task per row group.
+    """
+    import ray
+    import ray.data
+
+    frags = _parquet_fragments(path)
+    desc = ray.data.from_items(
+        [{"file": f, "rg": i} for f, i in frags],
+        override_num_blocks=max(1, len(frags)),
+    )
+    census = desc.map_batches(_census_rg, batch_format="pyarrow", batch_size=None)
+    split = _spanning_hashes(census, census_driver_rows)
+    split_ref = ray.put(split)
+    local = desc.map_batches(
+        _assemble_local_rg, fn_kwargs=dict(split_ref=split_ref),
+        batch_format="pyarrow", batch_size=None,
+    )
+    # Split-only repartition (no shuffle): row-group tasks emit one
+    # block each, which would cap every downstream map stage at
+    # #row-groups tasks. Then hash+normalize — deliberately NOT fused
+    # into the assembly task — runs over the resplit blocks, and Ray
+    # fuses it with whatever map stage consumes the canonical docs.
+    if output_blocks and len(frags) < output_blocks:
+        local = local.repartition(output_blocks)
+    local = local.map_batches(add_content_hash, batch_format="pyarrow")
+    if len(split):
+        raw = desc.map_batches(
+            _split_rows_rg, fn_kwargs=dict(split_ref=split_ref),
+            batch_format="pyarrow", batch_size=None,
+        )
+        local = local.union(canonicalize(raw))
+    return local
 
 
 def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821

@@ -64,6 +64,17 @@ class ERConfig:
     # Clustering
     max_lp_iters: int = 12
 
+    # Locality-aware canonicalize: conversations are temporally local
+    # in real transcript logs, so almost every conversation's turns sit
+    # inside one parquet row group. Assembly then runs IN PLACE per row
+    # group and only the census-detected boundary-spanning conversations
+    # take the hash shuffle — the full-text all-to-all disappears.
+    locality_canonicalize: bool = False
+    # Above this many census rows (distinct conv hashes summed over row
+    # groups) the spanning-conversation detection runs as a shard
+    # groupby instead of one driver np.unique.
+    census_driver_rows: int = 20_000_000
+
     # Execution
     fingerprint_batch_size: int = 512
     scoring_batch_size: int = 2048

@@ -199,7 +199,10 @@ def write_corpus(out_dir: str, seed: int = 42, entities: int = 200) -> tuple[str
     transcripts, truth = generate_transcripts(seed=seed, entities=entities)
     tpath = os.path.join(out_dir, "transcripts.parquet")
     gpath = os.path.join(out_dir, "truth.parquet")
-    pq.write_table(transcripts, tpath)
+    # 128k-row row groups: a realistic writer-flush size, and the unit
+    # of read parallelism — one multi-million-row row group serializes
+    # the whole parquet read into a single task.
+    pq.write_table(transcripts, tpath, row_group_size=131072)
     pq.write_table(truth, gpath)
     return tpath, gpath
 
@@ -237,6 +240,6 @@ def write_corpus_multi(out_dir: str, seeds: tuple[int, ...],
         }))
     tpath = os.path.join(out_dir, "transcripts.parquet")
     gpath = os.path.join(out_dir, "truth.parquet")
-    pq.write_table(pa.concat_tables(t_parts), tpath)
+    pq.write_table(pa.concat_tables(t_parts), tpath, row_group_size=131072)
     pq.write_table(pa.concat_tables(g_parts), gpath)
     return tpath, gpath

@@ -101,3 +101,26 @@ def test_flagship_parallelism_invariance(ray_session, corpus):
     ca = resolve_entities(a, ERConfig()).to_pandas().sort_values("conv_id").reset_index(drop=True)
     cb = resolve_entities(b, ERConfig()).to_pandas().sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(ca, cb)
+
+
+def test_canonicalize_parquet_equivalence(ray_session, corpus, tmp_path):
+    """The locality-aware parquet canonicalize must emit exactly the
+    shuffle path's rows — including when conversations span row-group
+    boundaries (tiny row groups force ~every conversation to span)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from stringzilla_ray.stages.canonicalize import canonicalize_parquet
+
+    transcripts, _ = corpus
+    base = canonicalize(ray.data.from_arrow(transcripts)).to_pandas()
+    base = base.sort_values("conv_id").reset_index(drop=True)
+
+    for name, rgs in (("span.parquet", 97), ("local.parquet", 10_000_000)):
+        p = str(tmp_path / name)
+        pq.write_table(transcripts, p, row_group_size=rgs)
+        got = canonicalize_parquet(p).to_pandas().sort_values("conv_id").reset_index(drop=True)
+        assert len(got) == len(base)
+        for col in ("conv_id", "doc", "n_turns", "content_hash", "norm_doc",
+                    "doc_bytes", "doc_bytes_norm"):
+            assert (got[col].values == base[col].values).all(), (name, col)
