@@ -48,19 +48,40 @@ def exact_dedup(ds, id_column: str, text_column: str = "text", seed: int = 0):
     tie-break by minimum id reproduces the reference's stable-first
     semantics for duplicate keys (sort.h stability contract).
     """
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
     hashed = ds.map_batches(
         lambda b: add_text_hash(b, text_column, seed), batch_format="pyarrow"
     )
-    winners = (
-        hashed.groupby("text_hash")
-        .min(id_column)
-        .rename_columns({f"min({id_column})": id_column})
-    )
-    return winners.join(
-        hashed,
-        join_type="inner",
-        num_partitions=__import__("stringzilla_ray.util", fromlist=["join_partitions"]).join_partitions(16),
-        on=("text_hash", id_column),
+    n_buckets = reduce_buckets()
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        k = t["text_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        s = (splitmix64(k ^ np.uint64(0x33)) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("shard", pa.array(s, pa.int32()))
+
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        # the shard owns every row of each of its hash groups, so a
+        # local sort + segment-first IS the global min-id winner
+        t = g.drop_columns(["shard"]).sort_by(
+            [("text_hash", "ascending"), (id_column, "ascending")]
+        )
+        hs = t["text_hash"].to_numpy()
+        first = (
+            np.concatenate([[True], hs[1:] != hs[:-1]])
+            if len(hs)
+            else np.zeros(0, bool)
+        )
+        return t.take(pa.array(np.nonzero(first)[0], pa.int64()))
+
+    # ONE shard-groupby (rows move once); the old groupby-min + hash
+    # join shape moved the keys AND the rows and paid multi-second
+    # join-aggregator spin-up on every call.
+    return (
+        hashed.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(first_per_hash, batch_format="pyarrow")
     )
 
 
