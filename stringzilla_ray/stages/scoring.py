@@ -227,6 +227,10 @@ def score_pair_core(left_ids, right_ids, llen, rlen,
 
 @ray.remote
 def _decode_sig_block(tbl: pa.Table, id_column: str):
+    # project INSIDE the task: the block ref is a zero-copy plasma
+    # mmap, so selecting four columns here avoids a whole
+    # select_columns execution round before the decode tasks
+    tbl = tbl.select([id_column, "doc_bytes_norm", "minhash", "prefix_minhash"])
     col = tbl[id_column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -243,11 +247,9 @@ def _pack_sig_arrays(signed, id_column: str):
     doc lengths, sig matrix, prefix-sig matrix). ~10x smaller than the
     docs themselves (the round-1 design shipped the whole doc tape
     through the driver — the pipeline's largest serial stage). The
-    per-block decode runs in parallel stateless tasks over the block
-    refs; the driver only concatenates + argsorts."""
-    refs = signed.select_columns(
-        [id_column, "doc_bytes_norm", "minhash", "prefix_minhash"]
-    ).to_arrow_refs()
+    per-block project+decode runs in parallel stateless tasks over the
+    block refs; the driver only concatenates + argsorts."""
+    refs = signed.to_arrow_refs()
     parts = ray.get([_decode_sig_block.remote(r, id_column) for r in refs])
     parts = [p for p in parts if len(p[0])]
     ids = np.concatenate([p[0] for p in parts])
