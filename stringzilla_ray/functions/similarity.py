@@ -73,10 +73,6 @@ def utf8_to_padded(items: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
-def _gather_results(snap: np.ndarray) -> np.ndarray:
-    return snap
-
-
 def levenshtein_batch(
     a_items: list[bytes] | tuple[np.ndarray, np.ndarray],
     b_items: list[bytes] | tuple[np.ndarray, np.ndarray],

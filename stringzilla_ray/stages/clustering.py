@@ -144,6 +144,32 @@ def _union_find_clusters(nodes, edges, id_column: str = "conv_id"):
     return nodes.select_columns([id_column]).map_batches(assign, batch_format="pyarrow")
 
 
+def _cc_block_task_fn(*tables):
+    import numpy as np
+
+    tabs = [t.select(["left", "right"]) for t in tables if len(t)]
+    if not tabs:
+        z = np.zeros(0, dtype=np.int64)
+        return (z, z)
+    tbl = pa.concat_tables(tabs)
+    return _cc_roots(
+        tbl["left"].to_numpy(zero_copy_only=False),
+        tbl["right"].to_numpy(zero_copy_only=False),
+    )
+
+
+_cc_block_task = None
+
+
+def _get_cc_task():
+    global _cc_block_task
+    if _cc_block_task is None:
+        import ray
+
+        _cc_block_task = ray.remote(_cc_block_task_fn)
+    return _cc_block_task
+
+
 def assign_clusters(members, edges, cfg: ERConfig, node_column: str = "content_hash",
                     out_column: str = "cluster_id"):
     """Cluster ER-graph nodes and assign every member row directly.
@@ -158,18 +184,15 @@ def assign_clusters(members, edges, cfg: ERConfig, node_column: str = "content_h
     """
     sym_count = edges.count()
     if sym_count <= DRIVER_UNION_FIND_MAX_EDGES:
-        import numpy as np
-
         import ray
 
-        left, right = _edges_to_numpy(edges)
-        if left is not None:
-            sorted_ids, root_of = _cc_roots(left, right)
-        else:
-            sorted_ids = np.zeros(0, dtype=np.int64)
-            root_of = sorted_ids
-
-        roots_ref = ray.put((sorted_ids, root_of))
+        # One remote task concatenates the edge blocks (zero-copy
+        # plasma reads) and runs the pointer-jumping CC; its return
+        # ref IS the broadcast root map. The edge arrays never touch
+        # the driver, and the task lands on a warm worker heap (a
+        # fresh driver pays multi-second first-touch page faults for
+        # the same arrays).
+        roots_ref = _get_cc_task().remote(*edges.to_arrow_refs())
 
         def assign(batch: pa.Table, roots_ref=roots_ref) -> pa.Table:
             import numpy as _np
