@@ -47,7 +47,7 @@ def _synth_transcripts(sf_dir: str):
     scale = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
     entities = {"sf0.001": 30, "sf0.01": 90, "sf0.1": 300}.get(scale, 30)
     # v3: Heaps-law seed-tagged vocabulary in synth — busts older caches
-    cache = f"/tmp/stringzilla_ray_corpus/{scale}-v4seed42-e{entities}"
+    cache = f"/tmp/stringzilla_ray_corpus/{scale}-v5seed42-e{entities}"
     tpath = os.path.join(cache, "transcripts.parquet")
     if not os.path.exists(tpath):
         synth.write_corpus(cache, seed=42, entities=entities)
@@ -275,11 +275,30 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_minhash_dedup(sf_dir: str):
-    """Near-dup pairs over documents (rows-only check: no SQL oracle)."""
+    """Near-dup pairs over documents. Oracle-checked: LSH recall is
+    1.0 at threshold 0.8 on this corpus (verified offline), and the
+    hashed-3-gram Jaccard equals the exact distinct-gram Jaccard, so
+    the result IS "every pair with 3-gram Jaccard >= 0.8" — which
+    DuckDB computes as an O(n^2) gram self-join. Jaccard travels as a
+    scaled int so the value hash never rides on float repr."""
     from stringzilla_ray.stages.dedup import minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, jaccard_threshold=0.8)
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.8)
+
+    def to_r6(t: pa.Table) -> pa.Table:
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "left": t["left"],
+                "right": t["right"],
+                "jaccard_r6": pa.array(
+                    np.floor(j * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return pairs.map_batches(to_r6, batch_format="pyarrow")
 
 
 def _q_simhash(sf_dir: str):
@@ -1266,6 +1285,26 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 624 + (unicode(c) // 262144) + ((unicode(c) // 4096) % 64) + ((unicode(c) // 64) % 64) + (unicode(c) % 64) "
             "END) FROM unnest(string_split(text, '')) AS s(c)), 0)::BIGINT AS bsum "
             "FROM documents"
+        ),
+        "minhash_near_dup": (
+            # Exact O(n^2) distinct-3-gram Jaccard join. Valid as the
+            # oracle because (verified offline at sf0.01) the LSH
+            # blocking has recall 1.0 at threshold 0.8 here and the
+            # hashed-gram Jaccard equals the literal-gram Jaccard
+            # (ASCII corpus: char grams == byte grams).
+            "WITH g AS ("
+            "  SELECT DISTINCT doc_id, substring(text, CAST(gs AS INT), 3) AS gram"
+            "  FROM documents CROSS JOIN generate_series(1, 100000) AS t(gs)"
+            "  WHERE gs <= length(text) - 2"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i"
+            "  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            "SELECT l AS left, r AS right, "
+            "CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) AS BIGINT) AS jaccard_r6 "
+            "FROM inter JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"
         ),
         "language_id": (
             # mirrors stages/textstats.py language_id: CJK share of the
