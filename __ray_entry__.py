@@ -30,9 +30,9 @@ import pyarrow.parquet as pq
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
+    from stringzilla_ray.util import read_parquet_clean
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def _synth_transcripts(sf_dir: str):
@@ -46,7 +46,7 @@ def _synth_transcripts(sf_dir: str):
 
     scale = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
     entities = {"sf0.001": 30, "sf0.01": 90, "sf0.1": 300}.get(scale, 30)
-    # v3: Heaps-law seed-tagged vocabulary in synth — busts older caches
+    # v5: Heaps-law seed-tagged vocabulary + sharded part files
     cache = f"/tmp/stringzilla_ray_corpus/{scale}-v5seed42-e{entities}"
     tpath = os.path.join(cache, "transcripts.parquet")
     if not os.path.exists(tpath):

@@ -254,7 +254,9 @@ def run_er_on_parquet(
         return resolve_entities(
             None, cfg, checkpoint_dir, input_token=token, canonical=canonical
         )
-    transcripts = ray.data.read_parquet(
+    from stringzilla_ray.util import read_parquet_clean
+
+    transcripts = read_parquet_clean(
         transcripts_path,
         columns=["conv_id", "turn_idx", "role", "text"],
         override_num_blocks=_read_blocks_for(transcripts_path),

@@ -52,7 +52,9 @@ def read_transcripts(path: str, columns: list[str] | None = None) -> "ray.data.D
     missing = [c for c in columns if c not in names]
     if missing:
         raise ValueError(f"transcript source {path} missing columns: {missing}")
-    return ray.data.read_parquet(path, columns=columns)
+    from stringzilla_ray.util import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns)
 
 
 def read_transcripts_json(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":

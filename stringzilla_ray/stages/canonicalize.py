@@ -252,6 +252,7 @@ def _assemble_local_rg(batch: pa.Table, split_ref=None,
     outs = []
     for f, rg in zip(batch["file"].to_pylist(), batch["rg"].to_pylist()):
         t = pq.ParquetFile(f).read_row_group(rg, columns=list(columns))
+        t = t.replace_schema_metadata(None)
         mask = _split_mask(t["conv_id"], split_ref)
         if mask.any():
             t = t.filter(pa.array(~mask))
@@ -274,7 +275,7 @@ def _split_rows_rg(batch: pa.Table, split_ref=None,
         mask = _split_mask(ids["conv_id"], split_ref)
         if not mask.any():
             continue
-        t = pf.read_row_group(rg, columns=list(columns))
+        t = pf.read_row_group(rg, columns=list(columns)).replace_schema_metadata(None)
         outs.append(t.filter(pa.array(mask)))
     if not outs:
         return pa.schema(

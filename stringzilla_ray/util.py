@@ -48,3 +48,22 @@ def join_partitions(cap: int = 16) -> int:
     except Exception:
         cpus = 8
     return max(2, min(cap, cpus // 2))
+
+
+def strip_schema_metadata(batch):
+    """Drop parquet's pandas schema metadata from a batch. Ray's hash
+    shuffle deduplicates partition schemas by hashing them; the pandas
+    metadata dict makes every schema unhashable ("Failed to hash the
+    schemas" in every HashShuffleAggregator) and forces repeated
+    schema unification in finalize — the path behind a rare
+    ArrowInvalid there. Zero-copy: only the schema object changes."""
+    return batch.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path, **kwargs):
+    """ray.data.read_parquet + metadata strip fused into the read."""
+    import ray.data
+
+    return ray.data.read_parquet(path, **kwargs).map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
