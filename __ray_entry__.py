@@ -958,6 +958,50 @@ def _q_anti_join_customers(sf_dir: str):
     )
 
 
+def _q_region_nation_counts(sf_dir: str):
+    """Nations per region: inner join on the region key + grouped
+    count — the dimensional-join shape over the two smallest tables."""
+    n = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).map_batches(
+        lambda t: pa.table({"regionkey": pc.cast(t["n_regionkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    r = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).map_batches(
+        lambda t: pa.table(
+            {"regionkey": pc.cast(t["r_regionkey"], pa.int64()), "r_name": t["r_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j = n.join(r, join_type="inner", num_partitions=2, on=("regionkey",))
+    return j.groupby("r_name").count().rename_columns({"count()": "n_nations"})
+
+
+def _q_part_brand_stats(sf_dir: str):
+    """Per-brand part count + scaled-int mean retail price (floats
+    travel as floor(x*100+0.5) cents so the value hash is stable)."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+    agg = (
+        ds.groupby("p_brand")
+        .aggregate(
+            __import__("ray").data.aggregate.Count(),
+            __import__("ray").data.aggregate.Mean("p_retailprice"),
+        )
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        m = t["mean(p_retailprice)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "n_parts": pc.cast(t["count()"], pa.int64()),
+                "avg_price_cents": pa.array(
+                    np.floor(m * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_full_join_nation_counts(sf_dir: str):
     """Per-nation customer and supplier counts via FULL OUTER join on
     the shared nation key (intersect.h:92-236 outer variants): either
@@ -1066,6 +1110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_suppliers": _q_left_join_suppliers,
         "anti_join_customers": _q_anti_join_customers,
         "full_join_nation_counts": _q_full_join_nation_counts,
+        "region_nation_counts": _q_region_nation_counts,
+        "part_brand_stats": _q_part_brand_stats,
     }
 
 
@@ -1285,6 +1331,15 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 624 + (unicode(c) // 262144) + ((unicode(c) // 4096) % 64) + ((unicode(c) // 64) % 64) + (unicode(c) % 64) "
             "END) FROM unnest(string_split(text, '')) AS s(c)), 0)::BIGINT AS bsum "
             "FROM documents"
+        ),
+        "region_nation_counts": (
+            "SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations "
+            "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "part_brand_stats": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(floor(avg(p_retailprice) * 100 + 0.5) AS BIGINT) AS avg_price_cents "
+            "FROM part GROUP BY p_brand"
         ),
         "minhash_near_dup": (
             # Exact O(n^2) distinct-3-gram Jaccard join. Valid as the
