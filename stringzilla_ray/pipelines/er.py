@@ -134,13 +134,17 @@ def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
     n = signed.count()
     if n <= cfg.broadcast_threshold_rows:
         # Vectorized winner census: Arrow sort by (hash, conv_id),
-        # segment-first per hash — no per-row Python. The broadcast
-        # payload is (sorted hashes, winner conv ids): O(distinct).
-        batches = []
-        for b in signed.select_columns(["content_hash", "conv_id"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        ):
-            batches.append(b.select(["content_hash", "conv_id"]))
+        # segment-first per hash — no per-row Python. Blocks are
+        # fetched as parallel zero-copy refs (a serial iter_batches
+        # stream was the one remaining O(corpus) driver loop here).
+        # The broadcast payload is (sorted hashes, winners): O(distinct).
+        batches = [
+            t.select(["content_hash", "conv_id"])
+            for t in ray.get(signed.to_arrow_refs())
+            if len(t)
+        ]
+        if not batches:
+            return signed
         allrows = pa.concat_tables(batches).sort_by(
             [("content_hash", "ascending"), ("conv_id", "ascending")]
         )
