@@ -189,6 +189,29 @@ def generate_transcripts(
     return transcripts, truth
 
 
+# Rows per output part file. Ray's parquet read parallelism is per
+# FILE (a single file reads as ONE task regardless of row groups —
+# measured: an 8s serial stage at 32 CPUs on a 550MB corpus), and any
+# distributed writer produces many part files anyway.
+_ROWS_PER_FILE = 131072
+
+
+def _write_sharded(table, tpath: str) -> None:
+    """transcripts.parquet as a DIRECTORY of ~128k-row part files."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(tpath, exist_ok=True)
+    k = max(1, math.ceil(table.num_rows / _ROWS_PER_FILE))
+    for i in range(k):
+        pq.write_table(
+            table.slice(i * _ROWS_PER_FILE, _ROWS_PER_FILE),
+            os.path.join(tpath, f"part-{i:05d}.parquet"),
+        )
+
+
 def write_corpus(out_dir: str, seed: int = 42, entities: int = 200) -> tuple[str, str]:
     """Writes transcripts.parquet + truth.parquet under out_dir."""
     import os
@@ -199,10 +222,7 @@ def write_corpus(out_dir: str, seed: int = 42, entities: int = 200) -> tuple[str
     transcripts, truth = generate_transcripts(seed=seed, entities=entities)
     tpath = os.path.join(out_dir, "transcripts.parquet")
     gpath = os.path.join(out_dir, "truth.parquet")
-    # 128k-row row groups: a realistic writer-flush size, and the unit
-    # of read parallelism — one multi-million-row row group serializes
-    # the whole parquet read into a single task.
-    pq.write_table(transcripts, tpath, row_group_size=131072)
+    _write_sharded(transcripts, tpath)
     pq.write_table(truth, gpath)
     return tpath, gpath
 
@@ -240,6 +260,6 @@ def write_corpus_multi(out_dir: str, seeds: tuple[int, ...],
         }))
     tpath = os.path.join(out_dir, "transcripts.parquet")
     gpath = os.path.join(out_dir, "truth.parquet")
-    pq.write_table(pa.concat_tables(t_parts), tpath, row_group_size=131072)
+    _write_sharded(pa.concat_tables(t_parts), tpath)
     pq.write_table(pa.concat_tables(g_parts), gpath)
     return tpath, gpath
