@@ -427,3 +427,72 @@ def test_skew_salting_triggers(ray_session):
     m = pairwise_f1(out, truth.to_pandas())
     assert m["recall"] >= 0.98, m
     assert m["precision"] == 1.0, m
+
+
+def test_score_pairs_broadcast_dp_fanout(ray_session):
+    """The two-phase broadcast scorer must produce exactly the direct
+    kernel's decisions when MANY pairs land in the dp-pending band —
+    the regression case where batch_size bundling once serialized the
+    whole DP budget into one task (and any slicing bug would corrupt
+    the pair/doc alignment)."""
+    import ray.data
+
+    from stringzilla_ray.stages.fingerprint import Fingerprinter, sig_matrix
+    from stringzilla_ray.stages.scoring import score_pair_batch, score_pairs_broadcast
+    from stringzilla_ray.state.config import ERConfig
+
+    cfg = ERConfig()
+    rng = np.random.default_rng(11)
+    alphabet = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz ", dtype=np.uint8)
+    npairs = 150
+    docs, ids, pairs_l, pairs_r = [], [], [], []
+    for i in range(npairs):
+        base = rng.choice(alphabet, size=int(rng.integers(600, 1500)))
+        # replace a CONTIGUOUS chunk at the doc START: shingle overlap
+        # ~(1-frac) puts mid fractions in the uncertain dp band, and a
+        # perturbed prefix keeps the prefix-containment gate honest
+        frac = (0.0, 0.2, 0.3, 0.4, 0.55, 0.7)[i % 6]
+        other = base.copy()
+        k = int(len(base) * frac)
+        if k:
+            other[:k] = rng.choice(alphabet, size=k)
+        for j, arr in enumerate((base, other)):
+            docs.append(arr.tobytes().decode())
+            ids.append(2 * i + j)
+        pairs_l.append(2 * i)
+        pairs_r.append(2 * i + 1)
+
+    tbl = pa.table({
+        "content_hash": pa.array(ids, pa.int64()),
+        "norm_doc": pa.array(docs, pa.string()),
+        "doc_bytes": pa.array([len(d) for d in docs], pa.int64()),
+        "doc_bytes_norm": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    fp = Fingerprinter(ndim=cfg.ndim, window_widths=cfg.window_widths,
+                       seed=cfg.seed, prefix_ndim=cfg.prefix_ndim,
+                       prefix_sig_bytes=cfg.prefix_sig_bytes)
+    signed_tbl = fp(tbl)
+
+    sigs = sig_matrix(signed_tbl["minhash"], cfg.ndim)
+    psigs = sig_matrix(signed_tbl["prefix_minhash"], cfg.prefix_ndim)
+    expected = score_pair_batch(
+        pairs_l, pairs_r,
+        [docs[i].encode() for i in pairs_l], [docs[i].encode() for i in pairs_r],
+        sigs[pairs_l], sigs[pairs_r], cfg, psigs[pairs_l], psigs[pairs_r],
+    ).to_pandas().sort_values(["left", "right"]).reset_index(drop=True)
+    # the corpus must actually exercise every gate outcome
+    assert (expected.scored_by == "dp").sum() >= 20
+    assert (expected.scored_by == "sketch").sum() >= 10
+
+    signed = ray.data.from_arrow(signed_tbl)
+    pairs = ray.data.from_arrow(
+        pa.table({"left": pa.array(pairs_l, pa.int64()),
+                  "right": pa.array(pairs_r, pa.int64())})
+    )
+    got = (
+        score_pairs_broadcast(pairs, signed, cfg, id_column="content_hash")
+        .to_pandas().sort_values(["left", "right"]).reset_index(drop=True)
+    )
+    assert len(got) == len(expected)
+    for col in ("left", "right", "jaccard", "sim", "is_match", "scored_by"):
+        assert (got[col].values == expected[col].values).all(), col
