@@ -253,7 +253,7 @@ def run_er_on_parquet(
         canonical = canonicalize_parquet(
             transcripts_path,
             census_driver_rows=cfg.census_driver_rows,
-            output_blocks=actor_pool_limits()[1] * 3,
+            output_blocks=actor_pool_limits()[1],
         )
         return resolve_entities(
             None, cfg, checkpoint_dir, input_token=token, canonical=canonical
