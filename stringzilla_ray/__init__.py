@@ -33,6 +33,14 @@ __version__ = "0.1.0"
 import os as _os
 
 _os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+# Polars (used only for its vectorized 64-bit string hash — see
+# functions/fasthash.py) spins up a rayon pool sized to ALL cores per
+# process; under a 32-worker Ray session that is 32x32 threads
+# thrashing one box. One thread per worker is the correct sizing —
+# parallelism comes from Ray tasks, not library pools. Must be set
+# before the first `import polars` anywhere in the process.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
 try:  # switch the already-initialized default pool too
     import pyarrow as _pa
 

@@ -39,6 +39,25 @@ from stringzilla_ray.state.config import ERConfig
 from stringzilla_ray.util import join_partitions
 
 
+def _stage_clock():
+    """SZRAY_STAGE_TIMES=1 -> per-stage wall times on stderr (adds a
+    materialize barrier after blocking, so profile runs only)."""
+    import os
+    import sys
+    import time
+
+    if not os.environ.get("SZRAY_STAGE_TIMES"):
+        return None
+    state = {"t": time.time()}
+
+    def tick(name: str) -> None:
+        now = time.time()
+        print(f"[stage] {name} {now - state['t']:.2f}s", file=sys.stderr, flush=True)
+        state["t"] = now
+
+    return tick
+
+
 def resolve_entities(
     transcripts: "ray.data.Dataset",
     cfg: ERConfig | None = None,
@@ -55,14 +74,20 @@ def resolve_entities(
     cfg = cfg or ERConfig()
     h = cfg.params_hash()
     parts = join_partitions(cfg.join_num_partitions)
+    tick = _stage_clock()
+
+    def _canon_then_fingerprint():
+        c = canonical if canonical is not None else canonicalize(transcripts)
+        if tick:
+            c = c.materialize()
+            tick("canonicalize")
+        return fingerprint_stage(c, cfg)
 
     signed = checkpointed(
         "signatures",
         checkpoint_dir,
         h,
-        lambda: fingerprint_stage(
-            canonical if canonical is not None else canonicalize(transcripts), cfg
-        ),
+        _canon_then_fingerprint,
         input_token=input_token,
     )
     if checkpoint_dir is None:
@@ -70,6 +95,8 @@ def resolve_entities(
         # reps) three ER stages; pin once instead of recomputing the
         # canonicalize+fingerprint prefix per consumer.
         signed = signed.materialize()
+    if tick:
+        tick("fingerprint")
 
     reps = checkpointed(
         "nodes",
@@ -80,6 +107,8 @@ def resolve_entities(
     )
     if checkpoint_dir is None:
         reps = reps.materialize()
+    if tick:
+        tick("collapse")
 
     pairs = checkpointed(
         "pairs",
@@ -88,6 +117,9 @@ def resolve_entities(
         lambda: blocked_pairs(reps, cfg, id_column="content_hash"),
         input_token=input_token,
     )
+    if tick:
+        pairs = pairs.materialize()
+        tick("blocking")
 
     scored = checkpointed(
         "scores",
@@ -103,6 +135,8 @@ def resolve_entities(
         # Tiny (matched pairs only) but consumed three times by
         # clustering; pin it rather than re-running block + score.
         edges = edges.materialize()
+    if tick:
+        tick("scoring")
 
     # Assign every conversation its component id (the minimum content
     # hash of the component) — one broadcast map over conv rows in the
@@ -115,6 +149,9 @@ def resolve_entities(
         lambda: assign_clusters(conv_nodes, edges, cfg, node_column="content_hash"),
         input_token=input_token,
     )
+    if tick:
+        clusters = clusters.materialize()
+        tick("clustering")
     return clusters
 
 

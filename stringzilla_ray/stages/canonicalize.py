@@ -11,8 +11,8 @@ invariant from BASELINE.json, tested in tests/test_pipeline.py.
 
 Outputs one row per conversation:
   conv_id, doc (string), n_turns (int32), doc_bytes (int64),
-  content_hash (uint64 — the seeded AES-64 hash of the doc, the
-  exact-duplicate key).
+  content_hash (int64 — a vectorized 64-bit content hash of the doc,
+  the exact-duplicate key; see functions/fasthash.py).
 """
 
 from __future__ import annotations
@@ -21,7 +21,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from stringzilla_ray.functions import szhash
 from stringzilla_ray.functions.text import tape_of
 
 TURN_SEP = "\x1e"
@@ -128,7 +127,15 @@ def normalize_batch(docs: pa.Array) -> pa.Array:
     whitespace-run collapse runs as ONE Arrow RE2 kernel, then NFC +
     casefold run as ONE CPython call over the NUL-joined block (no
     per-row Python). Neither fold nor NFC can create whitespace or
-    compose across a NUL, so the op order is equivalent per row."""
+    compose across a NUL, so the op order is equivalent per row.
+
+    Perf note (measured, round 2): a NumPy byte-tape rewrite of this
+    kernel (fused ws-collapse + lower LUT over per-worker scratch
+    buffers) was 1.5x faster single-task but collapsed 15-80x under
+    32-way worker concurrency on this host — large anon scratch
+    gathers appear to hit a TLB/THP pathology that Arrow kernels and
+    CPython string ops do not. Keep this shape: it is flat from 1 to
+    32 concurrent workers (~1 s per 14 MB batch)."""
     import unicodedata
 
     if isinstance(docs, pa.ChunkedArray):
@@ -144,15 +151,17 @@ def normalize_batch(docs: pa.Array) -> pa.Array:
 
 
 def add_content_hash(batch: pa.Table, seed: int = 0) -> pa.Table:
-    """Vectorized seeded AES-64 content hash + byte length + the
-    normalized matching view per doc."""
+    """Vectorized 64-bit content hash + byte length + the normalized
+    matching view per doc. The hash is an INTERNAL exact-duplicate key
+    (injectivity + determinism, not reference parity), so it uses the
+    fast vectorized backend — the AES re-implementation at ~25 MB/s/core
+    made content hashing the flagship's largest CPU stage."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
     docs = batch["doc"]
     if isinstance(docs, pa.ChunkedArray):
         docs = docs.combine_chunks()
-    tape, offsets = tape_of(docs)
-    # int64 view of the seeded AES-64 digest: Ray aggregates mishandle
-    # uint64 group keys, and the wrapped bits key identically.
-    hashes = szhash.hash_batch(tape, offsets, seed=seed).view("int64")
+    hashes = hash_string_column(docs, seed=seed)
     doc_bytes = pc.binary_length(pc.cast(docs, pa.large_binary())).cast(pa.int64())
     norm = normalize_batch(docs)
     batch = batch.append_column("norm_doc", norm)

@@ -3,7 +3,7 @@
 First-class training-data-pipeline components built on the bit-parity
 kernels:
 
-- exact_dedup: seeded AES-64 content hash (functions/szhash.py) ->
+- exact_dedup: vectorized 64-bit content hash (functions/fasthash.py) ->
   hash-keyed groupby -> deterministic first (min id). Hash-partition +
   per-group head, the canonical exact-dedup shape at scale.
 - minhash_dedup_pairs: rolling MinHash signatures -> LSH bands ->
@@ -29,14 +29,15 @@ from stringzilla_ray.util import actor_pool_limits
 
 def add_text_hash(batch: pa.Table, text_column: str = "text", seed: int = 0,
                   out_column: str = "text_hash") -> pa.Table:
+    """64-bit content-hash column. The hash is a shuffle KEY (only
+    injectivity + determinism matter), so it uses the vectorized fast
+    backend — ~100x the pure-NumPy AES kernel on this corpus shape."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
     col = batch[text_column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    tape, offsets = tape_of(col)
-    # int64 view of the 64-bit digest: Ray's hash aggregators mishandle
-    # uint64 keys (they fall back to pickled-object columns), and the
-    # wrapped bits are just as good a key.
-    digest = szhash.hash_batch(tape, offsets, seed).view(np.int64)
+    digest = hash_string_column(col, seed=seed)
     return batch.append_column(out_column, pa.array(digest, pa.int64()))
 
 

@@ -379,12 +379,27 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     design of the gates) fetches just ITS doc bytes via one parallel
     filter pass and runs the batched DP. The doc tape never moves
     through the driver."""
+    import os
+    import sys
+    import time
+
     import ray.data as rd
 
     from stringzilla_ray.util import actor_pool_limits as _apl
 
+    prof = os.environ.get("SZRAY_STAGE_TIMES")
+    t0 = time.time()
+
+    def _sub(name):
+        nonlocal t0
+        if prof:
+            now = time.time()
+            print(f"[score] {name} {now - t0:.2f}s", file=sys.stderr, flush=True)
+            t0 = now
+
     meta = _pack_sig_arrays(signed, id_column)
     meta_ref = ray.put(meta)
+    _sub("pack-sigs")
     # map_batches parallelism is per BLOCK; blocked_pairs' bucket-dedupe
     # already emits ~4 blocks/CPU, so only re-split when the pair table
     # arrives under-partitioned (e.g. a single-block tiny run) — a full
@@ -393,12 +408,14 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     want = _apl()[1] * 2
     if pairs.num_blocks() < want:
         pairs = pairs.repartition(want)
+    _sub("pairs-mat")
     gated = pairs.map_batches(
         _gate_against_ref,
         fn_kwargs=dict(meta_ref=meta_ref, cfg=cfg, match_only=match_only),
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
     ).materialize()
+    _sub("gate")
     pend_parts = [
         t for t in ray.get(
             gated.filter(expr="scored_by == 'dp-pending'").to_arrow_refs()
@@ -412,6 +429,7 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     right = pend["right"].to_numpy(zero_copy_only=False)
     needed = np.unique(np.concatenate([left, right]))
     docs_ref = ray.put(_fetch_docs_for_ids(signed, id_column, needed))
+    _sub("fetch-dp-docs")
     # The DP cost per pair is ~m^2 with m = min(len, cap), so a single
     # block would serialize the whole banded-DP budget on one core (and
     # pad short docs up to the block max). Sort by m and cut the table
