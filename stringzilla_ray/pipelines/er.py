@@ -81,7 +81,16 @@ def resolve_entities(
         if tick:
             c = c.materialize()
             tick("canonicalize")
-        return fingerprint_stage(c, cfg)
+        signed = fingerprint_stage(c, cfg)
+        # The raw ``doc`` (and n_turns) never leave this stage: blocking
+        # keys on signatures, scoring fetches norm_doc, clustering keys
+        # on content_hash. Dropping them roughly halves the pinned
+        # signature dataset — the largest object-store resident of the
+        # flagship (docs are ~half its bytes).
+        return signed.select_columns(
+            ["conv_id", "content_hash", "doc_bytes", "doc_bytes_norm",
+             "norm_doc", "minhash", "prefix_minhash"]
+        )
 
     signed = checkpointed(
         "signatures",
@@ -155,6 +164,36 @@ def resolve_entities(
     return clusters
 
 
+def _winner_census_fn(*tables):
+    """(sorted distinct content hashes, winning conv_id per hash) —
+    winner = lexicographic-min conv_id (stable-first semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    tabs = [t.select(["content_hash", "conv_id"]) for t in tables if len(t)]
+    if not tabs:
+        return np.zeros(0, np.int64), pa.array([], pa.string())
+    allrows = pa.concat_tables(tabs).sort_by(
+        [("content_hash", "ascending"), ("conv_id", "ascending")]
+    )
+    hs = allrows["content_hash"].to_numpy()
+    first = np.concatenate([[True], hs[1:] != hs[:-1]])
+    idx = pa.array(np.nonzero(first)[0], pa.int64())
+    return hs[first], allrows["conv_id"].combine_chunks().take(idx)
+
+
+_winner_census_remote = None
+
+
+def _winner_census_task():
+    global _winner_census_remote
+    if _winner_census_remote is None:
+        import ray
+
+        _winner_census_remote = ray.remote(_winner_census_fn)
+    return _winner_census_remote
+
+
 def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
     """Node collapse: one representative conversation per distinct
     canonical content; rep = lexicographic-min conv_id (stable-first
@@ -170,43 +209,30 @@ def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
     parts = parts if parts is not None else join_partitions(cfg.join_num_partitions)
     n = signed.count()
     if n <= cfg.broadcast_threshold_rows:
-        # Vectorized winner census: Arrow sort by (hash, conv_id),
-        # segment-first per hash — no per-row Python. Blocks are
-        # fetched as parallel zero-copy refs (a serial iter_batches
-        # stream was the one remaining O(corpus) driver loop here).
-        # The broadcast payload is (sorted hashes, winners): O(distinct).
-        batches = [
-            t.select(["content_hash", "conv_id"])
-            for t in ray.get(signed.to_arrow_refs())
-            if len(t)
-        ]
-        if not batches:
-            return signed
-        allrows = pa.concat_tables(batches).sort_by(
-            [("content_hash", "ascending"), ("conv_id", "ascending")]
-        )
-        hs = allrows["content_hash"].to_numpy()
-        first = np.concatenate([[True], hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, bool)
-        win_hash = hs[first]
-        win_conv = np.asarray(
-            allrows["conv_id"].combine_chunks().take(
-                pa.array(np.nonzero(first)[0], pa.int64())
-            ).to_pylist(),
-            dtype=object,
-        )
-        ref = ray.put((win_hash, win_conv))
+        # Vectorized winner census in ONE warm worker task: Arrow sort
+        # by (hash, conv_id), segment-first per hash — no per-row
+        # Python, no CPython string lists, and the edge blocks never
+        # touch the driver (the task's return ref IS the broadcast).
+        ref = _winner_census_task().remote(*signed.to_arrow_refs())
 
         def keep_winners(batch: pa.Table, ref=ref) -> pa.Table:
             import numpy as _np
+            import pyarrow.compute as _pc
 
             import ray as _ray
 
             w_hash, w_conv = _ray.get(ref)
+            if len(w_hash) == 0:
+                return batch
             hs = batch["content_hash"].to_numpy(zero_copy_only=False)
+            # every batch hash is present in the census (built from the
+            # same dataset), so searchsorted lands exactly
             pos = _np.searchsorted(w_hash, hs)
-            convs = _np.asarray(batch["conv_id"].to_pylist(), dtype=object)
-            mask = w_conv[pos] == convs
-            return batch.filter(pa.array(mask.astype(bool)))
+            conv = batch["conv_id"]
+            if isinstance(conv, pa.ChunkedArray):
+                conv = conv.combine_chunks()
+            mask = _pc.equal(conv, w_conv.take(pa.array(pos, pa.int64())))
+            return batch.filter(mask)
 
         return signed.map_batches(keep_winners, batch_format="pyarrow")
 

@@ -158,7 +158,23 @@ def _cc_block_task_fn(*tables):
     )
 
 
+def _cc_merge_task_fn(*forests):
+    """Merge spanning forests: each forest is (node_ids, roots) —
+    itself an edge list (node -> component-min). CC over the
+    concatenation yields the merged components; min-of-mins composes,
+    so the final root is still the global component minimum."""
+    import numpy as np
+
+    ls = [f[0] for f in forests if len(f[0])]
+    rs = [f[1] for f in forests if len(f[1])]
+    if not ls:
+        z = np.zeros(0, dtype=np.int64)
+        return (z, z)
+    return _cc_roots(np.concatenate(ls), np.concatenate(rs))
+
+
 _cc_block_task = None
+_cc_merge_task = None
 
 
 def _get_cc_task():
@@ -168,6 +184,48 @@ def _get_cc_task():
 
         _cc_block_task = ray.remote(_cc_block_task_fn)
     return _cc_block_task
+
+
+def _get_cc_merge_task():
+    global _cc_merge_task
+    if _cc_merge_task is None:
+        import ray
+
+        _cc_merge_task = ray.remote(_cc_merge_task_fn)
+    return _cc_merge_task
+
+
+# Below this many (directed) edges one CC task beats the fan-out's
+# extra task round-trips; above it, the tree reduce keeps the CC from
+# becoming the pipeline's serial tail (4x the corpus was 4x the
+# single-task CC wall — measured 0.4 s -> 2.6 s on the weak pair).
+PARALLEL_CC_MIN_EDGES = 400_000
+_CC_MERGE_FANIN = 8
+
+
+def _cc_roots_ref_for(edges, edge_count: int):
+    """ObjectRef of the (sorted node_ids, roots) map for an edge
+    Dataset: one warm-worker CC task for small graphs, a spanning-
+    forest tree reduce (forest per block group, log-depth merges) for
+    large ones. Edge blocks are consumed as zero-copy plasma refs —
+    nothing moves through the driver either way."""
+    import ray
+
+    refs = edges.to_arrow_refs()
+    if edge_count <= PARALLEL_CC_MIN_EDGES or len(refs) < 2:
+        return _get_cc_task().remote(*refs)
+    from stringzilla_ray.util import actor_pool_limits
+
+    ntasks = min(len(refs), actor_pool_limits()[1])
+    task = _get_cc_task()
+    level = [task.remote(*refs[i::ntasks]) for i in range(ntasks)]
+    merge = _get_cc_merge_task()
+    while len(level) > 1:
+        level = [
+            merge.remote(*level[i : i + _CC_MERGE_FANIN])
+            for i in range(0, len(level), _CC_MERGE_FANIN)
+        ]
+    return level[0]
 
 
 def assign_clusters(members, edges, cfg: ERConfig, node_column: str = "content_hash",
@@ -182,17 +240,34 @@ def assign_clusters(members, edges, cfg: ERConfig, node_column: str = "content_h
     Output: members' columns minus the node key, plus ``out_column``
     (the component's minimum node key).
     """
-    sym_count = edges.count()
-    if sym_count <= DRIVER_UNION_FIND_MAX_EDGES:
-        import ray
+    import os
+    import sys
+    import time
 
-        # One remote task concatenates the edge blocks (zero-copy
-        # plasma reads) and runs the pointer-jumping CC; its return
-        # ref IS the broadcast root map. The edge arrays never touch
-        # the driver, and the task lands on a warm worker heap (a
-        # fresh driver pays multi-second first-touch page faults for
-        # the same arrays).
-        roots_ref = _get_cc_task().remote(*edges.to_arrow_refs())
+    prof = os.environ.get("SZRAY_STAGE_TIMES")
+    t0 = time.time()
+
+    def _sub(name):
+        nonlocal t0
+        if prof:
+            now = time.time()
+            print(f"[cc] {name} {now - t0:.2f}s", file=sys.stderr, flush=True)
+            t0 = now
+
+    sym_count = edges.count()
+    _sub("edge-count")
+    if sym_count <= DRIVER_UNION_FIND_MAX_EDGES:
+        # The root map is computed in warm worker tasks (zero-copy
+        # plasma reads of the edge blocks; a fresh driver pays
+        # multi-second first-touch faults for the same arrays) — one
+        # task for small graphs, a spanning-forest tree reduce above
+        # PARALLEL_CC_MIN_EDGES. The returned ref IS the broadcast map.
+        roots_ref = _cc_roots_ref_for(edges, sym_count)
+        if prof:
+            import ray as _r
+
+            _r.wait([roots_ref])
+            _sub("cc-roots")
 
         def assign(batch: pa.Table, roots_ref=roots_ref) -> pa.Table:
             import numpy as _np

@@ -139,12 +139,13 @@ def score_pair_core(left_ids, right_ids, llen, rlen,
     (the two-phase broadcast path) uncertain pairs are emitted as
     ``scored_by='dp-pending'`` placeholders for a later DP stage."""
     n = len(left_ids)
-    # EMPTY (0xFFFFFFFF) dims mark windows wider than the doc; two
-    # unrelated tiny docs would otherwise share all-skip signatures and
-    # sketch-accept at jaccard 1.0 (ADVICE r1). Agreement counts only
-    # dims where at least one side is real; all-skip pairs get
+    # EMPTY (all-ones: 0xFFFFFFFF for full uint32 sigs, 0xFF for the
+    # low-byte broadcast form) dims mark windows wider than the doc;
+    # two unrelated tiny docs would otherwise share all-skip signatures
+    # and sketch-accept at jaccard 1.0 (ADVICE r1). Agreement counts
+    # only dims where at least one side is real; all-skip pairs get
     # jaccard 0 and fall through to the DP/reject gates.
-    _EMPTY = np.uint32(0xFFFFFFFF)
+    _EMPTY = np.iinfo(left_sigs.dtype).max
     valid = (left_sigs != _EMPTY) | (right_sigs != _EMPTY)
     nvalid = valid.sum(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -229,35 +230,68 @@ def score_pair_core(left_ids, right_ids, llen, rlen,
 def _decode_sig_block(tbl: pa.Table, id_column: str):
     # project INSIDE the task: the block ref is a zero-copy plasma
     # mmap, so selecting four columns here avoids a whole
-    # select_columns execution round before the decode tasks
+    # select_columns execution round before the decode tasks.
+    # Signatures travel onward as their LOW BYTES only: two dims agree
+    # iff their full uint32 values agree, and an 8-bit compare false-
+    # agrees at 1/256/dim — inflating jaccard by <= (1-j)/256 ~ 0.004,
+    # noise against the 0.55/0.85 gates — for a 4x smaller broadcast
+    # (the shared sig matrix is the gate stage's main memory traffic).
     tbl = tbl.select([id_column, "doc_bytes_norm", "minhash", "prefix_minhash"])
     col = tbl[id_column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return (
         col.to_numpy(zero_copy_only=False),
-        tbl["doc_bytes_norm"].to_numpy(zero_copy_only=False),
-        _decode_sigs(tbl["minhash"]),
-        _decode_sigs(tbl["prefix_minhash"]),
+        tbl["doc_bytes_norm"].to_numpy(zero_copy_only=False).astype(np.int64),
+        _low_byte_sigs(_decode_sigs(tbl["minhash"])),
+        _low_byte_sigs(_decode_sigs(tbl["prefix_minhash"])),
     )
 
 
-def _pack_sig_arrays(signed, id_column: str):
-    """Columnar SIGNATURE broadcast payload: (sorted ids, permutation,
-    doc lengths, sig matrix, prefix-sig matrix). ~10x smaller than the
-    docs themselves (the round-1 design shipped the whole doc tape
-    through the driver — the pipeline's largest serial stage). The
-    per-block project+decode runs in parallel stateless tasks over the
-    block refs; the driver only concatenates + argsorts."""
-    refs = signed.to_arrow_refs()
-    parts = ray.get([_decode_sig_block.remote(r, id_column) for r in refs])
+def _low_byte_sigs(sigs: np.ndarray) -> np.ndarray:
+    """uint32 sig matrix -> uint8 low bytes, with 0xFF reserved for
+    EMPTY: a REAL value whose low byte happens to be 0xFF remaps to
+    0xFE so the gate's EMPTY masking stays exact. Equality on the low
+    byte is a superset of full-width equality, so the resulting
+    jaccard can only sit ABOVE the full-width estimate, by at most
+    (1-j)*2/256 — an order below the 128-dim sketch's own sampling
+    noise."""
+    lb = (sigs & 0xFF).astype(np.uint8)
+    np.putmask(lb, (lb == 0xFF) & (sigs != np.uint32(0xFFFFFFFF)), np.uint8(0xFE))
+    return lb
+
+
+@ray.remote(num_returns=2)
+def _pack_sigs_task(*parts):
+    """Concatenate + argsort the decoded sig parts in a warm worker
+    (a fresh driver pays first-touch faults for the same arrays, and
+    the result would be copied driver->store again on ray.put).
+    Returns TWO objects so the driver / DP-split can fetch just the
+    small id geometry without mapping the sig matrices:
+      (sorted ids, permutation, lengths), (sig matrix, prefix matrix).
+    """
     parts = [p for p in parts if len(p[0])]
+    if not parts:
+        z = np.zeros(0, np.int64)
+        return (z, z, z), (np.zeros((0, 1), np.uint8), np.zeros((0, 1), np.uint8))
     ids = np.concatenate([p[0] for p in parts])
-    lens = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    lens = np.concatenate([p[1] for p in parts])
     sigs = np.vstack([p[2] for p in parts])
     psigs = np.vstack([p[3] for p in parts])
     order = np.argsort(ids, kind="stable")
-    return (ids[order], order.astype(np.int64), lens, sigs, psigs)
+    return (ids[order], order.astype(np.int64), lens), (sigs, psigs)
+
+
+def _pack_sig_arrays(signed, id_column: str):
+    """Columnar SIGNATURE broadcast payload, built entirely in workers:
+    per-block project+decode tasks feed one pack task; the driver only
+    holds ObjectRefs. ~40x smaller than the docs themselves (low-byte
+    sigs; the round-1 design shipped the whole doc tape through the
+    driver — the pipeline's largest serial stage).
+    Returns (ids_ref, sigs_ref)."""
+    refs = signed.to_arrow_refs()
+    parts = [_decode_sig_block.remote(r, id_column) for r in refs]
+    return _pack_sigs_task.remote(*parts)
 
 
 def _fetch_docs_for_ids(signed, id_column: str, needed: np.ndarray,
@@ -308,7 +342,8 @@ def pc_cast_binary(col):
     return pc.cast(col, pa.large_binary())
 
 
-def _gate_against_ref(batch: pa.Table, meta_ref=None, cfg: ERConfig = None,
+def _gate_against_ref(batch: pa.Table, ids_ref=None, sigs_ref=None,
+                      cfg: ERConfig = None,
                       match_only: bool = False) -> pa.Table:
     """Phase 1: signature + length gating (no docs). Uncertain pairs
     come back as scored_by='dp-pending' placeholders. With
@@ -316,7 +351,8 @@ def _gate_against_ref(batch: pa.Table, meta_ref=None, cfg: ERConfig = None,
     materialized gated table holds only matches + pending — on a
     candidate-heavy corpus that is ~6x fewer rows through the object
     store."""
-    sorted_ids, perm, lens, sigs, psigs = ray.get(meta_ref)
+    sorted_ids, perm, lens = ray.get(ids_ref)
+    sigs, psigs = ray.get(sigs_ref)
     n = len(batch)
     if n == 0:
         return _empty_scores()
@@ -397,8 +433,7 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
             print(f"[score] {name} {now - t0:.2f}s", file=sys.stderr, flush=True)
             t0 = now
 
-    meta = _pack_sig_arrays(signed, id_column)
-    meta_ref = ray.put(meta)
+    ids_ref, sigs_ref = _pack_sig_arrays(signed, id_column)
     _sub("pack-sigs")
     # map_batches parallelism is per BLOCK; blocked_pairs' bucket-dedupe
     # already emits ~4 blocks/CPU, so only re-split when the pair table
@@ -411,7 +446,8 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     _sub("pairs-mat")
     gated = pairs.map_batches(
         _gate_against_ref,
-        fn_kwargs=dict(meta_ref=meta_ref, cfg=cfg, match_only=match_only),
+        fn_kwargs=dict(ids_ref=ids_ref, sigs_ref=sigs_ref, cfg=cfg,
+                       match_only=match_only),
         batch_format="pyarrow",
         batch_size=cfg.scoring_batch_size,
     ).materialize()
@@ -435,7 +471,7 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     # pad short docs up to the block max). Sort by m and cut the table
     # at equal-cost boundaries: every task gets a length-homogeneous,
     # equal-work slice.
-    sorted_ids, perm, lens = meta[0], meta[1], meta[2]
+    sorted_ids, perm, lens = ray.get(ids_ref)  # small: id geometry only
     llen = lens[perm[np.searchsorted(sorted_ids, left)]]
     rlen = lens[perm[np.searchsorted(sorted_ids, right)]]
     m = np.minimum(np.minimum(llen, rlen), cfg.score_prefix_bytes)
