@@ -64,24 +64,32 @@ def resolve_entities(
     checkpoint_dir: str | None = None,
     input_token: str | None = None,
     canonical: "ray.data.Dataset | None" = None,
+    canonical_blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """transcripts (conv_id, turn_idx, role, text, tool, ts) ->
     clusters (conv_id, cluster_id). ``input_token`` (a fingerprint of
     the source, e.g. checkpoint.input_token_for_path) gates checkpoint
     reuse on the INPUT as well as the config. ``canonical`` supplies a
     pre-canonicalized dataset (the locality-aware parquet path) in
-    place of ``canonicalize(transcripts)``."""
+    place of ``canonicalize(transcripts)``; ``canonical_blocks`` is its
+    known lazy block count (see fingerprint_stage.upstream_blocks)."""
     cfg = cfg or ERConfig()
     h = cfg.params_hash()
     parts = join_partitions(cfg.join_num_partitions)
     tick = _stage_clock()
 
     def _canon_then_fingerprint():
-        c = canonical if canonical is not None else canonicalize(transcripts)
+        from stringzilla_ray.util import reduce_buckets
+
+        if canonical is not None:
+            c, n_blocks = canonical, canonical_blocks
+        else:
+            # the shard-groupby canonicalize emits one block per shard
+            c, n_blocks = canonicalize(transcripts), reduce_buckets()
         if tick:
             c = c.materialize()
             tick("canonicalize")
-        signed = fingerprint_stage(c, cfg)
+        signed = fingerprint_stage(c, cfg, upstream_blocks=n_blocks)
         # The raw ``doc`` (and n_turns) never leave this stage: blocking
         # keys on signatures, scoring fetches norm_doc, clustering keys
         # on content_hash. Dropping them roughly halves the pinned
@@ -313,13 +321,15 @@ def run_er_on_parquet(
         from stringzilla_ray.stages.canonicalize import canonicalize_parquet
         from stringzilla_ray.util import actor_pool_limits
 
+        out_blocks = actor_pool_limits()[1] * 2
         canonical = canonicalize_parquet(
             transcripts_path,
             census_driver_rows=cfg.census_driver_rows,
-            output_blocks=actor_pool_limits()[1],
+            output_blocks=out_blocks,
         )
         return resolve_entities(
-            None, cfg, checkpoint_dir, input_token=token, canonical=canonical
+            None, cfg, checkpoint_dir, input_token=token, canonical=canonical,
+            canonical_blocks=out_blocks,
         )
     from stringzilla_ray.util import read_parquet_clean
 

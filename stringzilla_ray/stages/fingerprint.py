@@ -80,11 +80,16 @@ def _fingerprint_fn(batch: pa.Table, **kwargs) -> pa.Table:
     return Fingerprinter(**kwargs)(batch)
 
 
-def fingerprint_stage(canonical, cfg: ERConfig):
+def fingerprint_stage(canonical, cfg: ERConfig, upstream_blocks: int | None = None):
     """canonical Dataset (conv_id, doc, ...) -> + minhash column.
 
-    The upstream groupby often emits few large blocks; repartition so
-    tasks actually fan out (tasks are per block).
+    ``upstream_blocks``: callers that KNOW how many blocks the lazy
+    upstream emits (the shard-groupby canonicalize emits one block per
+    shard) must pass it — ``num_blocks()`` raises on a lazy Dataset,
+    and the old fallback repartitioned unconditionally, silently adding
+    a full extra shuffle of the canonical corpus (measured: a second
+    14 s all-to-all at the 6.8M-turn weak leg). Repartition only when
+    the block count is genuinely too small to keep tasks fanned out.
 
     Execution mode: stateless tasks by default — the fast backend's
     per-worker setup is a few 256-entry tables (microseconds), and
@@ -93,10 +98,12 @@ def fingerprint_stage(canonical, cfg: ERConfig):
     engine-handle idiom; right when per-actor setup is genuinely
     expensive or the cluster is long-lived).
     """
-    try:
-        have = canonical.num_blocks()
-    except Exception:
-        have = 0
+    have = upstream_blocks
+    if have is None:
+        try:
+            have = canonical.num_blocks()
+        except Exception:
+            have = 0
     want = actor_pool_limits()[1] * 2
     if not have or have < want:
         # only pay a repartition pass when the upstream really emits
