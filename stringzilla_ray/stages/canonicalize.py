@@ -403,37 +403,250 @@ def canonicalize_parquet(path: str, census_driver_rows: int = 20_000_000,
     return local
 
 
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("doc_part", pa.large_string()),
+        ("idxs", pa.large_list(pa.int32())),
+        ("min_idx", pa.int32()),
+        ("max_idx", pa.int32()),
+        ("n_turns", pa.int32()),
+        ("shard", pa.int32()),
+    ]
+)
+
+
+def _partial_assemble(batch: pa.Table, n_shards: int) -> pa.Table:
+    """Map-side combiner for canonicalize: sort the input BLOCK by
+    (conv_id, turn_idx) and join each conversation's local turns into
+    ONE partial doc. The shard shuffle then moves one row per
+    (conversation, block) instead of one per turn — on a
+    ts-ordered transcript corpus a conversation touches only a couple
+    of blocks, so shuffle rows drop ~n_turns-fold and the per-turn
+    conv_id/role/turn_idx column overhead collapses into one header
+    per partial (only ``idxs``, int32/turn, still travels — the merge
+    needs it to interleave out-of-order partials exactly)."""
+    n = len(batch)
+    if n == 0:
+        return _PARTIAL_SCHEMA.empty_table()
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.stages.blocking import _conv_hashes
+
+    batch = batch.select(["conv_id", "turn_idx", "role", "text"]).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    conv = batch["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    turn_str = pc.binary_join_element_wise(
+        pc.cast(batch["role"], pa.large_string()),
+        pc.cast(batch["text"], pa.large_string()),
+        pa.scalar(FIELD_SEP, pa.large_string()),
+    )
+    if isinstance(turn_str, pa.ChunkedArray):
+        turn_str = turn_str.combine_chunks()
+    if n > 1:
+        neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.nonzero(neq)[0] + 1])
+    else:
+        starts = np.zeros(1, dtype=np.int64)
+    group_offsets = np.concatenate([starts, [n]]).astype(np.int64)
+    offsets_arr = pa.array(group_offsets, pa.int64())
+    doc_part = pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets_arr, turn_str),
+        pa.scalar(TURN_SEP, pa.large_string()),
+    )
+    idx_np = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int32)
+    idxs = pa.LargeListArray.from_arrays(offsets_arr, pa.array(idx_np, pa.int32()))
+    starts_idx = pa.array(starts, pa.int64())
+    conv_heads = conv.take(starts_idx)
+    shard = (
+        splitmix64(_conv_hashes(conv_heads) ^ np.uint64(0xC0)) % np.uint64(n_shards)
+    ).astype(np.int32)
+    return pa.table(
+        {
+            "conv_id": conv_heads,
+            "doc_part": doc_part,
+            "idxs": idxs,
+            "min_idx": pa.array(idx_np[starts], pa.int32()),
+            "max_idx": pa.array(idx_np[group_offsets[1:] - 1], pa.int32()),
+            "n_turns": pa.array(np.diff(group_offsets).astype(np.int32), pa.int32()),
+            "shard": pa.array(shard, pa.int32()),
+        }
+    )
+
+
+def _conv_segments(conv: pa.Array):
+    """(starts, offsets, counts) of equal-conv_id runs in a sorted col."""
+    n = len(conv)
+    if n > 1:
+        neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.nonzero(neq)[0] + 1]).astype(np.int64)
+    else:
+        starts = np.zeros(1, dtype=np.int64)
+    offsets = np.concatenate([starts, [n]]).astype(np.int64)
+    return starts, offsets, np.diff(offsets)
+
+
+def _merge_interleaved(sub: pa.Table) -> pa.Table:
+    """Exact merge of partials whose turn-idx ranges overlap across
+    blocks (shuffled / non-ts-ordered input): re-split each partial on
+    TURN_SEP, stable-sort the exploded turns by (conv, turn_idx), and
+    re-join. Only runs over the interleaved conversations, and assumes
+    turn text contains no TURN_SEP (the same contract as
+    ``split_canonical_doc``)."""
+    conv = sub["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    starts, offsets, counts = _conv_segments(conv)
+    nt = sub["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_parts = sub["doc_part"]
+    if isinstance(doc_parts, pa.ChunkedArray):
+        doc_parts = doc_parts.combine_chunks()
+    turns = pc.split_pattern(doc_parts, TURN_SEP)
+    turn_flat = turns.flatten()
+    if len(turn_flat) != int(nt.sum()):
+        raise ValueError(
+            "canonicalize: turn text contains the TURN_SEP byte (0x1E); "
+            "interleaved cross-block merge cannot re-split partial docs"
+        )
+    idxs = sub["idxs"]
+    if isinstance(idxs, pa.ChunkedArray):
+        idxs = idxs.combine_chunks()
+    idx_flat = idxs.flatten().to_numpy(zero_copy_only=False)
+    rank_flat = np.repeat(np.repeat(np.arange(len(starts)), counts), nt)
+    order = np.lexsort((idx_flat, rank_flat))
+    turn_sorted = turn_flat.take(pa.array(order, pa.int64()))
+    conv_turns = np.add.reduceat(nt, starts)
+    toff = np.concatenate([[0], np.cumsum(conv_turns)]).astype(np.int64)
+    docs = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(toff, pa.int64()), turn_sorted),
+        pa.scalar(TURN_SEP, pa.large_string()),
+    )
+    return pa.table(
+        {
+            "conv_id": conv.take(pa.array(starts, pa.int64())),
+            "doc": docs,
+            "n_turns": pa.array(conv_turns.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+_CANON_SCHEMA = pa.schema(
+    [("conv_id", pa.string()), ("doc", pa.large_string()), ("n_turns", pa.int32())]
+)
+
+
+def _merge_shard_group(g: pa.Table) -> pa.Table:
+    """Reduce side of canonicalize: every partial of a conversation is
+    in this shard, so sort partials by (conv_id, min_idx) and join. A
+    partial sequence whose idx ranges are disjoint and ordered (the
+    ts-ordered common case, and every single-partial conversation)
+    joins directly — partial docs concatenate without re-splitting;
+    overlapping ranges take the exact exploded merge."""
+    if len(g) == 0:
+        return add_content_hash(_CANON_SCHEMA.empty_table())
+    g = g.drop_columns(["shard"]).sort_by(
+        [("conv_id", "ascending"), ("min_idx", "ascending")]
+    )
+    conv = g["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    n = len(g)
+    starts, offsets, counts = _conv_segments(conv)
+    nt = g["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
+    minx = g["min_idx"].to_numpy(zero_copy_only=False)
+    maxx = g["max_idx"].to_numpy(zero_copy_only=False)
+    # a consecutive-partial pair (same conv) overlaps iff the earlier
+    # max_idx reaches the later min_idx; any overlapping pair sends the
+    # whole conversation to the exploded merge
+    overlap = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        same = np.zeros(n, dtype=bool)
+        same[starts] = True
+        same = ~same
+        overlap[1:] = same[1:] & (maxx[:-1] >= minx[1:])
+    conv_bad = np.add.reduceat(overlap, starts) > 0 if n else np.zeros(0, bool)
+    doc_parts = g["doc_part"]
+    if isinstance(doc_parts, pa.ChunkedArray):
+        doc_parts = doc_parts.combine_chunks()
+    out_tables = []
+    ok = ~conv_bad
+    if ok.any():
+        row_ok = np.repeat(ok, counts)
+        dp = doc_parts.filter(pa.array(row_ok))
+        ok_off = np.concatenate([[0], np.cumsum(counts[ok])]).astype(np.int64)
+        docs = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(ok_off, pa.int64()), dp),
+            pa.scalar(TURN_SEP, pa.large_string()),
+        )
+        out_tables.append(
+            pa.table(
+                {
+                    "conv_id": conv.take(pa.array(starts[ok], pa.int64())),
+                    "doc": docs,
+                    "n_turns": pa.array(
+                        np.add.reduceat(nt, starts)[ok].astype(np.int32), pa.int32()
+                    ),
+                }
+            )
+        )
+    if conv_bad.any():
+        out_tables.append(_merge_interleaved(g.filter(pa.array(np.repeat(conv_bad, counts)))))
+    out = pa.concat_tables(out_tables).combine_chunks() if len(out_tables) > 1 else out_tables[0]
+    return add_content_hash(out)
+
+
 def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821
     """transcripts Dataset -> canonical conversations Dataset.
 
     ONE wide op — a shard groupby on hash(conv_id) (int32 keys, no
     global range sort over string ids, no sample pass, uniform shards
-    regardless of key skew) — then a local per-shard Arrow sort +
-    fully vectorized assembly. Because hash sharding co-locates every
-    turn of a conversation, shards hold complete conversations and the
-    round-1 edge-piece stitch (a materialize barrier + driver merge)
-    disappears. Requires turn_idx to be unique within a conversation
+    regardless of key skew) — with a MAP-SIDE COMBINER: each input
+    block pre-joins its turns into per-conversation partial docs
+    (``_partial_assemble``), so the shuffle moves one row per
+    (conversation, block) rather than one per turn, then each shard
+    merges its complete partial sets (``_merge_shard_group``). The
+    distributed analogue of the reference's stable argsort
+    (include/stringzilla/sort.h:48-114) with the classic combiner
+    push-down: per-turn conv_id/role overhead never enters the
+    shuffle. Requires turn_idx to be unique within a conversation
     (the input contract); if ties occur their relative order follows
-    the local sort, not the input row order.
+    the local sorts, not the input row order.
     """
+    import os
+
     from stringzilla_ray.util import reduce_buckets
 
     n_shards = reduce_buckets()
+    if os.environ.get("SZRAY_CANON_COMBINER", "1") == "0":
+        # A/B escape hatch: per-turn-row shuffle (the pre-combiner path)
 
-    def _add_shard(batch: pa.Table) -> pa.Table:
-        from stringzilla_ray.functions.fingerprint import splitmix64
-        from stringzilla_ray.stages.blocking import _conv_hashes
+        def _add_shard(batch: pa.Table) -> pa.Table:
+            from stringzilla_ray.functions.fingerprint import splitmix64
+            from stringzilla_ray.stages.blocking import _conv_hashes
 
-        conv = batch["conv_id"]
-        if isinstance(conv, pa.ChunkedArray):
-            conv = conv.combine_chunks()
-        s = (splitmix64(_conv_hashes(conv) ^ np.uint64(0xC0))
-             % np.uint64(n_shards)).astype(np.int32)
-        return batch.append_column("shard", pa.array(s, pa.int32()))
+            conv = batch["conv_id"]
+            if isinstance(conv, pa.ChunkedArray):
+                conv = conv.combine_chunks()
+            s = (splitmix64(_conv_hashes(conv) ^ np.uint64(0xC0))
+                 % np.uint64(n_shards)).astype(np.int32)
+            return batch.append_column("shard", pa.array(s, pa.int32()))
 
+        return (
+            transcripts.map_batches(_add_shard, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            .groupby("shard")
+            .map_groups(_assemble_shard_group, batch_format="pyarrow")
+        )
     return (
-        transcripts.map_batches(_add_shard, batch_format="pyarrow",
-                                zero_copy_batch=True)
+        transcripts.map_batches(
+            _partial_assemble,
+            fn_kwargs=dict(n_shards=n_shards),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
         .groupby("shard")
-        .map_groups(_assemble_shard_group, batch_format="pyarrow")
+        .map_groups(_merge_shard_group, batch_format="pyarrow")
     )

@@ -172,7 +172,7 @@ def verify_pairs_ngram(pairs, ds, id_column: str, text_column: str,
     ray.put; at scale, two hash-partitioned joins attach the texts."""
     import ray
 
-    from stringzilla_ray.stages.scoring import _fetch_docs_for_ids
+    from stringzilla_ray.stages.scoring import _fetch_docs_ref
     from stringzilla_ray.state.config import ERConfig
     from stringzilla_ray.util import join_partitions
 
@@ -195,7 +195,7 @@ def verify_pairs_ngram(pairs, ds, id_column: str, text_column: str,
                 batch_format="pyarrow",
             )
         needed = np.unique(np.concatenate(id_parts))
-        docs_ref = ray.put(_fetch_docs_for_ids(ds, id_column, needed, text_column))
+        docs_ref = _fetch_docs_ref(ds, id_column, needed, text_column)
         return pairs.map_batches(
             _verify_against_ref,
             fn_kwargs=dict(docs_ref=docs_ref, n=n, threshold=threshold),

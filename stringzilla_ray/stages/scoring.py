@@ -294,29 +294,25 @@ def _pack_sig_arrays(signed, id_column: str):
     return _pack_sigs_task.remote(*parts)
 
 
-def _fetch_docs_for_ids(signed, id_column: str, needed: np.ndarray,
-                        text_column: str = "norm_doc"):
-    """(sorted ids, tape, offsets) for ONLY the requested ids — one
-    parallel filter pass over the doc side, small result."""
-    import ray as _ray
+@ray.remote
+def _filter_docs_block(batch: pa.Table, id_column: str, text_column: str,
+                       want: np.ndarray) -> pa.Table:
+    ids = batch[id_column].to_numpy(zero_copy_only=False)
+    if len(want) == 0:
+        mask = np.zeros(len(ids), dtype=bool)
+    else:
+        pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
+        mask = want[pos] == ids
+    return batch.select([id_column, text_column]).filter(pa.array(mask.astype(bool)))
 
+
+@ray.remote
+def _pack_doc_parts(id_column: str, text_column: str, *parts):
+    """Concat + sorted-id tape repack of the filtered doc parts, in a
+    warm worker (the driver pays cold first-touch faults for the same
+    arrays and would copy the result store-ward again on ray.put)."""
     from stringzilla_ray.functions.text import tape_of
 
-    needed_ref = _ray.put(np.sort(needed))
-
-    def keep(batch: pa.Table, needed_ref=needed_ref) -> pa.Table:
-        want = _ray.get(needed_ref)
-        ids = batch[id_column].to_numpy(zero_copy_only=False)
-        if len(want) == 0:
-            mask = np.zeros(len(ids), dtype=bool)
-        else:
-            pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
-            mask = want[pos] == ids
-        return batch.select([id_column, text_column]).filter(pa.array(mask.astype(bool)))
-
-    parts = _ray.get(
-        signed.map_batches(keep, batch_format="pyarrow").to_arrow_refs()
-    )
     parts = [t for t in parts if len(t)]
     if not parts:
         return np.zeros(0, np.int64), np.zeros(0, np.uint8), np.zeros(1, np.int64)
@@ -334,6 +330,26 @@ def _fetch_docs_for_ids(signed, id_column: str, needed: np.ndarray,
     # re-pack the tape in sorted-id order
     src = np.repeat(offs[:-1][order] - new_offs[:-1], lens) + np.arange(new_offs[-1])
     return ids[order], tape[src], new_offs
+
+
+def _fetch_docs_ref(signed, id_column: str, needed: np.ndarray,
+                    text_column: str = "norm_doc"):
+    """ObjectRef of (sorted ids, tape, offsets) for ONLY the requested
+    ids. Fully asynchronous: raw per-block filter tasks over the
+    materialized block refs feed one pack task, and the DRIVER NEVER
+    BLOCKS — consumers ray.get the returned ref inside their own
+    tasks. A point lookup of ~10^3 docs doesn't justify a Dataset
+    execution (the map_batches form measured a flat ~1.6 s of
+    plan/scheduling + driver-synchronous fetch at BOTH 8 and 32 CPUs
+    for a <1k-row result)."""
+    import ray as _ray
+
+    needed_ref = _ray.put(np.sort(needed))
+    part_refs = [
+        _filter_docs_block.remote(r, id_column, text_column, needed_ref)
+        for r in signed.to_arrow_refs()
+    ]
+    return _pack_doc_parts.remote(id_column, text_column, *part_refs)
 
 
 def pc_cast_binary(col):
@@ -464,8 +480,8 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     left = pend["left"].to_numpy(zero_copy_only=False)
     right = pend["right"].to_numpy(zero_copy_only=False)
     needed = np.unique(np.concatenate([left, right]))
-    docs_ref = ray.put(_fetch_docs_for_ids(signed, id_column, needed))
-    _sub("fetch-dp-docs")
+    docs_ref = _fetch_docs_ref(signed, id_column, needed)
+    _sub(f"fetch-dp-docs pend={len(pend)} needed={len(needed)}")
     # The DP cost per pair is ~m^2 with m = min(len, cap), so a single
     # block would serialize the whole banded-DP budget on one core (and
     # pad short docs up to the block max). Sort by m and cut the table
@@ -491,6 +507,7 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     # batch_size=None: map_batches would otherwise BUNDLE the small
     # equal-cost blocks back into one ~batch_size-row task, serializing
     # the whole DP budget on one core again.
+    _sub(f"dp-split ntasks={len(slices)}")
     dp_scored = rd.from_arrow(slices).map_batches(
         _dp_score_pending,
         fn_kwargs=dict(docs_ref=docs_ref, cfg=cfg),
