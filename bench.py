@@ -7,6 +7,12 @@ Prints ONE JSON line:
 --scaling runs the headline pipeline twice in fresh processes
 (num_cpus=8 then 32) on the same input and reports both throughputs
 plus the scaling efficiency (recorded in BASELINE.md).
+--scaling-weak runs 4 independent same-sized corpus shards at 32
+CPUs vs one at 8. --scaling-envelope runs the weak protocol over the
+ZERO-EXCHANGE envelope job (the flagship's kernels as one map stage,
+no wide ops) — the host's achievable ceiling that the flagship
+numbers should be normalized by (see tools/host_envelope.py for the
+no-Ray hardware twin).
 """
 
 from __future__ import annotations
@@ -187,6 +193,102 @@ def run_benchmarks() -> dict:
     }
 
 
+def _envelope_kernel(batch):
+    """The flagship's per-block compute — local doc assembly
+    (sort + segmented join), normalize, content hash, OPH MinHash at
+    the production widths — and NOTHING else: no groupby, no sort
+    shuffle, no join, no materialize."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from stringzilla_ray.functions.fastfp import oph_fingerprint_batch
+    from stringzilla_ray.functions.text import tape_of
+    from stringzilla_ray.stages.canonicalize import _assemble_complete, add_content_hash
+
+    docs = add_content_hash(_assemble_complete(batch, fuse_hash=False))
+    norm = docs["norm_doc"]
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    tape, offsets = tape_of(pc.cast(norm, pa.large_binary()))
+    sigs = oph_fingerprint_batch(tape, offsets, ndim=128, widths=(8, 14), seed=0)
+    return pa.table({"h": docs["content_hash"],
+                     "lo": pa.array(sigs[:, 0].astype("int64"), pa.int64())})
+
+
+def run_envelope() -> dict:
+    """Host-ceiling measurement (child mode, GRAFT_ENVELOPE=1): the
+    flagship's vectorized kernels as ONE embarrassing-parallel map over
+    the same transcript corpus. Zero exchanges, zero barriers — so its
+    8-vs-32-CPU weak efficiency is the ceiling this shared box grants
+    ANY Ray pipeline (memory bus + one plasma store + scheduler).
+    Flagship efficiency should be read against it, not against 1.0."""
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 log_to_driver=False)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+
+    import pyarrow.parquet as pq
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    tpath = _corpus_path(sf_name)
+    pq.read_table(tpath)  # warm page cache
+    turns = pq.read_table(tpath, columns=["turn_idx"]).num_rows
+    t0 = time.time()
+    n = (
+        ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "role", "text"])
+        .map_batches(_envelope_kernel, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+        .count()
+    )
+    wall = round(time.time() - t0, 3)
+    return {
+        "metric": "envelope_seconds", "value": wall, "unit": "sec",
+        "queries": {"envelope": wall}, "sf": sf_name, "num_cpus": NUM_CPUS,
+        "transcript_turns": turns, "rows": n,
+        "turns_per_sec": round(turns / wall, 1) if wall else None,
+    }
+
+
+def run_scaling_envelope() -> dict:
+    """Weak-protocol twin of run_scaling_weak over the ZERO-EXCHANGE
+    envelope job: same corpora, same legs, same medians — the number
+    the flagship's weak efficiency should be normalized by."""
+    lo, hi = 8, 32
+    base = int(os.environ.get("GRAFT_BENCH_ENTITIES", "24000"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    os.environ["GRAFT_ENVELOPE"] = "1"
+    lo_secs, hi_secs, r_lo, r_hi = [], [], None, None
+    for _ in range(repeats):
+        r_lo = _run_child(lo, base)
+        lo_secs.append(r_lo["value"])
+        r_hi = _run_child(hi, base, shards=4)
+        hi_secs.append(r_hi["value"])
+    sec_lo, sec_hi = _median(lo_secs), _median(hi_secs)
+    tp_lo = r_lo["transcript_turns"] / sec_lo
+    tp_hi = r_hi["transcript_turns"] / sec_hi
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "envelope_weak_efficiency", "value": round(eff, 3),
+        "unit": "ratio", "cpus_lo": lo, "cpus_hi": hi,
+        "turns_lo": r_lo["transcript_turns"],
+        "turns_hi": r_hi["transcript_turns"],
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "runs_lo": lo_secs, "runs_hi": hi_secs,
+        "turns_per_sec_lo": round(tp_lo, 1),
+        "turns_per_sec_hi": round(tp_hi, 1),
+        "queries": {"envelope_lo": sec_lo, "envelope_hi": sec_hi},
+        "sf": r_hi["sf"], "num_cpus": hi,
+    }
+
+
 def _run_child(ncpu: int, entities: int | None = None, shards: int = 1) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     if entities:
@@ -300,10 +402,15 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling-weak" in sys.argv:
         print(json.dumps(run_scaling_weak()))
+    elif "--scaling-envelope" in sys.argv:
+        print(json.dumps(run_scaling_envelope()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        result = run_benchmarks()
+        if os.environ.get("GRAFT_ENVELOPE"):
+            result = run_envelope()
+        else:
+            result = run_benchmarks()
         print(json.dumps(result))
         import ray
 
