@@ -295,6 +295,16 @@ def _pack_sig_arrays(signed, id_column: str):
 
 
 @ray.remote
+def _take_pending_block(batch: pa.Table) -> pa.Table:
+    """dp-pending rows of one gated block — a raw task instead of a
+    Dataset filter execution (the pending set is ~10^-4 of pairs; the
+    filter plan's flat ~1 s scheduling overhead dominated it)."""
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.equal(batch["scored_by"], "dp-pending"))
+
+
+@ray.remote
 def _filter_docs_block(batch: pa.Table, id_column: str, text_column: str,
                        want: np.ndarray) -> pa.Table:
     ids = batch[id_column].to_numpy(zero_copy_only=False)
@@ -470,7 +480,7 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     _sub("gate")
     pend_parts = [
         t for t in ray.get(
-            gated.filter(expr="scored_by == 'dp-pending'").to_arrow_refs()
+            [_take_pending_block.remote(r) for r in gated.to_arrow_refs()]
         ) if len(t)
     ]
     decided = gated.filter(expr="scored_by != 'dp-pending'")
