@@ -759,6 +759,49 @@ def _q_split_lines(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_word_explode(sf_dir: str):
+    """Word segmentation as a row-exploding operator (one row per
+    [0-9A-Za-z_]+ run — the utf8_tokens.h word-iterator surface), vs
+    DuckDB unnest(regexp_extract_all(...))."""
+    from stringzilla_ray.functions.segment import word_explode
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        words, parents = word_explode(t["text"])
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(parents), "word": words})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_find_denormalized(sf_dir: str):
+    """NFC-denormalization detector (sz find_denormalized). The corpus
+    is ASCII (always canonical), so every third doc gets a combining
+    acute (U+0301) appended — a decomposed 'é' that NFC composes — on
+    BOTH sides; DuckDB mirrors with nfc_normalize()."""
+    from stringzilla_ray.functions.text import find_denormalized
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False)
+        suffix = pa.array(
+            np.where(idv % 3 == 0, "e\u0301", ""), pa.string()
+        )
+        injected = pc.binary_join_element_wise(
+            pc.cast(t["text"], pa.string()), suffix, pa.scalar("", pa.string())
+        )
+        return pa.table({"doc_id": ids, "denorm": find_denormalized(injected)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_split_rows(sf_dir: str):
     """Row-exploding split (the Strs split surface as a flat operator:
     one output row per field), vs DuckDB unnest(string_split(...))."""
@@ -1096,6 +1139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_count": _q_sentence_count,
         "newline_count": _q_newline_count,
         "split_rows": _q_split_rows,
+        "word_explode": _q_word_explode,
+        "find_denormalized": _q_find_denormalized,
         "partition3": _q_partition3,
         "rpartition3": _q_rpartition3,
         "split_lines": _q_split_lines,
@@ -1231,6 +1276,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "split_rows": (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ),
+        "word_explode": (
+            "SELECT doc_id, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS word "
+            "FROM documents"
+        ),
+        "find_denormalized": (
+            "SELECT doc_id, (nfc_normalize(t2) <> t2) AS denorm FROM ("
+            "SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "
+            "THEN 'e' || chr(769) ELSE '' END AS t2 FROM documents)"
         ),
         "partition3": (
             "SELECT doc_id, "

@@ -153,6 +153,23 @@ def sentence_count(arr) -> pa.Array:
     return byteset_run_count(arr, _SENTENCE_BYTES)
 
 
+def word_explode(col):
+    """(words, parent_indices) — one row per maximal [0-9A-Za-z_]+ run
+    (the word-iterator surface of utf8_tokens.h as a row-exploding
+    operator; RE2 and SQL regexp_extract_all mirror it exactly).
+    Pure Arrow: regex split on the complement class -> flatten ->
+    drop the empty boundary fields."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern_regex(col, "[^0-9A-Za-z_]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    values = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    keep = pc.not_equal(values, "")
+    return values.filter(keep), parents.filter(keep)
+
+
 def split_column(col, sep: str):
     """(values, parent_indices) of splitting every string on ``sep`` —
     the row-exploding split surface (one row per field downstream).

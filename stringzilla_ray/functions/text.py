@@ -190,6 +190,21 @@ def normalize(arr, form: str = "NFC") -> pa.Array:
     return pa.array([unicodedata.normalize(form, s) if s is not None else None for s in pylist], type=pa.string())
 
 
+def find_denormalized(arr) -> pa.Array:
+    """Per-row flag: NFC(s) != s (sz find_denormalized,
+    include/stringzilla/utf8_norm.h — locate strings whose stored form
+    is not normalization-canonical). ONE CPython normalize over the
+    NUL-joined block (NUL is a ccc-0 starter with no compositions, so
+    normalization cannot cross the joints) instead of per-row calls."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return pa.array([], pa.bool_())
+    vals = ["" if v is None else v for v in arr.to_pylist()]
+    normed = unicodedata.normalize("NFC", "\x00".join(vals)).split("\x00")
+    return pa.array([a != b for a, b in zip(normed, vals)], pa.bool_())
+
+
 def _fold(arr, fold: str):
     """fold='full' -> Unicode full case fold (the reference's
     utf8_uncased semantics, 'ß'→'ss'); fold='lower' -> Unicode

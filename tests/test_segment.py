@@ -219,3 +219,28 @@ def test_splitlines_column_explode():
         exp_p += [i] * len(fields)
     assert v.to_pylist() == exp_v
     assert p.to_pylist() == exp_p
+
+
+def test_word_explode():
+    import re
+
+    from stringzilla_ray.functions.segment import word_explode
+
+    vals = ["Hello, world_1!", "  2x  y ", "", "---", "one"]
+    w, p = word_explode(pa.array(vals, pa.string()))
+    exp_w, exp_p = [], []
+    for i, s in enumerate(vals):
+        for m in re.findall(r"[0-9A-Za-z_]+", s):
+            exp_w.append(m)
+            exp_p.append(i)
+    assert w.to_pylist() == exp_w
+    assert p.to_pylist() == exp_p
+
+
+def test_find_denormalized():
+    from stringzilla_ray.functions.text import find_denormalized
+
+    vals = ["plain", "caf\u00e9", "cafe\u0301", "", "A\u030a ring", None]
+    got = find_denormalized(pa.array(vals, pa.string())).to_pylist()
+    # composed forms and ASCII are canonical; decomposed sequences flag
+    assert got == [False, False, True, False, True, False]
