@@ -802,6 +802,35 @@ def _q_find_denormalized(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing end-to-end (rows-only: the decode kernel is
+    a deterministic stub — no image/audio libs in this container):
+    binary payloads + typed metadata through the actor-pool decode
+    stage, emitting per-media feature columns."""
+    import ray.data
+
+    from stringzilla_ray.stages.multimodal import decode_features, synthetic_media_table
+
+    ds = ray.data.from_arrow(synthetic_media_table(n=96, seed=3))
+    out = decode_features(ds, strict=False)
+
+    def proj(t: pa.Table) -> pa.Table:
+        feats = t["features"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        m = feats.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "f0": pa.array(np.round(m[:, 0].astype(np.float64), 6)),
+                "f_mean": pa.array(np.round(m.mean(axis=1).astype(np.float64), 6)),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_split_rows(sf_dir: str):
     """Row-exploding split (the Strs split surface as a flat operator:
     one output row per field), vs DuckDB unnest(string_split(...))."""
@@ -1139,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_count": _q_sentence_count,
         "newline_count": _q_newline_count,
         "split_rows": _q_split_rows,
+        "multimodal_features": _q_multimodal_features,
         "word_explode": _q_word_explode,
         "find_denormalized": _q_find_denormalized,
         "partition3": _q_partition3,

@@ -364,6 +364,60 @@ def run_scaling_weak() -> dict:
     }
 
 
+def run_scaling_all() -> dict:
+    """Paired weak-scaling campaign: each repeat runs flagship-lo,
+    flagship-hi, envelope-lo, envelope-hi back-to-back, so the
+    flagship-vs-ceiling ratio is computed WITHIN one host window (the
+    shared box drifts hour-to-hour — unpaired campaigns measured the
+    envelope itself anywhere from 0.63 to 0.85). Reports pooled
+    efficiencies plus the median of per-repeat normalized ratios."""
+    lo, hi = 8, 32
+    base = int(os.environ.get("GRAFT_BENCH_ENTITIES", "24000"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "6"))
+    os.environ["GRAFT_FLAGSHIP_ONLY"] = "1"
+    f_lo, f_hi, e_lo, e_hi = [], [], [], []
+    t_lo = t_hi = 0
+    for _ in range(repeats):
+        os.environ.pop("GRAFT_ENVELOPE", None)
+        r = _run_child(lo, base)
+        f_lo.append(r["value"])
+        t_lo = r["transcript_turns"]
+        r = _run_child(hi, base, shards=4)
+        f_hi.append(r["value"])
+        t_hi = r["transcript_turns"]
+        os.environ["GRAFT_ENVELOPE"] = "1"
+        e_lo.append(_run_child(lo, base)["value"])
+        e_hi.append(_run_child(hi, base, shards=4)["value"])
+    os.environ.pop("GRAFT_ENVELOPE", None)
+    scale = (t_hi / t_lo) / (hi / lo)
+
+    def _eff(sec_lo, sec_hi):
+        return scale * sec_lo / sec_hi
+
+    f_eff = _eff(_median(f_lo), _median(f_hi))
+    e_eff = _eff(_median(e_lo), _median(e_hi))
+    paired = [
+        _eff(fl, fh) / _eff(el, eh)
+        for fl, fh, el, eh in zip(f_lo, f_hi, e_lo, e_hi)
+    ]
+    return {
+        "metric": "weak_scaling_vs_envelope", "unit": "ratio",
+        "value": round(_median(paired), 3),
+        "flagship_weak_efficiency": round(f_eff, 3),
+        "envelope_weak_efficiency": round(e_eff, 3),
+        "paired_ratios": [round(v, 3) for v in paired],
+        "cpus_lo": lo, "cpus_hi": hi,
+        "turns_lo": t_lo, "turns_hi": t_hi,
+        "flagship_runs_lo": f_lo, "flagship_runs_hi": f_hi,
+        "envelope_runs_lo": e_lo, "envelope_runs_hi": e_hi,
+        "queries": {"flagship_er_lo": _median(f_lo),
+                    "flagship_er_hi": _median(f_hi),
+                    "envelope_lo": _median(e_lo),
+                    "envelope_hi": _median(e_hi)},
+        "sf": "sf0.1", "num_cpus": hi,
+    }
+
+
 def run_scaling() -> dict:
     """Same headline job at num_cpus=8 and 32 in fresh processes —
     the sandbox stand-in for cluster sizes N and 4N. Defaults to the
@@ -402,6 +456,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling-weak" in sys.argv:
         print(json.dumps(run_scaling_weak()))
+    elif "--scaling-all" in sys.argv:
+        print(json.dumps(run_scaling_all()))
     elif "--scaling-envelope" in sys.argv:
         print(json.dumps(run_scaling_envelope()))
     elif "--scaling" in sys.argv:

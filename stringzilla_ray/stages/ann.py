@@ -15,7 +15,6 @@ import numpy as np
 import pyarrow as pa
 
 import ray
-from stringzilla_ray.util import actor_pool_limits
 
 
 def _emb_matrix(batch: pa.Table, column: str) -> np.ndarray:
@@ -31,30 +30,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(norms, 1e-12)
 
 
-class _BruteScorer:
-    def __init__(self, query_ref, id_column, emb_column, k):
-        self.q = _normalize(np.atleast_2d(ray.get(query_ref)).astype(np.float32))
-        self.id_column = id_column
-        self.emb_column = emb_column
-        self.k = k
+def _empty_topk(id_column: str) -> pa.Table:
+    return pa.table({id_column: pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())})
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table({self.id_column: pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        m = _normalize(_emb_matrix(batch, self.emb_column))
-        cos = (m @ self.q.T).max(axis=1)  # best over query rows
-        k = min(self.k, len(cos))
-        top = np.argpartition(-cos, k - 1)[:k]
-        ids = batch[self.id_column]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        return pa.table(
-            {
-                self.id_column: ids.take(pa.array(top, pa.int64())),
-                "cosine": pa.array(cos[top].astype(np.float64)),
-            }
-        )
+
+def _score_topk(batch: pa.Table, q: np.ndarray, id_column: str,
+                emb_column: str, k: int) -> pa.Table:
+    if len(batch) == 0:
+        return _empty_topk(id_column)
+    m = _normalize(_emb_matrix(batch, emb_column))
+    cos = (m @ q.T).max(axis=1)  # best over query rows
+    k = min(k, len(cos))
+    top = np.argpartition(-cos, k - 1)[:k]
+    ids = batch[id_column]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_column: ids.take(pa.array(top, pa.int64())),
+            "cosine": pa.array(cos[top].astype(np.float64)),
+        }
+    )
+
+
+def _brute_score_batch(batch: pa.Table, query_ref=None, id_column="vec_id",
+                       emb_column="embedding", k=10) -> pa.Table:
+    """Stateless per-block scorer: the query matrix is a broadcast ref
+    read zero-copy from the store each batch (a few KB; an actor pool
+    here measured multi-second spin-up for sub-second work)."""
+    q = _normalize(np.atleast_2d(ray.get(query_ref)).astype(np.float32))
+    return _score_topk(batch, q, id_column, emb_column, k)
 
 
 def brute_force_topk(ds, query: np.ndarray, k: int = 10,
@@ -63,11 +69,10 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10,
     sort+limit over ~k*num_blocks candidate rows only."""
     query_ref = ray.put(np.asarray(query, dtype=np.float32))
     partial = ds.map_batches(
-        _BruteScorer,
-        fn_constructor_kwargs=dict(query_ref=query_ref, id_column=id_column,
-                                   emb_column=emb_column, k=k),
+        _brute_score_batch,
+        fn_kwargs=dict(query_ref=query_ref, id_column=id_column,
+                       emb_column=emb_column, k=k),
         batch_format="pyarrow",
-        concurrency=actor_pool_limits(32),
     )
     return partial.sort(["cosine", id_column], descending=[True, False]).limit(k)
 
@@ -101,32 +106,26 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, nbits: int = 8, seed: int = 0,
     planes_ref = ray.put(planes)
     query_ref = ray.put(query)
 
-    class Filtered(_BruteScorer):
-        def __init__(self, query_ref, id_column, emb_column, k, planes_ref, probes):
-            super().__init__(query_ref, id_column, emb_column, k)
-            self.planes = ray.get(planes_ref)
-            self.probes = np.asarray(probes, dtype=np.uint64)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
-                return pa.table({self.id_column: pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            m = _normalize(_emb_matrix(batch, self.emb_column))
-            buckets = _bucket_of(m, self.planes)
-            keep = np.isin(buckets, self.probes)
-            if not keep.any():
-                return pa.table({self.id_column: pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            sub = batch.filter(pa.array(keep))
-            return super().__call__(sub)
+    def _lsh_score_batch(batch: pa.Table, query_ref=None, planes_ref=None,
+                         probes=None, id_column="vec_id",
+                         emb_column="embedding", k=10) -> pa.Table:
+        if len(batch) == 0:
+            return _empty_topk(id_column)
+        planes_w = ray.get(planes_ref)
+        m = _normalize(_emb_matrix(batch, emb_column))
+        keep = np.isin(_bucket_of(m, planes_w), np.asarray(probes, np.uint64))
+        if not keep.any():
+            return _empty_topk(id_column)
+        q = _normalize(np.atleast_2d(ray.get(query_ref)).astype(np.float32))
+        return _score_topk(batch.filter(pa.array(keep)), q, id_column,
+                           emb_column, k)
 
     partial = ds.map_batches(
-        Filtered,
-        fn_constructor_kwargs=dict(query_ref=query_ref, id_column=id_column,
-                                   emb_column=emb_column, k=k,
-                                   planes_ref=planes_ref, probes=probes_arr),
+        _lsh_score_batch,
+        fn_kwargs=dict(query_ref=query_ref, id_column=id_column,
+                       emb_column=emb_column, k=k,
+                       planes_ref=planes_ref, probes=probes_arr),
         batch_format="pyarrow",
-        concurrency=actor_pool_limits(32),
     )
     return partial.sort(["cosine", id_column], descending=[True, False]).limit(k)
 
@@ -174,7 +173,10 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, nbits: int = 6, seed: 
             return batch
         buckets = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.uint64)
-        cnts = np.array([omap.get(int(b), 0) for b in buckets], dtype=np.int64)
+        okeys = np.sort(np.fromiter(omap.keys(), np.uint64, len(omap)))
+        ovals = np.asarray([omap[int(k)] for k in okeys], dtype=np.int64)
+        pos = np.minimum(np.searchsorted(okeys, buckets), len(okeys) - 1)
+        cnts = np.where(okeys[pos] == buckets, ovals[pos], 0)
         over = cnts > max_bucket_size
         final = buckets.copy()
         pieces = [batch.drop_columns(["bucket"])]

@@ -24,7 +24,6 @@ from stringzilla_ray.functions import szhash
 from stringzilla_ray.functions.text import tape_of
 from stringzilla_ray.stages.blocking import band_keys_for_batch
 from stringzilla_ray.stages.fingerprint import Fingerprinter, minhash_matrix
-from stringzilla_ray.util import actor_pool_limits
 
 
 def add_text_hash(batch: pa.Table, text_column: str = "text", seed: int = 0,
@@ -123,6 +122,10 @@ class MinHashForDocs(Fingerprinter):
         # wide windows: word-order-sensitive shingles keep docs that
         # merely share vocabulary from colliding in every band
         super().__init__(ndim=ndim, window_widths=widths, seed=seed, text_column=text_column)
+
+
+def _minhash_docs_fn(batch: pa.Table, **kwargs) -> pa.Table:
+    return MinHashForDocs(**kwargs)(batch)
 
 
 def _verify_against_ref(batch: pa.Table, docs_ref=None, n: int = 3,
@@ -241,12 +244,14 @@ def minhash_dedup_pairs(
     rows_per_band = ndim // bands
     assert bands * rows_per_band == ndim
 
+    # Stateless tasks, not an actor pool: MinHashForDocs setup is a few
+    # 256-entry tables (microseconds) while pool spin-up costs seconds
+    # on short jobs (same dispatch note as fingerprint_stage).
     signed = ds.map_batches(
-        MinHashForDocs,
-        fn_constructor_kwargs=dict(ndim=ndim, seed=seed, text_column=text_column),
+        _minhash_docs_fn,
+        fn_kwargs=dict(ndim=ndim, seed=seed, text_column=text_column),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=actor_pool_limits(32),
     )
 
     # Reuse the flagship's salted self-join blocking (skew-capped).

@@ -59,11 +59,16 @@ class DecodeStub:
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
+        # Vectorized: one batched tape hash per feature dim (bit-equal
+        # to the old per-row hash_bytes loop), no per-row Python.
+        from stringzilla_ray.functions.text import tape_of
+
+        tape, offsets = tape_of(payloads)
+        tape = np.asarray(tape)
         feats = np.zeros((len(batch), self.FEATURE_DIM), dtype=np.float32)
-        for i, p in enumerate(payloads.to_pylist()):
-            data = p or b""
-            hashes = [szhash.hash_bytes(data, seed=self.seed + j) for j in range(self.FEATURE_DIM)]
-            feats[i] = np.array([(h % 10_000) / 10_000.0 for h in hashes], dtype=np.float32)
+        for j in range(self.FEATURE_DIM):
+            h = szhash.hash_batch(tape, offsets, seed=self.seed + j)
+            feats[:, j] = (h % np.uint64(10_000)).astype(np.float32) / np.float32(10_000.0)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.FEATURE_DIM
         )
