@@ -378,7 +378,9 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
         dedupe.remote(*[shard[bk] for shard in shard_refs])
         for bk in range(n_buckets)
     ]
-    return ray.data.from_arrow_refs(out_refs)
+    out = ray.data.from_arrow_refs(out_refs)
+    out._szray_blocks = len(out_refs)
+    return out
 
 
 _EXPAND_CHUNK_PAIRS = 16_000_000  # per-call expansion bound (memory)
@@ -514,7 +516,7 @@ def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
 
         import functools
 
-        return (
+        out = (
             signed.map_batches(
                 _explode_with_shard,
                 batch_format="pyarrow",
@@ -531,6 +533,12 @@ def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
             .groupby("bucket")
             .map_groups(_dedupe_bucket_table, batch_format="pyarrow")
         )
+        # Lazy-block-count hint (num_blocks() raises on a lazy Dataset):
+        # the bucket groupby emits one block per bucket. Lets the gate
+        # stage fuse with the dedupe tasks instead of materializing the
+        # whole pair table just to count its blocks.
+        out._szray_blocks = n_buckets
+        return out
 
     # Non-integer ids: legacy census-broadcast + salted self-join path
     # (the vectorized expansion kernels are int64-keyed).

@@ -462,12 +462,18 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     ids_ref, sigs_ref = _pack_sig_arrays(signed, id_column)
     _sub("pack-sigs")
     # map_batches parallelism is per BLOCK; blocked_pairs' bucket-dedupe
-    # already emits ~4 blocks/CPU, so only re-split when the pair table
-    # arrives under-partitioned (e.g. a single-block tiny run) — a full
-    # repartition of a 30M-row pair table costs more than it buys.
-    pairs = pairs.materialize()
+    # already emits ~4 blocks/CPU and says so via the _szray_blocks
+    # hint, in which case the gate FUSES with the dedupe tasks — no
+    # pair-table materialize. Without a hint (checkpoint reload, other
+    # callers) fall back to materialize-and-count, and only re-split
+    # when the pair table arrives under-partitioned (a full repartition
+    # of a 30M-row pair table costs more than it buys).
     want = _apl()[1] * 2
-    if pairs.num_blocks() < want:
+    have = getattr(pairs, "_szray_blocks", None)
+    if have is None:
+        pairs = pairs.materialize()
+        have = pairs.num_blocks()
+    if have < want and have < 16:
         pairs = pairs.repartition(want)
     _sub("pairs-mat")
     gated = pairs.map_batches(
