@@ -77,7 +77,7 @@ class ERConfig:
 
     # Execution
     fingerprint_batch_size: int = 512
-    scoring_batch_size: int = 2048
+    scoring_batch_size: int = 32768
     fingerprint_concurrency: int | None = None  # None -> let Ray autoscale tasks
     scoring_concurrency: int | None = None
     join_num_partitions: int = 16
