@@ -62,11 +62,21 @@ def _corpus_path(sf_name: str) -> str:
             )
         return tpath
     # v3: Heaps-law seed-tagged vocabulary (synth._vocab_for)
-    cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v5seed42-e{entities}"
+    seed = int(os.environ.get("GRAFT_BENCH_SEED", "42"))
+    cache = f"/tmp/stringzilla_ray_bench/{sf_name}-v5seed{seed}-e{entities}"
     tpath = os.path.join(cache, "transcripts.parquet")
     if not os.path.exists(tpath):
-        synth.write_corpus(cache, seed=42, entities=entities)
+        synth.write_corpus(cache, seed=seed, entities=entities)
     return tpath
+
+
+def _ray_init_kwargs() -> dict:
+    """Optional object-store cap (GRAFT_OBJ_STORE_BYTES): the
+    multistore protocol runs four local Ray clusters concurrently, so
+    each must claim a bounded slice of /dev/shm instead of the default
+    ~43% of the machine."""
+    store = os.environ.get("GRAFT_OBJ_STORE_BYTES")
+    return {"object_store_memory": int(store)} if store else {}
 
 
 def run_benchmarks() -> dict:
@@ -81,6 +91,7 @@ def run_benchmarks() -> dict:
             ignore_reinit_error=True,
             logging_level="ERROR",
             log_to_driver=False,  # keep stdout to the single JSON line
+            **_ray_init_kwargs(),
         )
     from ray.data import DataContext
 
@@ -228,7 +239,7 @@ def run_envelope() -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR",
-                 log_to_driver=False)
+                 log_to_driver=False, **_ray_init_kwargs())
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -418,6 +429,70 @@ def run_scaling_all() -> dict:
     }
 
 
+def run_scaling_multistore() -> dict:
+    """Weak scaling with PER-NODE OBJECT STORES: the hi leg runs four
+    CONCURRENT single-node Ray clusters (one per corpus shard, each
+    its own raylet + plasma store + 8 CPUs) against one such cluster
+    as the lo leg — the sandbox's closest emulation of "4 nodes, 4
+    data regions", where per-node stores, schedulers, and page caches
+    are independent and only the physical memory bus stays shared (on
+    real nodes it would not be). Contrast with --scaling-weak, whose
+    hi leg funnels all four shards through ONE 32-CPU cluster and one
+    store. Every cluster gets the same bounded store size."""
+    lo = 8
+    base = int(os.environ.get("GRAFT_BENCH_ENTITIES", "24000"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    seeds = [42, 43, 44, 45]
+    os.environ["GRAFT_FLAGSHIP_ONLY"] = "1"
+    os.environ["GRAFT_OBJ_STORE_BYTES"] = str(6 << 30)
+    os.environ.pop("GRAFT_BENCH_SHARDS", None)
+    # pre-generate the per-seed corpora (cached across runs)
+    for s in seeds:
+        os.environ["GRAFT_BENCH_SEED"] = str(s)
+        os.environ["GRAFT_BENCH_ENTITIES"] = str(base)
+        _corpus_path(os.path.basename(os.path.normpath(SF_DIR)))
+    os.environ["GRAFT_BENCH_SEED"] = "42"
+
+    lo_secs, hi_secs, walls = [], [], []
+    turns_lo = agg_turns = 0
+    for _ in range(repeats):
+        r = _run_child(lo, base)
+        lo_secs.append(r["value"])
+        turns_lo = r["transcript_turns"]
+        t0 = time.time()
+        procs = []
+        for s in seeds:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(lo),
+                       GRAFT_BENCH_ENTITIES=str(base),
+                       GRAFT_BENCH_SEED=str(s))
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            ))
+        outs = [json.loads(p.communicate()[0].strip().splitlines()[-1])
+                for p in procs]
+        walls.append(round(time.time() - t0, 3))
+        agg_turns = sum(v["transcript_turns"] for v in outs)
+        hi_secs.append(max(v["value"] for v in outs))
+    sec_lo, sec_hi = _median(lo_secs), _median(hi_secs)
+    # hi wall = slowest cluster's flagship seconds (starts align within
+    # ~1s; ray.init excluded on both legs identically)
+    eff = ((agg_turns / sec_hi) / (turns_lo / sec_lo)) / 4.0
+    return {
+        "metric": "multistore_weak_efficiency", "value": round(eff, 3),
+        "unit": "ratio", "clusters_hi": len(seeds), "cpus_per_cluster": lo,
+        "turns_lo": turns_lo, "turns_hi": agg_turns,
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "runs_lo": lo_secs, "runs_hi": hi_secs,
+        "spawn_walls_hi": walls,
+        "turns_per_sec_lo": round(turns_lo / sec_lo, 1),
+        "turns_per_sec_hi": round(agg_turns / sec_hi, 1),
+        "queries": {"flagship_er_lo": sec_lo, "flagship_er_hi": sec_hi},
+        "sf": os.path.basename(os.path.normpath(SF_DIR)), "num_cpus": 32,
+    }
+
+
 def run_scaling() -> dict:
     """Same headline job at num_cpus=8 and 32 in fresh processes —
     the sandbox stand-in for cluster sizes N and 4N. Defaults to the
@@ -458,6 +533,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling_weak()))
     elif "--scaling-all" in sys.argv:
         print(json.dumps(run_scaling_all()))
+    elif "--scaling-multistore" in sys.argv:
+        print(json.dumps(run_scaling_multistore()))
     elif "--scaling-envelope" in sys.argv:
         print(json.dumps(run_scaling_envelope()))
     elif "--scaling" in sys.argv:
