@@ -112,12 +112,23 @@ def generate_transcripts(
     seed: int = 42,
     entities: int = 200,
     viral_fraction: float = 0.07,
+    locality_horizon_s: int | None = None,
 ) -> tuple[pa.Table, pa.Table]:
     """Returns (transcripts, truth) Arrow tables.
 
     transcripts: conv_id string, turn_idx int32, role string,
                  text string, tool string, ts timestamp[us]
     truth:       conv_id string, entity_id int64
+
+    ``locality_horizon_s=None`` (default) emits rows in GLOBALLY
+    SHUFFLED order within a fixed ~2.8 h window — the adversarial
+    layout (every conversation scatters across the whole corpus).
+    Setting a horizon spreads conversation start times uniformly over
+    that many seconds and emits rows in ts order — how a real log
+    writer flushes events — so each conversation's turns land within
+    a few row groups (temporal locality; the input
+    ``canonicalize_parquet`` exploits). Per-turn content is identical
+    either way: only ``conv_offset`` draws and row order differ.
     """
     rng = random.Random(seed)
     conv_rows: list[tuple] = []  # (conv_id, turn_idx, role, text, tool, ts)
@@ -156,7 +167,7 @@ def generate_transcripts(
             conv_id = f"conv-{conv_counter:07d}"
             conv_counter += 1
             truth_rows.append((conv_id, entity))
-            conv_offset = rng.randint(0, 10_000) * 1_000_000
+            conv_offset = rng.randint(0, locality_horizon_s or 10_000) * 1_000_000
             order = list(range(len(turns)))
             rng.shuffle(order)  # rows always emitted in shuffled order
             for turn_idx in order:
@@ -167,8 +178,13 @@ def generate_transcripts(
                 tool = base_tools[turn_idx % len(base_tools)]
                 conv_rows.append((conv_id, turn_idx, role, turns[turn_idx], tool, ts))
 
-    # Shuffle conversations' rows globally too
-    rng.shuffle(conv_rows)
+    if locality_horizon_s:
+        # writer flush order = event time (stable: equal-ts rows keep
+        # their emission order, which the rng already shuffled per conv)
+        conv_rows.sort(key=lambda r: r[5])
+    else:
+        # Shuffle conversations' rows globally too
+        rng.shuffle(conv_rows)
 
     transcripts = pa.table(
         {
@@ -212,14 +228,17 @@ def _write_sharded(table, tpath: str) -> None:
         )
 
 
-def write_corpus(out_dir: str, seed: int = 42, entities: int = 200) -> tuple[str, str]:
+def write_corpus(out_dir: str, seed: int = 42, entities: int = 200,
+                 locality_horizon_s: int | None = None) -> tuple[str, str]:
     """Writes transcripts.parquet + truth.parquet under out_dir."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    transcripts, truth = generate_transcripts(seed=seed, entities=entities)
+    transcripts, truth = generate_transcripts(
+        seed=seed, entities=entities, locality_horizon_s=locality_horizon_s
+    )
     tpath = os.path.join(out_dir, "transcripts.parquet")
     gpath = os.path.join(out_dir, "truth.parquet")
     _write_sharded(transcripts, tpath)
