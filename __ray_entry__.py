@@ -802,6 +802,56 @@ def _q_find_denormalized(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_strip_chars(sf_dir: str):
+    """strip/lstrip/rstrip with an explicit char set (sz strip family;
+    whitespace is rare at doc edges, so strip the corpus' own common
+    edge letters to exercise real trimming), vs DuckDB trim/ltrim/rtrim."""
+    from stringzilla_ray.functions.text import strip
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chars = "aeiou "
+
+    def f(t: pa.Table) -> pa.Table:
+        col = pc.cast(t["text"], pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "stripped": strip(col, chars),
+                "lstripped": pc.utf8_ltrim(col, chars),
+                "rstripped": pc.utf8_rtrim(col, chars),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_equal_pairs(sf_dir: str):
+    """Byte-equality over consecutive doc pairs (sz equal), the exact
+    comparison the dedup collapse relies on, vs SQL '='."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("doc_id", "ascending")])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(t)
+        keep = ids[: n - 1][ids[: n - 1] % 2 == 0]
+        keep = keep[np.isin(keep + 1, ids)]
+        il = np.searchsorted(ids, keep)
+        ir = np.searchsorted(ids, keep + 1)
+        eq = pc.equal(
+            texts.take(pa.array(il, pa.int64())),
+            texts.take(pa.array(ir, pa.int64())),
+        )
+        return pa.table({"left_id": pa.array(keep, pa.int64()), "is_equal": eq})
+
+    # one block: pairs straddle block boundaries otherwise (oracle
+    # harness scale only — 500 rows at sf0.01)
+    return ds.repartition(1).map_batches(f, batch_format="pyarrow")
+
+
 def _q_multimodal_features(sf_dir: str):
     """Multimodal plumbing end-to-end (rows-only: the decode kernel is
     a deterministic stub — no image/audio libs in this container):
@@ -1168,6 +1218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_count": _q_sentence_count,
         "newline_count": _q_newline_count,
         "split_rows": _q_split_rows,
+        "strip_chars": _q_strip_chars,
+        "equal_pairs": _q_equal_pairs,
         "multimodal_features": _q_multimodal_features,
         "word_explode": _q_word_explode,
         "find_denormalized": _q_find_denormalized,
@@ -1306,6 +1358,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "split_rows": (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ),
+        "strip_chars": (
+            "SELECT doc_id, trim(text, 'aeiou ') AS stripped, "
+            "ltrim(text, 'aeiou ') AS lstripped, "
+            "rtrim(text, 'aeiou ') AS rstripped FROM documents"
+        ),
+        "equal_pairs": (
+            "SELECT a.doc_id AS left_id, (a.text = b.text) AS is_equal "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0"
         ),
         "word_explode": (
             "SELECT doc_id, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS word "
