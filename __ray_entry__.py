@@ -852,6 +852,20 @@ def _q_equal_pairs(sf_dir: str):
     return ds.repartition(1).map_batches(f, batch_format="pyarrow")
 
 
+def _q_random_fill(sf_dir: str):
+    """Distributed fill_random (sz.random / fill_random,
+    python/README.md:405-423): reproducible alphabet-constrained
+    random strings, independent of block structure. Rows-only (a
+    seeded generator has no SQL twin); determinism + alphabet
+    membership are pytest-gated (tests/test_stages.py)."""
+    from stringzilla_ray.functions.collection import random_strings
+
+    out = random_strings(n_rows=256, length=32, nonce=7, alphabet="acgt")
+    return out.map_batches(
+        lambda t: t.select(["row_id", "text"]), batch_format="pyarrow"
+    )
+
+
 def _q_multimodal_features(sf_dir: str):
     """Multimodal plumbing end-to-end (rows-only: the decode kernel is
     a deterministic stub — no image/audio libs in this container):
@@ -1221,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_chars": _q_strip_chars,
         "equal_pairs": _q_equal_pairs,
         "multimodal_features": _q_multimodal_features,
+        "random_fill": _q_random_fill,
         "word_explode": _q_word_explode,
         "find_denormalized": _q_find_denormalized,
         "partition3": _q_partition3,
