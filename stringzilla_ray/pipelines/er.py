@@ -127,11 +127,21 @@ def resolve_entities(
     if tick:
         tick("collapse")
 
+    pair_blocks: list[int | None] = [None]
+
+    def _make_pairs():
+        ds, n_blocks = blocked_pairs(reps, cfg, id_column="content_hash")
+        pair_blocks[0] = n_blocks
+        return ds
+
+    # On checkpoint reload pair_blocks stays None and score_pairs falls
+    # back to materialize-and-count (the reloaded parquet block count
+    # differs from the fresh pipeline's anyway).
     pairs = checkpointed(
         "pairs",
         checkpoint_dir,
         h,
-        lambda: blocked_pairs(reps, cfg, id_column="content_hash"),
+        _make_pairs,
         input_token=input_token,
     )
     if tick:
@@ -143,7 +153,7 @@ def resolve_entities(
         checkpoint_dir,
         h,
         lambda: score_pairs(pairs, reps, cfg, id_column="content_hash",
-                            match_only=True),
+                            match_only=True, pairs_blocks=pair_blocks[0]),
         input_token=input_token,
     )
 

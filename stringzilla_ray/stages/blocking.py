@@ -324,14 +324,16 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
     vectorized — a few seconds per 10^6 nodes), and the quadratic part
     (segment pair expansion + dedupe) fans out as key-range-sharded
     Ray tasks. No shuffles; the sharded-expand path below is the
-    at-scale twin with identical semantics."""
+    at-scale twin with identical semantics.
+
+    Returns ``(dataset, n_blocks)`` like blocked_pairs."""
     import ray
     import ray.data
 
     ids_nodes, K = _collect_band_keys(signed, cfg, id_column)
     n_nodes = len(ids_nodes)
     if n_nodes == 0:
-        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS)), 1
     bands = cfg.bands
     cap = cfg.max_block_size
 
@@ -348,12 +350,12 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
     from stringzilla_ray.util import actor_pool_limits
 
     if total_est == 0:
-        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS)), 1
     n_shards = int(min(actor_pool_limits()[1] * 2, max(1, total_est // 65536)))
     if n_shards <= 1:
         # tiny workload: inline on the driver, no task round-trips
         buckets = _expand_pairs_chunk(ids, final_keys, flags, 1)
-        return ray.data.from_arrow(_dedupe_pair_bucket(buckets[0]))
+        return ray.data.from_arrow(_dedupe_pair_bucket(buckets[0])), 1
 
     shard_of = (splitmix64(final_keys ^ np.uint64(0xA5A5)) % np.uint64(n_shards)).astype(
         np.uint16
@@ -373,14 +375,12 @@ def _blocked_pairs_driver(signed, cfg: ERConfig, id_column: str):
         if b > a
     ]
     if not shard_refs:
-        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS)), 1
     out_refs = [
         dedupe.remote(*[shard[bk] for shard in shard_refs])
         for bk in range(n_buckets)
     ]
-    out = ray.data.from_arrow_refs(out_refs)
-    out._szray_blocks = len(out_refs)
-    return out
+    return ray.data.from_arrow_refs(out_refs), len(out_refs)
 
 
 _EXPAND_CHUNK_PAIRS = 16_000_000  # per-call expansion bound (memory)
@@ -468,8 +468,12 @@ def _dedupe_bucket_table(g: pa.Table) -> pa.Table:
 
 
 def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
-    """signed Dataset (conv_id, minhash, ...) -> candidate pairs
-    (left, right, oversized_block).
+    """signed Dataset (conv_id, minhash, ...) -> ``(pairs, n_blocks)``:
+    candidate pairs (left, right, oversized_block) plus the pair
+    Dataset's lazy block count (``None`` when unknown). The count is an
+    explicit contract with score_pairs / verify stages — num_blocks()
+    raises on a lazy Dataset, and materializing a 30M-row pair table
+    just to count its blocks costs more than the gate it feeds.
 
     At-scale path (integer ids): TWO one-sided shuffles total —
     (1) hash-shard the exploded (id, band_key) rows by band-key hash,
@@ -533,12 +537,8 @@ def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
             .groupby("bucket")
             .map_groups(_dedupe_bucket_table, batch_format="pyarrow")
         )
-        # Lazy-block-count hint (num_blocks() raises on a lazy Dataset):
-        # the bucket groupby emits one block per bucket. Lets the gate
-        # stage fuse with the dedupe tasks instead of materializing the
-        # whole pair table just to count its blocks.
-        out._szray_blocks = n_buckets
-        return out
+        # the bucket groupby emits one block per bucket
+        return out, n_buckets
 
     # Non-integer ids: legacy census-broadcast + salted self-join path
     # (the vectorized expansion kernels are int64-keyed).
@@ -636,6 +636,7 @@ def blocked_pairs(signed, cfg: ERConfig, id_column: str = "conv_id"):
                          "right": pa.array(h2[new], pa.int64()),
                          "oversized_block": pa.array(mx, pa.int8())})
 
-    return joined.map_batches(_pairs_with_bucket, batch_format="pyarrow").groupby(
+    out = joined.map_batches(_pairs_with_bucket, batch_format="pyarrow").groupby(
         "bucket"
     ).map_groups(_dedupe_bucket, batch_format="pyarrow")
+    return out, n_buckets

@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from stringzilla_ray.functions import szhash
+from stringzilla_ray.functions.fingerprint import splitmix64
 from stringzilla_ray.functions.text import tape_of
 from stringzilla_ray.stages.blocking import band_keys_for_batch
 from stringzilla_ray.stages.fingerprint import Fingerprinter, minhash_matrix
@@ -85,9 +86,88 @@ def exact_dedup(ds, id_column: str, text_column: str = "text", seed: int = 0):
     )
 
 
+def _gram_hash_sets(tape: np.ndarray, offsets: np.ndarray, n: int = 3):
+    """Sorted-unique gram-hash sets for EVERY row of a string tape in
+    one vectorized pass — the batch twin of ``ngram_set_hashes`` (same
+    polynomial + splitmix dispersion, so hash values are identical).
+    Returns ``(flat_hashes, row_offsets)`` in CSR layout: row i's set is
+    ``flat_hashes[row_offsets[i]:row_offsets[i+1]]``, sorted unique.
+
+    One sliding window over the whole tape, one lexsort, one adjacency
+    dedupe — no per-text Python (the reference batches similarity
+    kernels the same way, include/stringzillas/similarities/serial.hpp
+    engine-batch design)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    nrows = len(offsets) - 1
+    total = len(tape)
+    empty = np.zeros(0, np.uint64), np.zeros(nrows + 1, np.int64)
+    if total < n or nrows == 0:
+        return empty
+    win = np.lib.stride_tricks.sliding_window_view(np.asarray(tape), n)
+    h = np.zeros(len(win), dtype=np.uint64)
+    for k in range(n):
+        h = h * np.uint64(1099511628211) + win[:, k].astype(np.uint64)
+    h = splitmix64(h)
+    # window start -> owning row; valid iff the window fits in the row
+    row_of_byte = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(offsets))
+    starts = np.arange(total - n + 1, dtype=np.int64)
+    row = row_of_byte[starts]
+    valid = starts + n <= offsets[row + 1]
+    h, row = h[valid], row[valid]
+    if len(h) == 0:
+        return empty
+    order = np.lexsort((h, row))
+    h, row = h[order], row[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (row[1:] != row[:-1]) | (h[1:] != h[:-1])
+    h, row = h[keep], row[keep]
+    out_offs = np.zeros(nrows + 1, np.int64)
+    np.cumsum(np.bincount(row, minlength=nrows), out=out_offs[1:])
+    return h, out_offs
+
+
+def ngram_jaccard_pairs(flat: np.ndarray, offs: np.ndarray,
+                        pl: np.ndarray, pr: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for N (left_row, right_row) pairs over CSR gram
+    sets (``_gram_hash_sets`` output) — one gather + one lexsort + one
+    adjacency count for the WHOLE pair batch; each side of a pair is
+    sorted-unique, so an intersection element appears exactly twice
+    within its pair segment."""
+    sizes = np.diff(offs)
+    sl, sr = sizes[pl], sizes[pr]
+    npairs = len(pl)
+    if npairs == 0:
+        return np.zeros(0, np.float64)
+
+    def gather(p, s):
+        tot = int(s.sum())
+        if tot == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        cum = np.concatenate([[0], np.cumsum(s)])
+        idx = np.repeat(offs[p] - cum[:-1], s) + np.arange(tot)
+        pid = np.repeat(np.arange(npairs, dtype=np.int64), s)
+        return flat[idx], pid
+
+    hl, il = gather(pl, sl)
+    hr, ir = gather(pr, sr)
+    h = np.concatenate([hl, hr])
+    pid = np.concatenate([il, ir])
+    inter = np.zeros(npairs, np.int64)
+    if len(h):
+        order = np.lexsort((h, pid))
+        h, pid = h[order], pid[order]
+        dup = np.zeros(len(h), dtype=bool)
+        dup[1:] = (h[1:] == h[:-1]) & (pid[1:] == pid[:-1])
+        inter = np.bincount(pid[dup], minlength=npairs).astype(np.int64)
+    union = sl + sr - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 def ngram_set_hashes(texts, n: int = 3) -> list[np.ndarray]:
-    """Sorted unique uint64 hashes of each text's character n-grams.
-    Accepts str or bytes-like (memoryview slices of a doc tape)."""
+    """Per-text slow ORACLE twin of ``_gram_hash_sets`` (kept for
+    pytest differential checks only — production verify paths are the
+    batch kernels above). Sorted unique uint64 hashes of each text's
+    character n-grams. Accepts str or bytes-like."""
     out = []
     for t in texts:
         data = t.encode() if isinstance(t, str) else t
@@ -262,7 +342,7 @@ def minhash_dedup_pairs(
         window_widths=(8, 12, 16, 24),
     )
     sigs = signed.select_columns([id_column, "minhash"]).materialize()
-    pairs = blocked_pairs(sigs, block_cfg, id_column=id_column)
+    pairs, _n_pair_blocks = blocked_pairs(sigs, block_cfg, id_column=id_column)
     pairs = pairs.drop_columns(["oversized_block"])
 
     return verify_pairs_ngram(

@@ -33,20 +33,6 @@ from stringzilla_ray.state.config import ERConfig
 from stringzilla_ray.util import actor_pool_limits
 
 
-def _pack_docs(batch_iter, id_column: str = "conv_id") -> dict:
-    """id -> (doc_bytes, signature, prefix_signature) lookup dict."""
-    lookup: dict = {}
-    for batch in batch_iter:
-        convs = batch[id_column].to_pylist()
-        docs = batch["norm_doc"].to_pylist()
-        # decode whole-batch signature matrices once, then slice rows
-        m_all = _decode_sigs(batch["minhash"])
-        pm_all = _decode_sigs(batch["prefix_minhash"])
-        for i, (c, d) in enumerate(zip(convs, docs)):
-            lookup[c] = (d.encode(), m_all[i], pm_all[i])
-    return lookup
-
-
 def _decode_sigs(col) -> np.ndarray:
     import pyarrow as _pa
 
@@ -58,40 +44,6 @@ def _decode_sigs(col) -> np.ndarray:
     width = int(offsets[1] - offsets[0]) // 4 if len(col) else 0
     flat = tape[offsets[0] : offsets[-1]]
     return np.ascontiguousarray(flat).view(np.uint32).reshape(len(col), max(width, 1))
-
-
-class PairScorer:
-    """Actor-pool UDF scoring (left, right) id pairs via a broadcast doc map."""
-
-    def __init__(self, docs_ref, cfg: ERConfig):
-        self.cfg = cfg
-        self.lookup = ray.get(docs_ref)  # once per actor
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        left_ids = batch["left"].to_pylist()
-        right_ids = batch["right"].to_pylist()
-        n = len(left_ids)
-        if n == 0:
-            return _empty_scores()
-
-        left_docs, right_docs = [], []
-        left_sigs = np.empty((n, cfg.ndim), dtype=np.uint32)
-        right_sigs = np.empty((n, cfg.ndim), dtype=np.uint32)
-        left_psigs = np.empty((n, cfg.prefix_ndim), dtype=np.uint32)
-        right_psigs = np.empty((n, cfg.prefix_ndim), dtype=np.uint32)
-        for i, (l, r) in enumerate(zip(left_ids, right_ids)):
-            dl, sl, pl = self.lookup[l]
-            dr, sr, pr = self.lookup[r]
-            left_docs.append(dl)
-            right_docs.append(dr)
-            left_sigs[i] = sl
-            right_sigs[i] = sr
-            left_psigs[i] = pl
-            right_psigs[i] = pr
-        return score_pair_batch(left_ids, right_ids, left_docs, right_docs,
-                                left_sigs, right_sigs, cfg,
-                                left_psigs, right_psigs)
 
 
 def _empty_scores() -> pa.Table:
@@ -434,7 +386,7 @@ def _dp_score_pending(batch: pa.Table, docs_ref=None, cfg: ERConfig = None) -> p
 
 
 def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_id",
-                          match_only: bool = False):
+                          match_only: bool = False, pairs_blocks: int | None = None):
     """Broadcast strategy, two-phase: (1) ship ONLY signatures +
     lengths (~10x smaller than docs) and gate every pair in stateless
     tasks; (2) the dp-pending remainder (a vanishing fraction, by
@@ -462,14 +414,15 @@ def score_pairs_broadcast(pairs, signed, cfg: ERConfig, id_column: str = "conv_i
     ids_ref, sigs_ref = _pack_sig_arrays(signed, id_column)
     _sub("pack-sigs")
     # map_batches parallelism is per BLOCK; blocked_pairs' bucket-dedupe
-    # already emits ~4 blocks/CPU and says so via the _szray_blocks
-    # hint, in which case the gate FUSES with the dedupe tasks — no
-    # pair-table materialize. Without a hint (checkpoint reload, other
-    # callers) fall back to materialize-and-count, and only re-split
-    # when the pair table arrives under-partitioned (a full repartition
-    # of a 30M-row pair table costs more than it buys).
+    # already emits ~4 blocks/CPU and reports so via its explicit
+    # (dataset, n_blocks) return, in which case the gate FUSES with the
+    # dedupe tasks — no pair-table materialize. Without the count
+    # (checkpoint reload, other callers) fall back to
+    # materialize-and-count, and only re-split when the pair table
+    # arrives under-partitioned (a full repartition of a 30M-row pair
+    # table costs more than it buys).
     want = _apl()[1] * 2
-    have = getattr(pairs, "_szray_blocks", None)
+    have = pairs_blocks
     if have is None:
         pairs = pairs.materialize()
         have = pairs.num_blocks()
@@ -633,12 +586,16 @@ def doc_side_fits_broadcast(signed, cfg: ERConfig) -> bool:
 
 
 def score_pairs(pairs, signed, cfg: ERConfig, id_column: str = "conv_id",
-                match_only: bool = False):
+                match_only: bool = False, pairs_blocks: int | None = None):
     """Strategy dispatch: broadcast for small doc sides, join otherwise.
 
     ``match_only`` drops rejected pairs inside the scoring tasks —
     callers that only consume match edges (the flagship) avoid
-    materializing the full scored-pair table."""
+    materializing the full scored-pair table. ``pairs_blocks`` is the
+    pair Dataset's known lazy block count (blocked_pairs returns it) —
+    passing it lets the gate fuse with the upstream dedupe tasks
+    instead of materializing the pair table just to count blocks."""
     if doc_side_fits_broadcast(signed, cfg):
-        return score_pairs_broadcast(pairs, signed, cfg, id_column, match_only)
+        return score_pairs_broadcast(pairs, signed, cfg, id_column, match_only,
+                                     pairs_blocks=pairs_blocks)
     return score_pairs_join(pairs, signed, cfg, id_column, match_only)

@@ -451,7 +451,7 @@ def test_skew_salting_triggers(ray_session):
     ds = ray.data.from_arrow(transcripts)
     signed = fingerprint_stage(canonicalize(ds), cfg).materialize()
     # node-level blocking must flag oversized blocks
-    pairs = blocked_pairs(signed, cfg, id_column="content_hash").to_pandas()
+    pairs = blocked_pairs(signed, cfg, id_column="content_hash")[0].to_pandas()
     assert pairs.oversized_block.sum() > 0, "salting did not trigger"
     out = resolve_entities(ray.data.from_arrow(transcripts), cfg).to_pandas()
     m = pairwise_f1(out, truth.to_pandas())
