@@ -211,7 +211,10 @@ def _minhash_docs_fn(batch: pa.Table, **kwargs) -> pa.Table:
 def _verify_against_ref(batch: pa.Table, docs_ref=None, n: int = 3,
                         threshold: float = 0.8) -> pa.Table:
     """Stateless verifier: n-gram Jaccard from a broadcast doc tape
-    holding ONLY the docs that appear in candidate pairs."""
+    holding ONLY the docs that appear in candidate pairs. Fully
+    vectorized: the batch's referenced docs gather into ONE sub-tape,
+    gram sets come from one sliding-window pass, and all pairs
+    intersect in one lexsort (no per-pair/per-text Python)."""
     import ray
 
     if len(batch) == 0:
@@ -222,23 +225,41 @@ def _verify_against_ref(batch: pa.Table, docs_ref=None, n: int = 3,
     right = batch["right"].to_numpy(zero_copy_only=False)
     il = np.searchsorted(ids_sorted, left)
     ir = np.searchsorted(ids_sorted, right)
-    mv = memoryview(np.ascontiguousarray(tape))
-    la = ngram_set_hashes([mv[offsets[i]:offsets[i + 1]] for i in il], n)
-    lb = ngram_set_hashes([mv[offsets[i]:offsets[i + 1]] for i in ir], n)
-    jac = np.array([ngram_jaccard(a, b) for a, b in zip(la, lb)], dtype=np.float64)
+    # sub-tape of just the docs THIS batch references (each hashed once
+    # per batch even when it appears in many pairs)
+    u = np.unique(np.concatenate([il, ir]))
+    lens = offsets[u + 1] - offsets[u]
+    sub_offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    idx = np.repeat(offsets[u] - sub_offs[:-1], lens) + np.arange(sub_offs[-1])
+    flat, gram_offs = _gram_hash_sets(np.asarray(tape)[idx], sub_offs, n)
+    jac = ngram_jaccard_pairs(flat, gram_offs,
+                              np.searchsorted(u, il), np.searchsorted(u, ir))
     t = pa.table({"left": batch["left"], "right": batch["right"],
                   "jaccard": pa.array(jac, pa.float64())})
     return t.filter(pa.array(jac >= threshold))
 
 
 def _verify_joined(batch: pa.Table, n: int = 3, threshold: float = 0.8) -> pa.Table:
-    """Stateless verifier over pairs that already carry text_l/text_r."""
+    """Stateless verifier over pairs that already carry text_l/text_r —
+    one gram pass per side's tape, one lexsort for all intersections."""
     if len(batch) == 0:
         return pa.table({"left": batch["left"], "right": batch["right"],
                          "jaccard": pa.array([], pa.float64())})
-    la = ngram_set_hashes(batch["text_l"].to_pylist(), n)
-    lb = ngram_set_hashes(batch["text_r"].to_pylist(), n)
-    jac = np.array([ngram_jaccard(a, b) for a, b in zip(la, lb)], dtype=np.float64)
+    jacs = []
+    sides = []
+    for name in ("text_l", "text_r"):
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tape, offs = tape_of(pc.cast(col, pa.large_binary()))
+        tape = np.asarray(tape[offs[0]:offs[-1]])
+        sides.append(_gram_hash_sets(tape, (offs - offs[0]).astype(np.int64), n))
+    npairs = len(batch)
+    # stack both sides into one CSR: rows [0,n) = left, [n,2n) = right
+    flat = np.concatenate([sides[0][0], sides[1][0]])
+    offs = np.concatenate([sides[0][1], sides[0][1][-1] + sides[1][1][1:]])
+    rows = np.arange(npairs, dtype=np.int64)
+    jac = ngram_jaccard_pairs(flat, offs, rows, npairs + rows)
     t = pa.table({"left": batch["left"], "right": batch["right"],
                   "jaccard": pa.array(jac, pa.float64())})
     return t.filter(pa.array(jac >= threshold))
@@ -351,26 +372,15 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash_batch(texts: list[str], seed: int = 0) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens -> (N,) uint64.
-
-    All tokens of the batch are hashed in ONE vectorized hash_batch
-    call over a shared tape, then per-text bit votes reduce with
-    np.add.reduceat — no per-token Python in the hot path.
-    """
-    n = len(texts)
+def _simhash_from_token_hashes(hashes: np.ndarray, parents: np.ndarray,
+                               n: int) -> np.ndarray:
+    """(token_hashes, owning-row index, n rows) -> (N,) uint64 SimHash.
+    Per-row bit votes reduce with np.add.reduceat; parents must be
+    non-decreasing (Arrow list_parent_indices order)."""
     out = np.zeros(n, dtype=np.uint64)
-    token_lists = [t.split() for t in texts]
-    counts = np.array([len(toks) for toks in token_lists], dtype=np.int64)
-    total = int(counts.sum())
-    if total == 0:
+    if len(hashes) == 0:
         return out
-    all_tokens = [tok.encode() for toks in token_lists for tok in toks]
-    tape = np.frombuffer(b"".join(all_tokens), dtype=np.uint8)
-    offsets = np.zeros(total + 1, dtype=np.int64)
-    np.cumsum([len(t) for t in all_tokens], out=offsets[1:])
-    hashes = szhash.hash_batch(tape, offsets, seed)
-
+    counts = np.bincount(parents, minlength=n).astype(np.int64)
     bit_idx = np.arange(64, dtype=np.uint64)
     votes_terms = (2 * ((hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)) - 1
     nonempty = counts > 0
@@ -381,8 +391,43 @@ def simhash_batch(texts: list[str], seed: int = 0) -> np.ndarray:
     return out
 
 
-def add_simhash(batch: pa.Table, text_column: str = "text", seed: int = 0) -> pa.Table:
-    col = batch[text_column]
+def simhash_column(col, seed: int = 0) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens of an Arrow string column.
+
+    Tokenization is ONE Arrow regex split (no per-text Python), all
+    tokens of the batch hash in one vectorized hash_batch call over the
+    flattened token tape, and per-row bit votes reduce with
+    np.add.reduceat — zero per-row Python end to end.
+    """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return batch.append_column("simhash", pa.array(simhash_batch(col.to_pylist(), seed), pa.uint64()))
+    n = len(col)
+    lists = pc.split_pattern_regex(col, r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    values = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    keep = pc.not_equal(values, "")
+    values = values.filter(keep)
+    parents = parents.filter(keep)
+    if len(values) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    tape, offsets = tape_of(pc.cast(values, pa.large_binary()))
+    hashes = szhash.hash_batch(
+        np.asarray(tape[offsets[0]:offsets[-1]]),
+        (offsets - offsets[0]).astype(np.int64), seed,
+    )
+    return _simhash_from_token_hashes(
+        hashes, parents.to_numpy(zero_copy_only=False).astype(np.int64), n
+    )
+
+
+def simhash_batch(texts: list[str], seed: int = 0) -> np.ndarray:
+    """List-of-str convenience wrapper over simhash_column."""
+    return simhash_column(pa.array(texts, pa.string()), seed)
+
+
+def add_simhash(batch: pa.Table, text_column: str = "text", seed: int = 0) -> pa.Table:
+    return batch.append_column(
+        "simhash", pa.array(simhash_column(batch[text_column], seed), pa.uint64())
+    )
