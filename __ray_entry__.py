@@ -310,6 +310,102 @@ def _q_simhash(sf_dir: str):
     )
 
 
+def _q_simhash_near_dup(sf_dir: str):
+    """Bucketed Hamming-<=k near-dup pairs over the simhash column.
+    The FNV-1a token hash makes the signature SQL-expressible, so the
+    whole op (signature + pigeonhole banding + exact verify) has an
+    exact DuckDB oracle."""
+    from stringzilla_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, k=4, token_hash="fnv", max_block_size=4096)
+
+
+def _q_offset_within(sf_dir: str):
+    """Str.offset_within (python/README.md:178-185): locate a sliced
+    sub-view inside its parent string (ASCII rows only — the SQL twin's
+    instr is character-based, byte==char there)."""
+    from stringzilla_ray.functions.text import offset_within
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ascii_mask = pc.equal(pc.utf8_length(t["text"]), pc.binary_length(t["text"]))
+        t = t.filter(ascii_mask)
+        sub = pc.utf8_slice_codeunits(t["text"], 10, 35)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pos": offset_within(sub, t["text"]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_endswith_filter(sf_dir: str):
+    from stringzilla_ray.functions.text import ends_with
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(ends_with(t["text"], "the")).select(["doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_count_byteset(sf_dir: str):
+    from stringzilla_ray.functions.text import count_byteset
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_vowels": pc.cast(count_byteset(t["text"], "aeiou"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_hash_multiseed(sf_dir: str):
+    """hash_multiseed surface (reference test/hash.py:89-110): one
+    seeded AES-64 digest column per seed. The SQL oracle checks the
+    distinctness structure (per seed, #distinct digests == #distinct
+    texts — injectivity on this corpus); digest VALUES are additionally
+    golden-pinned in tests/test_szhash.py."""
+    from stringzilla_ray.functions import szhash
+    from stringzilla_ray.functions.text import tape_of
+
+    seeds = (0, 1, 2)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_unique(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tape, offs = tape_of(pc.cast(col, pa.large_binary()))
+        tape = np.asarray(tape[offs[0]:offs[-1]])
+        offs = (offs - offs[0]).astype(np.int64)
+        rows = []
+        for s in seeds:
+            h = np.unique(szhash.hash_batch(tape, offs, s).view(np.int64))
+            rows.append(pa.table({
+                "seed": pa.array(np.full(len(h), s, np.int64), pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }))
+        return pa.concat_tables(rows)
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seed": pa.array([g["seed"][0].as_py()], pa.int64()),
+            "n_distinct": pa.array([len(np.unique(h))], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial_unique, batch_format="pyarrow")
+        .groupby("seed")
+        .map_groups(count_distinct, batch_format="pyarrow")
+    )
+
+
 def _q_language_id(sf_dir: str):
     from stringzilla_ray.stages.textstats import add_language
 
@@ -1212,6 +1308,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bytesum": _q_bytesum,
         "minhash_near_dup": _q_minhash_dedup,
         "simhash": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "offset_within": _q_offset_within,
+        "endswith_filter": _q_endswith_filter,
+        "count_byteset": _q_count_byteset,
+        "hash_multiseed": _q_hash_multiseed,
         "language_id": _q_language_id,
         "quality_score": _q_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1521,6 +1622,57 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) AS BIGINT) AS jaccard_r6 "
             "FROM inter JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r "
             "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"
+        ),
+        "simhash_near_dup": (
+            # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT
+            # multiply mod 2^64 — the 40-bit prime keeps products under
+            # 2^104), per-bit majority vote, then an O(n^2) self-join
+            # on bit_count(xor) <= k. The Ray side's pigeonhole banding
+            # has recall exactly 1 (k+1 disjoint bit fields), so both
+            # sides emit identical pair sets.
+            "WITH tok AS ("
+            "  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents"
+            "), h AS ("
+            "  SELECT doc_id,"
+            "    (list_reduce("
+            "      list_prepend(14695981039346656037::HUGEINT,"
+            "        list_transform(string_split(t, ''), c -> unicode(c)::HUGEINT)),"
+            "      (a, x) -> ((xor(a::UBIGINT, x::UBIGINT))::HUGEINT * 1099511628211::HUGEINT)"
+            "                % 18446744073709551616::HUGEINT"
+            "    ))::UBIGINT AS hv"
+            "  FROM tok"
+            "), bits AS ("
+            "  SELECT doc_id, b,"
+            "    CASE WHEN sum(CASE WHEN (hv >> b::UBIGINT) & 1::UBIGINT = 1::UBIGINT "
+            "THEN 1 ELSE -1 END) >= 0"
+            "         THEN power(2, b)::HUGEINT ELSE 0::HUGEINT END AS bitval"
+            "  FROM h CROSS JOIN generate_series(0, 63) AS g(b)"
+            "  GROUP BY doc_id, b"
+            "), sig AS ("
+            "  SELECT doc_id, sum(bitval)::UBIGINT AS s FROM bits GROUP BY doc_id"
+            ") "
+            "SELECT a.doc_id AS left, b.doc_id AS right,"
+            "  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.s, b.s)) <= 4"
+        ),
+        "offset_within": (
+            "SELECT doc_id, CAST(instr(text, substr(text, 11, 25)) - 1 AS BIGINT) AS pos "
+            "FROM documents WHERE length(text) = strlen(text)"
+        ),
+        "endswith_filter": (
+            "SELECT doc_id, n_chars FROM documents WHERE ends_with(text, 'the')"
+        ),
+        "count_byteset": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) "
+            "AS n_vowels FROM documents"
+        ),
+        "hash_multiseed": (
+            # structural oracle: the seeded AES-64 digest family must be
+            # injective per seed on this corpus (digest values are
+            # golden-pinned in tests/test_szhash.py — not SQL-computable)
+            "SELECT s.seed AS seed, CAST(count(DISTINCT d.text) AS BIGINT) AS n_distinct "
+            "FROM documents d CROSS JOIN (VALUES (0), (1), (2)) AS s(seed) GROUP BY s.seed"
         ),
         "language_id": (
             # mirrors stages/textstats.py language_id: CJK share of the

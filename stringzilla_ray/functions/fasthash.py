@@ -40,6 +40,38 @@ except ImportError:  # pragma: no cover - polars is in the base image
     _pl = None
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_batch(tape: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(N,) uint64 FNV-1a of every string on an Arrow tape.
+
+    Published-constant public hash, chosen for the ORACLE role: its
+    fold (xor byte, multiply prime mod 2^64) is expressible in DuckDB
+    (HUGEINT multiply + % 2**64 — the 40-bit prime keeps the product
+    under 2^104), so simhash variants built on it get an exact SQL
+    twin. Vectorized by byte position: one masked gather + multiply
+    per position up to the longest string (tokens are short)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0 or len(tape) == 0:
+        return h
+    tape = np.asarray(tape)
+    lens = np.diff(offsets)
+    max_len = int(lens.max()) if n else 0
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for kpos in range(max_len):
+            active = lens > kpos
+            if not active.any():
+                break
+            idx = starts[active] + kpos
+            h[active] = (h[active] ^ tape[idx].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
 def hash_string_column(col, seed: int = 0) -> np.ndarray:
     """(N,) int64 content hash of an Arrow string column.
 

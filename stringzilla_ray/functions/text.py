@@ -30,6 +30,7 @@ __all__ = [
     "contains",
     "starts_with",
     "ends_with",
+    "offset_within",
     "count_byteset",
     "split_count",
     "token_count",
@@ -110,6 +111,29 @@ def rfind(arr, needle: str) -> pa.Array:
     C-speed, and the oracle the reference itself tests against."""
     vals = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr).to_pylist()
     return pa.array([v.rfind(needle) if v is not None else None for v in vals], pa.int64())
+
+
+def offset_within(sub_arr, larger_arr) -> pa.Array:
+    """Byte offset of each ``sub`` view inside its row's ``larger``
+    string, -1 when not contained (Str.offset_within,
+    python/README.md:178-185; include/stringzilla/compare.h:88).
+
+    The reference computes this as pointer arithmetic on a shared tape;
+    Arrow slicing materializes fresh buffers, so the columnar analogue
+    locates the first byte-equal occurrence. Per-row C-speed
+    bytes.find (the same accepted pattern as rfind — needles vary per
+    row, which no Arrow kernel supports)."""
+    subs = (sub_arr.combine_chunks() if isinstance(sub_arr, pa.ChunkedArray) else sub_arr).to_pylist()
+    bigs = (larger_arr.combine_chunks() if isinstance(larger_arr, pa.ChunkedArray) else larger_arr).to_pylist()
+    out = []
+    for s, b in zip(subs, bigs):
+        if s is None or b is None:
+            out.append(None)
+        else:
+            sb = s.encode() if isinstance(s, str) else s
+            bb = b.encode() if isinstance(b, str) else b
+            out.append(bb.find(sb))
+    return pa.array(out, pa.int64())
 
 
 def find_first_of(arr, chars: str) -> pa.Array:

@@ -391,13 +391,17 @@ def _simhash_from_token_hashes(hashes: np.ndarray, parents: np.ndarray,
     return out
 
 
-def simhash_column(col, seed: int = 0) -> np.ndarray:
+def simhash_column(col, seed: int = 0, token_hash: str = "aes") -> np.ndarray:
     """64-bit SimHash over whitespace tokens of an Arrow string column.
 
     Tokenization is ONE Arrow regex split (no per-text Python), all
-    tokens of the batch hash in one vectorized hash_batch call over the
-    flattened token tape, and per-row bit votes reduce with
-    np.add.reduceat — zero per-row Python end to end.
+    tokens of the batch hash in one vectorized call over the flattened
+    token tape, and per-row bit votes reduce with np.add.reduceat —
+    zero per-row Python end to end.
+
+    ``token_hash``: "aes" (default) uses the bit-parity seeded AES-64
+    kernel; "fnv" uses seedless FNV-1a, whose fold is SQL-expressible,
+    giving simhash_near_dup an exact DuckDB oracle.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -413,10 +417,14 @@ def simhash_column(col, seed: int = 0) -> np.ndarray:
     if len(values) == 0:
         return np.zeros(n, dtype=np.uint64)
     tape, offsets = tape_of(pc.cast(values, pa.large_binary()))
-    hashes = szhash.hash_batch(
-        np.asarray(tape[offsets[0]:offsets[-1]]),
-        (offsets - offsets[0]).astype(np.int64), seed,
-    )
+    tok_tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    tok_offs = (offsets - offsets[0]).astype(np.int64)
+    if token_hash == "fnv":
+        from stringzilla_ray.functions.fasthash import fnv1a_batch
+
+        hashes = fnv1a_batch(tok_tape, tok_offs)
+    else:
+        hashes = szhash.hash_batch(tok_tape, tok_offs, seed)
     return _simhash_from_token_hashes(
         hashes, parents.to_numpy(zero_copy_only=False).astype(np.int64), n
     )
@@ -427,7 +435,156 @@ def simhash_batch(texts: list[str], seed: int = 0) -> np.ndarray:
     return simhash_column(pa.array(texts, pa.string()), seed)
 
 
-def add_simhash(batch: pa.Table, text_column: str = "text", seed: int = 0) -> pa.Table:
+def add_simhash(batch: pa.Table, text_column: str = "text", seed: int = 0,
+                token_hash: str = "aes") -> pa.Table:
     return batch.append_column(
-        "simhash", pa.array(simhash_column(batch[text_column], seed), pa.uint64())
+        "simhash",
+        pa.array(simhash_column(batch[text_column], seed, token_hash), pa.uint64()),
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """(N,) int64 popcount of a uint64 array (numpy-1.x-safe)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    bytes_view = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64)
+
+
+def _simhash_band_keys(sig: np.ndarray, k: int) -> np.ndarray:
+    """(N, k+1) int64 band keys: the 64 signature bits split into k+1
+    contiguous fields. Two signatures within Hamming distance k differ
+    in at most k bit positions, so by pigeonhole they agree EXACTLY on
+    at least one of the k+1 fields — banding has recall 1.0 by
+    construction (no probabilistic miss, unlike MinHash LSH)."""
+    nb = k + 1
+    bounds = np.linspace(0, 64, nb + 1).astype(np.int64)
+    n = len(sig)
+    out = np.empty((n, nb), dtype=np.int64)
+    for b in range(nb):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        width = hi - lo
+        if width >= 64:
+            val = sig
+        else:
+            val = (sig >> np.uint64(lo)) & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
+        with np.errstate(over="ignore"):
+            out[:, b] = splitmix64(
+                val + np.uint64(b) * np.uint64(0x9E3779B97F4A7C15)
+            ).view(np.int64)
+    return out
+
+
+def _hamming_verify_fn(batch: pa.Table, sig_ref=None, k: int = 8) -> pa.Table:
+    """Exact Hamming filter over candidate pairs from a broadcast
+    (sorted ids, sig) lookup — one xor + popcount per batch."""
+    import ray
+
+    if len(batch) == 0:
+        return pa.table({"left": pa.array([], pa.int64()),
+                         "right": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    ids_sorted, sigv = ray.get(sig_ref)
+    left = batch["left"].to_numpy(zero_copy_only=False)
+    right = batch["right"].to_numpy(zero_copy_only=False)
+    xor = sigv[np.searchsorted(ids_sorted, left)] ^ sigv[np.searchsorted(ids_sorted, right)]
+    ham = _popcount64(xor)
+    keep = ham <= k
+    return pa.table({"left": pa.array(left[keep], pa.int64()),
+                     "right": pa.array(right[keep], pa.int64()),
+                     "hamming": pa.array(ham[keep], pa.int64())})
+
+
+def simhash_near_dup_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    seed: int = 0,
+    token_hash: str = "aes",
+    max_block_size: int = 256,
+):
+    """Near-duplicate pairs by SimHash: all (left, right, hamming) with
+    popcount(xor(sig_l, sig_r)) <= k, left < right — the bucketed
+    Hamming-<=k query op over the simhash column.
+
+    Candidate generation is the exact-recall pigeonhole banding above,
+    executed with the flagship's shard-groupby machinery (hash the band
+    key -> each shard owns complete key groups -> local census + salt +
+    vectorized pair expansion -> pair-hash bucket dedupe: two one-sided
+    shuffles total). Verification is one vectorized xor+popcount pass
+    against a broadcast signature array (16 bytes/doc — 100x smaller
+    than the docs; above the broadcast budget the verify would join,
+    same dispatch as verify_pairs_ngram)."""
+    import functools
+
+    import ray
+
+    from stringzilla_ray.stages.blocking import (
+        _dedupe_bucket_table,
+        _expand_shard_table,
+    )
+    from stringzilla_ray.util import reduce_buckets
+
+    def add_sig(batch: pa.Table) -> pa.Table:
+        sig = simhash_column(batch[text_column], seed, token_hash)
+        return pa.table({
+            id_column: batch[id_column],
+            "sig": pa.array(sig.view(np.int64), pa.int64()),
+        })
+
+    signed = ds.map_batches(add_sig, batch_format="pyarrow").materialize()
+
+    n_shards = reduce_buckets()
+    n_buckets = reduce_buckets()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = batch["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        keys = _simhash_band_keys(sig, k)
+        nb = k + 1
+        n = len(batch)
+        ids = batch[id_column]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_rep = ids.take(pa.array(np.repeat(np.arange(n), nb), pa.int64()))
+        flat = keys.ravel()
+        shard = (splitmix64(flat.view(np.uint64) ^ np.uint64(0x51AD)) % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            id_column: ids_rep,
+            "band_key": pa.array(flat, pa.int64()),
+            "shard": pa.array(shard, pa.int32()),
+        })
+
+    pairs = (
+        signed.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            functools.partial(_expand_shard_table, cap=max_block_size,
+                              n_buckets=n_buckets, id_column=id_column),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_dedupe_bucket_table, batch_format="pyarrow")
+    )
+
+    @ray.remote
+    def _sig_part(t: pa.Table):
+        col = t[id_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return (col.to_numpy(zero_copy_only=False).astype(np.int64),
+                t["sig"].to_numpy(zero_copy_only=False).view(np.uint64))
+
+    @ray.remote
+    def _sig_cat(*parts):
+        ids = np.concatenate([p[0] for p in parts])
+        sig = np.concatenate([p[1] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        return ids[order], sig[order]
+
+    sig_ref = _sig_cat.remote(*[_sig_part.remote(r) for r in signed.to_arrow_refs()])
+    return pairs.map_batches(
+        _hamming_verify_fn,
+        fn_kwargs=dict(sig_ref=sig_ref, k=k),
+        batch_format="pyarrow",
     )

@@ -192,6 +192,48 @@ def test_simhash_hamming(ray_session, docs_table):
     np.testing.assert_array_equal(sh, simhash_batch(texts))
 
 
+def test_simhash_near_dup_exact_recall(ray_session, docs_table):
+    """The pigeonhole-banded Hamming-<=k op must return EXACTLY the
+    brute-force pair set (recall 1 by construction, verify exact)."""
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import (
+        _popcount64,
+        simhash_column,
+        simhash_near_dup_pairs,
+    )
+
+    texts = docs_table["text"].combine_chunks()
+    sig = simhash_column(texts, token_hash="fnv")
+    n = len(sig)
+    want = set()
+    k = 6
+    for i in range(n):
+        ham = _popcount64(sig[i] ^ sig[i + 1:])
+        for off in np.nonzero(ham <= k)[0]:
+            want.add((i, i + 1 + int(off)))
+    assert want  # fixture has exact dups -> hamming 0 pairs exist
+
+    ds = ray.data.from_arrow(docs_table)
+    out = simhash_near_dup_pairs(ds, k=k, token_hash="fnv",
+                                 max_block_size=4096).to_pandas()
+    got = set(zip(out.left, out.right))
+    assert got == want
+    assert (out.hamming <= k).all()
+    # exact dups land at hamming 0
+    zero = set(map(tuple, out[out.hamming == 0][["left", "right"]].values))
+    assert (0, 10) in zero and (0, 11) in zero
+
+
+def test_offset_within_kernel():
+    from stringzilla_ray.functions.text import offset_within
+
+    big = pa.array(["hello world", "abcdef", "xyz", None], pa.string())
+    sub = pa.array(["world", "zz", "xyz", "q"], pa.string())
+    got = offset_within(sub, big).to_pylist()
+    assert got == [6, -1, 0, None]
+
+
 def test_textstats(ray_session, docs_table):
     from stringzilla_ray.stages.textstats import (
         add_doc_fingerprint,
