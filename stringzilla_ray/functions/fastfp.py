@@ -88,14 +88,85 @@ class _Scratch:
         self.pos = np.arange(_CHUNK, dtype=np.int64)
 
 
+def _width_chunks(tape, offsets, ends, w, table, scratch, n):
+    """Yield (window_hashes, flat_target_index) per L2-sized chunk for
+    one window width — the shared inner loop of the min pass and the
+    (optional) count pass. ``flat_target_index`` is
+    string_id * dims_per_width + bucket for the VALID windows only.
+    Bucket bits are attached by the caller (closure-free: yields raw
+    acc values and sid, caller derives bucket)."""
+    total = len(tape)
+    nwin = total - w + 1
+    gat, acc, pos_base = scratch.gat, scratch.acc, scratch.pos
+    sh1, sh2 = scratch.sh1, scratch.sh2
+    for p0 in range(0, nwin, _CHUNK):
+        p1 = min(p0 + _CHUNK, nwin)
+        c = p1 - p0
+        # ONE table gather for the whole window span, then the
+        # per-k rotations run as sequential SIMD shifts over the
+        # cache-resident gather output — ~3x faster than one
+        # pre-rotated-table gather per k (gathers, even L1-resident
+        # ones, are the kernel's bottleneck).
+        np.take(table, tape[p0 : p1 + w - 1], out=gat[: c + w - 1])
+        for k in range(w):
+            r = (w - 1 - k) % 32
+            seg = gat[k : k + c]
+            if r:
+                np.left_shift(seg, _U32(r), out=sh1[:c])
+                np.right_shift(seg, _U32(32 - r), out=sh2[:c])
+                np.bitwise_or(sh1[:c], sh2[:c], out=sh1[:c])
+                term = sh1[:c]
+            else:
+                term = seg
+            if k == 0:
+                np.copyto(acc[:c], term)
+            else:
+                np.bitwise_xor(acc[:c], term, out=acc[:c])
+        # string id per position (positions are contiguous, so the
+        # per-chunk id vector is one small repeat)
+        s0 = int(np.searchsorted(offsets, p0, "right")) - 1
+        s1 = int(np.searchsorted(offsets, p1 - 1, "right")) - 1
+        bounds = np.clip(offsets[s0 : s1 + 2], p0, p1)
+        sid_c = np.repeat(np.arange(s0, s1 + 1, dtype=np.int64), np.diff(bounds))
+        # window must fit inside its string
+        valid = (p0 + pos_base[:c]) + w <= ends[sid_c]
+        yield acc[:c][valid], sid_c[valid]
+
+
+def _densify(filled: np.ndarray, counts: np.ndarray | None, dims_per_width: int):
+    """Rotation densification in place: empty buckets borrow the next
+    filled bucket's value (cyclically), so short docs still emit full
+    signatures; all-empty rows (len < w) stay EMPTY. Counts (when
+    present) travel with their donor value."""
+    empty = filled == _EMPTY32
+    has_any = ~empty.all(axis=1)
+    rot = 1
+    while empty[has_any].any() and rot < dims_per_width:
+        donor = np.roll(filled, -rot, axis=1)
+        fill_now = empty & (donor != _EMPTY32)
+        filled[fill_now] = donor[fill_now]
+        if counts is not None:
+            donor_cnt = np.roll(counts, -rot, axis=1)
+            counts[fill_now] = donor_cnt[fill_now]
+        empty = filled == _EMPTY32
+        rot += 1
+
+
 def oph_fingerprint_batch(
     tape: np.ndarray,
     offsets: np.ndarray,
     ndim: int = 128,
     widths=(5, 7, 9, 11),
     seed: int = 0,
-) -> np.ndarray:
-    """(N, ndim) uint32 MinHash signatures over an Arrow tape.
+    emit_counts: bool = False,
+):
+    """(N, ndim) uint32 MinHash signatures over an Arrow tape; with
+    ``emit_counts`` also the (N, ndim) uint32 count of window positions
+    attaining each bucket minimum — the production-speed twin of the
+    reference engine's (hashes, counts) contract
+    (include/stringzillas/stringzillas.h:516-590). The count pass
+    re-streams the tape (same chunked kernel) so no O(windows) state
+    ever materializes; cost is ~2x only when counts are requested.
 
     ndim must be divisible by len(widths) and the per-width dimension
     count must be a power of two (the OPH bucket index is the hash's
@@ -110,70 +181,40 @@ def oph_fingerprint_batch(
     assert (1 << bbits) == dims_per_width, "dims per width must be a power of two"
 
     out = np.full((n, ndim), _EMPTY32, dtype=np.uint32)
+    out_counts = np.zeros((n, ndim), dtype=np.uint32) if emit_counts else None
     if n == 0 or len(tape) == 0:
-        return out
+        return (out, out_counts) if emit_counts else out
 
     total = len(tape)
     ends = offsets[1:]
     scratch = _Scratch(max(widths))
-    gat, acc, pos_base = scratch.gat, scratch.acc, scratch.pos
-    sh1, sh2 = scratch.sh1, scratch.sh2
 
     for wi, w in enumerate(widths):
         if total < w:
             continue
         table = _buz_table(wi, seed)
-        nwin = total - w + 1
         tgt = np.full(n * dims_per_width, _EMPTY32, dtype=np.uint32)
 
-        for p0 in range(0, nwin, _CHUNK):
-            p1 = min(p0 + _CHUNK, nwin)
-            c = p1 - p0
-            # ONE table gather for the whole window span, then the
-            # per-k rotations run as sequential SIMD shifts over the
-            # cache-resident gather output — ~3x faster than one
-            # pre-rotated-table gather per k (gathers, even L1-resident
-            # ones, are the kernel's bottleneck).
-            np.take(table, tape[p0 : p1 + w - 1], out=gat[: c + w - 1])
-            for k in range(w):
-                r = (w - 1 - k) % 32
-                seg = gat[k : k + c]
-                if r:
-                    np.left_shift(seg, _U32(r), out=sh1[:c])
-                    np.right_shift(seg, _U32(32 - r), out=sh2[:c])
-                    np.bitwise_or(sh1[:c], sh2[:c], out=sh1[:c])
-                    term = sh1[:c]
-                else:
-                    term = seg
-                if k == 0:
-                    np.copyto(acc[:c], term)
-                else:
-                    np.bitwise_xor(acc[:c], term, out=acc[:c])
-            # string id per position (positions are contiguous, so the
-            # per-chunk id vector is one small repeat)
-            s0 = int(np.searchsorted(offsets, p0, "right")) - 1
-            s1 = int(np.searchsorted(offsets, p1 - 1, "right")) - 1
-            bounds = np.clip(offsets[s0 : s1 + 2], p0, p1)
-            sid_c = np.repeat(np.arange(s0, s1 + 1, dtype=np.int64), np.diff(bounds))
-            # window must fit inside its string
-            valid = (p0 + pos_base[:c]) + w <= ends[sid_c]
-            bucket = (acc[:c] >> _U32(32 - bbits)).astype(np.int64)
-            target = sid_c * dims_per_width + bucket
-            np.minimum.at(tgt, target[valid], acc[:c][valid])
+        for vals, sid in _width_chunks(tape, offsets, ends, w, table, scratch, n):
+            bucket = (vals >> _U32(32 - bbits)).astype(np.int64)
+            np.minimum.at(tgt, sid * dims_per_width + bucket, vals)
+
+        cnt = None
+        if emit_counts:
+            cnt = np.zeros(n * dims_per_width, dtype=np.uint32)
+            for vals, sid in _width_chunks(tape, offsets, ends, w, table, scratch, n):
+                bucket = (vals >> _U32(32 - bbits)).astype(np.int64)
+                target = sid * dims_per_width + bucket
+                hit = vals == tgt[target]
+                np.add.at(cnt, target[hit], 1)
+            cnt = cnt.reshape(n, dims_per_width)
 
         filled = tgt.reshape(n, dims_per_width)
-        # Rotation densification: empty buckets borrow the next filled
-        # bucket's value (cyclically), so short docs still emit full
-        # signatures; all-empty rows (len < w) stay EMPTY.
-        empty = filled == _EMPTY32
-        has_any = ~empty.all(axis=1)
-        rot = 1
-        while empty[has_any].any() and rot < dims_per_width:
-            donor = np.roll(filled, -rot, axis=1)
-            fill_now = empty & (donor != _EMPTY32)
-            filled[fill_now] = donor[fill_now]
-            empty = filled == _EMPTY32
-            rot += 1
+        _densify(filled, cnt, dims_per_width)
         out[:, wi * dims_per_width : (wi + 1) * dims_per_width] = filled
+        if emit_counts:
+            # EMPTY dims (all-skip rows) keep count 0
+            cnt[filled == _EMPTY32] = 0
+            out_counts[:, wi * dims_per_width : (wi + 1) * dims_per_width] = cnt
 
-    return out
+    return (out, out_counts) if emit_counts else out

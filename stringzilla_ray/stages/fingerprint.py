@@ -57,10 +57,16 @@ class Fingerprinter:
         else:
             from stringzilla_ray.functions.fastfp import oph_fingerprint_batch
 
-            hashes = oph_fingerprint_batch(
-                tape, offsets, ndim=self.ndim, widths=self.widths, seed=self.seed
-            )
-            counts = None
+            if self.emit_counts:
+                hashes, counts = oph_fingerprint_batch(
+                    tape, offsets, ndim=self.ndim, widths=self.widths,
+                    seed=self.seed, emit_counts=True,
+                )
+            else:
+                hashes = oph_fingerprint_batch(
+                    tape, offsets, ndim=self.ndim, widths=self.widths, seed=self.seed
+                )
+                counts = None
         batch = batch.append_column("minhash", _sig_binary(hashes))
         if self.prefix_ndim:
             from stringzilla_ray.functions.fastfp import oph_fingerprint_batch, truncate_tape
@@ -129,6 +135,70 @@ def fingerprint_stage(canonical, cfg: ERConfig, upstream_blocks: int | None = No
         batch_format="pyarrow",
         batch_size=cfg.fingerprint_batch_size,
         zero_copy_batch=True,
+    )
+
+
+def merge_sketches(a: tuple, b: tuple) -> tuple:
+    """Merge two (min_hashes, min_counts) corpus sketches elementwise:
+    the merged min is min(a, b) per dim, the merged count is the count
+    of whichever side holds the min — SUMMED when both sides tie (both
+    observed windows attaining the same minimum). This is the
+    associative+commutative rollup that makes the sketch a mergeable
+    aggregate (SURVEY §2.5): merge(shard sketches) == corpus sketch.
+    EMPTY dims (0xFFFFFFFF) lose every min contest, and their count is
+    0, so they merge correctly for free."""
+    ha, ca = a
+    hb, cb = b
+    h = np.minimum(ha, hb)
+    c = np.where(ha < hb, ca, np.where(hb < ha, cb, ca + cb))
+    return h, c
+
+
+def corpus_sketch_aggregate(ndim: int, sig_column: str = "minhash",
+                            count_column: str = "mincount"):
+    """Ray Data AggregateFn computing the corpus-level mergeable sketch
+    (elementwise min over all row signatures + min-count rollup) —
+    ds.aggregate(corpus_sketch_aggregate(...)) runs it as a tree
+    reduce, with per-block accumulation vectorized. The running state
+    is ONE flat uint32 array [mins | counts] (Ray shuttles aggregate
+    state through Arrow blocks, which flattens tuple-of-array states).
+    Finalizes to (min_hashes, min_counts) uint32 arrays."""
+    from ray.data.aggregate import AggregateFn
+
+    def _init(_key):
+        s = np.empty(2 * ndim, np.uint32)
+        s[:ndim] = 0xFFFFFFFF
+        s[ndim:] = 0
+        return s
+
+    def _pack(hc):
+        return np.concatenate([hc[0], hc[1]])
+
+    def _unpack(s):
+        s = np.asarray(s, np.uint32)
+        return s[:ndim], s[ndim:]
+
+    def _merge(a, b):
+        return _pack(merge_sketches(_unpack(a), _unpack(b)))
+
+    def _accumulate(state, block: pa.Table):
+        hs = sig_matrix(block[sig_column], ndim)
+        cs = sig_matrix(block[count_column], ndim)
+        if not len(hs):
+            return state
+        # vectorized per-block fold: column minimum, then sum counts of
+        # the rows that attain it
+        h = hs.min(axis=0)
+        c = (cs * (hs == h[None, :])).sum(axis=0, dtype=np.uint64).astype(np.uint32)
+        c[h == 0xFFFFFFFF] = 0
+        return _pack(merge_sketches(_unpack(state), (h, c)))
+
+    return AggregateFn(
+        init=_init,
+        merge=_merge,
+        name="corpus_sketch",
+        accumulate_block=_accumulate,
+        finalize=_unpack,
     )
 
 

@@ -55,6 +55,110 @@ def test_oph_similarity_monotone():
     assert agree(0, 3) < 0.1
 
 
+def _slow_oph_with_counts(data: bytes, ndim, widths, seed):
+    """Independent per-string oracle: direct closed-form BuzHash per
+    window, per-bucket min + count of positions attaining it, rotation
+    densification with counts following their donor."""
+    from stringzilla_ray.functions.fastfp import _buz_table, _rotl32
+
+    dims_per_width = ndim // len(widths)
+    bbits = int(np.log2(dims_per_width))
+    out_h = np.full(ndim, 0xFFFFFFFF, np.uint32)
+    out_c = np.zeros(ndim, np.uint32)
+    arr = np.frombuffer(data, np.uint8)
+    for wi, w in enumerate(widths):
+        if len(arr) < w:
+            continue
+        table = _buz_table(wi, seed)
+        h = np.zeros(ndim, np.uint32)
+        mins = np.full(dims_per_width, 0xFFFFFFFF, np.uint32)
+        cnts = np.zeros(dims_per_width, np.uint32)
+        for i in range(len(arr) - w + 1):
+            acc = np.uint32(0)
+            for k in range(w):
+                acc ^= _rotl32(np.array([table[arr[i + k]]], np.uint32), (w - 1 - k) % 32)[0]
+            b = int(acc) >> (32 - bbits)
+            if acc < mins[b]:
+                mins[b], cnts[b] = acc, 1
+            elif acc == mins[b]:
+                cnts[b] += 1
+        # rotation densification (counts travel with donors)
+        empty = mins == 0xFFFFFFFF
+        if not empty.all():
+            rot = 1
+            while empty.any():
+                donor = np.roll(mins, -rot)
+                donor_c = np.roll(cnts, -rot)
+                fill = empty & (donor != 0xFFFFFFFF)
+                mins[fill] = donor[fill]
+                cnts[fill] = donor_c[fill]
+                empty = mins == 0xFFFFFFFF
+                rot += 1
+        out_h[wi * dims_per_width:(wi + 1) * dims_per_width] = mins
+        out_c[wi * dims_per_width:(wi + 1) * dims_per_width] = cnts
+    return out_h, out_c
+
+
+def test_oph_counts_vs_slow_oracle():
+    rng = np.random.default_rng(9)
+    datas = [rng.integers(97, 103, int(rng.integers(0, 300)), dtype=np.uint8).tobytes()
+             for _ in range(12)]
+    datas.append(b"aaaaaaaaaaaaaaaaaaaa")  # repeated content -> counts > 1
+    tape, offsets = _tape(datas)
+    h, c = oph_fingerprint_batch(tape, offsets, ndim=16, widths=(3, 5),
+                                 seed=4, emit_counts=True)
+    assert (c[h == 0xFFFFFFFF] == 0).all()
+    for i, d in enumerate(datas):
+        oh, oc = _slow_oph_with_counts(d, 16, (3, 5), 4)
+        np.testing.assert_array_equal(h[i], oh, err_msg=f"hashes row {i}")
+        np.testing.assert_array_equal(c[i], oc, err_msg=f"counts row {i}")
+    # hashes must be identical with and without the count pass
+    h2 = oph_fingerprint_batch(tape, offsets, ndim=16, widths=(3, 5), seed=4)
+    np.testing.assert_array_equal(h, h2)
+
+
+def test_sketch_merge_equals_whole(ray_session):
+    """merge(shard sketches) == whole-corpus sketch (SURVEY §2.5
+    mergeable-aggregate contract), both as a plain fold and through the
+    Ray Data AggregateFn tree reduce."""
+    import ray.data
+
+    from stringzilla_ray.stages.fingerprint import (
+        Fingerprinter,
+        corpus_sketch_aggregate,
+        merge_sketches,
+        sig_matrix,
+    )
+
+    rng = np.random.default_rng(17)
+    words = ["data", "ray", "arrow", "sketch", "merge", "min", "count"]
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(3, 40)))) for _ in range(64)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(64), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    fp = Fingerprinter(ndim=32, window_widths=(4, 8), seed=2,
+                       text_column="text", emit_counts=True)
+    signed = fp(tbl)
+    hs = sig_matrix(signed["minhash"], 32)
+    cs = sig_matrix(signed["mincount"], 32)
+
+    def fold(rows):
+        state = (np.full(32, 0xFFFFFFFF, np.uint32), np.zeros(32, np.uint32))
+        for i in rows:
+            state = merge_sketches(state, (hs[i], cs[i]))
+        return state
+
+    whole = fold(range(64))
+    sh_a, sh_b = fold(range(0, 31)), fold(range(31, 64))
+    merged = merge_sketches(sh_a, sh_b)
+    np.testing.assert_array_equal(merged[0], whole[0])
+    np.testing.assert_array_equal(merged[1], whole[1])
+
+    ds = ray.data.from_arrow(signed).repartition(5)
+    agg = ds.aggregate(corpus_sketch_aggregate(32))["corpus_sketch"]
+    np.testing.assert_array_equal(agg[0], whole[0])
+    np.testing.assert_array_equal(agg[1], whole[1])
+
+
 def test_truncate_tape():
     datas = [b"abcdefghij", b"xy", b""]
     tape, offsets = _tape(datas)
