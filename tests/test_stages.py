@@ -354,20 +354,80 @@ def test_embedding_near_dup_skew_cap(ray_session):
 def test_multimodal_stub(ray_session):
     import ray.data
 
-    from stringzilla_ray.stages.multimodal import DecodeStub, decode_features, synthetic_media_table
+    from stringzilla_ray.stages.multimodal import (
+        MediaDecoder,
+        decode_features,
+        synthetic_media_table,
+    )
 
     t = synthetic_media_table(n=12, seed=1)
     ds = ray.data.from_arrow(t)
     out = decode_features(ds, strict=False).to_pandas()
     assert len(out) == 12
     feats = np.vstack(out.features.values)
-    assert feats.shape == (12, DecodeStub.FEATURE_DIM)
+    assert feats.shape == (12, MediaDecoder.FEATURE_DIM)
     # deterministic given payload + seed
     out2 = decode_features(ray.data.from_arrow(t), strict=False).to_pandas()
     np.testing.assert_array_equal(feats, np.vstack(out2.features.values))
-    # strict mode is an honest NotImplementedError
+    # image/audio rows decode for REAL (format code set); video rows
+    # are the honest stub fakes (format code 0)
+    kinds = out.kind.values
+    assert (feats[kinds == "image", 0] >= 2.0).all()
+    assert (feats[kinds == "audio", 0] == 1.0).all()
+    assert (feats[kinds == "video", 0] < 1.0).all()  # hash-fake dims live in [0, 1)
+    # strict mode raises ONLY because of the video rows
     with pytest.raises(Exception):
         decode_features(ray.data.from_arrow(t), strict=True).materialize()
+    decodable = ray.data.from_arrow(
+        t.filter(pa.compute.not_equal(t["kind"], "video"))
+    )
+    strict_out = decode_features(decodable, strict=True).to_pandas()
+    assert len(strict_out) == 8
+
+
+def test_media_decoders_roundtrip_golden():
+    """The NumPy decoders must invert the writers byte-true, and the
+    feature stats must equal stats computed directly on the source
+    arrays (golden pin for the real-decode path)."""
+    from stringzilla_ray.stages.multimodal import (
+        MediaDecoder,
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        make_bmp,
+        make_ppm,
+        make_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(make_ppm(img)), img)
+    np.testing.assert_array_equal(decode_bmp(make_bmp(img)), img)
+    # odd width exercises BMP row padding
+    img2 = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(make_bmp(img2)), img2)
+
+    sig = (np.sin(np.arange(1000) * 0.05) * 20000).astype(np.int16)
+    s, sr = decode_wav(make_wav(sig, 8000))
+    assert sr == 8000
+    np.testing.assert_array_equal(s[:, 0], sig)
+
+    dec = MediaDecoder(strict=True)
+    batch = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([make_wav(sig, 8000), make_ppm(img)], pa.large_binary()),
+    })
+    feats = np.vstack(dec(batch)["features"].to_pylist())
+    x = sig.astype(np.float64) / 32768.0
+    np.testing.assert_allclose(feats[0, :9], [
+        1.0, 1000.0, 8000.0, 1.0, x.mean(), x.std(), x.min(), x.max(),
+        np.sqrt((x ** 2).mean()),
+    ], rtol=1e-6)
+    xi = img.astype(np.float64) / 255.0
+    luma = xi @ np.array([0.2126, 0.7152, 0.0722])
+    np.testing.assert_allclose(feats[1, :9], [
+        2.0, 17.0, 13.0, 3.0, xi.mean(), xi.std(), xi.min(), xi.max(), luma.mean(),
+    ], rtol=1e-6)
 
 
 def test_checkpoint_resume(ray_session, tmp_path):
