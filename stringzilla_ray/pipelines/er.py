@@ -14,12 +14,15 @@ densest blocks) become ONE graph node keyed by the 64-bit content
 hash, so every downstream shuffle moves int64 keys instead of strings
 and exact-duplicate clouds cost O(1) pairs instead of O(k^2).
 
-Known limit (ADVICE r1): a 64-bit node key has expected birthday
-collisions ~n^2/2^65 — negligible at sandbox scale, ~thousands of
-silently merged nodes at the advertised 10^12 turns. The scale fix is
-a (hash(seed=0), hash(seed=1)) composite node key (both already
-computable from the same tape pass; groupbys/joins take multi-column
-keys) — kept out of this round to avoid re-keying every stage.
+Node-id contract: distinct content = distinct (hash, hash2) pair — an
+effective 128-bit key computed in the same canonicalize pass. The
+collapse census sees every row of a hash group, so it detects 64-bit
+birthday collisions exactly (same hash, different hash2) and re-keys
+all but the first colliding content with a salted int64 node id;
+the tiny exception map (expected ~n^2/2^65 entries — zero at sandbox
+scale, thousands at 10^12 turns) broadcasts to remap conversation
+rows. Downstream stages keep flat int64 node keys; no content is ever
+silently merged, at any corpus scale.
 
 Every wide boundary can checkpoint to Parquet with lineage manifests;
 a rerun with the same ERConfig resumes from the last completed stage.
@@ -96,8 +99,8 @@ def resolve_entities(
         # signature dataset — the largest object-store resident of the
         # flagship (docs are ~half its bytes).
         return signed.select_columns(
-            ["conv_id", "content_hash", "doc_bytes", "doc_bytes_norm",
-             "norm_doc", "minhash", "prefix_minhash"]
+            ["conv_id", "content_hash", "content_hash2", "doc_bytes",
+             "doc_bytes_norm", "norm_doc", "minhash", "prefix_minhash"]
         )
 
     signed = checkpointed(
@@ -115,15 +118,37 @@ def resolve_entities(
     if tick:
         tick("fingerprint")
 
+    collapse_exc: list = [None]
+
+    def _make_nodes():
+        r, exc = collapse_nodes(signed, cfg, parts)
+        collapse_exc[0] = exc
+        return r
+
     reps = checkpointed(
         "nodes",
         checkpoint_dir,
         h,
-        lambda: collapse_nodes(signed, cfg, parts),
+        _make_nodes,
         input_token=input_token,
     )
     if checkpoint_dir is None:
         reps = reps.materialize()
+    if collapse_exc[0] is None:
+        # checkpoint reload: the exception map is recoverable from the
+        # reps themselves (rows whose node id differs from orig_hash —
+        # a tiny filter; empty below ~2^32 distinct contents)
+        import pyarrow as pa
+
+        exc_rows = reps.filter(expr="content_hash != orig_hash").select_columns(
+            ["orig_hash", "content_hash2", "content_hash"]
+        ).rename_columns({"content_hash": "node_id"}).take_all()
+        collapse_exc[0] = (
+            pa.Table.from_pylist(exc_rows) if exc_rows
+            else pa.table({"orig_hash": pa.array([], pa.int64()),
+                           "content_hash2": pa.array([], pa.int64()),
+                           "node_id": pa.array([], pa.int64())})
+        )
     if tick:
         tick("collapse")
 
@@ -165,10 +190,12 @@ def resolve_entities(
     if tick:
         tick("scoring")
 
-    # Assign every conversation its component id (the minimum content
-    # hash of the component) — one broadcast map over conv rows in the
-    # union-find path, a join in the distributed fallback.
-    conv_nodes = signed.select_columns(["conv_id", "content_hash"])
+    # Assign every conversation its component id (the minimum node id
+    # of the component) — one broadcast map over conv rows in the
+    # union-find path, a join in the distributed fallback. Collision
+    # contents re-key through the broadcast exception map (a zero-copy
+    # projection whenever the map is empty — every real corpus).
+    conv_nodes = remap_conv_nodes(signed, collapse_exc[0])
     clusters = checkpointed(
         "clusters",
         checkpoint_dir,
@@ -182,22 +209,66 @@ def resolve_entities(
     return clusters
 
 
+def _node_ids(w1, w2):
+    """Node id per SORTED distinct (hash, hash2) pair list: the first
+    pair of each hash run keeps hash as its node id; later pairs (a
+    real 64-bit collision: same hash, different content) get a salted
+    splitmix id. A salted id colliding with another node is ~n^3/2^129
+    — immaterial even at 10^12 turns."""
+    import numpy as np
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+
+    node = w1.copy()
+    if len(w1) > 1:
+        dup = np.concatenate([[False], w1[1:] == w1[:-1]])
+        if dup.any():
+            with np.errstate(over="ignore"):
+                salted = splitmix64(
+                    w1.view(np.uint64) ^ splitmix64(w2.view(np.uint64))
+                    ^ np.uint64(0xC0111DE)
+                ).view(np.int64)
+            node[dup] = salted[dup]
+    return node
+
+
 def _winner_census_fn(*tables):
-    """(sorted distinct content hashes, winning conv_id per hash) —
-    winner = lexicographic-min conv_id (stable-first semantics)."""
+    """Census over distinct (hash, hash2) contents: sorted key arrays,
+    the winning conv_id per content (lexicographic min — stable-first
+    semantics), and the resolved node id per content."""
     import numpy as np
     import pyarrow as pa
 
-    tabs = [t.select(["content_hash", "conv_id"]) for t in tables if len(t)]
+    tabs = [t.select(["content_hash", "content_hash2", "conv_id"]) for t in tables if len(t)]
     if not tabs:
-        return np.zeros(0, np.int64), pa.array([], pa.string())
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                pa.array([], pa.string()), np.zeros(0, np.int64))
     allrows = pa.concat_tables(tabs).sort_by(
-        [("content_hash", "ascending"), ("conv_id", "ascending")]
+        [("content_hash", "ascending"), ("content_hash2", "ascending"),
+         ("conv_id", "ascending")]
     )
-    hs = allrows["content_hash"].to_numpy()
-    first = np.concatenate([[True], hs[1:] != hs[:-1]])
+    h1 = allrows["content_hash"].to_numpy()
+    h2 = allrows["content_hash2"].to_numpy()
+    first = np.concatenate([[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
     idx = pa.array(np.nonzero(first)[0], pa.int64())
-    return hs[first], allrows["conv_id"].combine_chunks().take(idx)
+    w1, w2 = h1[first], h2[first]
+    wconv = allrows["conv_id"].combine_chunks().take(idx)
+    return w1, w2, wconv, _node_ids(w1, w2)
+
+
+def _census_positions(w1, w2, h1, h2):
+    """Index of each (h1, h2) row in the sorted census — two-level
+    searchsorted: land on the hash run, then advance to the matching
+    hash2 (runs are length 1 except for real collisions, so the
+    advance loop executes ~0 extra passes)."""
+    import numpy as np
+
+    pos = np.searchsorted(w1, h1, "left")
+    while True:
+        bad = w2[pos] != h2
+        if not bad.any():
+            return pos
+        pos[bad] += 1
 
 
 _winner_census_remote = None
@@ -214,11 +285,23 @@ def _winner_census_task():
 
 def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
     """Node collapse: one representative conversation per distinct
-    canonical content; rep = lexicographic-min conv_id (stable-first
+    canonical CONTENT — keyed by the (hash, hash2) 128-bit composite,
+    with the winning rep = lexicographic-min conv_id (stable-first
     duplicate semantics, reference sort.h stability contract).
-    Small-side dispatch: below the broadcast threshold the winner map
-    is a few MB of (hash, id) — compute it on the driver and filter
-    with one map; above it, bucketed groupby-min + hash join."""
+
+    Returns ``(reps, exceptions)``: reps carry ``content_hash``
+    REWRITTEN to the resolved node id (plus ``orig_hash``, the raw
+    64-bit hash, so the exception map is recoverable from a checkpoint
+    reload: exceptions == rows where content_hash != orig_hash);
+    ``exceptions`` is the tiny driver-side pyarrow table
+    (orig_hash, content_hash2, node_id) of 64-bit collision contents —
+    empty in any corpus below ~2^32 distinct contents.
+
+    Small-side dispatch: below the broadcast threshold the census is
+    one warm-worker task over the block refs; above it, a bucketed
+    groupby (bucket = hash of content_hash, so EVERY row of a hash
+    group — and thus every collision — lands in one group) + hash join.
+    """
     import numpy as np
     import pyarrow as pa
 
@@ -228,9 +311,10 @@ def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
     n = signed.count()
     if n <= cfg.broadcast_threshold_rows:
         # Vectorized winner census in ONE warm worker task: Arrow sort
-        # by (hash, conv_id), segment-first per hash — no per-row
-        # Python, no CPython string lists, and the edge blocks never
-        # touch the driver (the task's return ref IS the broadcast).
+        # by (hash, hash2, conv_id), segment-first per content — no
+        # per-row Python, no CPython string lists, and the edge blocks
+        # never touch the driver (the task's return ref IS the
+        # broadcast).
         ref = _winner_census_task().remote(*signed.to_arrow_refs())
 
         def keep_winners(batch: pa.Table, ref=ref) -> pa.Table:
@@ -239,25 +323,39 @@ def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
 
             import ray as _ray
 
-            w_hash, w_conv = _ray.get(ref)
-            if len(w_hash) == 0:
-                return batch
-            hs = batch["content_hash"].to_numpy(zero_copy_only=False)
-            # every batch hash is present in the census (built from the
-            # same dataset), so searchsorted lands exactly
-            pos = _np.searchsorted(w_hash, hs)
+            w1, w2, w_conv, node = _ray.get(ref)
+            if len(w1) == 0:
+                return batch.append_column("orig_hash", batch["content_hash"])
+            h1 = batch["content_hash"].to_numpy(zero_copy_only=False)
+            h2 = batch["content_hash2"].to_numpy(zero_copy_only=False)
+            # every batch content is present in the census (built from
+            # the same dataset), so the two-level lookup lands exactly
+            pos = _census_positions(w1, w2, h1, h2)
             conv = batch["conv_id"]
             if isinstance(conv, pa.ChunkedArray):
                 conv = conv.combine_chunks()
             mask = _pc.equal(conv, w_conv.take(pa.array(pos, pa.int64())))
+            batch = batch.append_column("orig_hash", batch["content_hash"])
+            i = batch.schema.get_field_index("content_hash")
+            batch = batch.set_column(i, "content_hash", pa.array(node[pos], pa.int64()))
             return batch.filter(mask)
 
-        return signed.map_batches(keep_winners, batch_format="pyarrow")
+        reps = signed.map_batches(keep_winners, batch_format="pyarrow")
+        w1, w2, _w_conv, node = ray.get(ref)
+        exc_mask = node != w1
+        exceptions = pa.table({
+            "orig_hash": pa.array(w1[exc_mask], pa.int64()),
+            "content_hash2": pa.array(w2[exc_mask], pa.int64()),
+            "node_id": pa.array(node[exc_mask], pa.int64()),
+        })
+        return reps, exceptions
 
     # Winner census via hash-bucket reduce: the native groupby-min
     # runs per-group Python (42 s for 215k keys at 8 CPUs measured;
     # linear in distinct contents), the bucketed form is one
-    # vectorized sort per bucket.
+    # vectorized sort per bucket. Bucketing on content_hash alone
+    # guarantees every (hash, hash2) pair of a hash group co-locates,
+    # so collision detection inside the group is exact.
     from stringzilla_ray.functions.fingerprint import splitmix64
     from stringzilla_ray.util import reduce_buckets
 
@@ -269,30 +367,129 @@ def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
         return pa.table(
             {
                 "content_hash": t["content_hash"],
+                "content_hash2": t["content_hash2"],
                 "conv_id": t["conv_id"],
                 "bucket": pa.array(b, pa.int32()),
             }
         )
 
-    def min_per_hash(g: pa.Table) -> pa.Table:
-        tbl = g.select(["content_hash", "conv_id"]).sort_by(
-            [("content_hash", "ascending"), ("conv_id", "ascending")]
+    def min_per_content(g: pa.Table) -> pa.Table:
+        tbl = g.select(["content_hash", "content_hash2", "conv_id"]).sort_by(
+            [("content_hash", "ascending"), ("content_hash2", "ascending"),
+             ("conv_id", "ascending")]
         )
-        hs = tbl["content_hash"].to_numpy()
-        first = np.concatenate([[True], hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, bool)
-        return tbl.take(pa.array(np.nonzero(first)[0], pa.int64()))
+        h1 = tbl["content_hash"].to_numpy()
+        h2 = tbl["content_hash2"].to_numpy()
+        if not len(h1):
+            return pa.table({"content_hash": pa.array([], pa.int64()),
+                             "content_hash2": pa.array([], pa.int64()),
+                             "conv_id": pa.array([], pa.string()),
+                             "node_id": pa.array([], pa.int64())})
+        first = np.concatenate([[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        tbl = tbl.take(pa.array(np.nonzero(first)[0], pa.int64()))
+        node = _node_ids(h1[first], h2[first])
+        return tbl.append_column("node_id", pa.array(node, pa.int64()))
 
     winners = (
-        signed.select_columns(["content_hash", "conv_id"])
+        signed.select_columns(["content_hash", "content_hash2", "conv_id"])
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(min_per_hash, batch_format="pyarrow")
+        .map_groups(min_per_content, batch_format="pyarrow")
+    ).materialize()  # consumed twice: exception extraction + the join
+    exc_parts = [
+        t for t in ray.get([
+            _filter_exceptions_task().remote(r) for r in winners.to_arrow_refs()
+        ]) if len(t)
+    ]
+    exceptions = (
+        pa.concat_tables(exc_parts) if exc_parts
+        else pa.table({"orig_hash": pa.array([], pa.int64()),
+                       "content_hash2": pa.array([], pa.int64()),
+                       "node_id": pa.array([], pa.int64())})
     )
-    return winners.join(
+    joined = winners.join(
         signed,
         join_type="inner",
         num_partitions=parts,
-        on=("content_hash", "conv_id"),
+        on=("content_hash", "content_hash2", "conv_id"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("orig_hash", t["content_hash"])
+        i = t.schema.get_field_index("content_hash")
+        t = t.set_column(i, "content_hash", t["node_id"])
+        return t.drop_columns(["node_id"])
+
+    return joined.map_batches(finish, batch_format="pyarrow"), exceptions
+
+
+def _filter_exceptions_fn(t):
+    """Collision rows of one winners block -> (orig_hash, hash2, node)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keep = pc.not_equal(t["node_id"], t["content_hash"])
+    sel = t.filter(keep)
+    return pa.table({
+        "orig_hash": sel["content_hash"],
+        "content_hash2": sel["content_hash2"],
+        "node_id": sel["node_id"],
+    })
+
+
+_filter_exceptions_remote = None
+
+
+def _filter_exceptions_task():
+    global _filter_exceptions_remote
+    if _filter_exceptions_remote is None:
+        import ray
+
+        _filter_exceptions_remote = ray.remote(_filter_exceptions_fn)
+    return _filter_exceptions_remote
+
+
+def remap_conv_nodes(signed, exceptions: "pa.Table"):
+    """(conv_id, content_hash) with collision contents re-keyed via the
+    broadcast exception map. The fast path (every real corpus below
+    ~2^32 distinct contents) is a zero-copy projection."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    if len(exceptions) == 0:
+        return signed.select_columns(["conv_id", "content_hash"])
+    exc = {
+        (h, h2): n
+        for h, h2, n in zip(
+            exceptions["orig_hash"].to_pylist(),
+            exceptions["content_hash2"].to_pylist(),
+            exceptions["node_id"].to_pylist(),
+        )
+    }
+    exc_hashes = np.sort(np.unique(exceptions["orig_hash"].to_numpy()))
+    exc_ref = ray.put((exc_hashes, exc))
+
+    def remap(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        import ray as _ray
+
+        hashes_sorted, mapping = _ray.get(exc_ref)
+        h1 = batch["content_hash"].to_numpy(zero_copy_only=False).copy()
+        pos = _np.searchsorted(hashes_sorted, h1)
+        pos = _np.minimum(pos, len(hashes_sorted) - 1)
+        maybe = _np.nonzero(hashes_sorted[pos] == h1)[0]
+        if len(maybe):
+            h2 = batch["content_hash2"].to_numpy(zero_copy_only=False)
+            for i in maybe:  # only collision-cloud rows — a handful
+                h1[i] = mapping.get((int(h1[i]), int(h2[i])), h1[i])
+        return pa.table({"conv_id": batch["conv_id"],
+                         "content_hash": pa.array(h1, pa.int64())})
+
+    return signed.select_columns(["conv_id", "content_hash", "content_hash2"]).map_batches(
+        remap, batch_format="pyarrow"
     )
 
 

@@ -155,13 +155,21 @@ def add_content_hash(batch: pa.Table, seed: int = 0) -> pa.Table:
     matching view per doc. The hash is an INTERNAL exact-duplicate key
     (injectivity + determinism, not reference parity), so it uses the
     fast vectorized backend — the AES re-implementation at ~25 MB/s/core
-    made content hashing the flagship's largest CPU stage."""
+    made content hashing the flagship's largest CPU stage.
+
+    A SECOND independent hash (``content_hash2``, seed+1, same tape
+    pass) makes the (hash, hash2) pair an effective 128-bit content
+    key: the node collapse detects 64-bit birthday collisions by
+    comparing hash2 within same-hash groups and re-keys the colliding
+    contents, so distinct conversations are never silently merged at
+    any corpus scale (pipelines/er.py node-id contract)."""
     from stringzilla_ray.functions.fasthash import hash_string_column
 
     docs = batch["doc"]
     if isinstance(docs, pa.ChunkedArray):
         docs = docs.combine_chunks()
     hashes = hash_string_column(docs, seed=seed)
+    hashes2 = hash_string_column(docs, seed=seed + 1)
     doc_bytes = pc.binary_length(pc.cast(docs, pa.large_binary())).cast(pa.int64())
     norm = normalize_batch(docs)
     batch = batch.append_column("norm_doc", norm)
@@ -170,7 +178,8 @@ def add_content_hash(batch: pa.Table, seed: int = 0) -> pa.Table:
         "doc_bytes_norm",
         pc.binary_length(pc.cast(norm, pa.large_binary())).cast(pa.int64()),
     )
-    return batch.append_column("content_hash", pa.array(hashes, pa.int64()))
+    batch = batch.append_column("content_hash", pa.array(hashes, pa.int64()))
+    return batch.append_column("content_hash2", pa.array(hashes2, pa.int64()))
 
 
 def _assemble_shard_group(group: pa.Table) -> pa.Table:

@@ -430,6 +430,50 @@ def test_media_decoders_roundtrip_golden():
     ], rtol=1e-6)
 
 
+def test_collapse_rekeys_64bit_collisions(ray_session):
+    """Two DISTINCT contents sharing a 64-bit content_hash (synthetic
+    collision: same hash, different hash2) must become two separate
+    nodes — on both the broadcast and the distributed collapse path —
+    and the conversation remap must follow the exception map."""
+    import ray.data
+
+    from stringzilla_ray.pipelines.er import collapse_nodes, remap_conv_nodes
+    from stringzilla_ray.state.config import ERConfig
+
+    tbl = pa.table({
+        "conv_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "content_hash": pa.array([1, 1, 1, 2], pa.int64()),
+        "content_hash2": pa.array([10, 10, 20, 30], pa.int64()),
+        "payload": pa.array(["p1", "p1", "p2", "p3"], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+
+    for cfg in (ERConfig(), ERConfig(broadcast_threshold_rows=0)):
+        reps, exc = collapse_nodes(ds, cfg)
+        reps_df = reps.to_pandas().sort_values("conv_id").reset_index(drop=True)
+        # 3 distinct contents -> 3 reps (a wins the true-dup pair a/b)
+        assert sorted(reps_df.conv_id) == ["a", "c", "d"]
+        assert len(exc) == 1
+        salted = exc["node_id"][0].as_py()
+        assert salted not in (1, 2)
+        nodes = dict(zip(reps_df.conv_id, reps_df.content_hash))
+        assert nodes["a"] == 1 and nodes["d"] == 2 and nodes["c"] == salted
+        assert (reps_df.orig_hash == [1, 1, 2]).all()
+        conv = remap_conv_nodes(ds, exc).to_pandas().sort_values("conv_id")
+        assert list(conv.content_hash) == [1, 1, salted, 2]
+
+    # no-collision corpus: exception map empty, node ids == hashes
+    clean = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array(["x", "y"], pa.string()),
+        "content_hash": pa.array([5, 6], pa.int64()),
+        "content_hash2": pa.array([50, 60], pa.int64()),
+        "payload": pa.array(["q", "r"], pa.string()),
+    }))
+    reps, exc = collapse_nodes(clean, ERConfig())
+    assert len(exc) == 0
+    assert sorted(reps.to_pandas().content_hash) == [5, 6]
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     import ray.data
 
