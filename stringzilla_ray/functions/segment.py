@@ -378,31 +378,203 @@ def _is_hangul_lvt(cp: int) -> bool:
     return _HANGUL_SYL[0] <= cp <= _HANGUL_SYL[1] and (cp - _HANGUL_SYL[0]) % 28 != 0
 
 
+# Grapheme-break classes for the vectorized kernel (derived from the
+# same unicodedata rules _grapheme_count_str walks per codepoint).
+_GB_OTHER, _GB_CR, _GB_LF, _GB_CONTROL, _GB_EXTEND, _GB_SPACING, _GB_ZWJ, \
+    _GB_RI, _GB_HL, _GB_HV, _GB_HT, _GB_HLV, _GB_HLVT = range(13)
+
+_GB_LUT: np.ndarray | None = None
+
+
+def _gb_lut() -> np.ndarray:
+    """uint8 grapheme-break class per codepoint (0x110000 entries),
+    built ONCE per process from unicodedata (~1 s; amortized across
+    every batch the worker ever sees — the actor-pool __init__ idiom
+    applies if a pipeline wants it pre-paid)."""
+    global _GB_LUT
+    if _GB_LUT is not None:
+        return _GB_LUT
+    lut = np.zeros(0x110000, np.uint8)
+    for cp in range(0x110000):
+        cat = unicodedata.category(chr(cp))
+        if cat in ("Cc", "Cs"):
+            lut[cp] = _GB_CONTROL
+        elif cat in ("Mn", "Me"):
+            lut[cp] = _GB_EXTEND
+        elif cat == "Mc":
+            lut[cp] = _GB_SPACING
+    lut[0x200C] = _GB_EXTEND   # ZWNJ joins as an extender (rule 3)
+    lut[0x200D] = _GB_ZWJ
+    lut[0x0D] = _GB_CR
+    lut[0x0A] = _GB_LF
+    lut[_RI[0]:_RI[1] + 1] = _GB_RI
+    lut[_HANGUL_L[0]:_HANGUL_L[1] + 1] = _GB_HL
+    lut[_HANGUL_V[0]:_HANGUL_V[1] + 1] = _GB_HV
+    lut[_HANGUL_T[0]:_HANGUL_T[1] + 1] = _GB_HT
+    syl = np.arange(_HANGUL_SYL[0], _HANGUL_SYL[1] + 1)
+    lut[syl] = np.where((syl - _HANGUL_SYL[0]) % 28 == 0, _GB_HLV, _GB_HLVT)
+    _GB_LUT = lut
+    return lut
+
+
+def _segment_counts(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row True counts of a tape-aligned bool mask via reduceat
+    (NOT a whole-tape cumsum — large fresh allocations page-fault
+    pathologically on this host class; reduceat's output is one int per
+    row). Handles empty rows and the reduceat empty-segment quirk."""
+    offsets = np.asarray(offsets, np.int64)
+    nrows = len(offsets) - 1
+    n = len(mask)
+    if n == 0 or nrows == 0:
+        return np.zeros(nrows, np.int64)
+    # one padding False keeps every offset a valid reduceat index (an
+    # offset may equal n for trailing empty rows) without clipping away
+    # the final element of the last non-empty row
+    padded = np.concatenate([mask, [False]])
+    out = np.add.reduceat(padded, offsets[:-1]).astype(np.int64)
+    # reduceat quirk: an empty segment (start == next start) returns
+    # padded[start] instead of 0
+    out[np.diff(offsets) <= 0] = 0
+    return out
+
+
+def utf8_decode_tape(tape: np.ndarray, offsets: np.ndarray):
+    """Vectorized UTF-8 decode of a string tape ->
+    (codepoints, cp_offsets): cp_offsets[i]..cp_offsets[i+1] are row
+    i's codepoints. One mask pass per sequence length, allocations
+    proportional to each length class (no whole-tape np.where chains),
+    no per-row Python."""
+    tape = np.asarray(tape)
+    n = len(tape)
+    starts = (tape & 0xC0) != 0x80
+    idx = np.nonzero(starts)[0]
+    b0 = tape[idx].astype(np.uint32)
+
+    def cont(pos, k):
+        return tape[np.minimum(pos + k, n - 1)].astype(np.uint32) & np.uint32(0x3F)
+
+    cp = b0  # 1-byte sequences keep their lead value
+    multi = b0 >= 0xC0
+    if multi.any():
+        cp = b0.copy()
+        i2 = np.nonzero((b0 >= 0xC0) & (b0 < 0xE0))[0]
+        if len(i2):
+            p = idx[i2]
+            cp[i2] = ((b0[i2] & np.uint32(0x1F)) << np.uint32(6)) | cont(p, 1)
+        i3 = np.nonzero((b0 >= 0xE0) & (b0 < 0xF0))[0]
+        if len(i3):
+            p = idx[i3]
+            cp[i3] = (
+                ((b0[i3] & np.uint32(0x0F)) << np.uint32(12))
+                | (cont(p, 1) << np.uint32(6)) | cont(p, 2)
+            )
+        i4 = np.nonzero(b0 >= 0xF0)[0]
+        if len(i4):
+            p = idx[i4]
+            cp[i4] = (
+                ((b0[i4] & np.uint32(0x07)) << np.uint32(18))
+                | (cont(p, 1) << np.uint32(12)) | (cont(p, 2) << np.uint32(6))
+                | cont(p, 3)
+            )
+    cp_counts = _segment_counts(starts, offsets)
+    cp_offsets = np.concatenate([[0], np.cumsum(cp_counts)]).astype(np.int64)
+    return cp.astype(np.int64), cp_offsets
+
+
+def grapheme_count_batch(tape: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized extended-grapheme-cluster counts: decode the whole
+    tape to codepoints, one LUT gather for break classes, and ONE
+    boolean-mask pass per GB rule over all adjacent pairs (the GB rules
+    are per-adjacent-pair decidable given RI run parity, which is a
+    segmented running count). Semantics identical to
+    _grapheme_count_str (the pytest oracle)."""
+    cp, cp_offs = utf8_decode_tape(tape, offsets)
+    nrows = len(cp_offs) - 1
+    counts = np.diff(cp_offs)
+    m = len(cp)
+    if m == 0:
+        return counts.astype(np.int64)
+    cls = _gb_lut()[cp]
+
+    # adjacent pairs (i-1, i) for i in [1, m); pairs crossing a row
+    # boundary never join
+    pc_, cc = cls[:-1], cls[1:]
+    join = np.zeros(m - 1, dtype=bool)
+    decided = np.zeros(m - 1, dtype=bool)
+
+    def apply(mask, val: bool):
+        sel = mask & ~decided
+        if val:
+            join[sel] = True
+        decided[sel] = True
+
+    ctrl_p = (pc_ == _GB_CR) | (pc_ == _GB_LF) | (pc_ == _GB_CONTROL)
+    ctrl_c = (cc == _GB_CR) | (cc == _GB_LF) | (cc == _GB_CONTROL)
+    apply((pc_ == _GB_CR) & (cc == _GB_LF), True)            # GB3
+    apply(ctrl_p | ctrl_c, False)                            # GB4/GB5
+    apply((cc == _GB_EXTEND) | (cc == _GB_SPACING) | (cc == _GB_ZWJ), True)  # GB9/9a
+    apply(pc_ == _GB_ZWJ, True)                              # GB11 approx
+    # GB12/13: RI pairs two at a time — join iff the RI run ending at
+    # prev has odd length. Run length via segmented last-non-RI index.
+    ri = cls == _GB_RI
+    if ri.any():
+        idx = np.arange(m, dtype=np.int64)
+        last_non_ri = np.maximum.accumulate(np.where(~ri, idx, np.int64(-1)))
+        # reset runs at row starts (rows count independently)
+        row_start_of = np.repeat(cp_offs[:-1], counts)
+        floor = row_start_of - 1
+        last_non_ri = np.maximum(last_non_ri, floor)
+        run_len = idx - last_non_ri  # valid at RI positions
+        apply(ri[:-1] & ri[1:] & ((run_len[:-1] % 2) == 1), True)
+    apply(
+        (pc_ == _GB_HL)
+        & ((cc == _GB_HL) | (cc == _GB_HV) | (cc == _GB_HLV) | (cc == _GB_HLVT)),
+        True,
+    )                                                        # GB6
+    apply(((pc_ == _GB_HV) | (pc_ == _GB_HLV)) & ((cc == _GB_HV) | (cc == _GB_HT)), True)  # GB7
+    apply(((pc_ == _GB_HT) | (pc_ == _GB_HLVT)) & (cc == _GB_HT), True)  # GB8
+
+    # joins crossing row boundaries don't count
+    boundary = cp_offs[1:-1]  # interior row starts, as pair index i-1
+    join[boundary[(boundary > 0) & (boundary <= m - 1)] - 1] = False
+    # per-row join counts: bincount over the (few) joining pairs,
+    # attributed to the left codepoint's row (boundary pairs are False,
+    # so every counted pair lies wholly inside its row)
+    row_of_cp = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    joins = np.bincount(row_of_cp[:-1][join], minlength=nrows).astype(np.int64)
+    return (counts - joins).astype(np.int64)
+
+
 def grapheme_count(arr) -> pa.Array:
     """Extended-grapheme-cluster count per string. ASCII rows take the
-    vectorized path (clusters = bytes - CRLF joins); only rows with
-    non-ASCII or combining content walk the per-codepoint rules."""
+    byte-level path (clusters = bytes - CRLF joins); rows with
+    non-ASCII content run the vectorized codepoint-class kernel
+    (grapheme_count_batch) — no per-row Python either way."""
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     tape, offsets = tape_of(a)
     nrows = len(offsets) - 1
     out = np.zeros(nrows, dtype=np.int64)
     if len(tape) == 0:
         return pa.array(out, pa.int64())
-    hi = tape >= 128
-    csum_hi = np.concatenate([[0], np.cumsum(hi)])
-    row_has_hi = csum_hi[offsets[1:]] > csum_hi[offsets[:-1]]
+    tape = np.asarray(tape)
+    row_has_hi = _segment_counts(tape >= 128, offsets) > 0
+    if row_has_hi.all():
+        return pa.array(grapheme_count_batch(tape, offsets), pa.int64())
     # ASCII rows: every byte is a cluster except the LF of a CRLF pair
-    crlf = np.zeros(len(tape), dtype=bool)
-    if len(tape) > 1:
+    lens = np.diff(offsets)
+    out[:] = lens
+    if (tape == 0x0D).any():
+        crlf = np.zeros(len(tape), dtype=bool)
         crlf[1:] = (tape[:-1] == 0x0D) & (tape[1:] == 0x0A)
         interior = offsets[1:-1]
         crlf[interior[(interior > 0) & (interior < len(tape))]] = False
-    csum_crlf = np.concatenate([[0], np.cumsum(crlf)])
-    lens = np.diff(offsets)
-    out[:] = lens - (csum_crlf[offsets[1:]] - csum_crlf[offsets[:-1]])
+        out -= _segment_counts(crlf, offsets)
     if row_has_hi.any():
+        # gather the non-ASCII rows into one sub-tape; one vectorized
+        # kernel call covers them all
         idx = np.nonzero(row_has_hi)[0]
-        texts = a.take(pa.array(idx, pa.int64())).to_pylist()
-        for k, i in enumerate(idx):
-            out[i] = _grapheme_count_str(texts[k]) if texts[k] is not None else 0
+        sub_lens = lens[idx]
+        sub_offs = np.concatenate([[0], np.cumsum(sub_lens)]).astype(np.int64)
+        gather = np.repeat(offsets[:-1][idx] - sub_offs[:-1], sub_lens) + np.arange(sub_offs[-1])
+        out[idx] = grapheme_count_batch(tape[gather], sub_offs)
     return pa.array(out, pa.int64())

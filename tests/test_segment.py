@@ -174,6 +174,42 @@ def test_ascii_grapheme_fast_path_matches_slow():
     assert grapheme_count(arr).to_pylist() == [_grapheme_count_str(s) for s in cases]
 
 
+def test_grapheme_batch_kernel_vs_oracle(monkeypatch):
+    """The vectorized codepoint-class kernel must match the per-string
+    oracle on randomized mixed content — and must never CALL it
+    (zero per-row Python in the batch path)."""
+    import random
+
+    from stringzilla_ray.functions import segment
+
+    random.seed(7)
+    pool = ["a", "é", "\r\n", "́", "\U0001F1FA", "\U0001F1F8",
+            "‍", "‌", "ᄀ", "ᅡ", "ᆨ", "가",
+            "각", "中", "\x02", " ", "\U0001F469"]
+    cases = ["".join(random.choices(pool, k=random.randint(0, 40))) for _ in range(400)]
+    cases += ["", "mixed ascii and é", "", "tail\r\n"]
+    want = [segment._grapheme_count_str(s) for s in cases]
+
+    def _boom(*a, **k):
+        raise AssertionError("per-string grapheme path used in a batch")
+
+    monkeypatch.setattr(segment, "_grapheme_count_str", _boom)
+    arr = pa.array(cases, pa.string())
+    assert grapheme_count(arr).to_pylist() == want
+
+
+def test_utf8_decode_tape():
+    from stringzilla_ray.functions.segment import utf8_decode_tape
+    from stringzilla_ray.functions.text import tape_of
+
+    vals = ["abc", "", "héllo", "中文字", "\U0001F600x", "á"]
+    arr = pa.array(vals, pa.large_string())
+    tape, offs = tape_of(arr)
+    cp, cp_offs = utf8_decode_tape(tape, offs)
+    for i, v in enumerate(vals):
+        assert list(cp[cp_offs[i]:cp_offs[i + 1]]) == [ord(c) for c in v], v
+
+
 def test_partition_columns_matches_python():
     from stringzilla_ray.functions.segment import partition_columns, rpartition_columns
 
