@@ -310,6 +310,22 @@ def _q_simhash(sf_dir: str):
     )
 
 
+def _q_uax29_word_count(sf_dir: str):
+    """Full TR29 word segmentation (WB3-WB16) — rows-only: no SQL
+    engine implements UAX-29; pinned spec-case pytests are the gate
+    (tests/test_segment.py::test_uax29_word_count_spec_cases)."""
+    from stringzilla_ray.functions.segment import uax29_word_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_words_uax29": uax29_word_count(t["text"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def _q_simhash_near_dup(sf_dir: str):
     """Bucketed Hamming-<=k near-dup pairs over the simhash column.
     The FNV-1a token hash makes the signature SQL-expressible, so the
@@ -1309,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_dedup,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
+        "uax29_word_count": _q_uax29_word_count,
         "offset_within": _q_offset_within,
         "endswith_filter": _q_endswith_filter,
         "count_byteset": _q_count_byteset,

@@ -40,6 +40,8 @@ __all__ = [
     "find_first_not_of",
     "find_last_not_of",
     "grapheme_count",
+    "uax29_word_count",
+    "utf8_decode_tape",
 ]
 
 # The reference's word-character class for the byte-level splitter:
@@ -543,6 +545,192 @@ def grapheme_count_batch(tape: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     row_of_cp = np.repeat(np.arange(nrows, dtype=np.int64), counts)
     joins = np.bincount(row_of_cp[:-1][join], minlength=nrows).astype(np.int64)
     return (counts - joins).astype(np.int64)
+
+
+# ----------------------------------------------------- UAX-29 word breaks
+
+# Word_Break property classes (TR29 table). Values are derived from
+# unicodedata categories + the spec's published small code lists —
+# a documented approximation of WordBreak.txt (the UCD data file is not
+# in this container; the reference ships generated tables,
+# include/stringzilla/utf8_wordbreaks.h sz_rune_word_break_property).
+(_WB_OTHER, _WB_CR, _WB_LF, _WB_NEWLINE, _WB_EXTEND, _WB_ZWJ, _WB_FORMAT,
+ _WB_RI, _WB_KATAKANA, _WB_HEBREW, _WB_ALETTER, _WB_SQUOTE, _WB_DQUOTE,
+ _WB_MIDNUMLET, _WB_MIDLETTER, _WB_MIDNUM, _WB_NUMERIC, _WB_EXTNUMLET) = range(18)
+
+# published TR29 singleton/small classes
+_WB_MIDLETTER_SET = (0x3A, 0xB7, 0x387, 0x55F, 0x5F4, 0x2027, 0xFE13, 0xFE55, 0xFF1A)
+_WB_MIDNUM_SET = (0x2C, 0x3B, 0x37E, 0x589, 0x60C, 0x60D, 0x66C, 0x7F8,
+                  0x2044, 0xFE10, 0xFE14, 0xFE50, 0xFE54, 0xFF0C, 0xFF1B)
+_WB_MIDNUMLET_SET = (0x2E, 0x2018, 0x2019, 0x2024, 0xFE52, 0xFF07, 0xFF0E)
+_WB_NEWLINE_SET = (0x0B, 0x0C, 0x85, 0x2028, 0x2029)
+_KATAKANA_RANGES = ((0x3031, 0x3035), (0x309B, 0x309C), (0x30A0, 0x30FF),
+                    (0x31F0, 0x31FF), (0x32D0, 0x32FE), (0x3300, 0x3357),
+                    (0xFF66, 0xFF9D), (0x1B000, 0x1B000), (0x1B164, 0x1B167))
+_IDEO_RANGES = ((0x3040, 0x309A), (0x4E00, 0x9FFF), (0x3400, 0x4DBF),
+                (0xF900, 0xFAFF), (0x20000, 0x2A6DF))  # Hiragana + CJK: not ALetter
+
+_WB_LUT: np.ndarray | None = None
+
+
+def _wb_lut() -> np.ndarray:
+    """uint8 Word_Break class per codepoint, built once per process."""
+    global _WB_LUT
+    if _WB_LUT is not None:
+        return _WB_LUT
+    lut = np.zeros(0x110000, np.uint8)
+    for cp in range(0x110000):
+        ch = chr(cp)
+        cat = unicodedata.category(ch)
+        if cat in ("Mn", "Me", "Mc"):
+            lut[cp] = _WB_EXTEND
+        elif cat == "Cf":
+            lut[cp] = _WB_FORMAT
+        elif cat == "Nd":
+            lut[cp] = _WB_NUMERIC
+        elif cat == "Pc":
+            lut[cp] = _WB_EXTNUMLET
+        elif cat in ("Lu", "Ll", "Lt", "Lm", "Lo", "Nl"):
+            lut[cp] = _WB_ALETTER
+    for a, b in _KATAKANA_RANGES:
+        lut[a:b + 1] = _WB_KATAKANA
+    for a, b in _IDEO_RANGES:  # ideographs/Hiragana: Other, not ALetter
+        lut[a:b + 1] = _WB_OTHER
+    heb = np.arange(0x5D0, 0x5F3)
+    lut[heb] = np.where(lut[heb] == _WB_ALETTER, _WB_HEBREW, lut[heb])
+    for cp in _WB_MIDLETTER_SET:
+        lut[cp] = _WB_MIDLETTER
+    for cp in _WB_MIDNUM_SET:
+        lut[cp] = _WB_MIDNUM
+    for cp in _WB_MIDNUMLET_SET:
+        lut[cp] = _WB_MIDNUMLET
+    for cp in _WB_NEWLINE_SET:
+        lut[cp] = _WB_NEWLINE
+    lut[0x27] = _WB_SQUOTE
+    lut[0x22] = _WB_DQUOTE
+    lut[0x200C] = _WB_EXTEND  # ZWNJ
+    lut[0x200D] = _WB_ZWJ
+    lut[0x0D] = _WB_CR
+    lut[0x0A] = _WB_LF
+    lut[_RI[0]:_RI[1] + 1] = _WB_RI
+    _WB_LUT = lut
+    return lut
+
+
+def uax29_word_count(arr) -> pa.Array:
+    """UAX-29 word counts per string — the full TR29 boundary rules
+    (WB3-WB16, including WB4 ignorable skipping and the two-sided
+    MidLetter/MidNum context rules) as ONE vectorized pass; a "word" is
+    a boundary-delimited segment containing at least one word-forming
+    char (AHLetter / Numeric / Katakana / ExtendNumLet), matching the
+    reference's word iterator (utf8_wordbreaks.h sz_rune_is_word_char).
+
+    Property data is category-derived (documented approximation of
+    WordBreak.txt); the regex ``word_count`` remains the
+    SQL-mirrorable fast mode."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    nrows = len(offsets) - 1
+    if len(tape) == 0:
+        return pa.array(np.zeros(nrows, np.int64), pa.int64())
+    cp, cp_offs = utf8_decode_tape(np.asarray(tape), offsets)
+    wb = _wb_lut()[cp]
+    counts = np.diff(cp_offs)
+    row_of_cp = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+
+    # WB4: drop Extend/Format/ZWJ from the base sequence — EXCEPT when
+    # they follow sot/CR/LF/Newline (those still break before them, and
+    # a leading ignorable is its own non-word segment; keeping it as a
+    # base char of class OTHER reproduces that).
+    skip = (wb == _WB_EXTEND) | (wb == _WB_FORMAT) | (wb == _WB_ZWJ)
+    prev_wb = np.empty_like(wb)
+    prev_wb[0] = _WB_NEWLINE  # sot acts like a newline for WB4's carve-out
+    prev_wb[1:] = wb[:-1]
+    row_start = np.zeros(len(cp), bool)
+    row_start[cp_offs[:-1][np.diff(cp_offs) > 0]] = True
+    after_break = row_start | (prev_wb == _WB_CR) | (prev_wb == _WB_LF) | (prev_wb == _WB_NEWLINE)
+    keep = ~skip | after_break
+    demote = skip & after_break  # kept, but treated as Other
+    cls = np.where(demote, np.uint8(_WB_OTHER), wb)[keep]
+    brow = row_of_cp[keep]
+    m = len(cls)
+    out = np.zeros(nrows, np.int64)
+    if m == 0:
+        return pa.array(out, pa.int64())
+
+    # boundary[i] = break BEFORE base char i (within its row)
+    p = cls[:-1]
+    c = cls[1:]
+    # context: base two back / one ahead (clamped; row guards below)
+    p2 = np.concatenate([[np.uint8(_WB_OTHER)], cls[:-2]]) if m > 2 else np.full(max(m - 1, 0), _WB_OTHER, np.uint8)
+    nx = np.concatenate([cls[2:], [np.uint8(_WB_OTHER)]]) if m > 2 else np.full(max(m - 1, 0), _WB_OTHER, np.uint8)
+    same_row = brow[1:] == brow[:-1]
+    p2_same = np.concatenate([[False], brow[1:-1] == brow[:-2]]) if m > 2 else np.zeros(max(m - 1, 0), bool)
+    nx_same = np.concatenate([brow[2:] == brow[1:-1], [False]]) if m > 2 else np.zeros(max(m - 1, 0), bool)
+
+    ahl = lambda x: (x == _WB_ALETTER) | (x == _WB_HEBREW)
+    word_like = lambda x: ahl(x) | (x == _WB_NUMERIC) | (x == _WB_KATAKANA) | (x == _WB_EXTNUMLET)
+    mid_l = lambda x: (x == _WB_MIDLETTER) | (x == _WB_MIDNUMLET) | (x == _WB_SQUOTE)
+    mid_n = lambda x: (x == _WB_MIDNUM) | (x == _WB_MIDNUMLET) | (x == _WB_SQUOTE)
+    nl = lambda x: (x == _WB_CR) | (x == _WB_LF) | (x == _WB_NEWLINE)
+
+    no_break = np.zeros(m - 1, bool)
+    decided = np.zeros(m - 1, bool)
+
+    def rule(mask, val):
+        sel = mask & ~decided
+        no_break[sel] = val
+        decided[sel] = True
+
+    rule((p == _WB_CR) & (c == _WB_LF), True)                      # WB3
+    rule(nl(p) | nl(c), False)                                     # WB3a/3b
+    rule(ahl(p) & ahl(c), True)                                    # WB5
+    rule(ahl(p) & mid_l(c) & nx_same & ahl(nx), True)              # WB6
+    rule(p2_same & ahl(p2) & mid_l(p) & ahl(c), True)              # WB7
+    rule((p == _WB_HEBREW) & (c == _WB_SQUOTE), True)              # WB7a
+    rule((p == _WB_HEBREW) & (c == _WB_DQUOTE) & nx_same & (nx == _WB_HEBREW), True)  # WB7b
+    rule(p2_same & (p2 == _WB_HEBREW) & (p == _WB_DQUOTE) & (c == _WB_HEBREW), True)  # WB7c
+    rule((p == _WB_NUMERIC) & (c == _WB_NUMERIC), True)            # WB8
+    rule(ahl(p) & (c == _WB_NUMERIC), True)                        # WB9
+    rule((p == _WB_NUMERIC) & ahl(c), True)                        # WB10
+    rule(p2_same & (p2 == _WB_NUMERIC) & mid_n(p) & (c == _WB_NUMERIC), True)  # WB11
+    rule((p == _WB_NUMERIC) & mid_n(c) & nx_same & (nx == _WB_NUMERIC), True)  # WB12
+    rule((p == _WB_KATAKANA) & (c == _WB_KATAKANA), True)          # WB13
+    rule(word_like(p) & (c == _WB_EXTNUMLET), True)                # WB13a
+    rule((p == _WB_EXTNUMLET) & word_like(c), True)                # WB13b
+    # WB15/16: RI pairs two at a time
+    ri = cls == _WB_RI
+    if ri.any():
+        idxb = np.arange(m, dtype=np.int64)
+        last_non = np.maximum.accumulate(np.where(~ri, idxb, np.int64(-1)))
+        # reset at row starts
+        rstart = np.zeros(m, bool)
+        rstart[np.searchsorted(brow, np.unique(brow))] = True
+        row_first_idx = np.zeros(m, np.int64)
+        firsts = np.nonzero(rstart)[0]
+        row_first_idx[firsts] = firsts
+        row_first_idx = np.maximum.accumulate(row_first_idx)
+        last_non = np.maximum(last_non, row_first_idx - 1)
+        run_len = idxb - last_non
+        rule(ri[:-1] & ri[1:] & ((run_len[:-1] % 2) == 1), True)
+    # WB999: otherwise break (no_break stays False)
+
+    boundary = ~no_break | ~same_row  # row edges always break
+    # word-forming segments per row: a segment starts at a row start or
+    # a boundary; it counts iff it contains a word-forming char. Count
+    # via: segment id = cumsum of starts; word chars map to segment;
+    # count distinct segments per row that own >= 1 word char.
+    seg_start = np.concatenate([[True], boundary])
+    seg_id = np.cumsum(seg_start) - 1
+    is_word = word_like(cls)
+    if not is_word.any():
+        return pa.array(out, pa.int64())
+    # first word char of each segment marks the segment as a word
+    wseg = seg_id[is_word]
+    wrow = brow[is_word]
+    first_in_seg = np.concatenate([[True], wseg[1:] != wseg[:-1]])
+    np.add.at(out, wrow[first_in_seg], 1)
+    return pa.array(out, pa.int64())
 
 
 def grapheme_count(arr) -> pa.Array:

@@ -210,6 +210,37 @@ def test_utf8_decode_tape():
         assert list(cp[cp_offs[i]:cp_offs[i + 1]]) == [ord(c) for c in v], v
 
 
+def test_uax29_word_count_spec_cases():
+    """TR29 word boundary rules (WB3-WB16) against hand-pinned cases
+    from the published spec, including the canonical example sentence,
+    WB6/7 apostrophe joins, MidNum/MidNumLet numbers, Hebrew quote
+    rules, ExtendNumLet, Katakana runs, and WB4 ignorables."""
+    from stringzilla_ray.functions.segment import uax29_word_count
+
+    cases = {
+        "": 0, "hello world": 2, "can't": 1, "don't stop": 2,
+        "a:b": 1,                    # MidLetter joins (WB6/7)
+        "3.2": 1, "1,234.56": 1,     # MidNumLet / MidNum (WB11/12)
+        "hello-world": 2,            # hyphen is not mid-word
+        "foo_bar": 1, "__init__": 1,  # ExtendNumLet (WB13a/b)
+        "A1": 1, "3a": 1,            # letter-digit joins (WB9/10)
+        "カタカナ": 1,                # Katakana run (WB13)
+        "日本語": 0,                  # ideographs: no dictionary words
+        "étude": 1, "étude": 1,  # Extend ignored (WB4)
+        "a\nb": 2, "a\r\nb": 2,      # newlines always break (WB3/3a/3b)
+        "x :y": 2, "'hello'": 1, "a..b": 2, "can't've": 1,
+        "א'": 1,                # Hebrew + single quote (WB7a)
+        "א\"ב": 1,        # Hebrew DQ Hebrew (WB7b/c)
+        "x‍y": 1,               # ZWJ is a WB4 ignorable
+        "100 200": 2, "a, b": 2, "МИР мир": 2,
+        # the TR29 document's canonical example
+        "The quick (brown) fox can't jump 32.3 feet, right?": 9,
+    }
+    arr = pa.array(list(cases), pa.string())
+    got = uax29_word_count(arr).to_pylist()
+    assert got == list(cases.values()), dict(zip(cases, got))
+
+
 def test_partition_columns_matches_python():
     from stringzilla_ray.functions.segment import partition_columns, rpartition_columns
 
