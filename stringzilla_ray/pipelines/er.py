@@ -515,6 +515,27 @@ def _read_blocks_for(path: str) -> int:
     return int(max(cpus * 2, size // (96 << 20)))
 
 
+def _resolve_locality(transcripts_path: str, cfg: ERConfig) -> bool:
+    """Resolve locality_canonicalize="auto": single-node sessions take
+    the shuffle canonicalize (measured ~1.2x faster there — one plasma
+    store moves shuffle bytes as cheaply as the locality path's second
+    input scan); multi-node sessions probe the corpus with the
+    conv_id-pruned census and take the locality path when the corpus is
+    temporally local (few row-group-spanning conversations), which is
+    where the avoided all-to-all would cross NICs."""
+    if cfg.locality_canonicalize != "auto":
+        return bool(cfg.locality_canonicalize)
+    import ray
+
+    alive = [n for n in ray.nodes() if n.get("Alive")]
+    if len(alive) <= 1:
+        return False
+    from stringzilla_ray.stages.canonicalize import locality_spanning_fraction
+
+    frac = locality_spanning_fraction(transcripts_path, cfg.census_driver_rows)
+    return frac <= cfg.locality_spanning_gate
+
+
 def run_er_on_parquet(
     transcripts_path: str,
     cfg: ERConfig | None = None,
@@ -524,7 +545,7 @@ def run_er_on_parquet(
     from stringzilla_ray.state.checkpoint import input_token_for_path
 
     token = input_token_for_path(transcripts_path) if checkpoint_dir else None
-    if cfg.locality_canonicalize:
+    if _resolve_locality(transcripts_path, cfg):
         from stringzilla_ray.stages.canonicalize import canonicalize_parquet
         from stringzilla_ray.util import actor_pool_limits
 

@@ -227,12 +227,28 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, nbits: int = 6, seed: 
     )
 
 
+_THRESHOLD_PAIRS_MAX_ROWS = 2_000_000  # broadcast matrix budget (~1 GB at d=128 f32)
+
+
 def embedding_threshold_pairs(ds, threshold: float, id_column: str = "vec_id",
-                              emb_column: str = "embedding"):
+                              emb_column: str = "embedding",
+                              max_rows: int = _THRESHOLD_PAIRS_MAX_ROWS):
     """EXACT (left, right, cosine) pairs with cosine >= threshold:
     the corpus matrix is normalized once, ray.put, and every block
     matmuls against it (O(N^2) work distributed per block — the
-    oracle-able small-corpus twin of embedding_near_dup_pairs)."""
+    oracle-able small-corpus twin of embedding_near_dup_pairs).
+
+    Gated: above ``max_rows`` the broadcast matrix (and the O(N^2)
+    matmul) stops being a sane plan — the call raises with a pointer
+    to the LSH-bucketed scale path instead of silently streaming the
+    whole corpus through the driver."""
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_threshold_pairs is the exact O(N^2) small-corpus twin "
+            f"(N={n} > max_rows={max_rows}); use embedding_near_dup_pairs "
+            f"(LSH-bucketed) at this scale, or raise max_rows explicitly"
+        )
     ids_parts, emb_parts = [], []
     for b in ds.select_columns([id_column, emb_column]).iter_batches(
         batch_size=65536, batch_format="pyarrow"

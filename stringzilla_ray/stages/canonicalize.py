@@ -345,6 +345,34 @@ def _spanning_hashes(census, driver_rows_gate: int) -> np.ndarray:
     return np.sort(np.concatenate([t["conv_hash"].to_numpy() for t in parts]))
 
 
+def locality_spanning_fraction(path: str, census_driver_rows: int = 20_000_000) -> float:
+    """Fraction of conversations whose turns span >1 parquet row group
+    — the locality probe behind ERConfig.locality_canonicalize="auto".
+    One conv_id-pruned columnar pass (the same census
+    canonicalize_parquet runs; ~8 bytes per conversation). Above the
+    driver gate the distinct count is approximated from the census row
+    count (upper-bounds the fraction — errs toward the shuffle path)."""
+    import ray
+    import ray.data
+
+    frags = _parquet_fragments(path)
+    desc = ray.data.from_items(
+        [{"file": f, "rg": i} for f, i in frags],
+        override_num_blocks=max(1, len(frags)),
+    )
+    census = desc.map_batches(_census_rg, batch_format="pyarrow", batch_size=None).materialize()
+    rows = census.count()
+    if rows == 0:
+        return 0.0
+    split = _spanning_hashes(census, census_driver_rows)
+    if rows <= census_driver_rows:
+        parts = [t for t in ray.get(census.to_arrow_refs()) if len(t)]
+        distinct = len(np.unique(np.concatenate([t["conv_hash"].to_numpy() for t in parts])))
+    else:
+        distinct = max(rows - len(split), 1)  # >= true distinct - extra occurrences
+    return len(split) / max(distinct, 1)
+
+
 def canonicalize_parquet(path: str, census_driver_rows: int = 20_000_000,
                          output_blocks: int | None = None) -> "ray.data.Dataset":  # noqa: F821
     """Locality-aware canonicalize over a parquet file/dir.

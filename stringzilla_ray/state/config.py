@@ -69,7 +69,16 @@ class ERConfig:
     # inside one parquet row group. Assembly then runs IN PLACE per row
     # group and only the census-detected boundary-spanning conversations
     # take the hash shuffle — the full-text all-to-all disappears.
-    locality_canonicalize: bool = False
+    # "auto" (default): MULTI-NODE sessions probe the corpus with the
+    # conv_id-pruned census and take the locality path when few
+    # conversations span row groups; single-node sessions always take
+    # the shuffle path (measured faster there — one plasma store moves
+    # bytes as cheaply as the locality path's second input scan; the
+    # avoided all-to-all only pays when it would cross NICs).
+    locality_canonicalize: bool | str = "auto"
+    # auto gate: locality path taken when at most this fraction of
+    # conversations span a row-group boundary
+    locality_spanning_gate: float = 0.2
     # Above this many census rows (distinct conv hashes summed over row
     # groups) the spanning-conversation detection runs as a shard
     # groupby instead of one driver np.unique.

@@ -474,6 +474,43 @@ def test_collapse_rekeys_64bit_collisions(ray_session):
     assert sorted(reps.to_pandas().content_hash) == [5, 6]
 
 
+def test_locality_auto_detect(ray_session, tmp_path, monkeypatch):
+    """locality_canonicalize="auto": the census probe measures the
+    row-group-spanning fraction exactly, and the resolver picks the
+    locality path only on multi-node sessions over ts-local corpora."""
+    import pyarrow.parquet as pq
+
+    from stringzilla_ray.pipelines.er import _resolve_locality
+    from stringzilla_ray.stages import canonicalize as canon
+    from stringzilla_ray.state.config import ERConfig
+
+    tbl = pa.table({
+        "conv_id": pa.array(["a", "a", "b", "b", "c", "c"], pa.string()),
+        "turn_idx": pa.array([0, 1, 0, 1, 0, 1], pa.int64()),
+        "role": pa.array(["u"] * 6, pa.string()),
+        "text": pa.array(["x"] * 6, pa.string()),
+    })
+    path = str(tmp_path / "t.parquet")
+    # row groups of 3: conv b spans rg0/rg1 -> fraction = 1/3
+    pq.write_table(tbl, path, row_group_size=3)
+    frac = canon.locality_spanning_fraction(path)
+    assert abs(frac - 1 / 3) < 1e-9
+
+    # single node: auto resolves to the shuffle path without probing
+    assert _resolve_locality(path, ERConfig()) is False
+    # explicit settings are respected verbatim
+    assert _resolve_locality(path, ERConfig(locality_canonicalize=True)) is True
+    assert _resolve_locality(path, ERConfig(locality_canonicalize=False)) is False
+    # multi-node: the probe decides via the spanning gate
+    import ray as _ray
+
+    monkeypatch.setattr(
+        _ray, "nodes", lambda: [{"Alive": True}, {"Alive": True}]
+    )
+    assert _resolve_locality(path, ERConfig(locality_spanning_gate=0.5)) is True
+    assert _resolve_locality(path, ERConfig(locality_spanning_gate=0.1)) is False
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     import ray.data
 
