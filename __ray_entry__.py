@@ -310,6 +310,38 @@ def _q_simhash(sf_dir: str):
     )
 
 
+def _q_uax29_sentence_count(sf_dir: str):
+    """Full TR29 sentence segmentation (SB3-SB11) — rows-only: no SQL
+    engine implements UAX-29; pinned spec-case pytests are the gate."""
+    from stringzilla_ray.functions.segment import uax29_sentence_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_sentences_uax29": uax29_sentence_count(t["text"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_split_byteset(sf_dir: str):
+    """Strs.split_byteset as a row-exploding op (one row per field,
+    splitting on ANY byte of the set — python/README.md:194)."""
+    from stringzilla_ray.functions.segment import split_byteset_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        vals, parents = split_byteset_column(t["text"], "aeiou")
+        return pa.table({"doc_id": ids.take(parents), "piece": vals})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_uax29_word_count(sf_dir: str):
     """Full TR29 word segmentation (WB3-WB16) — rows-only: no SQL
     engine implements UAX-29; pinned spec-case pytests are the gate
@@ -1326,6 +1358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
+        "split_byteset": _q_split_byteset,
+        "uax29_sentence_count": _q_uax29_sentence_count,
         "offset_within": _q_offset_within,
         "endswith_filter": _q_endswith_filter,
         "count_byteset": _q_count_byteset,
@@ -1672,6 +1706,10 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming "
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.s, b.s)) <= 4"
+        ),
+        "split_byteset": (
+            "SELECT doc_id, unnest(regexp_split_to_array(text, '[aeiou]')) AS piece "
+            "FROM documents"
         ),
         "offset_within": (
             "SELECT doc_id, CAST(instr(text, substr(text, 11, 25)) - 1 AS BIGINT) AS pos "

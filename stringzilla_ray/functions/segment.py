@@ -36,11 +36,13 @@ __all__ = [
     "word_count",
     "sentence_count",
     "split_column",
+    "split_byteset_column",
     "find_last_of",
     "find_first_not_of",
     "find_last_not_of",
     "grapheme_count",
     "uax29_word_count",
+    "uax29_sentence_count",
     "utf8_decode_tape",
 ]
 
@@ -238,6 +240,28 @@ def rpartition_columns(col, sep: str):
     return pc.if_else(found, head, empty), middle, pc.if_else(found, tail, col)
 
 
+def split_byteset_column(col, chars: str, skip_empty: bool = False):
+    """(values, parent_indices) splitting every string on ANY single
+    byte from ``chars`` (Strs.split_byteset, python/README.md:194).
+    Pure Arrow: one RE2 char-class split -> flatten; ``skip_empty``
+    mirrors the reference flag."""
+    import re as _re
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not chars:
+        raise ValueError("empty separator set")
+    lists = pc.split_pattern_regex(col, "[" + _re.escape(chars) + "]")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    values = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    if skip_empty:
+        keep = pc.not_equal(values, "")
+        values, parents = values.filter(keep), parents.filter(keep)
+    return values, parents
+
+
 _NEWLINE_REGEX = r"\r\n|[\n\v\f\r\x{0085}\x{2028}\x{2029}]"
 
 
@@ -378,6 +402,197 @@ def _is_hangul_lv(cp: int) -> bool:
 
 def _is_hangul_lvt(cp: int) -> bool:
     return _HANGUL_SYL[0] <= cp <= _HANGUL_SYL[1] and (cp - _HANGUL_SYL[0]) % 28 != 0
+
+
+# --------------------------------------------------- UAX-29 sentence breaks
+
+# Sentence_Break property classes (TR29 table), derived from
+# unicodedata categories + the spec's published code lists — the same
+# documented approximation style as the word-break kernel (reference:
+# include/stringzilla/utf8_sentences.h, SB1-SB998).
+(_SB_OTHER, _SB_CR, _SB_LF, _SB_SEP, _SB_SP, _SB_LOWER, _SB_UPPER,
+ _SB_OLETTER, _SB_NUMERIC, _SB_ATERM, _SB_STERM, _SB_CLOSE,
+ _SB_SCONTINUE, _SB_EXTEND, _SB_FORMAT) = range(15)
+
+_SB_ATERM_SET = (0x2E, 0x2024, 0xFE52, 0xFF0E)
+_SB_STERM_SET = (0x21, 0x3F, 0x589, 0x61D, 0x61E, 0x61F, 0x6D4, 0x203C,
+                 0x203D, 0x2047, 0x2048, 0x2049, 0x3002, 0xFE56, 0xFE57,
+                 0xFF01, 0xFF1F, 0xFF61)
+_SB_SCONTINUE_SET = (0x2C, 0x2D, 0x3A, 0x55D, 0x60C, 0x60D, 0x7F8, 0x1802,
+                     0x1808, 0x2013, 0x2014, 0x3001, 0xFE10, 0xFE11, 0xFE13,
+                     0xFE31, 0xFE32, 0xFE50, 0xFE51, 0xFE55, 0xFE58, 0xFE63,
+                     0xFF0C, 0xFF0D, 0xFF1A, 0xFF64)
+
+_SB_LUT: np.ndarray | None = None
+
+
+def _sb_lut() -> np.ndarray:
+    """uint8 Sentence_Break class per codepoint, built once per process."""
+    global _SB_LUT
+    if _SB_LUT is not None:
+        return _SB_LUT
+    lut = np.zeros(0x110000, np.uint8)
+    for cp in range(0x110000):
+        cat = unicodedata.category(chr(cp))
+        if cat == "Ll":
+            lut[cp] = _SB_LOWER
+        elif cat in ("Lu", "Lt"):
+            lut[cp] = _SB_UPPER
+        elif cat in ("Lo", "Lm", "Nl"):
+            lut[cp] = _SB_OLETTER
+        elif cat == "Nd":
+            lut[cp] = _SB_NUMERIC
+        elif cat in ("Mn", "Me", "Mc"):
+            lut[cp] = _SB_EXTEND
+        elif cat == "Cf":
+            lut[cp] = _SB_FORMAT
+        elif cat == "Zs":
+            lut[cp] = _SB_SP
+        elif cat in ("Ps", "Pe", "Pi", "Pf"):
+            lut[cp] = _SB_CLOSE
+    lut[0x22] = _SB_CLOSE
+    lut[0x27] = _SB_CLOSE
+    lut[0x09] = _SB_SP
+    for cp in _SB_ATERM_SET:
+        lut[cp] = _SB_ATERM
+    for cp in _SB_STERM_SET:
+        lut[cp] = _SB_STERM
+    for cp in _SB_SCONTINUE_SET:
+        lut[cp] = _SB_SCONTINUE
+    for cp in (0x85, 0x2028, 0x2029):
+        lut[cp] = _SB_SEP
+    lut[0x0D] = _SB_CR
+    lut[0x0A] = _SB_LF
+    _SB_LUT = lut
+    return lut
+
+
+def _last_run_index(cls: np.ndarray, member: np.ndarray, floor: np.ndarray) -> np.ndarray:
+    """For each position i: the largest j <= i with NOT member[j], or
+    floor[i]-1 when the whole [floor[i], i] run is member — i.e. the
+    index just below the maximal member-run ending at i."""
+    idx = np.arange(len(cls), dtype=np.int64)
+    last = np.maximum.accumulate(np.where(~member, idx, np.int64(-1)))
+    return np.maximum(last, floor - 1)
+
+
+def uax29_sentence_count(arr) -> pa.Array:
+    """UAX-29 sentence counts per string: the TR29 SB rules (SB3-SB11,
+    SB5 ignorable skipping, the ATerm/STerm Close* Sp* run states and
+    SB8's unbounded lookahead) as one vectorized pass. Sentences are
+    the spans between consecutive boundaries (reference contract,
+    utf8_sentences.h: no zero-length sentences; empty rows count 0)."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    nrows = len(offsets) - 1
+    out = np.zeros(nrows, np.int64)
+    if len(tape) == 0:
+        return pa.array(out, pa.int64())
+    cp, cp_offs = utf8_decode_tape(np.asarray(tape), offsets)
+    counts = np.diff(cp_offs)
+    cls_all = _sb_lut()[cp]
+    row_all = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+
+    # SB5: drop Extend/Format except right after sot/Sep/CR/LF (kept,
+    # demoted to Other — same carve-out shape as the word kernel)
+    skip = (cls_all == _SB_EXTEND) | (cls_all == _SB_FORMAT)
+    prev = np.empty_like(cls_all)
+    prev[0] = _SB_SEP
+    prev[1:] = cls_all[:-1]
+    row_start_all = np.zeros(len(cp), bool)
+    row_start_all[cp_offs[:-1][np.diff(cp_offs) > 0]] = True
+    after_break = (
+        row_start_all | (prev == _SB_SEP) | (prev == _SB_CR) | (prev == _SB_LF)
+    )
+    keep = ~skip | after_break
+    cls = np.where(skip & after_break, np.uint8(_SB_OTHER), cls_all)[keep]
+    brow = row_all[keep]
+    m = len(cls)
+    nonempty = counts > 0
+    if m == 0:
+        return pa.array(out, pa.int64())
+
+    idx = np.arange(m, dtype=np.int64)
+    # per-row floors for the run scans
+    row_first = np.zeros(m, np.int64)
+    firsts = np.nonzero(np.concatenate([[True], brow[1:] != brow[:-1]]))[0]
+    row_first[firsts] = firsts
+    row_first = np.maximum.accumulate(row_first)
+
+    is_close = cls == _SB_CLOSE
+    is_sp = cls == _SB_SP
+    sat = (cls == _SB_ATERM) | (cls == _SB_STERM)
+    # j1 = index below the maximal Sp* run ending at i
+    j1 = _last_run_index(cls, is_sp, row_first)
+    # j2 = index below the maximal Close* run ending at j1
+    safe_j1 = np.maximum(j1, 0)
+    j2 = np.where(
+        j1 >= row_first,
+        _last_run_index(cls, is_close, row_first)[safe_j1],
+        j1,
+    )
+    # j2 only valid when the Close* run didn't cross below the row
+    at_j2 = np.where(j2 >= 0, cls[np.maximum(j2, 0)], np.uint8(_SB_OTHER))
+    j2_in_row = j2 >= row_first
+    # state at position i: the run ending at i matches ...
+    ends_saterm_close_sp = j2_in_row & ((at_j2 == _SB_ATERM) | (at_j2 == _SB_STERM))
+    ends_aterm_close_sp = j2_in_row & (at_j2 == _SB_ATERM)
+    # no-Sp variant (SB9): Close* run ending at i directly
+    k1 = _last_run_index(cls, is_close, row_first)
+    at_k1 = np.where(k1 >= 0, cls[np.maximum(k1, 0)], np.uint8(_SB_OTHER))
+    ends_saterm_close = (
+        (~is_sp) & (k1 >= row_first - 0)
+        & np.where(is_close, (at_k1 == _SB_ATERM) | (at_k1 == _SB_STERM), sat)
+    )
+
+    # SB8 lookahead: next char (at or after i) from the "headish" set;
+    # no break iff it exists in the same row and is Lower
+    head = ((cls == _SB_OLETTER) | (cls == _SB_UPPER) | (cls == _SB_LOWER)
+            | (cls == _SB_SEP) | (cls == _SB_CR) | (cls == _SB_LF)
+            | (cls == _SB_ATERM) | (cls == _SB_STERM))
+    head_pos = np.nonzero(head)[0]
+    next_is_lower = np.zeros(m, bool)
+    if len(head_pos):
+        nxt = np.searchsorted(head_pos, idx, "left")
+        vpos = np.nonzero(nxt < len(head_pos))[0]
+        tgt = head_pos[nxt[vpos]]
+        hit = (brow[tgt] == brow[vpos]) & (cls[tgt] == _SB_LOWER)
+        next_is_lower[vpos[hit]] = True
+
+    p = cls[:-1]
+    c = cls[1:]
+    same_row = brow[1:] == brow[:-1]
+    p2 = np.concatenate([[np.uint8(_SB_OTHER)], cls[:-2]]) if m > 1 else np.zeros(0, np.uint8)
+    p2_same = np.concatenate([[False], brow[1:-1] == brow[:-2]]) if m > 2 else np.zeros(max(m - 1, 0), bool)
+
+    nb = np.zeros(m - 1, bool)       # no-break verdicts
+    decided = np.zeros(m - 1, bool)
+
+    def rule(mask, val):
+        sel = mask & ~decided
+        nb[sel] = val
+        decided[sel] = True
+
+    parasep = lambda x: (x == _SB_SEP) | (x == _SB_CR) | (x == _SB_LF)
+    rule((p == _SB_CR) & (c == _SB_LF), True)                       # SB3
+    rule(parasep(p), False)                                         # SB4
+    rule((p == _SB_ATERM) & (c == _SB_NUMERIC), True)               # SB6
+    rule(p2_same & ((p2 == _SB_UPPER) | (p2 == _SB_LOWER))
+         & (p == _SB_ATERM) & (c == _SB_UPPER), True)               # SB7
+    st_sp = ends_saterm_close_sp[:-1]
+    at_sp = ends_aterm_close_sp[:-1]
+    st_cl = ends_saterm_close[:-1]
+    rule(at_sp & next_is_lower[1:], True)                           # SB8
+    rule(st_sp & ((c == _SB_SCONTINUE) | (c == _SB_ATERM) | (c == _SB_STERM)), True)  # SB8a
+    rule(st_cl & ((c == _SB_CLOSE) | (c == _SB_SP) | parasep(c)), True)  # SB9
+    rule(st_sp & ((c == _SB_SP) | parasep(c)), True)                # SB10
+    rule(st_sp, False)                                              # SB11
+    rule(np.ones(m - 1, bool), True)                                # SB998
+
+    breaks = (~nb) & same_row
+    out[nonempty] = 1
+    np.add.at(out, brow[1:][breaks], 1)
+    return pa.array(out, pa.int64())
 
 
 # Grapheme-break classes for the vectorized kernel (derived from the

@@ -210,6 +210,20 @@ def test_utf8_decode_tape():
         assert list(cp[cp_offs[i]:cp_offs[i + 1]]) == [ord(c) for c in v], v
 
 
+def test_split_byteset_matches_python():
+    from stringzilla_ray.functions.segment import split_byteset_column
+    import re
+
+    vals = ["a,b;c", "no seps", "", ";;", "x,y;z,"]
+    arr = pa.array(vals, pa.string())
+    got_v, got_p = split_byteset_column(arr, ",;")
+    expect = [(i, p) for i, v in enumerate(vals) for p in re.split("[,;]", v)]
+    assert list(zip(got_p.to_pylist(), got_v.to_pylist())) == expect
+    # skip_empty mirrors the reference flag
+    sv, sp = split_byteset_column(arr, ",;", skip_empty=True)
+    assert "" not in sv.to_pylist()
+
+
 def test_uax29_word_count_spec_cases():
     """TR29 word boundary rules (WB3-WB16) against hand-pinned cases
     from the published spec, including the canonical example sentence,
@@ -238,6 +252,34 @@ def test_uax29_word_count_spec_cases():
     }
     arr = pa.array(list(cases), pa.string())
     got = uax29_word_count(arr).to_pylist()
+    assert got == list(cases.values()), dict(zip(cases, got))
+
+
+def test_uax29_sentence_count_spec_cases():
+    """TR29 sentence rules (SB3-SB11) against hand-pinned spec cases:
+    abbreviation non-breaks (SB8), decimal numbers (SB6), initials
+    (SB7), close-quote attachment (SB9), terminator runs (SB8a), and
+    paragraph separators (SB4)."""
+    from stringzilla_ray.functions.segment import uax29_sentence_count
+
+    cases = {
+        "": 0, "End": 1,
+        "He said. She left.": 2,
+        "i.e. the end.": 1, "etc. and so on.": 1,   # SB8
+        "3.4 liters": 1,                             # SB6
+        "U.S.A. Is big.": 2,                         # SB7 + SB11
+        "Hello! How are you? Fine.": 3,
+        'He said "Stop." Then left.': 2,             # SB9
+        "one\ntwo": 2, "one\r\ntwo": 2,              # SB4 (+SB3)
+        "a.\n": 1,                                   # trailing LF attaches
+        "Wait... what?": 1,                          # SB8a terminator run
+        "No. No. No.": 3,
+        "Dr. Smith went home.": 2,                   # Upper after aterm
+        "x! y? Z.": 3,
+        "（括弧）です。次へ。": 2,                      # ideographic stops
+    }
+    arr = pa.array(list(cases), pa.string())
+    got = uax29_sentence_count(arr).to_pylist()
     assert got == list(cases.values()), dict(zip(cases, got))
 
 
