@@ -118,37 +118,19 @@ def resolve_entities(
     if tick:
         tick("fingerprint")
 
-    collapse_exc: list = [None]
-
-    def _make_nodes():
-        r, exc = collapse_nodes(signed, cfg, parts)
-        collapse_exc[0] = exc
-        return r
-
     reps = checkpointed(
         "nodes",
         checkpoint_dir,
         h,
-        _make_nodes,
+        lambda: collapse_nodes(signed, cfg, parts),
         input_token=input_token,
     )
-    if checkpoint_dir is None:
-        reps = reps.materialize()
-    if collapse_exc[0] is None:
-        # checkpoint reload: the exception map is recoverable from the
-        # reps themselves (rows whose node id differs from orig_hash —
-        # a tiny filter; empty below ~2^32 distinct contents)
-        import pyarrow as pa
-
-        exc_rows = reps.filter(expr="content_hash != orig_hash").select_columns(
-            ["orig_hash", "content_hash2", "content_hash"]
-        ).rename_columns({"content_hash": "node_id"}).take_all()
-        collapse_exc[0] = (
-            pa.Table.from_pylist(exc_rows) if exc_rows
-            else pa.table({"orig_hash": pa.array([], pa.int64()),
-                           "content_hash2": pa.array([], pa.int64()),
-                           "node_id": pa.array([], pa.int64())})
-        )
+    # Materialized in BOTH modes: consumed by blocking + scoring +
+    # exception extraction, and the extraction runs as raw tasks over
+    # the block refs (a Dataset filter execution costs a flat ~1-1.5 s
+    # regardless of size).
+    reps = reps.materialize()
+    exceptions = collapse_exceptions(reps)
     if tick:
         tick("collapse")
 
@@ -195,7 +177,7 @@ def resolve_entities(
     # union-find path, a join in the distributed fallback. Collision
     # contents re-key through the broadcast exception map (a zero-copy
     # projection whenever the map is empty — every real corpus).
-    conv_nodes = remap_conv_nodes(signed, collapse_exc[0])
+    conv_nodes = remap_conv_nodes(signed, exceptions)
     clusters = checkpointed(
         "clusters",
         checkpoint_dir,
@@ -289,13 +271,11 @@ def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
     with the winning rep = lexicographic-min conv_id (stable-first
     duplicate semantics, reference sort.h stability contract).
 
-    Returns ``(reps, exceptions)``: reps carry ``content_hash``
-    REWRITTEN to the resolved node id (plus ``orig_hash``, the raw
-    64-bit hash, so the exception map is recoverable from a checkpoint
-    reload: exceptions == rows where content_hash != orig_hash);
-    ``exceptions`` is the tiny driver-side pyarrow table
-    (orig_hash, content_hash2, node_id) of 64-bit collision contents —
-    empty in any corpus below ~2^32 distinct contents.
+    Returns the reps Dataset with ``content_hash`` REWRITTEN to the
+    resolved node id, plus ``orig_hash`` (the raw 64-bit hash) — the
+    tiny collision exception map is derivable from reps at any time
+    (rows where content_hash != orig_hash; see collapse_exceptions),
+    including from a checkpoint reload.
 
     Small-side dispatch: below the broadcast threshold the census is
     one warm-worker task over the block refs; above it, a bucketed
@@ -340,15 +320,7 @@ def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
             batch = batch.set_column(i, "content_hash", pa.array(node[pos], pa.int64()))
             return batch.filter(mask)
 
-        reps = signed.map_batches(keep_winners, batch_format="pyarrow")
-        w1, w2, _w_conv, node = ray.get(ref)
-        exc_mask = node != w1
-        exceptions = pa.table({
-            "orig_hash": pa.array(w1[exc_mask], pa.int64()),
-            "content_hash2": pa.array(w2[exc_mask], pa.int64()),
-            "node_id": pa.array(node[exc_mask], pa.int64()),
-        })
-        return reps, exceptions
+        return signed.map_batches(keep_winners, batch_format="pyarrow")
 
     # Winner census via hash-bucket reduce: the native groupby-min
     # runs per-group Python (42 s for 215k keys at 8 CPUs measured;
@@ -390,28 +362,22 @@ def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
         node = _node_ids(h1[first], h2[first])
         return tbl.append_column("node_id", pa.array(node, pa.int64()))
 
+    # A conversation appears ONCE in signed (one row per conv) and wins
+    # at most its own content, so conv_id alone identifies the winner
+    # row — the join needs only the single string key, with node_id
+    # riding along as a payload column.
     winners = (
         signed.select_columns(["content_hash", "content_hash2", "conv_id"])
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(min_per_content, batch_format="pyarrow")
-    ).materialize()  # consumed twice: exception extraction + the join
-    exc_parts = [
-        t for t in ray.get([
-            _filter_exceptions_task().remote(r) for r in winners.to_arrow_refs()
-        ]) if len(t)
-    ]
-    exceptions = (
-        pa.concat_tables(exc_parts) if exc_parts
-        else pa.table({"orig_hash": pa.array([], pa.int64()),
-                       "content_hash2": pa.array([], pa.int64()),
-                       "node_id": pa.array([], pa.int64())})
+        .select_columns(["conv_id", "node_id"])
     )
     joined = winners.join(
         signed,
         join_type="inner",
         num_partitions=parts,
-        on=("content_hash", "content_hash2", "conv_id"),
+        on=("conv_id",),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -420,21 +386,44 @@ def collapse_nodes(signed, cfg: ERConfig, parts: int | None = None):
         t = t.set_column(i, "content_hash", t["node_id"])
         return t.drop_columns(["node_id"])
 
-    return joined.map_batches(finish, batch_format="pyarrow"), exceptions
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def _filter_exceptions_fn(t):
-    """Collision rows of one winners block -> (orig_hash, hash2, node)."""
+    """Collision rows of one reps block -> (orig_hash, hash2, node)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    keep = pc.not_equal(t["node_id"], t["content_hash"])
+    keep = pc.not_equal(t["content_hash"], t["orig_hash"])
     sel = t.filter(keep)
     return pa.table({
-        "orig_hash": sel["content_hash"],
+        "orig_hash": sel["orig_hash"],
         "content_hash2": sel["content_hash2"],
-        "node_id": sel["node_id"],
+        "node_id": sel["content_hash"],
     })
+
+
+def collapse_exceptions(reps) -> "pa.Table":
+    """The (orig_hash, content_hash2, node_id) exception map of 64-bit
+    collision contents, extracted from a MATERIALIZED reps dataset with
+    raw per-block tasks (a Dataset filter execution costs a flat
+    ~1-1.5 s regardless of result size). Empty below ~2^32 distinct
+    contents — i.e. on every real corpus."""
+    import pyarrow as pa
+
+    import ray
+
+    parts = [
+        t for t in ray.get([
+            _filter_exceptions_task().remote(r) for r in reps.to_arrow_refs()
+        ]) if len(t)
+    ]
+    return (
+        pa.concat_tables(parts) if parts
+        else pa.table({"orig_hash": pa.array([], pa.int64()),
+                       "content_hash2": pa.array([], pa.int64()),
+                       "node_id": pa.array([], pa.int64())})
+    )
 
 
 _filter_exceptions_remote = None

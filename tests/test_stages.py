@@ -437,7 +437,11 @@ def test_collapse_rekeys_64bit_collisions(ray_session):
     and the conversation remap must follow the exception map."""
     import ray.data
 
-    from stringzilla_ray.pipelines.er import collapse_nodes, remap_conv_nodes
+    from stringzilla_ray.pipelines.er import (
+        collapse_exceptions,
+        collapse_nodes,
+        remap_conv_nodes,
+    )
     from stringzilla_ray.state.config import ERConfig
 
     tbl = pa.table({
@@ -449,7 +453,8 @@ def test_collapse_rekeys_64bit_collisions(ray_session):
     ds = ray.data.from_arrow(tbl)
 
     for cfg in (ERConfig(), ERConfig(broadcast_threshold_rows=0)):
-        reps, exc = collapse_nodes(ds, cfg)
+        reps = collapse_nodes(ds, cfg).materialize()
+        exc = collapse_exceptions(reps)
         reps_df = reps.to_pandas().sort_values("conv_id").reset_index(drop=True)
         # 3 distinct contents -> 3 reps (a wins the true-dup pair a/b)
         assert sorted(reps_df.conv_id) == ["a", "c", "d"]
@@ -469,8 +474,8 @@ def test_collapse_rekeys_64bit_collisions(ray_session):
         "content_hash2": pa.array([50, 60], pa.int64()),
         "payload": pa.array(["q", "r"], pa.string()),
     }))
-    reps, exc = collapse_nodes(clean, ERConfig())
-    assert len(exc) == 0
+    reps = collapse_nodes(clean, ERConfig()).materialize()
+    assert len(collapse_exceptions(reps)) == 0
     assert sorted(reps.to_pandas().content_hash) == [5, 6]
 
 
