@@ -82,17 +82,46 @@ def resolve_entities(
     tick = _stage_clock()
 
     def _canon_then_fingerprint():
+        import os
+
         from stringzilla_ray.util import reduce_buckets
 
         if canonical is not None:
             c, n_blocks = canonical, canonical_blocks
+            if tick:
+                c = c.materialize()
+                tick("canonicalize")
+            signed = fingerprint_stage(c, cfg, upstream_blocks=n_blocks)
+        elif os.environ.get("SZRAY_FUSE_FP", "0") == "1":
+            # Fingerprint FUSED into the shard-merge task: the
+            # canonical text skips one full plasma round-trip between
+            # the stages. Measured a WASH on this single-store box
+            # (interleaved A/B at the weak hi leg: fused 22.8-29.4 s vs
+            # two-stage 23.0-26.1 s — the store moves the bytes as
+            # cheaply as the fused task recomputes locality, and longer
+            # reduce tasks pipeline worse). Kept opt-in for NIC-bound
+            # clusters where an avoided full-corpus round-trip is real
+            # bytes off the wire, same rationale as locality/combiner.
+            import functools
+
+            from stringzilla_ray.stages.fingerprint import _fingerprint_fn
+
+            post = functools.partial(
+                _fingerprint_fn,
+                ndim=cfg.ndim, window_widths=cfg.window_widths, seed=cfg.seed,
+                backend=cfg.fingerprint_backend, prefix_ndim=cfg.prefix_ndim,
+                prefix_sig_bytes=cfg.prefix_sig_bytes,
+            )
+            signed = canonicalize(transcripts, post_fn=post)
+            if tick:
+                tick("canonicalize(skipped: fused w/ fingerprint)")
         else:
             # the shard-groupby canonicalize emits one block per shard
             c, n_blocks = canonicalize(transcripts), reduce_buckets()
-        if tick:
-            c = c.materialize()
-            tick("canonicalize")
-        signed = fingerprint_stage(c, cfg, upstream_blocks=n_blocks)
+            if tick:
+                c = c.materialize()
+                tick("canonicalize")
+            signed = fingerprint_stage(c, cfg, upstream_blocks=n_blocks)
         # The raw ``doc`` (and n_turns) never leave this stage: blocking
         # keys on signatures, scoring fetches norm_doc, clustering keys
         # on content_hash. Dropping them roughly halves the pinned
@@ -394,6 +423,11 @@ def _filter_exceptions_fn(t):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if len(t) == 0 or "content_hash" not in t.column_names:
+        # zero-row blocks out of a groupby can carry a bare schema
+        return pa.table({"orig_hash": pa.array([], pa.int64()),
+                         "content_hash2": pa.array([], pa.int64()),
+                         "node_id": pa.array([], pa.int64())})
     keep = pc.not_equal(t["content_hash"], t["orig_hash"])
     sel = t.filter(keep)
     return pa.table({

@@ -634,7 +634,7 @@ def _merge_shard_group(g: pa.Table) -> pa.Table:
     return add_content_hash(out)
 
 
-def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821
+def canonicalize(transcripts, post_fn=None) -> "ray.data.Dataset":  # noqa: F821
     """transcripts Dataset -> canonical conversations Dataset.
 
     ONE wide op — a shard groupby on hash(conv_id) (int32 keys, no
@@ -650,12 +650,27 @@ def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821
     shuffle. Requires turn_idx to be unique within a conversation
     (the input contract); if ties occur their relative order follows
     the local sorts, not the input row order.
+
+    ``post_fn`` (Table -> Table) runs INSIDE the shard-merge task on
+    each assembled shard — downstream per-doc stages (the flagship
+    fuses fingerprinting here) avoid one full plasma round-trip of the
+    canonical text, which at 32 concurrent workers on one memory bus
+    is a measurable share of the exchange cost.
     """
     import os
 
     from stringzilla_ray.util import reduce_buckets
 
     n_shards = reduce_buckets()
+    merge_fn = _merge_shard_group
+    assemble_fn = _assemble_shard_group
+    if post_fn is not None:
+        def merge_fn(g, _post=post_fn):
+            return _post(_merge_shard_group(g))
+
+        def assemble_fn(g, _post=post_fn):
+            return _post(_assemble_shard_group(g))
+
     if os.environ.get("SZRAY_CANON_COMBINER", "1") == "0":
         # A/B escape hatch: per-turn-row shuffle (the pre-combiner path)
 
@@ -674,7 +689,7 @@ def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821
             transcripts.map_batches(_add_shard, batch_format="pyarrow",
                                     zero_copy_batch=True)
             .groupby("shard")
-            .map_groups(_assemble_shard_group, batch_format="pyarrow")
+            .map_groups(assemble_fn, batch_format="pyarrow")
         )
     return (
         transcripts.map_batches(
@@ -685,5 +700,5 @@ def canonicalize(transcripts) -> "ray.data.Dataset":  # noqa: F821
             zero_copy_batch=True,
         )
         .groupby("shard")
-        .map_groups(_merge_shard_group, batch_format="pyarrow")
+        .map_groups(merge_fn, batch_format="pyarrow")
     )

@@ -569,6 +569,8 @@ def simhash_near_dup_pairs(
 
     @ray.remote
     def _sig_part(t: pa.Table):
+        if len(t) == 0 or id_column not in t.column_names:
+            return np.zeros(0, np.int64), np.zeros(0, np.uint64)
         col = t[id_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()

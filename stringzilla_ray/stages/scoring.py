@@ -188,6 +188,10 @@ def _decode_sig_block(tbl: pa.Table, id_column: str):
     # agrees at 1/256/dim — inflating jaccard by <= (1-j)/256 ~ 0.004,
     # noise against the 0.55/0.85 gates — for a 4x smaller broadcast
     # (the shared sig matrix is the gate stage's main memory traffic).
+    if len(tbl) == 0 or id_column not in tbl.column_names:
+        # a groupby can emit zero-row blocks with a bare schema
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros((0, 1), np.uint8), np.zeros((0, 1), np.uint8)
     tbl = tbl.select([id_column, "doc_bytes_norm", "minhash", "prefix_minhash"])
     col = tbl[id_column]
     if isinstance(col, pa.ChunkedArray):
@@ -253,12 +257,17 @@ def _take_pending_block(batch: pa.Table) -> pa.Table:
     filter plan's flat ~1 s scheduling overhead dominated it)."""
     import pyarrow.compute as pc
 
+    if len(batch) == 0 or "scored_by" not in batch.column_names:
+        return _empty_scores()
     return batch.filter(pc.equal(batch["scored_by"], "dp-pending"))
 
 
 @ray.remote
 def _filter_docs_block(batch: pa.Table, id_column: str, text_column: str,
                        want: np.ndarray) -> pa.Table:
+    if len(batch) == 0 or id_column not in batch.column_names:
+        return pa.table({id_column: pa.array([], pa.int64()),
+                         text_column: pa.array([], pa.string())})
     ids = batch[id_column].to_numpy(zero_copy_only=False)
     if len(want) == 0:
         mask = np.zeros(len(ids), dtype=bool)

@@ -479,6 +479,30 @@ def test_collapse_rekeys_64bit_collisions(ray_session):
     assert sorted(reps.to_pandas().content_hash) == [5, 6]
 
 
+def test_fused_fingerprint_path_equivalent(ray_session, monkeypatch):
+    """SZRAY_FUSE_FP=1 (fingerprint inside the canonicalize shard-merge
+    task) must produce identical clusters to the two-stage default."""
+    import ray.data
+
+    from stringzilla_ray import synth
+    from stringzilla_ray.pipelines.er import resolve_entities
+    from stringzilla_ray.state.config import ERConfig
+
+    transcripts, _truth = synth.generate_transcripts(seed=9, entities=25)
+
+    def run():
+        out = resolve_entities(
+            ray.data.from_arrow(transcripts), ERConfig()
+        ).to_pandas()
+        return out.sort_values("conv_id").reset_index(drop=True)
+
+    monkeypatch.delenv("SZRAY_FUSE_FP", raising=False)
+    base = run()
+    monkeypatch.setenv("SZRAY_FUSE_FP", "1")
+    fused = run()
+    pd.testing.assert_frame_equal(base, fused)
+
+
 def test_locality_auto_detect(ray_session, tmp_path, monkeypatch):
     """locality_canonicalize="auto": the census probe measures the
     row-group-spanning fraction exactly, and the resolver picks the
