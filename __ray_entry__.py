@@ -325,6 +325,22 @@ def _q_uax29_sentence_count(sf_dir: str):
     )
 
 
+def _q_uax14_line_segments(sf_dir: str):
+    """UAX-14 wrap-segment counts (mandatory + soft break
+    opportunities, sz_utf8_linebreaks contract) — rows-only: no SQL
+    engine implements TR14; pinned spec-case pytests are the gate."""
+    from stringzilla_ray.functions.segment import uax14_line_segments
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_wrap_segments": uax14_line_segments(t["text"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def _q_split_byteset(sf_dir: str):
     """Strs.split_byteset as a row-exploding op (one row per field,
     splitting on ANY byte of the set — python/README.md:194)."""
@@ -1360,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uax29_word_count": _q_uax29_word_count,
         "split_byteset": _q_split_byteset,
         "uax29_sentence_count": _q_uax29_sentence_count,
+        "uax14_line_segments": _q_uax14_line_segments,
         "offset_within": _q_offset_within,
         "endswith_filter": _q_endswith_filter,
         "count_byteset": _q_count_byteset,

@@ -43,6 +43,7 @@ __all__ = [
     "grapheme_count",
     "uax29_word_count",
     "uax29_sentence_count",
+    "uax14_line_segments",
     "utf8_decode_tape",
 ]
 
@@ -590,6 +591,168 @@ def uax29_sentence_count(arr) -> pa.Array:
     rule(np.ones(m - 1, bool), True)                                # SB998
 
     breaks = (~nb) & same_row
+    out[nonempty] = 1
+    np.add.at(out, brow[1:][breaks], 1)
+    return pa.array(out, pa.int64())
+
+
+# ------------------------------------------------ UAX-14 line breaks
+
+# Line_Break property classes (TR14 core subset), derived from
+# unicodedata categories + the spec's published singleton lists — the
+# same documented-approximation style as the word/sentence kernels
+# (reference: include/stringzilla/utf8_linebreaks.h, full LineBreak.txt
+# tables). Covers the wrap rules LB4-LB31 that byte-level text layout
+# needs; exotic classes (CB, SA, JL/JV/JT, EB/EM) fold into AL/ID.
+(_LB_AL, _LB_BK, _LB_CR, _LB_LF, _LB_NL, _LB_SP, _LB_ZW, _LB_GL, _LB_WJ,
+ _LB_CM, _LB_ZWJ, _LB_OP, _LB_CL, _LB_QU, _LB_IS, _LB_SY, _LB_EX, _LB_HY,
+ _LB_BA, _LB_NU, _LB_PR, _LB_PO, _LB_ID) = range(23)
+
+_LB_LUT: np.ndarray | None = None
+
+
+def _lb_lut() -> np.ndarray:
+    """uint8 Line_Break class per codepoint, built once per process."""
+    global _LB_LUT
+    if _LB_LUT is not None:
+        return _LB_LUT
+    lut = np.zeros(0x110000, np.uint8)  # default AL
+    for cp in range(0x110000):
+        cat = unicodedata.category(chr(cp))
+        if cat in ("Mn", "Me", "Mc"):
+            lut[cp] = _LB_CM
+        elif cat == "Nd":
+            lut[cp] = _LB_NU
+        elif cat == "Ps":
+            lut[cp] = _LB_OP
+        elif cat == "Pe":
+            lut[cp] = _LB_CL
+        elif cat in ("Pi", "Pf"):
+            lut[cp] = _LB_QU
+        elif cat == "Sc":
+            lut[cp] = _LB_PR
+        elif cat == "Zs":
+            lut[cp] = _LB_SP
+    # ideographs + kana allow breaks on both sides
+    for a, b in ((0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0xF900, 0xFAFF),
+                 (0x3040, 0x30FF), (0x31F0, 0x31FF), (0xFF66, 0xFF9D),
+                 (0x20000, 0x2A6DF), (0x3000, 0x3000), (0xAC00, 0xD7A3)):
+        lut[a:b + 1] = _LB_ID
+    lut[0x0B] = _LB_BK
+    lut[0x0C] = _LB_BK
+    lut[0x2028] = _LB_BK
+    lut[0x2029] = _LB_BK
+    lut[0x0D] = _LB_CR
+    lut[0x0A] = _LB_LF
+    lut[0x85] = _LB_NL
+    lut[0x20] = _LB_SP
+    lut[0x200B] = _LB_ZW
+    for cp in (0xA0, 0x2007, 0x2011):
+        lut[cp] = _LB_GL
+    for cp in (0x2060, 0xFEFF):
+        lut[cp] = _LB_WJ
+    lut[0x200D] = _LB_ZWJ
+    lut[0x22] = _LB_QU
+    lut[0x27] = _LB_QU
+    for cp in (0x2C, 0x2E, 0x3A, 0x3B, 0x37E, 0x589):
+        lut[cp] = _LB_IS
+    lut[0x2F] = _LB_SY
+    for cp in (0x21, 0x3F, 0x2762, 0x2763, 0xFE15, 0xFE16, 0xFF01, 0xFF1F):
+        lut[cp] = _LB_EX
+    lut[0x2D] = _LB_HY
+    for cp in (0xAD, 0x2010, 0x2012, 0x2013):
+        lut[cp] = _LB_BA
+    for cp in (0x2B, 0x5C, 0xB1):
+        lut[cp] = _LB_PR
+    for cp in (0x25, 0xB0, 0x2030, 0x2032, 0x2033):
+        lut[cp] = _LB_PO
+    _LB_LUT = lut
+    return lut
+
+
+def uax14_line_segments(arr) -> pa.Array:
+    """UAX-14 wrap-segment counts per string: spans between consecutive
+    line-break OPPORTUNITIES (mandatory LB4/LB5 hard breaks AND allowed
+    soft-wrap points — the reference's sz_utf8_linebreaks contract; for
+    hard breaks only use newline_count/splitlines). One vectorized
+    pass: LB9/LB10 combining-mark attachment, space/ZW run states, and
+    the pair rules LB6-LB31 (core subset) as priority-ordered masks."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    tape, offsets = tape_of(a)
+    nrows = len(offsets) - 1
+    out = np.zeros(nrows, np.int64)
+    if len(tape) == 0:
+        return pa.array(out, pa.int64())
+    cp, cp_offs = utf8_decode_tape(np.asarray(tape), offsets)
+    counts = np.diff(cp_offs)
+    cls_all = _lb_lut()[cp]
+    row_all = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+
+    # LB9/LB10: X CM* -> X (and ZWJ attaches); a CM after sot / space /
+    # hard break / ZW stands alone as AL
+    is_cm = (cls_all == _LB_CM) | (cls_all == _LB_ZWJ)
+    prev = np.empty_like(cls_all)
+    prev[0] = _LB_SP
+    prev[1:] = cls_all[:-1]
+    row_start_all = np.zeros(len(cp), bool)
+    row_start_all[cp_offs[:-1][np.diff(cp_offs) > 0]] = True
+    bad_base = (
+        row_start_all | (prev == _LB_SP) | (prev == _LB_ZW) | (prev == _LB_BK)
+        | (prev == _LB_CR) | (prev == _LB_LF) | (prev == _LB_NL)
+    )
+    keep = ~is_cm | bad_base
+    cls = np.where(is_cm & bad_base, np.uint8(_LB_AL), cls_all)[keep]
+    brow = row_all[keep]
+    m = len(cls)
+    nonempty = counts > 0
+    if m == 0:
+        return pa.array(out, pa.int64())
+
+    # per-row floor + "class below the SP-run ending at i" state
+    idx = np.arange(m, dtype=np.int64)
+    row_first = np.zeros(m, np.int64)
+    firsts = np.nonzero(np.concatenate([[True], brow[1:] != brow[:-1]]))[0]
+    row_first[firsts] = firsts
+    row_first = np.maximum.accumulate(row_first)
+    j1 = _last_run_index(cls, cls == _LB_SP, row_first)
+    below_sp = np.where(j1 >= row_first, cls[np.maximum(j1, 0)], np.uint8(_LB_SP))
+
+    p = cls[:-1]
+    c = cls[1:]
+    same_row = brow[1:] == brow[:-1]
+    bs = below_sp[:-1]
+
+    brk = np.zeros(m - 1, bool)      # break verdicts (True = opportunity)
+    decided = np.zeros(m - 1, bool)
+
+    def rule(mask, val):
+        sel = mask & ~decided
+        brk[sel] = val
+        decided[sel] = True
+
+    hard = lambda x: (x == _LB_BK) | (x == _LB_LF) | (x == _LB_NL)
+    word = lambda x: ((x == _LB_AL) | (x == _LB_NU) | (x == _LB_PR) | (x == _LB_PO))
+    rule((p == _LB_CR) & (c == _LB_LF), False)                  # LB5 CRLF
+    rule(hard(p) | (p == _LB_CR), True)                         # LB4/LB5
+    rule(hard(c) | (c == _LB_CR), False)                        # LB6
+    rule((c == _LB_SP) | (c == _LB_ZW), False)                  # LB7
+    rule(bs == _LB_ZW, True)                                    # LB8
+    rule(p == _LB_ZWJ, False)                                   # LB8a
+    rule((p == _LB_WJ) | (c == _LB_WJ), False)                  # LB11
+    rule(p == _LB_GL, False)                                    # LB12
+    rule((c == _LB_GL) & (p != _LB_SP) & (p != _LB_BA) & (p != _LB_HY), False)  # LB12a
+    rule((c == _LB_CL) | (c == _LB_EX) | (c == _LB_IS) | (c == _LB_SY), False)  # LB13
+    rule(bs == _LB_OP, False)                                   # LB14 (OP SP* x)
+    rule((p == _LB_QU) | (c == _LB_QU), False)                  # LB19
+    rule((c == _LB_BA) | (c == _LB_HY), False)                  # LB21
+    rule(p == _LB_SP, True)                                     # LB18
+    rule(word(p) & word(c), False)                              # LB23/24/25/28
+    rule(((p == _LB_IS) | (p == _LB_SY)) & (word(c)), False)    # LB25/LB29
+    rule((p == _LB_CL) & word(c), False)                        # LB30-ish CP x AL
+    rule(word(p) & (c == _LB_OP), False)                        # LB30 AL x OP
+    rule(np.ones(m - 1, bool), True)                            # LB31 default
+
+    breaks = brk & same_row
     out[nonempty] = 1
     np.add.at(out, brow[1:][breaks], 1)
     return pa.array(out, pa.int64())

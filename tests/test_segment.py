@@ -283,6 +283,29 @@ def test_uax29_sentence_count_spec_cases():
     assert got == list(cases.values()), dict(zip(cases, got))
 
 
+def test_uax14_line_segments_spec_cases():
+    """TR14 wrap opportunities (core LB rules) against pinned cases:
+    space breaks, hyphen/soft-hyphen break-after, number glue
+    (IS/PR/PO), open/close punctuation glue, quotes, NBSP/ZWSP,
+    per-ideograph breaks, and CM attachment."""
+    from stringzilla_ray.functions.segment import uax14_line_segments
+
+    cases = {
+        "": 0, "word": 1, "the quick brown": 3,
+        "foo-bar": 2, "soft­wrap": 2,
+        "3.14": 1, "1,234.56": 1, "price: $10": 2, "100%": 1, "e.g.": 1,
+        "a (b)": 2, "(a) [b]": 2, "can't": 1, "x! y": 2, "wow!!": 1,
+        "日本語": 3, "こんにちは": 5,
+        "a\nb": 2, "a\r\nb": 2,
+        "a b": 1,   # NBSP glues
+        "a​b": 2,   # ZWSP is an opportunity
+        "étude works": 2,
+    }
+    arr = pa.array(list(cases), pa.string())
+    got = uax14_line_segments(arr).to_pylist()
+    assert got == list(cases.values()), dict(zip(cases, got))
+
+
 def test_partition_columns_matches_python():
     from stringzilla_ray.functions.segment import partition_columns, rpartition_columns
 
