@@ -1,0 +1,97 @@
+"""Raw text / binary file sources — the Ray-Data analogue of the
+reference's ``File`` memory-mapped type (python/README.md:106-120:
+a file opened as one big Str, then sliced/split). Here a file becomes
+a Dataset of line rows (or one binary payload row), produced by
+vectorized in-task decoding:
+
+- ``read_text_lines``: binary file blocks -> (path, line_no, line)
+  rows via the 7-delimiter newline splitter (sz_utf8_newlines
+  semantics — the same kernel splitlines queries use);
+- ``read_binary_blobs``: (path, payload) rows feeding the multimodal
+  decode stage;
+- ``read_documents_any``: extension-dispatched parquet / CSV / JSONL
+  reader with column pruning — lets every documents-table query run
+  off non-parquet exports unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _explode_lines(batch: pa.Table) -> pa.Table:
+    """(path, bytes) file rows -> (path, line_no, line) line rows."""
+    from stringzilla_ray.functions.segment import splitlines_column
+
+    paths = batch["path"]
+    if isinstance(paths, pa.ChunkedArray):
+        paths = paths.combine_chunks()
+    payload = batch["bytes"]
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    texts = pa.array(
+        [None if (b := v.as_py()) is None else b.decode("utf-8", "replace")
+         for v in payload],
+        pa.large_string(),
+    )
+    values, parents = splitlines_column(texts)
+    # per-file line numbers: position within the parent segment
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(par):
+        first = np.concatenate([[True], par[1:] != par[:-1]])
+        seg_start = np.maximum.accumulate(np.where(first, np.arange(len(par)), 0))
+        line_no = np.arange(len(par)) - seg_start
+    else:
+        line_no = np.zeros(0, np.int64)
+    return pa.table({
+        "path": paths.take(parents),
+        "line_no": pa.array(line_no, pa.int64()),
+        "line": values,
+    })
+
+
+def read_text_lines(path: str) -> "ray.data.Dataset":
+    """File(s) -> one row per line: (path, line_no, line), split on the
+    7-delimiter newline set with CRLF as one separator (the reference's
+    ``File`` + splitlines view, vectorized per block)."""
+    ds = ray.data.read_binary_files(path, include_paths=True)
+    return ds.map_batches(_explode_lines, batch_format="pyarrow")
+
+
+def read_binary_blobs(path: str) -> "ray.data.Dataset":
+    """File(s) -> (path, payload large_binary) rows — the ingest shape
+    the multimodal decode stage consumes."""
+    ds = ray.data.read_binary_files(path, include_paths=True)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        payload = batch["bytes"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        return pa.table({
+            "path": batch["path"],
+            "payload": payload.cast(pa.large_binary()),
+        })
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def read_documents_any(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Extension-dispatched reader for a documents-shaped table:
+    .parquet (pruned at the read), .csv, .json/.jsonl. Column pruning
+    applies in-read for parquet and as an immediate projection for the
+    text formats."""
+    lower = path.lower()
+    if lower.endswith(".parquet") or not any(
+        lower.endswith(s) for s in (".csv", ".json", ".jsonl")
+    ):
+        from stringzilla_ray.util import read_parquet_clean
+
+        return read_parquet_clean(path, columns=columns)
+    if lower.endswith(".csv"):
+        ds = ray.data.read_csv(path)
+    else:
+        ds = ray.data.read_json(path)
+    return ds.select_columns(columns) if columns else ds

@@ -540,6 +540,42 @@ def test_locality_auto_detect(ray_session, tmp_path, monkeypatch):
     assert _resolve_locality(path, ERConfig(locality_spanning_gate=0.1)) is False
 
 
+def test_text_and_binary_sources(ray_session, tmp_path):
+    """File sources: line-exploding reader (7-delimiter newline set,
+    CRLF as one), binary blob reader, and the extension-dispatched
+    documents reader over csv/jsonl/parquet."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from stringzilla_ray.sources.text import (
+        read_binary_blobs,
+        read_documents_any,
+        read_text_lines,
+    )
+
+    p = tmp_path / "a.txt"
+    p.write_bytes(b"first\r\nsecond\nthird")
+    lines = read_text_lines(str(p)).to_pandas().sort_values("line_no")
+    assert list(lines.line) == ["first", "second", "third"]
+    assert list(lines.line_no) == [0, 1, 2]
+    assert all(str(p) in pp for pp in lines.path)
+
+    blobs = read_binary_blobs(str(p)).to_pandas()
+    assert bytes(blobs.payload[0]) == b"first\r\nsecond\nthird"
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["x y", "z"], pa.string())})
+    pq.write_table(tbl, str(tmp_path / "d.parquet"))
+    (tmp_path / "d.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in tbl.to_pylist())
+    )
+    for name in ("d.parquet", "d.jsonl"):
+        out = read_documents_any(str(tmp_path / name), columns=["doc_id", "text"])
+        df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(df.doc_id) == [1, 2] and list(df.text) == ["x y", "z"]
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     import ray.data
 
