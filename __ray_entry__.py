@@ -301,6 +301,33 @@ def _q_minhash_dedup(sf_dir: str):
     return pairs.map_batches(to_r6, batch_format="pyarrow")
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """EXACT 4-gram Jaccard >= 0.7 pairs via prefix-filtered inverted
+    index (AllPairs/PPJoin on Ray Data) — no LSH anywhere, so the
+    DuckDB O(n^2) gram self-join is the literal same computation
+    (ASCII corpus: char grams == byte grams; hashed-gram Jaccard ==
+    literal-gram Jaccard, no splitmix collisions in these sets)."""
+    from stringzilla_ray.stages.dedup import ngram_jaccard_near_dup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_near_dup(ds, "doc_id", "text", n=4,
+                                   jaccard_threshold=0.7)
+
+    def to_r6(t: pa.Table) -> pa.Table:
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "left": t["left"],
+                "right": t["right"],
+                "jaccard_r6": pa.array(
+                    np.floor(j * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return pairs.map_batches(to_r6, batch_format="pyarrow")
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1371,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "bytesum": _q_bytesum,
         "minhash_near_dup": _q_minhash_dedup,
+        "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -1690,6 +1718,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) AS BIGINT) AS jaccard_r6 "
             "FROM inter JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r "
             "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"
+        ),
+        "ngram_jaccard_near_dup": (
+            # The SAME computation, not an approximation of it: the Ray
+            # side is an exact prefix-filtered set-similarity join, so
+            # this O(n^2) distinct-4-gram Jaccard self-join must emit
+            # an identical pair set (ASCII corpus: char grams == byte
+            # grams; hashed-gram Jaccard == literal-gram Jaccard).
+            "WITH g AS ("
+            "  SELECT DISTINCT doc_id, substring(text, CAST(gs AS INT), 4) AS gram"
+            "  FROM documents CROSS JOIN generate_series(1, 100000) AS t(gs)"
+            "  WHERE gs <= length(text) - 3"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i"
+            "  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            "SELECT l AS left, r AS right, "
+            "CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) AS BIGINT) AS jaccard_r6 "
+            "FROM inter JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -11,6 +11,8 @@ kernels:
 - simhash: 64-bit SimHash over whitespace tokens; near-dup candidates
   share all but <= k bits (queried via bucketed groupby on rotations).
 - ngram_jaccard: exact character-n-gram Jaccard verification kernel.
+- ngram_jaccard_near_dup: EXACT set-similarity self-join (AllPairs/
+  PPJoin prefix filtering) — the no-LSH member of the near-dup family.
 - embedding near-dup lives in stages/ann.py (cosine >= threshold).
 """
 
@@ -193,6 +195,118 @@ def ngram_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = len(np.intersect1d(a, b, assume_unique=True))
     union = len(a) + len(b) - inter
     return inter / union if union else 1.0
+
+
+def _prefix_postings_fn(batch: pa.Table, id_column: str = "doc_id",
+                        text_column: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        n_shards: int = 128) -> pa.Table:
+    """(id, text) batch -> prefix-filtered gram postings
+    (id, band_key, shard). For a doc whose sorted-unique gram set has
+    size s, only the first ``s - ceil(t*s) + 1`` hashes (ascending
+    hash order = the global canonical order) are posted: any pair with
+    Jaccard >= t must share at least one gram inside BOTH prefixes
+    (AllPairs/PPJoin prefix-filtering principle — J >= t implies
+    |A∩B| >= t*|A|, so A's last ceil(t*|A|)-1 grams alone can't hold
+    the whole intersection). Docs shorter than n post nothing."""
+    ids_col = batch[id_column]
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offs = tape_of(pc.cast(col, pa.large_binary()))
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    flat, row_offs = _gram_hash_sets(tape, (offs - offs[0]).astype(np.int64), n)
+    sizes = np.diff(row_offs)
+    plen = np.where(
+        sizes > 0,
+        sizes - np.ceil(threshold * sizes).astype(np.int64) + 1,
+        0,
+    )
+    tot = int(plen.sum())
+    cum = np.concatenate([[0], np.cumsum(plen)])
+    idx = np.repeat(row_offs[:-1] - cum[:-1], plen) + np.arange(tot)
+    grams = flat[idx]
+    ids = np.repeat(
+        ids_col.to_numpy(zero_copy_only=False).astype(np.int64), plen
+    )
+    shard = (splitmix64(grams ^ np.uint64(0x9A11)) % np.uint64(n_shards)).astype(
+        np.int32
+    )
+    return pa.table({
+        id_column: pa.array(ids, pa.int64()),
+        "band_key": pa.array(grams.view(np.int64), pa.int64()),
+        "shard": pa.array(shard, pa.int32()),
+    })
+
+
+def ngram_jaccard_near_dup(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    verify_strategy: str = "auto",
+):
+    """EXACT n-gram Jaccard near-duplicate pairs — every (left, right)
+    with distinct-character-n-gram Jaccard >= threshold, left < right.
+    The standalone exact member of the dedup family (exact hash /
+    MinHash-LSH / SimHash / embedding-cosine are the approximate ones).
+
+    Shape (AllPairs / PPJoin re-expressed on Ray Data; Bayardo et al.
+    WWW'07, Vernica et al. SIGMOD'10): one map_batches posts each doc's
+    prefix grams (id, gram) — the exactness-preserving inverted-index
+    prune — then the same shard-groupby expansion blocking/minhash use
+    (hash-shard by gram so each shard owns complete gram groups and
+    expands pairs locally), a pair-hash bucket dedupe, and the shared
+    vectorized tape verifier computes exact Jaccard and filters.
+
+    Unlike the LSH paths, gram groups are NOT salted (splitting a
+    group drops cross-cell pairs, which would break exactness).
+    Prefix filtering keeps postings sparse — a gram only indexes docs
+    whose prefix it lands in — but a pathological stop-gram shared by
+    ~10^6 prefixes would still expand quadratically in one shard task;
+    the published mitigation (document-frequency-ascending prefix
+    order, computed by one cheap counting pass) is the lever to add
+    if a real corpus hits it. Reference parity: StringZilla has no
+    set-join, but this matches its hashed-gram building blocks
+    (include/stringzillas/fingerprints/serial.hpp rolling-gram design).
+    """
+    import functools
+
+    from stringzilla_ray.stages.blocking import (
+        _dedupe_bucket_table,
+        _expand_shard_table,
+    )
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    n_buckets = reduce_buckets()
+    posted = ds.map_batches(
+        _prefix_postings_fn,
+        fn_kwargs=dict(id_column=id_column, text_column=text_column, n=n,
+                       threshold=jaccard_threshold, n_shards=n_shards),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = (
+        posted.groupby("shard")
+        .map_groups(
+            functools.partial(
+                _expand_shard_table, cap=1 << 31, n_buckets=n_buckets,
+                id_column=id_column,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_dedupe_bucket_table, batch_format="pyarrow")
+        .drop_columns(["oversized_block"])
+    )
+    return verify_pairs_ngram(
+        pairs, ds, id_column, text_column, n, jaccard_threshold,
+        strategy=verify_strategy,
+    )
 
 
 class MinHashForDocs(Fingerprinter):

@@ -103,6 +103,49 @@ def test_minhash_pairs_vs_exhaustive_oracle(ray_session, docs_table):
     assert truth_high <= got_pairs, truth_high - got_pairs
 
 
+def test_ngram_jaccard_near_dup_exact(ray_session):
+    """The prefix-filtered set-similarity join is EXACT: its pair set
+    equals the O(n^2) brute-force gram-Jaccard truth — recall 1.0 AND
+    precision 1.0, unlike the LSH paths — at several (n, threshold)
+    configs, on a corpus that stresses hot grams (shared base phrase),
+    short docs (< n bytes, no grams) and both verify strategies."""
+    import itertools
+
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import (
+        ngram_jaccard,
+        ngram_jaccard_near_dup,
+        ngram_set_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{k:03d}" for k in range(150)]
+    texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(50)]
+    texts += [t + " tail" for t in texts[:10]]        # near dups
+    texts += ["zz", ""]                               # shorter than n
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+
+    for n, t, strategy in ((3, 0.8, "auto"), (4, 0.7, "broadcast"),
+                           (3, 0.5, "join")):
+        got = ngram_jaccard_near_dup(
+            ds, "doc_id", "text", n=n, jaccard_threshold=t,
+            verify_strategy=strategy,
+        ).to_pandas()
+        got_pairs = set(zip(got.left, got.right))
+        sets = ngram_set_hashes(texts, n=n)
+        want = {
+            (i, j)
+            for i, j in itertools.combinations(range(len(texts)), 2)
+            if (len(sets[i]) or len(sets[j]))
+            and ngram_jaccard(sets[i], sets[j]) >= t
+        }
+        assert want, (n, t)
+        assert got_pairs == want, (n, t, want - got_pairs, got_pairs - want)
+
+
 def test_minhash_verify_strategies_agree(ray_session, docs_table):
     """The broadcast twin (pair-referenced docs only) and the join twin
     must return identical verified pairs — and neither builds a
