@@ -274,6 +274,33 @@ def _q_ann_topk(sf_dir: str):
     return out.map_batches(ranked, batch_format="pyarrow", batch_size=1000)
 
 
+def _q_ivf_topk(sf_dir: str):
+    """IVF cosine top-k (train coarse quantizer on a sample -> assign
+    lists per batch -> probe -> score) run in its exhaustive-probe
+    correctness mode (nprobe == nlist: every row scores, result is
+    exact — the SQL oracle's computation). Partial-probe recall and
+    the read-pruned partitioned index are pytest-covered (these
+    synthetic embeddings are unclustered, so partial-probe recall is
+    legitimately approximate and not oracle-able)."""
+    from stringzilla_ray.stages.ann import ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    query = np.array(emb["embedding"][1].as_py(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, query, k=10, nlist=32, nprobe=32, seed=0)
+
+    def ranked(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "rank": pa.array(np.arange(1, len(t) + 1), pa.int64()),
+            }
+        )
+
+    return out.map_batches(ranked, batch_format="pyarrow", batch_size=1000)
+
+
 def _q_minhash_dedup(sf_dir: str):
     """Near-dup pairs over documents. Oracle-checked: LSH recall is
     1.0 at threshold 0.8 on this corpus (verified offline), and the
@@ -1396,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ordered_groupby_seq": _q_ordered_groupby,
         "tpch_q1": _q_tpch_q1,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "bytesum": _q_bytesum,
         "minhash_near_dup": _q_minhash_dedup,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
@@ -1502,6 +1530,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT vec_id, list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cosine "
+            "FROM embeddings) "
+            "SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank "
+            "FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "ivf_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1), "
             "scored AS (SELECT vec_id, list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cosine "
             "FROM embeddings) "
             "SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank "

@@ -3,8 +3,12 @@
 - brute_force_topk: exact cosine top-k against a broadcast query
   matrix (NumPy matmul per batch; queries ray.put once, local top-k
   per block, global merge on the tiny candidate set).
-- lsh_topk: random-hyperplane-bucketed variant — the scale path: only
-  blocks sharing a hyperplane bucket with the query are scored.
+- lsh_topk: random-hyperplane-bucketed variant — only rows sharing a
+  hyperplane bucket (±multiprobe) with the query are scored.
+- ivf_topk / build_ivf_index / ivf_topk_indexed: IVF coarse quantizer
+  (sample-trained spherical k-means) — streaming probe filter, or a
+  list_id-partitioned Parquet index that prunes AT THE READ; the
+  scale path for repeated queries over a static corpus.
 - embedding_near_dup_pairs: pairs with cosine >= threshold via the
   same hyperplane bucketing (groupby) + per-bucket matmul.
 """
@@ -128,6 +132,163 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, nbits: int = 8, seed: int = 0,
         batch_format="pyarrow",
     )
     return partial.sort(["cosine", id_column], descending=[True, False]).limit(k)
+
+
+def _kmeans_spherical(sample: np.ndarray, nlist: int, iters: int = 15,
+                      seed: int = 0) -> np.ndarray:
+    """Spherical k-means on a (small, driver-resident) sample matrix:
+    unit-normalized rows, assignment by max cosine, centroids renormed
+    each Lloyd step; empty clusters reseed to the worst-served point.
+    Returns unit-norm (nlist, d) float32 centroids."""
+    m = _normalize(np.asarray(sample, dtype=np.float32))
+    n = len(m)
+    rng = np.random.default_rng(seed)
+    c = m[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    if len(c) < nlist:  # degenerate tiny sample: pad with jitter
+        pad = c[rng.integers(0, len(c), nlist - len(c))]
+        c = np.vstack([c, _normalize(pad + 1e-3)])
+    for _ in range(iters):
+        sims = m @ c.T
+        assign = sims.argmax(axis=1)
+        best = sims[np.arange(n), assign]
+        new = np.zeros_like(c)
+        np.add.at(new, assign, m)
+        counts = np.bincount(assign, minlength=nlist)
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(best)[: int(empty.sum())]
+            new[empty] = m[worst]
+            counts[empty] = 1
+        c = _normalize(new)
+    return c
+
+
+def train_ivf_centroids(ds, nlist: int = 64, emb_column: str = "embedding",
+                        sample_rows: int = 65536, seed: int = 0,
+                        iters: int = 15) -> np.ndarray:
+    """Coarse-quantizer training pass: a seeded random row sample
+    (never the whole corpus) comes to the driver and k-means runs
+    there — the sample is O(sample_rows * d) bytes regardless of
+    corpus size, the standard IVF training shape."""
+    n = ds.count()
+    if n > sample_rows:
+        frac = min(1.0, 1.25 * sample_rows / n)
+        ds = ds.random_sample(frac, seed=seed)
+    parts = []
+    got = 0
+    for b in ds.select_columns([emb_column]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        parts.append(_emb_matrix(b, emb_column))
+        got += len(parts[-1])
+        if got >= sample_rows:
+            break
+    return _kmeans_spherical(np.vstack(parts)[:sample_rows], nlist,
+                             iters=iters, seed=seed)
+
+
+def add_ivf_assignment(ds, centroids: np.ndarray,
+                       emb_column: str = "embedding",
+                       out_column: str = "list_id"):
+    """Append each row's IVF list (argmax centroid cosine). Centroids
+    travel as a broadcast ref read zero-copy per batch."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float32))
+
+    def assign(batch: pa.Table, cref=cref) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_column, pa.array([], pa.int32()))
+        c = ray.get(cref)
+        m = _normalize(_emb_matrix(batch, emb_column))
+        lid = (m @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column(out_column, pa.array(lid, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def build_ivf_index(ds, path: str, nlist: int = 64,
+                    id_column: str = "vec_id",
+                    emb_column: str = "embedding", seed: int = 0,
+                    sample_rows: int = 65536):
+    """Persist an IVF index: assignment column + Parquet partitioned by
+    ``list_id`` (one directory per inverted list). Queries then prune
+    AT THE READ — only the probed lists' files ever leave storage, the
+    partitioning that makes IVF the scale path rather than a scan with
+    a filter. Returns the unit-norm centroid matrix (the only driver
+    state; persist it alongside the index for reuse)."""
+    centroids = train_ivf_centroids(ds, nlist, emb_column,
+                                    sample_rows=sample_rows, seed=seed)
+    assigned = add_ivf_assignment(
+        ds.select_columns([id_column, emb_column]), centroids, emb_column
+    )
+    assigned.write_parquet(path, partition_cols=["list_id"])
+    return centroids
+
+
+def _probe_lists(query: np.ndarray, centroids: np.ndarray,
+                 nprobe: int) -> np.ndarray:
+    q = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float32)))
+    sims = (q @ centroids.T).max(axis=0)
+    nprobe = min(nprobe, len(centroids))
+    return np.sort(np.argpartition(-sims, nprobe - 1)[:nprobe]).astype(np.int32)
+
+
+def ivf_topk(ds, query: np.ndarray, k: int = 10, nlist: int = 64,
+             nprobe: int = 8, centroids: np.ndarray | None = None,
+             id_column: str = "vec_id", emb_column: str = "embedding",
+             seed: int = 0):
+    """IVF cosine top-k over an un-indexed Dataset: rows are assigned
+    to their list per batch and only rows in the query's ``nprobe``
+    nearest lists are scored (centroids trained on a sample unless
+    supplied). One streaming pass, candidate fraction ~ nprobe/nlist;
+    with ``nprobe == nlist`` every row scores and the result equals
+    brute_force_topk exactly. For repeated queries over a static
+    corpus, build_ivf_index + ivf_topk_indexed prunes at the read
+    instead of scanning-and-filtering."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, nlist, emb_column, seed=seed)
+    probes = _probe_lists(query, centroids, nprobe)
+    cref = ray.put(np.asarray(centroids, dtype=np.float32))
+    qref = ray.put(np.asarray(query, dtype=np.float32))
+
+    def score(batch: pa.Table, cref=cref, qref=qref, probes=probes) -> pa.Table:
+        if len(batch) == 0:
+            return _empty_topk(id_column)
+        c = ray.get(cref)
+        m = _normalize(_emb_matrix(batch, emb_column))
+        lid = (m @ c.T).argmax(axis=1).astype(np.int32)
+        keep = np.isin(lid, probes)
+        if not keep.any():
+            return _empty_topk(id_column)
+        q = _normalize(np.atleast_2d(ray.get(qref)))
+        return _score_topk(batch.filter(pa.array(keep)), q, id_column,
+                           emb_column, k)
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return partial.sort(["cosine", id_column], descending=[True, False]).limit(k)
+
+
+def ivf_topk_indexed(index_path: str, query: np.ndarray,
+                     centroids: np.ndarray, k: int = 10, nprobe: int = 8,
+                     id_column: str = "vec_id",
+                     emb_column: str = "embedding"):
+    """IVF top-k over a build_ivf_index Parquet index: ONLY the probed
+    lists' partition directories are read (column- and partition-pruned
+    at the source) — the other (nlist - nprobe)/nlist of the corpus
+    never leaves storage."""
+    import ray.data
+
+    import glob as _glob
+
+    probes = _probe_lists(query, centroids, nprobe)
+    paths = [
+        f
+        for l in probes
+        for f in sorted(_glob.glob(f"{index_path}/list_id={int(l)}/*.parquet"))
+    ]
+    ds = ray.data.read_parquet(paths, columns=[id_column, emb_column])
+    return brute_force_topk(ds, query, k=k, id_column=id_column,
+                            emb_column=emb_column)
 
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.95, nbits: int = 6, seed: int = 0,

@@ -356,6 +356,56 @@ def test_ann_topk(ray_session):
     assert (3, 7) in set(zip(near.left, near.right))
 
 
+def test_ivf_topk(ray_session, tmp_path):
+    """IVF coarse-quantizer variant: exhaustive probe (nprobe == nlist)
+    equals brute force exactly; on CLUSTERED data a 4/16 probe keeps
+    recall@10 == 1.0; and the partitioned-Parquet index prunes at the
+    read (only probed list_id directories are opened) yet returns the
+    same neighbors as the streaming probe."""
+    import ray.data
+
+    from stringzilla_ray.stages.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 3
+    emb = np.vstack(
+        [c + rng.standard_normal((250, 32)).astype(np.float32) for c in centers]
+    )
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(emb)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    query = emb[17]
+    truth = brute_force_topk(ds, query, k=10).to_pandas()
+
+    cents = train_ivf_centroids(ds, nlist=16, seed=0)
+    full = ivf_topk(ds, query, k=10, nlist=16, nprobe=16,
+                    centroids=cents).to_pandas()
+    assert list(full.vec_id) == list(truth.vec_id)
+
+    part = ivf_topk(ds, query, k=10, nlist=16, nprobe=4,
+                    centroids=cents).to_pandas()
+    assert set(part.vec_id) == set(truth.vec_id)
+
+    idx_path = str(tmp_path / "ivf_idx")
+    cents2 = build_ivf_index(ds, idx_path, nlist=16, seed=0)
+    idx = ivf_topk_indexed(idx_path, query, cents2, k=10, nprobe=4).to_pandas()
+    assert set(idx.vec_id) == set(truth.vec_id)
+    # the index really is one directory per inverted list
+    import os
+
+    dirs = [d for d in os.listdir(idx_path) if d.startswith("list_id=")]
+    assert len(dirs) == 16
+
+
 def test_embedding_near_dup_skew_cap(ray_session):
     """A hot bucket (one duplicated vector cloud) must stay bounded by
     the salt cap yet keep finding in-cloud pairs; the exact twin is the
