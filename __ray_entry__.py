@@ -301,6 +301,70 @@ def _q_ivf_topk(sf_dir: str):
     return out.map_batches(ranked, batch_format="pyarrow", batch_size=1000)
 
 
+_HOUR_US = 3_600_000_000
+
+
+def _q_window_sum_by_type(sf_dir: str):
+    """Tumbling 1-hour event-time window per event_type — the windowed
+    aggregate Ray Data lacks natively, built as map-side partial
+    (count, sum) collapse + one small groupby (stages/temporal.py)."""
+    from stringzilla_ray.stages.temporal import window_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    agg = window_aggregate(ds, "ts", _HOUR_US, value_column="value",
+                           keys=("event_type",))
+
+    def emit(t: pa.Table) -> pa.Table:
+        v = t["value_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n_events": t["n_events"],
+            "value_sum_c": pa.array(
+                np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+            ),
+        })
+
+    return agg.map_batches(emit, batch_format="pyarrow")
+
+
+def _q_asof_join_views(sf_dir: str):
+    """As-of join: every click event matched to the same user's most
+    recent view event at or before it (backward inclusive; unmatched
+    clicks emit -1). One hash shuffle on user_id, then a vectorized
+    sort-merge forward-fill per shard (stages/temporal.py)."""
+    from stringzilla_ray.stages.temporal import asof_join
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = ds.filter(expr="event_type == 'click'")
+    views = ds.filter(expr="event_type == 'view'")
+    out = asof_join(clicks, views, by="user_id", on="ts",
+                    right_payload=("event_id",))
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "view_event_id": pc.fill_null(t["r_event_id"], -1),
+        })
+
+    return out.map_batches(emit, batch_format="pyarrow")
+
+
+def _q_range_purchases_after_click(sf_dir: str):
+    """Time-range join with NO equality key: per click, the count of
+    purchase events (any user) in [ts, ts + 1h). Width-(hi-lo) time
+    buckets bound left replication at 2; per-bucket counting is two
+    searchsorted passes (stages/temporal.py)."""
+    from stringzilla_ray.stages.temporal import range_count_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    clicks = ds.filter(expr="event_type == 'click'")
+    purchases = ds.filter(expr="event_type == 'purchase'")
+    return range_count_join(clicks, purchases, "ts", "ts", 0, _HOUR_US,
+                            "event_id")
+
+
 def _q_minhash_dedup(sf_dir: str):
     """Near-dup pairs over documents. Oracle-checked: LSH recall is
     1.0 at threshold 0.8 on this corpus (verified offline), and the
@@ -1426,6 +1490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "bytesum": _q_bytesum,
         "minhash_near_dup": _q_minhash_dedup,
+        "window_sum_by_type": _q_window_sum_by_type,
+        "asof_join_views": _q_asof_join_views,
+        "range_purchases_after_click": _q_range_purchases_after_click,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -1753,6 +1820,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) AS BIGINT) AS jaccard_r6 "
             "FROM inter JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r "
             "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"
+        ),
+        "window_sum_by_type": (
+            "SELECT event_type, "
+            "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS value_sum_c "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "asof_join_views": (
+            "SELECT c.event_id, coalesce(v.event_id, -1) AS view_event_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "LEFT JOIN LATERAL ("
+            "  SELECT event_id FROM events v "
+            "  WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts "
+            "  ORDER BY v.ts DESC LIMIT 1) v ON TRUE"
+        ),
+        "range_purchases_after_click": (
+            "SELECT c.event_id, CAST(count(p.event_id) AS BIGINT) AS n_matches "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ON epoch_us(p.ts) >= epoch_us(c.ts) "
+            "AND epoch_us(p.ts) < epoch_us(c.ts) + 3600000000 "
+            "GROUP BY c.event_id"
         ),
         "ngram_jaccard_near_dup": (
             # The SAME computation, not an approximation of it: the Ray

@@ -1,0 +1,316 @@
+"""Temporal operators Ray Data lacks natively: windowed aggregates,
+as-of joins, and time-range joins over timestamp columns.
+
+The reference is batch-only (SURVEY §2.6 — its "streaming" is
+incremental hashers and resumable scans), but a transcript/event
+pipeline at scale needs event-time operators, and each has a known
+scale-safe partitioning:
+
+- window_aggregate: tumbling/hopping windows are pure arithmetic on
+  the int64 microsecond view — rows bucket map-side, partial
+  (count, sum) aggregates combine BEFORE the shuffle, and the final
+  groupby moves only one row per (key, window).
+- asof_join: "latest right row at or before each left row, per key"
+  — the shard-groupby pattern (hash the BY key so a shard owns whole
+  key groups), then ONE lexsort + ONE maximum.accumulate forward-fill
+  per shard matches every left row with zero per-row Python.
+- range_count_join: "count right rows with ts in [left+lo, left+hi)"
+  with NO equality key — time buckets of width (hi-lo) bound the
+  replication: each left row lands in at most 2 buckets, each bucket
+  counts with two vectorized searchsorted passes, and a final groupby
+  sums the ≤2 partials per left row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from stringzilla_ray.functions.fingerprint import splitmix64
+
+
+def _ts_us(col) -> np.ndarray:
+    """timestamp[us] (or int64) column -> int64 microseconds."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def window_aggregate(ds, ts_column: str, window_us: int,
+                     value_column: str | None = None,
+                     keys: tuple[str, ...] = (),
+                     slide_us: int | None = None):
+    """Tumbling (or hopping, when ``slide_us < window_us``) window
+    aggregate: rows group into windows starting at multiples of
+    ``slide_us`` (default = ``window_us``), each row belonging to
+    every window whose span covers its timestamp. Returns one row per
+    (keys..., window_start) with ``n_events`` and (when
+    ``value_column`` is given) ``value_sum``.
+
+    Map-side partial aggregation: each batch collapses to its distinct
+    (keys, window) partial sums BEFORE the shuffle, so the groupby
+    moves aggregate rows, not events."""
+    slide = int(slide_us or window_us)
+    window = int(window_us)
+    assert window % slide == 0, "window_us must be a multiple of slide_us"
+    per_row = window // slide
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names = list(keys)
+        if len(batch) == 0:
+            cols = {k: batch[k] for k in names}
+            cols["window_start"] = pa.array([], pa.int64())
+            cols["n_events"] = pa.array([], pa.int64())
+            cols["value_sum"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        ts = _ts_us(batch[ts_column])
+        # last window containing ts starts at floor(ts/slide)*slide;
+        # the window set walks back per_row slides
+        last = (ts // slide) * slide
+        starts = (last[:, None]
+                  - np.arange(per_row, dtype=np.int64)[None, :] * slide)
+        starts = starts.ravel()
+        row = np.repeat(np.arange(len(ts), dtype=np.int64), per_row)
+        keep = ts[row] < starts + window  # guard: short first windows
+        row, starts = row[keep], starts[keep]
+        val = (
+            batch[value_column].to_numpy(zero_copy_only=False)[row]
+            if value_column is not None
+            else np.zeros(len(row))
+        )
+        # collapse this batch's (keys, window) partials
+        if names:
+            key_codes = [
+                pc.dictionary_encode(
+                    batch[k].combine_chunks()
+                    if isinstance(batch[k], pa.ChunkedArray) else batch[k]
+                )
+                for k in names
+            ]
+            comp = np.zeros(len(row), np.int64)
+            for kc in key_codes:
+                comp = comp * (len(kc.dictionary) + 1) + np.asarray(
+                    kc.indices.to_numpy(zero_copy_only=False)
+                )[row]
+            order = np.lexsort((starts, comp))
+        else:
+            order = np.argsort(starts, kind="stable")
+            comp = np.zeros(len(row), np.int64)
+        r_s, w_s, v_s, c_s = row[order], starts[order], val[order], comp[order]
+        new = np.ones(len(r_s), bool)
+        if len(r_s) > 1:
+            new[1:] = (w_s[1:] != w_s[:-1]) | (c_s[1:] != c_s[:-1])
+        grp = np.cumsum(new) - 1
+        n_grp = int(grp[-1]) + 1 if len(grp) else 0
+        cnt = np.bincount(grp, minlength=n_grp)
+        vsum = np.bincount(grp, weights=v_s, minlength=n_grp)
+        first = np.nonzero(new)[0]
+        cols = {}
+        for k in names:
+            col = batch[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[k] = col.take(pa.array(r_s[first], pa.int64()))
+        cols["window_start"] = pa.array(w_s[first], pa.int64())
+        cols["n_events"] = pa.array(cnt, pa.int64())
+        cols["value_sum"] = pa.array(vsum, pa.float64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = (
+        partials.groupby(list(keys) + ["window_start"])
+        .sum(["n_events", "value_sum"])
+        .rename_columns({"sum(n_events)": "n_events",
+                         "sum(value_sum)": "value_sum"})
+    )
+    if value_column is None:
+        agg = agg.drop_columns(["value_sum"])
+    return agg
+
+
+def _asof_group(g: pa.Table, by: str, on: str, payload: list[str]) -> pa.Table:
+    """One BY-key-complete shard: lexsort both sides together by
+    (key, ts, side) with right rows ordering BEFORE left rows at equal
+    ts (inclusive match), then one maximum.accumulate forward-fill
+    gives every left row the latest right row position at-or-before
+    it; positions pointing into a different key are no-match."""
+    side = g["__side"].to_numpy(zero_copy_only=False)
+    key = g[by].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = _ts_us(g[on])
+    # right rows (side=1) must sort BEFORE left rows at equal ts so the
+    # forward fill sees them — backward-INCLUSIVE match
+    order = np.lexsort((1 - side, ts, key))
+    side_s, key_s = side[order], key[order]
+    is_right = side_s == 1
+    arr = np.where(is_right, np.arange(len(order)), -1)
+    ff = np.maximum.accumulate(arr)
+    is_left = ~is_right
+    lf = ff[is_left]
+    lf_c = np.maximum(lf, 0)  # clamp before indexing; validity gates below
+    valid = (lf >= 0) & (key_s[lf_c] == key_s[is_left])
+    left_pos = order[is_left]
+    match_pos = np.where(valid, order[lf_c], -1)
+    take_left = pa.array(left_pos, pa.int64())
+    out = {
+        name: (g[name].combine_chunks()
+               if isinstance(g[name], pa.ChunkedArray) else g[name]).take(take_left)
+        for name in g.column_names
+        if name not in ("__side", "__shard") and not name.startswith("__r_")
+    }
+    take_right = pa.array(
+        np.where(match_pos >= 0, match_pos, 0), pa.int64()
+    )
+    mask = pa.array(match_pos < 0)
+    for name in payload:
+        col = g["__r_" + name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out["r_" + name] = pc.if_else(mask, pa.scalar(None, col.type),
+                                      col.take(take_right))
+    return pa.table(out)
+
+
+def asof_join(left, right, by: str, on: str,
+              right_payload: tuple[str, ...] = (),
+              n_shards: int | None = None):
+    """As-of join: for each left row, attach the right row with the
+    greatest ``on`` <= left's ``on`` within the same ``by`` key
+    (backward inclusive, pandas ``merge_asof`` semantics; ties are
+    impossible when (by, on) is unique on the right). Unmatched left
+    rows keep nulls in the ``r_*`` payload columns.
+
+    One shuffle total: both sides hash-shard on ``by`` (a shard owns
+    every row of its keys), then each shard resolves all its matches
+    in one vectorized sort-merge pass."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+    payload = list(right_payload)
+
+    # capture plain schema lists, never the Dataset, inside UDF closures
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    left_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    right_schema = right.schema()
+    right_types = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0xA50F))
+                 % np.uint64(n_shards)).astype(np.int32)
+        out = {n: batch[n] for n in left_names}
+        for name in payload:
+            out["__r_" + name] = pa.nulls(len(batch), right_types[name])
+        out["__side"] = pa.array(np.zeros(len(batch), np.int8))
+        out["__shard"] = pa.array(shard, pa.int32())
+        return pa.table(out)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0xA50F))
+                 % np.uint64(n_shards)).astype(np.int32)
+        out = {}
+        for n in left_names:
+            if n in (by, on):
+                out[n] = batch[n]
+            else:
+                out[n] = pa.nulls(len(batch), left_types[n])
+        for name in payload:
+            out["__r_" + name] = batch[name]
+        out["__side"] = pa.array(np.ones(len(batch), np.int8))
+        out["__shard"] = pa.array(shard, pa.int32())
+        return pa.table(out)
+
+    import functools
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.select_columns(
+            list(dict.fromkeys([by, on] + payload))
+        ).map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("__shard").map_groups(
+        functools.partial(_asof_group, by=by, on=on, payload=payload),
+        batch_format="pyarrow",
+    )
+
+
+def range_count_join(left, right, left_ts: str, right_ts: str,
+                     lo_us: int, hi_us: int, left_id: str):
+    """For every left row, the COUNT of right rows whose timestamp
+    falls in ``[left_ts + lo_us, left_ts + hi_us)`` — a time-range
+    join with no equality key. Left rows with zero matches are kept
+    (n_matches = 0).
+
+    Partitioning: time buckets of width (hi_us - lo_us) ensure each
+    left row's query interval spans at most 2 buckets; right rows
+    bucket once, left rows replicate to the <=2 covering buckets with
+    their interval CLIPPED to the bucket span (no double counting),
+    each bucket counts with two searchsorted passes over its sorted
+    right timestamps, and a final groupby sums the partials."""
+    width = int(hi_us - lo_us)
+    assert width > 0
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        ids = batch[left_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(batch[left_ts])
+        q_lo, q_hi = ts + lo_us, ts + hi_us
+        b0 = q_lo // width
+        b1 = (q_hi - 1) // width
+        two = b1 != b0
+        ids2 = np.concatenate([ids, ids[two]])
+        lo2 = np.concatenate([q_lo, q_lo[two]])
+        hi2 = np.concatenate([q_hi, q_hi[two]])
+        bk = np.concatenate([b0, b1[two]])
+        # clip each replica's interval to its bucket span
+        lo2 = np.maximum(lo2, bk * width)
+        hi2 = np.minimum(hi2, (bk + 1) * width)
+        return pa.table({
+            "__bucket": pa.array(bk, pa.int64()),
+            "__side": pa.array(np.zeros(len(bk), np.int8)),
+            left_id: pa.array(ids2, pa.int64()),
+            "__q_lo": pa.array(lo2, pa.int64()),
+            "__q_hi": pa.array(hi2, pa.int64()),
+            "__ts": pa.array(np.zeros(len(bk), np.int64)),
+        })
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch[right_ts])
+        return pa.table({
+            "__bucket": pa.array(ts // width, pa.int64()),
+            "__side": pa.array(np.ones(len(ts), np.int8)),
+            left_id: pa.array(np.zeros(len(ts), np.int64)),
+            "__q_lo": pa.array(np.zeros(len(ts), np.int64)),
+            "__q_hi": pa.array(np.zeros(len(ts), np.int64)),
+            "__ts": pa.array(ts, pa.int64()),
+        })
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        is_left = side == 0
+        ids = g[left_id].to_numpy(zero_copy_only=False)[is_left]
+        if not len(ids):
+            return pa.table({left_id: pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        rts = np.sort(g["__ts"].to_numpy(zero_copy_only=False)[~is_left])
+        q_lo = g["__q_lo"].to_numpy(zero_copy_only=False)[is_left]
+        q_hi = g["__q_hi"].to_numpy(zero_copy_only=False)[is_left]
+        n = (np.searchsorted(rts, q_hi, side="left")
+             - np.searchsorted(rts, q_lo, side="left"))
+        return pa.table({left_id: pa.array(ids, pa.int64()),
+                         "n_matches": pa.array(n, pa.int64())})
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    counted = tagged.groupby("__bucket").map_groups(
+        count_bucket, batch_format="pyarrow"
+    )
+    return (
+        counted.groupby(left_id)
+        .sum("n_matches")
+        .rename_columns({"sum(n_matches)": "n_matches"})
+    )

@@ -1,0 +1,155 @@
+"""Temporal operators (stages/temporal.py) vs slow in-test oracles:
+tumbling + hopping windows, as-of join (matched, unmatched, equal-ts
+inclusive), and the keyless time-range count join including
+bucket-boundary straddles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events_table(seed=11, n=400, users=12, span_us=8 * 3_600_000_000):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, span_us, n))
+    return pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, users, n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["click", "view", "purchase"], n), pa.string()
+        ),
+        "value": pa.array(rng.uniform(0, 50, n), pa.float64()),
+    })
+
+
+HOUR = 3_600_000_000
+
+
+def test_window_aggregate(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import window_aggregate
+
+    t = _events_table()
+    ds = ray.data.from_arrow(t)
+    df = t.to_pandas()
+    us = df.ts.astype("int64")
+
+    got = (
+        window_aggregate(ds, "ts", HOUR, value_column="value",
+                         keys=("event_type",))
+        .to_pandas().sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    df["window_start"] = (us // HOUR) * HOUR
+    want = (
+        df.groupby(["event_type", "window_start"])
+        .agg(n_events=("value", "size"), value_sum=("value", "sum"))
+        .reset_index().sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.event_type == want.event_type).all()
+    assert (got.window_start == want.window_start).all()
+    assert (got.n_events == want.n_events).all()
+    np.testing.assert_allclose(got.value_sum, want.value_sum)
+
+    # hopping: 1h windows sliding every 30m — each row in exactly 2
+    got_h = (
+        window_aggregate(ds, "ts", HOUR, slide_us=HOUR // 2)
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    assert got_h.n_events.sum() == 2 * len(df)
+    rows = []
+    for w0 in ((us // (HOUR // 2)) * (HOUR // 2)).unique():
+        for ws in (w0, w0 - HOUR // 2):
+            rows.append((ws, int(((us >= ws) & (us < ws + HOUR)).sum())))
+    want_h = (
+        pd.DataFrame(rows, columns=["window_start", "n_events"])
+        .drop_duplicates("window_start").sort_values("window_start")
+    )
+    want_h = want_h[want_h.n_events > 0].reset_index(drop=True)
+    assert list(got_h.window_start) == list(want_h.window_start)
+    assert list(got_h.n_events) == list(want_h.n_events)
+
+
+def test_asof_join(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import asof_join
+
+    t = _events_table()
+    ds = ray.data.from_arrow(t)
+    df = t.to_pandas()
+    clicks = ds.filter(expr="event_type == 'click'")
+    views = ds.filter(expr="event_type == 'view'")
+
+    got = (
+        asof_join(clicks, views, by="user_id", on="ts",
+                  right_payload=("event_id", "value"))
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    lc = df[df.event_type == "click"]
+    rv = df[df.event_type == "view"]
+    want = pd.merge_asof(
+        lc.sort_values("ts"), rv.sort_values("ts"), on="ts", by="user_id",
+        direction="backward", suffixes=("", "_r"),
+    ).sort_values("event_id").reset_index(drop=True)
+    assert list(got.event_id) == list(want.event_id)
+    assert (got.r_event_id.fillna(-1) == want.event_id_r.fillna(-1)).all()
+    np.testing.assert_allclose(got.r_value.fillna(-1), want.value_r.fillna(-1))
+    assert got.r_event_id.isna().any()  # some clicks precede any view
+
+    # equal-ts inclusive: a view AT the click's own ts must match
+    t2 = pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([1000, 1000], pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([5, 5], pa.int64()),
+        "event_type": pa.array(["click", "view"], pa.string()),
+        "value": pa.array([0.0, 9.0], pa.float64()),
+    })
+    ds2 = ray.data.from_arrow(t2)
+    out = asof_join(
+        ds2.filter(expr="event_type == 'click'"),
+        ds2.filter(expr="event_type == 'view'"),
+        by="user_id", on="ts", right_payload=("event_id",),
+    ).to_pandas()
+    assert list(out.r_event_id) == [1]
+
+
+def test_range_count_join(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import range_count_join
+
+    t = _events_table()
+    ds = ray.data.from_arrow(t)
+    df = t.to_pandas()
+    us = df.ts.astype("int64")
+    clicks = ds.filter(expr="event_type == 'click'")
+    purch = ds.filter(expr="event_type == 'purchase'")
+
+    got = (
+        range_count_join(clicks, purch, "ts", "ts", 0, HOUR, "event_id")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    p_us = np.sort(us[df.event_type == "purchase"].values)
+    c = df[df.event_type == "click"]
+    cl_us = us[df.event_type == "click"].values
+    want = (np.searchsorted(p_us, cl_us + HOUR, "left")
+            - np.searchsorted(p_us, cl_us, "left"))
+    assert list(got.event_id) == sorted(c.event_id)
+    order = np.argsort(c.event_id.values)
+    assert (got.n_matches.values == want[order]).all()
+    assert got.n_matches.sum() > 0
+
+    # asymmetric window straddling bucket boundaries: [ts-90m, ts+30m)
+    got2 = (
+        range_count_join(clicks, purch, "ts", "ts", -HOUR - HOUR // 2,
+                         HOUR // 2, "event_id")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    want2 = (np.searchsorted(p_us, cl_us + HOUR // 2, "left")
+             - np.searchsorted(p_us, cl_us - HOUR - HOUR // 2, "left"))
+    assert (got2.n_matches.values == want2[order]).all()
