@@ -365,6 +365,16 @@ def _q_range_purchases_after_click(sf_dir: str):
                             "event_id")
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization (1-hour inactivity gap per user):
+    (event_id, user_id, session_idx, session_seq). One hash shuffle on
+    user_id, vectorized boundary labeling per shard."""
+    from stringzilla_ray.stages.temporal import sessionize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return sessionize(ds, "user_id", "ts", _HOUR_US, "event_id")
+
+
 def _q_minhash_dedup(sf_dir: str):
     """Near-dup pairs over documents. Oracle-checked: LSH recall is
     1.0 at threshold 0.8 on this corpus (verified offline), and the
@@ -1493,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sum_by_type": _q_window_sum_by_type,
         "asof_join_views": _q_asof_join_views,
         "range_purchases_after_click": _q_range_purchases_after_click,
+        "sessionize": _q_sessionize,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -1843,6 +1854,21 @@ def oracle_sql() -> dict[str, str]:
             "ON epoch_us(p.ts) >= epoch_us(c.ts) "
             "AND epoch_us(p.ts) < epoch_us(c.ts) + 3600000000 "
             "GROUP BY c.event_id"
+        ),
+        "sessionize": (
+            "WITH x AS ("
+            "  SELECT event_id, user_id, ts,"
+            "    CASE WHEN lag(ts) OVER w IS NULL"
+            "         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 "
+            "THEN 1 ELSE 0 END AS new_s"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), y AS ("
+            "  SELECT event_id, user_id, ts,"
+            "    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx"
+            "  FROM x)"
+            "SELECT event_id, user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "CAST(row_number() OVER (PARTITION BY user_id, session_idx "
+            "ORDER BY ts, event_id) AS BIGINT) AS session_seq FROM y"
         ),
         "ngram_jaccard_near_dup": (
             # The SAME computation, not an approximation of it: the Ray

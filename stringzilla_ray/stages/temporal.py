@@ -238,6 +238,67 @@ def asof_join(left, right, by: str, on: str,
     )
 
 
+def sessionize(ds, by: str, on: str, gap_us: int, id_column: str,
+               n_shards: int | None = None):
+    """Gap-based sessionization: within each ``by`` key, order rows by
+    (``on``, ``id_column``) and start a new session whenever the gap
+    from the previous row exceeds ``gap_us``. Emits (id, by,
+    session_idx, session_seq): session_idx counts sessions per key
+    from 1, session_seq positions the row inside its session from 1.
+
+    Same single-shuffle shape as asof_join: hash-shard on the key so a
+    shard owns whole key groups, then ONE lexsort + boundary mask +
+    segment-relative cumsums label every row — no per-row Python."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0x5E55))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            id_column: batch[id_column],
+            by: batch[by],
+            "__ts": pa.array(_ts_us(batch[on]), pa.int64()),
+            "__shard": pa.array(shard, pa.int32()),
+        })
+
+    def label(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, key))
+        k_s, t_s = key[order], ts[order]
+        n = len(order)
+        new_key = np.ones(n, bool)
+        if n > 1:
+            new_key[1:] = k_s[1:] != k_s[:-1]
+        new_sess = new_key.copy()
+        if n > 1:
+            new_sess[1:] |= (t_s[1:] - t_s[:-1]) > gap_us
+        # per-key session index: cumsum of new_sess minus its value at
+        # the key's first row, +1
+        cs = np.cumsum(new_sess)
+        key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        sess_idx = cs - cs[key_start] + 1
+        # position inside the session, same segment trick
+        sess_start = np.maximum.accumulate(np.where(new_sess, np.arange(n), 0))
+        seq = np.arange(n) - sess_start + 1
+        return pa.table({
+            id_column: pa.array(ids[order], pa.int64()),
+            by: pa.array(k_s, pa.int64()),
+            "session_idx": pa.array(sess_idx, pa.int64()),
+            "session_seq": pa.array(seq, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(label, batch_format="pyarrow")
+    )
+
+
 def range_count_join(left, right, left_ts: str, right_ts: str,
                      lo_us: int, hi_us: int, left_id: str):
     """For every left row, the COUNT of right rows whose timestamp

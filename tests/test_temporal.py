@@ -118,6 +118,37 @@ def test_asof_join(ray_session):
     assert list(out.r_event_id) == [1]
 
 
+def test_sessionize(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import sessionize
+
+    t = _events_table(seed=4, n=300, users=6, span_us=600 * HOUR)
+    ds = ray.data.from_arrow(t)
+    got = (
+        sessionize(ds, "user_id", "ts", HOUR, "event_id")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    us = df.ts.astype("int64")
+    rows = {}
+    for uid, grp in df.assign(us=us).groupby("user_id"):
+        grp = grp.sort_values(["us", "event_id"])
+        sess, seq, prev = 0, 0, None
+        for eid, ts_v in zip(grp.event_id, grp.us):
+            if prev is None or ts_v - prev > HOUR:
+                sess += 1
+                seq = 0
+            seq += 1
+            prev = ts_v
+            rows[eid] = (uid, sess, seq)
+    assert len(got) == len(df)
+    for eid, u, si, sq in zip(got.event_id, got.user_id,
+                              got.session_idx, got.session_seq):
+        assert rows[eid] == (u, si, sq), eid
+    assert got.session_idx.max() > 1  # gaps actually split sessions
+
+
 def test_range_count_join(ray_session):
     import ray.data
 
