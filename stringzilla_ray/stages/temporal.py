@@ -370,8 +370,36 @@ def range_count_join(left, right, left_ts: str, right_ts: str,
     counted = tagged.groupby("__bucket").map_groups(
         count_bucket, batch_format="pyarrow"
     )
+
+    # Combine the <=2 partials per left row. Ray's native
+    # groupby(id).sum() runs a per-distinct-key reduce — minutes at
+    # ~10^6 ids (the blocking-census lesson) — so hash-bucket the ids
+    # into a few groups and sum each with one lexsort + bincount.
+    from stringzilla_ray.util import reduce_buckets
+
+    n_red = reduce_buckets()
+
+    def add_red(t: pa.Table) -> pa.Table:
+        ids = t[left_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(ids.view(np.uint64) ^ np.uint64(0x7A9E))
+             % np.uint64(n_red)).astype(np.int32)
+        return t.append_column("__red", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pa.Table) -> pa.Table:
+        ids = g[left_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n_matches"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_s, n_s = ids[order], n[order]
+        new = np.ones(len(ids_s), bool)
+        if len(ids_s) > 1:
+            new[1:] = ids_s[1:] != ids_s[:-1]
+        grp = np.cumsum(new) - 1
+        tot = np.bincount(grp, weights=n_s).astype(np.int64)
+        return pa.table({left_id: pa.array(ids_s[new], pa.int64()),
+                         "n_matches": pa.array(tot, pa.int64())})
+
     return (
-        counted.groupby(left_id)
-        .sum("n_matches")
-        .rename_columns({"sum(n_matches)": "n_matches"})
+        counted.map_batches(add_red, batch_format="pyarrow")
+        .groupby("__red")
+        .map_groups(sum_bucket, batch_format="pyarrow")
     )
