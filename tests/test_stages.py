@@ -146,6 +146,85 @@ def test_ngram_jaccard_near_dup_exact(ray_session):
         assert got_pairs == want, (n, t, want - got_pairs, got_pairs - want)
 
 
+def test_staged_verify_kernel_lossless():
+    """With ``threshold`` the pair kernel may short-circuit provably
+    sub-threshold pairs to 0.0 (size-ratio and aligned-K-prefix
+    prunes), but the >= threshold decision AND the surviving values
+    must match the unpruned exact kernel — across doc lengths that
+    straddle VERIFY_PREFIX_K and thresholds from loose to strict."""
+    from stringzilla_ray.functions.text import tape_of
+    from stringzilla_ray.stages.dedup import (
+        _gram_hash_sets,
+        ngram_jaccard,
+        ngram_jaccard_pairs,
+        ngram_set_hashes,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{k:03d}" for k in range(80)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 120))))
+             for _ in range(200)]
+    texts += [t + " x" for t in texts[:30]]          # near dups
+    texts += ["ab", "", "aaa"]                        # shorter than n
+    texts += [" ".join(rng.choice(vocab, size=400)) for _ in range(10)]
+    col = pa.array([t.encode() for t in texts], pa.large_binary())
+    tape, offs = tape_of(col)
+    N = len(texts)
+    pl = rng.integers(0, N, 8000)
+    pr = rng.integers(0, N, 8000)
+    for n in (3, 4):
+        flat, gram_offs = _gram_hash_sets(
+            np.asarray(tape), np.asarray(offs, dtype=np.int64), n)
+        sets = ngram_set_hashes(texts, n=n)
+        exact = np.array([ngram_jaccard(sets[a], sets[b])
+                          for a, b in zip(pl, pr)])
+        np.testing.assert_allclose(
+            ngram_jaccard_pairs(flat, gram_offs, pl, pr), exact)
+        for t in (0.3, 0.5, 0.8, 0.95):
+            got = ngram_jaccard_pairs(flat, gram_offs, pl, pr, threshold=t)
+            np.testing.assert_array_equal(got >= t, exact >= t)
+            np.testing.assert_allclose(got[got >= t], exact[exact >= t])
+
+
+def test_ngram_near_dup_boilerplate_corpus(ray_session):
+    """df-ordered prefix filtering on the adversarial shape it exists
+    for: every doc shares a long boilerplate template (hot grams that
+    would otherwise put the WHOLE corpus in one posting group). The
+    join must stay exact — planted tail-edited near-dups found, no
+    false positives — while the df census steers template grams out of
+    every prefix."""
+    import itertools
+
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import (
+        ngram_jaccard,
+        ngram_jaccard_near_dup,
+        ngram_set_hashes,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{k:04d}" for k in range(2000)]
+    boiler = "subscribe to our newsletter terms of service apply all rights reserved "
+    texts = [boiler + " ".join(rng.choice(vocab, size=12)) for _ in range(300)]
+    texts += [t[:-6] + " edit" for t in texts[:20]]   # planted near dups
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = ngram_jaccard_near_dup(
+        ray.data.from_arrow(tbl), "doc_id", "text", n=4,
+        jaccard_threshold=0.8,
+    ).to_pandas()
+    got_pairs = set(zip(got.left, got.right))
+    sets = ngram_set_hashes(texts, n=4)
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if ngram_jaccard(sets[i], sets[j]) >= 0.8
+    }
+    assert want  # the planted edits qualify
+    assert got_pairs == want, (want - got_pairs, got_pairs - want)
+
+
 def test_minhash_verify_strategies_agree(ray_session, docs_table):
     """The broadcast twin (pair-referenced docs only) and the join twin
     must return identical verified pairs — and neither builds a
