@@ -49,6 +49,25 @@ try:  # switch the already-initialized default pool too
 except Exception:  # pragma: no cover - pyarrow always present in prod
     pass
 
+# Opt-in glibc heap tuning (SZRAY_MALLOPT=1): keep large NumPy
+# temporaries on the reusable brk heap instead of per-allocation
+# mmap/munmap. glibc's dynamic mmap threshold caps at 32 MiB, so every
+# >32 MiB kernel temporary is freshly mapped and first-touch faulted
+# per batch; on this host a cold worker's first big verify batch
+# measured 6.5x its warm cost. M_MMAP_THRESHOLD huge routes those to
+# the heap; M_TRIM_THRESHOLD 1 GiB keeps up to that much free heap
+# resident per process for reuse. Off by default pending a measured
+# win (RSS grows by the retained heap per worker).
+if _os.environ.get("SZRAY_MALLOPT") == "1":
+    try:
+        import ctypes as _ct
+
+        _libc = _ct.CDLL("libc.so.6")
+        _libc.mallopt(-3, 1 << 40)  # M_MMAP_THRESHOLD
+        _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover - non-glibc platform
+        pass
+
 # Push-based shuffle streams sort/shuffle map outputs into merge tasks
 # instead of materializing the full p x p block matrix; measured 2x on
 # the flagship's canonicalize sort at 32 CPUs (19-26 s vs 43-47 s on

@@ -441,8 +441,17 @@ def ngram_jaccard_near_dup(
     )
     from stringzilla_ray.util import reduce_buckets
 
+    from stringzilla_ray.stages.scoring import _fetch_docs_ref
+    from stringzilla_ray.state.config import ERConfig
+
     n_shards = reduce_buckets()
     n_buckets = reduce_buckets()
+    if verify_strategy == "auto":
+        verify_strategy = (
+            "broadcast"
+            if ds.count() <= ERConfig().broadcast_threshold_rows
+            else "join"
+        )
     df_ref = (
         _gram_df_census(ds, text_column, n, sample_rows=census_sample_rows)
         if df_ordering
@@ -456,16 +465,29 @@ def ngram_jaccard_near_dup(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = (
-        posted.groupby("shard")
-        .map_groups(
+    expanded = posted.groupby("shard").map_groups(
+        functools.partial(
+            _expand_shard_table, cap=1 << 31, n_buckets=n_buckets,
+            id_column=id_column,
+        ),
+        batch_format="pyarrow",
+    )
+    if verify_strategy == "broadcast":
+        # FUSED dedupe+verify: candidate tables (quadratic in the worst
+        # case) never hit the object store — each bucket task dedupes
+        # its pairs and immediately verifies them against the broadcast
+        # corpus tape, emitting only survivors. The whole-corpus fetch
+        # is what "broadcast" already means (below the byte gate).
+        docs_ref = _fetch_docs_ref(ds, id_column, None, text_column)
+        return expanded.groupby("bucket").map_groups(
             functools.partial(
-                _expand_shard_table, cap=1 << 31, n_buckets=n_buckets,
-                id_column=id_column,
+                _dedupe_verify_bucket, docs_ref=docs_ref, n=n,
+                threshold=jaccard_threshold,
             ),
             batch_format="pyarrow",
         )
-        .groupby("bucket")
+    pairs = (
+        expanded.groupby("bucket")
         .map_groups(_dedupe_bucket_table, batch_format="pyarrow")
         .drop_columns(["oversized_block"])
     )
@@ -473,6 +495,26 @@ def ngram_jaccard_near_dup(
         pairs, ds, id_column, text_column, n, jaccard_threshold,
         strategy=verify_strategy,
     )
+
+
+def _dedupe_verify_bucket(g: pa.Table, docs_ref=None, n: int = 3,
+                          threshold: float = 0.8,
+                          slice_rows: int = 32768) -> pa.Table:
+    """Bucket task of the fused exact join: cross-bucket pair dedupe,
+    then in-task staged verification in bounded slices (each slice's
+    temporaries stay small enough to reuse the worker's warm heap).
+    Only pairs with exact Jaccard >= threshold leave the task."""
+    from stringzilla_ray.stages.blocking import _dedupe_bucket_table
+
+    pairs = _dedupe_bucket_table(g)
+    if "oversized_block" in pairs.column_names:
+        pairs = pairs.drop_columns(["oversized_block"])
+    outs = [
+        _verify_against_ref(pairs.slice(off, slice_rows),
+                            docs_ref=docs_ref, n=n, threshold=threshold)
+        for off in range(0, max(len(pairs), 1), slice_rows)
+    ]
+    return pa.concat_tables(outs)
 
 
 class MinHashForDocs(Fingerprinter):

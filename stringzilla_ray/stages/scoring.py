@@ -268,6 +268,8 @@ def _filter_docs_block(batch: pa.Table, id_column: str, text_column: str,
     if len(batch) == 0 or id_column not in batch.column_names:
         return pa.table({id_column: pa.array([], pa.int64()),
                          text_column: pa.array([], pa.string())})
+    if want is None:  # whole-corpus fetch (fused bucket verify)
+        return batch.select([id_column, text_column])
     ids = batch[id_column].to_numpy(zero_copy_only=False)
     if len(want) == 0:
         mask = np.zeros(len(ids), dtype=bool)
@@ -315,7 +317,7 @@ def _fetch_docs_ref(signed, id_column: str, needed: np.ndarray,
     for a <1k-row result)."""
     import ray as _ray
 
-    needed_ref = _ray.put(np.sort(needed))
+    needed_ref = _ray.put(None if needed is None else np.sort(needed))
     part_refs = [
         _filter_docs_block.remote(r, id_column, text_column, needed_ref)
         for r in signed.to_arrow_refs()
