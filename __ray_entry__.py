@@ -113,6 +113,25 @@ def _q_startswith_by_lang(sf_dir: str):
     )
 
 
+def _q_token_topk(sf_dir: str):
+    """Corpus-wide top-50 token frequencies — exact heavy hitters via
+    map-side partial counting (stages/textstats.py token_topk)."""
+    from stringzilla_ray.stages.textstats import token_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return token_topk(ds, "text", k=50)
+
+
+def _q_token_df_topk(sf_dir: str):
+    """Top-50 tokens by DOCUMENT frequency (distinct docs containing
+    the token) — the production census behind df-ordered prefix
+    filtering."""
+    from stringzilla_ray.stages.textstats import token_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return token_topk(ds, "text", k=50, distinct_per_doc=True)
+
+
 def _q_token_count(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -1488,6 +1507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contains_filter": _q_contains_filter,
         "startswith_by_lang": _q_startswith_by_lang,
         "token_count": _q_token_count,
+        "token_topk": _q_token_topk,
+        "token_df_topk": _q_token_df_topk,
         "utf8_count": _q_utf8_count,
         "sorted_topk": _q_sorted_topk,
         "exact_dedup": _q_exact_dedup,
@@ -1578,6 +1599,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "token_topk": (
+            "SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok "
+            "FROM documents) GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 50"
+        ),
+        "token_df_topk": (
+            "SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) AS cnt FROM ("
+            "SELECT doc_id, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok "
+            "FROM documents) GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 50"
         ),
         "utf8_count": "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_codepoints FROM documents",
         "sorted_topk": (

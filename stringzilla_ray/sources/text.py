@@ -22,6 +22,16 @@ import pyarrow as pa
 import ray.data
 
 
+def _maybe_gunzip(b: bytes | None) -> bytes | None:
+    """Transparent gzip: decompress when the payload carries the gzip
+    magic (1f 8b) — file-granular stdlib work, never per row."""
+    if b is not None and len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
+        import gzip
+
+        return gzip.decompress(b)
+    return b
+
+
 def _explode_lines(batch: pa.Table) -> pa.Table:
     """(path, bytes) file rows -> (path, line_no, line) line rows."""
     from stringzilla_ray.functions.segment import splitlines_column
@@ -33,7 +43,8 @@ def _explode_lines(batch: pa.Table) -> pa.Table:
     if isinstance(payload, pa.ChunkedArray):
         payload = payload.combine_chunks()
     texts = pa.array(
-        [None if (b := v.as_py()) is None else b.decode("utf-8", "replace")
+        [None if (b := _maybe_gunzip(v.as_py())) is None
+         else b.decode("utf-8", "replace")
          for v in payload],
         pa.large_string(),
     )
@@ -80,10 +91,15 @@ def read_binary_blobs(path: str) -> "ray.data.Dataset":
 
 def read_documents_any(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """Extension-dispatched reader for a documents-shaped table:
-    .parquet (pruned at the read), .csv, .json/.jsonl. Column pruning
+    .parquet (pruned at the read), .csv, .json/.jsonl, each optionally
+    .gz-compressed (web-corpus exports ship gzipped). Column pruning
     applies in-read for parquet and as an immediate projection for the
     text formats."""
     lower = path.lower()
+    open_args = {}
+    if lower.endswith(".gz"):
+        lower = lower[: -len(".gz")]
+        open_args = {"arrow_open_stream_args": {"compression": "gzip"}}
     if lower.endswith(".parquet") or not any(
         lower.endswith(s) for s in (".csv", ".json", ".jsonl")
     ):
@@ -91,7 +107,7 @@ def read_documents_any(path: str, columns: list[str] | None = None) -> "ray.data
 
         return read_parquet_clean(path, columns=columns)
     if lower.endswith(".csv"):
-        ds = ray.data.read_csv(path)
+        ds = ray.data.read_csv(path, **open_args)
     else:
-        ds = ray.data.read_json(path)
+        ds = ray.data.read_json(path, **open_args)
     return ds.select_columns(columns) if columns else ds

@@ -193,3 +193,95 @@ def add_doc_fingerprint(batch: pa.Table, text_column: str = "text", seed: int = 
     col = _combined(batch[text_column])
     tape, offsets = tape_of(col)
     return batch.append_column("doc_fp", pa.array(szhash.hash_batch(tape, offsets, seed), pa.uint64()))
+
+
+def _token_partial_fn(batch: pa.Table, text_column: str = "text",
+                      distinct_per_doc: bool = False) -> pa.Table:
+    """Per-batch (token, cnt) partials — the map-side combiner of the
+    vocabulary census. With ``distinct_per_doc`` a token counts once
+    per document (document frequency); rows never split across
+    batches, so summing per-batch partials is exact either way."""
+    from stringzilla_ray.functions.segment import word_explode
+
+    col = _combined(batch[text_column])
+    words, parents = word_explode(col)
+    if len(words) == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    if distinct_per_doc:
+        enc = words.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndict = len(enc.dictionary)
+        key = parents.to_numpy(zero_copy_only=False).astype(np.int64) * ndict + codes
+        ucodes = (np.unique(key) % ndict).astype(np.int64)
+        cnt = np.bincount(ucodes, minlength=ndict).astype(np.int64)
+        keep = cnt > 0
+        return pa.table({
+            "token": enc.dictionary.filter(pa.array(keep)).cast(pa.string()),
+            "cnt": pa.array(cnt[keep], pa.int64()),
+        })
+    vc = pc.value_counts(words)
+    return pa.table({"token": vc.field("values").cast(pa.string()),
+                     "cnt": vc.field("counts").cast(pa.int64())})
+
+
+def _token_shard_fn(t: pa.Table, n_shards: int) -> pa.Table:
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
+    col = t["token"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = hash_string_column(col, seed=0).view(np.uint64)
+    shard = (h % np.uint64(n_shards)).astype(np.int32)
+    return t.append_column("shard", pa.array(shard, pa.int32()))
+
+
+def _token_reduce_fn(g: pa.Table, k: int) -> pa.Table:
+    """Shard reducer: the shard owns every partial of each of its
+    tokens, so a local group-sum is the exact global count and the
+    local top-k (cnt desc, token asc) provably contains every global
+    top-k token that hashes here."""
+    summed = pa.TableGroupBy(g.select(["token", "cnt"]), "token").aggregate(
+        [("cnt", "sum")]
+    ).rename_columns(["token", "cnt"])
+    summed = summed.sort_by([("cnt", "descending"), ("token", "ascending")])
+    return summed.slice(0, k)
+
+
+def token_topk(ds, text_column: str = "text", k: int = 100,
+               distinct_per_doc: bool = False):
+    """EXACT corpus-wide top-k token frequencies (vocabulary heavy
+    hitters) — (token, cnt) ordered by (cnt desc, token asc).
+
+    The canonical pre-aggregate shape for a 100 TB vocabulary census:
+    each batch collapses to its own (token, cnt) partials BEFORE any
+    exchange (the shuffle moves per-batch vocabularies, not one row
+    per token occurrence — ~n_turns-fold smaller on natural text),
+    then ONE hash-shard groupby sums partials and emits a local top-k,
+    and the final sort+limit runs over n_shards*k rows, not the
+    vocabulary. ``distinct_per_doc`` switches term frequency to
+    document frequency (the production-grade version of the sampled
+    census that df-ordered prefix filtering uses, stages/dedup.py).
+    Tokens are the [0-9A-Za-z_]+ runs of word_explode, so DuckDB
+    mirrors the whole operator exactly."""
+    import functools
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    parts = ds.map_batches(
+        _token_partial_fn,
+        fn_kwargs=dict(text_column=text_column,
+                       distinct_per_doc=distinct_per_doc),
+        batch_format="pyarrow",
+    )
+    return (
+        parts.map_batches(_token_shard_fn,
+                          fn_kwargs=dict(n_shards=n_shards),
+                          batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(functools.partial(_token_reduce_fn, k=k),
+                    batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )

@@ -225,6 +225,29 @@ def test_ngram_near_dup_boilerplate_corpus(ray_session):
     assert got_pairs == want, (want - got_pairs, got_pairs - want)
 
 
+def test_token_topk_exact(ray_session, docs_table):
+    """The map-side-combined vocabulary census equals the brute-force
+    Counter truth — counts, (cnt desc, token asc) order, and the tie
+    break at the k boundary — for term AND document frequency."""
+    import collections
+    import re
+
+    import ray.data
+
+    from stringzilla_ray.stages.textstats import token_topk
+
+    texts = docs_table["text"].to_pylist()
+    ds = ray.data.from_arrow(docs_table).repartition(7)
+    for distinct in (False, True):
+        tf = collections.Counter()
+        for t in texts:
+            toks = re.findall(r"[0-9A-Za-z_]+", t)
+            tf.update(set(toks) if distinct else toks)
+        want = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = token_topk(ds, "text", k=5, distinct_per_doc=distinct).to_pandas()
+        assert list(zip(got.token, got.cnt)) == want, distinct
+
+
 def test_minhash_verify_strategies_agree(ray_session, docs_table):
     """The broadcast twin (pair-referenced docs only) and the join twin
     must return identical verified pairs — and neither builds a
@@ -746,6 +769,20 @@ def test_text_and_binary_sources(ray_session, tmp_path):
         out = read_documents_any(str(tmp_path / name), columns=["doc_id", "text"])
         df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert list(df.doc_id) == [1, 2] and list(df.text) == ["x y", "z"]
+
+    # gzip transparency: line reader sniffs the magic, the dispatched
+    # reader strips .gz and passes arrow a gzip stream
+    import gzip as _gzip
+
+    (tmp_path / "a.txt.gz").write_bytes(_gzip.compress(b"first\r\nsecond\nthird"))
+    gl = read_text_lines(str(tmp_path / "a.txt.gz")).to_pandas().sort_values("line_no")
+    assert list(gl.line) == ["first", "second", "third"]
+    (tmp_path / "d.jsonl.gz").write_bytes(_gzip.compress(
+        "\n".join(_json.dumps(r) for r in tbl.to_pylist()).encode()
+    ))
+    out = read_documents_any(str(tmp_path / "d.jsonl.gz"), columns=["doc_id", "text"])
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.doc_id) == [1, 2] and list(df.text) == ["x y", "z"]
 
 
 def test_checkpoint_resume(ray_session, tmp_path):
