@@ -132,6 +132,15 @@ def _q_token_df_topk(sf_dir: str):
     return token_topk(ds, "text", k=50, distinct_per_doc=True)
 
 
+def _q_tfidf_top_term(sf_dir: str):
+    """Most tf-idf-distinctive token per document (broadcast df
+    census; stages/textstats.py tfidf_top_term)."""
+    from stringzilla_ray.stages.textstats import tfidf_top_term
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_term(ds, "doc_id", "text")
+
+
 def _q_token_count(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -1509,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "token_topk": _q_token_topk,
         "token_df_topk": _q_token_df_topk,
+        "tfidf_top_term": _q_tfidf_top_term,
         "utf8_count": _q_utf8_count,
         "sorted_topk": _q_sorted_topk,
         "exact_dedup": _q_exact_dedup,
@@ -1609,6 +1619,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) AS cnt FROM ("
             "SELECT doc_id, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok "
             "FROM documents) GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 50"
+        ),
+        "tfidf_top_term": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            "'[0-9A-Za-z_]+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents) "
+            "SELECT doc_id, term FROM ("
+            "SELECT tf.doc_id, tf.term, row_number() OVER ("
+            "PARTITION BY tf.doc_id ORDER BY "
+            "tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.term ASC) AS rn "
+            "FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rn = 1"
         ),
         "utf8_count": "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_codepoints FROM documents",
         "sorted_topk": (

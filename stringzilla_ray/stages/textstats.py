@@ -248,6 +248,102 @@ def _token_reduce_fn(g: pa.Table, k: int) -> pa.Table:
     return summed.slice(0, k)
 
 
+def _df_census_ref(ds, text_column: str):
+    """ObjectRef of {token: document_frequency} for the WHOLE corpus —
+    the exact census (not sampled, not top-k). Built with the same
+    map-side partials + shard-groupby as token_topk, then gathered:
+    the gathered object is vocabulary-sized (tokens, not occurrences),
+    the standard broadcast-small-side assumption for tf-idf. A corpus
+    whose vocabulary outgrows a broadcast needs the join formulation
+    instead; natural-language vocabularies don't."""
+    import functools
+
+    import ray
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    summed = (
+        ds.map_batches(
+            _token_partial_fn,
+            fn_kwargs=dict(text_column=text_column, distinct_per_doc=True),
+            batch_format="pyarrow",
+        )
+        .map_batches(_token_shard_fn, fn_kwargs=dict(n_shards=n_shards),
+                     batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(functools.partial(_token_reduce_fn, k=1 << 62),
+                    batch_format="pyarrow")
+    )
+    df = {}
+    for b in summed.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        df.update(zip(b["token"].to_pylist(), b["cnt"].to_pylist()))
+    return ray.put(df)
+
+
+def _tfidf_top_fn(batch: pa.Table, id_column: str = "doc_id",
+                  text_column: str = "text", df_ref=None,
+                  n_docs: int = 1) -> pa.Table:
+    """Per-doc argmax tf-idf term. Vectorized per batch: one
+    word_explode, dictionary-encoded per-(doc, term) tf, a
+    vocabulary-sized df lookup (unique terms, not rows), one Arrow
+    multi-key sort + adjacency first-per-doc."""
+    import ray
+
+    from stringzilla_ray.functions.segment import word_explode
+
+    df_map = ray.get(df_ref)
+    ids = batch[id_column]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    words, parents = word_explode(_combined(batch[text_column]))
+    if len(words) == 0:
+        return pa.table({id_column: ids.slice(0, 0),
+                         "term": pa.array([], pa.string())})
+    enc = words.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ndict = len(enc.dictionary)
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = par * ndict + codes
+    ukey, tf = np.unique(key, return_counts=True)
+    urow = ukey // ndict
+    ucode = ukey % ndict
+    terms = enc.dictionary.cast(pa.string())
+    dfs = np.array([df_map.get(t, 1) for t in terms.to_pylist()], np.float64)
+    score = tf.astype(np.float64) * np.log(float(n_docs) / dfs[ucode])
+    t = pa.table({
+        id_column: ids.take(pa.array(urow, pa.int64())),
+        "term": terms.take(pa.array(ucode, pa.int64())),
+        "_score": pa.array(score, pa.float64()),
+        "_row": pa.array(urow, pa.int64()),
+    }).sort_by([("_row", "ascending"), ("_score", "descending"),
+                ("term", "ascending")])
+    rows = t["_row"].to_numpy(zero_copy_only=False)
+    first = np.concatenate([[True], rows[1:] != rows[:-1]])
+    return t.take(pa.array(np.nonzero(first)[0], pa.int64())).select(
+        [id_column, "term"])
+
+
+def tfidf_top_term(ds, id_column: str = "doc_id",
+                   text_column: str = "text"):
+    """Most tf-idf-distinctive token per document — (doc_id, term),
+    score = tf * ln(N / df), ties broken by term asc. The df census
+    broadcasts ONCE (ray.put of a vocabulary-sized map) and every
+    batch scores locally: zero shuffles beyond the census's own — the
+    broadcast-small-side shape the engine uses wherever a join's right
+    side is vocabulary-sized. Emits only strings/ids so the DuckDB
+    oracle (window row_number over the same formula) compares
+    bit-exactly with no float hashing."""
+    n_docs = ds.count()
+    df_ref = _df_census_ref(ds, text_column)
+    return ds.map_batches(
+        _tfidf_top_fn,
+        fn_kwargs=dict(id_column=id_column, text_column=text_column,
+                       df_ref=df_ref, n_docs=n_docs),
+        batch_format="pyarrow",
+    )
+
+
 def token_topk(ds, text_column: str = "text", k: int = 100,
                distinct_per_doc: bool = False):
     """EXACT corpus-wide top-k token frequencies (vocabulary heavy

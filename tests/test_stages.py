@@ -248,6 +248,35 @@ def test_token_topk_exact(ray_session, docs_table):
         assert list(zip(got.token, got.cnt)) == want, distinct
 
 
+def test_tfidf_top_term_exact(ray_session, docs_table):
+    """Per-doc argmax tf-idf term equals the brute-force formula
+    (tf * ln(N/df), ties by term asc) for every document."""
+    import collections
+    import math
+    import re
+
+    import ray.data
+
+    from stringzilla_ray.stages.textstats import tfidf_top_term
+
+    texts = docs_table["text"].to_pylist()
+    N = len(texts)
+    df = collections.Counter()
+    for t in texts:
+        df.update(set(re.findall(r"[0-9A-Za-z_]+", t)))
+    want = {}
+    for i, t in enumerate(texts):
+        tf = collections.Counter(re.findall(r"[0-9A-Za-z_]+", t))
+        if tf:
+            want[i] = min(tf.items(),
+                          key=lambda kv: (-kv[1] * math.log(N / df[kv[0]]),
+                                          kv[0]))[0]
+    got = tfidf_top_term(
+        ray.data.from_arrow(docs_table).repartition(5), "doc_id", "text"
+    ).to_pandas()
+    assert dict(zip(got.doc_id, got.term)) == want
+
+
 def test_minhash_verify_strategies_agree(ray_session, docs_table):
     """The broadcast twin (pair-referenced docs only) and the join twin
     must return identical verified pairs — and neither builds a
