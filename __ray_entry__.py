@@ -132,6 +132,42 @@ def _q_token_df_topk(sf_dir: str):
     return token_topk(ds, "text", k=50, distinct_per_doc=True)
 
 
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic content-hash train/val/test split (auditable md5
+    mode so DuckDB reproduces it from the text alone;
+    stages/curation.py assign_split)."""
+    from stringzilla_ray.stages.curation import assign_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return assign_split(ds, "text", _SPLIT_FRACTIONS,
+                        method="md5").select_columns(["doc_id", "split"])
+
+
+def _q_sample_per_lang(sf_dir: str):
+    """Deterministic 5-per-language subsample (smallest (md5, id)
+    winners; stages/curation.py sample_per_group)."""
+    from stringzilla_ray.stages.curation import sample_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return sample_per_group(
+        ds, "lang", 5, id_column="doc_id", text_column="text",
+        method="md5",
+    ).select_columns(["doc_id", "lang"])
+
+
+def _q_pack_assign(sf_dir: str):
+    """Concat-and-chunk pack ids via distributed prefix scan
+    (stages/curation.py assign_packs; 2048-token budget,
+    whitespace-token convention shared with token_count)."""
+    from stringzilla_ray.stages.curation import assign_packs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return assign_packs(ds, "doc_id", text_column="text", budget=2048)
+
+
 def _q_tfidf_top_term(sf_dir: str):
     """Most tf-idf-distinctive token per document (broadcast df
     census; stages/textstats.py tfidf_top_term)."""
@@ -1519,6 +1555,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": _q_token_topk,
         "token_df_topk": _q_token_df_topk,
         "tfidf_top_term": _q_tfidf_top_term,
+        "hash_split": _q_hash_split,
+        "sample_per_lang": _q_sample_per_lang,
+        "pack_assign": _q_pack_assign,
         "utf8_count": _q_utf8_count,
         "sorted_topk": _q_sorted_topk,
         "exact_dedup": _q_exact_dedup,
@@ -1592,7 +1631,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from stringzilla_ray.stages.curation import split_hex_bounds
+
+    b_train, b_val = split_hex_bounds(_SPLIT_FRACTIONS)
     return {
+        "hash_split": (
+            "SELECT doc_id, CASE "
+            f"WHEN substr(md5(text), 17, 16) < '{b_train}' THEN 'train' "
+            f"WHEN substr(md5(text), 17, 16) < '{b_val}' THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
+        "sample_per_lang": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+            "ORDER BY substr(md5(text), 17, 16) ASC, doc_id ASC) AS rn "
+            "FROM documents) WHERE rn <= 5"
+        ),
+        "pack_assign": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS BIGINT) AS tokens_before FROM t) "
+            "SELECT doc_id, n_tokens, CAST(tokens_before // 2048 AS BIGINT) AS pack_id, "
+            "CAST(tokens_before % 2048 AS BIGINT) AS pack_offset FROM s"
+        ),
         "find_substring": (
             "SELECT doc_id, CAST(instr(text, 'data') - 1 AS BIGINT) AS pos FROM documents"
         ),

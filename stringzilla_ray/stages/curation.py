@@ -1,0 +1,237 @@
+"""Dataset-curation operators for training-data pipelines: the
+split / subsample / packing steps that run AFTER cleaning and dedup
+and BEFORE tokenizer sharding.
+
+- ``assign_split``: deterministic content-hash train/val/test
+  assignment — a document lands in the same split on every run, on
+  every cluster size, regardless of row order (the property random
+  sampling can't give). Production hashes with the vectorized 64-bit
+  kernel (functions/fasthash.py); ``method="md5"`` is the auditable
+  mode any other system (or the DuckDB oracle) can reproduce
+  bit-for-bit from the text alone.
+- ``sample_per_group``: smallest-hash-first top-n per group — an
+  order-free, shuffle-light "balanced subset by language/source"
+  sampler (each group's winners are a pure function of content).
+- ``assign_packs``: concat-and-chunk pack ids via a DISTRIBUTED
+  PREFIX SCAN — the standard LLM pretraining packing shape (documents
+  concatenated in id order, cut every ``budget`` tokens). Per-block
+  token sums gather to the driver (one scalar per block), exclusive
+  offsets broadcast back, each block labels its rows locally — two
+  passes, no shuffle, any number of blocks.
+
+No reference analogue (StringZilla is a string library); these are
+the engine-level operators its users would otherwise hand-roll.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _md5_low64(texts: list) -> np.ndarray:
+    """Low 8 bytes (big-endian) of md5(text) as uint64 — the auditable
+    split key: any system with an md5() can reproduce it. Per-row
+    hashlib is CPython-bound, which is why it is the AUDIT mode, not
+    the default (the vectorized 64-bit kernel is)."""
+    import hashlib
+
+    out = np.empty(len(texts), np.uint64)
+    for i, t in enumerate(texts):
+        d = hashlib.md5(t.encode() if isinstance(t, str) else bytes(t)).digest()
+        out[i] = int.from_bytes(d[8:16], "big")
+    return out
+
+
+def _split_key(col, method: str, seed: int) -> np.ndarray:
+    """uint64 content key in [0, 2^64) for split/sample decisions."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if method == "md5":
+        return _md5_low64(col.to_pylist())
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
+    return hash_string_column(col, seed=seed).view(np.uint64)
+
+
+def split_hex_bounds(fractions: dict[str, float]) -> list[str]:
+    """The assign_split boundary keys as 16-char lowercase hex — the
+    exact literals an external auditor (or the DuckDB oracle) compares
+    ``substr(md5(text), 17, 16)`` against: fixed-width lowercase hex
+    comparison IS unsigned 64-bit comparison."""
+    cum = np.cumsum([fractions[k] for k in fractions])
+    return [f"{b:016x}" for b in (cum[:-1] * float(2 ** 64)).astype(np.uint64)]
+
+
+def _assign_split_fn(batch: pa.Table, text_column: str, bounds,
+                     names, method: str, seed: int) -> pa.Table:
+    key = _split_key(batch[text_column], method, seed)
+    idx = np.searchsorted(bounds, key, side="right")
+    lab = np.asarray(names, dtype=object)[idx]
+    return batch.append_column("split", pa.array(lab, pa.string()))
+
+
+def assign_split(ds, text_column: str = "text",
+                 fractions: dict[str, float] | None = None,
+                 method: str = "fast", seed: int = 0):
+    """Append a deterministic ``split`` column ('train'/'val'/...).
+
+    The content hash maps to [0, 1); cumulative fraction boundaries
+    carve it: duplicates always co-assign (no train/test leakage from
+    exact dups), membership is stable under reshuffling, resharding
+    and cluster resizing, and expected sizes follow ``fractions``.
+    ``method="fast"`` uses the vectorized 64-bit kernel;
+    ``method="md5"`` is bit-reproducible by any external auditor
+    (and by the DuckDB oracle) straight from the text."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(fractions)
+    cum = np.cumsum([fractions[k] for k in names])
+    assert abs(cum[-1] - 1.0) < 1e-9, "fractions must sum to 1"
+    # boundary k: keys < cum_k * 2^64 (exclusive upper bounds)
+    bounds = (cum[:-1] * float(2 ** 64)).astype(np.uint64)
+    return ds.map_batches(
+        _assign_split_fn,
+        fn_kwargs=dict(text_column=text_column, bounds=bounds,
+                       names=names, method=method, seed=seed),
+        batch_format="pyarrow",
+    )
+
+
+def _sample_shard_fn(t: pa.Table, group_column: str, n_shards: int) -> pa.Table:
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
+    col = t[group_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        h = hash_string_column(col, seed=7).view(np.uint64)
+    else:
+        from stringzilla_ray.functions.fingerprint import splitmix64
+
+        h = splitmix64(col.to_numpy(zero_copy_only=False)
+                       .astype(np.int64).view(np.uint64))
+    return t.append_column(
+        "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32),
+                           pa.int32()))
+
+
+def _sample_reduce_fn(g: pa.Table, group_column: str, id_column: str,
+                      n: int) -> pa.Table:
+    g = g.drop_columns(["_shard"])
+    t = g.sort_by([(group_column, "ascending"), ("_key", "ascending"),
+                   (id_column, "ascending")])
+    grp = t[group_column]
+    if isinstance(grp, pa.ChunkedArray):
+        grp = grp.combine_chunks()
+    # rank within group: segment-relative positions over the sorted run
+    eq = pc.equal(grp.slice(1), grp.slice(0, max(len(grp) - 1, 0)))
+    new = np.concatenate([[True], np.invert(
+        eq.to_numpy(zero_copy_only=False).astype(bool))]) \
+        if len(grp) else np.zeros(0, bool)
+    pos = np.arange(len(grp))
+    seg_start = np.maximum.accumulate(np.where(new, pos, 0))
+    rank = pos - seg_start
+    return t.filter(pa.array(rank < n)).drop_columns(["_key"])
+
+
+def sample_per_group(ds, group_column: str, n: int,
+                     id_column: str = "doc_id",
+                     text_column: str = "text", method: str = "fast",
+                     seed: int = 0):
+    """Deterministic n-per-group subsample: within each group keep the
+    n rows with the smallest (content hash, id) — exact duplicates tie
+    on the hash and break by id, so the winner set is a pure function
+    of content. One hash-shard groupby — each shard owns whole groups,
+    so local rank == global rank; no global sort, no per-group
+    Python. The stored key is the uint64 hash with its sign bit
+    flipped (order-isomorphic int64), so Arrow/SQL ascending sorts
+    agree with unsigned hash order."""
+    import functools
+
+    from stringzilla_ray.util import reduce_buckets
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = _split_key(batch[text_column], method, seed)
+        key = (key ^ np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("_key", pa.array(key, pa.int64()))
+
+    n_shards = reduce_buckets()
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .map_batches(_sample_shard_fn,
+                     fn_kwargs=dict(group_column=group_column,
+                                    n_shards=n_shards),
+                     batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(functools.partial(_sample_reduce_fn,
+                                      group_column=group_column,
+                                      id_column=id_column, n=n),
+                    batch_format="pyarrow")
+    )
+
+
+def assign_packs(ds, id_column: str = "doc_id",
+                 tokens_column: str | None = None,
+                 text_column: str = "text", budget: int = 2048):
+    """Concat-and-chunk pack assignment: documents in ``id_column``
+    order are virtually concatenated and cut every ``budget`` tokens;
+    each doc is labeled with the pack its FIRST token lands in
+    (pack_id = floor(tokens_before_doc / budget)) plus its offset in
+    that pack — the deterministic bookkeeping a sequence-packing
+    loader needs, computed without ever materializing the concat.
+
+    Distributed prefix scan, the scale shape: sort by id (the one
+    exchange), then (1) one scalar (block token sum, first id) per
+    block gathers to the driver, (2) exclusive per-block offsets
+    broadcast back, (3) each block labels its rows from its offset +
+    a local cumsum. Tokens default to whitespace-split counts
+    (``token_count`` convention) unless ``tokens_column`` names a
+    precomputed count."""
+    import ray
+    import ray.data
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        if tokens_column is not None:
+            nt = pc.cast(batch[tokens_column], pa.int64())
+        else:
+            nt = pc.cast(pc.list_value_length(
+                pc.split_pattern(batch[text_column], " ")), pa.int64())
+        return pa.table({id_column: batch[id_column], "n_tokens": nt})
+
+    toks = (
+        ds.map_batches(with_tokens, batch_format="pyarrow")
+        .sort(id_column)
+        .materialize()
+    )
+
+    @ray.remote
+    def block_sum(t: pa.Table):
+        if len(t) == 0:
+            return None, 0
+        return t[id_column][0].as_py(), int(
+            pc.sum(t["n_tokens"]).as_py() or 0)
+
+    refs = toks.to_arrow_refs()
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    order = sorted(range(len(sums)),
+                   key=lambda i: (sums[i][0] is None, sums[i][0]))
+    offsets = {}
+    run = 0
+    for i in order:
+        offsets[i] = run
+        run += sums[i][1]
+
+    @ray.remote
+    def label_block(t: pa.Table, offset: int):
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        before = offset + np.concatenate([[0], np.cumsum(nt)[:-1]]).astype(np.int64)
+        return pa.table({
+            id_column: t[id_column],
+            "n_tokens": t["n_tokens"],
+            "pack_id": pa.array(before // budget, pa.int64()),
+            "pack_offset": pa.array(before % budget, pa.int64()),
+        })
+
+    out_refs = [label_block.remote(r, offsets[i]) for i, r in enumerate(refs)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -248,6 +248,51 @@ def test_token_topk_exact(ray_session, docs_table):
         assert list(zip(got.token, got.cnt)) == want, distinct
 
 
+def test_curation_ops(ray_session, docs_table):
+    """assign_split: partition-invariant, duplicate-co-assigning,
+    fraction-respecting. sample_per_group: exact winners under any
+    repartitioning. assign_packs: equals the serial prefix-scan truth
+    across block splits."""
+    import ray.data
+
+    from stringzilla_ray.stages.curation import (
+        assign_packs,
+        assign_split,
+        sample_per_group,
+    )
+
+    texts = docs_table["text"].to_pylist()
+    tbl = docs_table.append_column(
+        "grp", pa.array([f"g{i % 3}" for i in range(len(texts))], pa.string()))
+
+    a = assign_split(ray.data.from_arrow(tbl).repartition(3), "text").to_pandas()
+    b = assign_split(ray.data.from_arrow(tbl).repartition(11), "text").to_pandas()
+    am = dict(zip(a.doc_id, a.split))
+    assert am == dict(zip(b.doc_id, b.split))          # partition-invariant
+    assert am[0] == am[10] == am[11]                    # exact dups co-assign
+    assert set(am.values()) <= {"train", "val", "test"}
+    assert sum(v == "train" for v in am.values()) > len(am) * 0.6
+
+    s1 = sample_per_group(ray.data.from_arrow(tbl).repartition(2), "grp", 4,
+                          text_column="text").to_pandas()
+    s2 = sample_per_group(ray.data.from_arrow(tbl).repartition(9), "grp", 4,
+                          text_column="text").to_pandas()
+    k1 = sorted(zip(s1.grp, s1.doc_id))
+    assert k1 == sorted(zip(s2.grp, s2.doc_id))
+    assert s1.groupby("grp").size().max() == 4
+
+    packs = assign_packs(ray.data.from_arrow(tbl).repartition(5),
+                         "doc_id", text_column="text", budget=64).to_pandas()
+    packs = packs.sort_values("doc_id").reset_index(drop=True)
+    before = 0
+    for i, t in enumerate(texts):  # serial truth
+        nt = len(t.split(" "))
+        assert packs.pack_id[i] == before // 64
+        assert packs.pack_offset[i] == before % 64
+        assert packs.n_tokens[i] == nt
+        before += nt
+
+
 def test_tfidf_top_term_exact(ray_session, docs_table):
     """Per-doc argmax tf-idf term equals the brute-force formula
     (tf * ln(N/df), ties by term asc) for every document."""
