@@ -168,6 +168,28 @@ def _q_pack_assign(sf_dir: str):
     return assign_packs(ds, "doc_id", text_column="text", budget=2048)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Eval-set n-gram decontamination flags (GPT-3 13-gram rule,
+    n=13 chars here): eval = every 50th doc, train = the rest
+    (stages/dedup.py decontaminate)."""
+    from stringzilla_ray.stages.dedup import decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mod_filter(want_zero):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            is_ev = ids.to_numpy(zero_copy_only=False) % 50 == 0
+            return t.filter(pa.array(is_ev if want_zero else ~is_ev))
+        return f
+
+    ev = ds.map_batches(_mod_filter(True), batch_format="pyarrow")
+    tr = ds.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return decontaminate(tr, ev, n=13, flag_only=True)
+
+
 def _q_tfidf_top_term(sf_dir: str):
     """Most tf-idf-distinctive token per document (broadcast df
     census; stages/textstats.py tfidf_top_term)."""
@@ -1556,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_df_topk": _q_token_df_topk,
         "tfidf_top_term": _q_tfidf_top_term,
         "hash_split": _q_hash_split,
+        "decontaminate": _q_decontaminate,
         "sample_per_lang": _q_sample_per_lang,
         "pack_assign": _q_pack_assign,
         "utf8_count": _q_utf8_count,
@@ -1640,6 +1663,19 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN substr(md5(text), 17, 16) < '{b_train}' THEN 'train' "
             f"WHEN substr(md5(text), 17, 16) < '{b_val}' THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "decontaminate": (
+            "WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0), "
+            "eg AS (SELECT DISTINCT substr(ev.text, CAST(p AS INT), 13) AS gram "
+            "FROM ev, unnest(generate_series(1, length(ev.text) - 12)) AS t(p) "
+            "WHERE length(ev.text) >= 13), "
+            "tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0), "
+            "tg AS (SELECT DISTINCT tr.doc_id, substr(tr.text, CAST(p AS INT), 13) AS gram "
+            "FROM tr, unnest(generate_series(1, length(tr.text) - 12)) AS t(p) "
+            "WHERE length(tr.text) >= 13), "
+            "hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)) "
+            "SELECT tr.doc_id, (hits.doc_id IS NOT NULL) AS contaminated "
+            "FROM tr LEFT JOIN hits USING (doc_id)"
         ),
         "sample_per_lang": (
             "SELECT doc_id, lang FROM ("

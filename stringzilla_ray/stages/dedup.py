@@ -517,6 +517,88 @@ def _dedupe_verify_bucket(g: pa.Table, docs_ref=None, n: int = 3,
     return pa.concat_tables(outs)
 
 
+def _contamination_fn(batch: pa.Table, eval_ref=None, n: int = 13,
+                      id_column: str = "doc_id",
+                      text_column: str = "text") -> pa.Table:
+    """(id, contaminated) flags: does ANY of the row's character
+    n-grams appear in the broadcast eval gram set? One gram pass per
+    batch + one searchsorted against the sorted eval hashes."""
+    import ray
+
+    eval_hashes = ray.get(eval_ref)
+    ids = batch[id_column]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offs = tape_of(pc.cast(col, pa.large_binary()))
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    flat, gram_offs = _gram_hash_sets(tape, (offs - offs[0]).astype(np.int64), n)
+    if len(eval_hashes) and len(flat):
+        pos = np.minimum(np.searchsorted(eval_hashes, flat),
+                         len(eval_hashes) - 1)
+        hit = eval_hashes[pos] == flat
+    else:
+        hit = np.zeros(len(flat), bool)
+    sizes = np.diff(gram_offs)
+    rows = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    contaminated = np.zeros(len(sizes), bool)
+    if len(rows):
+        np.logical_or.at(contaminated, rows, hit)
+    return pa.table({id_column: ids,
+                     "contaminated": pa.array(contaminated, pa.bool_())})
+
+
+def decontaminate(train_ds, eval_ds, n: int = 13,
+                  id_column: str = "doc_id", text_column: str = "text",
+                  flag_only: bool = False):
+    """Eval-set decontamination — the published n-gram rule (a training
+    document is contaminated if it shares ANY character ``n``-gram
+    with any eval document; GPT-3 appendix C / The Pile style, n=13).
+
+    Broadcast-small-side shape: the eval side (always tiny next to the
+    training corpus) collapses to one sorted uint64 gram-hash array —
+    ~8 bytes per distinct eval gram — shipped once via ray.put; every
+    training batch then flags itself with one vectorized gram pass +
+    one binary search, zero shuffles. 64-bit gram hashing makes a
+    false flag a ~2^-64-per-comparison event (and false flags only
+    cost a dropped doc, never leakage). ``flag_only`` returns
+    (id, contaminated) for auditing instead of the filtered corpus."""
+    import ray
+
+    parts = []
+    for b in eval_ds.select_columns([text_column]).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        col = b[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tape, offs = tape_of(pc.cast(col, pa.large_binary()))
+        tape = np.asarray(tape[offs[0]:offs[-1]])
+        flat, _ = _gram_hash_sets(tape, (offs - offs[0]).astype(np.int64), n)
+        parts.append(flat)
+    eval_hashes = (np.unique(np.concatenate(parts))
+                   if parts else np.zeros(0, np.uint64))
+    eval_ref = ray.put(eval_hashes)
+    flags = train_ds.map_batches(
+        _contamination_fn,
+        fn_kwargs=dict(eval_ref=eval_ref, n=n, id_column=id_column,
+                       text_column=text_column),
+        batch_format="pyarrow",
+    )
+    if flag_only:
+        return flags
+    # filter in the same pass the flags are computed (no join): rerun
+    # the flag kernel per batch and keep clean rows
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        f = _contamination_fn(batch, eval_ref=eval_ref, n=n,
+                              id_column=id_column, text_column=text_column)
+        return batch.filter(pc.invert(f["contaminated"]))
+
+    return train_ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
 class MinHashForDocs(Fingerprinter):
     """Fingerprinter preconfigured for a flat documents table."""
 

@@ -248,6 +248,38 @@ def test_token_topk_exact(ray_session, docs_table):
         assert list(zip(got.token, got.cnt)) == want, distinct
 
 
+def test_decontaminate(ray_session):
+    """n-gram decontamination equals the brute-force substring-set
+    truth: exactly the train docs sharing a char n-gram with any eval
+    doc get flagged; filter mode returns the clean complement."""
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import decontaminate
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{k:02d}" for k in range(40)]
+    ev_texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(5)]
+    tr_texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(40)]
+    tr_texts[3] = "x " + ev_texts[0][10:40] + " y"   # planted leak
+    tr_texts[7] = ev_texts[2]                        # verbatim eval doc
+    tr_texts[9] = "short"                            # < n, never flagged
+    n = 13
+    ev_grams = {t[i:i + n] for t in ev_texts for i in range(len(t) - n + 1)}
+    want = {i for i, t in enumerate(tr_texts)
+            if any(t[i2:i2 + n] in ev_grams for i2 in range(len(t) - n + 1))}
+    assert 3 in want and 7 in want and 9 not in want
+    tr = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(tr_texts)), pa.int64()),
+        "text": pa.array(tr_texts, pa.string())}))
+    ev = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(ev_texts)), pa.int64()),
+        "text": pa.array(ev_texts, pa.string())}))
+    flags = decontaminate(tr, ev, n=n, flag_only=True).to_pandas()
+    assert set(flags.doc_id[flags.contaminated]) == want
+    clean = decontaminate(tr, ev, n=n).to_pandas()
+    assert set(clean.doc_id) == set(range(len(tr_texts))) - want
+
+
 def test_curation_ops(ray_session, docs_table):
     """assign_split: partition-invariant, duplicate-co-assigning,
     fraction-respecting. sample_per_group: exact winners under any
