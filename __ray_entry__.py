@@ -190,6 +190,48 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(tr, ev, n=13, flag_only=True)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style intra-doc repetition counters over whitespace
+    tokens (integer numerators/denominators; stages/textstats.py
+    add_repetition_stats)."""
+    from stringzilla_ray.stages.textstats import add_repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_repetition_stats(t, "text", unit="token"),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "n_lines", "dup_lines",
+                      "n_line_chars", "dup_line_chars"])
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (email/phone/IPv4 -> typed placeholders). The
+    corpus is synthetic and clean, so both sides plant the same PII
+    suffix first (same pattern as find_denormalized's planted
+    denormalization), then scrub (stages/curation.py scrub_pii)."""
+    from stringzilla_ray.stages.curation import scrub_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        planted = pc.binary_join_element_wise(
+            col, " user", pc.cast(ids, pa.string()),
+            "@mail.example.org call +1 (555) 010-4242 ip 10.0.0.7 end",
+            "",
+        )
+        return pa.table({"doc_id": ids, "text": planted})
+
+    return scrub_pii(
+        ds.map_batches(plant, batch_format="pyarrow"), "text",
+    ).select_columns(["doc_id", "text_scrubbed"])
+
+
 def _q_tfidf_top_term(sf_dir: str):
     """Most tf-idf-distinctive token per document (broadcast df
     census; stages/textstats.py tfidf_top_term)."""
@@ -1579,6 +1621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term": _q_tfidf_top_term,
         "hash_split": _q_hash_split,
         "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
         "sample_per_lang": _q_sample_per_lang,
         "pack_assign": _q_pack_assign,
         "utf8_count": _q_utf8_count,
@@ -1676,6 +1720,27 @@ def oracle_sql() -> dict[str, str]:
             "hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)) "
             "SELECT tr.doc_id, (hits.doc_id IS NOT NULL) AS contaminated "
             "FROM tr LEFT JOIN hits USING (doc_id)"
+        ),
+        "repetition_stats": (
+            "WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS u "
+            "FROM documents), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(length(u)) AS BIGINT) AS n_line_chars FROM l GROUP BY doc_id), "
+            "d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS uniq, "
+            "CAST(sum(length(u)) AS BIGINT) AS uchars FROM "
+            "(SELECT DISTINCT doc_id, u FROM l) GROUP BY doc_id) "
+            "SELECT tot.doc_id, n_lines, n_lines - uniq AS dup_lines, "
+            "n_line_chars, n_line_chars - uchars AS dup_line_chars "
+            "FROM tot JOIN d USING (doc_id)"
+        ),
+        "pii_scrub": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            "text || ' user' || CAST(doc_id AS VARCHAR) || "
+            "'@mail.example.org call +1 (555) 010-4242 ip 10.0.0.7 end', "
+            r"'[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            r"'\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'), "
+            r"'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') "
+            "AS text_scrubbed FROM documents"
         ),
         "sample_per_lang": (
             "SELECT doc_id, lang FROM ("

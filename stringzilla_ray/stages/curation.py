@@ -171,6 +171,40 @@ def sample_per_group(ds, group_column: str, n: int,
     )
 
 
+#: RE2 patterns (pyarrow and DuckDB both run RE2, so the oracle is the
+#: same engine) -> replacement tokens, applied in order.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def _scrub_fn(batch: pa.Table, text_column: str, out_column: str) -> pa.Table:
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for pattern, repl in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern, repl)
+    return batch.append_column(out_column, col)
+
+
+def scrub_pii(ds, text_column: str = "text",
+              out_column: str = "text_scrubbed"):
+    """Redact email / phone / IPv4 spans with typed placeholder tokens
+    — the standard pre-training PII pass. One vectorized RE2 replace
+    per pattern per batch (Arrow's replace_substring_regex), no Python
+    per row; DuckDB's regexp_replace(..., 'g') runs the SAME RE2
+    patterns, giving an exact cross-system oracle. Patterns are
+    deliberately conservative spans (this is redaction, not NER);
+    extend PII_PATTERNS for domain-specific identifiers."""
+    return ds.map_batches(
+        _scrub_fn,
+        fn_kwargs=dict(text_column=text_column, out_column=out_column),
+        batch_format="pyarrow",
+    )
+
+
 def assign_packs(ds, id_column: str = "doc_id",
                  tokens_column: str | None = None,
                  text_column: str = "text", budget: int = 2048):

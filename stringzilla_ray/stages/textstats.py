@@ -248,6 +248,57 @@ def _token_reduce_fn(g: pa.Table, k: int) -> pa.Table:
     return summed.slice(0, k)
 
 
+def add_repetition_stats(batch: pa.Table, text_column: str = "text",
+                         unit: str = "line") -> pa.Table:
+    """Gopher/MassiveText-style intra-document repetition counters:
+    how much of a document is copies of its own lines (or whitespace
+    tokens, ``unit="token"``).
+
+    Emits integer numerators/denominators (never ratios — floats
+    don't survive cross-system hashing): ``n_lines`` /
+    ``dup_lines`` (occurrences beyond each unit's first) and
+    ``n_line_chars`` / ``dup_line_chars`` (the same, length-weighted).
+    Vectorized: one split pass, one dictionary encode, one
+    unique over (row, unit-code) — no per-row Python. The quality
+    filter itself is then a trivial threshold on
+    dup_line_chars / n_line_chars (Gopher drops > 0.2)."""
+    from stringzilla_ray.functions.segment import (
+        split_column,
+        splitlines_column,
+    )
+
+    col = _combined(batch[text_column])
+    if unit == "token":
+        values, parents = split_column(col, " ")
+    else:
+        values, parents = splitlines_column(col)
+    nrows = len(batch)
+    n_lines = np.zeros(nrows, np.int64)
+    dup_lines = np.zeros(nrows, np.int64)
+    n_chars = np.zeros(nrows, np.int64)
+    dup_chars = np.zeros(nrows, np.int64)
+    if len(values):
+        par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(values).to_numpy(zero_copy_only=False).astype(np.int64)
+        np.add.at(n_lines, par, 1)
+        np.add.at(n_chars, par, lens)
+        key = par * len(enc.dictionary) + codes
+        uk, first_idx = np.unique(key, return_index=True)
+        distinct = np.zeros(nrows, np.int64)
+        np.add.at(distinct, (uk // len(enc.dictionary)).astype(np.int64), 1)
+        dup_lines = n_lines - distinct
+        first_chars = np.zeros(nrows, np.int64)
+        np.add.at(first_chars, par[first_idx], lens[first_idx])
+        dup_chars = n_chars - first_chars
+    for name, arr in (("n_lines", n_lines), ("dup_lines", dup_lines),
+                      ("n_line_chars", n_chars),
+                      ("dup_line_chars", dup_chars)):
+        batch = batch.append_column(name, pa.array(arr, pa.int64()))
+    return batch
+
+
 def _df_census_ref(ds, text_column: str):
     """ObjectRef of {token: document_frequency} for the WHOLE corpus —
     the exact census (not sampled, not top-k). Built with the same

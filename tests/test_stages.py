@@ -1160,3 +1160,66 @@ def test_score_pairs_broadcast_dp_fanout(ray_session):
                                expected["scored_by"].values[moved]))
     same = ~moved
     assert (got["sim"].values[same] == expected["sim"].values[same]).all()
+
+
+def test_repetition_stats_vs_reference(ray_session, docs_table):
+    """Vectorized Gopher-style dup counters equal the per-row Python
+    truth on corpus text plus edge cases, in both line and token
+    units."""
+    from stringzilla_ray.stages.textstats import add_repetition_stats
+
+    texts = docs_table["text"].to_pylist()[:200] + [
+        "", "a", "a a a", "x\nx\nx\ny", "one\n\n\none", "  ", "\n\n",
+        "tok tok other tok", "solo\nline", "aa a aa a aa",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    for unit, splitter in (("token", lambda s: s.split(" ")),
+                           ("line", lambda s: s.split("\n"))):
+        got = add_repetition_stats(t, "text", unit=unit)
+        for i, s in enumerate(texts):
+            # like DuckDB string_split, "" splits to one empty part
+            parts = splitter(s)
+            seen, dup, chars, dchars = set(), 0, 0, 0
+            for p in parts:
+                chars += len(p)
+                if p in seen:
+                    dup += 1
+                    dchars += len(p)
+                else:
+                    seen.add(p)
+            assert got["n_lines"][i].as_py() == len(parts), (unit, i)
+            assert got["dup_lines"][i].as_py() == dup, (unit, i)
+            assert got["n_line_chars"][i].as_py() == chars, (unit, i)
+            assert got["dup_line_chars"][i].as_py() == dchars, (unit, i)
+
+
+def test_scrub_pii(ray_session):
+    """Email / phone / IPv4 spans are replaced with typed placeholders;
+    clean text passes through byte-identical."""
+    import ray.data
+
+    from stringzilla_ray.stages.curation import scrub_pii
+
+    texts = [
+        "mail me at john.doe+spam@sub.example.co.uk today",
+        "call +1 (555) 010-4242 or 555-010-9999 now",
+        "server at 192.168.0.1 and 10.0.0.7; version 1.2 stays",
+        "nothing sensitive here — just text",
+        "",
+        "a@b.io and 172.16.254.3 and +44 20 7946 0958 all at once",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = scrub_pii(ray.data.from_arrow(t), "text").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    s = out.text_scrubbed
+    assert s[0] == "mail me at <EMAIL> today"
+    assert s[1] == "call <PHONE> or <PHONE> now"
+    assert s[2] == "server at <IP> and <IP>; version 1.2 stays"
+    assert s[3] == texts[3]
+    assert s[4] == ""
+    assert "<EMAIL>" in s[5] and "<IP>" in s[5] and "<PHONE>" in s[5]
+    for bad in ("@", "192.168", "555-010"):
+        assert bad not in s[1] + s[2]
