@@ -557,6 +557,18 @@ def _q_ngram_jaccard(sf_dir: str):
     return pairs.map_batches(to_r6, batch_format="pyarrow")
 
 
+def _q_near_dedup_keep(sf_dir: str):
+    """Keep-one near-dup dedup: exact 4-gram Jaccard >= 0.7 pairs ->
+    connected components -> min-id survivor per duplicate cluster.
+    The pair set is the oracle-green exact join, so DuckDB reproduces
+    the whole operator with a recursive-CTE transitive closure."""
+    from stringzilla_ray.stages.dedup import near_dedup_keep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return near_dedup_keep(ds, "doc_id", "text", n=4,
+                           jaccard_threshold=0.7)
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1642,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_purchases_after_click": _q_range_purchases_after_click,
         "sessionize": _q_sessionize,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
+        "near_dedup_keep": _q_near_dedup_keep,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2107,6 +2120,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) AS BIGINT) AS jaccard_r6 "
             "FROM inter JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r "
             "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7"
+        ),
+        "near_dedup_keep": (
+            # Same exact pair set as ngram_jaccard_near_dup, then a
+            # recursive-CTE transitive closure: each doc's cluster rep
+            # is the minimum id it can reach in the duplicate graph —
+            # identical semantics to the Ray side's union-find.
+            "WITH RECURSIVE g AS ("
+            "  SELECT DISTINCT doc_id, substring(text, CAST(gs AS INT), 4) AS gram"
+            "  FROM documents CROSS JOIN generate_series(1, 100000) AS t(gs)"
+            "  WHERE gs <= length(text) - 3"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i"
+            "  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id),"
+            "pairs AS ("
+            "  SELECT l, r FROM inter"
+            "  JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r"
+            "  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7),"
+            "sym AS (SELECT l AS a, r AS b FROM pairs"
+            "        UNION ALL SELECT r AS a, l AS b FROM pairs),"
+            "reach(s, d) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT reach.s, sym.b FROM reach JOIN sym ON sym.a = reach.d)"
+            "SELECT s AS doc_id, min(d) AS cluster_rep, "
+            "CAST(s = min(d) AS INT) AS keep FROM reach GROUP BY s"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -1002,3 +1002,67 @@ def simhash_near_dup_pairs(
         fn_kwargs=dict(sig_ref=sig_ref, k=k),
         batch_format="pyarrow",
     )
+
+
+def near_dedup_keep(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    pairs=None,
+):
+    """Keep-one near-duplicate dedup: the full curation operator that
+    the pair generators above feed. Near-dup pairs (by default the
+    EXACT n-gram Jaccard join, so the result is deterministic and
+    oracle-checkable) become the edge set of a duplicate graph; its
+    connected components are duplicate clusters; each document is
+    labeled with its cluster representative (the component's minimum
+    id) and ``keep`` marks the one survivor per cluster.
+
+    Scale shape: pair generation is the prefix-filtered inverted index
+    (ngram_jaccard_near_dup); the duplicate graph is orders of
+    magnitude smaller than the corpus, so components resolve through
+    the ER clustering machinery (warm-worker union-find with a
+    spanning-forest tree reduce, distributed label-propagation
+    fallback above 50M edges) and labels broadcast back in ONE
+    map_batches — documents never shuffle. Reference parity: the
+    composition of StringZilla's fingerprint/hash building blocks into
+    corpus dedup, per SURVEY.md section 2.4 ("near dedup (derived)").
+
+    Pass ``pairs`` (a Dataset with int64 ``left``/``right``) to reuse
+    an approximate generator (MinHash-LSH, SimHash) instead of the
+    exact join.
+
+    Output: (id_column, cluster_rep int64, keep int32), one row per
+    input document.
+    """
+    from stringzilla_ray.stages.clustering import assign_clusters
+    from stringzilla_ray.state.config import ERConfig
+
+    if pairs is None:
+        pairs = ngram_jaccard_near_dup(
+            ds, id_column, text_column, n=n,
+            jaccard_threshold=jaccard_threshold,
+        )
+    edges = pairs.select_columns(["left", "right"])
+
+    def _add_node(t: pa.Table) -> pa.Table:
+        return t.append_column("__node", t[id_column].cast(pa.int64()))
+
+    members = ds.select_columns([id_column]).map_batches(
+        _add_node, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    labeled = assign_clusters(
+        members, edges, ERConfig(), node_column="__node",
+        out_column="cluster_rep",
+    )
+
+    def _mark(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = t["cluster_rep"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "keep", pa.array((ids == rep).astype(np.int32), pa.int32())
+        )
+
+    return labeled.map_batches(_mark, batch_format="pyarrow")

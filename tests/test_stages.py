@@ -1223,3 +1223,63 @@ def test_scrub_pii(ray_session):
     assert "<EMAIL>" in s[5] and "<IP>" in s[5] and "<PHONE>" in s[5]
     for bad in ("@", "192.168", "555-010"):
         assert bad not in s[1] + s[2]
+
+
+def test_near_dedup_keep_matches_bruteforce(ray_session):
+    """near_dedup_keep = exact pair set -> connected components ->
+    min-id survivor. Verified against a brute-force O(n^2) Jaccard +
+    pure-Python union-find, on a corpus with a transitive chain
+    (A~B and B~C above threshold while A~C may fall below): the
+    component, not the pair, defines the cluster."""
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import (
+        near_dedup_keep,
+        ngram_jaccard,
+        ngram_set_hashes,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{k:03d}" for k in range(120)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    # transitive chain: each link edits a couple of words of the last
+    chain = texts[0]
+    for step in range(1, 4):
+        words = chain.split()
+        words[step] = f"edit{step}"
+        chain = " ".join(words)
+        texts.append(chain)
+    texts += [texts[5], texts[5] + " tail"]           # dup + near-dup
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    n, thr = 4, 0.7
+    grams = ngram_set_hashes(texts, n=n)
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if ngram_jaccard(grams[i], grams[j]) >= thr:
+                n_edges += 1
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    assert n_edges >= 4  # the corpus exercises real clusters
+    want_rep = {i: find(i) for i in range(len(texts))}
+    assert len(set(want_rep.values())) < len(texts)
+
+    out = near_dedup_keep(
+        ray.data.from_arrow(tbl).repartition(5), "doc_id", "text",
+        n=n, jaccard_threshold=thr,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == list(range(len(texts)))
+    assert list(out["cluster_rep"]) == [want_rep[i] for i in range(len(texts))]
+    assert list(out["keep"]) == [int(i == want_rep[i]) for i in range(len(texts))]
+    assert out["keep"].dtype == np.int32
