@@ -569,6 +569,19 @@ def _q_near_dedup_keep(sf_dir: str):
                            jaccard_threshold=0.7)
 
 
+def _q_drop_boilerplate(sf_dir: str):
+    """MassiveText/RefinedWeb repeated-lines filter over the documents
+    table: segments (space-delimited here — the synthetic corpus has
+    no newlines) occurring in > 75% of documents are boilerplate and
+    are dropped; survivors rejoin in order. One census exchange, zero
+    document shuffles (stages/curation.py drop_frequent_lines)."""
+    from stringzilla_ray.stages.curation import drop_frequent_lines
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = drop_frequent_lines(ds, delimiter=" ", max_df_frac=0.75)
+    return out.select_columns(["doc_id", "text_clean", "n_dropped"])
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1655,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "near_dedup_keep": _q_near_dedup_keep,
+        "drop_boilerplate": _q_drop_boilerplate,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2147,6 +2161,29 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT reach.s, sym.b FROM reach JOIN sym ON sym.a = reach.d)"
             "SELECT s AS doc_id, min(d) AS cluster_rep, "
             "CAST(s = min(d) AS INT) AS keep FROM reach GROUP BY s"
+        ),
+        "drop_boilerplate": (
+            # Literal SQL twin: explode segments with zipped unnest
+            # (order index via range), df census with HAVING, NOT IN
+            # filter, order-preserving string_agg reassembly. The 0.75
+            # threshold is exactly representable so both sides compute
+            # the identical integer cutoff.
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks"
+            "           FROM documents),"
+            "e AS (SELECT doc_id, unnest(toks) AS tok,"
+            "             unnest(range(1, len(toks)+1)) AS i FROM s),"
+            "heavy AS (SELECT tok FROM e GROUP BY tok"
+            "  HAVING count(DISTINCT doc_id) >"
+            "    CAST(floor(0.75 * (SELECT count(*) FROM s)) AS BIGINT)),"
+            "kept AS (SELECT doc_id, tok, i FROM e"
+            "         WHERE tok NOT IN (SELECT tok FROM heavy)),"
+            "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS tc,"
+            "               count(*) AS n_kept FROM kept GROUP BY doc_id),"
+            "tot AS (SELECT doc_id, count(*) AS n_tot FROM e GROUP BY doc_id)"
+            "SELECT d.doc_id, coalesce(a.tc, '') AS text_clean, "
+            "t.n_tot - coalesce(a.n_kept, 0) AS n_dropped "
+            "FROM documents d JOIN tot t USING (doc_id) "
+            "LEFT JOIN agg a USING (doc_id)"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

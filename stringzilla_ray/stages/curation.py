@@ -269,3 +269,149 @@ def assign_packs(ds, id_column: str = "doc_id",
 
     out_refs = [label_block.remote(r, offsets[i]) for i, r in enumerate(refs)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def _line_census_fn(batch: pa.Table, text_column: str, delimiter: str,
+                    n_shards: int) -> pa.Table:
+    """Map-side partial for the line-df census: per batch, the number
+    of DISTINCT documents containing each exact line. Each document is
+    one row (so one batch), so per-batch distinct (line, doc) pairs
+    are globally distinct and the shard-groupby sum is the exact df."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    la = pc.split_pattern(col, pattern=delimiter)
+    flat = la.flatten()
+    parents = np.repeat(
+        np.arange(len(la), dtype=np.int64), np.diff(la.offsets.to_numpy())
+    )
+    pairs = pa.table({"line": flat, "doc": pa.array(parents, pa.int64())})
+    distinct = pairs.group_by(["line", "doc"]).aggregate([])
+    partial = distinct.group_by("line").aggregate([("doc", "count")])
+    lines = partial["line"]
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    shard = (hash_string_column(lines) % n_shards).astype(np.int32)
+    return pa.table({
+        "line": lines,
+        "cnt": partial["doc_count"].cast(pa.int64()),
+        "shard": pa.array(shard, pa.int32()),
+    })
+
+
+def _heavy_lines_fn(g: pa.Table, threshold: int) -> pa.Table:
+    """Shard reducer: the shard owns complete line groups (hash-
+    sharded), so summing partials here is the exact global df."""
+    summed = g.group_by("line").aggregate([("cnt", "sum")])
+    mask = pc.greater(summed["cnt_sum"], threshold)
+    return pa.table({"line": summed.filter(mask)["line"]})
+
+
+def _drop_lines_fn(batch: pa.Table, text_column: str, delimiter: str,
+                   out_column: str, heavy_ref) -> pa.Table:
+    import ray
+
+    heavy = ray.get(heavy_ref)
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    la = pc.split_pattern(col, pattern=delimiter)
+    flat = la.flatten()
+    offs = la.offsets.to_numpy()
+    keep = np.asarray(
+        pc.invert(pc.is_in(flat, value_set=heavy)).to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=bool,
+    )
+    parents = np.repeat(np.arange(len(la), dtype=np.int64), np.diff(offs))
+    kept_counts = np.bincount(parents[keep], minlength=len(la))
+    new_offs = np.zeros(len(la) + 1, np.int64)
+    np.cumsum(kept_counts, out=new_offs[1:])
+    kept_list = pa.LargeListArray.from_arrays(
+        pa.array(new_offs, pa.int64()),
+        flat.filter(pa.array(keep)).cast(pa.string()),
+    )
+    cleaned = pc.binary_join(kept_list, delimiter)
+    dropped = np.diff(offs) - kept_counts
+    return batch.append_column(out_column, cleaned.cast(pa.string())) \
+                .append_column("n_dropped", pa.array(dropped, pa.int64()))
+
+
+def drop_frequent_lines(
+    ds,
+    text_column: str = "text",
+    delimiter: str = "\n",
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+    out_column: str = "text_clean",
+    max_broadcast_lines: int = 5_000_000,
+):
+    """Boilerplate removal by cross-document line frequency — the
+    MassiveText / RefinedWeb / CCNet "repeated lines" filter: any
+    exact line (``delimiter``-separated segment) occurring in more
+    than ``max_df`` distinct documents is dropped from every document,
+    and the survivors are rejoined in their original order.
+
+    Scale shape: ONE small census exchange and ZERO document shuffles.
+    Pass 1 posts per-batch distinct (line, df-partial) counts (each
+    document is a single row, so batch-local distinct pairs are
+    globally distinct), a hash-shard groupby sums them exactly, and
+    only the heavy tail (df > threshold — the boilerplate set, tiny by
+    construction) is gathered and broadcast once via ``ray.put``.
+    Pass 2 filters each document's lines locally with one vectorized
+    ``is_in`` + ``binary_join`` — no per-row Python, no collision risk
+    (membership tests compare the line STRINGS; hashes are only the
+    shard key). Raises if the heavy set exceeds
+    ``max_broadcast_lines`` (threshold too low to be "boilerplate").
+
+    Output: input columns + ``out_column`` (cleaned text) +
+    ``n_dropped`` (line occurrences removed). No reference analogue —
+    an engine-level curation operator per SURVEY.md section 2.4.
+    """
+    import functools
+
+    import ray
+
+    from stringzilla_ray.util import reduce_buckets
+
+    if (max_df is None) == (max_df_frac is None):
+        raise ValueError("pass exactly one of max_df / max_df_frac")
+    if max_df is None:
+        max_df = int(max_df_frac * ds.count())
+    n_shards = reduce_buckets()
+    heavy = (
+        ds.map_batches(
+            _line_census_fn,
+            fn_kwargs=dict(text_column=text_column, delimiter=delimiter,
+                           n_shards=n_shards),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("shard")
+        .map_groups(
+            functools.partial(_heavy_lines_fn, threshold=max_df),
+            batch_format="pyarrow",
+        )
+    )
+    tables = [t for t in ray.get(heavy.to_arrow_refs()) if len(t)]
+    if tables:
+        heavy_arr = pa.concat_tables(tables)["line"].combine_chunks()
+    else:
+        heavy_arr = pa.array([], pa.string())
+    if len(heavy_arr) > max_broadcast_lines:
+        raise ValueError(
+            f"{len(heavy_arr)} lines exceed max_df={max_df}: threshold too "
+            "low for a broadcast boilerplate set "
+            f"(cap {max_broadcast_lines})"
+        )
+    heavy_ref = ray.put(heavy_arr)
+    return ds.map_batches(
+        _drop_lines_fn,
+        fn_kwargs=dict(text_column=text_column, delimiter=delimiter,
+                       out_column=out_column, heavy_ref=heavy_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

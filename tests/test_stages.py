@@ -1283,3 +1283,48 @@ def test_near_dedup_keep_matches_bruteforce(ray_session):
     assert list(out["cluster_rep"]) == [want_rep[i] for i in range(len(texts))]
     assert list(out["keep"]) == [int(i == want_rep[i]) for i in range(len(texts))]
     assert out["keep"].dtype == np.int32
+
+
+def test_drop_frequent_lines(ray_session):
+    """Boilerplate removal (MassiveText repeated-lines rule): lines in
+    > max_df distinct docs vanish everywhere, survivors keep order,
+    repeated occurrences inside ONE doc count once for the census but
+    all get dropped; reshard-invariant; broadcast cap enforced."""
+    import ray.data
+
+    from stringzilla_ray.stages.curation import drop_frequent_lines
+
+    texts = [
+        "COOKIE BANNER\nalpha beta\nfooter v1\nCOOKIE BANNER",
+        "COOKIE BANNER\ngamma\nfooter v1",
+        "COOKIE BANNER\ndelta\nfooter v1",
+        "COOKIE BANNER\nCOOKIE BANNER",  # becomes empty
+        "unique document",
+        "",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+
+    def run(parts):
+        return (
+            drop_frequent_lines(
+                ray.data.from_arrow(tbl).repartition(parts), max_df=2
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    out = run(3)
+    # COOKIE BANNER df=4 and footer df=3 exceed max_df=2; '' has df=1
+    assert list(out["text_clean"]) == [
+        "alpha beta", "gamma", "delta", "", "unique document", "",
+    ]
+    assert list(out["n_dropped"]) == [3, 2, 2, 2, 0, 0]
+    assert out["n_dropped"].dtype == np.int64
+    assert run(1).equals(out) and run(6).equals(out)
+
+    with pytest.raises(ValueError, match="max_df"):
+        drop_frequent_lines(ray.data.from_arrow(tbl))  # neither arg
+    with pytest.raises(ValueError, match="threshold too"):
+        drop_frequent_lines(
+            ray.data.from_arrow(tbl), max_df=0, max_broadcast_lines=2
+        ).materialize()
