@@ -582,6 +582,19 @@ def _q_drop_boilerplate(sf_dir: str):
     return out.select_columns(["doc_id", "text_clean", "n_dropped"])
 
 
+def _q_median_chars_by_lang(sf_dir: str):
+    """Exact per-group median without a global sort: map-side
+    (key, value, cnt) frequency partials -> hash-shard groupby ->
+    local cumulative-count quantile read (stages/stats.py). The
+    quantile_cont interpolation on int inputs is exact in doubles, so
+    DuckDB median() is the literal oracle."""
+    from stringzilla_ray.stages.stats import grouped_quantile
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_quantile(ds, "lang", "n_chars", 0.5,
+                            out_column="median_chars")
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1669,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "near_dedup_keep": _q_near_dedup_keep,
         "drop_boilerplate": _q_drop_boilerplate,
+        "median_chars_by_lang": _q_median_chars_by_lang,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2184,6 +2198,13 @@ def oracle_sql() -> dict[str, str]:
             "t.n_tot - coalesce(a.n_kept, 0) AS n_dropped "
             "FROM documents d JOIN tot t USING (doc_id) "
             "LEFT JOIN agg a USING (doc_id)"
+        ),
+        "median_chars_by_lang": (
+            # median(int) = quantile_cont 0.5: interpolation between
+            # two int order statistics is exact in doubles, so the
+            # hash is bit-stable on both sides.
+            "SELECT lang, median(n_chars) AS median_chars "
+            "FROM documents GROUP BY lang"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -1,0 +1,119 @@
+"""Exact grouped order statistics over unbounded inputs.
+
+Ray Data ships Mean/Sum/Min/Max/Std aggregates but no exact quantiles
+(only per-block approximations would compose); a corpus-curation
+pipeline needs exact medians/percentiles per group (doc-length cutoffs
+per language, latency percentiles per event type) without a global
+sort. ``grouped_quantile`` gets them with ONE tiny exchange:
+
+1. map-side partials collapse each batch to (key, value, cnt) distinct
+   triples — the frequency-map trick: the exchange volume is bounded by
+   group-cardinality x distinct-value-cardinality, not by rows;
+2. a hash-shard groupby co-locates complete key groups, so each shard
+   sums partials into the exact per-(key, value) histogram and reads
+   the quantile off the cumulative counts locally.
+
+The interpolation is quantile_cont's (h = (n-1)*q between the two
+nearest order statistics) — DuckDB's median()/quantile_cont() are the
+literal oracle. No reference analogue (StringZilla has no grouped
+aggregation, SURVEY.md section 2.5); this is engine infrastructure its
+users would otherwise hand-roll with a full sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _quantile_partial_fn(batch: pa.Table, key_column: str,
+                         value_column: str, n_shards: int) -> pa.Table:
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
+    part = (
+        batch.select([key_column, value_column])
+        .group_by([key_column, value_column])
+        .aggregate([([], "count_all")])
+    )
+    keys = part[key_column]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+        h = hash_string_column(keys)
+    else:
+        h = keys.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    shard = np.abs(h) % n_shards
+    return pa.table({
+        key_column: keys,
+        value_column: part[value_column],
+        "cnt": part["count_all"].cast(pa.int64()),
+        "shard": pa.array(shard.astype(np.int32), pa.int32()),
+    })
+
+
+def _quantile_reduce_fn(g: pa.Table, key_column: str, value_column: str,
+                        q: float, out_column: str) -> pa.Table:
+    """Shard reducer: sum partial counts per (key, value), then read
+    each key's quantile off its sorted value histogram. Vector work is
+    one lexsort + segmented cumsum; the per-KEY loop is over group
+    cardinality (languages, event types), never rows."""
+    summed = g.group_by([key_column, value_column]).aggregate([("cnt", "sum")])
+    keys = summed[key_column].to_numpy(zero_copy_only=False)
+    vals = summed[value_column].to_numpy(zero_copy_only=False).astype(np.float64)
+    cnts = summed["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, codes = np.unique(keys, return_inverse=True)
+    order = np.lexsort((vals, codes))
+    codes, vals, cnts = codes[order], vals[order], cnts[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], codes[1:] != codes[:-1]))
+    )
+    ends = np.concatenate((starts[1:], [len(codes)]))
+    out_keys, out_q = [], np.empty(len(starts), np.float64)
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        c = np.cumsum(cnts[s:e])
+        n = c[-1]
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = int(np.ceil(h))
+        # order statistic i (0-based) lives where cumsum first exceeds i
+        v_lo = vals[s + np.searchsorted(c, lo, side="right")]
+        v_hi = vals[s + np.searchsorted(c, hi, side="right")]
+        out_keys.append(uniq[codes[s]])
+        out_q[gi] = v_lo + (h - lo) * (v_hi - v_lo)
+    return pa.table({
+        key_column: pa.array(out_keys, summed[key_column].type),
+        out_column: pa.array(out_q, pa.float64()),
+    })
+
+
+def grouped_quantile(ds, key_column: str, value_column: str,
+                     q: float = 0.5, out_column: str | None = None):
+    """Exact per-group quantile_cont (default: median) of a numeric
+    column. Output: one row per group, (key_column, out_column
+    float64). See module docstring for the two-pass shape."""
+    import functools
+
+    from stringzilla_ray.util import reduce_buckets
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if out_column is None:
+        out_column = f"{value_column}_q{q:g}".replace(".", "_")
+    n_shards = reduce_buckets()
+    return (
+        ds.map_batches(
+            _quantile_partial_fn,
+            fn_kwargs=dict(key_column=key_column, value_column=value_column,
+                           n_shards=n_shards),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("shard")
+        .map_groups(
+            functools.partial(
+                _quantile_reduce_fn, key_column=key_column,
+                value_column=value_column, q=q, out_column=out_column,
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -1328,3 +1328,33 @@ def test_drop_frequent_lines(ray_session):
         drop_frequent_lines(
             ray.data.from_arrow(tbl), max_df=0, max_broadcast_lines=2
         ).materialize()
+
+
+def test_grouped_quantile_exact(ray_session):
+    """grouped_quantile == numpy's linear-interpolation quantile per
+    group, for several q, on doubles with duplicate values, skewed
+    group sizes, and an int64 group key; reshard-invariant."""
+    import pandas as pd
+    import ray.data
+
+    from stringzilla_ray.stages.stats import grouped_quantile
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    keys = rng.choice([1, 2, 3, 40], size=n, p=[0.7, 0.2, 0.05, 0.05])
+    vals = np.round(rng.normal(size=n), 2)  # ties guaranteed
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "v": pa.array(vals, pa.float64())})
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        got = (
+            grouped_quantile(ray.data.from_arrow(tbl).repartition(7),
+                             "k", "v", q, out_column="qv")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        want = pdf.groupby("k")["v"].quantile(q)
+        assert list(got["k"]) == list(want.index)
+        np.testing.assert_allclose(got["qv"].values, want.values,
+                                   rtol=0, atol=0)
+    with pytest.raises(ValueError, match="q must be"):
+        grouped_quantile(ray.data.from_arrow(tbl), "k", "v", 1.5)
