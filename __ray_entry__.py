@@ -595,6 +595,33 @@ def _q_median_chars_by_lang(sf_dir: str):
                             out_column="median_chars")
 
 
+def _q_bottomk_sample(sf_dir: str):
+    """Deterministic uniform 100-doc sample: bottom-k by md5 content
+    key (KMV trick) — engine-independent and auditable, unlike a
+    seeded PRNG draw. Per-batch argpartition keeps k rows; only
+    n_blocks*k rows ever leave a block (stages/curation.py)."""
+    from stringzilla_ray.stages.curation import bottom_k_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bottom_k_sample(ds, "doc_id", "text", k=100, method="md5")
+
+
+def _q_gopher_quality(sf_dir: str):
+    """Gopher rule-based filter (Rae et al. 2021 thresholds): word
+    count, mean word length, alpha-word fraction, symbol ratio,
+    stopword presence — hard gates complementing quality_score's soft
+    score. Ratios emitted as scaled ints for bit-stable hashing."""
+    from stringzilla_ray.stages.textstats import gopher_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        gopher_quality, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns([
+        "doc_id", "n_words", "mean_word_len_r6", "alpha_word_frac_r6",
+        "symbol_ratio_r6", "n_stopwords", "passes",
+    ])
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1683,6 +1710,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": _q_near_dedup_keep,
         "drop_boilerplate": _q_drop_boilerplate,
         "median_chars_by_lang": _q_median_chars_by_lang,
+        "bottomk_sample": _q_bottomk_sample,
+        "gopher_quality": _q_gopher_quality,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2205,6 +2234,49 @@ def oracle_sql() -> dict[str, str]:
             # hash is bit-stable on both sides.
             "SELECT lang, median(n_chars) AS median_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "bottomk_sample": (
+            # Same auditable key as hash_split: low 8 bytes of md5 as
+            # hex — lexicographic hex order == numeric uint64 order.
+            "SELECT doc_id, sample_rank FROM ("
+            "  SELECT doc_id, row_number() OVER ("
+            "    ORDER BY substr(md5(text), 17, 16), doc_id"
+            "  ) AS sample_rank FROM documents"
+            ") WHERE sample_rank <= 100"
+        ),
+        "gopher_quality": (
+            # Literal rule mirror: same tokenization (\S+ runs), same
+            # single-division doubles, same floor(x*1e6+0.5) scaling,
+            # same RE2 \b stopword tests.
+            "WITH w AS (SELECT doc_id, text,"
+            "  regexp_extract_all(text, '\\S+') AS ws FROM documents),"
+            "s AS (SELECT doc_id, text, len(ws) AS nw,"
+            "  coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS tc,"
+            "  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS na,"
+            "  (length(text) - length(replace(text, '#', '')))"
+            "   + (length(text) - length(replace(text, '…', ''))) AS ns"
+            "  FROM w),"
+            "r AS (SELECT doc_id, nw,"
+            "  CASE WHEN nw > 0 THEN CAST(tc AS DOUBLE)/nw ELSE 0 END AS mwl,"
+            "  CASE WHEN nw > 0 THEN CAST(na AS DOUBLE)/nw ELSE 0 END AS af,"
+            "  CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE)/nw ELSE 0 END AS sr,"
+            "  (CAST(regexp_matches(text, '\\bthe\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bbe\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bto\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bof\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\band\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bthat\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bhave\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bwith\\b') AS INT)) AS nstop"
+            "  FROM s)"
+            "SELECT doc_id, CAST(nw AS BIGINT) AS n_words,"
+            "  CAST(floor(mwl*1e6+0.5) AS BIGINT) AS mean_word_len_r6,"
+            "  CAST(floor(af*1e6+0.5) AS BIGINT) AS alpha_word_frac_r6,"
+            "  CAST(floor(sr*1e6+0.5) AS BIGINT) AS symbol_ratio_r6,"
+            "  CAST(nstop AS BIGINT) AS n_stopwords,"
+            "  CAST(nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10"
+            "   AND af >= 0.8 AND sr <= 0.1 AND nstop >= 2 AS INT) AS passes "
+            "FROM r"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -415,3 +415,62 @@ def drop_frequent_lines(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def _bottomk_partial_fn(batch: pa.Table, id_column: str, text_column: str,
+                        k: int, method: str, seed: int) -> pa.Table:
+    key = _split_key(batch[text_column], method, seed)
+    ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(key) > k:
+        # partial selection, then an exact (key, id) sort of the k winners
+        part = np.argpartition(key, k - 1)[:k]
+        key, ids = key[part], ids[part]
+    order = np.lexsort((ids, key))
+    return pa.table({
+        id_column: pa.array(ids[order], pa.int64()),
+        "__key": pa.array(key[order].view(np.int64), pa.int64()),
+    })
+
+
+def bottom_k_sample(ds, id_column: str = "doc_id",
+                    text_column: str = "text", k: int = 100,
+                    method: str = "fast", seed: int = 0,
+                    rank_column: str = "sample_rank"):
+    """Deterministic uniform sample of exactly ``k`` documents:
+    bottom-k by content hash ("the k smallest hashes" — the classic
+    KMV sampling trick). Reproducible on any engine, any cluster
+    size, any row order — the property ``Strs.sample``'s seeded PRNG
+    draw has per-collection, lifted to distributed corpora (reference:
+    python/README.md:392-394). ``method="md5"`` is the auditable mode
+    (ties broken by id): an external system reproduces the exact
+    sample from the text alone, and DuckDB oracles it with
+    ``ORDER BY substr(md5(text), 17, 16), id LIMIT k``.
+
+    Scale shape: each batch keeps only its k smallest (argpartition,
+    no full sort), the tiny n_blocks*k partial set collapses in one
+    final task — no shuffle touches the corpus.
+
+    Output: (id_column, rank_column int64), rank 1..k in sample order.
+    """
+    import functools
+
+    out = ds.map_batches(
+        _bottomk_partial_fn,
+        fn_kwargs=dict(id_column=id_column, text_column=text_column,
+                       k=k, method=method, seed=seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).repartition(1)
+
+    def final(t: pa.Table) -> pa.Table:
+        key = t["__key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))[:k]
+        return pa.table({
+            id_column: pa.array(ids[order], pa.int64()),
+            rank_column: pa.array(
+                np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()
+            ),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow", batch_size=None)

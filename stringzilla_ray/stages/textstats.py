@@ -432,3 +432,85 @@ def token_topk(ds, text_column: str = "text", k: int = 100,
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    batch: pa.Table,
+    text_column: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stopwords: int = 2,
+) -> pa.Table:
+    """Gopher rule-based document filter (Rae et al. 2021, table A1
+    subset): the published hard thresholds that complement
+    add_quality's soft 0..1 score. Rules: word count in
+    [min_words, max_words]; mean word length in [3, 10] chars;
+    >= 80% of words contain an alphabetic character; symbol-to-word
+    ratio ('#' or ellipsis) <= 0.1; >= 2 distinct Gopher stopwords
+    present. Fully vectorized (one whitespace split + flat-token
+    regex + bincount per rule) and fully SQL-expressible, so the
+    whole filter is oracle-checkable bit-for-bit (ratios emitted as
+    floor(x*1e6+0.5) ints).
+
+    Output columns: n_words int64, mean_word_len_r6, alpha_word_frac_r6,
+    symbol_ratio_r6 (scaled ints), n_stopwords int64, passes int32.
+    """
+    col = _combined(batch[text_column])
+    words = pc.utf8_split_whitespace(col)
+    flat = words.flatten()
+    offs = _list_offsets(words)
+    parents = np.repeat(np.arange(len(col), dtype=np.int64), np.diff(offs))
+    wlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    # Arrow's whitespace split emits empty tokens for empty/edge-space
+    # inputs; the rule counts \S+ runs, so empties are not words.
+    nonempty = wlens > 0
+    parents, wlens = parents[nonempty], wlens[nonempty]
+    flat = flat.filter(pa.array(nonempty))
+    n_words = np.bincount(parents, minlength=len(col)).astype(np.int64)
+    tot_chars = np.bincount(parents, weights=wlens, minlength=len(col))
+    has_alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha_words = np.bincount(
+        parents, weights=has_alpha.astype(np.float64), minlength=len(col)
+    )
+    n_sym = (
+        pc.count_substring(col, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+        + pc.count_substring(col, "…").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n_stop = np.zeros(len(col), np.int64)
+    for w in GOPHER_STOPWORDS:
+        n_stop += pc.match_substring_regex(col, rf"\b{w}\b").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+    safe = np.maximum(n_words, 1).astype(np.float64)
+    mwl = np.where(n_words > 0, tot_chars / safe, 0.0)
+    alpha_frac = np.where(n_words > 0, n_alpha_words / safe, 0.0)
+    sym_ratio = np.where(n_words > 0, n_sym / safe, 0.0)
+    passes = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (sym_ratio <= max_symbol_ratio)
+        & (n_stop >= min_stopwords)
+    )
+
+    def r6(x):
+        return pa.array(np.floor(x * 1e6 + 0.5).astype(np.int64), pa.int64())
+
+    return (
+        batch.append_column("n_words", pa.array(n_words, pa.int64()))
+        .append_column("mean_word_len_r6", r6(mwl))
+        .append_column("alpha_word_frac_r6", r6(alpha_frac))
+        .append_column("symbol_ratio_r6", r6(sym_ratio))
+        .append_column("n_stopwords", pa.array(n_stop, pa.int64()))
+        .append_column("passes", pa.array(passes.astype(np.int32), pa.int32()))
+    )

@@ -1358,3 +1358,81 @@ def test_grouped_quantile_exact(ray_session):
                                    rtol=0, atol=0)
     with pytest.raises(ValueError, match="q must be"):
         grouped_quantile(ray.data.from_arrow(tbl), "k", "v", 1.5)
+
+
+def test_bottom_k_sample_deterministic(ray_session):
+    """bottom-k content sample: exact k, rank order == brute-force
+    sorted hash order, identical across reshardings and row orders,
+    md5 audit mode reproducible from hashlib alone."""
+    import hashlib
+
+    import ray.data
+
+    from stringzilla_ray.stages.curation import bottom_k_sample
+
+    rng = np.random.default_rng(5)
+    texts = [f"document body {i} {rng.integers(1e9)}" for i in range(300)]
+    texts[7] = texts[3]  # tie on key -> id breaks it
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": pa.array(texts)})
+
+    keys = [int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "big")
+            for t in texts]
+    want = [i for _, i in sorted(zip(keys, range(300)))][:25]
+
+    got = bottom_k_sample(
+        ray.data.from_arrow(tbl).repartition(6), k=25, method="md5"
+    ).to_pandas()
+    assert list(got["doc_id"]) == want
+    assert list(got["sample_rank"]) == list(range(1, 26))
+
+    perm = np.random.default_rng(9).permutation(300)
+    got2 = bottom_k_sample(
+        ray.data.from_arrow(tbl.take(pa.array(perm))).repartition(11),
+        k=25, method="md5",
+    ).to_pandas()
+    assert got2.equals(got)
+
+    fast = bottom_k_sample(ray.data.from_arrow(tbl), k=500).to_pandas()
+    assert len(fast) == 300  # k > n returns everything, still ranked
+
+
+def test_gopher_quality_rules(ray_session):
+    """Each Gopher rule trips on a purpose-built document and the
+    vectorized batch outputs match a per-doc reference computation."""
+    from stringzilla_ray.stages.textstats import gopher_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks away to rest beside a warm fire with friends who "
+            "have gathered there for stories that last all night "
+            "while stars wheel overhead and the world turns slowly "
+            "toward morning light bringing new hope for every one "
+            "of us waiting here")  # 52 words, plenty of stopwords
+    texts = [
+        good,
+        "  leading and trailing spaces  ",  # empty-token edge
+        "too short to pass",                          # rule 1 (min words)
+        " ".join(["supercalifragilistic"] * 60),      # rule 2 (mean len>10)
+        " ".join(["12345"] * 60),                     # rule 3 (alpha frac)
+        good + " " + "#" * 1 + " #### # # # # # #",   # symbols, still words
+        " ".join(["word"] * 60),                      # rule 5 (stopwords)
+        "",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = gopher_quality(tbl).to_pandas()
+
+    for i, t in enumerate(texts):
+        ws = t.split()
+        assert out["n_words"][i] == len(ws)
+        mwl = sum(len(w) for w in ws) / len(ws) if ws else 0.0
+        assert out["mean_word_len_r6"][i] == int(np.floor(mwl * 1e6 + 0.5))
+        af = (sum(any(c.isalpha() for c in w) for w in ws) / len(ws)
+              if ws else 0.0)
+        assert out["alpha_word_frac_r6"][i] == int(np.floor(af * 1e6 + 0.5))
+        ns = sum(1 for w in ("the", "be", "to", "of", "and", "that",
+                             "have", "with") if w in ws)
+        assert out["n_stopwords"][i] == ns
+    assert out["passes"][0] == 1
+    assert list(out["passes"][1:]) == [0] * (len(texts) - 1)
+    assert out["passes"].dtype == np.int32
