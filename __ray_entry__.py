@@ -643,6 +643,17 @@ def _q_keyword_search(sf_dir: str):
     return search_all_terms(idx, ["spark", "window", "merge"])
 
 
+def _q_token_topk_sketch(sf_dir: str):
+    """Misra-Gries mergeable heavy-hitter sketch, run with m large
+    enough that no compression fires on this corpus — the sketch path
+    end-to-end, checked against the EXACT SQL census (the bounded-m
+    error guarantee is pytest-verified separately)."""
+    from stringzilla_ray.stages.textstats import token_topk_sketch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return token_topk_sketch(ds, k=50, m=512)
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1734,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": _q_bottomk_sample,
         "gopher_quality": _q_gopher_quality,
         "keyword_search": _q_keyword_search,
+        "token_topk_sketch": _q_token_topk_sketch,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2307,6 +2319,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'spark') "
             "AND list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'window') "
             "AND list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'merge')"
+        ),
+        "token_topk_sketch": (
+            # With m >= per-batch distinct tokens the MG sketch never
+            # decrements, so the exact census IS the oracle.
+            "SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok "
+            "FROM documents) GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 50"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -514,3 +514,82 @@ def gopher_quality(
         .append_column("n_stopwords", pa.array(n_stop, pa.int64()))
         .append_column("passes", pa.array(passes.astype(np.int32), pa.int32()))
     )
+
+
+def _mg_compress_table(t: pa.Table, m: int) -> pa.Table:
+    """Misra-Gries compression: subtract the (m+1)-th largest count
+    from every counter and drop the non-positive ones — at most m
+    survive, each underestimated by exactly the subtracted amount
+    (the Agarwal et al. "Mergeable Summaries" merge step)."""
+    if t.num_rows <= m:
+        return t
+    cnt = t["cnt"].to_numpy(zero_copy_only=False)
+    pos = len(cnt) - 1 - m
+    thr = np.partition(cnt, pos)[pos]
+    new = cnt - thr
+    keep = new > 0
+    return pa.table({
+        "token": t["token"].combine_chunks().filter(pa.array(keep))
+        if isinstance(t["token"], pa.ChunkedArray)
+        else t["token"].filter(pa.array(keep)),
+        "cnt": pa.array(new[keep], pa.int64()),
+    })
+
+
+def token_topk_sketch(ds, text_column: str = "text", k: int = 100,
+                      m: int = 4096):
+    """APPROXIMATE top-k token frequencies via a mergeable Misra-Gries
+    summary — the bounded-memory scale path beside token_topk's exact
+    census. Guarantee (Misra-Gries 1982; Agarwal et al. PODS'12
+    mergeability): every reported count is a lower bound, and for ANY
+    token `true - est <= N/(m+1)` (N = total token occurrences), so
+    every token with frequency above N/(m+1) is present. With m at
+    least the per-batch distinct-token count no compression ever
+    fires and the result equals the exact census — which is how the
+    driver oracle checks this operator end-to-end.
+
+    Scale shape: each batch collapses to an exact (token, cnt) partial
+    then compresses to <= m counters, the same hash-shard groupby as
+    token_topk sums partials exactly, and one final task merges
+    n_shards summaries (sum, compress to m, top-k). The summary —
+    not the vocabulary — is what crosses the exchange: per-block
+    bytes are O(m), independent of corpus size.
+    """
+    import functools
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    parts = ds.map_batches(
+        _token_partial_fn,
+        fn_kwargs=dict(text_column=text_column),
+        batch_format="pyarrow",
+    ).map_batches(
+        functools.partial(_mg_compress_table, m=m),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def shard_sum(g: pa.Table) -> pa.Table:
+        summed = pa.TableGroupBy(
+            g.select(["token", "cnt"]), "token"
+        ).aggregate([("cnt", "sum")]).rename_columns(["token", "cnt"])
+        return _mg_compress_table(summed, m)
+
+    merged = (
+        parts.map_batches(_token_shard_fn, fn_kwargs=dict(n_shards=n_shards),
+                          batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_sum, batch_format="pyarrow")
+        .repartition(1)
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        summed = pa.TableGroupBy(
+            t.select(["token", "cnt"]), "token"
+        ).aggregate([("cnt", "sum")]).rename_columns(["token", "cnt"])
+        summed = _mg_compress_table(summed, m)
+        summed = summed.sort_by([("cnt", "descending"), ("token", "ascending")])
+        return summed.slice(0, k)
+
+    return merged.map_batches(final, batch_format="pyarrow", batch_size=None)

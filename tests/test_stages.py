@@ -1482,3 +1482,46 @@ def test_text_index_conjunctive_search(ray_session, tmp_path):
     # read pruning: the files a 1-term search reads live in one bucket
     b = int(_token_buckets(pa.array(["tok0"]), 16)[0])
     assert glob.glob(f"{idx}/bucket={b}/*.parquet")
+
+
+def test_token_topk_sketch_guarantees(ray_session):
+    """Misra-Gries invariants under REAL compression (m far below the
+    vocabulary): (a) every estimate is a lower bound on the true
+    count, (b) the deficit is <= N/(m+1) for every reported token,
+    (c) every token with true count > N/(m+1) is reported, and
+    (d) with m >= vocabulary the sketch equals the exact census."""
+    import collections
+
+    import ray.data
+
+    from stringzilla_ray.stages.textstats import token_topk_sketch
+
+    rng = np.random.default_rng(17)
+    vocab = np.array([f"w{k:04d}" for k in range(800)])
+    zipf = 1.0 / np.arange(1, len(vocab) + 1)
+    probs = zipf / zipf.sum()
+    texts = [" ".join(rng.choice(vocab, size=80, p=probs))
+             for _ in range(200)]
+    tbl = pa.table({"text": pa.array(texts)})
+    true = collections.Counter(w for t in texts for w in t.split())
+    n_total = sum(true.values())
+
+    m, k = 48, 48
+    got = token_topk_sketch(
+        ray.data.from_arrow(tbl).repartition(8), k=k, m=m
+    ).to_pandas()
+    assert len(got) <= m
+    bound = n_total / (m + 1)
+    est = dict(zip(got["token"], got["cnt"]))
+    for tok, e in est.items():
+        assert e <= true[tok]                      # (a)
+        assert true[tok] - e <= bound              # (b)
+    for tok, c in true.items():
+        if c > bound:
+            assert tok in est, (tok, c, bound)     # (c)
+
+    exact = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    full = token_topk_sketch(
+        ray.data.from_arrow(tbl).repartition(8), k=20, m=4096
+    ).to_pandas()
+    assert list(map(tuple, full.itertuples(index=False))) == exact  # (d)
