@@ -654,6 +654,44 @@ def _q_token_topk_sketch(sf_dir: str):
     return token_topk_sketch(ds, k=50, m=512)
 
 
+def _q_find_all_positions(sf_dir: str):
+    """Row-exploding overlap-aware find: every byte offset of 'spark'
+    in every document (functions/text.py find_all — one vectorized
+    tape scan, matches crossing row boundaries masked)."""
+    from stringzilla_ray.functions.text import find_all
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        row, pos = find_all(t["text"], "spark")
+        return pa.table({
+            "doc_id": pa.array(ids[row], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _q_count_overlapping(sf_dir: str):
+    """Overlap-allowed substring counting ('a a' self-overlaps on
+    'a a a' runs) — the allowoverlap=True flag of the reference's
+    count (python/README.md:127-151), vs Arrow's non-overlap count."""
+    from stringzilla_ray.functions.text import count_substring
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_overlap": count_substring(t["text"], "a a",
+                                         allowoverlap=True),
+        })
+
+    return ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1746,6 +1784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "keyword_search": _q_keyword_search,
         "token_topk_sketch": _q_token_topk_sketch,
+        "find_all_positions": _q_find_all_positions,
+        "count_overlapping": _q_count_overlapping,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2326,6 +2366,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt FROM ("
             "SELECT unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok "
             "FROM documents) GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 50"
+        ),
+        "find_all_positions": (
+            # ASCII corpus: byte offsets == 1-based char positions - 1.
+            "SELECT doc_id, CAST(gs - 1 AS BIGINT) AS pos "
+            "FROM documents CROSS JOIN generate_series(1, 100000) AS t(gs) "
+            "WHERE gs <= length(text) - 4 "
+            "AND substring(text, CAST(gs AS INT), 5) = 'spark'"
+        ),
+        "count_overlapping": (
+            "SELECT doc_id, CAST(("
+            "  SELECT count(*) FROM generate_series(1, 100000) AS t(gs)"
+            "  WHERE gs <= length(text) - 2"
+            "  AND substring(text, CAST(gs AS INT), 3) = 'a a'"
+            ") AS BIGINT) AS n_overlap FROM documents"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -279,3 +279,27 @@ def utf8_count(arr) -> pa.Array:
 
 def byte_length(arr) -> pa.Array:
     return pc.binary_length(arr)
+
+
+def find_all(arr, needle: str) -> tuple[np.ndarray, np.ndarray]:
+    """ALL (overlapping) byte offsets of ``needle`` per string — the
+    row-exploding form of the reference's overlap-aware find iteration
+    (sz.find with allowoverlap, python/README.md:127-151). One
+    vectorized tape scan shared with count_substring's overlap path;
+    returns (row_indices, byte_offsets) parallel int64 arrays."""
+    nb = needle.encode()
+    w = len(nb)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    tape, offsets = tape_of(arr)
+    if len(tape) < w or w == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    hit = np.ones(len(tape) - w + 1, dtype=bool)
+    pat = np.frombuffer(nb, dtype=np.uint8)
+    for k in range(w):
+        hit &= tape[k : k + len(hit)] == pat[k]
+    pos = np.flatnonzero(hit).astype(np.int64)
+    row = np.searchsorted(offsets, pos, side="right") - 1
+    ok = pos + w <= offsets[row + 1]  # drop matches spanning two rows
+    row, pos = row[ok], pos[ok]
+    return row, pos - offsets[row]

@@ -1525,3 +1525,29 @@ def test_token_topk_sketch_guarantees(ray_session):
         ray.data.from_arrow(tbl).repartition(8), k=20, m=4096
     ).to_pandas()
     assert list(map(tuple, full.itertuples(index=False))) == exact  # (d)
+
+
+def test_find_all_positions_kernel():
+    """find_all == str-based scan with overlap, boundary-safe: a match
+    that would span two adjacent rows on the tape is rejected."""
+    from stringzilla_ray.functions.text import count_substring, find_all
+
+    texts = ["a a a a", "spark sparkspark", "", "aXa a", "ark", "spa"]
+    arr = pa.array(texts)
+
+    def brute(t, nd):
+        return [i for i in range(len(t) - len(nd) + 1)
+                if t[i:i + len(nd)] == nd]
+
+    for nd in ("a a", "spark", "ark", "zz", "a"):
+        row, pos = find_all(arr, nd)
+        got = {}
+        for r, p in zip(row, pos):
+            got.setdefault(int(r), []).append(int(p))
+        want = {i: brute(t, nd) for i, t in enumerate(texts) if brute(t, nd)}
+        assert got == want, nd
+        cnts = count_substring(arr, nd, allowoverlap=True).to_pylist()
+        assert cnts == [len(brute(t, nd)) for t in texts], nd
+    # boundary: "spa" + "rk..." rows are adjacent on the tape
+    row, pos = find_all(arr, "spark")
+    assert all(int(r) == 1 for r in row)
