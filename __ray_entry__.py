@@ -692,6 +692,16 @@ def _q_count_overlapping(sf_dir: str):
     return ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_vocab_by_lang(sf_dir: str):
+    """Grouped COUNT(DISTINCT token) without shipping occurrences:
+    batch-local distinct pairs, token-hash shard dedup, subtotal sum
+    (stages/textstats.py vocab_by_group)."""
+    from stringzilla_ray.stages.textstats import vocab_by_group
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return vocab_by_group(ds, "lang", "text")
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1786,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk_sketch": _q_token_topk_sketch,
         "find_all_positions": _q_find_all_positions,
         "count_overlapping": _q_count_overlapping,
+        "vocab_by_lang": _q_vocab_by_lang,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2380,6 +2391,11 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE gs <= length(text) - 2"
             "  AND substring(text, CAST(gs AS INT), 3) = 'a a'"
             ") AS BIGINT) AS n_overlap FROM documents"
+        ),
+        "vocab_by_lang": (
+            "SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size "
+            "FROM (SELECT lang, unnest(regexp_extract_all(text, "
+            "'[0-9A-Za-z_]+')) AS tok FROM documents) GROUP BY lang"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -593,3 +593,69 @@ def token_topk_sketch(ds, text_column: str = "text", k: int = 100,
         return summed.slice(0, k)
 
     return merged.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def vocab_by_group(ds, group_column: str = "lang",
+                   text_column: str = "text"):
+    """Exact distinct-token count per group (per-language vocabulary
+    size) — grouped COUNT(DISTINCT) without shipping token occurrences.
+
+    Shape: per-batch DISTINCT (group, token) pairs (batch-local dedup
+    is the map-side combiner), hash-shard by TOKEN so every copy of a
+    token lands in one shard and shard-local dedup of (group, token)
+    is globally exact, per-shard per-group subtotals (<= n_groups rows
+    per shard), one final tiny groupby sum. Two exchanges, both
+    bounded by vocabulary x groups, never by corpus rows.
+
+    Output: (group_column, vocab_size int64).
+    """
+    from stringzilla_ray.functions.segment import word_explode
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from stringzilla_ray.functions.fasthash import hash_string_column
+
+        col = _combined(batch[text_column])
+        words, parents = word_explode(col)
+        grp = _combined(batch[group_column])
+        if len(words) == 0:
+            return pa.table({group_column: pa.array([], grp.type),
+                             "token": pa.array([], pa.string()),
+                             "shard": pa.array([], pa.int32())})
+        gvals = grp.take(parents)
+        distinct = pa.table({group_column: gvals, "token": words}) \
+            .group_by([group_column, "token"]).aggregate([])
+        toks = _combined(distinct["token"])
+        h = hash_string_column(toks).view(np.uint64)
+        shard = (h % np.uint64(n_shards)).astype(np.int32)
+        return distinct.append_column("shard", pa.array(shard, pa.int32()))
+
+    def shard_count(g: pa.Table) -> pa.Table:
+        distinct = g.select([group_column, "token"]) \
+            .group_by([group_column, "token"]).aggregate([])
+        sub = pa.TableGroupBy(distinct, group_column).aggregate(
+            [("token", "count")]
+        )
+        return pa.table({
+            group_column: sub[group_column],
+            "part": sub["token_count"].cast(pa.int64()),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        tot = pa.TableGroupBy(g.select([group_column, "part"]),
+                              group_column).aggregate([("part", "sum")])
+        return pa.table({
+            group_column: tot[group_column],
+            "vocab_size": tot["part_sum"].cast(pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    subtotals = parts.groupby("shard").map_groups(
+        shard_count, batch_format="pyarrow"
+    )
+    return subtotals.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -1551,3 +1551,31 @@ def test_find_all_positions_kernel():
     # boundary: "spa" + "rk..." rows are adjacent on the tape
     row, pos = find_all(arr, "spark")
     assert all(int(r) == 1 for r in row)
+
+
+def test_vocab_by_group_exact(ray_session):
+    """Grouped distinct-token counts == brute force, with tokens
+    shared across groups (the shard-dedup must keep per-group copies
+    distinct) and duplicated across many batches."""
+    import ray.data
+
+    from stringzilla_ray.stages.textstats import vocab_by_group
+
+    rng = np.random.default_rng(23)
+    vocab = [f"t{k}" for k in range(90)]
+    langs = ["en", "de", "fr"]
+    rows_lang = [langs[i % 3] for i in range(150)]
+    rows_text = [" ".join(rng.choice(vocab, size=20)) for _ in range(150)]
+    tbl = pa.table({"lang": pa.array(rows_lang), "text": pa.array(rows_text)})
+
+    want = {
+        g: len({w for l, t in zip(rows_lang, rows_text) if l == g
+                for w in t.split()})
+        for g in langs
+    }
+    got = (
+        vocab_by_group(ray.data.from_arrow(tbl).repartition(9), "lang")
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    )
+    assert dict(zip(got["lang"], got["vocab_size"])) == want
+    assert got["vocab_size"].dtype == np.int64
