@@ -702,6 +702,39 @@ def _q_vocab_by_lang(sf_dir: str):
     return vocab_by_group(ds, "lang", "text")
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """The composed end-to-end corpus build (pipelines/curation.py):
+    Gopher rules -> exact dedup -> near-dup components -> eval
+    decontamination -> deterministic split, emitting one disposition
+    row per document. Every stage is an independently oracle-proven
+    operator; this row proves the COMPOSITION. Thresholds are tuned to
+    the synthetic corpus so every disposition occurs (eval = every
+    50th doc; min_words=30 for the 10-99-word docs; min_stopwords=1
+    since the vocabulary carries only 'the' from the Gopher list;
+    20-char contamination grams because a 30-word vocabulary makes
+    13-char overlaps near-universal)."""
+    from stringzilla_ray.pipelines.curation import curate_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mod_filter(want_zero):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            is_ev = ids.to_numpy(zero_copy_only=False) % 50 == 0
+            return t.filter(pa.array(is_ev if want_zero else ~is_ev))
+        return f
+
+    ev = ds.map_batches(_mod_filter(True), batch_format="pyarrow")
+    tr = ds.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return curate_corpus(
+        tr, ev, gopher_kwargs=dict(min_words=30, min_stopwords=1),
+        ngram_n=4, jaccard_threshold=0.7, decontam_n=20,
+        fractions=_SPLIT_FRACTIONS, split_method="md5",
+    )
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1797,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_all_positions": _q_find_all_positions,
         "count_overlapping": _q_count_overlapping,
         "vocab_by_lang": _q_vocab_by_lang,
+        "curation_pipeline": _q_curation_pipeline,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2396,6 +2430,76 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size "
             "FROM (SELECT lang, unnest(regexp_extract_all(text, "
             "'[0-9A-Za-z_]+')) AS tok FROM documents) GROUP BY lang"
+        ),
+        "curation_pipeline": (
+            # The five proven oracles chained: gopher rules (nstop>=1)
+            # on the train corpus, exact dedup via window-min, the
+            # recursive-CTE near-dup closure on exact survivors,
+            # 13-gram eval contamination on near survivors, md5 split
+            # bounds on the clean remainder.
+            "WITH RECURSIVE "
+            "tr0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),"
+            "ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),"
+            "w0 AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS ws FROM tr0),"
+            "gs0 AS (SELECT doc_id, text, len(ws) AS nw,"
+            "  coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS tc,"
+            "  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS na,"
+            "  (length(text) - length(replace(text, '#', '')))"
+            "   + (length(text) - length(replace(text, '…', ''))) AS ns FROM w0),"
+            "gq AS (SELECT doc_id, text, CAST("
+            "  nw BETWEEN 30 AND 100000"
+            "  AND (CASE WHEN nw > 0 THEN CAST(tc AS DOUBLE)/nw ELSE 0 END) BETWEEN 3 AND 10"
+            "  AND (CASE WHEN nw > 0 THEN CAST(na AS DOUBLE)/nw ELSE 0 END) >= 0.8"
+            "  AND (CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE)/nw ELSE 0 END) <= 0.1"
+            "  AND (CAST(regexp_matches(text, '\\bthe\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bbe\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bto\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bof\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\band\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bthat\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bhave\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bwith\\b') AS INT)) >= 1"
+            "  AS INT) AS passes FROM gs0),"
+            "s1 AS (SELECT doc_id, text FROM gq WHERE passes = 1),"
+            "ex AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS win FROM s1),"
+            "s2 AS (SELECT doc_id, text FROM ex WHERE doc_id = win),"
+            "g4 AS (SELECT DISTINCT doc_id, substring(text, CAST(gs AS INT), 4) AS gram"
+            "  FROM s2 CROSS JOIN generate_series(1, 100000) AS t(gs)"
+            "  WHERE gs <= length(text) - 3),"
+            "sizes AS (SELECT doc_id, count(*) AS n FROM g4 GROUP BY doc_id),"
+            "inter AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i"
+            "  FROM g4 a JOIN g4 b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id),"
+            "prs AS (SELECT l, r FROM inter"
+            "  JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r"
+            "  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7),"
+            "sym AS (SELECT l AS a, r AS b FROM prs"
+            "        UNION ALL SELECT r AS a, l AS b FROM prs),"
+            "reach(s, d) AS (SELECT doc_id, doc_id FROM s2"
+            "  UNION SELECT reach.s, sym.b FROM reach JOIN sym ON sym.a = reach.d),"
+            "rep AS (SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s),"
+            "s3 AS (SELECT s2.doc_id, s2.text FROM s2"
+            "  JOIN rep ON rep.doc_id = s2.doc_id WHERE rep.rep = s2.doc_id),"
+            "eg AS (SELECT DISTINCT substr(ev.text, CAST(p AS INT), 20) AS gram"
+            "  FROM ev, unnest(generate_series(1, length(ev.text) - 19)) AS t(p)"
+            "  WHERE length(ev.text) >= 20),"
+            "tg AS (SELECT DISTINCT s3.doc_id, substr(s3.text, CAST(p AS INT), 20) AS gram"
+            "  FROM s3, unnest(generate_series(1, length(s3.text) - 19)) AS t(p)"
+            "  WHERE length(s3.text) >= 20),"
+            "hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram))"
+            "SELECT t.doc_id, CASE"
+            " WHEN gq.passes = 0 THEN 'gopher_fail'"
+            " WHEN ex.win IS NOT NULL AND ex.win <> t.doc_id THEN 'exact_dup'"
+            " WHEN rep.rep IS NOT NULL AND rep.rep <> t.doc_id THEN 'near_dup'"
+            " WHEN hits.doc_id IS NOT NULL THEN 'contaminated'"
+            f" WHEN substr(md5(t.text), 17, 16) < '{b_train}' THEN 'train'"
+            f" WHEN substr(md5(t.text), 17, 16) < '{b_val}' THEN 'val'"
+            " ELSE 'test' END AS disposition "
+            "FROM tr0 t "
+            "LEFT JOIN gq ON gq.doc_id = t.doc_id "
+            "LEFT JOIN ex ON ex.doc_id = t.doc_id "
+            "LEFT JOIN rep ON rep.doc_id = t.doc_id "
+            "LEFT JOIN hits ON hits.doc_id = t.doc_id"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

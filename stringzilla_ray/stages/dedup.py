@@ -552,7 +552,7 @@ def _contamination_fn(batch: pa.Table, eval_ref=None, n: int = 13,
 
 def decontaminate(train_ds, eval_ds, n: int = 13,
                   id_column: str = "doc_id", text_column: str = "text",
-                  flag_only: bool = False):
+                  flag_only: bool = False, append_flag: bool = False):
     """Eval-set decontamination — the published n-gram rule (a training
     document is contaminated if it shares ANY character ``n``-gram
     with any eval document; GPT-3 appendix C / The Pile style, n=13).
@@ -581,6 +581,16 @@ def decontaminate(train_ds, eval_ds, n: int = 13,
     eval_hashes = (np.unique(np.concatenate(parts))
                    if parts else np.zeros(0, np.uint64))
     eval_ref = ray.put(eval_hashes)
+    if append_flag:
+        # full rows + contaminated column, one pass (the pipeline
+        # composition mode: later stages still need the text)
+        def with_flag(batch: pa.Table) -> pa.Table:
+            f = _contamination_fn(batch, eval_ref=eval_ref, n=n,
+                                  id_column=id_column,
+                                  text_column=text_column)
+            return batch.append_column("contaminated", f["contaminated"])
+
+        return train_ds.map_batches(with_flag, batch_format="pyarrow")
     flags = train_ds.map_batches(
         _contamination_fn,
         fn_kwargs=dict(eval_ref=eval_ref, n=n, id_column=id_column,

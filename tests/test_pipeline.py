@@ -124,3 +124,55 @@ def test_canonicalize_parquet_equivalence(ray_session, corpus, tmp_path):
         for col in ("conv_id", "doc", "n_turns", "content_hash", "norm_doc",
                     "doc_bytes", "doc_bytes_norm"):
             assert (got[col].values == base[col].values).all(), (name, col)
+
+
+def test_curate_corpus_dispositions(ray_session):
+    """The composed curation chain emits exactly one disposition per
+    document, every elimination stage fires on its purpose-built doc,
+    dispositions agree with running the stages by hand, and survivors'
+    splits match assign_split on the same text."""
+    import ray.data
+
+    from stringzilla_ray.pipelines.curation import curate_corpus
+    from stringzilla_ray.stages.curation import assign_split
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{k:03d}" for k in range(200)]
+    base = ["the " + " ".join(rng.choice(vocab, size=49))
+            for _ in range(40)]                    # 50 words, has 'the'
+    texts = list(base)
+    texts.append("the tiny doc")                   # gopher_fail (words)
+    texts.append(base[0])                          # exact_dup of 0
+    near = base[1].split(); near[3] = "edited"
+    texts.append(" ".join(near))                   # near_dup of 1
+    eval_texts = [base[2][:60]]                    # contaminates doc 2
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ev = pa.table({"doc_id": pa.array([9999], pa.int64()),
+                   "text": pa.array(eval_texts)})
+
+    out = curate_corpus(
+        ray.data.from_arrow(tbl).repartition(4),
+        ray.data.from_arrow(ev),
+        gopher_kwargs=dict(min_stopwords=1),
+        ngram_n=4, jaccard_threshold=0.7, decontam_n=20,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert list(out["doc_id"]) == list(range(len(texts)))
+    disp = dict(zip(out["doc_id"], out["disposition"]))
+    assert disp[40] == "gopher_fail"
+    assert disp[41] == "exact_dup"       # loses to doc 0 (min id)
+    assert disp[42] == "near_dup"        # clusters with doc 1
+    assert disp[2] == "contaminated"     # shares a 20-char eval gram
+    assert disp[0] in ("train", "val", "test")
+    assert disp[1] in ("train", "val", "test")
+
+    # survivors' split labels == assign_split of the same text
+    want_split = dict(zip(
+        range(len(texts)),
+        assign_split(ray.data.from_arrow(tbl), "text", method="md5")
+        .to_pandas().sort_values("doc_id")["split"],
+    ))
+    for i, d in disp.items():
+        if d in ("train", "val", "test"):
+            assert d == want_split[i], i
