@@ -735,6 +735,41 @@ def _q_curation_pipeline(sf_dir: str):
     )
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup: yesterday's corpus (doc_id < 450)
+    persists as a hash-range-partitioned index; today's shard
+    (doc_id >= 400) probes it with bucket-pruned reads + one
+    searchsorted per batch — no rescan of the old corpus, no join
+    (stages/dedup.py build_dedup_index / dedup_against_index)."""
+    import shutil
+
+    from stringzilla_ray.stages.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(lo, hi):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            iv = ids.to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((iv >= lo) & (iv < hi)))
+        return f
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/stringzilla_ray_dedupindex/{scale}-v1"
+    if not os.path.isdir(idx):
+        shutil.rmtree(idx, ignore_errors=True)
+        old = ds.map_batches(part(0, 450), batch_format="pyarrow")
+        build_dedup_index(old, idx)
+    new = ds.map_batches(part(400, 1 << 60), batch_format="pyarrow")
+    return dedup_against_index(new, idx, flag_only=True) \
+        .select_columns(["doc_id", "seen_before"])
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1831,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_overlapping": _q_count_overlapping,
         "vocab_by_lang": _q_vocab_by_lang,
         "curation_pipeline": _q_curation_pipeline,
+        "incremental_dedup": _q_incremental_dedup,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2500,6 +2536,15 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN ex ON ex.doc_id = t.doc_id "
             "LEFT JOIN rep ON rep.doc_id = t.doc_id "
             "LEFT JOIN hits ON hits.doc_id = t.doc_id"
+        ),
+        "incremental_dedup": (
+            # membership by exact text == membership by injective
+            # content hash (same equivalence the exact_dedup oracle
+            # relies on)
+            "SELECT n.doc_id, CAST(n.text IN ("
+            "  SELECT text FROM documents WHERE doc_id < 450"
+            ") AS INT) AS seen_before "
+            "FROM documents n WHERE n.doc_id >= 400"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -1076,3 +1076,88 @@ def near_dedup_keep(
         )
 
     return labeled.map_batches(_mark, batch_format="pyarrow")
+
+
+def build_dedup_index(ds, path: str, text_column: str = "text",
+                      seed: int = 0, n_buckets: int = 64) -> None:
+    """Persist the corpus's content-hash set as a Parquet index
+    partitioned by hash-range bucket — the state that makes dedup
+    INCREMENTAL: tomorrow's shard checks membership against today's
+    corpus without rescanning it. Rows: (text_hash int64) distinct,
+    sorted within each bucket file; bucket = top bits of the unsigned
+    hash, so a lookup prunes to the buckets its probe hashes occupy."""
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        h = add_text_hash(batch, text_column, seed)["text_hash"]
+        hv = h.to_numpy(zero_copy_only=False)
+        bucket = (hv.view(np.uint64) >> np.uint64(64 - int(n_buckets - 1).bit_length())) \
+            .astype(np.int32)
+        t = pa.table({"text_hash": pa.array(hv, pa.int64()),
+                      "bucket": pa.array(
+                          np.minimum(bucket, n_buckets - 1), pa.int32())})
+        return t.group_by(["bucket", "text_hash"]).aggregate([])
+
+    def dedup_sort(g: pa.Table) -> pa.Table:
+        return g.group_by(["bucket", "text_hash"]).aggregate([]) \
+                .sort_by([("text_hash", "ascending")])
+
+    (
+        ds.map_batches(to_hashes, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(dedup_sort, batch_format="pyarrow")
+        .write_parquet(path, partition_cols=["bucket"])
+    )
+
+
+def dedup_against_index(new_ds, index_path: str, text_column: str = "text",
+                        seed: int = 0, n_buckets: int = 64,
+                        flag_only: bool = False):
+    """Filter a NEW shard against a build_dedup_index corpus: keep rows
+    whose content hash is absent from the index (plus, regardless, the
+    within-shard first occurrence is the caller's own exact_dedup —
+    this op handles the cross-day part). The index buckets the new
+    shard actually hashes into are read once per task and probed with
+    one searchsorted — no join, no shuffle of either side.
+    ``flag_only`` appends ``seen_before`` instead of filtering."""
+    import glob as _glob
+
+    import ray
+
+    shift = np.uint64(64 - int(n_buckets - 1).bit_length())
+
+    files_by_bucket = {}
+    for b in range(n_buckets):
+        fs = sorted(_glob.glob(f"{index_path}/bucket={b}/*.parquet"))
+        if fs:
+            files_by_bucket[b] = fs
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        h = add_text_hash(batch, text_column, seed)["text_hash"]
+        hv = h.to_numpy(zero_copy_only=False)
+        seen = np.zeros(len(hv), bool)
+        bk = np.minimum(
+            (hv.view(np.uint64) >> shift).astype(np.int64), n_buckets - 1
+        )
+        for b in np.unique(bk):
+            fs = files_by_bucket.get(int(b))
+            if not fs:
+                continue
+            idx = np.concatenate([
+                pq.read_table(f, columns=["text_hash"])["text_hash"]
+                .to_numpy(zero_copy_only=False)
+                for f in fs
+            ])
+            m = bk == b
+            pos = np.searchsorted(idx, hv[m])
+            pos = np.minimum(pos, len(idx) - 1)
+            seen[m] = idx[pos] == hv[m] if len(idx) else False
+        if flag_only:
+            return batch.append_column(
+                "seen_before", pa.array(seen.astype(np.int32), pa.int32())
+            )
+        return batch.filter(pa.array(~seen))
+
+    return new_ds.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True)

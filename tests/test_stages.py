@@ -1579,3 +1579,42 @@ def test_vocab_by_group_exact(ray_session):
     )
     assert dict(zip(got["lang"], got["vocab_size"])) == want
     assert got["vocab_size"].dtype == np.int64
+
+
+def test_incremental_dedup_index(ray_session, tmp_path):
+    """Index-probed membership == brute-force text membership: seen
+    rows filtered (or flagged), unseen kept, duplicates WITHIN the new
+    shard untouched (that's the caller's exact_dedup), index read is
+    bucket-pruned parquet."""
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    rng = np.random.default_rng(41)
+    old_texts = [f"old doc {i} {rng.integers(1e9)}" for i in range(200)]
+    new_texts = (old_texts[50:60]               # cross-day dups
+                 + [f"new doc {i}" for i in range(30)]
+                 + ["new doc 0"])               # within-shard dup
+    old = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                    "text": pa.array(old_texts)})
+    new = pa.table({"doc_id": pa.array(range(1000, 1000 + len(new_texts)),
+                                       pa.int64()),
+                    "text": pa.array(new_texts)})
+    idx = str(tmp_path / "dedup_idx")
+    build_dedup_index(ray.data.from_arrow(old).repartition(4), idx,
+                      n_buckets=8)
+
+    kept = dedup_against_index(
+        ray.data.from_arrow(new).repartition(3), idx, n_buckets=8
+    ).to_pandas().sort_values("doc_id")
+    old_set = set(old_texts)
+    assert list(kept["text"]) == [t for t in new_texts if t not in old_set]
+
+    flags = dedup_against_index(
+        ray.data.from_arrow(new), idx, n_buckets=8, flag_only=True
+    ).to_pandas().sort_values("doc_id")
+    assert list(flags["seen_before"]) == [int(t in old_set)
+                                          for t in new_texts]
