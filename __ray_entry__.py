@@ -770,6 +770,44 @@ def _q_incremental_dedup(sf_dir: str):
         .select_columns(["doc_id", "seen_before"])
 
 
+def _q_chunk_documents(sf_dir: str):
+    """RAG-style fixed-window token chunking with overlap (window=8,
+    overlap=2): pure per-row explode, no shuffle
+    (stages/curation.py chunk_documents)."""
+    from stringzilla_ray.stages.curation import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, window=8, overlap=2)
+
+
+def _q_longest_docs_per_lang(sf_dir: str):
+    """Exact grouped top-k by value (window row_number <= k without a
+    global sort): map-side per-group prune, group-hash shard groupby
+    (stages/stats.py top_per_group)."""
+    from stringzilla_ray.stages.stats import top_per_group
+
+    ds = _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+    return top_per_group(ds, "lang", "n_chars", "doc_id", k=3)
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + reader round-trip: write the documents table with
+    write_jsonl, read it back with read_documents_any — identity on
+    (doc_id, text), so the table itself is the oracle."""
+    import shutil
+
+    from stringzilla_ray.sources.text import read_documents_any, write_jsonl
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/stringzilla_ray_jsonl/{scale}-v1"
+    if not os.path.isdir(out):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        write_jsonl(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                    out)
+    return read_documents_any(out, columns=["doc_id", "text"])
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1867,6 +1905,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_by_lang": _q_vocab_by_lang,
         "curation_pipeline": _q_curation_pipeline,
         "incremental_dedup": _q_incremental_dedup,
+        "chunk_documents": _q_chunk_documents,
+        "longest_docs_per_lang": _q_longest_docs_per_lang,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2545,6 +2586,33 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT text FROM documents WHERE doc_id < 450"
             ") AS INT) AS seen_before "
             "FROM documents n WHERE n.doc_id >= 400"
+        ),
+        "chunk_documents": (
+            # window=8, overlap=2, step=6; 1-based inclusive
+            # list_slice == the kernel's 0-based [start, start+window)
+            "WITH t AS (SELECT doc_id,"
+            "  regexp_extract_all(text, '\\S+') AS toks FROM documents),"
+            "c AS (SELECT doc_id, toks, len(toks) AS n,"
+            "  greatest(CAST(ceil((len(toks) - 2) / 6.0) AS BIGINT), 1)"
+            "  AS nc FROM t),"
+            "e AS (SELECT doc_id, toks, n, gs - 1 AS ci FROM c"
+            "  CROSS JOIN generate_series(1, 100000) AS g(gs)"
+            "  WHERE gs <= nc)"
+            "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,"
+            "  array_to_string(list_slice(toks, ci*6 + 1,"
+            "    least(ci*6 + 8, n)), ' ') AS chunk_text,"
+            "  CAST(least(ci*6 + 8, n) - ci*6 AS BIGINT) AS n_tokens "
+            "FROM e"
+        ),
+        "longest_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars, rank FROM ("
+            "  SELECT lang, doc_id, n_chars,"
+            "  CAST(row_number() OVER (PARTITION BY lang"
+            "    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank"
+            "  FROM documents) WHERE rank <= 3"
+        ),
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text FROM documents"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

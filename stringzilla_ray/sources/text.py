@@ -95,6 +95,16 @@ def read_documents_any(path: str, columns: list[str] | None = None) -> "ray.data
     .gz-compressed (web-corpus exports ship gzipped). Column pruning
     applies in-read for parquet and as an immediate projection for the
     text formats."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        # a write_jsonl / write_json output directory
+        js = sorted(_glob.glob(_os.path.join(path, "*.json"))
+                    + _glob.glob(_os.path.join(path, "*.jsonl")))
+        if js:
+            ds = ray.data.read_json(js)
+            return ds.select_columns(columns) if columns else ds
     lower = path.lower()
     open_args = {}
     if lower.endswith(".gz"):
@@ -111,3 +121,11 @@ def read_documents_any(path: str, columns: list[str] | None = None) -> "ray.data
     else:
         ds = ray.data.read_json(path, **open_args)
     return ds.select_columns(columns) if columns else ds
+
+
+def write_jsonl(ds, path: str) -> None:
+    """JSONL sink (one object per line, one file per block) — the
+    interchange format corpus tooling expects. Round-trips through
+    ``read_documents_any(path)``: write + read is the identity on a
+    documents-shaped table (oracle `jsonl_roundtrip`)."""
+    ds.write_json(path)

@@ -474,3 +474,74 @@ def bottom_k_sample(ds, id_column: str = "doc_id",
         })
 
     return out.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def chunk_documents(ds, id_column: str = "doc_id",
+                    text_column: str = "text", window: int = 64,
+                    overlap: int = 16):
+    """Row-exploding fixed-size token chunking with overlap — the
+    RAG / context-window preprocessing step: document w's whitespace
+    tokens become chunks [0, window), [window-overlap, ...), ... each
+    rejoined with single spaces. The last chunk may be short; a
+    document shorter than one window is a single chunk; chunking is a
+    pure per-row map (embarrassingly parallel, no state, no shuffle).
+
+    Output: (id_column, chunk_idx int64, chunk_text string,
+    n_tokens int64), one row per chunk in document order.
+    """
+    if overlap >= window:
+        raise ValueError("overlap must be < window")
+    step = window - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.split_pattern_regex(col, pattern=r"\s+")
+        flat = la.flatten()
+        offs = la.offsets.to_numpy().astype(np.int64)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # drop empty edge tokens (split_pattern_regex emits them for
+        # leading/trailing whitespace), recompute row offsets
+        keep = lens > 0
+        parents = np.repeat(np.arange(len(la), dtype=np.int64),
+                            np.diff(offs))
+        parents = parents[keep]
+        flat = flat.filter(pa.array(keep))
+        n_tok = np.bincount(parents, minlength=len(la)).astype(np.int64)
+        row_offs = np.zeros(len(la) + 1, np.int64)
+        np.cumsum(n_tok, out=row_offs[1:])
+
+        n_chunks = np.maximum((n_tok - overlap + step - 1) // step, 1)
+        total = int(n_chunks.sum())
+        row_of_chunk = np.repeat(np.arange(len(la), dtype=np.int64),
+                                 n_chunks)
+        first = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            first, n_chunks
+        )
+        starts = row_offs[row_of_chunk] + chunk_idx * step
+        ends = np.minimum(starts + window, row_offs[row_of_chunk + 1])
+        # gather token indices per chunk, then one binary_join
+        sizes = ends - starts
+        gidx = np.repeat(starts, sizes) + (
+            np.arange(int(sizes.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(sizes)])[:-1], sizes)
+        )
+        coffs = np.zeros(total + 1, np.int64)
+        np.cumsum(sizes, out=coffs[1:])
+        chunks = pa.LargeListArray.from_arrays(
+            pa.array(coffs, pa.int64()),
+            flat.take(pa.array(gidx, pa.int64())).cast(pa.string()),
+        )
+        return pa.table({
+            id_column: pa.array(ids[row_of_chunk], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk_text": pc.binary_join(chunks, " ").cast(pa.string()),
+            "n_tokens": pa.array(sizes, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -117,3 +117,60 @@ def grouped_quantile(ds, key_column: str, value_column: str,
             batch_format="pyarrow",
         )
     )
+
+
+def top_per_group(ds, group_column: str, order_column: str,
+                  id_column: str, k: int = 3, descending: bool = True):
+    """Exact top-k rows per group by a value column (ties broken by
+    ascending id) — the window-function `row_number() OVER (PARTITION
+    BY g ORDER BY v) <= k` re-expressed without a global sort: each
+    batch keeps at most k rows per group it sees (map-side prune), a
+    group-hash shard-groupby co-locates whole groups, and the local
+    top-k is the global one. Output: (group_column, id_column,
+    order_column, rank int64) with rank 1..k."""
+    import functools
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    cols = [group_column, id_column, order_column]
+
+    def _argtopk(t: pa.Table) -> pa.Table:
+        order = [(order_column, "descending" if descending else "ascending"),
+                 (id_column, "ascending")]
+        s = t.select(cols).sort_by(order)
+        g = s[group_column].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(g, return_inverse=True)
+        # rank within group in sorted order: occurrence index per code
+        ordpos = np.argsort(codes, kind="stable")
+        rank = np.empty(len(codes), np.int64)
+        rank[ordpos] = np.arange(len(codes)) - np.repeat(
+            np.concatenate([[0], np.cumsum(np.bincount(codes))])[:-1],
+            np.bincount(codes),
+        )
+        keep = rank < k
+        return s.filter(pa.array(keep)).append_column(
+            "rank", pa.array(rank[keep] + 1, pa.int64())
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from stringzilla_ray.functions.fasthash import hash_string_column
+
+        pruned = _argtopk(batch).drop_columns(["rank"])
+        gcol = pruned[group_column]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        if pa.types.is_string(gcol.type) or pa.types.is_large_string(gcol.type):
+            h = hash_string_column(gcol)
+        else:
+            h = gcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        shard = (np.abs(h) % n_shards).astype(np.int32)
+        return pruned.append_column("shard", pa.array(shard, pa.int32()))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(lambda g: _argtopk(g.drop_columns(["shard"])),
+                    batch_format="pyarrow")
+    )

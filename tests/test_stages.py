@@ -1618,3 +1618,104 @@ def test_incremental_dedup_index(ray_session, tmp_path):
     ).to_pandas().sort_values("doc_id")
     assert list(flags["seen_before"]) == [int(t in old_set)
                                           for t in new_texts]
+
+
+def test_chunk_documents(ray_session):
+    """Chunk explode == per-doc reference chunking across edge cases:
+    short doc (1 chunk), exact window, window+1, long docs, empty doc
+    (one empty chunk), leading/trailing whitespace."""
+    import ray.data
+
+    from stringzilla_ray.stages.curation import chunk_documents
+
+    rng = np.random.default_rng(43)
+    docs = {
+        0: " ".join(f"t{i}" for i in range(5)),
+        1: " ".join(f"t{i}" for i in range(8)),
+        2: " ".join(f"t{i}" for i in range(9)),
+        3: " ".join(rng.choice([f"w{j}" for j in range(50)], size=100)),
+        4: "",
+        5: "  padded   tokens  ",
+    }
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()))})
+    w, o = 8, 2
+    step = w - o
+
+    def ref(t):
+        toks = t.split()
+        n = len(toks)
+        nc = max(-(-(n - o) // step), 1)
+        return [(" ".join(toks[c * step:c * step + w]),
+                 min(c * step + w, n) - c * step) for c in range(nc)]
+
+    out = chunk_documents(
+        ray.data.from_arrow(tbl).repartition(3), window=w, overlap=o
+    ).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    for did, sub in out.groupby("doc_id"):
+        want = ref(docs[did])
+        assert list(sub["chunk_idx"]) == list(range(len(want))), did
+        assert list(zip(sub["chunk_text"], sub["n_tokens"])) == want, did
+    # every token of the long doc appears in some chunk, in order
+    joined = " ".join(
+        t[(o if i else 0) * 0:] for i, t in
+        enumerate(out[out.doc_id == 3]["chunk_text"])
+    )
+    assert set(docs[3].split()) <= set(joined.split())
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(ray.data.from_arrow(tbl), window=4, overlap=4)
+
+
+def test_top_per_group_matches_window(ray_session):
+    """top_per_group == pandas groupby head-after-sort across ties,
+    k > group size, int64 group keys, many partitions."""
+    import pandas as pd
+    import ray.data
+
+    from stringzilla_ray.stages.stats import top_per_group
+
+    rng = np.random.default_rng(47)
+    n = 2000
+    pdf = pd.DataFrame({
+        "g": rng.choice(["en", "de", "fr", "zz"], size=n,
+                        p=[0.6, 0.3, 0.09, 0.01]),
+        "rid": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 50, size=n),     # heavy ties
+    })
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    for k, desc in ((3, True), (7, False), (5000, True)):
+        got = (
+            top_per_group(ray.data.from_arrow(tbl).repartition(11),
+                          "g", "v", "rid", k=k, descending=desc)
+            .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+        )
+        want = (
+            pdf.sort_values(["v", "rid"],
+                            ascending=[not desc, True], kind="stable")
+            .groupby("g").head(k)
+        )
+        want = want.sort_values(["g", "v", "rid"],
+                                ascending=[True, not desc, True])
+        assert list(got["rid"]) == list(want["rid"]), (k, desc)
+        for _, sub in got.groupby("g"):
+            assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """write_jsonl -> read_documents_any is the identity, including
+    unicode and empty strings, across reshardings."""
+    import ray.data
+
+    from stringzilla_ray.sources.text import read_documents_any, write_jsonl
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([f"doc {i} naïve 中文 \"quoted\"" if i % 7
+                          else "" for i in range(40)]),
+    })
+    out = str(tmp_path / "jsonl_out")
+    write_jsonl(ray.data.from_arrow(tbl).repartition(4), out)
+    back = (read_documents_any(out, columns=["doc_id", "text"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert back.equals(tbl.to_pandas())
