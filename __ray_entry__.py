@@ -808,6 +808,31 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return read_documents_any(out, columns=["doc_id", "text"])
 
 
+def _q_knn_join(sf_dir: str):
+    """Broadcast kNN join: exact cosine top-5 neighbors (self
+    excluded) for the first 20 vectors — one Q x batch matmul per
+    block, corpus never shuffles (stages/ann.py knn_join)."""
+    import numpy as np
+
+    from stringzilla_ray.stages.ann import _emb_matrix, knn_join
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def head20(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return t.filter(pa.array(ids.to_numpy(zero_copy_only=False) < 20))
+
+    qt = pa.concat_tables(
+        b for b in ds.map_batches(head20, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("vec_id")
+    qmat = _emb_matrix(qt, "embedding")
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    return knn_join(ds, qmat, qids, k=5)
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1908,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "longest_docs_per_lang": _q_longest_docs_per_lang,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "knn_join": _q_knn_join,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2613,6 +2639,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jsonl_roundtrip": (
             "SELECT doc_id, text FROM documents"
+        ),
+        "knn_join": (
+            "SELECT query_id, vec_id, rank FROM ("
+            "  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,"
+            "  CAST(row_number() OVER (PARTITION BY a.vec_id"
+            "    ORDER BY list_cosine_similarity(a.embedding, b.embedding)"
+            "      DESC, b.vec_id) AS BIGINT) AS rank"
+            "  FROM embeddings a JOIN embeddings b"
+            "    ON a.vec_id < 20 AND b.vec_id <> a.vec_id"
+            ") WHERE rank <= 5"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

@@ -439,3 +439,61 @@ def embedding_threshold_pairs(ds, threshold: float, id_column: str = "vec_id",
                          "cosine": pa.array(cos[bi, aj][keep].astype(np.float64))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def knn_join(ds, query_mat: np.ndarray, query_ids: np.ndarray, k: int = 5,
+             id_column: str = "vec_id", emb_column: str = "embedding",
+             exclude_same_id: bool = True):
+    """Broadcast kNN join: for EACH query vector, its exact cosine
+    top-k neighbors in ``ds`` — the many-query generalization of
+    brute_force_topk (one Q x batch matmul per block, per-query
+    partial top-k, then a final merge over Q*k*num_blocks candidate
+    rows only; the corpus never shuffles). The query side must be the
+    broadcast-small side — for corpus-x-corpus scale use the IVF /
+    LSH bucketed paths instead.
+
+    Output: (query_id, vec_id, rank int64), rank 1..k per query by
+    (cosine desc, id asc).
+    """
+    q = _normalize(np.ascontiguousarray(query_mat, dtype=np.float32))
+    qids = np.ascontiguousarray(query_ids, dtype=np.int64)
+    q_ref = ray.put((q, qids))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, qi = ray.get(q_ref)
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_emb_matrix(batch, emb_column))
+        sims = qm @ m.T  # Q x B
+        if exclude_same_id:
+            sims = np.where(qi[:, None] == ids[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qi), dtype=np.int64), kk)
+        cols = part.ravel()
+        keep = np.isfinite(sims[rows, cols])
+        rows, cols = rows[keep], cols[keep]
+        return pa.table({
+            "query_id": pa.array(qi[rows], pa.int64()),
+            id_column: pa.array(ids[cols], pa.int64()),
+            "cosine": pa.array(sims[rows, cols].astype(np.float64)),
+        })
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).repartition(1)
+
+    def final(t: pa.Table) -> pa.Table:
+        s = t.sort_by([("query_id", "ascending"), ("cosine", "descending"),
+                       (id_column, "ascending")])
+        qv = s["query_id"].to_numpy(zero_copy_only=False)
+        pos = np.arange(len(qv), dtype=np.int64)
+        first = np.concatenate([[0], np.flatnonzero(qv[1:] != qv[:-1]) + 1])
+        rank = pos - np.repeat(first, np.diff(np.concatenate([first, [len(qv)]])))
+        keep = rank < k
+        return pa.table({
+            "query_id": s["query_id"].filter(pa.array(keep)),
+            id_column: s[id_column].filter(pa.array(keep)),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+        })
+
+    return cands.map_batches(final, batch_format="pyarrow",
+                             batch_size=None)

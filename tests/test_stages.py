@@ -1719,3 +1719,36 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     back = (read_documents_any(out, columns=["doc_id", "text"])
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert back.equals(tbl.to_pandas())
+
+
+def test_knn_join_exact(ray_session):
+    """knn_join == brute-force numpy cosine ranking for every query,
+    self excluded, across reshardings and k > candidates."""
+    import ray.data
+
+    from stringzilla_ray.stages.ann import knn_join
+
+    rng = np.random.default_rng(53)
+    n, d = 300, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    qidx = np.array([0, 5, 17], dtype=np.int64)
+    got = knn_join(
+        ray.data.from_arrow(tbl).repartition(7), vecs[qidx], qidx, k=4
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for q in qidx:
+        sims = norm[q] @ norm.T
+        sims[q] = -np.inf
+        order = np.lexsort((np.arange(n), -sims))[:4]
+        sub = got[got.query_id == q]
+        assert list(sub["vec_id"]) == list(order), q
+        assert list(sub["rank"]) == [1, 2, 3, 4]
+
+    big = knn_join(ray.data.from_arrow(tbl).limit(3), vecs[qidx], qidx,
+                   k=10).to_pandas()
+    assert set(big.groupby("query_id").size()) <= {2, 3}  # self excluded
