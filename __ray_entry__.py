@@ -35,6 +35,29 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _cached_build(path: str, build_fn) -> str:
+    """Build an on-disk artifact ATOMICALLY: build_fn writes into a
+    temp dir that is renamed into place only on success, so a crashed
+    build can never leave a partial directory behind the isdir guard
+    (which would otherwise be silently reused forever)."""
+    import shutil
+
+    if os.path.isdir(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.building.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        build_fn(tmp)
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.isdir(path):  # lost a benign race -> reraise
+            raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def _synth_transcripts(sf_dir: str):
     """Deterministic synthetic transcripts cached per scale under /tmp.
 
@@ -627,19 +650,18 @@ def _q_keyword_search(sf_dir: str):
     (stages/textindex.py): postings Parquet partitioned by token-hash
     bucket, search reads ONLY the query terms' buckets — the text twin
     of the IVF index's read-time pruning."""
-    import shutil
-
     from stringzilla_ray.stages.textindex import (
         build_text_index,
         search_all_terms,
     )
 
     scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/stringzilla_ray_textindex/{scale}-v1"
-    if not os.path.isdir(idx):
-        shutil.rmtree(idx, ignore_errors=True)
-        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-        build_text_index(ds, idx)
+    idx = _cached_build(
+        f"/tmp/stringzilla_ray_textindex/{scale}-v1",
+        lambda tmp: build_text_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), tmp
+        ),
+    )
     return search_all_terms(idx, ["spark", "window", "merge"])
 
 
@@ -741,8 +763,6 @@ def _q_incremental_dedup(sf_dir: str):
     (doc_id >= 400) probes it with bucket-pruned reads + one
     searchsorted per batch — no rescan of the old corpus, no join
     (stages/dedup.py build_dedup_index / dedup_against_index)."""
-    import shutil
-
     from stringzilla_ray.stages.dedup import (
         build_dedup_index,
         dedup_against_index,
@@ -760,11 +780,12 @@ def _q_incremental_dedup(sf_dir: str):
         return f
 
     scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/stringzilla_ray_dedupindex/{scale}-v1"
-    if not os.path.isdir(idx):
-        shutil.rmtree(idx, ignore_errors=True)
-        old = ds.map_batches(part(0, 450), batch_format="pyarrow")
-        build_dedup_index(old, idx)
+    idx = _cached_build(
+        f"/tmp/stringzilla_ray_dedupindex/{scale}-v1",
+        lambda tmp: build_dedup_index(
+            ds.map_batches(part(0, 450), batch_format="pyarrow"), tmp
+        ),
+    )
     new = ds.map_batches(part(400, 1 << 60), batch_format="pyarrow")
     return dedup_against_index(new, idx, flag_only=True) \
         .select_columns(["doc_id", "seen_before"])
@@ -794,17 +815,15 @@ def _q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink + reader round-trip: write the documents table with
     write_jsonl, read it back with read_documents_any — identity on
     (doc_id, text), so the table itself is the oracle."""
-    import shutil
-
     from stringzilla_ray.sources.text import read_documents_any, write_jsonl
 
     scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/stringzilla_ray_jsonl/{scale}-v1"
-    if not os.path.isdir(out):
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
-        write_jsonl(_read(sf_dir, "documents", columns=["doc_id", "text"]),
-                    out)
+    out = _cached_build(
+        f"/tmp/stringzilla_ray_jsonl/{scale}-v1",
+        lambda tmp: write_jsonl(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), tmp
+        ),
+    )
     return read_documents_any(out, columns=["doc_id", "text"])
 
 

@@ -292,6 +292,10 @@ def find_all(arr, needle: str) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     tape, offsets = tape_of(arr)
+    # tape_of returns the PARENT buffer for sliced arrays — rebase so
+    # positions outside [offsets[0], offsets[-1]) can't exist
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = offsets - offsets[0]
     if len(tape) < w or w == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     hit = np.ones(len(tape) - w + 1, dtype=bool)

@@ -8,42 +8,33 @@ cannot give:
 
 1. Gopher rule filter (stages/textstats.py:gopher_quality) →
    ``gopher_fail``
-2. exact dedup, min-id winner (same shard-groupby as
-   stages/dedup.py:exact_dedup, emitting loser flags) → ``exact_dup``
-3. near-dup clustering, min-id survivor (exact n-gram Jaccard pairs +
-   connected components, stages/dedup.py:near_dedup_keep shape,
-   labels carried on full rows so the text flows on) → ``near_dup``
+2. exact dedup, min-id winner (stages/dedup.py:exact_dedup_flags —
+   the flag-emitting form of the same shard-groupby) → ``exact_dup``
+3. near-dup clustering, min-id survivor
+   (stages/dedup.py:near_dedup_keep with the text carried along) →
+   ``near_dup``
 4. eval-set n-gram decontamination (stages/dedup.py:decontaminate,
    append_flag mode) → ``contaminated``
 5. deterministic content-hash split (stages/curation.py:assign_split)
    → ``train`` / ``val`` / ``test``
 
-Scale shape is inherited from the stages: one shard-groupby for exact
-dedup, the prefix-filtered join + broadcast root map for near-dup, a
-broadcast gram array for decontamination, and pure map_batches for
-rules and split — the corpus text is shuffled exactly twice (exact
-dedup, pair expansion) no matter how many stages run.
+Each stage's flagged output is MATERIALIZED once before fanning out
+into its keep/eliminate branches — the keep branch feeds the next
+stage while the eliminate branch feeds the disposition union, and
+without the checkpoint each branch would re-execute the whole
+upstream plan (including the exact-dedup shuffle). With them, the
+corpus text moves through exactly two shuffles (exact dedup, pair
+expansion) plus the four block-store snapshots — at production scale
+these snapshots are the stage checkpoints a resumable build wants
+anyway (state/checkpoint.py writes them durably).
 """
 
 from __future__ import annotations
 
 import functools
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-
-
-def _exact_flag_groups(g: pa.Table, id_column: str) -> pa.Table:
-    t = g.drop_columns(["shard"]).sort_by(
-        [("text_hash", "ascending"), (id_column, "ascending")]
-    )
-    hs = t["text_hash"].to_numpy()
-    first = (np.concatenate([[True], hs[1:] != hs[:-1]])
-             if len(hs) else np.zeros(0, bool))
-    return t.drop_columns(["text_hash"]).append_column(
-        "exact_keep", pa.array(first.astype(np.int32), pa.int32())
-    )
 
 
 def curate_corpus(
@@ -63,17 +54,13 @@ def curate_corpus(
     disposition string) with exactly one row per input document.
     Dispositions: ``gopher_fail`` | ``exact_dup`` | ``near_dup`` |
     ``contaminated`` | a split name (the survivors)."""
-    from stringzilla_ray.functions.fingerprint import splitmix64
-    from stringzilla_ray.stages.clustering import assign_clusters
     from stringzilla_ray.stages.curation import assign_split
     from stringzilla_ray.stages.dedup import (
-        add_text_hash,
         decontaminate,
-        ngram_jaccard_near_dup,
+        exact_dedup_flags,
+        near_dedup_keep,
     )
     from stringzilla_ray.stages.textstats import gopher_quality
-    from stringzilla_ray.state.config import ERConfig
-    from stringzilla_ray.util import reduce_buckets
 
     def proj(ds, label_expr):
         def f(t: pa.Table) -> pa.Table:
@@ -84,91 +71,48 @@ def curate_corpus(
             return pa.table({id_column: ids, "disposition": lab})
         return ds.map_batches(f, batch_format="pyarrow")
 
+    def split_on(flagged, flag_column, keep_value):
+        """keep/(eliminate) branches off one flagged Dataset."""
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t[flag_column], keep_value)) \
+                    .select([id_column, text_column])
+
+        def drop(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.equal(t[flag_column], keep_value)))
+
+        return (flagged.map_batches(keep, batch_format="pyarrow"),
+                flagged.map_batches(drop, batch_format="pyarrow"))
+
     # 1. Gopher rules ------------------------------------------------
     gq = docs.select_columns([id_column, text_column]).map_batches(
         functools.partial(gopher_quality, text_column=text_column,
                           **(gopher_kwargs or {})),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-
-    def keep_pass(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["passes"], 1)) \
-                .select([id_column, text_column])
-
-    def keep_fail(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["passes"], 0))
-
-    s1 = gq.map_batches(keep_pass, batch_format="pyarrow")
-    elim_gopher = proj(gq.map_batches(keep_fail, batch_format="pyarrow"),
-                       "gopher_fail")
+    ).materialize()
+    s1, fail1 = split_on(gq, "passes", 1)
+    elim_gopher = proj(fail1, "gopher_fail")
 
     # 2. exact dedup with loser flags (one shard-groupby) ------------
-    n_buckets = reduce_buckets()
-
-    def add_shard(t: pa.Table) -> pa.Table:
-        k = t["text_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        s = (splitmix64(k ^ np.uint64(0x33)) % np.uint64(n_buckets)) \
-            .astype(np.int32)
-        return t.append_column("shard", pa.array(s, pa.int32()))
-
-    flagged = (
-        s1.map_batches(lambda b: add_text_hash(b, text_column, seed),
-                       batch_format="pyarrow")
-        .map_batches(add_shard, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(functools.partial(_exact_flag_groups,
-                                      id_column=id_column),
-                    batch_format="pyarrow")
-    )
-
-    def keep_exact(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["exact_keep"], 1)) \
-                .select([id_column, text_column])
-
-    def drop_exact(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["exact_keep"], 0))
-
-    s2 = flagged.map_batches(keep_exact, batch_format="pyarrow") \
-                .materialize()  # pairs AND labeling both consume it
-    elim_exact = proj(flagged.map_batches(drop_exact,
-                                          batch_format="pyarrow"),
-                      "exact_dup")
+    flagged = exact_dedup_flags(s1, id_column, text_column,
+                                seed=seed).materialize()
+    s2, fail2 = split_on(flagged, "exact_keep", 1)
+    elim_exact = proj(fail2, "exact_dup")
 
     # 3. near-dup components, min-id survivor (text rides along) ----
-    pairs = ngram_jaccard_near_dup(
+    s2 = s2.materialize()  # pair generation AND labeling consume it
+    labeled = near_dedup_keep(
         s2, id_column, text_column, n=ngram_n,
         jaccard_threshold=jaccard_threshold,
-    )
-
-    def add_node(t: pa.Table) -> pa.Table:
-        return t.append_column("__node", t[id_column].cast(pa.int64()))
-
-    labeled = assign_clusters(
-        s2.map_batches(add_node, batch_format="pyarrow"),
-        pairs.select_columns(["left", "right"]),
-        ERConfig(), node_column="__node", out_column="cluster_rep",
-    )
-
-    def keep_near(t: pa.Table) -> pa.Table:
-        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        rep = t["cluster_rep"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids == rep)) \
-                .select([id_column, text_column])
-
-    def drop_near(t: pa.Table) -> pa.Table:
-        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        rep = t["cluster_rep"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids != rep))
-
-    s3 = labeled.map_batches(keep_near, batch_format="pyarrow")
-    elim_near = proj(labeled.map_batches(drop_near,
-                                         batch_format="pyarrow"),
-                     "near_dup")
+        carry_columns=[text_column],
+    ).materialize()
+    s3, fail3 = split_on(labeled, "keep", 1)
+    elim_near = proj(fail3, "near_dup")
 
     # 4. decontamination flags on full rows --------------------------
     s3f = decontaminate(s3, eval_ds, n=decontam_n, id_column=id_column,
-                        text_column=text_column, append_flag=True)
+                        text_column=text_column,
+                        append_flag=True).materialize()
 
     def keep_clean(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(t["contaminated"])) \

@@ -455,27 +455,32 @@ def knn_join(ds, query_mat: np.ndarray, query_ids: np.ndarray, k: int = 5,
     Output: (query_id, vec_id, rank int64), rank 1..k per query by
     (cosine desc, id asc).
     """
-    q = _normalize(np.ascontiguousarray(query_mat, dtype=np.float32))
+    # float64 throughout: the oracle (and any SQL twin) ranks by
+    # double-precision cosine; a float32 matmul can rank-invert
+    # near-ties. Q is broadcast-small, so the cost is per-block only.
+    q = _normalize(np.ascontiguousarray(query_mat, dtype=np.float64))
     qids = np.ascontiguousarray(query_ids, dtype=np.int64)
     q_ref = ray.put((q, qids))
 
     def partial(batch: pa.Table) -> pa.Table:
         qm, qi = ray.get(q_ref)
         ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(_emb_matrix(batch, emb_column))
+        m = _normalize(_emb_matrix(batch, emb_column).astype(np.float64))
         sims = qm @ m.T  # Q x B
         if exclude_same_id:
             sims = np.where(qi[:, None] == ids[None, :], -np.inf, sims)
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(len(qi), dtype=np.int64), kk)
-        cols = part.ravel()
+        # keep every column tied with the k-th largest cosine — the
+        # final (cosine desc, id asc) sort must choose among ALL tied
+        # candidates, not an argpartition-arbitrary subset
+        thr = np.partition(sims, sims.shape[1] - kk, axis=1)[:, sims.shape[1] - kk]
+        rows, cols = np.nonzero(sims >= thr[:, None])
         keep = np.isfinite(sims[rows, cols])
         rows, cols = rows[keep], cols[keep]
         return pa.table({
             "query_id": pa.array(qi[rows], pa.int64()),
             id_column: pa.array(ids[cols], pa.int64()),
-            "cosine": pa.array(sims[rows, cols].astype(np.float64)),
+            "cosine": pa.array(sims[rows, cols], pa.float64()),
         })
 
     cands = ds.map_batches(partial, batch_format="pyarrow",

@@ -422,9 +422,15 @@ def _bottomk_partial_fn(batch: pa.Table, id_column: str, text_column: str,
     key = _split_key(batch[text_column], method, seed)
     ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(key) > k:
-        # partial selection, then an exact (key, id) sort of the k winners
-        part = np.argpartition(key, k - 1)[:k]
-        key, ids = key[part], ids[part]
+        # keep every row tied with the k-th smallest KEY, then let the
+        # (key, id) sort decide — argpartition alone breaks key ties
+        # arbitrarily and can drop the true (key, id) winners when
+        # duplicate texts straddle the boundary
+        thr = np.partition(key, k - 1)[k - 1]
+        cand = key <= thr
+        key, ids = key[cand], ids[cand]
+        order = np.lexsort((ids, key))[:k]
+        key, ids = key[order], ids[order]
     order = np.lexsort((ids, key))
     return pa.table({
         id_column: pa.array(ids[order], pa.int64()),

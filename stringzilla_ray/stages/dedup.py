@@ -88,6 +88,42 @@ def exact_dedup(ds, id_column: str, text_column: str = "text", seed: int = 0):
     )
 
 
+def exact_dedup_flags(ds, id_column: str, text_column: str = "text",
+                      seed: int = 0):
+    """exact_dedup's shard-groupby emitting EVERY row plus an
+    ``exact_keep`` int32 flag (1 = the group's min-id winner) instead
+    of winners only — the composition form pipelines use to label
+    losers without a join. Same single shuffle, same tie-break."""
+    from stringzilla_ray.util import reduce_buckets
+
+    hashed = ds.map_batches(
+        lambda b: add_text_hash(b, text_column, seed), batch_format="pyarrow"
+    )
+    n_buckets = reduce_buckets()
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        k = t["text_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        s = (splitmix64(k ^ np.uint64(0x33)) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("shard", pa.array(s, pa.int32()))
+
+    def flag_per_hash(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["shard"]).sort_by(
+            [("text_hash", "ascending"), (id_column, "ascending")]
+        )
+        hs = t["text_hash"].to_numpy()
+        first = (np.concatenate([[True], hs[1:] != hs[:-1]])
+                 if len(hs) else np.zeros(0, bool))
+        return t.drop_columns(["text_hash"]).append_column(
+            "exact_keep", pa.array(first.astype(np.int32), pa.int32())
+        )
+
+    return (
+        hashed.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(flag_per_hash, batch_format="pyarrow")
+    )
+
+
 def _gram_hash_sets(tape: np.ndarray, offsets: np.ndarray, n: int = 3):
     """Sorted-unique gram-hash sets for EVERY row of a string tape in
     one vectorized pass — the batch twin of ``ngram_set_hashes`` (same
@@ -1021,6 +1057,7 @@ def near_dedup_keep(
     n: int = 3,
     jaccard_threshold: float = 0.8,
     pairs=None,
+    carry_columns: list[str] | None = None,
 ):
     """Keep-one near-duplicate dedup: the full curation operator that
     the pair generators above feed. Near-dup pairs (by default the
@@ -1042,10 +1079,11 @@ def near_dedup_keep(
 
     Pass ``pairs`` (a Dataset with int64 ``left``/``right``) to reuse
     an approximate generator (MinHash-LSH, SimHash) instead of the
-    exact join.
+    exact join. ``carry_columns`` rides extra columns through the
+    labeling (e.g. the text, for pipeline composition).
 
-    Output: (id_column, cluster_rep int64, keep int32), one row per
-    input document.
+    Output: (id_column, *carry_columns, cluster_rep int64, keep
+    int32), one row per input document.
     """
     from stringzilla_ray.stages.clustering import assign_clusters
     from stringzilla_ray.state.config import ERConfig
@@ -1060,9 +1098,9 @@ def near_dedup_keep(
     def _add_node(t: pa.Table) -> pa.Table:
         return t.append_column("__node", t[id_column].cast(pa.int64()))
 
-    members = ds.select_columns([id_column]).map_batches(
-        _add_node, batch_format="pyarrow", zero_copy_batch=True,
-    )
+    members = ds.select_columns(
+        [id_column] + list(carry_columns or [])
+    ).map_batches(_add_node, batch_format="pyarrow", zero_copy_batch=True)
     labeled = assign_clusters(
         members, edges, ERConfig(), node_column="__node",
         out_column="cluster_rep",

@@ -1752,3 +1752,56 @@ def test_knn_join_exact(ray_session):
     big = knn_join(ray.data.from_arrow(tbl).limit(3), vecs[qidx], qidx,
                    k=10).to_pandas()
     assert set(big.groupby("query_id").size()) <= {2, 3}  # self excluded
+
+
+def test_bottomk_tie_straddle_regression(ray_session):
+    """Duplicate texts straddling the per-batch k boundary: the prune
+    must keep the (key, id) winners, not an arbitrary k of the tied
+    keys (found by code review, confirmed by repro)."""
+    import hashlib
+
+    import ray.data
+
+    from stringzilla_ray.stages.curation import bottom_k_sample
+
+    texts = ["same text"] * 6 + [f"other {i}" for i in range(4)]
+    ids = [50, 40, 30, 20, 10, 5, 100, 101, 102, 103]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    keys = [int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "big")
+            for t in texts]
+    want = [i for _, i in sorted(zip(keys, ids))][:3]
+    got = bottom_k_sample(ray.data.from_arrow(tbl), k=3, method="md5") \
+        .to_pandas()
+    assert list(got["doc_id"]) == want
+
+
+def test_knn_join_tie_regression(ray_session):
+    """Duplicate embeddings tied at the k-th cosine: the per-block
+    prune must surface ALL tied candidates so the deterministic
+    (cosine desc, id asc) final picks min-id winners."""
+    import ray.data
+
+    from stringzilla_ray.stages.ann import knn_join
+
+    v = np.ones((7, 4), np.float32)
+    v[-1] = [1, -1, 1, -1]          # the query, orthogonal-ish
+    ids = np.array([50, 40, 30, 20, 10, 5, 0], np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(v), pa.list_(pa.float32()))})
+    got = knn_join(ray.data.from_arrow(tbl), v[-1:], ids[-1:], k=3) \
+        .to_pandas().sort_values("rank")
+    assert list(got["vec_id"]) == [5, 10, 20]  # all cosines tie -> min ids
+
+
+def test_find_all_sliced_array_regression():
+    """find_all on a sliced pa.Array (tape buffer larger than the
+    slice) must neither crash nor mis-attribute rows."""
+    from stringzilla_ray.functions.text import find_all
+
+    big = pa.array(["spark here", "no match", "spark spark", "tail spark"])
+    sl = big.slice(1, 2)
+    row, pos = find_all(sl, "spark")
+    assert list(row) == [1, 1] and list(pos) == [0, 6]
+    row0, pos0 = find_all(big.slice(3, 1), "spark")
+    assert list(row0) == [0] and list(pos0) == [5]
