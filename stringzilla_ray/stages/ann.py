@@ -41,19 +41,25 @@ def _empty_topk(id_column: str) -> pa.Table:
 
 def _score_topk(batch: pa.Table, q: np.ndarray, id_column: str,
                 emb_column: str, k: int) -> pa.Table:
+    # float64: downstream deterministic ordering (cosine desc, id asc)
+    # and the SQL oracles rank double-precision cosines; float32 can
+    # rank-invert near-ties. Tie-superset: keep every row tied at the
+    # k-th cosine so the global sort+limit chooses among ALL tied
+    # candidates instead of an argpartition-arbitrary subset.
     if len(batch) == 0:
         return _empty_topk(id_column)
-    m = _normalize(_emb_matrix(batch, emb_column))
-    cos = (m @ q.T).max(axis=1)  # best over query rows
+    m = _normalize(_emb_matrix(batch, emb_column).astype(np.float64))
+    cos = (m @ q.astype(np.float64).T).max(axis=1)  # best over query rows
     k = min(k, len(cos))
-    top = np.argpartition(-cos, k - 1)[:k]
+    thr = np.partition(cos, len(cos) - k)[len(cos) - k]
+    top = np.flatnonzero(cos >= thr)
     ids = batch[id_column]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
     return pa.table(
         {
             id_column: ids.take(pa.array(top, pa.int64())),
-            "cosine": pa.array(cos[top].astype(np.float64)),
+            "cosine": pa.array(cos[top], pa.float64()),
         }
     )
 
