@@ -852,6 +852,18 @@ def _q_knn_join(sf_dir: str):
     return knn_join(ds, qmat, qids, k=5)
 
 
+def _q_dedup_lines_global(sf_dir: str):
+    """Corpus-global first-occurrence line dedup (The Pile exact
+    passage dedup at segment granularity; ' '-delimited here — the
+    synthetic corpus has no newlines): later copies of an exact
+    segment drop, ordered by (doc_id, position)
+    (stages/curation.py dedup_lines_global)."""
+    from stringzilla_ray.stages.curation import dedup_lines_global
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_lines_global(ds, delimiter=" ")
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1953,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_docs_per_lang": _q_longest_docs_per_lang,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "knn_join": _q_knn_join,
+        "dedup_lines_global": _q_dedup_lines_global,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2668,6 +2681,21 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings a JOIN embeddings b"
             "    ON a.vec_id < 20 AND b.vec_id <> a.vec_id"
             ") WHERE rank <= 5"
+        ),
+        "dedup_lines_global": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks"
+            "           FROM documents),"
+            "e AS (SELECT doc_id, unnest(toks) AS tok,"
+            "             unnest(range(1, len(toks)+1)) AS i FROM s),"
+            "w AS (SELECT doc_id, tok, i, row_number() OVER ("
+            "  PARTITION BY tok ORDER BY doc_id, i) AS rn FROM e),"
+            "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS tc,"
+            "        count(*) AS nk FROM w WHERE rn = 1 GROUP BY doc_id),"
+            "tot AS (SELECT doc_id, count(*) AS nt FROM e GROUP BY doc_id)"
+            "SELECT d.doc_id, coalesce(a.tc, '') AS text_clean, "
+            "t.nt - coalesce(a.nk, 0) AS n_dropped "
+            "FROM documents d JOIN tot t USING (doc_id) "
+            "LEFT JOIN agg a USING (doc_id)"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

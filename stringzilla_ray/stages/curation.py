@@ -551,3 +551,107 @@ def chunk_documents(ds, id_column: str = "doc_id",
 
     return ds.map_batches(explode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def dedup_lines_global(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    delimiter: str = "\n",
+    out_column: str = "text_clean",
+):
+    """Corpus-global exact line dedup, FIRST occurrence wins — the
+    repeated-passage filter (The Pile / RefinedWeb exact substring
+    dedup at line granularity): every later occurrence of an exact
+    line (ordered by (doc id, line index)) is dropped; each document's
+    surviving lines rejoin in order. Complements drop_frequent_lines
+    (which removes a line EVERYWHERE once it is frequent; this keeps
+    the first copy).
+
+    Two line-table shuffles, zero full-text shuffles: documents
+    explode to (line, doc, idx) rows; a line-hash shard-groupby owns
+    whole line groups so the (doc, idx)-minimum winner is decided
+    locally; a doc-hash shard-groupby reassembles surviving lines in
+    index order. Line identity is the line STRING (hashes are only
+    shard keys — no collision caveat).
+
+    Output: (id_column, out_column, n_dropped int64), one row per doc.
+    """
+    import functools
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from stringzilla_ray.functions.fasthash import hash_string_column
+
+        col = batch[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.split_pattern(col, pattern=delimiter)
+        flat = la.flatten()
+        parents = np.repeat(
+            np.arange(len(la), dtype=np.int64), np.diff(la.offsets.to_numpy())
+        )
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.arange(len(parents), dtype=np.int64) - np.repeat(
+            la.offsets.to_numpy()[:-1].astype(np.int64),
+            np.diff(la.offsets.to_numpy()),
+        )
+        h = hash_string_column(
+            flat if isinstance(flat, pa.Array) else flat.combine_chunks()
+        ).view(np.uint64)
+        return pa.table({
+            "line": flat,
+            id_column: pa.array(ids[parents], pa.int64()),
+            "line_idx": pa.array(idx, pa.int64()),
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int32),
+                              pa.int32()),
+        })
+
+    def pick_winners(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("line", "ascending"), (id_column, "ascending"),
+                       ("line_idx", "ascending")])
+        lines = t["line"].to_numpy(zero_copy_only=False)
+        first = (np.concatenate([[True], lines[1:] != lines[:-1]])
+                 if len(lines) else np.zeros(0, bool))
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        dshard = (np.abs(ids) % n_shards).astype(np.int32)
+        return pa.table({
+            "line": t["line"],
+            id_column: t[id_column],
+            "line_idx": t["line_idx"],
+            "keep": pa.array(first.astype(np.int32), pa.int32()),
+            "dshard": pa.array(dshard, pa.int32()),
+        })
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(id_column, "ascending"), ("line_idx", "ascending")])
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        keep = t["keep"].to_numpy(zero_copy_only=False).astype(bool)
+        uniq, codes = np.unique(ids, return_inverse=True)
+        kept_counts = np.bincount(codes[keep], minlength=len(uniq))
+        offs = np.zeros(len(uniq) + 1, np.int64)
+        np.cumsum(kept_counts, out=offs[1:])
+        lines = t["line"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        kept_lines = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()),
+            lines.filter(pa.array(keep)).cast(pa.string()),
+        )
+        dropped = np.bincount(codes, minlength=len(uniq)) - kept_counts
+        return pa.table({
+            id_column: pa.array(uniq, pa.int64()),
+            out_column: pc.binary_join(kept_lines, delimiter).cast(pa.string()),
+            "n_dropped": pa.array(dropped, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(pick_winners, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

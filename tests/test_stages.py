@@ -1805,3 +1805,41 @@ def test_find_all_sliced_array_regression():
     assert list(row) == [1, 1] and list(pos) == [0, 6]
     row0, pos0 = find_all(big.slice(3, 1), "spark")
     assert list(row0) == [0] and list(pos0) == [5]
+
+
+def test_dedup_lines_global(ray_session):
+    """First-occurrence line dedup == per-corpus reference scan:
+    winners ordered by (doc_id, line_idx), within-doc repeats also
+    dedup, reshard-invariant, empty docs survive as empty."""
+    import ray.data
+
+    from stringzilla_ray.stages.curation import dedup_lines_global
+
+    texts = [
+        "alpha\nbeta\nalpha",        # within-doc repeat
+        "beta\ngamma",               # beta already seen in doc 0
+        "delta\nalpha\ngamma",
+        "",
+        "epsilon",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+
+    seen, want, want_drop = set(), {}, {}
+    for did, t in enumerate(texts):
+        kept = []
+        for ln in t.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        want[did] = "\n".join(kept)
+        want_drop[did] = len(t.split("\n")) - len(kept)
+
+    for parts in (1, 4):
+        out = (
+            dedup_lines_global(ray.data.from_arrow(tbl).repartition(parts))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert dict(zip(out["doc_id"], out["text_clean"])) == want, parts
+        assert list(out["n_dropped"]) == [want_drop[d]
+                                          for d in range(len(texts))]
