@@ -864,6 +864,16 @@ def _q_dedup_lines_global(sf_dir: str):
     return dedup_lines_global(ds, delimiter=" ")
 
 
+def _q_profile_events(sf_dir: str):
+    """Single-pass numeric column profiler over events (count / nulls
+    / exact distinct / min / max; stages/stats.py profile_columns) —
+    the pre-ingest data-quality gate."""
+    from stringzilla_ray.stages.stats import profile_columns
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return profile_columns(ds, ["event_id", "user_id", "value"])
+
+
 def _q_simhash(sf_dir: str):
     from stringzilla_ray.stages.dedup import add_simhash
 
@@ -1966,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "knn_join": _q_knn_join,
         "dedup_lines_global": _q_dedup_lines_global,
+        "profile_events": _q_profile_events,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
@@ -2635,6 +2646,25 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN ex ON ex.doc_id = t.doc_id "
             "LEFT JOIN rep ON rep.doc_id = t.doc_id "
             "LEFT JOIN hits ON hits.doc_id = t.doc_id"
+        ),
+        "profile_events": (
+            "SELECT 'event_id' AS \"column\", count(*) AS n_rows,"
+            " CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+            " CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,"
+            " CAST(min(event_id) AS DOUBLE) AS min_v,"
+            " CAST(max(event_id) AS DOUBLE) AS max_v FROM events"
+            " UNION ALL "
+            "SELECT 'user_id', count(*),"
+            " CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+            " CAST(count(DISTINCT user_id) AS BIGINT),"
+            " CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)"
+            " FROM events"
+            " UNION ALL "
+            "SELECT 'value', count(*),"
+            " CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+            " CAST(count(DISTINCT value) AS BIGINT),"
+            " CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)"
+            " FROM events"
         ),
         "incremental_dedup": (
             # membership by exact text == membership by injective

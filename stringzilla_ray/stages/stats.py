@@ -174,3 +174,144 @@ def top_per_group(ds, group_column: str, order_column: str,
         .map_groups(lambda g: _argtopk(g.drop_columns(["shard"])),
                     batch_format="pyarrow")
     )
+
+
+def profile_columns(ds, columns: list[str]):
+    """Single-pass numeric column profiler: (column, n_rows, n_nulls,
+    n_distinct, min_v, max_v) per column — the data-quality "describe"
+    step a pipeline runs before trusting a new drop of data.
+
+    Shape: every batch emits one tiny partial row per column (count /
+    nulls / min / max fold locally) plus hash-sharded distinct-value
+    partials; a shard-groupby dedups values exactly (the exchange is
+    bounded by value cardinality); one final task folds partials.
+    min/max/count are fold-order-independent, so results are exact and
+    hash-stable (no float summation anywhere). At true 100 TB
+    cardinalities swap the exact distinct for a sketch; exactness is
+    the point here.
+    """
+    import functools
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names, rows, nulls, mins, maxs = [], [], [], [], []
+        dist_col, dist_val, dist_shard = [], [], []
+        for c in columns:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # Arrow nulls surface as NaN in the float view; NaN data
+            # counts as missing too (profiler convention — note the
+            # SQL IS NULL divergence for literal-NaN inputs)
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            miss = np.isnan(v)
+            nn = int(miss.sum())
+            ok = v[~miss]
+            names.append(c)
+            rows.append(len(col))
+            nulls.append(nn)
+            mins.append(float(ok.min()) if len(ok) else np.nan)
+            maxs.append(float(ok.max()) if len(ok) else np.nan)
+            u = np.unique(ok)
+            dist_col.extend([c] * len(u))
+            dist_val.extend(u.tolist())
+        if dist_val:
+            from stringzilla_ray.functions.fingerprint import splitmix64
+
+            h = splitmix64(np.asarray(dist_val, np.float64)
+                           .view(np.uint64))
+            dist_shard = (h % np.uint64(n_shards)).astype(np.int32)
+        stats = pa.table({
+            "column": pa.array(names, pa.string()),
+            "n_rows": pa.array(rows, pa.int64()),
+            "n_nulls": pa.array(nulls, pa.int64()),
+            "min_v": pa.array(mins, pa.float64()),
+            "max_v": pa.array(maxs, pa.float64()),
+            "kind": pa.array(["s"] * len(names), pa.string()),
+            "value": pa.array([np.nan] * len(names), pa.float64()),
+            "shard": pa.array([-1] * len(names), pa.int32()),
+        })
+        dists = pa.table({
+            "column": pa.array(dist_col, pa.string()),
+            "n_rows": pa.array([0] * len(dist_col), pa.int64()),
+            "n_nulls": pa.array([0] * len(dist_col), pa.int64()),
+            "min_v": pa.array([np.nan] * len(dist_col), pa.float64()),
+            "max_v": pa.array([np.nan] * len(dist_col), pa.float64()),
+            "kind": pa.array(["d"] * len(dist_col), pa.string()),
+            "value": pa.array(dist_val, pa.float64()),
+            "shard": pa.array(np.asarray(dist_shard, np.int32), pa.int32())
+            if len(dist_col) else pa.array([], pa.int32()),
+        })
+        return pa.concat_tables([stats, dists])
+
+    def shard_fold(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        stats = g.filter(pa.array(kinds == "s"))
+        dists = g.filter(pa.array(kinds == "d"))
+        out = []
+        if stats.num_rows:
+            agg = pa.TableGroupBy(
+                stats.select(["column", "n_rows", "n_nulls",
+                              "min_v", "max_v"]), "column"
+            ).aggregate([("n_rows", "sum"), ("n_nulls", "sum"),
+                         ("min_v", "min"), ("max_v", "max")])
+            out.append(pa.table({
+                "column": agg["column"],
+                "n_rows": agg["n_rows_sum"].cast(pa.int64()),
+                "n_nulls": agg["n_nulls_sum"].cast(pa.int64()),
+                "n_distinct": pa.array([0] * agg.num_rows, pa.int64()),
+                "min_v": agg["min_v_min"],
+                "max_v": agg["max_v_max"],
+            }))
+        if dists.num_rows:
+            ded = pa.TableGroupBy(
+                dists.select(["column", "value"]), ["column", "value"]
+            ).aggregate([]).group_by("column").aggregate([("value", "count")])
+            out.append(pa.table({
+                "column": ded["column"],
+                "n_rows": pa.array([0] * ded.num_rows, pa.int64()),
+                "n_nulls": pa.array([0] * ded.num_rows, pa.int64()),
+                "n_distinct": ded["value_count"].cast(pa.int64()),
+                "min_v": pa.array([np.nan] * ded.num_rows, pa.float64()),
+                "max_v": pa.array([np.nan] * ded.num_rows, pa.float64()),
+            }))
+        return pa.concat_tables(out) if out else pa.table({
+            "column": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64()),
+            "n_nulls": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+            "min_v": pa.array([], pa.float64()),
+            "max_v": pa.array([], pa.float64()),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, "column").aggregate(
+            [("n_rows", "sum"), ("n_nulls", "sum"), ("n_distinct", "sum"),
+             ("min_v", "min"), ("max_v", "max")]
+        )
+        return pa.table({
+            "column": agg["column"],
+            "n_rows": agg["n_rows_sum"].cast(pa.int64()),
+            "n_nulls": agg["n_nulls_sum"].cast(pa.int64()),
+            "n_distinct": agg["n_distinct_sum"].cast(pa.int64()),
+            "min_v": agg["min_v_min"],
+            "max_v": agg["max_v_max"],
+        })
+
+    # stats partials ride shard -1; distinct partials hash-shard so a
+    # shard owns every copy of a value and local dedup is exact
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(shard_fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -1843,3 +1843,33 @@ def test_dedup_lines_global(ray_session):
         assert dict(zip(out["doc_id"], out["text_clean"])) == want, parts
         assert list(out["n_dropped"]) == [want_drop[d]
                                           for d in range(len(texts))]
+
+
+def test_profile_columns_exact(ray_session):
+    """Profiler == pandas reference on a table with nulls, NaNs
+    treated as nulls, duplicate values across batches, negative
+    values; reshard-invariant."""
+    import ray.data
+
+    from stringzilla_ray.stages.stats import profile_columns
+
+    rng = np.random.default_rng(59)
+    a = rng.integers(-50, 50, size=1000).astype("float64")
+    a[::17] = np.nan
+    b = rng.choice([1.5, -2.25, 7.0, 0.0], size=1000)
+    tbl = pa.table({"a": pa.array(a, pa.float64()),
+                    "b": pa.array(b, pa.float64())})
+    out = (
+        profile_columns(ray.data.from_arrow(tbl).repartition(6), ["a", "b"])
+        .to_pandas().sort_values("column").reset_index(drop=True)
+    )
+    av = a[~np.isnan(a)]
+    want = {
+        "a": (1000, int(np.isnan(a).sum()), len(np.unique(av)),
+              float(av.min()), float(av.max())),
+        "b": (1000, 0, 4, -2.25, 7.0),
+    }
+    for _, r in out.iterrows():
+        w = want[r["column"]]
+        assert (r["n_rows"], r["n_nulls"], r["n_distinct"],
+                r["min_v"], r["max_v"]) == w, r["column"]
