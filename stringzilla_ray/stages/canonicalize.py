@@ -466,10 +466,12 @@ def _canon_pack_codec() -> str | None:
     interleaved weak-hi pairs (flagship 56.6s -> 40.4s median, -29%),
     but under the production STREAMING executor it is a wash at 32
     CPUs and a reproducible ~2x regression on the 8-CPU leg (3/3
-    interleaved pairs, 12s -> 26s; blob-size caps don't change it —
-    the loss is stream-overlap scheduling, not sort sampling). Keep it
-    for real clusters where exchange bytes cross NICs; never default
-    it from a single-host reading. Any other value names the Arrow IPC
+    interleaved pairs, 12s -> 26s). Probed and ruled out: blob-size
+    caps, sort-boundary sampling of fat rows, target_max_block_size
+    under-partitioning (base shows the same reduce accounting) — the
+    residual streaming-overlap mechanism is undiagnosed. Keep it for
+    real clusters where exchange bytes cross NICs; never default it
+    from a single-host reading. Any other value names the Arrow IPC
     codec."""
     import os
 
