@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the pure batch kernels that
+have simple per-row reference semantics — randomized inputs cover the
+edge geometry (empty strings, needles at boundaries, pathological
+overlap, degenerate groups) that example tests enumerate by hand.
+
+Only driver-side kernels here (no Ray session needed): hypothesis
+shrinks by re-running the function hundreds of times, which would be
+pathological against a distributed Dataset.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+texts_st = st.lists(
+    st.text(alphabet="ab \x1e", min_size=0, max_size=30),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=texts_st, needle=st.text(alphabet="ab ", min_size=1, max_size=4))
+def test_find_all_matches_python(texts, needle):
+    from stringzilla_ray.functions.text import count_substring, find_all
+
+    arr = pa.array(texts, pa.string())
+    row, pos = find_all(arr, needle)
+    got = {}
+    for r, p in zip(row, pos):
+        got.setdefault(int(r), []).append(int(p))
+    for i, t in enumerate(texts):
+        tb, nb = t.encode(), needle.encode()
+        want = [j for j in range(len(tb) - len(nb) + 1)
+                if tb[j:j + len(nb)] == nb]
+        assert got.get(i, []) == want, (i, t, needle)
+    cnts = count_substring(arr, needle, allowoverlap=True).to_pylist()
+    assert cnts == [len(got.get(i, [])) for i in range(len(texts))]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abc ", max_size=40),
+                   min_size=1, max_size=10),
+    window=st.integers(2, 6),
+    overlap=st.integers(0, 4),
+)
+def test_chunk_documents_kernel_properties(texts, window, overlap):
+    """Chunks cover every token in order; all chunks but the last are
+    full; consecutive chunks overlap by exactly `overlap` tokens."""
+    from hypothesis import assume
+
+    from stringzilla_ray.stages.curation import chunk_documents
+
+    assume(overlap < window)
+    # exercise the batch kernel directly via the map function
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    # run the operator's single map_batches kernel without a Ray
+    # session (hypothesis re-runs this hundreds of times)
+    class _DS:
+        def map_batches(self, f, **kw):
+            self.out = f(tbl)
+            return self
+
+    ds = _DS()
+    chunk_documents(ds, window=window, overlap=overlap)
+    out = ds.out
+    ids = out["doc_id"].to_pylist()
+    cidx = out["chunk_idx"].to_pylist()
+    ctext = out["chunk_text"].to_pylist()
+    ntok = out["n_tokens"].to_pylist()
+    step = window - overlap
+    for i, t in enumerate(texts):
+        toks = t.split()
+        rows = [(c, x, n) for d, c, x, n in zip(ids, cidx, ctext, ntok)
+                if d == i]
+        rows.sort()
+        nc = max(-(-(len(toks) - overlap) // step), 1)
+        assert len(rows) == nc
+        for c, x, n in rows:
+            want = toks[c * step:c * step + window]
+            assert x.split(" ") == want or (x == "" and not want)
+            assert n == len(want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=200),
+    q=st.floats(0.0, 1.0),
+)
+def test_quantile_reduce_matches_numpy(vals, q):
+    from stringzilla_ray.stages.stats import _quantile_reduce_fn
+
+    v = np.asarray(vals, np.float64)
+    uniqv, cnts = np.unique(v, return_counts=True)
+    g = pa.table({
+        "k": pa.array(["g"] * len(uniqv), pa.string()),
+        "v": pa.array(uniqv, pa.float64()),
+        "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+    })
+    out = _quantile_reduce_fn(g, "k", "v", q, "qv")
+    want = np.quantile(v, q)  # linear interpolation == quantile_cont
+    np.testing.assert_allclose(out["qv"].to_numpy()[0], want,
+                               rtol=1e-12, atol=1e-12)
