@@ -3,10 +3,11 @@ for container-feasible formats.
 
 Image/audio/video travel as opaque ``large_binary`` columns with typed
 metadata and are processed by actor-pool map_batches stages. The
-decode kernels for WAV (RIFF PCM), PPM (P6) and BMP (24-bit
-BITMAPINFOHEADER) are genuine NumPy decoders — header parse +
+decode kernels for WAV (RIFF PCM), PPM (P6), BMP (24-bit
+BITMAPINFOHEADER) and Y4M video (YUV4MPEG2 mono, with uniform
+frame sampling) are genuine NumPy decoders — header parse +
 ``np.frombuffer`` — producing real signal statistics. Formats that
-need codec libraries this container lacks (video, JPEG, ...) remain
+need codec libraries this container lacks (JPEG, MP4, ...) remain
 STUBBED: ``strict=True`` raises ``NotImplementedError`` (the honest
 marker), ``strict=False`` emits a deterministic content-hash fake so
 the plumbing stays testable end to end.
@@ -153,9 +154,64 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[:, :, ::-1]  # BGR -> RGB
 
 
+def make_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """YUV4MPEG2 (mono plane) writer: plain-text stream header, then
+    'FRAME\\n' + raw H*W bytes per frame — the one video container a
+    NumPy-only environment can write and read losslessly."""
+    t, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode()
+    body = b"".join(b"FRAME\n" + frames[i].tobytes() for i in range(t))
+    return head + body
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+    """(frames uint8[T,H,W], fps) from a mono YUV4MPEG2 stream."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode()
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    fps = 25.0
+    colorspace = "C420"
+    for tok in head.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = tok[1:].split(":")
+            fps = int(num) / int(den)
+        elif tok[0] == "C":
+            colorspace = tok
+    if colorspace != "Cmono":
+        raise NotImplementedError("only mono-plane Y4M decodes in-container")
+    fsize = h * w
+    marker = b"FRAME"
+    pos, out = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != marker:
+            raise ValueError("malformed Y4M frame header")
+        start = fnl + 1
+        out.append(np.frombuffer(payload, np.uint8, fsize, start)
+                   .reshape(h, w))
+        pos = start + fsize
+    return (np.stack(out) if out else np.zeros((0, h, w), np.uint8)), fps
+
+
+def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
+    """Uniform temporal frame sample (first/last inclusive) — the
+    standard video preprocessing step before per-frame featurizing."""
+    t = len(frames)
+    if t <= k:
+        return frames
+    idx = np.linspace(0, t - 1, k).round().astype(np.int64)
+    return frames[idx]
+
+
 # ------------------------------------------------------------- features
 
-_FMT_FAKE, _FMT_WAV, _FMT_PPM, _FMT_BMP = 0.0, 1.0, 2.0, 3.0
+_FMT_FAKE, _FMT_WAV, _FMT_PPM, _FMT_BMP, _FMT_Y4M = 0.0, 1.0, 2.0, 3.0, 4.0
 
 
 def _audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
@@ -184,14 +240,30 @@ def _image_features(img: np.ndarray, fmt: float) -> list[float]:
     ]
 
 
-class MediaDecoder:
-    """Actor-pool UDF: real NumPy decode for WAV/PPM/BMP payloads ->
-    signal-statistic features float32[16]:
+def _video_features(frames: np.ndarray, fps: float, k: int = 8) -> list[float]:
+    sub = sample_frames(frames, k).astype(np.float64) / 255.0
+    t, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    motion = (float(np.abs(np.diff(sub, axis=0)).mean())
+              if len(sub) > 1 else 0.0)
+    flat = sub.reshape(len(sub), -1) if len(sub) else np.zeros((0, 1))
+    return [
+        _FMT_Y4M, float(w), float(h), float(t),
+        float(flat.mean()) if flat.size else 0.0,
+        float(flat.std()) if flat.size else 0.0,
+        float(flat.min()) if flat.size else 0.0,
+        float(flat.max()) if flat.size else 0.0,
+        fps, motion,
+    ]
 
-      [0] format (1=wav, 2=ppm, 3=bmp, 0=stub-fake)
-      [1] width | n_samples   [2] height | sample_rate   [3] channels
+
+class MediaDecoder:
+    """Actor-pool UDF: real NumPy decode for WAV/PPM/BMP/Y4M payloads
+    -> signal-statistic features float32[16]:
+
+      [0] format (1=wav, 2=ppm, 3=bmp, 4=y4m-video, 0=stub-fake)
+      [1] width | n_samples   [2] height | sample_rate   [3] channels | n_frames
       [4] mean  [5] std  [6] min  [7] max
-      [8] rms | luminance mean  [9] zero-cross rate | edge energy
+      [8] rms | luminance mean | fps  [9] zero-cross | edge | motion
       [10:16] reserved (0)
 
     Payloads in formats that need absent codec libraries: strict=True
@@ -214,6 +286,9 @@ class MediaDecoder:
             return _image_features(decode_ppm(payload), _FMT_PPM)
         if head[:2] == b"BM":
             return _image_features(decode_bmp(payload), _FMT_BMP)
+        if payload[:9] == b"YUV4MPEG2":
+            frames, fps = decode_y4m(payload)
+            return _video_features(frames, fps)
         return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -273,8 +348,8 @@ def decode_features(ds, strict: bool = False, seed: int = 0, batch_size: int = 6
 
 def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
     """Deterministic media rows in REAL container formats: sine-sweep
-    WAVs, gradient PPMs, checker BMPs — plus every third row an opaque
-    'video' payload that exercises the honest stub path."""
+    WAVs, gradient PPMs/BMPs, moving-gradient mono Y4M videos — plus
+    opaque codec-needing payloads that exercise the honest stub path."""
     rng = np.random.default_rng(seed)
     payloads, kinds, widths, heights, rates, durs = [], [], [], [], [], []
     for i in range(n):
@@ -300,7 +375,17 @@ def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
             kinds.append("audio")
             widths.append(0); heights.append(0); rates.append(sr)
             durs.append(int(nsamp * 1000 / sr))
+        elif i % 6 == 2:
+            # REAL video: moving-gradient mono Y4M
+            t_, h, w = int(rng.integers(3, 10)), 16, 24
+            tt, yy, xx = np.mgrid[0:t_, 0:h, 0:w]
+            frames = ((xx * 7 + yy * 3 + tt * 11 + i) % 256).astype(np.uint8)
+            payloads.append(make_y4m(frames, fps=(30, 1)))
+            kinds.append("video")
+            widths.append(w); heights.append(h); rates.append(0)
+            durs.append(int(t_ * 1000 / 30))
         else:
+            # opaque payload in a codec-needing format: the honest stub
             payloads.append(rng.integers(0, 256, size=int(rng.integers(64, 2048)),
                                          dtype=np.uint8).tobytes())
             kinds.append("video")

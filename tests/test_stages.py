@@ -670,12 +670,15 @@ def test_multimodal_stub(ray_session):
     # deterministic given payload + seed
     out2 = decode_features(ray.data.from_arrow(t), strict=False).to_pandas()
     np.testing.assert_array_equal(feats, np.vstack(out2.features.values))
-    # image/audio rows decode for REAL (format code set); video rows
-    # are the honest stub fakes (format code 0)
+    # image/audio rows decode for REAL (format code set); Y4M video
+    # rows decode for real too (format 4); opaque codec-needing video
+    # payloads are the honest stub fakes (hash dims in [0, 1))
     kinds = out.kind.values
     assert (feats[kinds == "image", 0] >= 2.0).all()
     assert (feats[kinds == "audio", 0] == 1.0).all()
-    assert (feats[kinds == "video", 0] < 1.0).all()  # hash-fake dims live in [0, 1)
+    vid = feats[kinds == "video", 0]
+    assert ((vid == 4.0) | (vid < 1.0)).all()
+    assert (vid == 4.0).any() and (vid < 1.0).any()
     # strict mode raises ONLY because of the video rows
     with pytest.raises(Exception):
         decode_features(ray.data.from_arrow(t), strict=True).materialize()
@@ -1873,3 +1876,41 @@ def test_profile_columns_exact(ray_session):
         w = want[r["column"]]
         assert (r["n_rows"], r["n_nulls"], r["n_distinct"],
                 r["min_v"], r["max_v"]) == w, r["column"]
+
+
+def test_y4m_roundtrip_and_frame_sampling():
+    """decode_y4m inverts make_y4m byte-true; sample_frames picks
+    first/last-inclusive uniform indices; video features match stats
+    computed directly on the frames."""
+    from stringzilla_ray.stages.multimodal import (
+        MediaDecoder,
+        _video_features,
+        decode_y4m,
+        make_y4m,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(61)
+    frames = rng.integers(0, 256, size=(9, 6, 8), dtype=np.uint8)
+    payload = make_y4m(frames, fps=(30000, 1001))
+    back, fps = decode_y4m(payload)
+    np.testing.assert_array_equal(back, frames)
+    assert abs(fps - 30000 / 1001) < 1e-9
+
+    sub = sample_frames(frames, 4)
+    assert sub.shape == (4, 6, 8)
+    np.testing.assert_array_equal(sub[0], frames[0])
+    np.testing.assert_array_equal(sub[-1], frames[-1])
+    np.testing.assert_array_equal(sample_frames(frames, 20), frames)
+
+    row = _video_features(frames, fps, k=4)
+    x = sub.astype(np.float64) / 255.0
+    assert row[0] == 4.0 and row[1] == 8.0 and row[2] == 6.0 and row[3] == 9.0
+    np.testing.assert_allclose(row[4], x.mean())
+    np.testing.assert_allclose(row[9], np.abs(np.diff(x, axis=0)).mean())
+
+    dec = MediaDecoder(strict=True)
+    t = pa.table({"media_id": pa.array([0], pa.int64()),
+                  "payload": pa.array([payload], pa.large_binary())})
+    feats = np.vstack(dec(t)["features"].to_pylist())
+    assert feats[0, 0] == 4.0
