@@ -43,9 +43,10 @@ def _score_topk(batch: pa.Table, q: np.ndarray, id_column: str,
                 emb_column: str, k: int) -> pa.Table:
     # float64: downstream deterministic ordering (cosine desc, id asc)
     # and the SQL oracles rank double-precision cosines; float32 can
-    # rank-invert near-ties. Tie-superset: keep every row tied at the
-    # k-th cosine so the global sort+limit chooses among ALL tied
-    # candidates instead of an argpartition-arbitrary subset.
+    # rank-invert near-ties. Ties at the k-th cosine resolve by the
+    # same (cosine desc, id asc) total order the global merge uses, so
+    # the per-block top-k is exact AND bounded at k rows even when a
+    # whole block ties (duplicate-heavy corpora).
     if len(batch) == 0:
         return _empty_topk(id_column)
     m = _normalize(_emb_matrix(batch, emb_column).astype(np.float64))
@@ -56,9 +57,11 @@ def _score_topk(batch: pa.Table, q: np.ndarray, id_column: str,
     ids = batch[id_column]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
+    id_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    top = top[np.lexsort((id_np[top], -cos[top]))[:k]]
     return pa.table(
         {
-            id_column: ids.take(pa.array(top, pa.int64())),
+            id_column: pa.array(id_np[top], pa.int64()),
             "cosine": pa.array(cos[top], pa.float64()),
         }
     )
@@ -476,17 +479,24 @@ def knn_join(ds, query_mat: np.ndarray, query_ids: np.ndarray, k: int = 5,
         if exclude_same_id:
             sims = np.where(qi[:, None] == ids[None, :], -np.inf, sims)
         kk = min(k, sims.shape[1])
-        # keep every column tied with the k-th largest cosine — the
-        # final (cosine desc, id asc) sort must choose among ALL tied
-        # candidates, not an argpartition-arbitrary subset
         thr = np.partition(sims, sims.shape[1] - kk, axis=1)[:, sims.shape[1] - kk]
         rows, cols = np.nonzero(sims >= thr[:, None])
         keep = np.isfinite(sims[rows, cols])
         rows, cols = rows[keep], cols[keep]
+        # resolve k-th ties by the same (cosine desc, id asc) order
+        # the final merge uses — exact, and bounded at Q*k per block
+        # even when a duplicate-heavy block ties everywhere
+        sel_ids, sel_sims = ids[cols], sims[rows, cols]
+        order = np.lexsort((sel_ids, -sel_sims, rows))
+        rows, sel_ids, sel_sims = rows[order], sel_ids[order], sel_sims[order]
+        first = np.concatenate([[0], np.flatnonzero(rows[1:] != rows[:-1]) + 1])
+        rank = np.arange(len(rows), dtype=np.int64) - np.repeat(
+            first, np.diff(np.concatenate([first, [len(rows)]])))
+        tk = rank < kk
         return pa.table({
-            "query_id": pa.array(qi[rows], pa.int64()),
-            id_column: pa.array(ids[cols], pa.int64()),
-            "cosine": pa.array(sims[rows, cols], pa.float64()),
+            "query_id": pa.array(qi[rows[tk]], pa.int64()),
+            id_column: pa.array(sel_ids[tk], pa.int64()),
+            "cosine": pa.array(sel_sims[tk], pa.float64()),
         })
 
     cands = ds.map_batches(partial, batch_format="pyarrow",

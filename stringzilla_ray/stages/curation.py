@@ -271,6 +271,29 @@ def assign_packs(ds, id_column: str = "doc_id",
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _explode_lines(col, delimiter: str):
+    """Shared line-explode kernel: split ``col`` on ``delimiter`` and
+    return ``(flat, parents, offs, idx)`` — the flat line array, the
+    int64 parent row of each line, the list offsets (``len+1``,
+    rebased to 0), and the within-document line index. Every
+    line-granular kernel in this file derives its bookkeeping here so
+    an offsets fix lands once (cf. the sliced-array ``tape_of`` lesson
+    in CLAUDE.md)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    la = pc.split_pattern(col, pattern=delimiter)
+    flat = la.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offs = la.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    counts = np.diff(offs)
+    parents = np.repeat(np.arange(len(la), dtype=np.int64), counts)
+    idx = np.arange(len(parents), dtype=np.int64) - np.repeat(
+        offs[:-1], counts)
+    return flat, parents, offs, idx
+
+
 def _line_census_fn(batch: pa.Table, text_column: str, delimiter: str,
                     n_shards: int) -> pa.Table:
     """Map-side partial for the line-df census: per batch, the number
@@ -279,14 +302,7 @@ def _line_census_fn(batch: pa.Table, text_column: str, delimiter: str,
     are globally distinct and the shard-groupby sum is the exact df."""
     from stringzilla_ray.functions.fasthash import hash_string_column
 
-    col = batch[text_column]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    la = pc.split_pattern(col, pattern=delimiter)
-    flat = la.flatten()
-    parents = np.repeat(
-        np.arange(len(la), dtype=np.int64), np.diff(la.offsets.to_numpy())
-    )
+    flat, parents, _, _ = _explode_lines(batch[text_column], delimiter)
     pairs = pa.table({"line": flat, "doc": pa.array(parents, pa.int64())})
     distinct = pairs.group_by(["line", "doc"]).aggregate([])
     partial = distinct.group_by("line").aggregate([("doc", "count")])
@@ -314,21 +330,16 @@ def _drop_lines_fn(batch: pa.Table, text_column: str, delimiter: str,
     import ray
 
     heavy = ray.get(heavy_ref)
-    col = batch[text_column]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    la = pc.split_pattern(col, pattern=delimiter)
-    flat = la.flatten()
-    offs = la.offsets.to_numpy()
+    flat, parents, offs, _ = _explode_lines(batch[text_column], delimiter)
     keep = np.asarray(
         pc.invert(pc.is_in(flat, value_set=heavy)).to_numpy(
             zero_copy_only=False
         ),
         dtype=bool,
     )
-    parents = np.repeat(np.arange(len(la), dtype=np.int64), np.diff(offs))
-    kept_counts = np.bincount(parents[keep], minlength=len(la))
-    new_offs = np.zeros(len(la) + 1, np.int64)
+    n_docs = len(offs) - 1
+    kept_counts = np.bincount(parents[keep], minlength=n_docs)
+    new_offs = np.zeros(n_docs + 1, np.int64)
     np.cumsum(kept_counts, out=new_offs[1:])
     kept_list = pa.LargeListArray.from_arrays(
         pa.array(new_offs, pa.int64()),
@@ -568,17 +579,17 @@ def dedup_lines_global(
     (which removes a line EVERYWHERE once it is frequent; this keeps
     the first copy).
 
-    Two line-table shuffles, zero full-text shuffles: documents
-    explode to (line, doc, idx) rows; a line-hash shard-groupby owns
-    whole line groups so the (doc, idx)-minimum winner is decided
-    locally; a doc-hash shard-groupby reassembles surviving lines in
-    index order. Line identity is the line STRING (hashes are only
-    shard keys — no collision caveat).
+    Two shuffles, zero full-text shuffles: documents explode to
+    (line, doc, idx) rows; a line-hash shard-groupby owns whole line
+    groups so the (doc, idx)-minimum winner is decided locally; a
+    doc-hash shard-groupby reassembles surviving lines in index order.
+    The second exchange carries only WINNING lines plus one tiny
+    per-(doc, shard) dropped-count partial — dropped line strings die
+    in the first reducer. Line identity is the line STRING (hashes are
+    only shard keys — no collision caveat).
 
     Output: (id_column, out_column, n_dropped int64), one row per doc.
     """
-    import functools
-
     from stringzilla_ray.util import reduce_buckets
 
     n_shards = reduce_buckets()
@@ -586,22 +597,9 @@ def dedup_lines_global(
     def explode(batch: pa.Table) -> pa.Table:
         from stringzilla_ray.functions.fasthash import hash_string_column
 
-        col = batch[text_column]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        la = pc.split_pattern(col, pattern=delimiter)
-        flat = la.flatten()
-        parents = np.repeat(
-            np.arange(len(la), dtype=np.int64), np.diff(la.offsets.to_numpy())
-        )
+        flat, parents, _, idx = _explode_lines(batch[text_column], delimiter)
         ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.arange(len(parents), dtype=np.int64) - np.repeat(
-            la.offsets.to_numpy()[:-1].astype(np.int64),
-            np.diff(la.offsets.to_numpy()),
-        )
-        h = hash_string_column(
-            flat if isinstance(flat, pa.Array) else flat.combine_chunks()
-        ).view(np.uint64)
+        h = hash_string_column(flat).view(np.uint64)
         return pa.table({
             "line": flat,
             id_column: pa.array(ids[parents], pa.int64()),
@@ -613,17 +611,44 @@ def dedup_lines_global(
     def pick_winners(g: pa.Table) -> pa.Table:
         t = g.sort_by([("line", "ascending"), (id_column, "ascending"),
                        ("line_idx", "ascending")])
-        lines = t["line"].to_numpy(zero_copy_only=False)
-        first = (np.concatenate([[True], lines[1:] != lines[:-1]])
-                 if len(lines) else np.zeros(0, bool))
-        ids = t[id_column].to_numpy(zero_copy_only=False)
-        dshard = (np.abs(ids) % n_shards).astype(np.int32)
+        lines_np = t["line"].to_numpy(zero_copy_only=False)
+        win = (np.concatenate([[True], lines_np[1:] != lines_np[:-1]])
+               if len(lines_np) else np.zeros(0, bool))
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        # winners travel whole; losers collapse to ONE per-doc
+        # dropped-count partial so the reassemble exchange never
+        # carries a line string it would immediately discard (on a
+        # 90%-duplicated corpus that second shuffle was ~10x the bytes
+        # it needed)
+        lines = t["line"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        win_lines = lines.filter(pa.array(win))
+        win_idx = t["line_idx"].to_numpy(zero_copy_only=False)[win]
+        lose_ids, lose_cnt = np.unique(ids[~win], return_counts=True)
+        out_ids = np.concatenate([ids[win], lose_ids])
+        n_win = int(win.sum())
+        line_col = pa.concat_arrays([
+            win_lines,
+            pa.array([""] * len(lose_ids), win_lines.type),
+        ])
         return pa.table({
-            "line": t["line"],
-            id_column: t[id_column],
-            "line_idx": t["line_idx"],
-            "keep": pa.array(first.astype(np.int32), pa.int32()),
-            "dshard": pa.array(dshard, pa.int32()),
+            "line": line_col,
+            id_column: pa.array(out_ids, pa.int64()),
+            "line_idx": pa.array(
+                np.concatenate([win_idx,
+                                np.full(len(lose_ids), -1, np.int64)]),
+                pa.int64()),
+            "keep": pa.array(
+                np.concatenate([np.ones(n_win, np.int32),
+                                np.zeros(len(lose_ids), np.int32)]),
+                pa.int32()),
+            "cnt": pa.array(
+                np.concatenate([np.zeros(n_win, np.int64),
+                                lose_cnt.astype(np.int64)]),
+                pa.int64()),
+            "dshard": pa.array((np.abs(out_ids) % n_shards).astype(np.int32),
+                               pa.int32()),
         })
 
     def reassemble(g: pa.Table) -> pa.Table:
@@ -641,7 +666,9 @@ def dedup_lines_global(
             pa.array(offs, pa.int64()),
             lines.filter(pa.array(keep)).cast(pa.string()),
         )
-        dropped = np.bincount(codes, minlength=len(uniq)) - kept_counts
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        dropped = np.bincount(codes, weights=cnt,
+                              minlength=len(uniq)).astype(np.int64)
         return pa.table({
             id_column: pa.array(uniq, pa.int64()),
             out_column: pc.binary_join(kept_lines, delimiter).cast(pa.string()),

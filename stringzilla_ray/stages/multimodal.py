@@ -305,7 +305,7 @@ class MediaDecoder:
                 if self.strict:
                     raise NotImplementedError(
                         "payload format needs codec libraries not present in this "
-                        "container (only WAV/PPM/BMP decode in-tree)"
+                        "container (only WAV/PPM/BMP/mono-Y4M decode in-tree)"
                     )
                 fake_rows.append(i)
             else:

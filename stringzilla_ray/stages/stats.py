@@ -190,42 +190,55 @@ def profile_columns(ds, columns: list[str]):
     cardinalities swap the exact distinct for a sketch; exactness is
     the point here.
     """
-    import functools
-
     from stringzilla_ray.util import reduce_buckets
 
     n_shards = reduce_buckets()
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        from stringzilla_ray.functions.fingerprint import splitmix64
 
         names, rows, nulls, mins, maxs = [], [], [], [], []
-        dist_col, dist_val, dist_shard = [], [], []
+        dist_col, dist_val, dist_vali, dist_kind, dist_shard = \
+            [], [], [], [], []
         for c in columns:
             col = batch[c]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            # Arrow nulls surface as NaN in the float view; NaN data
-            # counts as missing too (profiler convention — note the
-            # SQL IS NULL divergence for literal-NaN inputs)
-            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
-            miss = np.isnan(v)
-            nn = int(miss.sum())
-            ok = v[~miss]
             names.append(c)
             rows.append(len(col))
-            nulls.append(nn)
+            if pa.types.is_integer(col.type):
+                # stay in the integer domain: the float64 round-trip
+                # collapses distinct int64 values above 2^53 (hash /
+                # key columns here ARE int64 bit-views)
+                nulls.append(col.null_count)
+                ok = (col.drop_null().to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+                u = np.unique(ok)
+                h = splitmix64(u.view(np.uint64))
+                dist_val.extend([0.0] * len(u))
+                dist_vali.extend(u.tolist())
+                dist_kind.extend(["di"] * len(u))
+            else:
+                # Arrow nulls surface as NaN in the float view; NaN
+                # data counts as missing too (profiler convention —
+                # note the SQL IS NULL divergence for literal-NaN
+                # inputs). +0.0 folds IEEE -0.0 into +0.0 so the
+                # bit-pattern shard hash and the group-by both see one
+                # value, matching SQL DISTINCT.
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                miss = np.isnan(v)
+                nulls.append(int(miss.sum()))
+                ok = v[~miss] + 0.0
+                u = np.unique(ok)
+                h = splitmix64(u.view(np.uint64))
+                dist_val.extend(u.tolist())
+                dist_vali.extend([0] * len(u))
+                dist_kind.extend(["d"] * len(u))
             mins.append(float(ok.min()) if len(ok) else np.nan)
             maxs.append(float(ok.max()) if len(ok) else np.nan)
-            u = np.unique(ok)
             dist_col.extend([c] * len(u))
-            dist_val.extend(u.tolist())
-        if dist_val:
-            from stringzilla_ray.functions.fingerprint import splitmix64
-
-            h = splitmix64(np.asarray(dist_val, np.float64)
-                           .view(np.uint64))
-            dist_shard = (h % np.uint64(n_shards)).astype(np.int32)
+            dist_shard.extend((h % np.uint64(n_shards))
+                              .astype(np.int32).tolist())
         stats = pa.table({
             "column": pa.array(names, pa.string()),
             "n_rows": pa.array(rows, pa.int64()),
@@ -233,7 +246,8 @@ def profile_columns(ds, columns: list[str]):
             "min_v": pa.array(mins, pa.float64()),
             "max_v": pa.array(maxs, pa.float64()),
             "kind": pa.array(["s"] * len(names), pa.string()),
-            "value": pa.array([np.nan] * len(names), pa.float64()),
+            "value": pa.array([0.0] * len(names), pa.float64()),
+            "value_i": pa.array([0] * len(names), pa.int64()),
             "shard": pa.array([-1] * len(names), pa.int32()),
         })
         dists = pa.table({
@@ -242,19 +256,18 @@ def profile_columns(ds, columns: list[str]):
             "n_nulls": pa.array([0] * len(dist_col), pa.int64()),
             "min_v": pa.array([np.nan] * len(dist_col), pa.float64()),
             "max_v": pa.array([np.nan] * len(dist_col), pa.float64()),
-            "kind": pa.array(["d"] * len(dist_col), pa.string()),
+            "kind": pa.array(dist_kind, pa.string()),
             "value": pa.array(dist_val, pa.float64()),
+            "value_i": pa.array(dist_vali, pa.int64()),
             "shard": pa.array(np.asarray(dist_shard, np.int32), pa.int32())
             if len(dist_col) else pa.array([], pa.int32()),
         })
         return pa.concat_tables([stats, dists])
 
     def shard_fold(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         kinds = g["kind"].to_numpy(zero_copy_only=False)
         stats = g.filter(pa.array(kinds == "s"))
-        dists = g.filter(pa.array(kinds == "d"))
+        dists = g.filter(pa.array(kinds != "s"))
         out = []
         if stats.num_rows:
             agg = pa.TableGroupBy(
@@ -271,8 +284,13 @@ def profile_columns(ds, columns: list[str]):
                 "max_v": agg["max_v_max"],
             }))
         if dists.num_rows:
+            # a column is int or float throughout, so grouping on
+            # (kind, value, value_i) together dedups each domain
+            # exactly — the unused slot is a constant (0.0 / 0), never
+            # NaN (Arrow group-by NaN semantics stay out of play)
             ded = pa.TableGroupBy(
-                dists.select(["column", "value"]), ["column", "value"]
+                dists.select(["column", "kind", "value", "value_i"]),
+                ["column", "kind", "value", "value_i"]
             ).aggregate([]).group_by("column").aggregate([("value", "count")])
             out.append(pa.table({
                 "column": ded["column"],

@@ -58,6 +58,54 @@ def test_canonicalize_stage_invariant(ray_session, corpus):
     assert (merged.content_hash_a == merged.content_hash_b).all()
 
 
+def test_canon_pack_roundtrip_and_parity(ray_session, corpus, monkeypatch):
+    """SZRAY_CANON_PACK (NIC-bound-cluster lever, default off): the
+    IPC pack/unpack reconstructs the exact partial table per shard —
+    including the >cap multi-blob slicing — and the packed pipeline's
+    output is identical to the default path's."""
+    import ray.data
+
+    from stringzilla_ray.stages.canonicalize import (
+        _PARTIAL_SCHEMA,
+        _pack_partials,
+        _unpack_partials,
+    )
+
+    n = 15000  # ~5000 rows/shard > the 4096-row blob cap: slicing runs
+    rng = np.random.default_rng(17)
+    part = pa.table({
+        "conv_id": pa.array([f"c{i:05d}" for i in range(n)], pa.string()),
+        "doc_part": pa.array([f"text {i} " * 3 for i in range(n)],
+                             pa.large_string()),
+        "idxs": pa.array([[i % 7, i % 5] for i in range(n)],
+                         pa.large_list(pa.int32())),
+        "min_idx": pa.array(rng.integers(0, 5, n), pa.int32()),
+        "max_idx": pa.array(rng.integers(5, 9, n), pa.int32()),
+        "n_turns": pa.array(rng.integers(1, 9, n), pa.int32()),
+        "shard": pa.array(rng.integers(0, 3, n), pa.int32()),
+    }).cast(_PARTIAL_SCHEMA)
+    packed = _pack_partials(part, "zstd")
+    shards = packed["shard"].to_numpy(zero_copy_only=False)
+    assert (np.bincount(shards) > 1).any(), "cap slicing not exercised"
+    back = [
+        _unpack_partials(packed.filter(pa.array(shards == s)))
+        for s in np.unique(shards)
+    ]
+    got = (pa.concat_tables(back).sort_by([("conv_id", "ascending")])
+           .combine_chunks())
+    want = part.sort_by([("conv_id", "ascending")]).combine_chunks()
+    assert got.equals(want)
+
+    transcripts, _ = corpus
+    base = (canonicalize(ray.data.from_arrow(transcripts)).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+    monkeypatch.setenv("SZRAY_CANON_PACK", "1")
+    via_pack = (canonicalize(ray.data.from_arrow(transcripts)).to_pandas()
+                .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        base.sort_index(axis=1), via_pack.sort_index(axis=1))
+
+
 def test_flagship_f1(ray_session, corpus):
     import ray.data
 

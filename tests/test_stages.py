@@ -1859,18 +1859,32 @@ def test_profile_columns_exact(ray_session):
     rng = np.random.default_rng(59)
     a = rng.integers(-50, 50, size=1000).astype("float64")
     a[::17] = np.nan
-    b = rng.choice([1.5, -2.25, 7.0, 0.0], size=1000)
+    # both IEEE zeros present: SQL DISTINCT treats them equal, so the
+    # profiler must too (bit-pattern sharding would split them)
+    b = rng.choice([1.5, -2.25, 7.0, 0.0, -0.0], size=1000)
+    # int64 above 2^53: a float64 round-trip would collapse 2^53 and
+    # 2^53+1 into one distinct value
+    c = rng.choice(np.array([2**53, 2**53 + 1, -5, 9_007_199_254_740_000],
+                            np.int64), size=1000)
+    c_arr = pa.array(c, pa.int64()).take(
+        pa.array([None if i % 31 == 0 else i for i in range(1000)],
+                 pa.int64()))
     tbl = pa.table({"a": pa.array(a, pa.float64()),
-                    "b": pa.array(b, pa.float64())})
+                    "b": pa.array(b, pa.float64()),
+                    "c": c_arr})
     out = (
-        profile_columns(ray.data.from_arrow(tbl).repartition(6), ["a", "b"])
+        profile_columns(ray.data.from_arrow(tbl).repartition(6),
+                        ["a", "b", "c"])
         .to_pandas().sort_values("column").reset_index(drop=True)
     )
     av = a[~np.isnan(a)]
+    cv = c[np.array([i % 31 != 0 for i in range(1000)])]
     want = {
         "a": (1000, int(np.isnan(a).sum()), len(np.unique(av)),
               float(av.min()), float(av.max())),
         "b": (1000, 0, 4, -2.25, 7.0),
+        "c": (1000, sum(1 for i in range(1000) if i % 31 == 0),
+              len(np.unique(cv)), float(cv.min()), float(cv.max())),
     }
     for _, r in out.iterrows():
         w = want[r["column"]]
