@@ -191,6 +191,70 @@ def _q_pack_assign(sf_dir: str):
     return assign_packs(ds, "doc_id", text_column="text", budget=2048)
 
 
+_RATE_PER_LANG = {"en": 0.25, "zh": 0.5, "es": 0.75, "de": 0.1, "fr": 1.0}
+
+
+def _url_augmented(sf_dir: str):
+    """documents with deterministic URL mentions appended (the corpus
+    itself has none): every 3rd doc one https URL, every 5th an http
+    URL whose query string EMBEDS another URL (the RE2-greedy nested
+    case), every 15th both. The DuckDB oracle concatenates the same
+    suffixes."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idu = ids.astype("U20")
+        s1 = np.where(
+            ids % 3 == 0,
+            np.char.add(np.char.add(np.char.add(
+                " see https://ex", (ids % 7).astype("U1")),
+                ".example.org/p/"), np.char.add(idu, " ok")),
+            "")
+        s2 = np.where(
+            ids % 5 == 0,
+            np.char.add(np.char.add(np.char.add(
+                " go http://m", (ids % 4).astype("U1")),
+                ".net/q?u=http://inner.org/"), np.char.add(idu, ",")),
+            "")
+        t2 = pc.binary_join_element_wise(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"],
+            pa.array(s1, pa.string()), pa.array(s2, pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": t2})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_extract_urls(sf_dir: str):
+    """Row-exploding URL extraction (stages/web.py extract_urls — a
+    vectorized byte-tape scan exactly matching RE2-greedy
+    https?://[^\\s]+), vs DuckDB unnest(regexp_extract_all(...))."""
+    from stringzilla_ray.stages.web import extract_urls
+
+    return extract_urls(_url_augmented(sf_dir), "doc_id", "text")
+
+
+def _q_top_domains(sf_dir: str):
+    """Domain census over URL mentions (stages/web.py top_domains:
+    map-side (host, n) partials, tiny groupby, top-k by count)."""
+    from stringzilla_ray.stages.web import top_domains
+
+    return top_domains(_url_augmented(sf_dir), "text", k=20)
+
+
+def _q_sample_rate_per_lang(sf_dir: str):
+    """Dataset-mixing sampler: per-language deterministic Bernoulli
+    keep-rates (stages/curation.py sample_rate_per_group, md5 audit
+    mode so DuckDB reproduces the draws from the text alone)."""
+    from stringzilla_ray.stages.curation import sample_rate_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return sample_rate_per_group(
+        ds, "lang", _RATE_PER_LANG, text_column="text", method="md5",
+    ).select_columns(["doc_id", "lang"])
+
+
 def _q_decontaminate(sf_dir: str):
     """Eval-set n-gram decontamination flags (GPT-3 13-gram rule,
     n=13 chars here): eval = every 50th doc, train = the rest
@@ -1941,6 +2005,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "sample_per_lang": _q_sample_per_lang,
+        "sample_rate_per_lang": _q_sample_rate_per_lang,
+        "extract_urls": _q_extract_urls,
+        "top_domains": _q_top_domains,
         "pack_assign": _q_pack_assign,
         "utf8_count": _q_utf8_count,
         "sorted_topk": _q_sorted_topk,
@@ -2036,6 +2103,17 @@ def oracle_sql() -> dict[str, str]:
     from stringzilla_ray.stages.curation import split_hex_bounds
 
     b_train, b_val = split_hex_bounds(_SPLIT_FRACTIONS)
+    from stringzilla_ray.stages.curation import rate_hex_bound as _rhex
+    _URL_AUG_SQL = (
+        "SELECT doc_id, text "
+        "|| CASE WHEN doc_id % 3 = 0 THEN ' see https://ex' "
+        "|| CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' "
+        "|| CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ' go http://m' "
+        "|| CAST(doc_id % 4 AS VARCHAR) || '.net/q?u=http://inner.org/' "
+        "|| CAST(doc_id AS VARCHAR) || ',' ELSE '' END AS t2 "
+        "FROM documents"
+    )
     return {
         "hash_split": (
             "SELECT doc_id, CASE "
@@ -2076,6 +2154,28 @@ def oracle_sql() -> dict[str, str]:
             r"'\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'), "
             r"'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') "
             "AS text_scrubbed FROM documents"
+        ),
+        "sample_rate_per_lang": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5(text), 17, 16) < CASE lang "
+            + " ".join(
+                f"WHEN '{g}' THEN '{_rhex(r)}'"
+                for g, r in _RATE_PER_LANG.items()
+            )
+            + f" ELSE '{_rhex(0.0)}' END"
+        ),
+        "extract_urls": (
+            "SELECT doc_id, unnest(regexp_extract_all(t2, "
+            r"'https?://[^ \t\n\r\f]+')) AS url "
+            f"FROM ({_URL_AUG_SQL})"
+        ),
+        "top_domains": (
+            "WITH u AS (SELECT unnest(regexp_extract_all(t2, "
+            r"'https?://[^ \t\n\r\f]+')) AS url "
+            f"FROM ({_URL_AUG_SQL})) "
+            "SELECT regexp_extract(url, 'https?://([^/:?#]+)', 1) AS host, "
+            "CAST(count(*) AS BIGINT) AS n_urls FROM u "
+            "GROUP BY host ORDER BY n_urls DESC, host ASC LIMIT 20"
         ),
         "sample_per_lang": (
             "SELECT doc_id, lang FROM ("

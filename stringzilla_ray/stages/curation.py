@@ -98,6 +98,59 @@ def assign_split(ds, text_column: str = "text",
     )
 
 
+def sample_rate_per_group(ds, group_column: str, rates: dict[str, float],
+                          default_rate: float = 0.0,
+                          text_column: str = "text",
+                          method: str = "fast", seed: int = 0):
+    """Deterministic Bernoulli downsampling with a PER-GROUP rate —
+    the dataset-mixing primitive (rebalance over-represented
+    languages/sources to target proportions). A row survives iff its
+    content hash, viewed as a uniform draw in [0, 1), falls below its
+    group's rate; the same content always gets the same draw, so the
+    sample is stable under resharding, restarts and cluster resizing,
+    and exact duplicates co-sample (no leakage across the cut).
+
+    Embarrassingly parallel — one map_batches, zero shuffles; the
+    rates dict ships once via fn_kwargs (small-side broadcast).
+    ``method="md5"`` is the audit mode any external system (or the
+    DuckDB oracle: ``substr(md5(text), 17, 16) < hex_bound``)
+    reproduces bit-for-bit; ``rate_hex_bound`` emits those literals.
+    Rates >= 1.0 keep everything."""
+    names = list(rates)
+    bounds = np.array([_rate_bound(rates[g]) for g in names], np.uint64)
+    dflt = _rate_bound(default_rate)
+
+    def f(batch: pa.Table) -> pa.Table:
+        key = _split_key(batch[text_column], method, seed)
+        gcol = batch[group_column]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        idx = pc.index_in(gcol, value_set=pa.array(names, gcol.type))
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx_np) if idx_np.dtype.kind == "f" else (idx_np < 0)
+        bound = np.where(miss, dflt,
+                         bounds[np.where(miss, 0, idx_np).astype(np.int64)])
+        return batch.filter(pa.array(key < bound))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _rate_bound(rate: float) -> np.uint64:
+    """Exclusive uint64 threshold for a keep-rate in [0, 1]; >= 1.0
+    saturates (every 64-bit key is below 2^64 - 1... except the max
+    key itself — one draw in 2^64, accepted as exact-enough for
+    keep-all, and the SQL twin uses the same literal)."""
+    r = min(max(float(rate), 0.0), 1.0)
+    return np.uint64(min(int(r * float(2 ** 64)), 2 ** 64 - 1))
+
+
+def rate_hex_bound(rate: float) -> str:
+    """The 16-char lowercase-hex literal the DuckDB oracle compares
+    ``substr(md5(text), 17, 16)`` against for ``rate`` (fixed-width
+    lowercase hex comparison IS unsigned 64-bit comparison)."""
+    return f"{int(_rate_bound(rate)):016x}"
+
+
 def _sample_shard_fn(t: pa.Table, group_column: str, n_shards: int) -> pa.Table:
     from stringzilla_ray.functions.fasthash import hash_string_column
 

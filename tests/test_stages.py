@@ -1928,3 +1928,98 @@ def test_y4m_roundtrip_and_frame_sampling():
                   "payload": pa.array([payload], pa.large_binary())})
     feats = np.vstack(dec(t)["features"].to_pylist())
     assert feats[0, 0] == 4.0
+
+
+def test_extract_url_column_matches_re2_semantics():
+    """The byte-tape URL scan must equal greedy RE2
+    https?://[^ \\t\\n\\r\\f]+ — including nested-protocol suppression
+    (same-end dedupe), protocol-only rejection, row boundaries as
+    terminators, multi-byte UTF-8 transparency, and sliced arrays."""
+    import re
+
+    from stringzilla_ray.stages.web import extract_url_column
+
+    pat = re.compile(r"https?://[^ \t\n\r\f]+")
+    texts = [
+        "see https://ex1.example.org/p/33 ok",
+        "go http://m2.net/q?u=http://inner.org/55, end",
+        "no urls here", "", "http://", "https:// x http://ok.io",
+        "tight:http://a.b/c\thttps://d.e xhttp://f.g/h",
+        "multi http://one.com http://two.com/  trail http://three.com",
+        "unicode http://héllo.org/päth nbsp-is-not-re2-ws more",
+        "ends-at-eos http://end.com",
+        "nested https://o.com/?a=https://i.com/&b=http://j.com x",
+        "newline http://n.com\nhttp://m.com\rhttp://r.com\fz",
+    ]
+    rng = np.random.default_rng(7)
+    vocab = ["http://", "https://", "x", " ", "\t", "\n", "a.b/c", "://",
+             "http", "é", "?u=", ","]
+    texts += ["".join(rng.choice(vocab, size=rng.integers(0, 12)))
+              for _ in range(200)]
+    want = [(i, match) for i, t in enumerate(texts)
+            for match in pat.findall(t)]
+    urls, rows = extract_url_column(pa.array(texts, pa.string()))
+    assert list(zip(rows.tolist(), urls.to_pylist())) == want
+
+    sl = pa.array(texts, pa.string()).slice(3, 9)
+    want_sl = [(i, match) for i, t in enumerate(texts[3:12])
+               for match in pat.findall(t)]
+    u2, r2 = extract_url_column(sl)
+    assert list(zip(r2.tolist(), u2.to_pylist())) == want_sl
+
+
+def test_top_domains_census(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.web import top_domains
+
+    texts = (["visit https://a.org/x now"] * 5
+             + ["b http://b.net/y?u=http://hidden.io/z,"] * 3
+             + ["c https://c.com"] * 3 + ["none"] * 4)
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    out = top_domains(ds.repartition(4), "text", k=2).to_pandas()
+    # hidden.io is inside b.net's greedy span -> never a domain;
+    # a.org(5) wins, then the b.net/c.com tie breaks host-ascending
+    assert list(out["host"]) == ["a.org", "b.net"]
+    assert list(out["n_urls"]) == [5, 3]
+
+
+def test_sample_rate_per_group(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.curation import (
+        _rate_bound,
+        rate_hex_bound,
+        sample_rate_per_group,
+    )
+
+    n = 4000
+    rng = np.random.default_rng(11)
+    langs = rng.choice(["en", "de", "xx"], size=n)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "text": pa.array([f"doc body {i}" for i in range(n)], pa.string()),
+    })
+    rates = {"en": 0.25, "de": 1.0}
+    out = sample_rate_per_group(
+        ray.data.from_arrow(tbl).repartition(5), "lang", rates,
+        text_column="text", method="fast",
+    ).to_pandas()
+    # unknown group drops entirely (default_rate=0)
+    assert (out.lang != "xx").all()
+    # rate >= 1.0 keeps (essentially) everything
+    assert (out.lang == "de").sum() == (langs == "de").sum()
+    # en keep-rate within binomial noise of 0.25
+    n_en = int((langs == "en").sum())
+    k_en = int((out.lang == "en").sum())
+    assert abs(k_en / n_en - 0.25) < 5 * np.sqrt(0.25 * 0.75 / n_en)
+    # determinism + stability under resharding
+    out2 = sample_rate_per_group(
+        ray.data.from_arrow(tbl).repartition(17), "lang", rates,
+        text_column="text", method="fast",
+    ).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    # the hex literal the SQL oracle uses IS the uint64 bound
+    assert int(rate_hex_bound(0.25), 16) == int(_rate_bound(0.25))
+    assert rate_hex_bound(1.0) == "f" * 16
