@@ -1709,6 +1709,58 @@ def _q_split_rows(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_split_maxsplit(sf_dir: str, reverse: bool = False):
+    """Bounded split with Python remainder semantics (sz split/rsplit
+    with maxsplit): at most 3 pieces on ' the ', remainder joined in
+    the last (first, rsplit) piece; emits (doc_id, piece_idx, piece)."""
+    from stringzilla_ray.functions.segment import split_maxsplit_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        values, parents, idx = split_maxsplit_column(
+            t["text"], " the ", 2, reverse=reverse)
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(parents),
+                         "piece_idx": pa.array(idx, pa.int64()),
+                         "piece": values})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_rsplit_maxsplit(sf_dir: str):
+    return _q_split_maxsplit(sf_dir, reverse=True)
+
+
+def _q_utf8_codepoints(sf_dir: str):
+    """Row-exploding codepoint decode (sz utf8_codepoints). The corpus
+    is ASCII, so every 3rd doc gets multi-byte tails appended on BOTH
+    sides (2-, 3- and 4-byte sequences); oracle = DuckDB
+    unicode(unnest(regexp_extract_all(t2, '(?s).')))."""
+    from stringzilla_ray.functions.segment import utf8_codepoints_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids_a = t["doc_id"]
+        if isinstance(ids_a, pa.ChunkedArray):
+            ids_a = ids_a.combine_chunks()
+        ids = ids_a.to_numpy(zero_copy_only=False).astype(np.int64)
+        # 2-byte, 2-byte combining, 3-byte, 4-byte sequences
+        tail = np.where(ids % 3 == 0, "é́中\U0001f642", "")
+        t2 = pc.binary_join_element_wise(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"],
+            pa.array(tail.astype(object), pa.string()), "")
+        cps, parents, _ = utf8_codepoints_column(t2)
+        return pa.table({"doc_id": ids_a.take(pa.array(parents, pa.int64())),
+                         "cp": pa.array(cps, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_find_last_of(sf_dir: str):
     from stringzilla_ray.functions.segment import find_last_of
 
@@ -2074,6 +2126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_count": _q_sentence_count,
         "newline_count": _q_newline_count,
         "split_rows": _q_split_rows,
+        "split_maxsplit": _q_split_maxsplit,
+        "rsplit_maxsplit": _q_rsplit_maxsplit,
+        "utf8_codepoints": _q_utf8_codepoints,
         "strip_chars": _q_strip_chars,
         "equal_pairs": _q_equal_pairs,
         "multimodal_features": _q_multimodal_features,
@@ -2336,6 +2391,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "split_rows": (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ),
+        "split_maxsplit": (
+            "WITH p AS (SELECT doc_id, string_split(text, ' the ') AS parts "
+            "FROM documents) "
+            "SELECT doc_id, CAST(i - 1 AS BIGINT) AS piece_idx, "
+            "CASE WHEN i < 3 THEN parts[CAST(i AS INT)] "
+            "ELSE array_to_string(parts[CAST(i AS INT):], ' the ') END AS piece "
+            "FROM p, unnest(generate_series(1, least(len(parts), 3))) AS t(i)"
+        ),
+        "rsplit_maxsplit": (
+            # right-to-left non-overlapping separator scan == left scan
+            # on the reversed string with the reversed separator (text
+            # is ASCII, so codepoint reverse is an involution)
+            "WITH p AS (SELECT doc_id, string_split(reverse(text), ' eht ') "
+            "AS parts, len(string_split(reverse(text), ' eht ')) AS k "
+            "FROM documents) "
+            "SELECT doc_id, CAST(least(k, 3) - i AS BIGINT) AS piece_idx, "
+            "reverse(CASE WHEN i < 3 THEN parts[CAST(i AS INT)] "
+            "ELSE array_to_string(parts[CAST(i AS INT):], ' eht ') END) AS piece "
+            "FROM p, unnest(generate_series(1, least(k, 3))) AS t(i)"
+        ),
+        "utf8_codepoints": (
+            "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "
+            "THEN chr(233) || chr(769) || chr(20013) || chr(128578) "
+            "ELSE '' END AS t2 FROM documents) "
+            "SELECT doc_id, CAST(unicode(unnest(regexp_extract_all(t2, '(?s).'))) "
+            "AS BIGINT) AS cp FROM a"
         ),
         "strip_chars": (
             "SELECT doc_id, trim(text, 'aeiou ') AS stripped, "

@@ -189,6 +189,52 @@ def split_column(col, sep: str):
     return values, parents
 
 
+def split_maxsplit_column(col, sep: str, maxsplit: int,
+                          reverse: bool = False):
+    """Bounded split — Python ``str.split(sep, maxsplit)`` /
+    ``str.rsplit`` (``reverse=True``) semantics (the reference's
+    ``split``/``rsplit`` with ``maxsplit``, python/README.md:188-243):
+    at most ``maxsplit + 1`` pieces, remainder joined into the last
+    (first, for rsplit) piece. Arrow's split_pattern implements the
+    remainder rule natively; returns ``(values, parents, piece_idx)``
+    for row-exploding use."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not sep:
+        raise ValueError("empty separator")
+    lists = pc.split_pattern(col, sep, max_splits=maxsplit, reverse=reverse)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    values = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    offs = lists.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    counts = np.diff(offs)
+    idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+        offs[:-1], counts)
+    return values, parents, idx
+
+
+def utf8_codepoints_column(col):
+    """Row-exploding codepoint decode — the reference's
+    ``utf8_codepoints`` view (utf8.h decode iteration) as an operator:
+    ``(codepoints, parents, cp_idx)``, one row per codepoint. Rides
+    the batch UTF-8 decoder (one mask pass per sequence length)."""
+    from stringzilla_ray.functions.text import tape_of
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offsets = tape_of(col)
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    cps, cp_offs = utf8_decode_tape(tape, offsets)
+    counts = np.diff(cp_offs)
+    parents = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    idx = np.arange(len(cps), dtype=np.int64) - np.repeat(
+        cp_offs[:-1], counts)
+    return cps, parents, idx
+
+
 def partition_columns(col, sep: str):
     """(head, middle, tail) of the reference's 3-way ``partition``
     (python/README.md:188-243): split at the FIRST occurrence of

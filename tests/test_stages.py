@@ -2023,3 +2023,40 @@ def test_sample_rate_per_group(ray_session):
     # the hex literal the SQL oracle uses IS the uint64 bound
     assert int(rate_hex_bound(0.25), 16) == int(_rate_bound(0.25))
     assert rate_hex_bound(1.0) == "f" * 16
+
+
+def test_split_maxsplit_column_python_semantics():
+    """Bounded split/rsplit must equal Python str.split/rsplit with
+    maxsplit — including overlapping separator runs ('the the') where
+    left and right scans tokenize differently."""
+    from stringzilla_ray.functions.segment import split_maxsplit_column
+
+    texts = ["a b c d e", "x", "", "x the the y", "a the the the b",
+             " the the ", "the the the", "no sep here at all",
+             "t the u the v the w the z"]
+    for sep, m in ((" ", 2), (" the ", 2), (" the ", 1)):
+        for reverse in (False, True):
+            want = [
+                (i, j, p) for i, t in enumerate(texts)
+                for j, p in enumerate(
+                    t.rsplit(sep, m) if reverse else t.split(sep, m))
+            ]
+            v, par, idx = split_maxsplit_column(
+                pa.array(texts, pa.string()), sep, m, reverse=reverse)
+            got = list(zip(par.to_pylist(), idx.tolist(), v.to_pylist()))
+            assert got == want, (sep, m, reverse)
+
+
+def test_utf8_codepoints_column():
+    from stringzilla_ray.functions.segment import utf8_codepoints_column
+
+    texts = ["abc", "", "é́中\U0001f642", "a\né", "\U0001f600\U0001f600"]
+    want = [(i, j, ord(c)) for i, t in enumerate(texts)
+            for j, c in enumerate(t)]
+    cps, par, idx = utf8_codepoints_column(pa.array(texts, pa.string()))
+    assert list(zip(par.tolist(), idx.tolist(), cps.tolist())) == want
+    # sliced arrays rebase the tape
+    cps2, par2, _ = utf8_codepoints_column(
+        pa.array(texts, pa.string()).slice(2, 2))
+    want2 = [(i, ord(c)) for i, t in enumerate(texts[2:4]) for c in t]
+    assert list(zip(par2.tolist(), cps2.tolist())) == want2
