@@ -1761,6 +1761,35 @@ def _q_utf8_codepoints(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_utf8_validate(sf_dir: str):
+    """Strict UTF-8 validity over binary payloads (the reference's
+    validate=True pre-check as an operator; functions/text.py
+    utf8_valid — also fuzz-pinned vs Python bytes.decode in pytest).
+    Payloads are the doc text plus a per-class injected tail whose
+    validity is known by construction: 0 none / 1 multi-byte / 5
+    U+10FFFF (valid); 2 orphan continuation / 3 truncated lead /
+    4 surrogate (invalid)."""
+    from stringzilla_ray.functions.text import utf8_valid
+
+    tails = [b"", "é中\U0001f642".encode(), b"\x80", b"\xc3",
+             b"\xed\xa0\x80", b"\xf4\x8f\xbf\xbf"]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        tail = np.array(tails, dtype=object)[ids % 6]
+        payload = pc.binary_join_element_wise(
+            txt.cast(pa.binary()), pa.array(tail.tolist(), pa.binary()),
+            b"")
+        return pa.table({"doc_id": t["doc_id"],
+                         "valid": utf8_valid(payload)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_find_last_of(sf_dir: str):
     from stringzilla_ray.functions.segment import find_last_of
 
@@ -2127,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "newline_count": _q_newline_count,
         "split_rows": _q_split_rows,
         "split_maxsplit": _q_split_maxsplit,
+        "utf8_validate": _q_utf8_validate,
         "rsplit_maxsplit": _q_rsplit_maxsplit,
         "utf8_codepoints": _q_utf8_codepoints,
         "strip_chars": _q_strip_chars,
@@ -2411,6 +2441,10 @@ def oracle_sql() -> dict[str, str]:
             "reverse(CASE WHEN i < 3 THEN parts[CAST(i AS INT)] "
             "ELSE array_to_string(parts[CAST(i AS INT):], ' eht ') END) AS piece "
             "FROM p, unnest(generate_series(1, least(k, 3))) AS t(i)"
+        ),
+        "utf8_validate": (
+            "SELECT doc_id, (doc_id % 6) IN (0, 1, 5) AS valid "
+            "FROM documents"
         ),
         "utf8_codepoints": (
             "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "

@@ -214,6 +214,69 @@ def normalize(arr, form: str = "NFC") -> pa.Array:
     return pa.array([unicodedata.normalize(form, s) if s is not None else None for s in pylist], type=pa.string())
 
 
+_U8_LEAD_LEN = np.zeros(256, np.int8)
+_U8_LEAD_LEN[0x00:0x80] = 1
+_U8_LEAD_LEN[0xC2:0xE0] = 2
+_U8_LEAD_LEN[0xE0:0xF0] = 3
+_U8_LEAD_LEN[0xF0:0xF5] = 4
+# 0x80-0xC1 (continuations / overlong C0-C1) and 0xF5-0xFF stay 0
+
+
+def utf8_valid(arr) -> pa.Array:
+    """Strict RFC-3629 UTF-8 validity per binary value — the
+    operator form of the reference's ``validate=True`` pre-check on
+    every utf8_* API (python/README.md:613-637). Rejects orphan /
+    unclaimed continuations, truncated sequences, overlongs (C0/C1 and
+    the E0/F0 second-byte ranges), surrogates (ED A0-BF) and
+    codepoints past U+10FFFF (F4 90+, F5+). One vectorized pass over
+    the byte tape; no per-row Python.
+
+    The gate for binary ingestion: ``read_binary_blobs`` payloads
+    must pass before a cast to ``string`` is legal."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    tape, offsets = tape_of(arr)
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    nrows = len(offsets) - 1
+    bad = np.zeros(nrows, bool)
+    if len(tape):
+        is_cont = (tape & 0xC0) == 0x80
+        lead_pos = np.flatnonzero(~is_cont).astype(np.int64)
+        row = np.searchsorted(offsets, lead_pos, side="right") - 1
+        row_end = offsets[row + 1]
+        ln = _U8_LEAD_LEN[tape[lead_pos]].astype(np.int64)
+        ok = ln > 0
+        fits = lead_pos + ln <= row_end
+        ok &= fits
+        n = len(tape)
+        for k in (1, 2, 3):
+            need = ln > k
+            q = np.minimum(lead_pos + k, n - 1)
+            ok &= ~need | is_cont[q]
+        # constrained second bytes (overlong / surrogate / >10FFFF)
+        lead_b = tape[lead_pos]
+        b2 = tape[np.minimum(lead_pos + 1, n - 1)]
+        ok &= ~((lead_b == 0xE0) & (b2 < 0xA0))
+        ok &= ~((lead_b == 0xED) & (b2 > 0x9F))
+        ok &= ~((lead_b == 0xF0) & (b2 < 0x90))
+        ok &= ~((lead_b == 0xF4) & (b2 > 0x8F))
+        np.logical_or.at(bad, row, ~ok)
+        # every continuation byte must be claimed by exactly one valid
+        # lead (orphans at row heads / after short sequences surface
+        # as a per-row count mismatch)
+        claimed = np.zeros(nrows, np.int64)
+        np.add.at(claimed, row, np.where(ok & fits, ln - 1, 0))
+        cont_rows = np.searchsorted(
+            offsets, np.flatnonzero(is_cont), side="right") - 1
+        total = np.bincount(cont_rows, minlength=nrows)
+        bad |= claimed != total
+    out = pa.array(~bad, pa.bool_())
+    if arr.null_count:
+        out = pc.if_else(arr.is_null(), pa.scalar(None, pa.bool_()), out)
+    return out
+
+
 def find_denormalized(arr) -> pa.Array:
     """Per-row flag: NFC(s) != s (sz find_denormalized,
     include/stringzilla/utf8_norm.h — locate strings whose stored form

@@ -2060,3 +2060,51 @@ def test_utf8_codepoints_column():
         pa.array(texts, pa.string()).slice(2, 2))
     want2 = [(i, ord(c)) for i, t in enumerate(texts[2:4]) for c in t]
     assert list(zip(par2.tolist(), cps2.tolist())) == want2
+
+
+def test_utf8_valid_fuzz_vs_python_decode():
+    """utf8_valid must equal strict bytes.decode('utf-8') — fuzzed
+    over random bytes and near-valid mutations, plus the classic
+    boundary cases (overlongs, surrogates, U+10FFFF, truncations,
+    orphan continuations), nulls, large_binary and sliced arrays."""
+    from stringzilla_ray.functions.text import utf8_valid
+
+    def py_valid(b):
+        try:
+            b.decode("utf-8", "strict")
+            return True
+        except UnicodeDecodeError:
+            return False
+
+    cases = [b"", b"abc", "\u00e9\u4e2d\U0001f642".encode(), b"\x80",
+             b"ab\x80", b"\xc3", b"\xc3\xa9", b"\xc0\xaf", b"\xc1\xbf",
+             b"\xe0\x80\x80", b"\xe0\xa0\x80", b"\xed\xa0\x80",
+             b"\xed\x9f\xbf", b"\xf0\x80\x80\x80", b"\xf0\x90\x80\x80",
+             b"\xf4\x8f\xbf\xbf", b"\xf4\x90\x80\x80", b"\xf5\x80\x80\x80",
+             b"a\xc3", b"\xc3a", b"\xe2\x82", b"\xe2\x82\xac",
+             b"ok\xf0\x9f\x99\x82end", b"\xbf\xbf", b"a\x80b", b"\xff"]
+    rng = np.random.default_rng(3)
+    for _ in range(1500):
+        cases.append(bytes(rng.integers(0, 256, rng.integers(0, 12),
+                                        dtype=np.uint8)))
+    for _ in range(1500):
+        parts = []
+        for _ in range(rng.integers(1, 5)):
+            try:
+                parts.append(chr(rng.integers(0, 0x110000))
+                             .encode("utf-8", "surrogatepass"))
+            except Exception:
+                pass
+        s = b"".join(parts)
+        if rng.random() < 0.5 and len(s):
+            i = rng.integers(0, len(s))
+            s = s[:i] + bytes([rng.integers(0, 256)]) + s[i + 1:]
+        cases.append(s)
+    want = [py_valid(c) for c in cases]
+    for typ in (pa.binary(), pa.large_binary()):
+        assert utf8_valid(pa.array(cases, typ)).to_pylist() == want
+    assert (utf8_valid(pa.array(cases, pa.binary()).slice(3, 40)).to_pylist()
+            == want[3:43])
+    assert utf8_valid(pa.array([b"ok", None, b"\x80"],
+                               pa.large_binary())).to_pylist() == \
+        [True, None, False]
