@@ -1761,6 +1761,62 @@ def _q_utf8_codepoints(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _delim_augmented(sf_dir: str):
+    """documents with a punctuation/symbol/ideographic tail on every
+    4th doc — the ASCII corpus only exercises the space delimiter
+    otherwise. Mirrored verbatim in the SQL oracles."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tail = np.where(ids % 4 == 0, ";x…y——z. (q)+中。文　end", "")
+        t2 = pc.binary_join_element_wise(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"],
+            pa.array(tail.astype(object), pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": t2})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_utf8_split_delimiters(sf_dir: str):
+    """Content between Unicode delimiter codepoints (P*/S*/Z* +
+    whitespace controls; sz_utf8_split_delimiters as a row-exploding
+    op — each delimiter its own split point, empties kept), vs DuckDB
+    string_split_regex on the same RE2 category class."""
+    from stringzilla_ray.functions.segment import (
+        utf8_split_delimiters_column,
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        values, parents, idx = utf8_split_delimiters_column(t["text"])
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(pa.array(parents, pa.int64())),
+                         "seg_idx": pa.array(idx, pa.int64()),
+                         "segment": values})
+
+    return _delim_augmented(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def _q_utf8_delimiters(sf_dir: str):
+    """The delimiter codepoints themselves (sz_utf8_delimiters), vs
+    DuckDB regexp_extract_all on the same class."""
+    from stringzilla_ray.functions.segment import utf8_delimiters_column
+
+    def f(t: pa.Table) -> pa.Table:
+        values, parents, idx = utf8_delimiters_column(t["text"])
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(pa.array(parents, pa.int64())),
+                         "delim_idx": pa.array(idx, pa.int64()),
+                         "delim": values})
+
+    return _delim_augmented(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def _q_utf8_validate(sf_dir: str):
     """Strict UTF-8 validity over binary payloads (the reference's
     validate=True pre-check as an operator; functions/text.py
@@ -2157,6 +2213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_rows": _q_split_rows,
         "split_maxsplit": _q_split_maxsplit,
         "utf8_validate": _q_utf8_validate,
+        "utf8_split_delimiters": _q_utf8_split_delimiters,
+        "utf8_delimiters": _q_utf8_delimiters,
         "rsplit_maxsplit": _q_rsplit_maxsplit,
         "utf8_codepoints": _q_utf8_codepoints,
         "strip_chars": _q_strip_chars,
@@ -2445,6 +2503,29 @@ def oracle_sql() -> dict[str, str]:
         "utf8_validate": (
             "SELECT doc_id, (doc_id % 6) IN (0, 1, 5) AS valid "
             "FROM documents"
+        ),
+        "utf8_split_delimiters": (
+            "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 "
+            "THEN ';x' || chr(8230) || 'y' || chr(8212) || chr(8212) || "
+            "'z. (q)+' || chr(20013) || chr(12290) || chr(25991) || "
+            "chr(12288) || 'end' ELSE '' END AS t2 FROM documents), "
+            "p AS (SELECT doc_id, string_split_regex(t2, "
+            r"'[\p{P}\p{S}\p{Z}\t\n\v\f\r\x{85}]') AS parts FROM a) "
+            "SELECT doc_id, CAST(i - 1 AS BIGINT) AS seg_idx, "
+            "parts[CAST(i AS INT)] AS segment "
+            "FROM p, unnest(generate_series(1, len(parts))) AS t(i)"
+        ),
+        "utf8_delimiters": (
+            "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 "
+            "THEN ';x' || chr(8230) || 'y' || chr(8212) || chr(8212) || "
+            "'z. (q)+' || chr(20013) || chr(12290) || chr(25991) || "
+            "chr(12288) || 'end' ELSE '' END AS t2 FROM documents), "
+            "e AS (SELECT doc_id, unnest(regexp_extract_all(t2, "
+            r"'[\p{P}\p{S}\p{Z}\t\n\v\f\r\x{85}]')) AS delim, "
+            "generate_subscripts(regexp_extract_all(t2, "
+            r"'[\p{P}\p{S}\p{Z}\t\n\v\f\r\x{85}]'), 1) - 1 AS delim_idx "
+            "FROM a) "
+            "SELECT doc_id, CAST(delim_idx AS BIGINT) AS delim_idx, delim FROM e"
         ),
         "utf8_codepoints": (
             "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "

@@ -1190,3 +1190,101 @@ def grapheme_count(arr) -> pa.Array:
         gather = np.repeat(offsets[:-1][idx] - sub_offs[:-1], sub_lens) + np.arange(sub_offs[-1])
         out[idx] = grapheme_count_batch(tape[gather], sub_offs)
     return pa.array(out, pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Unicode delimiter scan (utf8_tokens.h sz_utf8_delimiters /
+# sz_utf8_split_delimiters): every codepoint whose general category is
+# punctuation (P*), symbol (S*) or separator (Z*), plus the non-Z
+# White_Space controls (TAB LF VT FF CR NEL), is a delimiter.
+
+_DELIM_LUT: np.ndarray | None = None
+
+
+def _delim_lut() -> np.ndarray:
+    global _DELIM_LUT
+    if _DELIM_LUT is not None:
+        return _DELIM_LUT
+    lut = np.zeros(0x110000, bool)
+    for cp in range(0x110000):
+        if unicodedata.category(chr(cp))[0] in "PSZ":
+            lut[cp] = True
+    for cp in (0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x85):
+        lut[cp] = True
+    _DELIM_LUT = lut
+    return lut
+
+
+def _delim_scan(col):
+    """Shared decode pass: (tape, offsets, byte_pos, cp_end, cp_row,
+    is_delim) — per-codepoint byte spans plus the delimiter mask."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offsets = tape_of(col)
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    cps, cp_offs = utf8_decode_tape(tape, offsets)
+    byte_pos = np.flatnonzero((tape & 0xC0) != 0x80).astype(np.int64)
+    counts = np.diff(cp_offs)
+    cp_row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    nxt = np.concatenate([byte_pos[1:], [len(tape)]])
+    cp_end = np.minimum(nxt, offsets[cp_row + 1]) if len(cps) else nxt
+    return tape, offsets, byte_pos, cp_end, cp_row, _delim_lut()[cps]
+
+
+def _gather_strings(tape: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray) -> pa.Array:
+    lens = ends - starts
+    before = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx = np.repeat(starts - before, lens) + np.arange(int(lens.sum()))
+    out_offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.string(), len(lens),
+        [None, pa.py_buffer(out_offs.tobytes()),
+         pa.py_buffer(tape[idx].tobytes())],
+    )
+
+
+def utf8_delimiters_column(col):
+    """The delimiters themselves — one row per delimiter codepoint
+    (sz_utf8_delimiters): ``(values, parents, idx)``."""
+    tape, offsets, byte_pos, cp_end, cp_row, is_d = _delim_scan(col)
+    d = np.flatnonzero(is_d)
+    parents = cp_row[d]
+    first = np.searchsorted(parents, np.arange(len(offsets) - 1))
+    idx = np.arange(len(d), dtype=np.int64) - first[parents]
+    return _gather_strings(tape, byte_pos[d], cp_end[d]), parents, idx
+
+
+def utf8_split_delimiters_column(col, skip_empty: bool = False):
+    """Content BETWEEN delimiter codepoints
+    (sz_utf8_split_delimiters): each delimiter is its own split point
+    (adjacent delimiters yield empty segments unless ``skip_empty``).
+    Returns ``(values, parents, idx)``; ``idx`` renumbers after the
+    skip so it is always the output ordinal."""
+    tape, offsets, byte_pos, cp_end, cp_row, is_d = _delim_scan(col)
+    nrows = len(offsets) - 1
+    d = np.flatnonzero(is_d)
+    rd = cp_row[d]
+    n_delims = np.bincount(rd, minlength=nrows)
+    segs_per_row = n_delims + 1
+    seg_offs = np.concatenate([[0], np.cumsum(segs_per_row)]).astype(np.int64)
+    total = int(seg_offs[-1])
+    starts = np.empty(total, np.int64)
+    ends = np.empty(total, np.int64)
+    starts[seg_offs[:-1]] = offsets[:-1]
+    ends[seg_offs[1:] - 1] = offsets[1:]
+    if len(d):
+        first_d = np.searchsorted(rd, np.arange(nrows))
+        ordinal = np.arange(len(d), dtype=np.int64) - first_d[rd]
+        pos = seg_offs[rd] + ordinal
+        ends[pos] = byte_pos[d]
+        starts[pos + 1] = cp_end[d]
+    parents = np.repeat(np.arange(nrows, dtype=np.int64), segs_per_row)
+    if skip_empty:
+        keep = ends > starts
+        starts, ends, parents = starts[keep], ends[keep], parents[keep]
+    counts = np.bincount(parents, minlength=nrows)
+    row_first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.arange(len(parents), dtype=np.int64) - row_first[parents]
+    return _gather_strings(tape, starts, ends), parents, idx

@@ -376,3 +376,62 @@ def test_find_denormalized():
     got = find_denormalized(pa.array(vals, pa.string())).to_pylist()
     # composed forms and ASCII are canonical; decomposed sequences flag
     assert got == [False, False, True, False, True, False]
+
+
+def test_utf8_delimiter_ops_vs_python_oracle():
+    """utf8_split_delimiters / utf8_delimiters must treat every P*/S*/Z*
+    codepoint plus the non-Z White_Space controls as its own split
+    point (per-codepoint, not runs), with exact byte spans across
+    multi-byte codepoints."""
+    import unicodedata
+
+    from stringzilla_ray.functions.segment import (
+        utf8_delimiters_column,
+        utf8_split_delimiters_column,
+    )
+
+    def is_delim(c):
+        return (unicodedata.category(c)[0] in "PSZ"
+                or ord(c) in (9, 10, 11, 12, 13, 0x85))
+
+    def py_split(t):
+        segs, cur = [], ""
+        for ch in t:
+            if is_delim(ch):
+                segs.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        segs.append(cur)
+        return segs
+
+    texts = ["a b;c", "", "\u2026\u2014", "h\u00e9llo, w\u00f6rld! (x)",
+             "no-delims?no", "\u4e2d\u3002\u6587\u3001test",
+             "\t tab\x85nel\u3000ideo", "puredata", ";;", " lead trail "]
+    arr = pa.array(texts, pa.string())
+    want = [(i, j, s) for i, t in enumerate(texts)
+            for j, s in enumerate(py_split(t))]
+    v, p, ix = utf8_split_delimiters_column(arr)
+    assert list(zip(p.tolist(), ix.tolist(), v.to_pylist())) == want
+
+    want_s = [(i, j, s) for i, t in enumerate(texts)
+              for j, s in enumerate([s for s in py_split(t) if s])]
+    vs, ps, ixs = utf8_split_delimiters_column(arr, skip_empty=True)
+    assert list(zip(ps.tolist(), ixs.tolist(), vs.to_pylist())) == want_s
+
+    want_d = [(i, j, c) for i, t in enumerate(texts)
+              for j, c in enumerate([c for c in t if is_delim(c)])]
+    vd, pd_, ixd = utf8_delimiters_column(arr)
+    assert list(zip(pd_.tolist(), ixd.tolist(), vd.to_pylist())) == want_d
+
+    # losslessness: concat(segments) + delimiters-in-order == input
+    rebuilt = {}
+    segs = {}
+    for (i, _, s) in want:
+        segs.setdefault(i, []).append(s)
+    dels = {}
+    for (i, _, c) in want_d:
+        dels.setdefault(i, []).append(c)
+    for i, t in enumerate(texts):
+        ss, dd = segs[i], dels.get(i, [])
+        assert "".join(a + b for a, b in zip(ss, dd + [""])) == t
