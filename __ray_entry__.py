@@ -1817,6 +1817,62 @@ def _q_utf8_delimiters(sf_dir: str):
     return _delim_augmented(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _ws_augmented(sf_dir: str):
+    """documents with a mixed-whitespace tail on every 4th doc (runs
+    of tab/NBSP/em-space/LS/ideographic space — the ASCII corpus only
+    has single spaces). Mirrored verbatim in the SQL oracles."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tail = np.where(ids % 4 == 0,
+                        "\t  x  y  z　", "")
+        t2 = pc.binary_join_element_wise(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"],
+            pa.array(tail.astype(object), pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": t2})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_utf8_split_whitespaces(sf_dir: str):
+    """Content between White_Space RUNS (sz_utf8_split_whitespaces —
+    the str.split() shape over the 25-char Unicode set), vs DuckDB
+    string_split_regex on the same RE2 class+."""
+    from stringzilla_ray.functions.segment import (
+        utf8_split_whitespaces_column,
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        values, parents, idx = utf8_split_whitespaces_column(t["text"])
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(pa.array(parents, pa.int64())),
+                         "seg_idx": pa.array(idx, pa.int64()),
+                         "segment": values})
+
+    return _ws_augmented(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def _q_utf8_whitespaces(sf_dir: str):
+    """The maximal whitespace runs themselves (sz_utf8_whitespaces),
+    vs DuckDB regexp_extract_all on the same class+."""
+    from stringzilla_ray.functions.segment import utf8_whitespaces_column
+
+    def f(t: pa.Table) -> pa.Table:
+        values, parents, idx = utf8_whitespaces_column(t["text"])
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(pa.array(parents, pa.int64())),
+                         "run_idx": pa.array(idx, pa.int64()),
+                         "run": values})
+
+    return _ws_augmented(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def _q_utf8_validate(sf_dir: str):
     """Strict UTF-8 validity over binary payloads (the reference's
     validate=True pre-check as an operator; functions/text.py
@@ -2214,6 +2270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_maxsplit": _q_split_maxsplit,
         "utf8_validate": _q_utf8_validate,
         "utf8_split_delimiters": _q_utf8_split_delimiters,
+        "utf8_split_whitespaces": _q_utf8_split_whitespaces,
+        "utf8_whitespaces": _q_utf8_whitespaces,
         "utf8_delimiters": _q_utf8_delimiters,
         "rsplit_maxsplit": _q_rsplit_maxsplit,
         "utf8_codepoints": _q_utf8_codepoints,
@@ -2514,6 +2572,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(i - 1 AS BIGINT) AS seg_idx, "
             "parts[CAST(i AS INT)] AS segment "
             "FROM p, unnest(generate_series(1, len(parts))) AS t(i)"
+        ),
+        "utf8_split_whitespaces": (
+            "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 "
+            "THEN chr(9) || ' ' || chr(160) || 'x' || chr(8195) || "
+            "chr(8232) || 'y  z' || chr(12288) ELSE '' END AS t2 "
+            "FROM documents), "
+            "p AS (SELECT doc_id, string_split_regex(t2, "
+            r"'[\p{Z}\t\n\v\f\r\x{85}]+') AS parts FROM a) "
+            "SELECT doc_id, CAST(i - 1 AS BIGINT) AS seg_idx, "
+            "parts[CAST(i AS INT)] AS segment "
+            "FROM p, unnest(generate_series(1, len(parts))) AS t(i)"
+        ),
+        "utf8_whitespaces": (
+            "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 "
+            "THEN chr(9) || ' ' || chr(160) || 'x' || chr(8195) || "
+            "chr(8232) || 'y  z' || chr(12288) ELSE '' END AS t2 "
+            "FROM documents) "
+            "SELECT doc_id, CAST(generate_subscripts(regexp_extract_all(t2, "
+            r"'[\p{Z}\t\n\v\f\r\x{85}]+'), 1) - 1 AS BIGINT) AS run_idx, "
+            r"unnest(regexp_extract_all(t2, '[\p{Z}\t\n\v\f\r\x{85}]+')) "
+            "AS run FROM a"
         ),
         "utf8_delimiters": (
             "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 "

@@ -1256,30 +1256,26 @@ def utf8_delimiters_column(col):
     return _gather_strings(tape, byte_pos[d], cp_end[d]), parents, idx
 
 
-def utf8_split_delimiters_column(col, skip_empty: bool = False):
-    """Content BETWEEN delimiter codepoints
-    (sz_utf8_split_delimiters): each delimiter is its own split point
-    (adjacent delimiters yield empty segments unless ``skip_empty``).
-    Returns ``(values, parents, idx)``; ``idx`` renumbers after the
-    skip so it is always the output ordinal."""
-    tape, offsets, byte_pos, cp_end, cp_row, is_d = _delim_scan(col)
+def _split_on_separators(tape, offsets, sep_row, sep_start, sep_end,
+                         skip_empty: bool):
+    """Assemble the content segments BETWEEN separator byte spans
+    (``sep_row`` ascending; spans non-overlapping within a row):
+    ``(values, parents, idx)``, ``idx`` renumbered after the skip."""
     nrows = len(offsets) - 1
-    d = np.flatnonzero(is_d)
-    rd = cp_row[d]
-    n_delims = np.bincount(rd, minlength=nrows)
-    segs_per_row = n_delims + 1
+    n_seps = np.bincount(sep_row, minlength=nrows)
+    segs_per_row = n_seps + 1
     seg_offs = np.concatenate([[0], np.cumsum(segs_per_row)]).astype(np.int64)
     total = int(seg_offs[-1])
     starts = np.empty(total, np.int64)
     ends = np.empty(total, np.int64)
     starts[seg_offs[:-1]] = offsets[:-1]
     ends[seg_offs[1:] - 1] = offsets[1:]
-    if len(d):
-        first_d = np.searchsorted(rd, np.arange(nrows))
-        ordinal = np.arange(len(d), dtype=np.int64) - first_d[rd]
-        pos = seg_offs[rd] + ordinal
-        ends[pos] = byte_pos[d]
-        starts[pos + 1] = cp_end[d]
+    if len(sep_row):
+        first_s = np.searchsorted(sep_row, np.arange(nrows))
+        ordinal = np.arange(len(sep_row), dtype=np.int64) - first_s[sep_row]
+        pos = seg_offs[sep_row] + ordinal
+        ends[pos] = sep_start
+        starts[pos + 1] = sep_end
     parents = np.repeat(np.arange(nrows, dtype=np.int64), segs_per_row)
     if skip_empty:
         keep = ends > starts
@@ -1288,3 +1284,72 @@ def utf8_split_delimiters_column(col, skip_empty: bool = False):
     row_first = np.concatenate([[0], np.cumsum(counts)[:-1]])
     idx = np.arange(len(parents), dtype=np.int64) - row_first[parents]
     return _gather_strings(tape, starts, ends), parents, idx
+
+
+def utf8_split_delimiters_column(col, skip_empty: bool = False):
+    """Content BETWEEN delimiter codepoints
+    (sz_utf8_split_delimiters): each delimiter is its own split point
+    (adjacent delimiters yield empty segments unless ``skip_empty``).
+    Returns ``(values, parents, idx)``; ``idx`` renumbers after the
+    skip so it is always the output ordinal."""
+    tape, offsets, byte_pos, cp_end, cp_row, is_d = _delim_scan(col)
+    d = np.flatnonzero(is_d)
+    return _split_on_separators(tape, offsets, cp_row[d], byte_pos[d],
+                                cp_end[d], skip_empty)
+
+
+# the 25 Unicode White_Space codepoints (utf8_tokens.h whitespace set)
+_WS25 = ((0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680)
+         + tuple(range(0x2000, 0x200B))
+         + (0x2028, 0x2029, 0x202F, 0x205F, 0x3000))
+_WS_LUT: np.ndarray | None = None
+
+
+def _ws_lut() -> np.ndarray:
+    global _WS_LUT
+    if _WS_LUT is None:
+        lut = np.zeros(0x110000, bool)
+        lut[list(_WS25)] = True
+        _WS_LUT = lut
+    return _WS_LUT
+
+
+def _ws_runs(col):
+    """(tape, offsets, run_row, run_start_byte, run_end_byte) of the
+    maximal White_Space runs per row."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offsets = tape_of(col)
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    cps, cp_offs = utf8_decode_tape(tape, offsets)
+    byte_pos = np.flatnonzero((tape & 0xC0) != 0x80).astype(np.int64)
+    counts = np.diff(cp_offs)
+    cp_row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    nxt = np.concatenate([byte_pos[1:], [len(tape)]])
+    cp_end = np.minimum(nxt, offsets[cp_row + 1]) if len(cps) else nxt
+    m = _ws_lut()[cps]
+    row_first = np.zeros(len(cps), bool)
+    row_first[cp_offs[:-1][counts > 0]] = True
+    run_head = m & (row_first | ~np.concatenate([[False], m[:-1]]))
+    run_tail = m & (np.concatenate([row_first[1:], [True]])
+                    | ~np.concatenate([m[1:], [False]]))
+    h, t = np.flatnonzero(run_head), np.flatnonzero(run_tail)
+    return tape, offsets, cp_row[h], byte_pos[h], cp_end[t]
+
+
+def utf8_whitespaces_column(col):
+    """The maximal White_Space runs themselves (sz_utf8_whitespaces):
+    ``(values, parents, idx)``."""
+    tape, offsets, rr, rs, re_ = _ws_runs(col)
+    first = np.searchsorted(rr, np.arange(len(offsets) - 1))
+    idx = np.arange(len(rr), dtype=np.int64) - first[rr]
+    return _gather_strings(tape, rs, re_), rr, idx
+
+
+def utf8_split_whitespaces_column(col, skip_empty: bool = False):
+    """Content BETWEEN White_Space runs (sz_utf8_split_whitespaces —
+    ``str.split()`` shape; runs merge, so empties only appear at row
+    edges unless the row is all whitespace)."""
+    tape, offsets, rr, rs, re_ = _ws_runs(col)
+    return _split_on_separators(tape, offsets, rr, rs, re_, skip_empty)

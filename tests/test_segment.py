@@ -435,3 +435,37 @@ def test_utf8_delimiter_ops_vs_python_oracle():
     for i, t in enumerate(texts):
         ss, dd = segs[i], dels.get(i, [])
         assert "".join(a + b for a, b in zip(ss, dd + [""])) == t
+
+
+def test_utf8_whitespace_run_ops_vs_python_oracle():
+    """utf8_whitespaces / utf8_split_whitespaces segment on MAXIMAL
+    runs of the 25-char White_Space set (str.split() shape); empties
+    only at row edges; skip_empty equals str.split() on these texts."""
+    import re
+
+    from stringzilla_ray.functions.segment import (
+        _WS25,
+        utf8_split_whitespaces_column,
+        utf8_whitespaces_column,
+    )
+
+    ws = "".join(chr(c) for c in _WS25)
+    pat = re.compile("[" + re.escape(ws) + "]+")
+    texts = ["a b", "  lead", "trail  ", "", "   ", "a\t  b",
+             "\u4e2d\u3000\u6587", "one", " x ", "a  b \tc",
+             "\u00a0\u2028\u2003mix\u200a"]
+    arr = pa.array(texts, pa.string())
+    want = [(i, j, s) for i, t in enumerate(texts)
+            for j, s in enumerate(pat.split(t))]
+    v, p, ix = utf8_split_whitespaces_column(arr)
+    assert list(zip(p.tolist(), ix.tolist(), v.to_pylist())) == want
+
+    want_r = [(i, j, s) for i, t in enumerate(texts)
+              for j, s in enumerate(pat.findall(t))]
+    vr, pr, ixr = utf8_whitespaces_column(arr)
+    assert list(zip(pr.tolist(), ixr.tolist(), vr.to_pylist())) == want_r
+
+    want_s = [(i, j, s) for i, t in enumerate(texts)
+              for j, s in enumerate(t.split())]
+    vs, ps, ixs = utf8_split_whitespaces_column(arr, skip_empty=True)
+    assert list(zip(ps.tolist(), ixs.tolist(), vs.to_pylist())) == want_s
