@@ -1873,6 +1873,34 @@ def _q_utf8_whitespaces(sf_dir: str):
     return _ws_augmented(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _q_utf8_newlines(sf_dir: str):
+    """The newline delimiters themselves (sz_utf8_newlines; CRLF = one
+    2-byte match), vs DuckDB regexp_extract_all with the same
+    alternation. Every 4th doc gets all 7 newline kinds + CRLF."""
+    from stringzilla_ray.functions.segment import utf8_newlines_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tail = np.where(ids % 4 == 0,
+                        "\r\nl1\nl2\rl3\x0bl4\x0cl5\x85l6 l7 ",
+                        "")
+        t2 = pc.binary_join_element_wise(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"],
+            pa.array(tail.astype(object), pa.string()), "")
+        values, parents, idx = utf8_newlines_column(t2)
+        ids_a = t["doc_id"]
+        if isinstance(ids_a, pa.ChunkedArray):
+            ids_a = ids_a.combine_chunks()
+        return pa.table({"doc_id": ids_a.take(pa.array(parents, pa.int64())),
+                         "nl_idx": pa.array(idx, pa.int64()),
+                         "nl": values})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_utf8_validate(sf_dir: str):
     """Strict UTF-8 validity over binary payloads (the reference's
     validate=True pre-check as an operator; functions/text.py
@@ -2272,6 +2300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "utf8_split_delimiters": _q_utf8_split_delimiters,
         "utf8_split_whitespaces": _q_utf8_split_whitespaces,
         "utf8_whitespaces": _q_utf8_whitespaces,
+        "utf8_newlines": _q_utf8_newlines,
         "utf8_delimiters": _q_utf8_delimiters,
         "rsplit_maxsplit": _q_rsplit_maxsplit,
         "utf8_codepoints": _q_utf8_codepoints,
@@ -2593,6 +2622,18 @@ def oracle_sql() -> dict[str, str]:
             r"'[\p{Z}\t\n\v\f\r\x{85}]+'), 1) - 1 AS BIGINT) AS run_idx, "
             r"unnest(regexp_extract_all(t2, '[\p{Z}\t\n\v\f\r\x{85}]+')) "
             "AS run FROM a"
+        ),
+        "utf8_newlines": (
+            "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 "
+            "THEN chr(13) || chr(10) || 'l1' || chr(10) || 'l2' || chr(13) "
+            "|| 'l3' || chr(11) || 'l4' || chr(12) || 'l5' || chr(133) || "
+            "'l6' || chr(8232) || 'l7' || chr(8233) ELSE '' END AS t2 "
+            "FROM documents) "
+            "SELECT doc_id, CAST(generate_subscripts(regexp_extract_all(t2, "
+            r"'\r\n|[\n\v\f\r\x{85}\x{2028}\x{2029}]'), 1) - 1 AS BIGINT) "
+            "AS nl_idx, "
+            r"unnest(regexp_extract_all(t2, '\r\n|[\n\v\f\r\x{85}\x{2028}\x{2029}]')) "
+            "AS nl FROM a"
         ),
         "utf8_delimiters": (
             "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 "

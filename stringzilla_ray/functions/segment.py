@@ -1353,3 +1353,27 @@ def utf8_split_whitespaces_column(col, skip_empty: bool = False):
     edges unless the row is all whitespace)."""
     tape, offsets, rr, rs, re_ = _ws_runs(col)
     return _split_on_separators(tape, offsets, rr, rs, re_, skip_empty)
+
+
+def utf8_newlines_column(col):
+    """The newline delimiters themselves (sz_utf8_newlines): one row
+    per delimiter, CRLF as a single 2-byte match anchored at the CR.
+    ``(values, parents, idx)``; shares _newline_start_mask with
+    newline_count / splitlines."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offsets = tape_of(col)
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    mask = _newline_start_mask(tape, offsets)
+    s = np.flatnonzero(mask).astype(np.int64)
+    rows = np.searchsorted(offsets, s, side="right") - 1
+    b = tape[s]
+    ln = np.where(b == 0xC2, 2, np.where(b == 0xE2, 3, 1)).astype(np.int64)
+    nxt_in_row = (s + 1 < offsets[rows + 1])
+    is_crlf = (b == 0x0D) & nxt_in_row & (
+        tape[np.minimum(s + 1, len(tape) - 1)] == 0x0A)
+    ln = np.where(is_crlf, 2, ln)
+    first = np.searchsorted(rows, np.arange(len(offsets) - 1))
+    idx = np.arange(len(s), dtype=np.int64) - first[rows]
+    return _gather_strings(tape, s, s + ln), rows, idx

@@ -469,3 +469,22 @@ def test_utf8_whitespace_run_ops_vs_python_oracle():
               for j, s in enumerate(t.split())]
     vs, ps, ixs = utf8_split_whitespaces_column(arr, skip_empty=True)
     assert list(zip(ps.tolist(), ixs.tolist(), vs.to_pylist())) == want_s
+
+
+def test_utf8_newlines_column_vs_re_oracle():
+    """One row per newline delimiter; CRLF is a single 2-byte match
+    anchored at the CR, and a CR|LF pair split across a row boundary
+    stays two separate delimiters."""
+    import re
+
+    from stringzilla_ray.functions.segment import utf8_newlines_column
+
+    pat = re.compile("\r\n|[\n\x0b\x0c\r\x85\u2028\u2029]")
+    texts = ["a\nb", "x\r\ny", "\r\r\n\n", "", "m\u2028n\u2029\x85",
+             "plain", "end\r", "\n\n\n", "a\rb\nc", "\r", "\n"]
+    want = [(i, j, s) for i, t in enumerate(texts)
+            for j, s in enumerate(pat.findall(t))]
+    v, p, ix = utf8_newlines_column(pa.array(texts, pa.string()))
+    assert list(zip(p.tolist(), ix.tolist(), v.to_pylist())) == want
+    # texts[9] ends with CR, texts[10] starts with LF: NOT a CRLF
+    assert v.to_pylist()[-2:] == ["\r", "\n"]
