@@ -669,6 +669,32 @@ def _q_drop_boilerplate(sf_dir: str):
     return out.select_columns(["doc_id", "text_clean", "n_dropped"])
 
 
+_DUP_SPAN_WINDOW = 25
+
+
+def _q_dup_spans(sf_dir: str):
+    """Exact repeated-substring detection (Lee et al. 2022 suffix-array
+    dedup, distributed): maximal spans whose every 25-codepoint window
+    occurs >= 2 times corpus-wide. Census exchange bounded by distinct
+    grams, dup set broadcast once, span merge local
+    (stages/substring.py:dup_spans)."""
+    from stringzilla_ray.stages.substring import dup_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_spans(ds, window=_DUP_SPAN_WINDOW)
+
+
+def _q_drop_dup_spans(sf_dir: str):
+    """Repeated-substring REMOVAL: every character covered by a
+    duplicated 25-codepoint window drops; survivors re-encode into a
+    zero-copy output tape. n_removed counts codepoints
+    (stages/substring.py:drop_dup_spans)."""
+    from stringzilla_ray.stages.substring import drop_dup_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return drop_dup_spans(ds, window=_DUP_SPAN_WINDOW)
+
+
 def _q_median_chars_by_lang(sf_dir: str):
     """Exact per-group median without a global sort: map-side
     (key, value, cnt) frequency partials -> hash-shard groupby ->
@@ -2249,6 +2275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "near_dedup_keep": _q_near_dedup_keep,
         "drop_boilerplate": _q_drop_boilerplate,
+        "dup_spans": _q_dup_spans,
+        "drop_dup_spans": _q_drop_dup_spans,
         "median_chars_by_lang": _q_median_chars_by_lang,
         "bottomk_sample": _q_bottomk_sample,
         "gopher_quality": _q_gopher_quality,
@@ -2909,6 +2937,54 @@ def oracle_sql() -> dict[str, str]:
             "t.n_tot - coalesce(a.n_kept, 0) AS n_dropped "
             "FROM documents d JOIN tot t USING (doc_id) "
             "LEFT JOIN agg a USING (doc_id)"
+        ),
+        "dup_spans": (
+            # Character-semantics twin of the codepoint-window engine:
+            # explode every 25-char gram, census HAVING >= 2 (same-doc
+            # repeats count, matching occurrence-clipped partials),
+            # gaps-and-islands run merge via pos - row_number.
+            f"WITH g AS (SELECT doc_id, unnest(generate_series(1, "
+            f"greatest(length(text)-{_DUP_SPAN_WINDOW}+1, 0))) AS i, "
+            "text FROM documents), "
+            f"gg AS (SELECT doc_id, i-1 AS pos, substr(text, i, "
+            f"{_DUP_SPAN_WINDOW}) AS gm FROM g), "
+            "dup AS (SELECT gm FROM gg GROUP BY gm "
+            "HAVING count(*) >= 2), "
+            "dpos AS (SELECT doc_id, pos FROM gg "
+            "WHERE gm IN (SELECT gm FROM dup)), "
+            "runs AS (SELECT doc_id, pos, pos - row_number() "
+            "OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dpos) "
+            "SELECT doc_id, min(pos) AS span_start, "
+            f"max(pos) + {_DUP_SPAN_WINDOW} AS span_end "
+            "FROM runs GROUP BY doc_id, grp"
+        ),
+        "drop_dup_spans": (
+            # Coverage union of duplicated windows, then per-character
+            # anti-join + order-preserving string_agg reassembly;
+            # n_removed in codepoints (DuckDB length/substr are
+            # character-based, mirroring the engine's codepoint tape).
+            f"WITH g AS (SELECT doc_id, unnest(generate_series(1, "
+            f"greatest(length(text)-{_DUP_SPAN_WINDOW}+1, 0))) AS i, "
+            "text FROM documents), "
+            f"gg AS (SELECT doc_id, i-1 AS pos, substr(text, i, "
+            f"{_DUP_SPAN_WINDOW}) AS gm FROM g), "
+            "dup AS (SELECT gm FROM gg GROUP BY gm "
+            "HAVING count(*) >= 2), "
+            "dpos AS (SELECT doc_id, pos FROM gg "
+            "WHERE gm IN (SELECT gm FROM dup)), "
+            "cover AS (SELECT DISTINCT doc_id, pos + unnest("
+            f"generate_series(0, {_DUP_SPAN_WINDOW}-1)) AS cpos "
+            "FROM dpos), "
+            "chars AS (SELECT doc_id, unnest(generate_series(1, "
+            "length(text))) AS i, text FROM documents), "
+            "kept AS (SELECT c.doc_id, c.i, substr(c.text, c.i, 1) AS ch "
+            "FROM chars c LEFT JOIN cover v ON v.doc_id = c.doc_id "
+            "AND v.cpos = c.i - 1 WHERE v.doc_id IS NULL) "
+            "SELECT d.doc_id, coalesce(string_agg(k.ch, '' "
+            "ORDER BY k.i), '') AS text_clean, "
+            "length(d.text) - count(k.i) AS n_removed "
+            "FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id "
+            "GROUP BY d.doc_id, d.text"
         ),
         "median_chars_by_lang": (
             # median(int) = quantile_cont 0.5: interpolation between

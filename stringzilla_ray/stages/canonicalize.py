@@ -339,7 +339,10 @@ def _spanning_hashes(census, driver_rows_gate: int) -> np.ndarray:
         .groupby("bucket")
         .map_groups(dups_in_bucket, batch_format="pyarrow")
     )
-    parts = [t for t in ray.get(dups.to_arrow_refs()) if len(t)]
+    # materialize() first — the schema peek after a lazy to_arrow_refs
+    # would re-run the bucket groupby
+    parts = [t for t in ray.get(dups.materialize().to_arrow_refs())
+             if len(t)]
     if not parts:
         return np.zeros(0, np.int64)
     return np.sort(np.concatenate([t["conv_hash"].to_numpy() for t in parts]))

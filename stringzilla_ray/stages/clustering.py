@@ -48,10 +48,10 @@ def _edges_to_numpy(edges):
 
     import ray
 
-    tables = [
-        t for t in ray.get(edges.select_columns(["left", "right"]).to_arrow_refs())
-        if len(t)
-    ]
+    from stringzilla_ray.util import ensure_materialized
+
+    proj = ensure_materialized(edges.select_columns(["left", "right"]))
+    tables = [t for t in ray.get(proj.to_arrow_refs()) if len(t)]
     if not tables:
         return None, None
     tbl = pa.concat_tables(tables)
@@ -254,6 +254,11 @@ def assign_clusters(members, edges, cfg: ERConfig, node_column: str = "content_h
             print(f"[cc] {name} {now - t0:.2f}s", file=sys.stderr, flush=True)
             t0 = now
 
+    from stringzilla_ray.util import ensure_materialized
+
+    # count() + to_arrow_refs() + its schema peek would execute a lazy
+    # edge plan three times — pin it once
+    edges = ensure_materialized(edges)
     sym_count = edges.count()
     _sub("edge-count")
     if sym_count <= DRIVER_UNION_FIND_MAX_EDGES:
@@ -318,9 +323,10 @@ def label_propagation(nodes, edges, cfg: ERConfig, num_partitions: int | None = 
     driver in one pass; larger graphs run the distributed
     min-label-propagation loop.
     """
-    from stringzilla_ray.util import join_partitions
+    from stringzilla_ray.util import ensure_materialized, join_partitions
 
     parts = join_partitions(num_partitions or cfg.join_num_partitions)
+    edges = ensure_materialized(edges)
     sym = _symmetric_edges(edges).materialize()
 
     if not force_distributed and sym.count() <= 2 * DRIVER_UNION_FIND_MAX_EDGES:

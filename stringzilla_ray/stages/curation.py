@@ -460,7 +460,10 @@ def drop_frequent_lines(
             batch_format="pyarrow",
         )
     )
-    tables = [t for t in ray.get(heavy.to_arrow_refs()) if len(t)]
+    # materialize() first: to_arrow_refs() on the lazy census plan is
+    # followed by a limit=1 schema peek that re-runs the whole shuffle
+    tables = [t for t in ray.get(heavy.materialize().to_arrow_refs())
+              if len(t)]
     if tables:
         heavy_arr = pa.concat_tables(tables)["line"].combine_chunks()
     else:

@@ -17,6 +17,24 @@ def actor_pool_limits(cap: int = 64) -> tuple[int, int]:
     return (max(1, hi // 2), hi)
 
 
+def ensure_materialized(ds):
+    """Materialize a Dataset once (no-op when already materialized).
+
+    Guard for gather points: ``to_arrow_refs()`` on a LAZY dataset
+    executes the plan and then issues a limit=1 schema peek that
+    RE-EXECUTES it — for all-to-all plans (groupby/sort) the peek
+    re-runs the full shuffle; ``count()`` before a gather adds a third
+    execution. Measured: a lazy census plan ran twice per gather."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            return ds
+    except ImportError:
+        pass
+    return ds.materialize()
+
+
 def reduce_buckets(per_cpu: int = 4, cap: int = 256) -> int:
     """Bucket count for hash-bucket reduces (the groupby replacement
     for HIGH-CARDINALITY keys). Ray's native groupby-aggregate runs a
