@@ -1021,6 +1021,97 @@ def _q_split_byteset(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _q_split_keepsep(sf_dir: str):
+    """split(keepseparator=True): the matched separator stays attached
+    to the end of the preceding piece (reference test/string.py:202)."""
+    from stringzilla_ray.functions.segment import split_keepsep_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        vals, parents, idx = split_keepsep_column(t["text"], " ")
+        return pa.table({"doc_id": ids.take(parents),
+                         "piece_idx": pa.array(idx, pa.int64()),
+                         "piece": vals})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_rsplit_byteset(sf_dir: str):
+    """rsplit_byteset(separators=' ,.', maxsplit=2): bounded byteset
+    split counting cuts from the RIGHT; the unsplit remainder becomes
+    the first piece (python/README.md:195, CPython rsplit shape).
+    One LUT tape scan + zero-copy gather
+    (segment.py:split_byteset_maxsplit_column)."""
+    from stringzilla_ray.functions.segment import (
+        split_byteset_maxsplit_column)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        vals, parents, idx = split_byteset_maxsplit_column(
+            t["text"], " ,.", 2, reverse=True)
+        return pa.table({"doc_id": ids.take(parents),
+                         "piece_idx": pa.array(idx, pa.int64()),
+                         "piece": vals})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_split_byteset_maxsplit(sf_dir: str):
+    """Forward split_byteset with maxsplit=3 and skip_empty=True —
+    the remaining reference split flags in one row
+    (python/README.md:194)."""
+    from stringzilla_ray.functions.segment import (
+        split_byteset_maxsplit_column)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        vals, parents, _ = split_byteset_maxsplit_column(
+            t["text"], " ,.", 3, skip_empty=True)
+        return pa.table({"doc_id": ids.take(parents), "piece": vals})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_splitlines_keepends(sf_dir: str):
+    """splitlines(keeplinebreaks=True) — CPython str.splitlines(True)
+    shape over the 7-delimiter set with CRLF as one 2-char break;
+    newlines injected the same way as split_lines. The non-\\n
+    delimiters are pinned by the CPython fuzz pytest (the corpus is
+    ASCII)."""
+    from stringzilla_ray.functions.segment import (
+        splitlines_keepends_column)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        x = pc.replace_substring(t["text"], pattern=" the ",
+                                 replacement="\n")
+        x = pc.replace_substring(x, pattern=" data ", replacement="\r\n")
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        values, parents, idx = splitlines_keepends_column(x)
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(parents),
+                         "piece_idx": pa.array(idx, pa.int64()),
+                         "line": values})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_uax29_word_count(sf_dir: str):
     """Full TR29 word segmentation (WB3-WB16) — rows-only: no SQL
     engine implements UAX-29; pinned spec-case pytests are the gate
@@ -2297,6 +2388,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "uax29_word_count": _q_uax29_word_count,
         "split_byteset": _q_split_byteset,
+        "split_keepsep": _q_split_keepsep,
+        "rsplit_byteset": _q_rsplit_byteset,
+        "split_byteset_maxsplit": _q_split_byteset_maxsplit,
+        "splitlines_keepends": _q_splitlines_keepends,
         "uax29_sentence_count": _q_uax29_sentence_count,
         "uax14_line_segments": _q_uax14_line_segments,
         "offset_within": _q_offset_within,
@@ -3256,6 +3351,55 @@ def oracle_sql() -> dict[str, str]:
         "split_byteset": (
             "SELECT doc_id, unnest(regexp_split_to_array(text, '[aeiou]')) AS piece "
             "FROM documents"
+        ),
+        "split_keepsep": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS parts "
+            "FROM documents), "
+            "e AS (SELECT doc_id, unnest(parts) AS part, "
+            "unnest(range(1, len(parts)+1)) AS i, len(parts) AS k FROM s) "
+            "SELECT doc_id, i - 1 AS piece_idx, "
+            "part || CASE WHEN i < k THEN ' ' ELSE '' END AS piece FROM e"
+        ),
+        "rsplit_byteset": (
+            # right scan == forward split of the reversed string; the
+            # HEAD (unsplit remainder) is recovered by length
+            # arithmetic (every separator is exactly 1 char), because
+            # a byteset split cannot be re-joined with one separator.
+            "WITH p AS (SELECT doc_id, text, "
+            "regexp_split_to_array(reverse(text), '[ ,.]') AS parts "
+            "FROM documents), "
+            "q AS (SELECT doc_id, text, parts, "
+            "least(2, len(parts) - 1) AS t FROM p) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS piece_idx, "
+            "CASE WHEN i = 0 THEN substr(text, 1, length(text) - "
+            "CAST(coalesce(list_sum(list_transform(parts[1:t], "
+            "x -> length(x))), 0) AS BIGINT) - t) "
+            "ELSE reverse(parts[CAST(t - i + 1 AS INT)]) END AS piece "
+            "FROM q, unnest(generate_series(0, t)) AS u(i)"
+        ),
+        "split_byteset_maxsplit": (
+            "WITH p AS (SELECT doc_id, text, "
+            "regexp_split_to_array(text, '[ ,.]') AS parts "
+            "FROM documents), "
+            "q AS (SELECT doc_id, text, parts, "
+            "least(3, len(parts) - 1) AS t FROM p), "
+            "e AS (SELECT doc_id, "
+            "CASE WHEN i < t THEN parts[CAST(i + 1 AS INT)] "
+            "ELSE substr(text, CAST(coalesce(list_sum(list_transform("
+            "parts[1:t], x -> length(x))), 0) + t + 1 AS BIGINT)) "
+            "END AS piece "
+            "FROM q, unnest(generate_series(0, t)) AS u(i)) "
+            "SELECT doc_id, piece FROM e WHERE piece <> ''"
+        ),
+        "splitlines_keepends": (
+            "WITH x AS (SELECT doc_id, replace(replace(text, ' the ', "
+            "chr(10)), ' data ', chr(13) || chr(10)) AS t2 "
+            "FROM documents), "
+            "l AS (SELECT doc_id, regexp_extract_all(t2, "
+            "'[^\\r\\n]*(?:\\r\\n|[\\r\\n])|[^\\r\\n]+') AS ls FROM x) "
+            "SELECT doc_id, i - 1 AS piece_idx, line FROM "
+            "(SELECT doc_id, unnest(ls) AS line, "
+            "unnest(range(1, len(ls)+1)) AS i FROM l)"
         ),
         "offset_within": (
             "SELECT doc_id, CAST(instr(text, substr(text, 11, 25)) - 1 AS BIGINT) AS pos "

@@ -309,6 +309,141 @@ def split_byteset_column(col, chars: str, skip_empty: bool = False):
     return values, parents
 
 
+def split_keepsep_column(col, sep: str):
+    """``keepseparator=True`` split: the matched separator stays
+    attached to the END of the preceding piece (reference semantics
+    pinned by test/string.py:202 — split("l1\\nl2", "\\n",
+    keepseparator=True) == ["l1\\n", "l2"]).  Returns
+    ``(values, parents, piece_idx)``."""
+    values, parents = split_column(col, sep)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.bincount(par, minlength=len(col))
+    offs = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    is_last = np.zeros(len(values), bool)
+    is_last[offs[1:] - 1] = True  # split yields >= 1 piece per row
+    suffix = pc.if_else(pa.array(is_last), "", sep)
+    out = pc.binary_join_element_wise(values, suffix, "")
+    idx = np.arange(len(values), dtype=np.int64) - np.repeat(
+        offs[:-1], counts)
+    return out, parents, idx
+
+
+def split_byteset_maxsplit_column(col, chars: str, maxsplit: int,
+                                  reverse: bool = False,
+                                  keepseparator: bool = False,
+                                  skip_empty: bool = False):
+    """Bounded byteset split from either end — the full
+    ``split_byteset/rsplit_byteset(separators, maxsplit,
+    keepseparator, skip_empty)`` surface (python/README.md:194-195).
+    One LUT tape scan finds separator bytes; ``reverse`` keeps the
+    LAST ``maxsplit`` cuts (CPython rsplit semantics: the unsplit
+    remainder becomes the FIRST piece); pieces gather zero-copy from
+    the tape.  Separators are single bytes (ASCII byteset), so slicing
+    never lands inside a multibyte sequence.  Returns
+    ``(values, parents, piece_idx)``; with ``skip_empty`` the
+    piece_idx still numbers the pre-filter pieces."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not chars:
+        raise ValueError("empty separator set")
+    if maxsplit < 0:
+        raise ValueError("maxsplit must be >= 0")
+    tape, offsets = tape_of(col)
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    nrows = len(offsets) - 1
+    hits = _member_lut(chars)[tape]
+    hpos = np.flatnonzero(hits).astype(np.int64)
+    hrow = np.searchsorted(offsets, hpos, side="right") - 1
+    counts = np.bincount(hrow, minlength=nrows)
+    first = np.zeros(nrows, np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    within = np.arange(len(hpos), dtype=np.int64) - first[hrow]
+    if reverse:
+        keep = within >= counts[hrow] - maxsplit
+    else:
+        keep = within < maxsplit
+    cuts, crow = hpos[keep], hrow[keep]
+    kc = np.bincount(crow, minlength=nrows)
+    pieces = kc + 1
+    total = int(pieces.sum())
+    pstart = np.zeros(nrows, np.int64)
+    np.cumsum(pieces[:-1], out=pstart[1:])
+    parents = np.repeat(np.arange(nrows, dtype=np.int64), pieces)
+    piece_idx = np.arange(total, dtype=np.int64) - pstart[parents]
+    is_first = piece_idx == 0
+    is_last = piece_idx == pieces[parents] - 1
+    starts = np.empty(total, np.int64)
+    ends = np.empty(total, np.int64)
+    starts[is_first] = offsets[:-1]
+    starts[~is_first] = cuts + 1
+    ends[is_last] = offsets[1:]
+    ends[~is_last] = cuts + (1 if keepseparator else 0)
+    values = _gather_strings(tape, starts, ends)
+    if skip_empty:
+        m = pc.not_equal(values, "")
+        values = values.filter(m)
+        sel = m.to_numpy(zero_copy_only=False)
+        parents, piece_idx = parents[sel], piece_idx[sel]
+    return values, pa.array(parents, pa.int64()), piece_idx
+
+
+def splitlines_keepends_column(col):
+    """Python ``str.splitlines(keepends=True)`` over the 7-delimiter
+    newline set with CRLF as one break (``splitlines(keeplinebreaks=
+    True)``, python/README.md:196; parity with CPython pinned by
+    test/string.py:216): every piece carries its line break; a final
+    unterminated piece appears only when non-empty; "" yields no
+    pieces.  Returns ``(values, parents, piece_idx)``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offsets = tape_of(col)
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    nrows = len(offsets) - 1
+    mask = _newline_start_mask(tape, offsets)
+    spos = np.flatnonzero(mask).astype(np.int64)
+    srow = np.searchsorted(offsets, spos, side="right") - 1
+    b0 = tape[spos]
+    seplen = np.ones(len(spos), np.int64)
+    # CRLF counts as one 2-byte break only when the LF is in-row
+    crlf = (b0 == 0x0D) & (spos + 1 < offsets[srow + 1])
+    if crlf.any():
+        crlf[crlf] = tape[spos[crlf] + 1] == 0x0A
+    seplen[crlf] = 2
+    seplen[b0 == 0xC2] = 2          # U+0085 NEL
+    seplen[b0 == 0xE2] = 3          # U+2028 / U+2029
+    send = spos + seplen
+    k = np.bincount(srow, minlength=nrows)
+    sfirst = np.zeros(nrows, np.int64)
+    np.cumsum(k[:-1], out=sfirst[1:])
+    swithin = np.arange(len(spos), dtype=np.int64) - sfirst[srow]
+    # residual unterminated piece iff the row extends past the last break
+    last_end = offsets[:-1].copy()
+    if len(spos):
+        has = k > 0
+        last_end[has] = send[sfirst[has] + k[has] - 1]
+    resid = offsets[1:] > last_end
+    pieces = k + resid
+    total = int(pieces.sum())
+    pstart = np.zeros(nrows, np.int64)
+    np.cumsum(pieces[:-1], out=pstart[1:])
+    parents = np.repeat(np.arange(nrows, dtype=np.int64), pieces)
+    piece_idx = np.arange(total, dtype=np.int64) - pstart[parents]
+    ends = np.empty(total, np.int64)
+    ends[pstart[srow] + swithin] = send
+    ends[pstart[resid] + k[resid]] = offsets[1:][resid]
+    starts = np.empty(total, np.int64)
+    starts[pstart[pieces > 0]] = offsets[:-1][pieces > 0]
+    not_first = piece_idx > 0
+    starts[not_first] = ends[np.flatnonzero(not_first) - 1]
+    values = _gather_strings(tape, starts, ends)
+    return values, pa.array(parents, pa.int64()), piece_idx
+
+
 _NEWLINE_REGEX = r"\r\n|[\n\v\f\r\x{0085}\x{2028}\x{2029}]"
 
 

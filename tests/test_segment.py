@@ -488,3 +488,107 @@ def test_utf8_newlines_column_vs_re_oracle():
     assert list(zip(p.tolist(), ix.tolist(), v.to_pylist())) == want
     # texts[9] ends with CR, texts[10] starts with LF: NOT a CRLF
     assert v.to_pylist()[-2:] == ["\r", "\n"]
+
+
+# ---------------------------------------------- split-variant flag parity
+
+
+def _collect(v, p):
+    got = {}
+    for vv, pp in zip(v.to_pylist(), p.to_pylist()):
+        got.setdefault(pp, []).append(vv)
+    return got
+
+
+def test_split_keepsep_matches_reference_shape():
+    """keepseparator=True attaches the matched separator to the END of
+    the preceding piece (reference test/string.py:202)."""
+    from stringzilla_ray.functions.segment import split_keepsep_column
+
+    texts = ["line1\nline2\nline3", "a b c d", "", "x", "\n\n", "tail\n"]
+    v, p, _ = split_keepsep_column(pa.array(texts, pa.string()), "\n")
+    got = _collect(v, p)
+    for r, t in enumerate(texts):
+        parts = t.split("\n")
+        exp = [x + "\n" for x in parts[:-1]] + [parts[-1]]
+        assert got.get(r, []) == exp
+
+
+def _py_byteset_split(t, chars, maxsplit, reverse):
+    """Reference semantics == CPython split/rsplit generalized to a
+    byte set (separators between pieces are whichever byte matched)."""
+    parts, cur, seps = [], [], []
+    for ch in t:
+        if ch in chars:
+            parts.append("".join(cur))
+            cur = []
+            seps.append(ch)
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    k = len(parts) - 1
+    m = min(maxsplit, k)
+    if m == k:
+        return parts
+    if reverse:
+        hp = parts[:k - m + 1]
+        head = "".join(a + s for a, s in zip(hp[:-1], seps[:k - m])) + hp[-1]
+        return [head] + parts[k - m + 1:]
+    tp = parts[m:]
+    tail = "".join(a + s for a, s in zip(tp[:-1], seps[m:])) + tp[-1]
+    return parts[:m] + [tail]
+
+
+def test_split_byteset_maxsplit_fuzz_vs_cpython():
+    from stringzilla_ray.functions.segment import (
+        split_byteset_maxsplit_column)
+
+    rng = np.random.default_rng(5)
+    alpha = list("ab ,.") + ["é", "日"]
+    for _ in range(150):
+        texts = ["".join(rng.choice(alpha, size=rng.integers(0, 15)).tolist())
+                 for _ in range(8)]
+        ms = int(rng.integers(0, 5))
+        rev = bool(rng.integers(0, 2))
+        v, p, _ = split_byteset_maxsplit_column(
+            pa.array(texts, pa.string()), " ,.", ms, reverse=rev)
+        got = _collect(v, p)
+        for r, t in enumerate(texts):
+            assert got.get(r, []) == _py_byteset_split(t, " ,.", ms, rev)
+        # single-member set == CPython str.split/rsplit exactly
+        v2, p2, _ = split_byteset_maxsplit_column(
+            pa.array(texts, pa.string()), " ", ms, reverse=rev)
+        got2 = _collect(v2, p2)
+        for r, t in enumerate(texts):
+            exp = t.rsplit(" ", ms) if rev else t.split(" ", ms)
+            assert got2.get(r, []) == exp
+
+
+def test_split_byteset_flags():
+    from stringzilla_ray.functions.segment import (
+        split_byteset_maxsplit_column)
+
+    col = pa.array(["a b,,c "], pa.string())
+    v, _, _ = split_byteset_maxsplit_column(col, " ,", 99,
+                                            keepseparator=True)
+    assert v.to_pylist() == ["a ", "b,", ",", "c ", ""]
+    v, _, _ = split_byteset_maxsplit_column(col, " ,", 99, skip_empty=True)
+    assert v.to_pylist() == ["a", "b", "c"]
+
+
+def test_splitlines_keepends_fuzz_vs_cpython():
+    """splitlines(keeplinebreaks=True) == str.splitlines(True) over the
+    7-delimiter set incl. CRLF-as-one, NEL, LS/PS and multibyte text
+    (reference parity pinned by test/string.py:216-217)."""
+    from stringzilla_ray.functions.segment import splitlines_keepends_column
+
+    rng = np.random.default_rng(6)
+    alpha = (list("ab") + ["\n", "\r", "\x0b", "\x0c", " ",
+                           "é", "日", "\x85", " ", " "])
+    for _ in range(300):
+        texts = ["".join(rng.choice(alpha, size=rng.integers(0, 20)).tolist())
+                 for _ in range(6)]
+        v, p, _ = splitlines_keepends_column(pa.array(texts, pa.string()))
+        got = _collect(v, p)
+        for r, t in enumerate(texts):
+            assert got.get(r, []) == t.splitlines(True), repr(t)
