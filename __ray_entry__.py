@@ -669,6 +669,19 @@ def _q_drop_boilerplate(sf_dir: str):
     return out.select_columns(["doc_id", "text_clean", "n_dropped"])
 
 
+def _q_unigram_surprisal(sf_dir: str):
+    """CCNet-style LM quality scoring: mean token surprisal under a
+    corpus-trained unigram model. Train = one vocabulary census
+    (exchange bounded by distinct tokens), score = broadcast lookup,
+    zero shuffles (stages/textstats.py:add_unigram_surprisal).
+    Scaled-int emission; ln computed as ln(total)-ln(cnt) on both
+    sides so the double mirrors bit-compare after round."""
+    from stringzilla_ray.stages.textstats import add_unigram_surprisal
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_unigram_surprisal(ds)
+
+
 _DUP_SPAN_WINDOW = 25
 
 
@@ -2368,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_boilerplate": _q_drop_boilerplate,
         "dup_spans": _q_dup_spans,
         "drop_dup_spans": _q_drop_dup_spans,
+        "unigram_surprisal": _q_unigram_surprisal,
         "median_chars_by_lang": _q_median_chars_by_lang,
         "bottomk_sample": _q_bottomk_sample,
         "gopher_quality": _q_gopher_quality,
@@ -3032,6 +3046,20 @@ def oracle_sql() -> dict[str, str]:
             "t.n_tot - coalesce(a.n_kept, 0) AS n_dropped "
             "FROM documents d JOIN tot t USING (doc_id) "
             "LEFT JOIN agg a USING (doc_id)"
+        ),
+        "unigram_surprisal": (
+            "WITH e AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            "'[0-9A-Za-z_]+')) AS tok FROM documents), "
+            "c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok), "
+            "n AS (SELECT count(*) AS total FROM e), "
+            "s AS (SELECT e.doc_id, ln((SELECT total FROM n)) - "
+            "ln(c.cnt) AS sp FROM e JOIN c USING (tok)), "
+            "a AS (SELECT doc_id, count(*) AS n_tokens, avg(sp) AS m "
+            "FROM s GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, CAST(round(coalesce(a.m, 0) * 10000, 0) "
+            "AS BIGINT) AS surprisal_x10000 "
+            "FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
         ),
         "dup_spans": (
             # Character-semantics twin of the codepoint-window engine:

@@ -434,6 +434,140 @@ def token_topk(ds, text_column: str = "text", k: int = 100,
     )
 
 
+def _unigram_reduce_fn(g: pa.Table) -> pa.Table:
+    """Shard reducer for the unigram model: the shard owns every
+    partial of each of its tokens, so the local group-sum is the exact
+    global count; emit (token-hash, cnt) — the model travels as
+    numbers, never strings."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
+    summed = pa.TableGroupBy(g.select(["token", "cnt"]), "token").aggregate(
+        [("cnt", "sum")]
+    ).rename_columns(["token", "cnt"])
+    col = summed["token"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = hash_string_column(col, seed=0).view(np.int64)
+    return pa.table({"h": pa.array(h, pa.int64()),
+                     "cnt": summed["cnt"].cast(pa.int64())})
+
+
+def unigram_model(ds, text_column: str = "text"):
+    """Corpus unigram language model as (sorted token-hash int64 array,
+    counts int64 array, total tokens) — the training pass of
+    CCNet-style LM quality filtering, as a distributed census.
+
+    Same pre-aggregate shape as token_topk: per-batch (token, cnt)
+    partials BEFORE the exchange, one hash-shard groupby sums exactly,
+    and the model gathers as ~16 bytes per DISTINCT token (hash +
+    count — Heaps' law keeps this millions, not corpus-sized, at
+    100 TB). Hash collisions merge two token counts with ~2^-64
+    probability per pair (same accepted risk as decontaminate)."""
+    import functools as _ft
+
+    import ray
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    census = (
+        ds.map_batches(
+            _token_partial_fn,
+            fn_kwargs=dict(text_column=text_column),
+            batch_format="pyarrow",
+        )
+        .map_batches(_token_shard_fn,
+                     fn_kwargs=dict(n_shards=n_shards),
+                     batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_unigram_reduce_fn, batch_format="pyarrow")
+    )
+    tables = [t for t in ray.get(census.materialize().to_arrow_refs())
+              if len(t)]
+    if not tables:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), 0
+    h = np.concatenate([t["h"].to_numpy(zero_copy_only=False)
+                        for t in tables])
+    cnt = np.concatenate([t["cnt"].to_numpy(zero_copy_only=False)
+                          for t in tables])
+    order = np.argsort(h, kind="stable")
+    h, cnt = h[order], cnt[order]
+    # cross-shard hashes are disjoint by construction; within-shard
+    # collisions (~2^-64) merge here so lookups stay well-defined
+    uh, inv = np.unique(h, return_inverse=True)
+    if len(uh) != len(h):
+        ucnt = np.zeros(len(uh), np.int64)
+        np.add.at(ucnt, inv, cnt)
+        h, cnt = uh, ucnt
+    return h, cnt, int(cnt.sum())
+
+
+def _surprisal_fn(batch: pa.Table, *, model_ref, text_column: str,
+                  id_column: str, scale: int) -> pa.Table:
+    import ray
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.functions.segment import word_explode
+
+    h_sorted, counts, total = (
+        ray.get(model_ref) if not isinstance(model_ref, tuple) else model_ref)
+    col = _combined(batch[text_column])
+    words, parents = word_explode(col)
+    nrows = len(col)
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64) \
+        if len(words) else np.zeros(0, np.int64)
+    n_tok = np.bincount(par, minlength=nrows).astype(np.int64)
+    if len(words) and total > 0:
+        th = hash_string_column(words.combine_chunks()
+                                if isinstance(words, pa.ChunkedArray)
+                                else words, seed=0).view(np.int64)
+        j = np.minimum(np.searchsorted(h_sorted, th), len(h_sorted) - 1)
+        c = counts[j].astype(np.float64)
+        # every token was seen in training (same corpus); a miss can
+        # only be a new token in incremental use — clamp to count 1
+        c[h_sorted[j] != th] = 1.0
+        sp = np.log(np.float64(total)) - np.log(c)
+        ssum = np.bincount(par, weights=sp, minlength=nrows)
+    else:
+        ssum = np.zeros(nrows, np.float64)
+    mean = np.divide(ssum, n_tok, out=np.zeros(nrows, np.float64),
+                     where=n_tok > 0)
+    # round-half-away (positive domain) == SQL round(v, 0)
+    x = np.floor(mean * scale + 0.5).astype(np.int64)
+    return pa.table({
+        id_column: batch[id_column],
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        f"surprisal_x{scale}": pa.array(x, pa.int64()),
+    })
+
+
+def add_unigram_surprisal(ds, text_column: str = "text",
+                          id_column: str = "doc_id", scale: int = 10_000,
+                          model=None):
+    """CCNet-style LM quality score: mean token surprisal
+    ``ln(total) - ln(count(token))`` under a corpus-trained unigram
+    model — low surprisal = common boilerplate-like text, high =
+    rare/noisy. Train census runs once (or pass a prebuilt ``model``
+    to score a different corpus — the cross-corpus filtering mode);
+    scoring is one broadcast + one vectorized lookup pass, zero
+    shuffles. Emitted as a scaled int so the DuckDB double mirror
+    hashes identically."""
+    import functools as _ft
+
+    import ray
+
+    if model is None:
+        model = unigram_model(ds, text_column=text_column)
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        _ft.partial(_surprisal_fn, model_ref=model_ref,
+                    text_column=text_column, id_column=id_column,
+                    scale=scale),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

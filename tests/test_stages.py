@@ -2108,3 +2108,54 @@ def test_utf8_valid_fuzz_vs_python_decode():
     assert utf8_valid(pa.array([b"ok", None, b"\x80"],
                                pa.large_binary())).to_pylist() == \
         [True, None, False]
+
+
+def test_unigram_surprisal_vs_python_oracle(ray_session):
+    """Unigram LM quality score: model counts and per-doc mean
+    surprisal equal a Counter-based reference; prebuilt-model mode
+    scores a different corpus (cross-corpus filtering)."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from stringzilla_ray.stages.textstats import (
+        add_unigram_surprisal, unigram_model)
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "rare xylophone quartz vibes",
+        "",
+        "the the the",
+    ]
+    tok = re.compile(r"[0-9A-Za-z_]+")
+    census = Counter(t for d in docs for t in tok.findall(d))
+    total = sum(census.values())
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })).repartition(3)
+    h, cnt, tot = unigram_model(ds)
+    assert tot == total
+    assert sorted(cnt.tolist()) == sorted(census.values())
+    got = add_unigram_surprisal(ds).to_pandas().sort_values("doc_id")
+    for (nt, sx), d in zip(
+            got[["n_tokens", "surprisal_x10000"]].values.tolist(), docs):
+        toks = tok.findall(d)
+        assert nt == len(toks)
+        mean = (sum(math.log(total) - math.log(census[t]) for t in toks)
+                / len(toks)) if toks else 0.0
+        assert sx == math.floor(mean * 10000 + 0.5)
+    # prebuilt model scores an unseen corpus: unseen tokens clamp to 1
+    other = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["the unseen zebra"], pa.string()),
+    }))
+    out = add_unigram_surprisal(other, model=(h, cnt, tot)).to_pandas()
+    mean = (  # "the" has census count 6; unseen count-1 clamp
+        (math.log(total) - math.log(census["the"]))
+        + 2 * (math.log(total) - math.log(1))
+    ) / 3
+    assert out["surprisal_x10000"][0] == math.floor(mean * 10000 + 0.5)
