@@ -768,6 +768,24 @@ def _q_keyword_search(sf_dir: str):
     return search_all_terms(idx, ["spark", "window", "merge"])
 
 
+def _q_bm25_topk(sf_dir: str):
+    """BM25-ranked retrieval over the inverted index: read-pruned
+    postings (only the query terms' buckets), tf+dl denormalized into
+    the postings so scoring needs no join, Lucene idf. Ranking and
+    ties use the scaled-int score on both sides
+    (stages/textindex.py:bm25_topk)."""
+    from stringzilla_ray.stages.textindex import bm25_topk, build_text_index
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = _cached_build(
+        f"/tmp/stringzilla_ray_textindex/{scale}-v2",
+        lambda tmp: build_text_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), tmp
+        ),
+    )
+    return bm25_topk(idx, ["spark", "window", "merge", "the"], k=10)
+
+
 def _q_token_topk_sketch(sf_dir: str):
     """Misra-Gries mergeable heavy-hitter sketch, run with m large
     enough that no compression fires on this corpus — the sketch path
@@ -2386,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": _q_bottomk_sample,
         "gopher_quality": _q_gopher_quality,
         "keyword_search": _q_keyword_search,
+        "bm25_topk": _q_bm25_topk,
         "token_topk_sketch": _q_token_topk_sketch,
         "find_all_positions": _q_find_all_positions,
         "count_overlapping": _q_count_overlapping,
@@ -3158,6 +3177,31 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10"
             "   AND af >= 0.8 AND sr <= 0.1 AND nstop >= 2 AS INT) AS passes "
             "FROM r"
+        ),
+        "bm25_topk": (
+            # Full BM25 in SQL with the engine's exact expression
+            # shapes: Lucene idf ln(1 + (N-df+0.5)/(df+0.5)), avgdl as
+            # the same two exact integers divided, (idf*num)/den
+            # left-assoc — so the scaled ints match bit-for-bit.
+            "WITH e AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            "'[0-9A-Za-z_]+')) AS tok FROM documents), "
+            "m AS (SELECT (SELECT count(*) FROM documents) AS n, "
+            "(SELECT count(*) FROM e) * 1.0 / "
+            "(SELECT count(*) FROM documents) AS avgdl), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM e GROUP BY doc_id), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM e "
+            "WHERE tok IN ('merge', 'spark', 'the', 'window') "
+            "GROUP BY doc_id, tok), "
+            "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+            "s AS (SELECT tf.doc_id, "
+            "ln(1 + ((SELECT n FROM m) - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * ((1 - 0.75) + "
+            "(0.75 * dl.dl) / (SELECT avgdl FROM m))) AS sc "
+            "FROM tf JOIN df USING (tok) "
+            "JOIN dl ON dl.doc_id = tf.doc_id) "
+            "SELECT doc_id, CAST(round(sum(sc) * 1000000, 0) AS BIGINT) "
+            "AS score_x1000000 FROM s GROUP BY doc_id "
+            "ORDER BY score_x1000000 DESC, doc_id LIMIT 10"
         ),
         "keyword_search": (
             # Whole-token AND semantics, same [0-9A-Za-z_]+ tokenizer

@@ -51,17 +51,44 @@ def _postings_fn(batch: pa.Table, id_column: str, text_column: str,
     )
     keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
     ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    par_kept = parents[keep]
     pairs = pa.table({
         "token": flat.filter(pa.array(keep)),
-        "doc_id": pa.array(ids[parents[keep]], pa.int64()),
+        "doc_id": pa.array(ids[par_kept], pa.int64()),
     })
-    distinct = pairs.group_by(["token", "doc_id"]).aggregate([])
-    toks = distinct["token"]
+    grouped = pairs.group_by(["token", "doc_id"]).aggregate(
+        [("doc_id", "count")])
+    toks = grouped["token"]
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    return distinct.append_column(
-        "bucket", pa.array(_token_buckets(toks, n_buckets), pa.int32())
-    )
+    # denormalized doc length (token occurrences) per posting — the
+    # impact-ordered-postings trick: BM25 scoring then needs NO join
+    dl_by_row = np.bincount(par_kept, minlength=len(col)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    gid = grouped["doc_id"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(ids[order], gid)
+    dl_post = dl_by_row[order[pos]]
+    return pa.table({
+        "token": toks,
+        "doc_id": grouped["doc_id"],
+        "tf": grouped["doc_id_count"].cast(pa.int64()),
+        "dl": pa.array(dl_post, pa.int64()),
+        "bucket": pa.array(_token_buckets(toks, n_buckets), pa.int32()),
+    })
+
+
+def _stats_partial_fn(batch: pa.Table, text_column: str,
+                      token_chars: str) -> pa.Table:
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    la = pc.split_pattern_regex(col, pattern=f"[^{token_chars}]+")
+    flat = la.flatten()
+    n_tok = int(pc.sum(
+        pc.cast(pc.greater(pc.utf8_length(flat), 0), pa.int64())
+    ).as_py() or 0)
+    return pa.table({"n_docs": pa.array([len(col)], pa.int64()),
+                     "n_tokens": pa.array([n_tok], pa.int64())})
 
 
 def build_text_index(ds, path: str, id_column: str = "doc_id",
@@ -70,6 +97,9 @@ def build_text_index(ds, path: str, id_column: str = "doc_id",
                      n_buckets: int = 64) -> None:
     """Write (token, doc_id) postings Parquet partitioned by token-hash
     bucket. See module docstring for the shape."""
+    import json
+    import os
+
     ds.map_batches(
         _postings_fn,
         fn_kwargs=dict(id_column=id_column, text_column=text_column,
@@ -77,6 +107,17 @@ def build_text_index(ds, path: str, id_column: str = "doc_id",
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).write_parquet(path, partition_cols=["bucket"])
+    # corpus stats sidecar (BM25 needs N and avgdl): one pruned pass,
+    # two ints — written beside the buckets, invisible to the glob
+    stats = ds.map_batches(
+        _stats_partial_fn,
+        fn_kwargs=dict(text_column=text_column, token_chars=token_chars),
+        batch_format="pyarrow",
+    ).to_pandas()
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"n_docs": int(stats["n_docs"].sum()),
+                   "n_tokens": int(stats["n_tokens"].sum()),
+                   "n_buckets": n_buckets}, f)
 
 
 def search_all_terms(index_path: str, terms: list[str],
@@ -117,3 +158,82 @@ def search_all_terms(index_path: str, terms: list[str],
         return pa.table({id_column: t.filter(m)["doc_id"].cast(pa.int64())})
 
     return counts.map_batches(conj, batch_format="pyarrow")
+
+
+def bm25_topk(index_path: str, terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, scale: int = 1_000_000,
+              id_column: str = "doc_id", n_buckets: int | None = None):
+    """BM25-ranked top-k retrieval over the postings index (Robertson/
+    Lucene idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Scale shape: partition pruning reads ONLY the query terms' buckets;
+    postings carry (tf, dl) so scoring needs NO join with a doc-length
+    table; the candidate set is the union of the term posting lists
+    (what an inverted index exists to bound), scored in one warm task
+    over zero-copy block refs. Scores emit as scaled ints so the
+    DuckDB double mirror compares exactly; ranking uses the SAME int
+    (score desc, id asc) on both sides."""
+    import glob as _glob
+    import json
+    import os
+
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if n_buckets is None:
+        n_buckets = int(meta["n_buckets"])
+    n_corpus = int(meta["n_docs"])
+    avgdl = float(meta["n_tokens"]) / float(n_corpus)
+    terms = sorted(set(terms))
+    term_arr = pa.array(terms, pa.string())
+    score_col = f"score_x{scale}"
+    empty = pa.table({id_column: pa.array([], pa.int64()),
+                      score_col: pa.array([], pa.int64())})
+    buckets = sorted(set(int(x) for x in _token_buckets(term_arr, n_buckets)))
+    paths = [
+        f
+        for bk in buckets
+        for f in sorted(_glob.glob(f"{index_path}/bucket={bk}/*.parquet"))
+    ]
+    if not paths:
+        return ray.data.from_arrow(empty)
+    postings = ray.data.read_parquet(
+        paths, columns=["token", "doc_id", "tf", "dl"])
+
+    def keep_terms(t: pa.Table) -> pa.Table:
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        return t.filter(pc.is_in(tok, value_set=term_arr))
+
+    hits = postings.map_batches(keep_terms, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
+    @ray.remote
+    def _score(*tables):
+        t = pa.concat_tables([x for x in tables if len(x)])
+        if len(t) == 0:
+            return empty
+        tok = t["token"].combine_chunks() \
+            if isinstance(t["token"], pa.ChunkedArray) else t["token"]
+        code = pc.index_in(tok, value_set=term_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = np.bincount(code, minlength=len(terms)).astype(np.float64)
+        # expression shapes mirror the SQL oracle token for token
+        idf_t = np.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+        idf = idf_t[code]
+        den = tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
+        sc = (idf * (tf * (k1 + 1.0))) / den
+        udoc, inv = np.unique(doc, return_inverse=True)
+        sums = np.bincount(inv, weights=sc)
+        score_int = np.floor(sums * scale + 0.5).astype(np.int64)
+        order = np.lexsort((udoc, -score_int))[:k]
+        return pa.table({id_column: pa.array(udoc[order], pa.int64()),
+                         score_col: pa.array(score_int[order], pa.int64())})
+
+    return ray.data.from_arrow(ray.get(_score.remote(*hits.to_arrow_refs())))

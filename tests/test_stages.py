@@ -2159,3 +2159,45 @@ def test_unigram_surprisal_vs_python_oracle(ray_session):
         + 2 * (math.log(total) - math.log(1))
     ) / 3
     assert out["surprisal_x10000"][0] == math.floor(mean * 10000 + 0.5)
+
+
+def test_bm25_topk_vs_python_reference(ray_session, tmp_path):
+    """BM25 over the postings index == a Counter-based reference
+    (Lucene idf, k1=1.2, b=0.75), including ranking and ties; scores
+    compare exactly through the scaled-int emission."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from stringzilla_ray.stages.textindex import bm25_topk, build_text_index
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{k}" for k in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 25))))
+             for _ in range(150)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    idx = str(tmp_path / "bm25idx")
+    build_text_index(ray.data.from_arrow(tbl).repartition(4), idx,
+                     n_buckets=8)
+    terms = ["w0", "w1", "w7"]
+    tokre = re.compile(r"[0-9A-Za-z_]+")
+    toks = [tokre.findall(t) for t in texts]
+    n = len(texts)
+    avgdl = float(sum(len(x) for x in toks)) / float(n)
+    df = Counter(t for x in toks for t in set(x) if t in terms)
+    exp = {}
+    for i, x in enumerate(toks):
+        c = Counter(w for w in x if w in terms)
+        s = 0.0
+        for t, tf in c.items():
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += (idf * (tf * (1.2 + 1.0))) / (
+                tf + 1.2 * ((1.0 - 0.75) + (0.75 * len(x)) / avgdl))
+        if c:
+            exp[i] = math.floor(s * 1_000_000 + 0.5)
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = bm25_topk(idx, terms, k=10, n_buckets=8).to_pandas()
+    assert list(map(tuple, got.values.tolist())) == want
