@@ -768,6 +768,18 @@ def _q_keyword_search(sf_dir: str):
     return search_all_terms(idx, ["spark", "window", "merge"])
 
 
+def _q_fuzzy_topk(sf_dir: str):
+    """Exact edit-distance top-k search (the distributed form of the
+    reference's batched Levenshtein engines): length lower bound from
+    Arrow offsets prunes most rows before any DP, the banded kernel
+    early-exits the rest, per-block tie-superset candidates merge in
+    one small sort (stages/fuzzy.py:fuzzy_topk)."""
+    from stringzilla_ray.stages.fuzzy import fuzzy_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return fuzzy_topk(ds, "the spark merge window data", k=10)
+
+
 def _q_bm25_topk(sf_dir: str):
     """BM25-ranked retrieval over the inverted index: read-pruned
     postings (only the query terms' buckets), tf+dl denormalized into
@@ -2405,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "keyword_search": _q_keyword_search,
         "bm25_topk": _q_bm25_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
         "token_topk_sketch": _q_token_topk_sketch,
         "find_all_positions": _q_find_all_positions,
         "count_overlapping": _q_count_overlapping,
@@ -3177,6 +3190,11 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10"
             "   AND af >= 0.8 AND sr <= 0.1 AND nstop >= 2 AS INT) AS passes "
             "FROM r"
+        ),
+        "fuzzy_topk": (
+            "SELECT doc_id, CAST(levenshtein(text, "
+            "'the spark merge window data') AS BIGINT) AS dist "
+            "FROM documents ORDER BY dist, doc_id LIMIT 10"
         ),
         "bm25_topk": (
             # Full BM25 in SQL with the engine's exact expression

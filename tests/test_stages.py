@@ -2201,3 +2201,28 @@ def test_bm25_topk_vs_python_reference(ray_session, tmp_path):
     want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = bm25_topk(idx, terms, k=10, n_buckets=8).to_pandas()
     assert list(map(tuple, got.values.tolist())) == want
+
+
+def test_fuzzy_topk_exact_vs_bruteforce(ray_session):
+    """Length-bound + banded-kernel pruned fuzzy search returns the
+    EXACT (dist, id)-ordered top-k at every k, across reshardings."""
+    import ray.data
+
+    from stringzilla_ray.functions.similarity import levenshtein_slow
+    from stringzilla_ray.stages.fuzzy import fuzzy_topk
+
+    rng = np.random.default_rng(3)
+    alpha = list("abcde ")
+    texts = ["".join(rng.choice(alpha, size=rng.integers(1, 40)).tolist())
+             for _ in range(300)]
+    q = "abcde abc"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    exp_all = sorted((levenshtein_slow(q.encode(), t.encode()), i)
+                     for i, t in enumerate(texts))
+    for k, parts in ((1, 3), (7, 1), (23, 5)):
+        got = fuzzy_topk(ds.repartition(parts), q, k=k) \
+            .to_pandas().values.tolist()
+        assert got == [[i, d] for d, i in exp_all[:k]]
