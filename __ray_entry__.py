@@ -768,6 +768,47 @@ def _q_keyword_search(sf_dir: str):
     return search_all_terms(idx, ["spark", "window", "merge"])
 
 
+def _q_near_dup_index(sf_dir: str):
+    """Incremental NEAR-dup: docs with doc_id % 3 != 0 are "yesterday's
+    corpus" persisted as an LSH band index + id-pruned docs partition;
+    the % 3 == 0 shard probes it batch-locally (no join, no shuffle,
+    index buckets read by key range only) and verifies candidates with
+    exact n-gram Jaccard (stages/dedup.py:near_dup_against_index).
+    Same recall-1 argument as minhash_near_dup on this corpus."""
+    from stringzilla_ray.stages.dedup import (
+        build_near_dup_index,
+        near_dup_against_index,
+    )
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _part(t: pa.Table, keep_new: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % 3 == 0) == keep_new
+        return t.filter(pa.array(m))
+
+    idx = _cached_build(
+        f"/tmp/stringzilla_ray_neardupidx/{scale}-v1",
+        lambda tmp: build_near_dup_index(
+            ds.map_batches(lambda t: _part(t, False),
+                           batch_format="pyarrow"), tmp),
+    )
+    new = ds.map_batches(lambda t: _part(t, True), batch_format="pyarrow")
+    out = near_dup_against_index(new, idx, jaccard_threshold=0.8)
+
+    def to_r6(t: pa.Table) -> pa.Table:
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "left": t["left"],
+            "right": t["right"],
+            "jaccard_r6": pa.array(
+                np.floor(j * 1e6 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return out.map_batches(to_r6, batch_format="pyarrow")
+
+
 def _q_fuzzy_topk(sf_dir: str):
     """Exact edit-distance top-k search (the distributed form of the
     reference's batched Levenshtein engines): length lower bound from
@@ -2418,6 +2459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": _q_keyword_search,
         "bm25_topk": _q_bm25_topk,
         "fuzzy_topk": _q_fuzzy_topk,
+        "near_dup_index": _q_near_dup_index,
         "token_topk_sketch": _q_token_topk_sketch,
         "find_all_positions": _q_find_all_positions,
         "count_overlapping": _q_count_overlapping,
@@ -3195,6 +3237,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(levenshtein(text, "
             "'the spark merge window data') AS BIGINT) AS dist "
             "FROM documents ORDER BY dist, doc_id LIMIT 10"
+        ),
+        "near_dup_index": (
+            # Exact cross-split gram-Jaccard join (old = % 3 != 0,
+            # new = % 3 == 0); same recall-1 + hashed==literal-gram
+            # argument as minhash_near_dup.
+            "WITH g AS ("
+            "  SELECT DISTINCT doc_id, substring(text, CAST(gs AS INT), 3) AS gram"
+            "  FROM documents CROSS JOIN generate_series(1, 100000) AS t(gs)"
+            "  WHERE gs <= length(text) - 2"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i"
+            "  FROM g a JOIN g b ON a.gram = b.gram"
+            "  AND a.doc_id % 3 != 0 AND b.doc_id % 3 = 0"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            "SELECT l AS left, r AS right, "
+            "CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) AS BIGINT) AS jaccard_r6 "
+            "FROM inter JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"
         ),
         "bm25_topk": (
             # Full BM25 in SQL with the engine's exact expression

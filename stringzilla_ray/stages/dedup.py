@@ -1199,3 +1199,211 @@ def dedup_against_index(new_ds, index_path: str, text_column: str = "text",
 
     return new_ds.map_batches(probe, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ------------------------------------------------ incremental NEAR-dup index
+
+
+def _id_buckets(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    from stringzilla_ray.stages.substring import _mix64
+
+    h = _mix64(ids.astype(np.uint64))
+    return (h >> np.uint64(64 - int(n_buckets - 1).bit_length())) \
+        .astype(np.int64).clip(max=n_buckets - 1).astype(np.int32)
+
+
+def build_near_dup_index(ds, path: str, id_column: str = "doc_id",
+                         text_column: str = "text", ndim: int = 128,
+                         bands: int = 32, seed: int = 0,
+                         n_buckets: int = 64) -> None:
+    """Persist a corpus's MinHash-LSH band membership — the state that
+    makes NEAR-dup detection incremental (the fuzzy twin of
+    build_dedup_index): tomorrow's shard finds its near-duplicates in
+    today's corpus without recomputing or rescanning it.
+
+    Artifacts under ``path``:
+      bands/bucket=*/  (bkey int64 sorted, id) — one row per
+        (band, doc); the band identity is baked into the key
+        (band_keys_for_batch seeds the hash per band), so probing is
+        one searchsorted per batch and bucket pruning works on the
+        key's top bits;
+      docs/bucket=*/   (id, text) partitioned by id-hash — candidate
+        verification fetches ONLY the referenced old documents;
+      meta.json        (ndim, bands, seed, n_buckets) so probes can
+        never run with mismatched LSH geometry.
+    """
+    import json
+    import os
+
+    from stringzilla_ray.stages.blocking import band_keys_for_batch
+    from stringzilla_ray.stages.fingerprint import minhash_matrix
+
+    rows_per_band = ndim // bands
+    assert bands * rows_per_band == ndim
+    shift = np.uint64(64 - int(n_buckets - 1).bit_length())
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        signed = _minhash_docs_fn(batch, ndim=ndim, seed=seed,
+                                  text_column=text_column)
+        mh = minhash_matrix(signed, ndim)
+        keys = band_keys_for_batch(mh, bands, rows_per_band).reshape(-1)
+        ids = np.repeat(
+            signed[id_column].to_numpy(zero_copy_only=False)
+            .astype(np.int64), bands)
+        bucket = np.minimum(
+            (keys.view(np.uint64) >> shift).astype(np.int64),
+            n_buckets - 1).astype(np.int32)
+        return pa.table({"bkey": pa.array(keys, pa.int64()),
+                         "id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def sort_bucket(g: pa.Table) -> pa.Table:
+        return g.sort_by([("bkey", "ascending"), ("id", "ascending")])
+
+    (
+        ds.map_batches(to_bands, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sort_bucket, batch_format="pyarrow")
+        .write_parquet(os.path.join(path, "bands"),
+                       partition_cols=["bucket"])
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "text": batch[text_column],
+            "bucket": pa.array(_id_buckets(ids, n_buckets), pa.int32()),
+        })
+
+    ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True) \
+        .write_parquet(os.path.join(path, "docs"),
+                       partition_cols=["bucket"])
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"ndim": ndim, "bands": bands, "seed": seed,
+                   "n_buckets": n_buckets}, f)
+
+
+def _probe_bands_fn(batch: pa.Table, *, index_path: str, id_column: str,
+                    text_column: str, ndim: int, bands: int, seed: int,
+                    n_buckets: int) -> pa.Table:
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from stringzilla_ray.stages.blocking import band_keys_for_batch
+    from stringzilla_ray.stages.fingerprint import minhash_matrix
+
+    rows_per_band = ndim // bands
+    shift = np.uint64(64 - int(n_buckets - 1).bit_length())
+    signed = _minhash_docs_fn(batch, ndim=ndim, seed=seed,
+                              text_column=text_column)
+    mh = minhash_matrix(signed, ndim)
+    keys = band_keys_for_batch(mh, bands, rows_per_band).reshape(-1)
+    new_ids = np.repeat(
+        signed[id_column].to_numpy(zero_copy_only=False).astype(np.int64),
+        bands)
+    bk = np.minimum((keys.view(np.uint64) >> shift).astype(np.int64),
+                    n_buckets - 1)
+    outs_new, outs_old = [], []
+    for b in np.unique(bk):
+        fs = sorted(_glob.glob(f"{index_path}/bands/bucket={int(b)}/"
+                               "*.parquet"))
+        if not fs:
+            continue
+        t = pa.concat_tables([
+            pq.read_table(f, columns=["bkey", "id"]) for f in fs])
+        ib = t["bkey"].to_numpy(zero_copy_only=False)
+        iid = t["id"].to_numpy(zero_copy_only=False)
+        m = bk == b
+        kb, kn = keys[m], new_ids[m]
+        lo = np.searchsorted(ib, kb, side="left")
+        hi = np.searchsorted(ib, kb, side="right")
+        cnt = hi - lo
+        has = cnt > 0
+        if not has.any():
+            continue
+        lo, cnt, kn = lo[has], cnt[has], kn[has]
+        take = np.repeat(lo, cnt) + (
+            np.arange(int(cnt.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64),
+                cnt))
+        outs_new.append(np.repeat(kn, cnt))
+        outs_old.append(iid[take])
+    if not outs_new:
+        return pa.table({"left": pa.array([], pa.int64()),
+                         "right": pa.array([], pa.int64())})
+    new_a = np.concatenate(outs_new)
+    old_a = np.concatenate(outs_old)
+    pair = np.unique(np.stack([old_a, new_a], axis=1), axis=0)
+    return pa.table({"left": pa.array(pair[:, 0], pa.int64()),
+                     "right": pa.array(pair[:, 1], pa.int64())})
+
+
+def near_dup_against_index(new_ds, index_path: str,
+                           id_column: str = "doc_id",
+                           text_column: str = "text",
+                           jaccard_threshold: float = 0.8,
+                           ngram: int = 3,
+                           verify_strategy: str = "auto"):
+    """NEW-shard near-duplicates against a build_near_dup_index corpus:
+    (left=old id, right=new id, jaccard) with exact n-gram Jaccard >=
+    threshold. Ids must be globally unique across the two corpora.
+
+    Shape: each new batch signs itself, probes ONLY the band buckets
+    its keys hash into (one searchsorted per bucket — no join, no
+    shuffle, the index never loads whole), candidate pairs dedupe
+    batch-locally; verification fetches ONLY the referenced old
+    documents from the id-pruned docs/ partition and reuses the exact
+    staged verify kernel."""
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    cands = new_ds.map_batches(
+        _probe_bands_fn,
+        fn_kwargs=dict(index_path=index_path, id_column=id_column,
+                       text_column=text_column, ndim=int(meta["ndim"]),
+                       bands=int(meta["bands"]), seed=int(meta["seed"]),
+                       n_buckets=int(meta["n_buckets"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    # fetch the referenced OLD docs from the id-pruned partition
+    old_parts = []
+    for t in ray.get(cands.to_arrow_refs()):
+        if len(t):
+            old_parts.append(t["left"].to_numpy(zero_copy_only=False))
+    if old_parts:
+        old_ids = np.unique(np.concatenate(old_parts))
+        n_buckets = int(meta["n_buckets"])
+        want = np.unique(_id_buckets(old_ids, n_buckets))
+        fs = [f for b in want
+              for f in sorted(_glob.glob(
+                  f"{index_path}/docs/bucket={int(b)}/*.parquet"))]
+        tabs = []
+        for f in fs:
+            t = pq.read_table(f, columns=["id", "text"])
+            m = pc.is_in(t["id"], value_set=pa.array(old_ids, pa.int64()))
+            t = t.filter(m)
+            if len(t):
+                tabs.append(pa.table({id_column: t["id"],
+                                      text_column: t["text"]}))
+        old_docs = (ray.data.from_arrow(pa.concat_tables(tabs)) if tabs
+                    else None)
+    else:
+        old_docs = None
+    docs = new_ds.select_columns([id_column, text_column])
+    if old_docs is not None:
+        docs = docs.union(old_docs)
+    return verify_pairs_ngram(cands, docs, id_column, text_column,
+                              ngram, jaccard_threshold,
+                              strategy=verify_strategy)

@@ -2226,3 +2226,53 @@ def test_fuzzy_topk_exact_vs_bruteforce(ray_session):
         got = fuzzy_topk(ds.repartition(parts), q, k=k) \
             .to_pandas().values.tolist()
         assert got == [[i, d] for d, i in exp_all[:k]]
+
+
+def test_near_dup_against_index_exact(ray_session, tmp_path):
+    """Incremental near-dup: probe a NEW shard against a persisted LSH
+    band index of an OLD corpus; results == brute-force exact 3-gram
+    Jaccard >= threshold over new x old (clear-margin fixture: planted
+    near-identical copies vs wide-vocabulary random docs)."""
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import (
+        build_near_dup_index,
+        near_dup_against_index,
+        ngram_set_hashes,
+    )
+
+    rng = np.random.default_rng(9)
+    words = [f"word{k:04d}" for k in range(4000)]
+
+    def mk(n):
+        return " ".join(rng.choice(words, size=n).tolist())
+
+    old_texts = [mk(60) for _ in range(80)]
+    new_texts = []
+    for i in range(0, 20, 2):
+        t = old_texts[i].split()
+        t[3] = "zz"
+        new_texts.append(" ".join(t))
+    new_texts += [mk(60) for _ in range(40)]
+    old = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000, 1000 + len(old_texts)), pa.int64()),
+        "text": pa.array(old_texts)})).repartition(4)
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(new_texts)), pa.int64()),
+        "text": pa.array(new_texts)})).repartition(3)
+    idx = str(tmp_path / "ndidx")
+    build_near_dup_index(old, idx, n_buckets=16)
+    got = near_dup_against_index(new, idx, jaccard_threshold=0.8) \
+        .to_pandas()
+    got_pairs = set(zip(got["left"], got["right"]))
+
+    def jac(a, b):
+        ga, gb = ngram_set_hashes([a])[0], ngram_set_hashes([b])[0]
+        i = len(np.intersect1d(ga, gb))
+        return i / (len(ga) + len(gb) - i)
+
+    exp = {(1000 + j, i)
+           for i, nt in enumerate(new_texts)
+           for j, ot in enumerate(old_texts) if jac(ot, nt) >= 0.8}
+    assert len(exp) == 10  # every planted copy, nothing else
+    assert got_pairs == exp
