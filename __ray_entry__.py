@@ -669,6 +669,24 @@ def _q_drop_boilerplate(sf_dir: str):
     return out.select_columns(["doc_id", "text_clean", "n_dropped"])
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """Mergeable HyperLogLog COUNT(DISTINCT) estimate over
+    events.user_id — rows-only (an estimator has no SQL twin; the
+    3-sigma accuracy, merge == whole, and reshard-invariance
+    guarantees are pytest-pinned). One 4 KiB register row per block is
+    the entire exchange (stages/stats.py:approx_distinct)."""
+    import ray.data
+
+    from stringzilla_ray.stages.stats import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est, regs = approx_distinct(ds, "user_id", p=12)
+    return ray.data.from_arrow(pa.table({
+        "estimate_floor": pa.array([int(est)], pa.int64()),
+        "p": pa.array([12], pa.int64()),
+    }))
+
+
 def _q_unigram_surprisal(sf_dir: str):
     """CCNet-style LM quality scoring: mean token surprisal under a
     corpus-trained unigram model. Train = one vocabulary census
@@ -2453,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "drop_dup_spans": _q_drop_dup_spans,
         "unigram_surprisal": _q_unigram_surprisal,
+        "approx_distinct_users": _q_approx_distinct_users,
         "median_chars_by_lang": _q_median_chars_by_lang,
         "bottomk_sample": _q_bottomk_sample,
         "gopher_quality": _q_gopher_quality,

@@ -333,3 +333,92 @@ def profile_columns(ds, columns: list[str]):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Exact bit length of a uint64 array (no float round-trip — frexp
+    on values above 2^53 can misreport near power-of-two boundaries)."""
+    v = v.copy()
+    bl = np.zeros(len(v), np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(sh))
+        bl[m] += sh
+        v[m] >>= np.uint64(sh)
+    bl += (v != 0)
+    return bl
+
+
+def hll_registers(hashes: np.ndarray, p: int = 12) -> np.ndarray:
+    """HyperLogLog register array (2^p uint8) from 64-bit hashes —
+    register index = top p bits, value = max rank (leading-zero count
+    of the remaining 64-p bits, + 1). Fully vectorized; merging two
+    sketches is elementwise max (lossless: max is associative,
+    commutative, idempotent — reshard/merge-order invariant)."""
+    m = 1 << p
+    h = hashes.view(np.uint64) if hashes.dtype != np.uint64 else hashes
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # low 64-p bits, LEFT-aligned: clz64(w) is
+    # exactly the suffix's leading-zero count while w != 0
+    rank = (64 - _bit_length_u64(w) + 1).astype(np.int64)
+    rank = np.minimum(rank, 64 - p + 1)  # w == 0 -> all-zero suffix
+    regs = np.zeros(m, np.uint8)
+    np.maximum.at(regs, idx, rank.astype(np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Classic bias-corrected HLL estimate (Flajolet et al. 2007) with
+    the small-range linear-counting correction; 64-bit hashing makes
+    the large-range correction unnecessary."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    v = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and v > 0:
+        e = m * np.log(m / v)
+    return float(e)
+
+
+def approx_distinct(ds, column: str, p: int = 12):
+    """Approximate COUNT(DISTINCT column) via a mergeable HyperLogLog:
+    each block collapses to one 2^p-byte register row (the ONLY bytes
+    that cross the exchange — corpus size never matters), partials
+    fold by elementwise max in one task. Standard error 1.04/sqrt(2^p)
+    (~1.6% at p=12). The exact twin is profile_columns /
+    vocab_by_group; this is the fixed-memory scale path. Returns
+    (estimate: float, registers: np.uint8[2^p])."""
+    import ray
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash_string_column(col).view(np.uint64)
+        else:
+            from stringzilla_ray.stages.substring import _mix64
+
+            h = _mix64(col.to_numpy(zero_copy_only=False)
+                       .astype(np.uint64))
+        null_mask = col.is_null().to_numpy(zero_copy_only=False)
+        regs = hll_registers(h[~null_mask], p=p)
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          pa.large_binary())})
+
+    parts = [
+        t for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .materialize().to_arrow_refs())
+        if len(t)
+    ]
+    regs = np.zeros(1 << p, np.uint8)
+    for t in parts:
+        for buf in t["regs"].to_pylist():
+            np.maximum(regs, np.frombuffer(buf, np.uint8), out=regs)
+    return hll_estimate(regs), regs

@@ -2276,3 +2276,41 @@ def test_near_dup_against_index_exact(ray_session, tmp_path):
            for j, ot in enumerate(old_texts) if jac(ot, nt) >= 0.8}
     assert len(exp) == 10  # every planted copy, nothing else
     assert got_pairs == exp
+
+
+def test_hll_approx_distinct(ray_session):
+    """HyperLogLog invariants: (a) estimate within 3 standard errors
+    of truth across cardinalities, (b) merging shard sketches ==
+    sketching the whole corpus (elementwise max), (c) reshard
+    invariance of the Dataset aggregate."""
+    import ray.data
+
+    from stringzilla_ray.stages.stats import (
+        approx_distinct, hll_estimate, hll_registers)
+    from stringzilla_ray.functions.fasthash import hash_string_column
+
+    p = 12
+    se = 1.04 / np.sqrt(1 << p)
+    rng = np.random.default_rng(17)
+    for true_n in (100, 5_000, 60_000):
+        vals = [f"u{v}" for v in rng.choice(true_n * 3, size=true_n,
+                                            replace=False)]
+        rows = [vals[int(i)] for i in rng.integers(0, true_n,
+                                                   size=true_n * 2)]
+        rows += vals  # every distinct value appears
+        h = hash_string_column(pa.array(rows, pa.string())).view(np.uint64)
+        est = hll_estimate(hll_registers(h, p=p))
+        assert abs(est - true_n) / true_n < 3 * se, (true_n, est)
+        # mergeability: shard-wise max == whole-corpus registers
+        whole = hll_registers(h, p=p)
+        merged = np.zeros(1 << p, np.uint8)
+        for part in np.array_split(h, 7):
+            np.maximum(merged, hll_registers(part, p=p), out=merged)
+        assert np.array_equal(merged, whole)
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array([f"user{i % 1000}" for i in range(20_000)],
+                      pa.string())}))
+    e1, r1 = approx_distinct(ds.repartition(2), "u", p=p)
+    e2, r2 = approx_distinct(ds.repartition(13), "u", p=p)
+    assert np.array_equal(r1, r2) and e1 == e2
+    assert abs(e1 - 1000) / 1000 < 3 * se
