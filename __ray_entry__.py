@@ -669,6 +669,20 @@ def _q_drop_boilerplate(sf_dir: str):
     return out.select_columns(["doc_id", "text_clean", "n_dropped"])
 
 
+def _q_equalize_langs(sf_dir: str):
+    """Dataset mixing, equalize-to-smallest (temperature alpha=0):
+    every language keeps expected mass equal to the smallest one, via
+    EXACT rational keep-rates n_min/n_g realized as integer bounds
+    floor(n_min*2^60/n_g) — DuckDB reproduces the cut with HUGEINT
+    arithmetic, no float pow anywhere
+    (stages/curation.py:sample_equalize_groups)."""
+    from stringzilla_ray.stages.curation import sample_equalize_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = sample_equalize_groups(ds, "lang", method="md5")
+    return out.select_columns(["doc_id", "lang"])
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """Mergeable HyperLogLog COUNT(DISTINCT) estimate over
     events.user_id — rows-only (an estimator has no SQL twin; the
@@ -2472,6 +2486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_dup_spans": _q_drop_dup_spans,
         "unigram_surprisal": _q_unigram_surprisal,
         "approx_distinct_users": _q_approx_distinct_users,
+        "equalize_langs": _q_equalize_langs,
         "median_chars_by_lang": _q_median_chars_by_lang,
         "bottomk_sample": _q_bottomk_sample,
         "gopher_quality": _q_gopher_quality,
@@ -3139,6 +3154,22 @@ def oracle_sql() -> dict[str, str]:
             "t.n_tot - coalesce(a.n_kept, 0) AS n_dropped "
             "FROM documents d JOIN tot t USING (doc_id) "
             "LEFT JOIN agg a USING (doc_id)"
+        ),
+        "equalize_langs": (
+            # exact-rational bounds: floor(n_min * 2^60 / n_g) in
+            # HUGEINT, clamped below 2^60 (hex of 2^60 is one digit
+            # wider and lpad would truncate), compared as fixed-width
+            # lowercase hex against the md5 draw's top 15 hex chars.
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang), "
+            "mn AS (SELECT min(n) AS nmin FROM c), "
+            "b AS (SELECT lang, lpad(lower(hex(CAST(least("
+            "CAST((SELECT nmin FROM mn) AS HUGEINT) * "
+            "1152921504606846976 // n, 1152921504606846975) AS BIGINT"
+            "))), 15, '0') AS bound FROM c) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN b ON b.lang = d.lang "
+            "WHERE substr(md5(d.text), 17, 15) < b.bound"
         ),
         "unigram_surprisal": (
             "WITH e AS (SELECT doc_id, unnest(regexp_extract_all(text, "

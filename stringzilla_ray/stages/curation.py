@@ -738,3 +738,71 @@ def dedup_lines_global(
         .groupby("dshard")
         .map_groups(reassemble, batch_format="pyarrow")
     )
+
+
+def equalize_hex_bound(n_min: int, n_g: int, bits: int = 60) -> str:
+    """The fixed-width lowercase-hex literal for equalize-to-smallest
+    sampling: a row of group g survives iff the top ``bits`` of its
+    md5 draw < floor(n_min * 2^bits / n_g) — EXACT integer arithmetic
+    on both sides (DuckDB: HUGEINT multiply + // floor division), no
+    float pow anywhere. Clamped to 2^bits - 1: hex() of 2^bits is one
+    digit wider and lpad would truncate it."""
+    b = min((int(n_min) << bits) // int(n_g), (1 << bits) - 1)
+    return f"{b:0{bits // 4}x}"
+
+
+def sample_equalize_groups(ds, group_column: str, text_column: str = "text",
+                           method: str = "md5", seed: int = 0,
+                           bits: int = 60):
+    """Dataset mixing, equalize-to-smallest (temperature alpha=0): keep
+    each group with rate n_min/n_g so every group's expected surviving
+    mass equals the smallest group's — the multilingual rebalancing
+    primitive, content-hash deterministic (reshard-stable, duplicates
+    co-sample).
+
+    The census is one tiny map-side value_counts gather (distinct
+    groups, not rows); the filter is one map_batches with zero
+    shuffles. Rates are EXACT rationals n_min/n_g realized as integer
+    bounds floor(n_min * 2^bits / n_g), so the DuckDB auditor computes
+    the identical cut with HUGEINT arithmetic — no float pow, no
+    rounding mismatch possible."""
+    import ray
+
+    from stringzilla_ray.util import ensure_materialized
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t[group_column]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        vc = pc.value_counts(g)
+        return pa.table({"g": vc.field("values").cast(pa.string()),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    census = ensure_materialized(
+        ds.map_batches(part, batch_format="pyarrow"))
+    counts: dict[str, int] = {}
+    for t in ray.get(census.to_arrow_refs()):
+        for g, n in zip(t["g"].to_pylist(), t["n"].to_pylist()):
+            counts[g] = counts.get(g, 0) + int(n)
+    if not counts:
+        return ds
+    n_min = min(counts.values())
+    cap = (1 << bits) - 1
+    names = list(counts)
+    bounds = np.array(
+        [min((n_min << bits) // counts[g], cap) for g in names], np.uint64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        key = _split_key(batch[text_column], method, seed) \
+            >> np.uint64(64 - bits)
+        gcol = batch[group_column]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        idx = pc.index_in(gcol, value_set=pa.array(names, gcol.type))
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx_np) if idx_np.dtype.kind == "f" else (idx_np < 0)
+        bound = np.where(miss, np.uint64(0),
+                         bounds[np.where(miss, 0, idx_np).astype(np.int64)])
+        return batch.filter(pa.array(key < bound))
+
+    return ds.map_batches(f, batch_format="pyarrow")

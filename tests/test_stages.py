@@ -2314,3 +2314,35 @@ def test_hll_approx_distinct(ray_session):
     e2, r2 = approx_distinct(ds.repartition(13), "u", p=p)
     assert np.array_equal(r1, r2) and e1 == e2
     assert abs(e1 - 1000) / 1000 < 3 * se
+
+
+def test_sample_equalize_groups(ray_session):
+    """Equalize-to-smallest mixing: bounds are the exact rationals
+    n_min/n_g (integer arithmetic), the smallest group keeps
+    everything, survivors are reshard-invariant, and kept masses land
+    near n_min for every group."""
+    import ray.data
+
+    from stringzilla_ray.stages.curation import (
+        equalize_hex_bound, sample_equalize_groups)
+
+    assert equalize_hex_bound(5, 7) == f"{(5 * 2**60) // 7:015x}"
+    assert equalize_hex_bound(7, 7) == f"{2**60 - 1:015x}"  # clamp
+
+    rng = np.random.default_rng(31)
+    langs = ["en"] * 3000 + ["de"] * 600 + ["th"] * 150
+    texts = [f"doc {i} {rng.integers(1 << 40)}" for i in range(len(langs))]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    kept1 = sample_equalize_groups(ds.repartition(3), "lang") \
+        .to_pandas().sort_values("doc_id")
+    kept2 = sample_equalize_groups(ds.repartition(11), "lang") \
+        .to_pandas().sort_values("doc_id")
+    assert kept1["doc_id"].tolist() == kept2["doc_id"].tolist()
+    by = kept1.groupby("lang")["doc_id"].count()
+    assert by["th"] == 150                      # smallest keeps all
+    for g in ("en", "de"):                      # ~n_min each, 4-sigma
+        assert abs(by[g] - 150) < 4 * np.sqrt(150), dict(by)
