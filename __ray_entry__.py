@@ -669,6 +669,32 @@ def _q_drop_boilerplate(sf_dir: str):
     return out.select_columns(["doc_id", "text_clean", "n_dropped"])
 
 
+def _q_audio_spectral(sf_dir: str):
+    """Real audio DSP over binary payloads (rows-only: FFT has no SQL
+    twin; tone-localization and flatness are pytest-pinned): Hann
+    short-time rfft -> averaged periodogram -> log band energies, per
+    WAV clip (stages/multimodal.py:audio_spectral_features)."""
+    import ray.data
+
+    from stringzilla_ray.stages.multimodal import (
+        audio_spectral_features,
+        synthetic_media_table,
+    )
+
+    ds = ray.data.from_arrow(synthetic_media_table(n=96, seed=3))
+    out = audio_spectral_features(ds, kind_value="audio")
+
+    def r6(t: pa.Table) -> pa.Table:
+        cols = {"media_id": t["media_id"]}
+        for b in range(8):
+            v = t[f"band_{b}"].to_numpy(zero_copy_only=False)
+            cols[f"band_{b}_r4"] = pa.array(
+                np.floor(v * 1e4 + 0.5).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(r6, batch_format="pyarrow")
+
+
 def _q_equalize_langs(sf_dir: str):
     """Dataset mixing, equalize-to-smallest (temperature alpha=0):
     every language keeps expected mass equal to the smallest one, via
@@ -1897,10 +1923,12 @@ def _q_random_fill(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing end-to-end (rows-only: the decode kernel is
-    a deterministic stub — no image/audio libs in this container):
-    binary payloads + typed metadata through the actor-pool decode
-    stage, emitting per-media feature columns."""
+    """Multimodal decode end-to-end (rows-only: pixel/sample math has
+    no SQL twin; the decoders are golden-pytest-pinned): REAL NumPy
+    decoders for WAV PCM / PPM / BMP / mono-Y4M payloads through the
+    actor-pool stage, emitting per-media signal-statistic columns;
+    codec-needing containers stay honestly stubbed
+    (strict=True raises NotImplementedError)."""
     import ray.data
 
     from stringzilla_ray.stages.multimodal import decode_features, synthetic_media_table
@@ -2487,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": _q_unigram_surprisal,
         "approx_distinct_users": _q_approx_distinct_users,
         "equalize_langs": _q_equalize_langs,
+        "audio_spectral": _q_audio_spectral,
         "median_chars_by_lang": _q_median_chars_by_lang,
         "bottomk_sample": _q_bottomk_sample,
         "gopher_quality": _q_gopher_quality,

@@ -402,3 +402,58 @@ def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
             "duration_ms": pa.array(np.array(durs, np.int32), pa.int32()),
         }
     )
+
+
+def spectral_band_energies(samples: np.ndarray, sample_rate: int,
+                           n_bands: int = 8, frame: int = 512,
+                           hop: int = 256) -> np.ndarray:
+    """Log10 band energies of the average power spectrum — real DSP
+    (Hann-windowed short-time rfft), no audio library. Frames of
+    ``frame`` samples every ``hop``; the averaged periodogram's
+    rfft bins split into ``n_bands`` equal-width bands (0..Nyquist);
+    returns (n_bands,) float64. Deterministic: pure NumPy on the
+    decoded PCM."""
+    x = samples.astype(np.float64) / 32768.0
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    if len(mono) < frame:
+        mono = np.pad(mono, (0, frame - len(mono)))
+    n_frames = 1 + (len(mono) - frame) // hop
+    idx = (np.arange(frame)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    win = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1)) ** 2
+    avg = spec.mean(axis=0)
+    bands = np.array_split(avg, n_bands)
+    return np.log10(np.array([b.sum() for b in bands]) + 1e-12)
+
+
+def audio_spectral_features(ds, payload_column: str = "payload",
+                            kind_column: str = "kind",
+                            kind_value: str = "wav",
+                            id_column: str = "media_id",
+                            n_bands: int = 8):
+    """Per-clip spectral band energies for the WAV rows of a media
+    table — the feature-extraction stage a training pipeline runs
+    before audio filtering/clustering. Binary payloads stay opaque in
+    the table; decode + rfft happen inside the batch (small
+    batch_size: payloads are large), zero shuffles. Output:
+    (id, band_0..band_{n-1})."""
+    def f(batch: pa.Table) -> pa.Table:
+        kinds = batch[kind_column].to_pylist()
+        ids = batch[id_column]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keep = [i for i, k in enumerate(kinds) if k == kind_value]
+        rows = []
+        for i in keep:
+            payload = batch[payload_column][i].as_py()
+            samples, sr = decode_wav(payload)
+            rows.append(spectral_band_energies(samples, sr,
+                                               n_bands=n_bands))
+        mat = np.array(rows) if rows else np.zeros((0, n_bands))
+        cols = {id_column: ids.take(pa.array(keep, pa.int64()))}
+        for b in range(n_bands):
+            cols[f"band_{b}"] = pa.array(mat[:, b], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=64)

@@ -2346,3 +2346,40 @@ def test_sample_equalize_groups(ray_session):
     assert by["th"] == 150                      # smallest keeps all
     for g in ("en", "de"):                      # ~n_min each, 4-sigma
         assert abs(by[g] - 150) < 4 * np.sqrt(150), dict(by)
+
+
+def test_audio_spectral_features(ray_session):
+    """Short-time-rfft band energies are real DSP: a pure tone's
+    energy lands in the band containing its frequency, white noise
+    spreads across bands, and the Dataset stage matches the kernel."""
+    import ray.data
+
+    from stringzilla_ray.stages.multimodal import (
+        audio_spectral_features, make_wav, spectral_band_energies)
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone_hz = 5500.0  # mid band 5 (bands are ~1 kHz wide to Nyquist 8k)
+    tone = (np.sin(2 * np.pi * tone_hz * t) * 20000).astype(np.int16)
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal(sr) * 5000).clip(-32768, 32767) \
+        .astype(np.int16)
+    e_tone = spectral_band_energies(tone[:, None], sr)
+    assert int(np.argmax(e_tone)) == 5
+    assert e_tone[5] - np.partition(e_tone, -2)[-2] > 3  # >3 decades
+    e_noise = spectral_band_energies(noise[:, None], sr)
+    assert e_noise.max() - e_noise.min() < 1.5  # flat-ish
+
+    tbl = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "kind": pa.array(["wav", "ppm", "wav"], pa.string()),
+        "payload": pa.array([make_wav(tone[:, None], sr), b"P6 junk",
+                             make_wav(noise[:, None], sr)],
+                            pa.large_binary()),
+    })
+    out = audio_spectral_features(ray.data.from_arrow(tbl)) \
+        .to_pandas().sort_values("media_id")
+    assert out["media_id"].tolist() == [0, 2]  # ppm row skipped
+    np.testing.assert_allclose(
+        out.iloc[0][[f"band_{b}" for b in range(8)]].values.astype(float),
+        e_tone)
