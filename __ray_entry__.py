@@ -1698,6 +1698,45 @@ def _q_casefold_len(sf_dir: str):
     )
 
 
+def _q_find_bounded(sf_dir: str):
+    """find(needle, start, end) — the reference's windowed search form
+    (python/README.md:129): absolute offset of 'the' within the byte
+    window [10, 120), -1 when absent."""
+    from stringzilla_ray.functions.text import find as sz_find
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pos": pc.cast(sz_find(t["text"], "the", 10, 120), pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_translate_bounded(sf_dir: str):
+    """Ranged translate (python/README.md:264-278): ROT13 LUT applied
+    only to the byte window [5, 60); bytes outside pass through."""
+    from stringzilla_ray.functions.text import translate
+
+    lut = bytearray(range(256))
+    for i in range(26):
+        lut[ord("a") + i] = ord("a") + (i + 13) % 26
+    lut = bytes(lut)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        rot = translate(t["text"], lut, 5, 60)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "rot": pc.cast(rot, pa.large_string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_translate_rot13(sf_dir: str):
     """sz.translate 256-byte LUT transform, oracled by DuckDB
     translate() (ROT13 over a-z on the first 40 bytes)."""
@@ -2564,6 +2603,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_with_replacement": _q_sample_with_replacement,
         "casefold_len": _q_casefold_len,
         "translate_rot13": _q_translate_rot13,
+        "find_bounded": _q_find_bounded,
+        "translate_bounded": _q_translate_bounded,
         "shuffled_permutation": _q_shuffled_permutation,
         "word_count": _q_word_count,
         "sentence_count": _q_sentence_count,
@@ -2785,6 +2826,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, translate(substr(text, 1, 40), "
             "'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm') AS rot13 "
             "FROM documents"
+        ),
+        "find_bounded": (
+            # window [10, 120) clamped per row; absolute 0-based offset
+            "WITH w AS (SELECT doc_id, least(10, length(text)) AS s, "
+            "greatest(least(120, length(text)), least(10, length(text))) "
+            "AS e, text FROM documents) "
+            "SELECT doc_id, CAST(CASE WHEN "
+            "instr(substr(text, s + 1, e - s), 'the') > 0 THEN "
+            "instr(substr(text, s + 1, e - s), 'the') - 1 + s "
+            "ELSE -1 END AS BIGINT) AS pos FROM w"
+        ),
+        "translate_bounded": (
+            "WITH w AS (SELECT doc_id, least(5, length(text)) AS s, "
+            "greatest(least(60, length(text)), least(5, length(text))) "
+            "AS e, text FROM documents) "
+            "SELECT doc_id, substr(text, 1, s) || "
+            "translate(substr(text, s + 1, e - s), "
+            "'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm') "
+            "|| substr(text, e + 1) AS rot FROM w"
         ),
         "shuffled_permutation": "SELECT doc_id FROM documents ORDER BY doc_id",
         "rfind_substring": (

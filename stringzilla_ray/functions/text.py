@@ -64,16 +64,69 @@ def tape_of(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets.astype(np.int64)
 
 
-def find(arr, needle: str) -> pa.Array:
+def _resolve_bounds(lens: np.ndarray, start: int, end: int | None):
+    """Python slice.indices semantics per row (negative bounds count
+    from the end, clamped) — the reference's (start, end) windowing
+    contract on find/count/startswith/endswith/translate
+    (python/README.md:129-136)."""
+    if end is None:
+        end = np.iinfo(np.int64).max
+    s = np.full(len(lens), start, np.int64)
+    e = np.full(len(lens), end, np.int64)
+    s = np.where(s < 0, np.maximum(lens + s, 0), np.minimum(s, lens))
+    e = np.where(e < 0, np.maximum(lens + e, 0), np.minimum(e, lens))
+    return s, np.maximum(e, s)
+
+
+def window_slice(arr, start: int, end: int | None):
+    """Per-row byte window [start, end) with Python slice semantics.
+    Returns (sliced pa.Array, resolved per-row start offsets) — one
+    bytes gather (Arrow offsets are gap-free, so a window view cannot
+    share the parent tape)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    tape, offs = tape_of(arr)
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    offs = (offs - offs[0]).astype(np.int64)
+    lens = np.diff(offs)
+    s, e = _resolve_bounds(lens, start, end)
+    w_lens = e - s
+    starts = offs[:-1] + s
+    before = np.zeros(len(w_lens), np.int64)
+    np.cumsum(w_lens[:-1], out=before[1:])
+    idx = np.repeat(starts - before, w_lens) + np.arange(
+        int(w_lens.sum()), dtype=np.int64)
+    out_offs = np.zeros(len(w_lens) + 1, np.int64)
+    np.cumsum(w_lens, out=out_offs[1:])
+    out = pa.Array.from_buffers(
+        pa.large_utf8() if pa.types.is_large_string(arr.type)
+        or pa.types.is_string(arr.type) else pa.large_binary(),
+        len(w_lens),
+        [None, pa.py_buffer(out_offs.tobytes()),
+         pa.py_buffer(tape[idx].tobytes())])
+    return out, s
+
+
+def find(arr, needle: str, start: int = 0, end: int | None = None) -> pa.Array:
     """First byte offset of ``needle`` in each string, -1 if absent
-    (sz.find semantics, python/README.md:127-151)."""
-    return pc.find_substring(arr, needle)
+    (sz.find semantics, python/README.md:127-151). ``start``/``end``
+    window the search; the returned offset stays absolute (CPython
+    str.find contract)."""
+    if start == 0 and end is None:
+        return pc.find_substring(arr, needle)
+    sliced, base = window_slice(arr, start, end)
+    pos = pc.find_substring(sliced, needle).to_numpy(zero_copy_only=False)
+    return pa.array(np.where(pos >= 0, pos + base, -1), pa.int64())
 
 
-def count_substring(arr, needle: str, allowoverlap: bool = False) -> pa.Array:
+def count_substring(arr, needle: str, allowoverlap: bool = False,
+                    start: int = 0, end: int | None = None) -> pa.Array:
     """Occurrences of ``needle`` per string; the non-overlap count is
     Arrow-native, the overlap variant scans the tape with NumPy (RE2
-    has no lookahead)."""
+    has no lookahead). ``start``/``end`` window the haystack
+    (python/README.md:136)."""
+    if start != 0 or end is not None:
+        arr, _ = window_slice(arr, start, end)
     if not allowoverlap:
         return pc.count_substring(arr, needle)
     nb = needle.encode()
@@ -185,18 +238,32 @@ def strip(arr, chars: str | None = None) -> pa.Array:
     return pc.utf8_trim(arr, chars)
 
 
-def translate(arr, table: bytes) -> pa.Array:
+def translate(arr, table: bytes, start: int = 0,
+              end: int | None = None) -> pa.Array:
     """256-byte LUT transform (sz.translate / sz_lookup,
     python/README.md:264-278) applied to the whole tape in one NumPy
-    gather — the columnar analogue of the reference's in-place loop."""
+    gather — the columnar analogue of the reference's in-place loop.
+    ``start``/``end`` restrict the transform to a per-row byte window
+    (the reference's ranged form); bytes outside pass through."""
     assert len(table) == 256
     tape, offsets = tape_of(arr)
+    # rebase: tape_of returns the PARENT buffer on sliced arrays
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
     lut = np.frombuffer(table, dtype=np.uint8)
     translated = lut[tape]
+    if start != 0 or end is not None:
+        lens = np.diff(offsets)
+        s, e = _resolve_bounds(lens, start, end)
+        pos = np.arange(len(tape), dtype=np.int64) - np.repeat(
+            offsets[:-1], lens)
+        inside = (pos >= np.repeat(s, lens)) & (pos < np.repeat(e, lens))
+        translated = np.where(inside, translated, tape)
     return pa.Array.from_buffers(
-        pa.large_binary() if offsets.dtype == np.int64 else pa.binary(),
+        pa.large_binary(),
         len(offsets) - 1,
-        [None, pa.py_buffer(offsets.astype(np.int64 if offsets.dtype == np.int64 else np.int32).tobytes()), pa.py_buffer(translated.tobytes())],
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(translated.tobytes())],
     )
 
 

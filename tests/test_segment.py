@@ -592,3 +592,37 @@ def test_splitlines_keepends_fuzz_vs_cpython():
         got = _collect(v, p)
         for r, t in enumerate(texts):
             assert got.get(r, []) == t.splitlines(True), repr(t)
+
+
+def test_bounded_window_kernels_vs_cpython():
+    """find/count/translate with (start, end) windows follow Python
+    slice semantics (negative bounds, clamping, empty windows) and
+    survive sliced input arrays."""
+    from stringzilla_ray.functions.text import (
+        count_substring, find, translate)
+
+    texts = ["hello world hello", "abc", "", "xyhelloz", "hello"]
+    col = pa.array(texts, pa.string())
+    for s, e in [(0, None), (3, None), (0, 8), (2, -1), (-6, None),
+                 (10, 4)]:
+        got = find(col, "hello", s, e).to_pylist()
+        exp = [t.find("hello", s, e if e is not None else len(t))
+               for t in texts]
+        assert got == exp, (s, e)
+        gc = count_substring(col, "l", start=s, end=e).to_pylist()
+        ec = [t.count("l", s, e if e is not None else len(t))
+              for t in texts]
+        assert gc == ec, (s, e)
+    rot = bytes((c + 1) % 256 for c in range(256))
+    for s, e in [(0, None), (2, 5), (-3, None), (1, -1)]:
+        got = [bytes(x) for x in translate(col, rot, s, e).to_pylist()]
+        exp = []
+        for t in texts:
+            b = t.encode()
+            a, z, _ = slice(s, e).indices(len(b))
+            exp.append(b[:a] + bytes((x + 1) % 256 for x in b[a:z])
+                       + b[z:])
+        assert got == exp, (s, e)
+    sl = col.slice(1, 3)
+    assert find(sl, "hello", 1, None).to_pylist() == \
+        [texts[i].find("hello", 1) for i in (1, 2, 3)]
