@@ -740,6 +740,18 @@ def _q_unigram_surprisal(sf_dir: str):
     return add_unigram_surprisal(ds)
 
 
+def _q_bigram_surprisal(sf_dir: str):
+    """Bigram-LM quality score: mean conditional surprisal
+    ln(c(prev))-ln(c(prev,tok)) with unigram backoff on document-first
+    tokens, under corpus-trained counts. Two bounded censuses, both
+    broadcast once, zero shuffles in scoring
+    (stages/textstats.py:add_bigram_surprisal)."""
+    from stringzilla_ray.stages.textstats import add_bigram_surprisal
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_bigram_surprisal(ds)
+
+
 _DUP_SPAN_WINDOW = 25
 
 
@@ -2552,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "drop_dup_spans": _q_drop_dup_spans,
         "unigram_surprisal": _q_unigram_surprisal,
+        "bigram_surprisal": _q_bigram_surprisal,
         "approx_distinct_users": _q_approx_distinct_users,
         "equalize_langs": _q_equalize_langs,
         "audio_spectral": _q_audio_spectral,
@@ -3259,6 +3272,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d "
             "JOIN b ON b.lang = d.lang "
             "WHERE substr(md5(d.text), 17, 15) < b.bound"
+        ),
+        "bigram_surprisal": (
+            "WITH e0 AS (SELECT doc_id, regexp_extract_all(text, "
+            "'[0-9A-Za-z_]+') AS toks FROM documents), "
+            "e AS (SELECT doc_id, unnest(toks) AS tok, "
+            "unnest(range(1, len(toks)+1)) AS i FROM e0), "
+            "u AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok), "
+            "tot AS (SELECT count(*) AS total FROM e), "
+            "p AS (SELECT doc_id, i, tok, lag(tok) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS prev FROM e), "
+            "bg AS (SELECT prev, tok, count(*) AS cnt FROM p "
+            "WHERE prev IS NOT NULL GROUP BY prev, tok), "
+            "s AS (SELECT p.doc_id, CASE WHEN p.prev IS NULL THEN "
+            "ln((SELECT total FROM tot)) - ln(u.cnt) "
+            "ELSE ln(up.cnt) - ln(bg.cnt) END AS sp "
+            "FROM p JOIN u ON u.tok = p.tok "
+            "LEFT JOIN u up ON up.tok = p.prev "
+            "LEFT JOIN bg ON bg.prev = p.prev AND bg.tok = p.tok), "
+            "a AS (SELECT doc_id, count(*) AS n_tokens, avg(sp) AS m "
+            "FROM s GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, CAST(round(coalesce(a.m, 0) * 10000, 0) "
+            "AS BIGINT) AS bigram_surprisal_x10000 "
+            "FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
         ),
         "unigram_surprisal": (
             "WITH e AS (SELECT doc_id, unnest(regexp_extract_all(text, "

@@ -502,6 +502,159 @@ def unigram_model(ds, text_column: str = "text"):
     return h, cnt, int(cnt.sum())
 
 
+def _bigram_key(h_prev: np.ndarray, h: np.ndarray) -> np.ndarray:
+    from stringzilla_ray.stages.substring import _mix64
+
+    return (_mix64(h_prev.view(np.uint64) ^ _mix64(h.view(np.uint64)))
+            .view(np.int64))
+
+
+def _bigram_partial_fn(batch: pa.Table, *, text_column: str,
+                       n_shards: int) -> pa.Table:
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.functions.segment import word_explode
+
+    col = _combined(batch[text_column])
+    words, parents = word_explode(col)
+    if len(words) < 2:
+        return pa.table({"shard": pa.array([], pa.int32()),
+                         "h": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    w = words.combine_chunks() if isinstance(words, pa.ChunkedArray) \
+        else words
+    h = hash_string_column(w, seed=0)
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = par[1:] == par[:-1]  # bigrams never cross documents
+    bk = _bigram_key(h[:-1][valid], h[1:][valid])
+    uv, cnt = np.unique(bk, return_counts=True)
+    return pa.table({
+        "shard": (uv.view(np.uint64) % np.uint64(n_shards))
+        .astype(np.int32),
+        "h": pa.array(uv, pa.int64()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def _hash_sum_reduce_fn(g: pa.Table) -> pa.Table:
+    h = g["h"].to_numpy(zero_copy_only=False)
+    cnt = g["cnt"].to_numpy(zero_copy_only=False)
+    uh, inv = np.unique(h, return_inverse=True)
+    sums = np.zeros(len(uh), np.int64)
+    np.add.at(sums, inv, cnt)
+    return pa.table({"h": pa.array(uh, pa.int64()),
+                     "cnt": pa.array(sums, pa.int64())})
+
+
+def bigram_model(ds, text_column: str = "text"):
+    """Corpus bigram counts as (sorted bigram-hash int64, counts) —
+    the same census shape as unigram_model, keyed on the mixed
+    (prev-hash, hash) pair; bigrams never cross document boundaries."""
+    import ray
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    census = (
+        ds.map_batches(
+            _bigram_partial_fn,
+            fn_kwargs=dict(text_column=text_column, n_shards=n_shards),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(_hash_sum_reduce_fn, batch_format="pyarrow")
+    )
+    tables = [t for t in ray.get(census.materialize().to_arrow_refs())
+              if len(t)]
+    if not tables:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    h = np.concatenate([t["h"].to_numpy(zero_copy_only=False)
+                        for t in tables])
+    cnt = np.concatenate([t["cnt"].to_numpy(zero_copy_only=False)
+                          for t in tables])
+    order = np.argsort(h, kind="stable")
+    return h[order], cnt[order]
+
+
+def _lookup_sorted(h_sorted: np.ndarray, counts: np.ndarray,
+                   keys: np.ndarray, default: float = 1.0) -> np.ndarray:
+    if len(h_sorted) == 0:
+        return np.full(len(keys), default, np.float64)
+    j = np.minimum(np.searchsorted(h_sorted, keys), len(h_sorted) - 1)
+    c = counts[j].astype(np.float64)
+    c[h_sorted[j] != keys] = default
+    return c
+
+
+def _bigram_surprisal_fn(batch: pa.Table, *, uni_ref, bi_ref,
+                         text_column: str, id_column: str,
+                         scale: int) -> pa.Table:
+    import ray
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.functions.segment import word_explode
+
+    uh, ucnt, total = ray.get(uni_ref)
+    bh, bcnt = ray.get(bi_ref)
+    col = _combined(batch[text_column])
+    words, parents = word_explode(col)
+    nrows = len(col)
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64) \
+        if len(words) else np.zeros(0, np.int64)
+    n_tok = np.bincount(par, minlength=nrows).astype(np.int64)
+    if len(words) and total > 0:
+        w = words.combine_chunks() if isinstance(words, pa.ChunkedArray) \
+            else words
+        h = hash_string_column(w, seed=0)
+        is_first = np.ones(len(h), bool)
+        is_first[1:] = par[1:] != par[:-1]
+        sp = np.empty(len(h), np.float64)
+        # first token of each doc: unigram surprisal ln(total)-ln(c)
+        c_uni = _lookup_sorted(uh, ucnt, h[is_first])
+        sp[is_first] = np.log(np.float64(total)) - np.log(c_uni)
+        # the rest: conditional ln(c(prev)) - ln(c(prev, tok))
+        rest = ~is_first
+        if rest.any():
+            hp = h[np.flatnonzero(rest) - 1]
+            c_prev = _lookup_sorted(uh, ucnt, hp)
+            c_big = _lookup_sorted(bh, bcnt, _bigram_key(hp, h[rest]))
+            sp[rest] = np.log(c_prev) - np.log(c_big)
+        ssum = np.bincount(par, weights=sp, minlength=nrows)
+    else:
+        ssum = np.zeros(nrows, np.float64)
+    mean = np.divide(ssum, n_tok, out=np.zeros(nrows, np.float64),
+                     where=n_tok > 0)
+    x = np.floor(mean * scale + 0.5).astype(np.int64)
+    return pa.table({
+        id_column: batch[id_column],
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        f"bigram_surprisal_x{scale}": pa.array(x, pa.int64()),
+    })
+
+
+def add_bigram_surprisal(ds, text_column: str = "text",
+                         id_column: str = "doc_id", scale: int = 10_000):
+    """Bigram-LM quality score: mean conditional token surprisal
+    ``ln(c(prev)) - ln(c(prev, tok))`` (first token backs off to the
+    unigram ``ln(total) - ln(c)``) under corpus-trained counts —
+    the next step up from add_unigram_surprisal toward CCNet's LM
+    filtering. Two censuses (exchange bounded by distinct unigrams /
+    bigrams), both broadcast once; scoring is one vectorized pass,
+    zero shuffles."""
+    import functools as _ft
+
+    import ray
+
+    uni_ref = ray.put(unigram_model(ds, text_column=text_column))
+    bi_ref = ray.put(bigram_model(ds, text_column=text_column))
+    return ds.map_batches(
+        _ft.partial(_bigram_surprisal_fn, uni_ref=uni_ref, bi_ref=bi_ref,
+                    text_column=text_column, id_column=id_column,
+                    scale=scale),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _surprisal_fn(batch: pa.Table, *, model_ref, text_column: str,
                   id_column: str, scale: int) -> pa.Table:
     import ray

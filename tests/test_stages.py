@@ -2383,3 +2383,48 @@ def test_audio_spectral_features(ray_session):
     np.testing.assert_allclose(
         out.iloc[0][[f"band_{b}" for b in range(8)]].values.astype(float),
         e_tone)
+
+
+def test_bigram_surprisal_vs_python_oracle(ray_session):
+    """Bigram LM: census counts and per-doc mean conditional surprisal
+    (unigram backoff on document-first tokens) equal a Counter-based
+    reference."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from stringzilla_ray.stages.textstats import (
+        add_bigram_surprisal, bigram_model)
+
+    docs = [
+        "the cat sat on the mat",
+        "the cat ran to the mat",
+        "one two three",
+        "",
+        "solo",
+    ]
+    tok = re.compile(r"[0-9A-Za-z_]+")
+    toks = [tok.findall(d) for d in docs]
+    uni = Counter(t for x in toks for t in x)
+    total = sum(uni.values())
+    big = Counter((x[i - 1], x[i]) for x in toks for i in range(1, len(x)))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })).repartition(3)
+    bh, bcnt = bigram_model(ds)
+    assert sorted(bcnt.tolist()) == sorted(big.values())
+    got = add_bigram_surprisal(ds).to_pandas().sort_values("doc_id")
+    for (nt, sx), x in zip(
+            got[["n_tokens", "bigram_surprisal_x10000"]].values.tolist(),
+            toks):
+        assert nt == len(x)
+        if not x:
+            assert sx == 0
+            continue
+        s = math.log(total) - math.log(uni[x[0]])
+        for i in range(1, len(x)):
+            s += math.log(uni[x[i - 1]]) - math.log(big[(x[i - 1], x[i])])
+        assert sx == math.floor(s / len(x) * 10000 + 0.5)
