@@ -740,6 +740,34 @@ def _q_unigram_surprisal(sf_dir: str):
     return add_unigram_surprisal(ds)
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """Linear per-dim int8 quantization of the embeddings table (the
+    4x plasma/IO reduction before ANN at scale): per-dim min/max
+    census (2 x dim floats per block), broadcast, one vectorized
+    quantize pass. Exploded to (vec_id, dim, qv) int rows so the
+    DuckDB double mirror hashes exactly
+    (stages/ann.py:quantize_embeddings)."""
+    from stringzilla_ray.stages.ann import quantize_embeddings
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantize_embeddings(ds)
+
+    def explode(t: pa.Table) -> pa.Table:
+        q = t["q"]
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        dim = q.type.list_size
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(ids)), pa.int64()),
+            "qv": pc.cast(q.flatten(), pa.int64()),
+        })
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
 def _q_bigram_surprisal(sf_dir: str):
     """Bigram-LM quality score: mean conditional surprisal
     ln(c(prev))-ln(c(prev,tok)) with unigram backoff on document-first
@@ -2565,6 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_dup_spans": _q_drop_dup_spans,
         "unigram_surprisal": _q_unigram_surprisal,
         "bigram_surprisal": _q_bigram_surprisal,
+        "quantize_embeddings": _q_quantize_embeddings,
         "approx_distinct_users": _q_approx_distinct_users,
         "equalize_langs": _q_equalize_langs,
         "audio_spectral": _q_audio_spectral,
@@ -3272,6 +3301,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d "
             "JOIN b ON b.lang = d.lang "
             "WHERE substr(md5(d.text), 17, 15) < b.bound"
+        ),
+        "quantize_embeddings": (
+            # same double expression shape as the engine: float32
+            # stats promote exactly, q = clip(floor((x-mn)/(mx-mn)*255
+            # + 0.5)); constant dims map to 0.
+            "WITH e AS (SELECT vec_id, unnest(embedding) AS x, "
+            "unnest(range(1, len(embedding)+1)) AS i FROM embeddings), "
+            "st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e "
+            "GROUP BY i) "
+            "SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, "
+            "CAST(CASE WHEN mx = mn THEN 0 ELSE "
+            "least(greatest(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) "
+            "* 255 + 0.5), 0), 255) END AS BIGINT) AS qv "
+            "FROM e JOIN st USING (i)"
         ),
         "bigram_surprisal": (
             "WITH e0 AS (SELECT doc_id, regexp_extract_all(text, "

@@ -518,3 +518,71 @@ def knn_join(ds, query_mat: np.ndarray, query_ids: np.ndarray, k: int = 5,
 
     return cands.map_batches(final, batch_format="pyarrow",
                              batch_size=None)
+
+
+# ------------------------------------------------------- int8 quantization
+
+
+def embedding_minmax(ds, column: str = "embedding"):
+    """Per-dimension global (min, max) of an embedding column — one
+    row of partials per block (2 x dim floats is the whole exchange),
+    folded on gather. The training pass of linear int8 quantization."""
+    def part(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, column)
+        if m.shape[0] == 0:
+            return pa.table({"mn": pa.array([], pa.list_(pa.float32())),
+                             "mx": pa.array([], pa.list_(pa.float32()))})
+        return pa.table({
+            "mn": pa.array([m.min(axis=0).astype(np.float32).tolist()],
+                           pa.list_(pa.float32())),
+            "mx": pa.array([m.max(axis=0).astype(np.float32).tolist()],
+                           pa.list_(pa.float32())),
+        })
+
+    from stringzilla_ray.util import ensure_materialized
+
+    parts = ensure_materialized(
+        ds.map_batches(part, batch_format="pyarrow"))
+    mn = mx = None
+    for t in ray.get(parts.to_arrow_refs()):
+        for row_mn, row_mx in zip(t["mn"].to_pylist(), t["mx"].to_pylist()):
+            a, b = (np.array(row_mn, np.float32),
+                    np.array(row_mx, np.float32))
+            mn = a if mn is None else np.minimum(mn, a)
+            mx = b if mx is None else np.maximum(mx, b)
+    return mn, mx
+
+
+def quantize_embeddings(ds, column: str = "embedding",
+                        id_column: str = "vec_id",
+                        minmax=None, levels: int = 256):
+    """Linear per-dimension int8 quantization — the standard 4x
+    plasma/IO reduction before ANN at scale: q = clip(floor((x - mn) /
+    (mx - mn) * (levels-1) + 0.5), 0, levels-1), computed in float64
+    with the exact expression shape the SQL auditor uses (float32
+    stats promote exactly to double on both sides). Stats train once
+    (or pass ``minmax`` to quantize a new shard against yesterday's
+    scale — the incremental mode). Output: input ids + ``q`` as a
+    fixed-size uint8 list."""
+    import functools as _ft
+
+    if minmax is None:
+        minmax = embedding_minmax(ds, column)
+    mn, mx = minmax
+    ref = ray.put((mn.astype(np.float64), mx.astype(np.float64)))
+
+    def f(batch: pa.Table, *, ref) -> pa.Table:
+        mn64, mx64 = ray.get(ref)
+        m = _emb_matrix(batch, column).astype(np.float64)
+        span = mx64 - mn64
+        span[span == 0] = 1.0  # constant dims quantize to 0
+        v = np.floor((m - mn64) / span * (levels - 1) + 0.5)
+        q = np.clip(v, 0, levels - 1).astype(np.uint8)
+        return pa.table({
+            id_column: batch[id_column],
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1), pa.uint8()), q.shape[1]),
+        })
+
+    return ds.map_batches(_ft.partial(f, ref=ref),
+                          batch_format="pyarrow", zero_copy_batch=True)

@@ -2428,3 +2428,48 @@ def test_bigram_surprisal_vs_python_oracle(ray_session):
         for i in range(1, len(x)):
             s += math.log(uni[x[i - 1]]) - math.log(big[(x[i - 1], x[i])])
         assert sx == math.floor(s / len(x) * 10000 + 0.5)
+
+
+def test_quantize_embeddings(ray_session):
+    """int8 quantization: stats fold across blocks == whole-matrix
+    min/max, quantized values match the numpy reference, incremental
+    mode (prebuilt minmax) quantizes a new shard on the old scale."""
+    import ray.data
+
+    from stringzilla_ray.stages.ann import (
+        embedding_minmax, quantize_embeddings)
+
+    rng = np.random.default_rng(41)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    m[:, 3] = 7.25  # constant dim -> quantizes to 0
+    tbl = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    mn, mx = embedding_minmax(ds)
+    np.testing.assert_array_equal(mn, m.min(axis=0))
+    np.testing.assert_array_equal(mx, m.max(axis=0))
+    out = quantize_embeddings(ds).to_pandas().sort_values("vec_id")
+    got = np.stack(out["q"].values)
+    mn64, mx64 = mn.astype(np.float64), mx.astype(np.float64)
+    span = mx64 - mn64
+    span[span == 0] = 1.0
+    exp = np.clip(np.floor((m.astype(np.float64) - mn64) / span * 255
+                           + 0.5), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
+    assert (got[:, 3] == 0).all()
+    # incremental: new shard on the OLD scale clips out-of-range
+    m2 = (m[:10] * 3).astype(np.float32)
+    ds2 = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m2],
+                              pa.list_(pa.float32())),
+    }))
+    out2 = quantize_embeddings(ds2, minmax=(mn, mx)).to_pandas() \
+        .sort_values("vec_id")
+    got2 = np.stack(out2["q"].values)
+    exp2 = np.clip(np.floor((m2.astype(np.float64) - mn64) / span * 255
+                            + 0.5), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got2, exp2)
