@@ -740,6 +740,97 @@ def _q_unigram_surprisal(sf_dir: str):
     return add_unigram_surprisal(ds)
 
 
+def _q_window_dedup(sf_dir: str):
+    """Event idempotency: first event per (user, type) per hourly
+    tumbling window — exact dedup's event-time cousin; one hash
+    shuffle on the (key, window) cell, winner by (ts, event_id)
+    (stages/temporal.py:window_dedup)."""
+    from stringzilla_ray.stages.temporal import window_dedup
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    return window_dedup(ds, ["user_id", "event_type"], "ts", "event_id",
+                        3_600_000_000)
+
+
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3-shaped 3-table pipeline: BUILDING-segment customers
+    (small side broadcast as an is_in set — never a shuffle), their
+    orders joined to lineitem partials (the one genuinely big-big
+    exchange, a hash join), revenue summed exactly in 1e-4 currency
+    units (integers: round(ep*100) * (100 - round(d*100)) — float
+    summation order can never flip the result), shard-groupby final
+    sum, top 10 by (revenue desc, orderkey)."""
+    import ray
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import join_partitions, reduce_buckets
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys_parts = []
+    for b in cust.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        m = pc.equal(b["c_mktsegment"], "BUILDING")
+        keys_parts.append(
+            b.filter(m)["c_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+    ck_ref = ray.put(np.sort(np.concatenate(keys_parts)))
+
+    def orders_of_segment(t: pa.Table) -> pa.Table:
+        ck = ray.get(ck_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.minimum(np.searchsorted(ck, oc), max(len(ck) - 1, 0))
+        m = ck[j] == oc if len(ck) else np.zeros(len(oc), bool)
+        return pa.table({"o_orderkey": pc.cast(
+            t.filter(pa.array(m))["o_orderkey"], pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_of_segment, batch_format="pyarrow")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        ru = (np.floor(ep * 100 + 0.5).astype(np.int64)
+              * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, ru)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "ru": pa.array(sums, pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    j = li.join(orders, join_type="inner",
+                num_partitions=join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    n_shards = reduce_buckets()
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (splitmix64(k.view(np.uint64)) % np.uint64(n_shards)) \
+            .astype(np.int32)
+        return pa.table({"l_orderkey": t["l_orderkey"], "ru": t["ru"],
+                         "shard": pa.array(s, pa.int32())})
+
+    def final_sum(g: pa.Table) -> pa.Table:
+        k = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        ru = g["ru"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, ru)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "revenue_u": pa.array(sums, pa.int64())})
+
+    return (
+        j.map_batches(shard, batch_format="pyarrow")
+        .groupby("shard").map_groups(final_sum, batch_format="pyarrow")
+        .sort(["revenue_u", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def _q_quantize_embeddings(sf_dir: str):
     """Linear per-dim int8 quantization of the embeddings table (the
     4x plasma/IO reduction before ANN at scale): per-dim min/max
@@ -2594,6 +2685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": _q_unigram_surprisal,
         "bigram_surprisal": _q_bigram_surprisal,
         "quantize_embeddings": _q_quantize_embeddings,
+        "window_dedup_events": _q_window_dedup,
+        "tpch_q3_revenue": _q_tpch_q3,
         "approx_distinct_users": _q_approx_distinct_users,
         "equalize_langs": _q_equalize_langs,
         "audio_spectral": _q_audio_spectral,
@@ -3301,6 +3394,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d "
             "JOIN b ON b.lang = d.lang "
             "WHERE substr(md5(d.text), 17, 15) < b.bound"
+        ),
+        "window_dedup_events": (
+            "SELECT event_id FROM (SELECT event_id, row_number() OVER "
+            "(PARTITION BY user_id, event_type, "
+            "epoch_us(ts) // 3600000000 ORDER BY ts, event_id) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        "tpch_q3_revenue": (
+            "WITH bc AS (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING'), "
+            "bo AS (SELECT o_orderkey FROM orders "
+            "JOIN bc ON o_custkey = c_custkey), "
+            "r AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS ru "
+            "FROM lineitem JOIN bo ON l_orderkey = o_orderkey) "
+            "SELECT l_orderkey, CAST(sum(ru) AS BIGINT) AS revenue_u "
+            "FROM r GROUP BY l_orderkey "
+            "ORDER BY revenue_u DESC, l_orderkey LIMIT 10"
         ),
         "quantize_embeddings": (
             # same double expression shape as the engine: float32

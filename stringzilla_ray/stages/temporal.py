@@ -403,3 +403,63 @@ def range_count_join(left, right, left_ts: str, right_ts: str,
         .groupby("__red")
         .map_groups(sum_bucket, batch_format="pyarrow")
     )
+
+
+def window_dedup(ds, keys: list[str], ts_column: str, id_column: str,
+                 window_us: int, n_shards: int | None = None):
+    """Keep the FIRST event per key tuple per tumbling window — the
+    event-idempotency / repeated-message dedup an ingestion pipeline
+    runs (exact dedup's event-time cousin). Winner = smallest
+    (ts, id) within (keys..., floor(ts / window_us)).
+
+    One hash shuffle on (keys..., window) — a shard owns every
+    contender for each (key, window) cell, so the local
+    lexsort + boundary mask pick is globally exact. Emits the
+    surviving id column only."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def _key_hash(batch: pa.Table, win: np.ndarray) -> np.ndarray:
+        h = splitmix64(win.view(np.uint64) ^ np.uint64(0xD1B54A32))
+        for k in keys:
+            col = batch[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_string(col.type) or \
+                    pa.types.is_large_string(col.type):
+                hk = hash_string_column(col, seed=3).view(np.uint64)
+            else:
+                hk = splitmix64(col.to_numpy(zero_copy_only=False)
+                                .astype(np.int64).view(np.uint64))
+            h = splitmix64(h ^ hk)
+        return h
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch[ts_column])
+        win = ts // np.int64(window_us)
+        h = _key_hash(batch, win)
+        return pa.table({
+            id_column: batch[id_column],
+            "_cell": pa.array(h.view(np.int64), pa.int64()),
+            "_ts": pa.array(ts, pa.int64()),
+            "_shard": pa.array((h % np.uint64(n_shards)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    def pick(g: pa.Table) -> pa.Table:
+        cell = g["_cell"].to_numpy(zero_copy_only=False)
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, cell))
+        first = np.ones(len(order), bool)
+        first[1:] = cell[order][1:] != cell[order][:-1]
+        return pa.table({id_column: pa.array(ids[order][first],
+                                             g[id_column].type)})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_shard")
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -184,3 +184,39 @@ def test_range_count_join(ray_session):
     want2 = (np.searchsorted(p_us, cl_us + HOUR // 2, "left")
              - np.searchsorted(p_us, cl_us - HOUR - HOUR // 2, "left"))
     assert (got2.n_matches.values == want2[order]).all()
+
+
+def test_window_dedup_vs_python_oracle(ray_session):
+    """First event per (key, tumbling window), winner by (ts, id) —
+    exact vs a dict-based reference, reshard-invariant."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import window_dedup
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    users = rng.integers(0, 20, n)
+    types = rng.choice(["a", "b", "c"], n)
+    ts = rng.integers(0, 50_000_000, n)  # us
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    win = 7_000_000
+    best = {}
+    for i in range(n):
+        cell = (int(users[i]), str(types[i]), int(ts[i]) // win)
+        cand = (int(ts[i]), i)
+        if cell not in best or cand < best[cell]:
+            best[cell] = cand
+    exp = sorted(i for _, i in best.values())
+    for parts in (1, 6):
+        got = window_dedup(
+            ray.data.from_arrow(tbl).repartition(parts),
+            ["user_id", "event_type"], "ts", "event_id", win,
+        ).to_pandas()["event_id"].sort_values().tolist()
+        assert got == exp
