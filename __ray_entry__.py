@@ -740,6 +740,32 @@ def _q_unigram_surprisal(sf_dir: str):
     return add_unigram_surprisal(ds)
 
 
+def _q_char_entropy(sf_dir: str):
+    """Shannon byte entropy per document — gibberish / encoded-blob
+    detector; one bincount over a (row, byte) composite key, scaled
+    int with the ln-difference shape the SQL mirror computes
+    (stages/textstats.py:add_char_entropy)."""
+    from stringzilla_ray.stages.textstats import add_char_entropy
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_char_entropy, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _q_funnel(sf_dir: str):
+    """Funnel analysis: furthest view -> click -> purchase stage each
+    user reached IN ORDER (stage k counts only strictly after the
+    user's earliest stage-k-1 completion). One key shuffle; per-shard
+    resolution is one vectorized minimum.at pass per stage
+    (stages/temporal.py:funnel)."""
+    from stringzilla_ray.stages.temporal import funnel
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+    return funnel(ds, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
 def _q_window_dedup(sf_dir: str):
     """Event idempotency: first event per (user, type) per hourly
     tumbling window — exact dedup's event-time cousin; one hash
@@ -2686,6 +2712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_surprisal": _q_bigram_surprisal,
         "quantize_embeddings": _q_quantize_embeddings,
         "window_dedup_events": _q_window_dedup,
+        "funnel_stages": _q_funnel,
+        "char_entropy": _q_char_entropy,
         "tpch_q3_revenue": _q_tpch_q3,
         "approx_distinct_users": _q_approx_distinct_users,
         "equalize_langs": _q_equalize_langs,
@@ -3394,6 +3422,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d "
             "JOIN b ON b.lang = d.lang "
             "WHERE substr(md5(d.text), 17, 15) < b.bound"
+        ),
+        "char_entropy": (
+            "WITH ch AS (SELECT doc_id, substr(text, "
+            "CAST(unnest(generate_series(1, length(text))) AS INT), 1) "
+            "AS c, length(text) AS n FROM documents), "
+            "g AS (SELECT doc_id, n, count(*) AS cnt FROM ch "
+            "GROUP BY doc_id, n, c), "
+            "a AS (SELECT doc_id, sum(cnt * (ln(n) - ln(cnt))) / n AS h "
+            "FROM g GROUP BY doc_id, n) "
+            "SELECT d.doc_id, CAST(round(coalesce(a.h, 0) * 10000, 0) "
+            "AS BIGINT) AS entropy_x10000 "
+            "FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
+        ),
+        "funnel_stages": (
+            "WITH s AS (SELECT user_id, ts, event_type FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "v AS (SELECT user_id, min(ts) AS t1 FROM s "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT s.user_id, min(s.ts) AS t2 FROM s "
+            "JOIN v ON v.user_id = s.user_id AND s.ts > v.t1 "
+            "WHERE s.event_type = 'click' GROUP BY s.user_id), "
+            "p AS (SELECT s.user_id, min(s.ts) AS t3 FROM s "
+            "JOIN c ON c.user_id = s.user_id AND s.ts > c.t2 "
+            "WHERE s.event_type = 'purchase' GROUP BY s.user_id) "
+            "SELECT u.user_id, CAST(CASE "
+            "WHEN p.user_id IS NOT NULL THEN 3 "
+            "WHEN c.user_id IS NOT NULL THEN 2 "
+            "WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS stage FROM (SELECT DISTINCT user_id FROM s) u "
+            "LEFT JOIN v ON v.user_id = u.user_id "
+            "LEFT JOIN c ON c.user_id = u.user_id "
+            "LEFT JOIN p ON p.user_id = u.user_id"
         ),
         "window_dedup_events": (
             "SELECT event_id FROM (SELECT event_id, row_number() OVER "

@@ -463,3 +463,65 @@ def window_dedup(ds, keys: list[str], ts_column: str, id_column: str,
         .groupby("_shard")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def funnel(ds, by: str, ts_column: str, type_column: str,
+           stages: list[str], n_shards: int | None = None):
+    """Funnel analysis: the furthest stage each key reached IN ORDER —
+    stage k counts only strictly after the key's earliest completion
+    of stage k-1 (min-ts semantics, strict >). Emits
+    (by, stage int64 in 0..len(stages)).
+
+    One hash shuffle on the key (a shard owns whole keys); per shard,
+    stage times resolve with one vectorized ``np.minimum.at`` pass per
+    stage — no per-key Python, stage count is the only loop."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+    stage_arr = pa.array(stages, pa.string())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        tcol = batch[type_column]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        code = pc.index_in(tcol, value_set=stage_arr) \
+            .to_numpy(zero_copy_only=False)
+        code = np.where(np.isnan(code) if code.dtype.kind == "f"
+                        else code < 0, -1, code).astype(np.int64)
+        keep = code >= 0
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(batch[ts_column])
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0xFA11))
+                 % np.uint64(n_shards)).astype(np.int32)
+        t = pa.table({
+            by: pa.array(k, pa.int64()),
+            "_ts": pa.array(ts, pa.int64()),
+            "_stage": pa.array(code, pa.int64()),
+            "_shard": pa.array(shard, pa.int32()),
+        })
+        return t.filter(pa.array(keep))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        k = g[by].to_numpy(zero_copy_only=False)
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        st = g["_stage"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        prev = np.full(len(uk), -np.iinfo(np.int64).max, np.int64)
+        reached = np.zeros(len(uk), np.int64)
+        for s in range(len(stages)):
+            cur = np.full(len(uk), big, np.int64)
+            m = (st == s) & (ts > prev[inv])
+            np.minimum.at(cur, inv[m], ts[m])
+            done = cur < big
+            reached[done] = s + 1
+            prev = np.where(done, cur, big)  # unreached keys block later stages
+        return pa.table({by: pa.array(uk, pa.int64()),
+                         "stage": pa.array(reached, pa.int64())})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_shard")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -502,6 +502,42 @@ def unigram_model(ds, text_column: str = "text"):
     return h, cnt, int(cnt.sum())
 
 
+def add_char_entropy(batch: pa.Table, text_column: str = "text",
+                     id_column: str = "doc_id",
+                     scale: int = 10_000) -> pa.Table:
+    """Shannon byte entropy per document (nats) — the classic
+    gibberish / encoded-blob / repeated-filler detector:
+    H = sum_c count_c * (ln(n) - ln(count_c)) / n over the byte
+    histogram. One bincount over a (row, byte) composite key — no
+    per-row Python; emitted as a scaled int with the ln-difference
+    expression shape the SQL mirror uses."""
+    from stringzilla_ray.functions.text import tape_of
+
+    col = _combined(batch[text_column])
+    tape, offs = tape_of(pc.cast(col, pa.large_binary()))
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    offs = (offs - offs[0]).astype(np.int64)
+    lens = np.diff(offs)
+    nrows = len(lens)
+    if len(tape):
+        row = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        key = row * np.int64(256) + tape
+        cnt = np.bincount(key, minlength=nrows * 256) \
+            .reshape(nrows, 256).astype(np.float64)
+        n = lens.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = cnt * (np.log(n)[:, None] - np.log(cnt))
+        term[cnt == 0] = 0.0
+        h = np.where(lens > 0, term.sum(axis=1) / np.maximum(n, 1), 0.0)
+    else:
+        h = np.zeros(nrows, np.float64)
+    return pa.table({
+        id_column: batch[id_column],
+        f"entropy_x{scale}": pa.array(
+            np.floor(h * scale + 0.5).astype(np.int64), pa.int64()),
+    })
+
+
 def _bigram_key(h_prev: np.ndarray, h: np.ndarray) -> np.ndarray:
     from stringzilla_ray.stages.substring import _mix64
 

@@ -2473,3 +2473,48 @@ def test_quantize_embeddings(ray_session):
     exp2 = np.clip(np.floor((m2.astype(np.float64) - mn64) / span * 255
                             + 0.5), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(got2, exp2)
+
+
+def test_char_entropy_and_funnel(ray_session):
+    """Entropy kernel == math.log reference (uniform vs constant
+    extremes); funnel semantics == staged min-ts reference with
+    strict-after ordering."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import funnel
+    from stringzilla_ray.stages.textstats import add_char_entropy
+
+    docs = ["aaaa", "abcd", "", "aabb", "x"]
+    t = add_char_entropy(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    got = t["entropy_x10000"].to_pylist()
+    for g, d in zip(got, docs):
+        c = Counter(d.encode())
+        n = len(d)
+        h = sum(v * (math.log(n) - math.log(v)) for v in c.values()) / n \
+            if n else 0.0
+        assert g == math.floor(h * 10000 + 0.5)
+    assert got[0] == 0 and got[2] == 0            # constant / empty
+    assert got[1] == math.floor(math.log(4) * 10000 + 0.5)  # uniform
+
+    # funnel: user 1 completes in order; user 2 clicks BEFORE viewing
+    # (click must not count); user 3 only clicks (stage 0)
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "click", 5), (2, "view", 10), (2, "click", 10),  # ts not >
+        (3, "click", 7),
+        (4, "view", 1), (4, "click", 2),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = funnel(ray.data.from_arrow(tbl), "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"]).to_pandas() \
+        .sort_values("user_id")
+    assert out.values.tolist() == [[1, 3], [2, 1], [3, 0], [4, 2]]
