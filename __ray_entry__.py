@@ -740,6 +740,19 @@ def _q_unigram_surprisal(sf_dir: str):
     return add_unigram_surprisal(ds)
 
 
+def _q_mad_outliers(sf_dir: str):
+    """Robust per-type outlier flags |x - median| > 3 * MAD over
+    events.value: two exact grouped-median censuses (one tiny row per
+    group each) broadcast once; the events themselves never shuffle.
+    Medians use quantile_cont interpolation so DuckDB median() is the
+    literal mirror (stages/stats.py:mad_outliers)."""
+    from stringzilla_ray.stages.stats import mad_outliers
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    return mad_outliers(ds, "event_type", "value", "event_id")
+
+
 def _q_char_entropy(sf_dir: str):
     """Shannon byte entropy per document — gibberish / encoded-blob
     detector; one bincount over a (row, byte) composite key, scaled
@@ -2714,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dedup_events": _q_window_dedup,
         "funnel_stages": _q_funnel,
         "char_entropy": _q_char_entropy,
+        "mad_outliers": _q_mad_outliers,
         "tpch_q3_revenue": _q_tpch_q3,
         "approx_distinct_users": _q_approx_distinct_users,
         "equalize_langs": _q_equalize_langs,
@@ -3422,6 +3436,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d "
             "JOIN b ON b.lang = d.lang "
             "WHERE substr(md5(d.text), 17, 15) < b.bound"
+        ),
+        "mad_outliers": (
+            "WITH m AS (SELECT event_type, median(value) AS med "
+            "FROM events GROUP BY event_type), "
+            "d AS (SELECT e.event_id, e.event_type, "
+            "abs(e.value - m.med) AS dev "
+            "FROM events e JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, median(dev) AS mad FROM d "
+            "GROUP BY event_type) "
+            "SELECT d.event_id, CAST(CASE WHEN d.dev > 3.0 * md.mad "
+            "THEN 1 ELSE 0 END AS BIGINT) AS is_outlier "
+            "FROM d JOIN md USING (event_type)"
         ),
         "char_entropy": (
             "WITH ch AS (SELECT doc_id, substr(text, "

@@ -422,3 +422,85 @@ def approx_distinct(ds, column: str, p: int = 12):
         for buf in t["regs"].to_pylist():
             np.maximum(regs, np.frombuffer(buf, np.uint8), out=regs)
     return hll_estimate(regs), regs
+
+
+def _gather_small(ds) -> pa.Table:
+    import ray
+
+    from stringzilla_ray.util import ensure_materialized
+
+    tables = [t for t in ray.get(ensure_materialized(ds).to_arrow_refs())
+              if len(t)]
+    return pa.concat_tables(tables) if tables else None
+
+
+def mad_outliers(ds, key_column: str, value_column: str, id_column: str,
+                 k: float = 3.0):
+    """Robust per-group outlier flags: |x - median_g| > k * MAD_g
+    (MAD = median absolute deviation) — the data-quality gate that,
+    unlike z-scores, a few extreme rows cannot poison. Two exact
+    grouped-median censuses (grouped_quantile's frequency-map shape,
+    one tiny row per group gathered + broadcast) and one flagging
+    pass; the corpus itself never shuffles. Output:
+    (id, is_outlier int64)."""
+    import ray
+
+    import functools as _ft
+
+    import pyarrow.compute as pc
+
+    from stringzilla_ray.util import ensure_materialized
+
+    def _lookup(batch_keys, names: pa.Array, vals: np.ndarray):
+        if isinstance(batch_keys, pa.ChunkedArray):
+            batch_keys = batch_keys.combine_chunks()
+        idx = pc.index_in(batch_keys, value_set=names) \
+            .to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
+        safe = np.where(miss, 0, idx).astype(np.int64)
+        out = vals[safe] if len(vals) else np.zeros(len(safe), np.float64)
+        out[miss] = np.nan
+        return out
+
+    med_t = _gather_small(grouped_quantile(
+        ds, key_column, value_column, 0.5, out_column="med"))
+    med_names = (med_t[key_column].combine_chunks() if med_t is not None
+                 else pa.array([], pa.string()))
+    med_vals = (med_t["med"].to_numpy(zero_copy_only=False)
+                if med_t is not None else np.zeros(0, np.float64))
+    med_ref = ray.put((med_names, med_vals))
+
+    def add_dev(batch: pa.Table, *, ref) -> pa.Table:
+        names, vals = ray.get(ref)
+        x = batch[value_column].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        med = _lookup(batch[key_column], names, vals)
+        return pa.table({
+            id_column: batch[id_column],
+            key_column: batch[key_column],
+            "dev": pa.array(np.abs(x - med), pa.float64()),
+        })
+
+    dev = ensure_materialized(
+        ds.map_batches(_ft.partial(add_dev, ref=med_ref),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    mad_t = _gather_small(grouped_quantile(
+        dev, key_column, "dev", 0.5, out_column="mad"))
+    mad_names = (mad_t[key_column].combine_chunks() if mad_t is not None
+                 else pa.array([], pa.string()))
+    mad_vals = (mad_t["mad"].to_numpy(zero_copy_only=False)
+                if mad_t is not None else np.zeros(0, np.float64))
+    mad_ref = ray.put((mad_names, mad_vals))
+
+    def flag(batch: pa.Table, *, ref) -> pa.Table:
+        names, vals = ray.get(ref)
+        devv = batch["dev"].to_numpy(zero_copy_only=False)
+        mad = _lookup(batch[key_column], names, vals)
+        out = (devv > k * mad).astype(np.int64)
+        return pa.table({
+            id_column: batch[id_column],
+            "is_outlier": pa.array(out, pa.int64()),
+        })
+
+    return dev.map_batches(_ft.partial(flag, ref=mad_ref),
+                           batch_format="pyarrow", zero_copy_batch=True)

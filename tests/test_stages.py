@@ -2518,3 +2518,28 @@ def test_char_entropy_and_funnel(ray_session):
                  ["view", "click", "purchase"]).to_pandas() \
         .sort_values("user_id")
     assert out.values.tolist() == [[1, 3], [2, 1], [3, 0], [4, 2]]
+
+
+def test_mad_outliers(ray_session):
+    """|x - median| > k*MAD flags exactly the planted extremes and
+    nothing in the bulk; grouped medians are per-key."""
+    import ray.data
+
+    from stringzilla_ray.stages.stats import mad_outliers
+
+    rng = np.random.default_rng(8)
+    vals_a = rng.normal(10, 1, 400)
+    vals_b = rng.normal(-5, 0.1, 400)
+    vals = np.concatenate([vals_a, vals_b, [1000.0, -1000.0]])
+    types = ["a"] * 400 + ["b"] * 400 + ["a", "b"]
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })).repartition(4)
+    out = mad_outliers(ds, "event_type", "value", "event_id", k=6.0) \
+        .to_pandas().sort_values("event_id")
+    flags = out["is_outlier"].values
+    assert flags[800] == 1 and flags[801] == 1      # planted extremes
+    # normal bulk at k=6 MADs: ~0 false flags expected
+    assert flags[:800].sum() <= 2
