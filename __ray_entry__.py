@@ -543,6 +543,38 @@ def _q_window_sum_by_type(sf_dir: str):
     return agg.map_batches(emit, batch_format="pyarrow")
 
 
+def _asof_views_direction(sf_dir: str, direction: str):
+    from stringzilla_ray.stages.temporal import asof_join
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = ds.filter(expr="event_type == 'click'")
+    views = ds.filter(expr="event_type == 'view'")
+    out = asof_join(clicks, views, by="user_id", on="ts",
+                    right_payload=("event_id",), direction=direction)
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "view_event_id": pc.fill_null(t["r_event_id"], -1),
+        })
+
+    return out.map_batches(emit, batch_format="pyarrow")
+
+
+def _q_asof_forward_views(sf_dir: str):
+    """merge_asof direction="forward": each click matched to the same
+    user's EARLIEST view at or after it (reversed accumulate fill,
+    same single key shuffle — stages/temporal.py:asof_join)."""
+    return _asof_views_direction(sf_dir, "forward")
+
+
+def _q_asof_nearest_views(sf_dir: str):
+    """merge_asof direction="nearest": the closer of the backward and
+    forward candidates per click; backward wins exact-distance ties."""
+    return _asof_views_direction(sf_dir, "nearest")
+
+
 def _q_asof_join_views(sf_dir: str):
     """As-of join: every click event matched to the same user's most
     recent view event at or before it (backward inclusive; unmatched
@@ -2714,6 +2746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_dedup,
         "window_sum_by_type": _q_window_sum_by_type,
         "asof_join_views": _q_asof_join_views,
+        "asof_forward_views": _q_asof_forward_views,
+        "asof_nearest_views": _q_asof_nearest_views,
         "range_purchases_after_click": _q_range_purchases_after_click,
         "sessionize": _q_sessionize,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
@@ -3327,6 +3361,25 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT event_id FROM events v "
             "  WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts "
             "  ORDER BY v.ts DESC LIMIT 1) v ON TRUE"
+        ),
+        "asof_forward_views": (
+            "SELECT c.event_id, coalesce(v.event_id, -1) AS view_event_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "LEFT JOIN LATERAL ("
+            "  SELECT event_id FROM events v "
+            "  WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts >= c.ts "
+            "  ORDER BY v.ts ASC LIMIT 1) v ON TRUE"
+        ),
+        "asof_nearest_views": (
+            # closest view either side; on an exact distance tie the
+            # earlier (backward) one wins — ORDER BY dist, ts.
+            "SELECT c.event_id, coalesce(v.event_id, -1) AS view_event_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "LEFT JOIN LATERAL ("
+            "  SELECT event_id FROM events v "
+            "  WHERE v.event_type = 'view' AND v.user_id = c.user_id "
+            "  ORDER BY abs(epoch_us(v.ts) - epoch_us(c.ts)), v.ts "
+            "  LIMIT 1) v ON TRUE"
         ),
         "range_purchases_after_click": (
             "SELECT c.event_id, CAST(count(p.event_id) AS BIGINT) AS n_matches "

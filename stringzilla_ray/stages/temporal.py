@@ -132,28 +132,65 @@ def window_aggregate(ds, ts_column: str, window_us: int,
     return agg
 
 
-def _asof_group(g: pa.Table, by: str, on: str, payload: list[str]) -> pa.Table:
-    """One BY-key-complete shard: lexsort both sides together by
-    (key, ts, side) with right rows ordering BEFORE left rows at equal
-    ts (inclusive match), then one maximum.accumulate forward-fill
-    gives every left row the latest right row position at-or-before
-    it; positions pointing into a different key are no-match."""
+def _asof_fill(side: np.ndarray, key: np.ndarray, ts: np.ndarray,
+               backward: bool):
+    """One directional as-of fill over the unioned shard: lexsort both
+    sides by (key, ts, tie) — for backward-inclusive, right rows sort
+    BEFORE left at equal ts and a maximum.accumulate carries the
+    latest right position forward; for forward-inclusive, right rows
+    sort AFTER left and a reversed minimum.accumulate carries the
+    earliest right position back. Returns (left_pos, match_pos,
+    match_ts) aligned on the left rows' ORIGINAL positions."""
+    n = len(side)
+    is_right_raw = side == 1
+    if backward:
+        order = np.lexsort((1 - side, ts, key))
+    else:
+        order = np.lexsort((side, ts, key))
+    side_s, key_s, ts_s = side[order], key[order], ts[order]
+    is_right = side_s == 1
+    is_left = ~is_right
+    if backward:
+        arr = np.where(is_right, np.arange(n), -1)
+        ff = np.maximum.accumulate(arr)
+        lf = ff[is_left]
+        lc = np.maximum(lf, 0)
+        valid = (lf >= 0) & (key_s[lc] == key_s[is_left])
+    else:
+        arr = np.where(is_right, np.arange(n), n)
+        ff = np.minimum.accumulate(arr[::-1])[::-1]
+        lf = ff[is_left]
+        lc = np.minimum(lf, max(n - 1, 0))
+        valid = (lf < n) & (key_s[lc] == key_s[is_left])
+    left_pos = order[is_left]
+    match_pos = np.where(valid, order[lc], -1)
+    match_ts = np.where(valid, ts_s[lc], 0)
+    # align to original left-row order so directions can be combined
+    back = np.argsort(left_pos, kind="stable")
+    return left_pos[back], match_pos[back], match_ts[back]
+
+
+def _asof_group(g: pa.Table, by: str, on: str, payload: list[str],
+                direction: str = "backward") -> pa.Table:
+    """One BY-key-complete shard; ``direction`` is pandas merge_asof's:
+    backward (greatest right ts <= left ts), forward (smallest right
+    ts >= left ts), nearest (closer of the two, backward on ties)."""
     side = g["__side"].to_numpy(zero_copy_only=False)
     key = g[by].to_numpy(zero_copy_only=False).astype(np.int64)
     ts = _ts_us(g[on])
-    # right rows (side=1) must sort BEFORE left rows at equal ts so the
-    # forward fill sees them — backward-INCLUSIVE match
-    order = np.lexsort((1 - side, ts, key))
-    side_s, key_s = side[order], key[order]
-    is_right = side_s == 1
-    arr = np.where(is_right, np.arange(len(order)), -1)
-    ff = np.maximum.accumulate(arr)
-    is_left = ~is_right
-    lf = ff[is_left]
-    lf_c = np.maximum(lf, 0)  # clamp before indexing; validity gates below
-    valid = (lf >= 0) & (key_s[lf_c] == key_s[is_left])
-    left_pos = order[is_left]
-    match_pos = np.where(valid, order[lf_c], -1)
+    if direction == "backward":
+        left_pos, match_pos, _ = _asof_fill(side, key, ts, True)
+    elif direction == "forward":
+        left_pos, match_pos, _ = _asof_fill(side, key, ts, False)
+    elif direction == "nearest":
+        left_pos, bp, bt = _asof_fill(side, key, ts, True)
+        _, fp, ft = _asof_fill(side, key, ts, False)
+        lts = ts[left_pos]
+        db = np.where(bp >= 0, lts - bt, np.iinfo(np.int64).max)
+        df = np.where(fp >= 0, ft - lts, np.iinfo(np.int64).max)
+        match_pos = np.where(db <= df, bp, fp)  # tie -> backward
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
     take_left = pa.array(left_pos, pa.int64())
     out = {
         name: (g[name].combine_chunks()
@@ -176,12 +213,16 @@ def _asof_group(g: pa.Table, by: str, on: str, payload: list[str]) -> pa.Table:
 
 def asof_join(left, right, by: str, on: str,
               right_payload: tuple[str, ...] = (),
-              n_shards: int | None = None):
+              n_shards: int | None = None,
+              direction: str = "backward"):
     """As-of join: for each left row, attach the right row with the
     greatest ``on`` <= left's ``on`` within the same ``by`` key
     (backward inclusive, pandas ``merge_asof`` semantics; ties are
-    impossible when (by, on) is unique on the right). Unmatched left
-    rows keep nulls in the ``r_*`` payload columns.
+    impossible when (by, on) is unique on the right). ``direction``
+    covers merge_asof's full surface: "forward" attaches the smallest
+    right ``on`` >= left's, "nearest" the closer of the two (backward
+    wins exact-distance ties). Unmatched left rows keep nulls in the
+    ``r_*`` payload columns.
 
     One shuffle total: both sides hash-shard on ``by`` (a shard owns
     every row of its keys), then each shard resolves all its matches
@@ -233,7 +274,8 @@ def asof_join(left, right, by: str, on: str,
         ).map_batches(tag_right, batch_format="pyarrow")
     )
     return tagged.groupby("__shard").map_groups(
-        functools.partial(_asof_group, by=by, on=on, payload=payload),
+        functools.partial(_asof_group, by=by, on=on, payload=payload,
+                          direction=direction),
         batch_format="pyarrow",
     )
 

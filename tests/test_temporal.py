@@ -220,3 +220,45 @@ def test_window_dedup_vs_python_oracle(ray_session):
             ["user_id", "event_type"], "ts", "event_id", win,
         ).to_pandas()["event_id"].sort_values().tolist()
         assert got == exp
+
+
+def test_asof_directions_vs_pandas(ray_session):
+    """forward / nearest / backward asof == pandas merge_asof on a
+    randomized keyed series (unique right (key, ts) per the documented
+    tie contract)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import asof_join
+
+    rng = np.random.default_rng(77)
+    nl, nr = 300, 200
+    lk = rng.integers(0, 8, nl)
+    lt = rng.integers(0, 10_000, nl)
+    rk = rng.integers(0, 8, nr)
+    # unique (key, ts) on the right
+    rt = np.array(sorted(rng.choice(20_000, size=nr, replace=False)))
+    left = pa.table({
+        "lid": pa.array(range(nl), pa.int64()),
+        "k": pa.array(lk, pa.int64()),
+        "ts": pa.array(lt, pa.timestamp("us")),
+    })
+    right = pa.table({
+        "rid": pa.array(range(nr), pa.int64()),
+        "k": pa.array(rk, pa.int64()),
+        "ts": pa.array(rt, pa.timestamp("us")),
+    })
+    lpd = left.to_pandas().sort_values("ts")
+    rpd = right.to_pandas().sort_values("ts")
+    for direction in ("backward", "forward", "nearest"):
+        exp = pd.merge_asof(lpd, rpd, on="ts", by="k",
+                            direction=direction) \
+            .sort_values("lid")["rid"].fillna(-1).astype(int).tolist()
+        got = asof_join(ray.data.from_arrow(left).repartition(3),
+                        ray.data.from_arrow(right).repartition(2),
+                        by="k", on="ts", right_payload=("rid",),
+                        direction=direction).to_pandas() \
+            .sort_values("lid")["r_rid"].fillna(-1).astype(int).tolist()
+        assert got == exp, direction
