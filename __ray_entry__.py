@@ -772,6 +772,30 @@ def _q_unigram_surprisal(sf_dir: str):
     return add_unigram_surprisal(ds)
 
 
+def _q_ngram_repetition(sf_dir: str, n: int):
+    from stringzilla_ray.stages.textstats import add_ngram_repetition
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t, n=n: add_ngram_repetition(t, n),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_top_2gram_chars(sf_dir: str):
+    """Gopher table A1 "top n-gram character fraction" numerator at
+    n=2: max over word bigrams of occurrences x gram char length
+    (max-product form — no tie-breaking), exact integers
+    (stages/textstats.py:add_ngram_repetition)."""
+    return _q_ngram_repetition(sf_dir, 2)
+
+
+def _q_dup_5gram_chars(sf_dir: str):
+    """Gopher "duplicate n-gram character fraction" at n=5: characters
+    covered by any word 5-gram occurring >= 2 times in the document
+    (span-coverage union, each char once)."""
+    return _q_ngram_repetition(sf_dir, 5)
+
+
 def _q_mad_outliers(sf_dir: str):
     """Robust per-type outlier flags |x - median| > 3 * MAD over
     events.value: two exact grouped-median censuses (one tiny row per
@@ -2762,6 +2786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": _q_funnel,
         "char_entropy": _q_char_entropy,
         "mad_outliers": _q_mad_outliers,
+        "top_2gram_chars": _q_top_2gram_chars,
+        "dup_5gram_chars": _q_dup_5gram_chars,
         "tpch_q3_revenue": _q_tpch_q3,
         "approx_distinct_users": _q_approx_distinct_users,
         "equalize_langs": _q_equalize_langs,
@@ -2853,6 +2879,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_counts": _q_region_nation_counts,
         "part_brand_stats": _q_part_brand_stats,
     }
+
+
+def _NGRAM_REP_SQL(n: int) -> str:
+    """SQL twin of add_ngram_repetition: gram spans reconstruct from
+    token prefixes (split-on-' '/join-with-' ' is the identity), top =
+    max(cnt * gram length), dup = DISTINCT covered positions."""
+    return (
+        "WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+        "length(text) AS n_chars FROM documents), "
+        "w0 AS (SELECT doc_id, n_chars, toks, unnest(generate_series(1, "
+        f"greatest(len(toks) - {n} + 1, 0))) AS i FROM s), "
+        "w2 AS (SELECT doc_id, n_chars, "
+        f"array_to_string(toks[i:i+{n}-1], ' ') AS gram, "
+        "CASE WHEN i = 1 THEN 0 ELSE "
+        "length(array_to_string(toks[1:i-1], ' ')) + 1 END AS s_char "
+        "FROM w0), "
+        "w3 AS (SELECT doc_id, n_chars, gram, s_char, "
+        "s_char + length(gram) AS e_char FROM w2), "
+        "g AS (SELECT doc_id, gram, count(*) AS cnt, "
+        "min(e_char - s_char) AS glen FROM w3 GROUP BY doc_id, gram), "
+        "top AS (SELECT doc_id, max(cnt * glen) AS top_chars FROM g "
+        "GROUP BY doc_id), "
+        "dp AS (SELECT w3.doc_id, w3.s_char, w3.e_char FROM w3 "
+        "JOIN g ON g.doc_id = w3.doc_id AND g.gram = w3.gram "
+        "AND g.cnt >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id, "
+        "s_char + unnest(generate_series(0, e_char - s_char - 1)) AS p "
+        "FROM dp)), "
+        "dcov AS (SELECT doc_id, count(*) AS dup_chars FROM cov "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+        "CAST(coalesce(top.top_chars, 0) AS BIGINT) AS "
+        f"top_{n}gram_chars, "
+        "CAST(coalesce(dcov.dup_chars, 0) AS BIGINT) AS "
+        f"dup_{n}gram_chars "
+        "FROM documents d "
+        "LEFT JOIN top ON top.doc_id = d.doc_id "
+        "LEFT JOIN dcov ON dcov.doc_id = d.doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3490,6 +3555,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN b ON b.lang = d.lang "
             "WHERE substr(md5(d.text), 17, 15) < b.bound"
         ),
+        "top_2gram_chars": _NGRAM_REP_SQL(2),
+        "dup_5gram_chars": _NGRAM_REP_SQL(5),
         "mad_outliers": (
             "WITH m AS (SELECT event_type, median(value) AS med "
             "FROM events GROUP BY event_type), "

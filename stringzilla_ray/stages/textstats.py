@@ -502,6 +502,97 @@ def unigram_model(ds, text_column: str = "text"):
     return h, cnt, int(cnt.sum())
 
 
+def add_ngram_repetition(batch: pa.Table, n: int,
+                         text_column: str = "text",
+                         id_column: str = "doc_id") -> pa.Table:
+    """The remaining Gopher/MassiveText repetition filters at word
+    n-gram granularity (Rae et al. 2021 table A1): per document,
+    ``top_ngram_chars`` = max over grams of (occurrences x gram char
+    length) — the "top n-gram character fraction" numerator, defined
+    as a max-product so no tie-breaking is ever needed — and
+    ``dup_ngram_chars`` = characters covered by at least one gram
+    occurring >= 2 times in the document (span-coverage union, each
+    char counted once). Grams are n consecutive space-split tokens;
+    positions reconstruct exactly because split-on-' '/join-with-' '
+    is the identity. Emitted as integers with ``n_chars`` so the
+    filter thresholds are exact ratios."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.functions.segment import split_column
+    from stringzilla_ray.stages.substring import _mix64
+
+    col = _combined(batch[text_column])
+    nrows = len(col)
+    doc_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    top_num = np.zeros(nrows, np.int64)
+    dup_num = np.zeros(nrows, np.int64)
+    values, parents = split_column(col, " ")
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64) \
+        if len(values) else np.zeros(0, np.int64)
+    if len(values):
+        lens = pc.utf8_length(values).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # within-doc char start of token i: sum of previous token
+        # lengths + one space per previous token
+        tok_per_doc = np.bincount(par, minlength=nrows)
+        doc_tok_start = np.zeros(nrows, np.int64)
+        np.cumsum(tok_per_doc[:-1], out=doc_tok_start[1:])
+        ti = np.arange(len(par), dtype=np.int64) - doc_tok_start[par]
+        csum = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=csum[1:])
+        start = (csum[:-1] - csum[doc_tok_start[par]]) + ti
+        ntok = len(values)
+        if ntok >= n:
+            w0 = np.arange(ntok - n + 1, dtype=np.int64)
+            inside = par[w0] == par[w0 + n - 1]
+            w0 = w0[inside]
+            if len(w0):
+                h = hash_string_column(
+                    values.combine_chunks()
+                    if isinstance(values, pa.ChunkedArray) else values,
+                    seed=0).view(np.uint64)
+                # order-sensitive chain: mix BEFORE xor-ing the next
+                # token (a plain xor of hashes is symmetric — "b e"
+                # and "e b" must not collide)
+                gk = h[w0]
+                for j in range(1, n):
+                    gk = _mix64(gk) ^ h[w0 + j]
+                gk = _mix64(gk)
+                gdoc = par[w0]
+                s_char = start[w0]
+                e_char = start[w0 + n - 1] + lens[w0 + n - 1]
+                key = _mix64(gk ^ _mix64(gdoc.view(np.uint64)
+                                         + np.uint64(1)))
+                uk, first, inv, cnt = np.unique(
+                    key, return_index=True, return_inverse=True,
+                    return_counts=True)
+                # top: max over grams of cnt * gram char length
+                prod = cnt * (e_char[first] - s_char[first])
+                np.maximum.at(top_num, gdoc[first], prod)
+                # dup coverage: union of spans of grams with cnt >= 2
+                dup_occ = cnt[inv] >= 2
+                if dup_occ.any():
+                    doc_char_base = np.zeros(nrows + 1, np.int64)
+                    np.cumsum(doc_chars, out=doc_char_base[1:])
+                    gs = doc_char_base[gdoc[dup_occ]] + s_char[dup_occ]
+                    ge = doc_char_base[gdoc[dup_occ]] + e_char[dup_occ]
+                    total = int(doc_char_base[-1])
+                    delta = np.zeros(total + 1, np.int64)
+                    np.add.at(delta, gs, 1)
+                    np.add.at(delta, ge, -1)
+                    covered = np.cumsum(delta[:-1]) > 0
+                    ccum = np.zeros(total + 1, np.int64)
+                    np.cumsum(covered, out=ccum[1:])
+                    dup_num = ccum[doc_char_base[1:]] \
+                        - ccum[doc_char_base[:-1]]
+    return pa.table({
+        id_column: batch[id_column],
+        "n_chars": pa.array(doc_chars, pa.int64()),
+        f"top_{n}gram_chars": pa.array(top_num, pa.int64()),
+        f"dup_{n}gram_chars": pa.array(dup_num, pa.int64()),
+    })
+
+
 def add_char_entropy(batch: pa.Table, text_column: str = "text",
                      id_column: str = "doc_id",
                      scale: int = 10_000) -> pa.Table:

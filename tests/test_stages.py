@@ -2543,3 +2543,47 @@ def test_mad_outliers(ray_session):
     assert flags[800] == 1 and flags[801] == 1      # planted extremes
     # normal bulk at k=6 MADs: ~0 false flags expected
     assert flags[:800].sum() <= 2
+
+
+def test_ngram_repetition_vs_python_oracle():
+    """Gopher top/dup n-gram char counters == a span-based reference;
+    gram keys are order-sensitive (b e != e b) and self-pairs (aa aa)
+    don't collapse."""
+    rng = np.random.default_rng(12)
+    words = ["aa", "b", "ccc", "dd", "e"]
+    docs = [" ".join(rng.choice(words, size=rng.integers(0, 30)).tolist())
+            for _ in range(150)]
+    docs += ["", "single", "x  y", "aa b aa b aa b", "b e e b b e"]
+
+    from stringzilla_ray.stages.textstats import add_ngram_repetition
+
+    def oracle(d, n):
+        toks = d.split(" ")
+        starts, pos = [], 0
+        for t in toks:
+            starts.append(pos)
+            pos += len(t) + 1
+        grams = {}
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i:i + n])
+            grams.setdefault(g, []).append(
+                (starts[i], starts[i + n - 1] + len(toks[i + n - 1])))
+        top = 0
+        cov = np.zeros(len(d), bool)
+        for spans in grams.values():
+            glen = spans[0][1] - spans[0][0]
+            top = max(top, len(spans) * glen)
+            if len(spans) >= 2:
+                for s, e in spans:
+                    cov[s:e] = True
+        return len(d), top, int(cov.sum())
+
+    for n in (2, 3, 5):
+        t = add_ngram_repetition(pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string())}), n)
+        for i, d in enumerate(docs):
+            got = (t["n_chars"][i].as_py(),
+                   t[f"top_{n}gram_chars"][i].as_py(),
+                   t[f"dup_{n}gram_chars"][i].as_py())
+            assert got == oracle(d, n), (n, repr(d))
