@@ -1212,6 +1212,40 @@ def _q_curation_pipeline(sf_dir: str):
         tr, ev, gopher_kwargs=dict(min_words=30, min_stopwords=1),
         ngram_n=4, jaccard_threshold=0.7, decontam_n=20,
         fractions=_SPLIT_FRACTIONS, split_method="md5",
+        near_dup_strategy="exact",  # audit mode: the oracle-exact join
+    )
+
+
+def _q_curation_pipeline_simhash(sf_dir: str):
+    """curate_corpus in its LSH near-dup mode: the same five-stage
+    chain, but stage 3's pair generation is SimHash pigeonhole banding
+    (recall exactly 1 at Hamming radius k, so the pair set — and hence
+    every disposition — is still deterministic and SQL-expressible via
+    the FNV-1a token-hash twin). This is the 100-TB shape of the
+    composed pipeline; the default "auto" strategy dispatches to the
+    LSH members above 2k docs (MinHash differs only in using
+    jaccard-verified banded candidates)."""
+    from stringzilla_ray.pipelines.curation import curate_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mod_filter(want_zero):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            is_ev = ids.to_numpy(zero_copy_only=False) % 50 == 0
+            return t.filter(pa.array(is_ev if want_zero else ~is_ev))
+        return f
+
+    ev = ds.map_batches(_mod_filter(True), batch_format="pyarrow")
+    tr = ds.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return curate_corpus(
+        tr, ev, gopher_kwargs=dict(min_words=30, min_stopwords=1),
+        decontam_n=20,
+        fractions=_SPLIT_FRACTIONS, split_method="md5",
+        near_dup_strategy="simhash", simhash_k=4,
+        simhash_token_hash="fnv",
     )
 
 
@@ -2804,6 +2838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_overlapping": _q_count_overlapping,
         "vocab_by_lang": _q_vocab_by_lang,
         "curation_pipeline": _q_curation_pipeline,
+        "curation_pipeline_simhash": _q_curation_pipeline_simhash,
         "incremental_dedup": _q_incremental_dedup,
         "chunk_documents": _q_chunk_documents,
         "longest_docs_per_lang": _q_longest_docs_per_lang,
@@ -3895,6 +3930,84 @@ def oracle_sql() -> dict[str, str]:
             "prs AS (SELECT l, r FROM inter"
             "  JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r"
             "  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7),"
+            "sym AS (SELECT l AS a, r AS b FROM prs"
+            "        UNION ALL SELECT r AS a, l AS b FROM prs),"
+            "reach(s, d) AS (SELECT doc_id, doc_id FROM s2"
+            "  UNION SELECT reach.s, sym.b FROM reach JOIN sym ON sym.a = reach.d),"
+            "rep AS (SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s),"
+            "s3 AS (SELECT s2.doc_id, s2.text FROM s2"
+            "  JOIN rep ON rep.doc_id = s2.doc_id WHERE rep.rep = s2.doc_id),"
+            "eg AS (SELECT DISTINCT substr(ev.text, CAST(p AS INT), 20) AS gram"
+            "  FROM ev, unnest(generate_series(1, length(ev.text) - 19)) AS t(p)"
+            "  WHERE length(ev.text) >= 20),"
+            "tg AS (SELECT DISTINCT s3.doc_id, substr(s3.text, CAST(p AS INT), 20) AS gram"
+            "  FROM s3, unnest(generate_series(1, length(s3.text) - 19)) AS t(p)"
+            "  WHERE length(s3.text) >= 20),"
+            "hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram))"
+            "SELECT t.doc_id, CASE"
+            " WHEN gq.passes = 0 THEN 'gopher_fail'"
+            " WHEN ex.win IS NOT NULL AND ex.win <> t.doc_id THEN 'exact_dup'"
+            " WHEN rep.rep IS NOT NULL AND rep.rep <> t.doc_id THEN 'near_dup'"
+            " WHEN hits.doc_id IS NOT NULL THEN 'contaminated'"
+            f" WHEN substr(md5(t.text), 17, 16) < '{b_train}' THEN 'train'"
+            f" WHEN substr(md5(t.text), 17, 16) < '{b_val}' THEN 'val'"
+            " ELSE 'test' END AS disposition "
+            "FROM tr0 t "
+            "LEFT JOIN gq ON gq.doc_id = t.doc_id "
+            "LEFT JOIN ex ON ex.doc_id = t.doc_id "
+            "LEFT JOIN rep ON rep.doc_id = t.doc_id "
+            "LEFT JOIN hits ON hits.doc_id = t.doc_id"
+        ),
+        "curation_pipeline_simhash": (
+            # Same five-stage chain, but the near-dup edge set is the
+            # FNV-1a SimHash Hamming-<=4 pair set (the simhash_near_dup
+            # twin, scoped to exact-dedup survivors s2). The Ray side's
+            # pigeonhole banding has recall exactly 1, so both sides
+            # build the identical duplicate graph.
+            "WITH RECURSIVE "
+            "tr0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),"
+            "ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),"
+            "w0 AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS ws FROM tr0),"
+            "gs0 AS (SELECT doc_id, text, len(ws) AS nw,"
+            "  coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS tc,"
+            "  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS na,"
+            "  (length(text) - length(replace(text, '#', '')))"
+            "   + (length(text) - length(replace(text, '…', ''))) AS ns FROM w0),"
+            "gq AS (SELECT doc_id, text, CAST("
+            "  nw BETWEEN 30 AND 100000"
+            "  AND (CASE WHEN nw > 0 THEN CAST(tc AS DOUBLE)/nw ELSE 0 END) BETWEEN 3 AND 10"
+            "  AND (CASE WHEN nw > 0 THEN CAST(na AS DOUBLE)/nw ELSE 0 END) >= 0.8"
+            "  AND (CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE)/nw ELSE 0 END) <= 0.1"
+            "  AND (CAST(regexp_matches(text, '\\bthe\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bbe\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bto\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bof\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\band\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bthat\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bhave\\b') AS INT)"
+            "   + CAST(regexp_matches(text, '\\bwith\\b') AS INT)) >= 1"
+            "  AS INT) AS passes FROM gs0),"
+            "s1 AS (SELECT doc_id, text FROM gq WHERE passes = 1),"
+            "ex AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS win FROM s1),"
+            "s2 AS (SELECT doc_id, text FROM ex WHERE doc_id = win),"
+            "tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM s2),"
+            "h AS (SELECT doc_id,"
+            "  (list_reduce("
+            "    list_prepend(14695981039346656037::HUGEINT,"
+            "      list_transform(string_split(t, ''), c -> unicode(c)::HUGEINT)),"
+            "    (a, x) -> ((xor(a::UBIGINT, x::UBIGINT))::HUGEINT * 1099511628211::HUGEINT)"
+            "              % 18446744073709551616::HUGEINT"
+            "  ))::UBIGINT AS hv FROM tok),"
+            "bits AS (SELECT doc_id, b,"
+            "  CASE WHEN sum(CASE WHEN (hv >> b::UBIGINT) & 1::UBIGINT = 1::UBIGINT "
+            "THEN 1 ELSE -1 END) >= 0"
+            "       THEN power(2, b)::HUGEINT ELSE 0::HUGEINT END AS bitval"
+            "  FROM h CROSS JOIN generate_series(0, 63) AS g(b)"
+            "  GROUP BY doc_id, b),"
+            "sig AS (SELECT doc_id, sum(bitval)::UBIGINT AS s FROM bits GROUP BY doc_id),"
+            "prs AS (SELECT a.doc_id AS l, b.doc_id AS r FROM sig a"
+            "  JOIN sig b ON a.doc_id < b.doc_id"
+            "  WHERE bit_count(xor(a.s, b.s)) <= 4),"
             "sym AS (SELECT l AS a, r AS b FROM prs"
             "        UNION ALL SELECT r AS a, l AS b FROM prs),"
             "reach(s, d) AS (SELECT doc_id, doc_id FROM s2"

@@ -12,7 +12,15 @@ cannot give:
    the flag-emitting form of the same shard-groupby) → ``exact_dup``
 3. near-dup clustering, min-id survivor
    (stages/dedup.py:near_dedup_keep with the text carried along) →
-   ``near_dup``
+   ``near_dup``. Pair generation dispatches on ``near_dup_strategy``:
+   the EXACT n-gram Jaccard join is the audit mode (deterministic,
+   oracle-checkable, but candidates are inherently ~quadratic on
+   low-entropy corpora — prefix filtering shrinks the constant, never
+   the exponent), while ``minhash`` (LSH-banded candidates + exact
+   n-gram verify) and ``simhash`` (pigeonhole banding, recall exactly
+   1 at the Hamming radius) are the linear-exchange paths a 100-TB
+   corpus needs. ``auto`` (the default) takes the exact join below
+   ``near_dup_auto_threshold`` documents and MinHash-LSH above it.
 4. eval-set n-gram decontamination (stages/dedup.py:decontaminate,
    append_flag mode) → ``contaminated``
 5. deterministic content-hash split (stages/curation.py:assign_split)
@@ -49,16 +57,34 @@ def curate_corpus(
     fractions: dict[str, float] | None = None,
     split_method: str = "md5",
     seed: int = 0,
+    near_dup_strategy: str = "auto",
+    # BASELINE.md: the exact join's candidates are ~quadratic on
+    # low-entropy corpora (63 s for 500 template docs at sf0.1) while
+    # MinHash-LSH stays near-linear — crossover is low thousands.
+    near_dup_auto_threshold: int = 2_000,
+    simhash_k: int = 4,
+    simhash_token_hash: str = "aes",
+    minhash_ndim: int = 128,
+    minhash_bands: int = 32,
 ):
     """Run the five-stage curation chain; return (id_column,
     disposition string) with exactly one row per input document.
     Dispositions: ``gopher_fail`` | ``exact_dup`` | ``near_dup`` |
-    ``contaminated`` | a split name (the survivors)."""
+    ``contaminated`` | a split name (the survivors).
+
+    ``near_dup_strategy``: ``"auto"`` (exact join below
+    ``near_dup_auto_threshold`` docs, MinHash-LSH above), ``"exact"``
+    (audit mode — quadratic candidates), ``"minhash"`` (LSH bands +
+    exact n-gram Jaccard verify at ``jaccard_threshold``), or
+    ``"simhash"`` (Hamming-radius ``simhash_k``, recall exactly 1 by
+    pigeonhole banding)."""
     from stringzilla_ray.stages.curation import assign_split
     from stringzilla_ray.stages.dedup import (
         decontaminate,
         exact_dedup_flags,
+        minhash_dedup_pairs,
         near_dedup_keep,
+        simhash_near_dup_pairs,
     )
     from stringzilla_ray.stages.textstats import gopher_quality
 
@@ -101,9 +127,33 @@ def curate_corpus(
 
     # 3. near-dup components, min-id survivor (text rides along) ----
     s2 = s2.materialize()  # pair generation AND labeling consume it
+    strategy = near_dup_strategy
+    if strategy == "auto":
+        strategy = (
+            "exact" if s2.count() <= near_dup_auto_threshold else "minhash"
+        )
+    if strategy == "exact":
+        pairs = None  # near_dedup_keep runs the exact n-gram join
+    elif strategy == "minhash":
+        pairs = minhash_dedup_pairs(
+            s2, id_column, text_column, ndim=minhash_ndim,
+            bands=minhash_bands, seed=seed, ngram=ngram_n,
+            jaccard_threshold=jaccard_threshold,
+        )
+    elif strategy == "simhash":
+        pairs = simhash_near_dup_pairs(
+            s2, id_column, text_column, k=simhash_k, seed=seed,
+            token_hash=simhash_token_hash,
+        )
+    else:
+        raise ValueError(
+            f"near_dup_strategy must be auto|exact|minhash|simhash, "
+            f"got {near_dup_strategy!r}"
+        )
     labeled = near_dedup_keep(
         s2, id_column, text_column, n=ngram_n,
         jaccard_threshold=jaccard_threshold,
+        pairs=pairs,
         carry_columns=[text_column],
     ).materialize()
     s3, fail3 = split_on(labeled, "keep", 1)

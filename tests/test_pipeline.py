@@ -224,3 +224,29 @@ def test_curate_corpus_dispositions(ray_session):
     for i, d in disp.items():
         if d in ("train", "val", "test"):
             assert d == want_split[i], i
+
+    # LSH near-dup strategies (the 100-TB paths) reproduce the exact
+    # join's dispositions on this fixture: the planted near-dup is one
+    # edited word out of 50 (jaccard ~0.9, Hamming well inside k), so
+    # minhash banding and simhash pigeonhole both recover the pair.
+    # "auto" with a tiny threshold exercises the dispatch itself.
+    for kwargs in (
+        dict(near_dup_strategy="minhash"),
+        dict(near_dup_strategy="simhash", simhash_k=8),
+        dict(near_dup_strategy="auto", near_dup_auto_threshold=1),
+    ):
+        out2 = curate_corpus(
+            ray.data.from_arrow(tbl).repartition(4),
+            ray.data.from_arrow(ev),
+            gopher_kwargs=dict(min_stopwords=1),
+            ngram_n=4, jaccard_threshold=0.7, decontam_n=20,
+            **kwargs,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(out2["disposition"]) == list(out["disposition"]), kwargs
+
+    import pytest
+    with pytest.raises(ValueError, match="near_dup_strategy"):
+        curate_corpus(
+            ray.data.from_arrow(tbl), ray.data.from_arrow(ev),
+            near_dup_strategy="bogus",
+        )
