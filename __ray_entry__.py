@@ -966,6 +966,47 @@ def _q_bigram_surprisal(sf_dir: str):
     return add_bigram_surprisal(ds)
 
 
+def _q_incremental_surprisal(sf_dir: str):
+    """Bigram-LM scoring of a NEW shard (doc_id >= 400) against a
+    PREBUILT partitioned model trained on yesterday's corpus
+    (doc_id < 450): build_unigram_model/build_bigram_model persist the
+    censuses as hash-range-bucketed parquet + meta.json, and scoring
+    probes only the buckets each batch's token hashes occupy — the
+    model is never gathered to the driver or broadcast whole (the
+    100-TB shape; web-scale distinct bigrams are billions of entries).
+    Unseen tokens/bigrams clamp to count 1 on both sides."""
+    from stringzilla_ray.stages.textstats import (
+        add_bigram_surprisal,
+        build_bigram_model,
+        build_unigram_model,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(lo, hi):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            iv = ids.to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((iv >= lo) & (iv < hi)))
+        return f
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    train = ds.map_batches(part(0, 450), batch_format="pyarrow")
+    upath = _cached_build(
+        f"/tmp/stringzilla_ray_lmindex/{scale}-uni-v1",
+        lambda tmp: build_unigram_model(train, tmp),
+    )
+    bpath = _cached_build(
+        f"/tmp/stringzilla_ray_lmindex/{scale}-bi-v1",
+        lambda tmp: build_bigram_model(train, tmp),
+    )
+    new_shard = ds.map_batches(part(400, 1 << 62), batch_format="pyarrow")
+    return add_bigram_surprisal(new_shard, uni_model_path=upath,
+                                bi_model_path=bpath)
+
+
 _DUP_SPAN_WINDOW = 25
 
 
@@ -2815,6 +2856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_dup_spans": _q_drop_dup_spans,
         "unigram_surprisal": _q_unigram_surprisal,
         "bigram_surprisal": _q_bigram_surprisal,
+        "incremental_surprisal": _q_incremental_surprisal,
         "quantize_embeddings": _q_quantize_embeddings,
         "window_dedup_events": _q_window_dedup,
         "funnel_stages": _q_funnel,
@@ -3692,6 +3734,41 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens, CAST(round(coalesce(a.m, 0) * 10000, 0) "
             "AS BIGINT) AS bigram_surprisal_x10000 "
             "FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
+        ),
+        "incremental_surprisal": (
+            # train counts from doc_id < 450; score doc_id >= 400 with
+            # every miss (token or bigram unseen in training) clamped
+            # to count 1 — the exact semantics of the partitioned-model
+            # probe's default.
+            "WITH te0 AS (SELECT doc_id, regexp_extract_all(text, "
+            "'[0-9A-Za-z_]+') AS toks FROM documents WHERE doc_id < 450), "
+            "te AS (SELECT doc_id, unnest(toks) AS tok, "
+            "unnest(range(1, len(toks)+1)) AS i FROM te0), "
+            "u AS (SELECT tok, count(*) AS cnt FROM te GROUP BY tok), "
+            "tot AS (SELECT count(*) AS total FROM te), "
+            "tb AS (SELECT doc_id, i, tok, lag(tok) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS prev FROM te), "
+            "bg AS (SELECT prev, tok, count(*) AS cnt FROM tb "
+            "WHERE prev IS NOT NULL GROUP BY prev, tok), "
+            "q0 AS (SELECT doc_id, regexp_extract_all(text, "
+            "'[0-9A-Za-z_]+') AS toks FROM documents WHERE doc_id >= 400), "
+            "q AS (SELECT doc_id, unnest(toks) AS tok, "
+            "unnest(range(1, len(toks)+1)) AS i FROM q0), "
+            "p AS (SELECT doc_id, i, tok, lag(tok) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS prev FROM q), "
+            "s AS (SELECT p.doc_id, CASE WHEN p.prev IS NULL THEN "
+            "ln((SELECT total FROM tot)) - ln(coalesce(u.cnt, 1)) "
+            "ELSE ln(coalesce(up.cnt, 1)) - ln(coalesce(bg.cnt, 1)) END AS sp "
+            "FROM p LEFT JOIN u ON u.tok = p.tok "
+            "LEFT JOIN u up ON up.tok = p.prev "
+            "LEFT JOIN bg ON bg.prev = p.prev AND bg.tok = p.tok), "
+            "a AS (SELECT doc_id, count(*) AS n_tokens, avg(sp) AS m "
+            "FROM s GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, CAST(round(coalesce(a.m, 0) * 10000, 0) "
+            "AS BIGINT) AS bigram_surprisal_x10000 "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d "
+            "LEFT JOIN a ON a.doc_id = d.doc_id"
         ),
         "unigram_surprisal": (
             "WITH e AS (SELECT doc_id, unnest(regexp_extract_all(text, "

@@ -10,6 +10,7 @@ against (tests/test_stages.py).
 
 from __future__ import annotations
 
+import functools
 import re
 
 import numpy as np
@@ -452,25 +453,16 @@ def _unigram_reduce_fn(g: pa.Table) -> pa.Table:
                      "cnt": summed["cnt"].cast(pa.int64())})
 
 
-def unigram_model(ds, text_column: str = "text"):
-    """Corpus unigram language model as (sorted token-hash int64 array,
-    counts int64 array, total tokens) — the training pass of
-    CCNet-style LM quality filtering, as a distributed census.
-
-    Same pre-aggregate shape as token_topk: per-batch (token, cnt)
-    partials BEFORE the exchange, one hash-shard groupby sums exactly,
-    and the model gathers as ~16 bytes per DISTINCT token (hash +
-    count — Heaps' law keeps this millions, not corpus-sized, at
-    100 TB). Hash collisions merge two token counts with ~2^-64
-    probability per pair (same accepted risk as decontaminate)."""
-    import functools as _ft
-
-    import ray
-
+def _unigram_census_ds(ds, text_column: str = "text"):
+    """The distributed unigram census as a (h int64, cnt int64)
+    Dataset — per-batch (token, cnt) partials BEFORE the exchange,
+    one hash-shard groupby sums exactly. Shared by the broadcast
+    model (unigram_model) and the partitioned artifact
+    (build_unigram_model)."""
     from stringzilla_ray.util import reduce_buckets
 
     n_shards = reduce_buckets()
-    census = (
+    return (
         ds.map_batches(
             _token_partial_fn,
             fn_kwargs=dict(text_column=text_column),
@@ -482,6 +474,27 @@ def unigram_model(ds, text_column: str = "text"):
         .groupby("shard")
         .map_groups(_unigram_reduce_fn, batch_format="pyarrow")
     )
+
+
+def unigram_model(ds, text_column: str = "text"):
+    """Corpus unigram language model as (sorted token-hash int64 array,
+    counts int64 array, total tokens) — the training pass of
+    CCNet-style LM quality filtering, as a distributed census.
+
+    Same pre-aggregate shape as token_topk: per-batch (token, cnt)
+    partials BEFORE the exchange, one hash-shard groupby sums exactly,
+    and the model gathers as ~16 bytes per DISTINCT token (hash +
+    count — Heaps' law keeps this millions, not corpus-sized, at
+    100 TB). Hash collisions merge two token counts with ~2^-64
+    probability per pair (same accepted risk as decontaminate).
+
+    This is the BROADCAST form — fine to vocab-bounded sizes; above
+    that (web-scale bigrams especially) build_unigram_model persists
+    the same census hash-range-partitioned and scoring probes it
+    bucket-pruned, never materializing the model in one place."""
+    import ray
+
+    census = _unigram_census_ds(ds, text_column)
     tables = [t for t in ray.get(census.materialize().to_arrow_refs())
               if len(t)]
     if not tables:
@@ -672,16 +685,14 @@ def _hash_sum_reduce_fn(g: pa.Table) -> pa.Table:
                      "cnt": pa.array(sums, pa.int64())})
 
 
-def bigram_model(ds, text_column: str = "text"):
-    """Corpus bigram counts as (sorted bigram-hash int64, counts) —
-    the same census shape as unigram_model, keyed on the mixed
-    (prev-hash, hash) pair; bigrams never cross document boundaries."""
-    import ray
-
+def _bigram_census_ds(ds, text_column: str = "text"):
+    """The distributed bigram census as a (h int64, cnt int64) Dataset
+    — keyed on the mixed (prev-hash, hash) pair; bigrams never cross
+    document boundaries."""
     from stringzilla_ray.util import reduce_buckets
 
     n_shards = reduce_buckets()
-    census = (
+    return (
         ds.map_batches(
             _bigram_partial_fn,
             fn_kwargs=dict(text_column=text_column, n_shards=n_shards),
@@ -690,6 +701,17 @@ def bigram_model(ds, text_column: str = "text"):
         .groupby("shard")
         .map_groups(_hash_sum_reduce_fn, batch_format="pyarrow")
     )
+
+
+def bigram_model(ds, text_column: str = "text"):
+    """Corpus bigram counts as (sorted bigram-hash int64, counts) —
+    the same census shape as unigram_model. BROADCAST form; at web
+    scale distinct bigrams are billions of entries, so the scale path
+    is build_bigram_model (partitioned parquet) + bucket-pruned
+    probes."""
+    import ray
+
+    census = _bigram_census_ds(ds, text_column)
     tables = [t for t in ray.get(census.materialize().to_arrow_refs())
               if len(t)]
     if not tables:
@@ -700,6 +722,164 @@ def bigram_model(ds, text_column: str = "text"):
                           for t in tables])
     order = np.argsort(h, kind="stable")
     return h[order], cnt[order]
+
+
+# ----------------------------------------------- partitioned LM artifacts
+#
+# The broadcast models above gather the whole census through the driver
+# (ray.get of the materialized refs) and ship it as ONE object — fine
+# while vocab-bounded, a non-starter for web-scale bigram vocabularies
+# (billions of entries, tens of GB). These functions persist the SAME
+# census as hash-range-partitioned parquet (the build_dedup_index
+# layout, stages/dedup.py:1119) and score against it with bucket-pruned
+# reads + one searchsorted per bucket: the model never exists in one
+# address space, and a scoring batch touches only the buckets its token
+# hashes occupy.
+
+
+def _prune_count1(h: np.ndarray, cnt: np.ndarray):
+    """Drop count-1 entries from a (hash, count) model. LOSSLESS for
+    surprisal scoring: _lookup_sorted clamps every miss to count 1, so
+    a dropped singleton scores identically — while the broadcast loses
+    its Heaps'-law tail (most of a web corpus's distinct bigrams)."""
+    keep = cnt > 1
+    return h[keep], cnt[keep]
+
+
+def _model_shift(n_buckets: int) -> np.uint64:
+    return np.uint64(64 - int(n_buckets - 1).bit_length())
+
+
+def _write_partitioned_census(census, path: str, n_buckets: int,
+                              meta: dict) -> None:
+    """(h, cnt) census Dataset -> bucket=N/ parquet dirs + meta.json.
+    bucket = top bits of uint64(h); rows sorted by h within each
+    bucket so a probe is one searchsorted."""
+    import json
+    import os
+
+    shift = int(_model_shift(n_buckets))
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        hv = t["h"].to_numpy(zero_copy_only=False)
+        b = np.minimum(
+            (np.ascontiguousarray(hv).view(np.uint64)
+             >> np.uint64(shift)).astype(np.int32),
+            n_buckets - 1,
+        )
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def sort_bucket(g: pa.Table) -> pa.Table:
+        return g.sort_by([("h", "ascending")])
+
+    (
+        census.map_batches(to_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sort_bucket, batch_format="pyarrow")
+        .write_parquet(path, partition_cols=["bucket"])
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, **meta}, f)
+
+
+def build_unigram_model(ds, path: str, text_column: str = "text",
+                        n_buckets: int = 64) -> None:
+    """Persist the unigram census as a partitioned model artifact:
+    bucket=N/*.parquet (h sorted within bucket) + meta.json carrying
+    the total token count. Pass the path to add_unigram_surprisal /
+    add_bigram_surprisal as *model_path — the incremental /
+    cross-corpus scoring mode that never broadcasts the model."""
+    census = _unigram_census_ds(ds, text_column).materialize()
+    total = census.sum("cnt") or 0
+    _write_partitioned_census(census, path, n_buckets,
+                              {"total": int(total)})
+
+
+def build_bigram_model(ds, path: str, text_column: str = "text",
+                       n_buckets: int = 64) -> None:
+    """Persist the bigram census as a partitioned model artifact (same
+    layout as build_unigram_model; no total — bigram scoring only uses
+    conditional count ratios)."""
+    census = _bigram_census_ds(ds, text_column).materialize()
+    _write_partitioned_census(census, path, n_buckets, {})
+
+
+def _read_model_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        return json.load(f)
+
+
+@functools.lru_cache(maxsize=32)
+def _load_model_bucket(path: str, bucket: int):
+    """Worker-local cache of one model bucket's (h sorted, cnt) arrays.
+    Bounded: a worker holds at most maxsize buckets (1/n_buckets of the
+    model each) — the locality win when batches hash into few buckets,
+    without ever paging the whole model into one heap."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    fs = sorted(_glob.glob(f"{path}/bucket={bucket}/*.parquet"))
+    if not fs:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    h = np.concatenate([
+        pq.read_table(f, columns=["h"])["h"].to_numpy(zero_copy_only=False)
+        for f in fs
+    ])
+    cnt = np.concatenate([
+        pq.read_table(f, columns=["cnt"])["cnt"]
+        .to_numpy(zero_copy_only=False)
+        for f in fs
+    ])
+    # each FILE is sorted; the concat across files need not be — guard
+    # (same sortedness trap as the LSH index probe, ADVICE r3)
+    if len(fs) > 1 and not np.all(h[:-1] <= h[1:]):
+        order = np.argsort(h, kind="stable")
+        h, cnt = h[order], cnt[order]
+    return h, cnt
+
+
+def _partitioned_lookup(path: str, n_buckets: int, keys: np.ndarray,
+                        default: float = 1.0) -> np.ndarray:
+    """Bucket-pruned count lookup against a build_*_model artifact."""
+    shift = _model_shift(n_buckets)
+    out = np.full(len(keys), default, np.float64)
+    if len(keys) == 0:
+        return out
+    kv = np.ascontiguousarray(keys).view(np.uint64)
+    bk = np.minimum((kv >> shift).astype(np.int64), n_buckets - 1)
+    for b in np.unique(bk):
+        h, cnt = _load_model_bucket(path, int(b))
+        if not len(h):
+            continue
+        m = bk == b
+        j = np.minimum(np.searchsorted(h, keys[m]), len(h) - 1)
+        c = cnt[j].astype(np.float64)
+        c[h[j] != keys[m]] = default
+        out[m] = c
+    return out
+
+
+def _model_lookup(src):
+    """Resolve a model source into (lookup(keys)->float64, total|None).
+    src: a ray ObjectRef / plain tuple of (h, cnt[, total]) for the
+    broadcast form, or a {"path", "n_buckets"[, "total"]} descriptor
+    for the partitioned artifact."""
+    import ray
+
+    if isinstance(src, dict):
+        path, nb = src["path"], src["n_buckets"]
+        return (lambda keys: _partitioned_lookup(path, nb, keys),
+                src.get("total"))
+    val = src if isinstance(src, tuple) else ray.get(src)
+    if len(val) == 3:
+        h, cnt, total = val
+    else:
+        (h, cnt), total = val, None
+    return (lambda keys: _lookup_sorted(h, cnt, keys), total)
 
 
 def _lookup_sorted(h_sorted: np.ndarray, counts: np.ndarray,
@@ -715,13 +895,11 @@ def _lookup_sorted(h_sorted: np.ndarray, counts: np.ndarray,
 def _bigram_surprisal_fn(batch: pa.Table, *, uni_ref, bi_ref,
                          text_column: str, id_column: str,
                          scale: int) -> pa.Table:
-    import ray
-
     from stringzilla_ray.functions.fasthash import hash_string_column
     from stringzilla_ray.functions.segment import word_explode
 
-    uh, ucnt, total = ray.get(uni_ref)
-    bh, bcnt = ray.get(bi_ref)
+    uni_lookup, total = _model_lookup(uni_ref)
+    bi_lookup, _ = _model_lookup(bi_ref)
     col = _combined(batch[text_column])
     words, parents = word_explode(col)
     nrows = len(col)
@@ -736,14 +914,14 @@ def _bigram_surprisal_fn(batch: pa.Table, *, uni_ref, bi_ref,
         is_first[1:] = par[1:] != par[:-1]
         sp = np.empty(len(h), np.float64)
         # first token of each doc: unigram surprisal ln(total)-ln(c)
-        c_uni = _lookup_sorted(uh, ucnt, h[is_first])
+        c_uni = uni_lookup(h[is_first])
         sp[is_first] = np.log(np.float64(total)) - np.log(c_uni)
         # the rest: conditional ln(c(prev)) - ln(c(prev, tok))
         rest = ~is_first
         if rest.any():
             hp = h[np.flatnonzero(rest) - 1]
-            c_prev = _lookup_sorted(uh, ucnt, hp)
-            c_big = _lookup_sorted(bh, bcnt, _bigram_key(hp, h[rest]))
+            c_prev = uni_lookup(hp)
+            c_big = bi_lookup(_bigram_key(hp, h[rest]))
             sp[rest] = np.log(c_prev) - np.log(c_big)
         ssum = np.bincount(par, weights=sp, minlength=nrows)
     else:
@@ -759,20 +937,42 @@ def _bigram_surprisal_fn(batch: pa.Table, *, uni_ref, bi_ref,
 
 
 def add_bigram_surprisal(ds, text_column: str = "text",
-                         id_column: str = "doc_id", scale: int = 10_000):
+                         id_column: str = "doc_id", scale: int = 10_000,
+                         uni_model_path: str | None = None,
+                         bi_model_path: str | None = None):
     """Bigram-LM quality score: mean conditional token surprisal
     ``ln(c(prev)) - ln(c(prev, tok))`` (first token backs off to the
     unigram ``ln(total) - ln(c)``) under corpus-trained counts —
     the next step up from add_unigram_surprisal toward CCNet's LM
-    filtering. Two censuses (exchange bounded by distinct unigrams /
-    bigrams), both broadcast once; scoring is one vectorized pass,
-    zero shuffles."""
+    filtering. Scoring is one vectorized pass, zero shuffles.
+
+    Default mode trains both censuses on ``ds`` and broadcasts them
+    once, count-1 tails pruned (lossless: the lookup clamps misses to
+    count 1). Pass ``uni_model_path``/``bi_model_path`` (from
+    build_unigram_model / build_bigram_model) for the partitioned
+    mode: no driver gather, no whole-model object — each batch probes
+    only the hash-range buckets its tokens occupy. That's the 100-TB
+    shape: distinct web-scale bigrams are billions of entries."""
     import functools as _ft
 
     import ray
 
-    uni_ref = ray.put(unigram_model(ds, text_column=text_column))
-    bi_ref = ray.put(bigram_model(ds, text_column=text_column))
+    if (uni_model_path is None) != (bi_model_path is None):
+        raise ValueError(
+            "pass both uni_model_path and bi_model_path, or neither")
+    if uni_model_path is not None:
+        umeta = _read_model_meta(uni_model_path)
+        bmeta = _read_model_meta(bi_model_path)
+        uni_ref = {"path": uni_model_path,
+                   "n_buckets": umeta["n_buckets"],
+                   "total": umeta["total"]}
+        bi_ref = {"path": bi_model_path, "n_buckets": bmeta["n_buckets"]}
+    else:
+        uh, ucnt, total = unigram_model(ds, text_column=text_column)
+        uh, ucnt = _prune_count1(uh, ucnt)
+        uni_ref = ray.put((uh, ucnt, total))
+        bi_ref = ray.put(_prune_count1(*bigram_model(
+            ds, text_column=text_column)))
     return ds.map_batches(
         _ft.partial(_bigram_surprisal_fn, uni_ref=uni_ref, bi_ref=bi_ref,
                     text_column=text_column, id_column=id_column,
@@ -784,13 +984,10 @@ def add_bigram_surprisal(ds, text_column: str = "text",
 
 def _surprisal_fn(batch: pa.Table, *, model_ref, text_column: str,
                   id_column: str, scale: int) -> pa.Table:
-    import ray
-
     from stringzilla_ray.functions.fasthash import hash_string_column
     from stringzilla_ray.functions.segment import word_explode
 
-    h_sorted, counts, total = (
-        ray.get(model_ref) if not isinstance(model_ref, tuple) else model_ref)
+    lookup, total = _model_lookup(model_ref)
     col = _combined(batch[text_column])
     words, parents = word_explode(col)
     nrows = len(col)
@@ -801,11 +998,9 @@ def _surprisal_fn(batch: pa.Table, *, model_ref, text_column: str,
         th = hash_string_column(words.combine_chunks()
                                 if isinstance(words, pa.ChunkedArray)
                                 else words, seed=0).view(np.int64)
-        j = np.minimum(np.searchsorted(h_sorted, th), len(h_sorted) - 1)
-        c = counts[j].astype(np.float64)
-        # every token was seen in training (same corpus); a miss can
-        # only be a new token in incremental use — clamp to count 1
-        c[h_sorted[j] != th] = 1.0
+        # a lookup miss can only be a token unseen in training (the
+        # incremental / pruned-tail case) — both paths clamp to count 1
+        c = lookup(th)
         sp = np.log(np.float64(total)) - np.log(c)
         ssum = np.bincount(par, weights=sp, minlength=nrows)
     else:
@@ -823,22 +1018,31 @@ def _surprisal_fn(batch: pa.Table, *, model_ref, text_column: str,
 
 def add_unigram_surprisal(ds, text_column: str = "text",
                           id_column: str = "doc_id", scale: int = 10_000,
-                          model=None):
+                          model=None, model_path: str | None = None):
     """CCNet-style LM quality score: mean token surprisal
     ``ln(total) - ln(count(token))`` under a corpus-trained unigram
     model — low surprisal = common boilerplate-like text, high =
     rare/noisy. Train census runs once (or pass a prebuilt ``model``
-    to score a different corpus — the cross-corpus filtering mode);
-    scoring is one broadcast + one vectorized lookup pass, zero
+    tuple, or ``model_path`` from build_unigram_model for the
+    partitioned no-broadcast mode — the incremental / cross-corpus
+    scoring path); scoring is one vectorized lookup pass, zero
     shuffles. Emitted as a scaled int so the DuckDB double mirror
-    hashes identically."""
+    hashes identically. Broadcast models ship with the count-1 tail
+    pruned (lossless: the lookup clamps misses to count 1)."""
     import functools as _ft
 
     import ray
 
-    if model is None:
-        model = unigram_model(ds, text_column=text_column)
-    model_ref = ray.put(model)
+    if model_path is not None:
+        meta = _read_model_meta(model_path)
+        model_ref = {"path": model_path, "n_buckets": meta["n_buckets"],
+                     "total": meta["total"]}
+    else:
+        if model is None:
+            model = unigram_model(ds, text_column=text_column)
+        h, cnt, total = model
+        h, cnt = _prune_count1(h, cnt)
+        model_ref = ray.put((h, cnt, total))
     return ds.map_batches(
         _ft.partial(_surprisal_fn, model_ref=model_ref,
                     text_column=text_column, id_column=id_column,

@@ -2161,6 +2161,72 @@ def test_unigram_surprisal_vs_python_oracle(ray_session):
     assert out["surprisal_x10000"][0] == math.floor(mean * 10000 + 0.5)
 
 
+def test_partitioned_lm_models(ray_session, tmp_path):
+    """build_unigram_model/build_bigram_model + model_path scoring ==
+    the broadcast path exactly, on the training corpus AND on an
+    unseen shard (misses clamp to count 1 in both modes); the bucket
+    files are h-sorted so probes are pure searchsorted."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from stringzilla_ray.stages.textstats import (
+        add_bigram_surprisal,
+        add_unigram_surprisal,
+        build_bigram_model,
+        build_unigram_model,
+    )
+
+    rng = np.random.default_rng(77)
+    vocab = [f"tok{k}" for k in range(60)]
+    docs = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 40))))
+            for _ in range(50)] + ["", "solo"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })).repartition(4)
+
+    upath = str(tmp_path / "uni")
+    bpath = str(tmp_path / "bi")
+    build_unigram_model(ds, upath, n_buckets=8)
+    build_bigram_model(ds, bpath, n_buckets=8)
+    # bucket files exist, are h-sorted, and meta carries the total
+    bucket_files = glob.glob(f"{upath}/bucket=*/*.parquet")
+    assert bucket_files
+    for f in bucket_files:
+        hv = pq.read_table(f, columns=["h"])["h"].to_numpy()
+        assert (np.diff(hv) > 0).all()
+
+    # unseen shard: half training vocab, half novel tokens
+    probe_docs = docs[:10] + ["tok0 zebra tok1 quux", "zebra zebra"]
+    probe = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(probe_docs)), pa.int64()),
+        "text": pa.array(probe_docs, pa.string()),
+    })).repartition(3)
+
+    # on the TRAINING corpus: partitioned probe == broadcast exactly
+    g1 = add_unigram_surprisal(ds, model_path=upath).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    g2 = add_unigram_surprisal(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert g1.equals(g2)
+    b1 = add_bigram_surprisal(ds, uni_model_path=upath,
+                              bi_model_path=bpath).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b2 = add_bigram_surprisal(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert b1.equals(b2)
+
+    # unseen shard via partitioned model == broadcast prebuilt tuple
+    from stringzilla_ray.stages.textstats import unigram_model
+    p1 = add_unigram_surprisal(probe, model_path=upath).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    p2 = add_unigram_surprisal(probe, model=unigram_model(ds)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert p1.equals(p2)
+
+
 def test_bm25_topk_vs_python_reference(ray_session, tmp_path):
     """BM25 over the postings index == a Counter-based reference
     (Lucene idf, k1=1.2, b=0.75), including ranking and ties; scores
