@@ -65,6 +65,22 @@ def main():
     dt = bench(levenshtein_batch, a, b)
     out["levenshtein_1KB_MCUPS_per_core"] = round(pairs * 1000 * 1000 / dt / 1e6, 1)
 
+    # casefold over short mixed-case strings (block-join kernel vs the
+    # per-row CPython loop it replaced)
+    import pyarrow as pa
+
+    from stringzilla_ray.functions.text import casefold
+
+    n, w = 50000, 40
+    tape = rng.integers(65, 123, n * w, dtype=np.uint8)
+    strs = [bytes(tape[i * w:(i + 1) * w]).decode("latin-1") for i in range(n)]
+    col = pa.array(strs, pa.string())
+    dt = bench(casefold, col)
+    out["casefold_40B_MBps_per_core"] = round(n * w / dt / 1e6, 1)
+    dt = bench(lambda c: pa.array([s.casefold() for s in c.to_pylist()],
+                                  pa.string()), col)
+    out["casefold_perrow_MBps_per_core"] = round(n * w / dt / 1e6, 1)
+
     print(json.dumps(out, indent=2))
     return out
 

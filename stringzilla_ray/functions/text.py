@@ -267,18 +267,80 @@ def translate(arr, table: bytes, start: int = 0,
     )
 
 
+def _block_apply(arr, block_fn, row_fn) -> pa.Array:
+    """Apply a CPython string transform to a whole column with ZERO
+    per-row Python objects: splice NUL separators into the byte tape
+    (one vectorized scatter), decode + transform + re-encode as three
+    single C calls, then rebuild the Arrow array from the separator
+    byte positions (0x00 never occurs inside a UTF-8 multibyte
+    sequence, so the folded separators are exactly the rebuilt row
+    boundaries). Legal only for transforms that neither create,
+    remove, nor act across NUL — casefold is per-codepoint
+    context-free, and NUL is a ccc-0 starter with no compositions, so
+    neither fold nor normalization crosses a joint. Rows that CONTAIN
+    a literal NUL fall back to a per-row path."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    nulls = arr.is_null() if arr.null_count else None
+    filled = pc.fill_null(arr, "") if arr.null_count else arr
+    tape, offsets = tape_of(pc.cast(filled, pa.large_binary()))
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    if len(tape) and (tape == 0).any():
+        # literal NULs in the data: the separator trick is ambiguous
+        out_vals = [row_fn("" if v is None else v)
+                    for v in arr.to_pylist()]
+        out = pa.array(out_vals, pa.string())
+        if nulls is not None:
+            out = pc.if_else(nulls, pa.scalar(None, pa.string()), out)
+        return out
+    # np.insert (slice-copy based) is ~8x faster than an equivalent
+    # fancy-index scatter for the separator splice
+    joined_b = np.insert(tape, offsets[1:-1], 0)
+    out_s = block_fn(joined_b.tobytes().decode("utf-8"))
+    enc = np.frombuffer(out_s.encode("utf-8"), np.uint8)
+    seps = np.flatnonzero(enc == 0)
+    # the transform preserves every separator and creates no NULs
+    assert len(seps) == n - 1, "block transform disturbed a NUL joint"
+    piece_lens = np.diff(np.concatenate([[np.int64(-1)], seps,
+                                         [np.int64(len(enc))]])) - 1
+    new_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(piece_lens, out=new_offsets[1:])
+    values = np.delete(enc, seps) if len(seps) else enc
+    out = pa.Array.from_buffers(
+        pa.large_utf8(), n,
+        [None, pa.py_buffer(new_offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(values).tobytes())],
+    ).cast(pa.string())
+    if nulls is not None:
+        out = pc.if_else(nulls, pa.scalar(None, pa.string()), out)
+    return out
+
+
 def casefold(arr) -> pa.Array:
     """Full Unicode case folding — semantics of sz.utf8_uncased_fold
     (python/README.md:609-629; 'ß'→'ss', 'ﬃ'→'ffi'); CPython
-    str.casefold implements the same Unicode full-fold tables."""
-    pylist = arr.to_pylist() if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks().to_pylist()
-    return pa.array([s.casefold() if s is not None else None for s in pylist], type=pa.string())
+    str.casefold implements the same Unicode full-fold tables. Runs as
+    ONE casefold call over the NUL-joined block: case folding is
+    per-codepoint and context-free, and no fold target contains NUL,
+    so folds cannot cross or disturb the joints."""
+    return _block_apply(arr, str.casefold, str.casefold)
 
 
 def normalize(arr, form: str = "NFC") -> pa.Array:
-    """Unicode normalization (sz.utf8_norm, python/README.md:631-644)."""
-    pylist = arr.to_pylist() if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks().to_pylist()
-    return pa.array([unicodedata.normalize(form, s) if s is not None else None for s in pylist], type=pa.string())
+    """Unicode normalization (sz.utf8_norm, python/README.md:631-644).
+    One CPython normalize over the NUL-joined block: NUL is a ccc-0
+    starter with no compositions and appears in no decomposition, so
+    normalization cannot act across the joints (same argument as
+    find_denormalized)."""
+    return _block_apply(
+        arr,
+        lambda s: unicodedata.normalize(form, s),
+        lambda s: unicodedata.normalize(form, s),
+    )
 
 
 _U8_LEAD_LEN = np.zeros(256, np.int8)
