@@ -1447,6 +1447,41 @@ def _q_uax14_line_segments(sf_dir: str):
     )
 
 
+def _q_sentence_segments(sf_dir: str):
+    """Row-exploding UAX-29 sentence extraction — the segments
+    themselves, not counts (python/stringzilla.c utf8_sentences;
+    utf8_tokens.h resumable scans). Rows-only: no SQL engine
+    implements TR29; the pytest gate pins join(segments) == text and
+    per-row counts == the spec-pinned count kernel."""
+    from stringzilla_ray.functions.segment import uax29_sentences_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        vals, parents, idx = uax29_sentences_column(t["text"])
+        return pa.table({
+            "doc_id": ids.take(pa.array(parents, pa.int64())),
+            "seg_idx": pa.array(idx, pa.int64()),
+            "sentence": vals,
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_chunk_by_sentence(sf_dir: str):
+    """Sentence-aware RAG chunking: windows of 3 UAX-29 sentences,
+    overlap 1, each chunk the ORIGINAL byte span (whitespace intact) —
+    chunk_documents(by="sentence"). Rows-only (TR29); the pytest gate
+    pins chunk spans against the sentence exploder."""
+    from stringzilla_ray.stages.curation import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, window=3, overlap=1, by="sentence")
+
+
 def _q_split_byteset(sf_dir: str):
     """Strs.split_byteset as a row-exploding op (one row per field,
     splitting on ANY byte of the set — python/README.md:194)."""
@@ -2898,6 +2933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "splitlines_keepends": _q_splitlines_keepends,
         "uax29_sentence_count": _q_uax29_sentence_count,
         "uax14_line_segments": _q_uax14_line_segments,
+        "sentence_segments": _q_sentence_segments,
+        "chunk_by_sentence": _q_chunk_by_sentence,
         "offset_within": _q_offset_within,
         "endswith_filter": _q_endswith_filter,
         "count_byteset": _q_count_byteset,

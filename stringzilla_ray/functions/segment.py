@@ -658,19 +658,25 @@ def _last_run_index(cls: np.ndarray, member: np.ndarray, floor: np.ndarray) -> n
     return np.maximum(last, floor - 1)
 
 
-def uax29_sentence_count(arr) -> pa.Array:
-    """UAX-29 sentence counts per string: the TR29 SB rules (SB3-SB11,
-    SB5 ignorable skipping, the ATerm/STerm Close* Sp* run states and
-    SB8's unbounded lookahead) as one vectorized pass. Sentences are
-    the spans between consecutive boundaries (reference contract,
-    utf8_sentences.h: no zero-length sentences; empty rows count 0)."""
+def _uax29_sentence_breaks(arr):
+    """Shared UAX-29 SB pass (TR29 rules SB3-SB11, SB5 ignorable
+    skipping, the ATerm/STerm Close* Sp* run states and SB8's
+    unbounded lookahead, all as vectorized masks) ->
+    ``(tape, offsets, brk_bytes, brk_rows, nonempty)``: the byte
+    positions where a NEW sentence begins (row starts excluded),
+    ascending by (row, byte). Both the count kernel and the
+    row-exploding segment extractor consume this."""
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     tape, offsets = tape_of(a)
+    # rebase: tape_of returns the PARENT buffer on sliced arrays
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
     nrows = len(offsets) - 1
-    out = np.zeros(nrows, np.int64)
+    counts0 = np.diff(offsets)
+    empty_brk = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     if len(tape) == 0:
-        return pa.array(out, pa.int64())
-    cp, cp_offs = utf8_decode_tape(np.asarray(tape), offsets)
+        return tape, offsets, *empty_brk, counts0 > 0
+    cp, cp_offs = utf8_decode_tape(tape, offsets)
     counts = np.diff(cp_offs)
     cls_all = _sb_lut()[cp]
     row_all = np.repeat(np.arange(nrows, dtype=np.int64), counts)
@@ -689,10 +695,11 @@ def uax29_sentence_count(arr) -> pa.Array:
     keep = ~skip | after_break
     cls = np.where(skip & after_break, np.uint8(_SB_OTHER), cls_all)[keep]
     brow = row_all[keep]
+    orig = np.flatnonzero(keep)  # kept index -> codepoint index
     m = len(cls)
     nonempty = counts > 0
     if m == 0:
-        return pa.array(out, pa.int64())
+        return tape, offsets, *empty_brk, nonempty
 
     idx = np.arange(m, dtype=np.int64)
     # per-row floors for the run scans
@@ -772,9 +779,33 @@ def uax29_sentence_count(arr) -> pa.Array:
     rule(np.ones(m - 1, bool), True)                                # SB998
 
     breaks = (~nb) & same_row
+    bidx = np.flatnonzero(breaks)
+    byte_pos = np.flatnonzero((tape & 0xC0) != 0x80).astype(np.int64)
+    return (tape, offsets, byte_pos[orig[bidx + 1]], brow[bidx + 1],
+            nonempty)
+
+
+def uax29_sentence_count(arr) -> pa.Array:
+    """UAX-29 sentence counts per string. Sentences are the spans
+    between consecutive boundaries (reference contract,
+    utf8_sentences.h: no zero-length sentences; empty rows count 0)."""
+    tape, offsets, _brk_bytes, brk_rows, nonempty = \
+        _uax29_sentence_breaks(arr)
+    out = np.zeros(len(offsets) - 1, np.int64)
     out[nonempty] = 1
-    np.add.at(out, brow[1:][breaks], 1)
+    np.add.at(out, brk_rows, 1)
     return pa.array(out, pa.int64())
+
+
+def uax29_sentences_column(col):
+    """The sentences themselves, one row per UAX-29 sentence span —
+    the row-exploding form the reference iterates
+    (python/stringzilla.c utf8_sentences; utf8_tokens.h resumable
+    scans): ``(values, parents, idx)``. Spans cover each row's full
+    byte range, so ``join(segments) == text`` by construction."""
+    tape, offsets, brk_bytes, brk_rows, _nonempty = \
+        _uax29_sentence_breaks(col)
+    return _explode_from_breaks(tape, offsets, brk_bytes, brk_rows)
 
 
 # ------------------------------------------------ UAX-14 line breaks
@@ -851,20 +882,24 @@ def _lb_lut() -> np.ndarray:
     return lut
 
 
-def uax14_line_segments(arr) -> pa.Array:
-    """UAX-14 wrap-segment counts per string: spans between consecutive
-    line-break OPPORTUNITIES (mandatory LB4/LB5 hard breaks AND allowed
-    soft-wrap points — the reference's sz_utf8_linebreaks contract; for
-    hard breaks only use newline_count/splitlines). One vectorized
-    pass: LB9/LB10 combining-mark attachment, space/ZW run states, and
-    the pair rules LB6-LB31 (core subset) as priority-ordered masks."""
+def _uax14_breaks(arr):
+    """Shared UAX-14 pass (LB9/LB10 combining-mark attachment,
+    space/ZW run states, pair rules LB6-LB31 core subset as
+    priority-ordered masks) -> ``(tape, offsets, brk_bytes, brk_rows,
+    nonempty)``: byte positions of line-break OPPORTUNITIES (mandatory
+    LB4/LB5 hard breaks AND allowed soft-wrap points — the reference's
+    sz_utf8_linebreaks contract), row starts excluded."""
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     tape, offsets = tape_of(a)
+    # rebase: tape_of returns the PARENT buffer on sliced arrays
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
     nrows = len(offsets) - 1
-    out = np.zeros(nrows, np.int64)
+    counts0 = np.diff(offsets)
+    empty_brk = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     if len(tape) == 0:
-        return pa.array(out, pa.int64())
-    cp, cp_offs = utf8_decode_tape(np.asarray(tape), offsets)
+        return tape, offsets, *empty_brk, counts0 > 0
+    cp, cp_offs = utf8_decode_tape(tape, offsets)
     counts = np.diff(cp_offs)
     cls_all = _lb_lut()[cp]
     row_all = np.repeat(np.arange(nrows, dtype=np.int64), counts)
@@ -884,10 +919,11 @@ def uax14_line_segments(arr) -> pa.Array:
     keep = ~is_cm | bad_base
     cls = np.where(is_cm & bad_base, np.uint8(_LB_AL), cls_all)[keep]
     brow = row_all[keep]
+    orig = np.flatnonzero(keep)  # kept index -> codepoint index
     m = len(cls)
     nonempty = counts > 0
     if m == 0:
-        return pa.array(out, pa.int64())
+        return tape, offsets, *empty_brk, nonempty
 
     # per-row floor + "class below the SP-run ending at i" state
     idx = np.arange(m, dtype=np.int64)
@@ -934,9 +970,29 @@ def uax14_line_segments(arr) -> pa.Array:
     rule(np.ones(m - 1, bool), True)                            # LB31 default
 
     breaks = brk & same_row
+    bidx = np.flatnonzero(breaks)
+    byte_pos = np.flatnonzero((tape & 0xC0) != 0x80).astype(np.int64)
+    return (tape, offsets, byte_pos[orig[bidx + 1]], brow[bidx + 1],
+            nonempty)
+
+
+def uax14_line_segments(arr) -> pa.Array:
+    """UAX-14 wrap-segment counts per string: spans between consecutive
+    line-break opportunities (for hard breaks only use
+    newline_count/splitlines)."""
+    tape, offsets, _brk_bytes, brk_rows, nonempty = _uax14_breaks(arr)
+    out = np.zeros(len(offsets) - 1, np.int64)
     out[nonempty] = 1
-    np.add.at(out, brow[1:][breaks], 1)
+    np.add.at(out, brk_rows, 1)
     return pa.array(out, pa.int64())
+
+
+def uax14_line_segments_column(col):
+    """The wrap segments themselves, one row per span between UAX-14
+    break opportunities (sz_utf8_linebreaks iterates segments, not
+    counts): ``(values, parents, idx)``; join(segments) == text."""
+    tape, offsets, brk_bytes, brk_rows, _nonempty = _uax14_breaks(col)
+    return _explode_from_breaks(tape, offsets, brk_bytes, brk_rows)
 
 
 # Grapheme-break classes for the vectorized kernel (derived from the
@@ -1042,19 +1098,22 @@ def utf8_decode_tape(tape: np.ndarray, offsets: np.ndarray):
     return cp.astype(np.int64), cp_offsets
 
 
-def grapheme_count_batch(tape: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Vectorized extended-grapheme-cluster counts: decode the whole
-    tape to codepoints, one LUT gather for break classes, and ONE
-    boolean-mask pass per GB rule over all adjacent pairs (the GB rules
-    are per-adjacent-pair decidable given RI run parity, which is a
-    segmented running count). Semantics identical to
-    _grapheme_count_str (the pytest oracle)."""
+def _grapheme_join(tape: np.ndarray, offsets: np.ndarray):
+    """Shared grapheme-break pass: decode the whole tape to
+    codepoints, one LUT gather for break classes, and ONE boolean-mask
+    pass per GB rule over all adjacent pairs (the GB rules are
+    per-adjacent-pair decidable given RI run parity, a segmented
+    running count). Returns ``(join, cp_offs, counts)`` — join[i] True
+    iff codepoints i and i+1 belong to one cluster (cross-row pairs
+    always False). Semantics identical to _grapheme_count_str (the
+    pytest oracle); consumed by both the count kernel and the
+    row-exploding extractor."""
     cp, cp_offs = utf8_decode_tape(tape, offsets)
     nrows = len(cp_offs) - 1
     counts = np.diff(cp_offs)
     m = len(cp)
-    if m == 0:
-        return counts.astype(np.int64)
+    if m <= 1:
+        return np.zeros(0, bool), cp_offs, counts
     cls = _gb_lut()[cp]
 
     # adjacent pairs (i-1, i) for i in [1, m); pairs crossing a row
@@ -1098,12 +1157,46 @@ def grapheme_count_batch(tape: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     # joins crossing row boundaries don't count
     boundary = cp_offs[1:-1]  # interior row starts, as pair index i-1
     join[boundary[(boundary > 0) & (boundary <= m - 1)] - 1] = False
+    return join, cp_offs, counts
+
+
+def grapheme_count_batch(tape: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized extended-grapheme-cluster counts (see
+    _grapheme_join)."""
+    join, cp_offs, counts = _grapheme_join(tape, offsets)
+    if len(join) == 0:
+        return counts.astype(np.int64)
+    nrows = len(cp_offs) - 1
     # per-row join counts: bincount over the (few) joining pairs,
     # attributed to the left codepoint's row (boundary pairs are False,
     # so every counted pair lies wholly inside its row)
     row_of_cp = np.repeat(np.arange(nrows, dtype=np.int64), counts)
     joins = np.bincount(row_of_cp[:-1][join], minlength=nrows).astype(np.int64)
     return (counts - joins).astype(np.int64)
+
+
+def utf8_graphemes_column(col):
+    """The extended grapheme clusters themselves, one row per cluster
+    — the row-exploding form the reference iterates
+    (python/stringzilla.c utf8_graphemes): ``(values, parents, idx)``.
+    Clusters cover each row's full byte range."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offsets = tape_of(col)
+    # rebase: tape_of returns the PARENT buffer on sliced arrays
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    join, cp_offs, counts = _grapheme_join(tape, offsets)
+    nrows = len(offsets) - 1
+    brk_bytes = np.zeros(0, np.int64)
+    brk_rows = np.zeros(0, np.int64)
+    if len(join):
+        byte_pos = np.flatnonzero((tape & 0xC0) != 0x80).astype(np.int64)
+        row_of_cp = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+        bidx = np.flatnonzero(~join & (row_of_cp[1:] == row_of_cp[:-1]))
+        brk_bytes = byte_pos[bidx + 1]
+        brk_rows = row_of_cp[bidx + 1]
+    return _explode_from_breaks(tape, offsets, brk_bytes, brk_rows)
 
 
 # ----------------------------------------------------- UAX-29 word breaks
@@ -1189,10 +1282,13 @@ def uax29_word_count(arr) -> pa.Array:
     SQL-mirrorable fast mode."""
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     tape, offsets = tape_of(a)
+    # rebase: tape_of returns the PARENT buffer on sliced arrays
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
     nrows = len(offsets) - 1
     if len(tape) == 0:
         return pa.array(np.zeros(nrows, np.int64), pa.int64())
-    cp, cp_offs = utf8_decode_tape(np.asarray(tape), offsets)
+    cp, cp_offs = utf8_decode_tape(tape, offsets)
     wb = _wb_lut()[cp]
     counts = np.diff(cp_offs)
     row_of_cp = np.repeat(np.arange(nrows, dtype=np.int64), counts)
@@ -1389,6 +1485,36 @@ def utf8_delimiters_column(col):
     first = np.searchsorted(parents, np.arange(len(offsets) - 1))
     idx = np.arange(len(d), dtype=np.int64) - first[parents]
     return _gather_strings(tape, byte_pos[d], cp_end[d]), parents, idx
+
+
+def _explode_from_breaks(tape, offsets, brk_bytes, brk_rows):
+    """Assemble the segments covering each NON-EMPTY row's full byte
+    span, split AT the given break byte positions (zero-width
+    boundaries, ascending by (row, byte); row starts must not appear):
+    ``(values, parents, idx)``. Empty rows yield no segments, so
+    segment counts match the UAX count kernels and
+    concat(segments-of-row) == row text by construction."""
+    nrows = len(offsets) - 1
+    lens = np.diff(offsets)
+    ne = lens > 0
+    n_brks = np.bincount(brk_rows, minlength=nrows)
+    segs_per_row = np.where(ne, n_brks + 1, 0)
+    seg_offs = np.concatenate([[0], np.cumsum(segs_per_row)]).astype(np.int64)
+    total = int(seg_offs[-1])
+    starts = np.empty(total, np.int64)
+    ends = np.empty(total, np.int64)
+    starts[seg_offs[:-1][ne]] = offsets[:-1][ne]
+    ends[seg_offs[1:][ne] - 1] = offsets[1:][ne]
+    if len(brk_rows):
+        first_b = np.searchsorted(brk_rows, np.arange(nrows))
+        ordinal = np.arange(len(brk_rows), dtype=np.int64) - first_b[brk_rows]
+        pos = seg_offs[brk_rows] + ordinal
+        ends[pos] = brk_bytes
+        starts[pos + 1] = brk_bytes
+    parents = np.repeat(np.arange(nrows, dtype=np.int64), segs_per_row)
+    row_first = np.concatenate([[0], np.cumsum(segs_per_row)[:-1]])
+    idx = np.arange(total, dtype=np.int64) - row_first[parents]
+    return _gather_strings(tape, starts, ends), parents, idx
 
 
 def _split_on_separators(tape, offsets, sep_row, sep_start, sep_end,

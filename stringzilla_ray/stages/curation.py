@@ -551,20 +551,32 @@ def bottom_k_sample(ds, id_column: str = "doc_id",
 
 def chunk_documents(ds, id_column: str = "doc_id",
                     text_column: str = "text", window: int = 64,
-                    overlap: int = 16):
-    """Row-exploding fixed-size token chunking with overlap — the
-    RAG / context-window preprocessing step: document w's whitespace
-    tokens become chunks [0, window), [window-overlap, ...), ... each
-    rejoined with single spaces. The last chunk may be short; a
-    document shorter than one window is a single chunk; chunking is a
-    pure per-row map (embarrassingly parallel, no state, no shuffle).
+                    overlap: int = 16, by: str = "token"):
+    """Row-exploding fixed-size chunking with overlap — the RAG /
+    context-window preprocessing step. ``by="token"`` (default):
+    document w's whitespace tokens become chunks [0, window),
+    [window-overlap, ...), ... each rejoined with single spaces.
+    ``by="sentence"``: the units are UAX-29 sentence spans
+    (functions/segment.py:_uax29_sentence_breaks) and each chunk is
+    the ORIGINAL byte span from its first sentence's start to its last
+    sentence's end — whitespace/newlines inside survive verbatim
+    (sentence-aware RAG chunking; empty documents yield no chunks).
+    The last chunk may be short; a document shorter than one window is
+    a single chunk; chunking is a pure per-row map (embarrassingly
+    parallel, no state, no shuffle).
 
     Output: (id_column, chunk_idx int64, chunk_text string,
-    n_tokens int64), one row per chunk in document order.
+    n_tokens int64 | n_sentences int64), one row per chunk in
+    document order.
     """
     if overlap >= window:
         raise ValueError("overlap must be < window")
     step = window - overlap
+    if by == "sentence":
+        return _chunk_by_sentence(ds, id_column, text_column, window,
+                                  overlap, step)
+    if by != "token":
+        raise ValueError(f"by must be token|sentence, got {by!r}")
 
     def explode(batch: pa.Table) -> pa.Table:
         col = batch[text_column]
@@ -614,6 +626,74 @@ def chunk_documents(ds, id_column: str = "doc_id",
             "chunk_idx": pa.array(chunk_idx, pa.int64()),
             "chunk_text": pc.binary_join(chunks, " ").cast(pa.string()),
             "n_tokens": pa.array(sizes, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _chunk_by_sentence(ds, id_column: str, text_column: str,
+                       window: int, overlap: int, step: int):
+    """Sentence-windowed chunking: one UAX-29 pass per batch, then
+    chunk byte spans are [start of sentence j*step, end of sentence
+    min(j*step+window, k)-1] gathered straight off the tape — original
+    text survives byte-for-byte inside each chunk."""
+    from stringzilla_ray.functions.segment import (
+        _gather_strings,
+        _uax29_sentence_breaks,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tape, offsets, brk_bytes, brk_rows, _ne = \
+            _uax29_sentence_breaks(col)
+        nrows = len(offsets) - 1
+        lens = np.diff(offsets)
+        n_sent = np.where(
+            lens > 0,
+            np.bincount(brk_rows, minlength=nrows) + 1, 0
+        ).astype(np.int64)
+        # per-row sentence start/end byte positions, in tape order
+        sent_offs = np.zeros(nrows + 1, np.int64)
+        np.cumsum(n_sent, out=sent_offs[1:])
+        total_s = int(sent_offs[-1])
+        sstart = np.empty(total_s, np.int64)
+        send = np.empty(total_s, np.int64)
+        ne = lens > 0
+        sstart[sent_offs[:-1][ne]] = offsets[:-1][ne]
+        send[sent_offs[1:][ne] - 1] = offsets[1:][ne]
+        if len(brk_rows):
+            first_b = np.searchsorted(brk_rows, np.arange(nrows))
+            ordinal = np.arange(len(brk_rows), dtype=np.int64) \
+                - first_b[brk_rows]
+            pos = sent_offs[brk_rows] + ordinal
+            send[pos] = brk_bytes
+            sstart[pos + 1] = brk_bytes
+        # chunks of `window` sentences every `step`
+        n_chunks = np.where(
+            n_sent > 0,
+            np.maximum((n_sent - overlap + step - 1) // step, 1), 0
+        ).astype(np.int64)
+        total_c = int(n_chunks.sum())
+        row_of_chunk = np.repeat(np.arange(nrows, dtype=np.int64),
+                                 n_chunks)
+        first_c = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        chunk_idx = np.arange(total_c, dtype=np.int64) \
+            - np.repeat(first_c, n_chunks)
+        lo = chunk_idx * step
+        hi = np.minimum(lo + window, n_sent[row_of_chunk])
+        ids = batch[id_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_column: pa.array(ids[row_of_chunk], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk_text": _gather_strings(
+                tape,
+                sstart[sent_offs[row_of_chunk] + lo],
+                send[sent_offs[row_of_chunk] + hi - 1]),
+            "n_sentences": pa.array(hi - lo, pa.int64()),
         })
 
     return ds.map_batches(explode, batch_format="pyarrow",

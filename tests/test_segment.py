@@ -626,3 +626,108 @@ def test_bounded_window_kernels_vs_cpython():
     sl = col.slice(1, 3)
     assert find(sl, "hello", 1, None).to_pylist() == \
         [texts[i].find("hello", 1) for i in (1, 2, 3)]
+
+
+def test_segment_exploders_cover_and_count():
+    """utf8_graphemes_column / uax29_sentences_column /
+    uax14_line_segments_column: segments concatenate back to the exact
+    text, per-row segment counts equal the spec-pinned count kernels,
+    and idx is 0..k-1 per row."""
+    from stringzilla_ray.functions.segment import (
+        grapheme_count,
+        uax14_line_segments,
+        uax14_line_segments_column,
+        uax29_sentence_count,
+        uax29_sentences_column,
+        utf8_graphemes_column,
+    )
+
+    texts = [
+        "Hello world. This is fine! Is it? Yes.",
+        "",
+        "One",
+        "Dr. Smith went to Washington. He said 'ok.' Then left.",
+        "étude café \U0001F468‍\U0001F469‍\U0001F467 "
+        "flags:\U0001F1FA\U0001F1F8\U0001F1FA\U0001F1F8\U0001F1E6 done",
+        "line one\nline two\r\nline three",
+        "한국어 조합 테스트 각",
+        "   spaces   ",
+        "no.term",
+        "á combining étude",
+    ]
+    col = pa.array(texts, pa.string())
+    for explode, count in [
+        (utf8_graphemes_column, grapheme_count),
+        (uax29_sentences_column, uax29_sentence_count),
+        (uax14_line_segments_column, uax14_line_segments),
+    ]:
+        vals, parents, idx = explode(col)
+        cnt = count(col).to_pylist()
+        assert np.bincount(parents, minlength=len(texts)).tolist() == cnt
+        vl = vals.to_pylist()
+        by_row = {}
+        for v, p, i in zip(vl, parents.tolist(), idx.tolist()):
+            by_row.setdefault(p, []).append((i, v))
+        for r, t in enumerate(texts):
+            segs = by_row.get(r, [])
+            assert [i for i, _ in segs] == list(range(len(segs)))
+            assert "".join(v for _, v in segs) == t
+
+
+def test_uax_kernels_sliced_input():
+    """Regression: the UAX word/sentence/linebreak kernels previously
+    indexed the PARENT tape on sliced arrays — head slices silently
+    overcounted (trailing rows' bytes swept into the last row) and
+    offset slices crashed."""
+    from stringzilla_ray.functions.segment import (
+        uax14_line_segments,
+        uax29_sentence_count,
+        uax29_word_count,
+    )
+
+    texts = ["ab cd", "ef gh ij. Two here!", "tail words five one two"]
+    col = pa.array(texts, pa.string())
+    for fn in (uax29_word_count, uax29_sentence_count,
+               uax14_line_segments):
+        full = fn(col).to_pylist()
+        assert fn(col.slice(0, 1)).to_pylist() == full[:1]
+        assert fn(col.slice(1, 2)).to_pylist() == full[1:]
+
+
+def test_chunk_documents_by_sentence(ray_session):
+    """chunk_documents(by='sentence'): windows of `window` sentences
+    every `step`, each chunk the ORIGINAL byte span (inner whitespace
+    survives), empty docs yield no chunks."""
+    import ray.data
+
+    from stringzilla_ray.functions.segment import uax29_sentences_column
+    from stringzilla_ray.stages.curation import chunk_documents
+
+    texts = [
+        "One. Two! Three? Four. Five.",
+        "",
+        "Single sentence only",
+        "A. B. C.\nNewlines  stay   intact. Done! Extra.",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    out = chunk_documents(ds, window=3, overlap=1, by="sentence") \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+    vals, parents, idx = uax29_sentences_column(
+        pa.array(texts, pa.string()))
+    vl = vals.to_pylist()
+    step = 2
+    for d, t in enumerate(texts):
+        segs = [vl[i] for i in range(len(vl)) if parents[i] == d]
+        ch = out[out.doc_id == d].reset_index(drop=True)
+        if not segs:
+            assert len(ch) == 0
+            continue
+        want_n = max(-(-(len(segs) - 1) // step), 1)
+        assert len(ch) == want_n
+        for j in range(len(ch)):
+            assert ch.chunk_text[j] == "".join(segs[j*step:j*step+3])
+            assert ch.n_sentences[j] == min(j*step+3, len(segs)) - j*step
