@@ -543,7 +543,8 @@ def _q_window_sum_by_type(sf_dir: str):
     return agg.map_batches(emit, batch_format="pyarrow")
 
 
-def _asof_views_direction(sf_dir: str, direction: str):
+def _asof_views_direction(sf_dir: str, direction: str,
+                          tolerance: int | None = None):
     from stringzilla_ray.stages.temporal import asof_join
 
     ds = _read(sf_dir, "events",
@@ -551,7 +552,8 @@ def _asof_views_direction(sf_dir: str, direction: str):
     clicks = ds.filter(expr="event_type == 'click'")
     views = ds.filter(expr="event_type == 'view'")
     out = asof_join(clicks, views, by="user_id", on="ts",
-                    right_payload=("event_id",), direction=direction)
+                    right_payload=("event_id",), direction=direction,
+                    tolerance=tolerance)
 
     def emit(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -573,6 +575,18 @@ def _q_asof_nearest_views(sf_dir: str):
     """merge_asof direction="nearest": the closer of the backward and
     forward candidates per click; backward wins exact-distance ties."""
     return _asof_views_direction(sf_dir, "nearest")
+
+
+_ASOF_TOL_US = 600_000_000  # 10 minutes
+
+
+def _q_asof_tolerance_views(sf_dir: str):
+    """merge_asof tolerance: nearest view within 10 minutes — matches
+    farther than the bound null out (emitted as -1), completing the
+    pandas merge_asof surface (stages/temporal.py:asof_join
+    tolerance=...)."""
+    return _asof_views_direction(sf_dir, "nearest",
+                                 tolerance=_ASOF_TOL_US)
 
 
 def _q_asof_join_views(sf_dir: str):
@@ -2881,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sum_by_type": _q_window_sum_by_type,
         "asof_join_views": _q_asof_join_views,
         "asof_forward_views": _q_asof_forward_views,
+        "asof_tolerance_views": _q_asof_tolerance_views,
         "asof_nearest_views": _q_asof_nearest_views,
         "range_purchases_after_click": _q_range_purchases_after_click,
         "sessionize": _q_sessionize,
@@ -3557,6 +3572,19 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN LATERAL ("
             "  SELECT event_id FROM events v "
             "  WHERE v.event_type = 'view' AND v.user_id = c.user_id "
+            "  ORDER BY abs(epoch_us(v.ts) - epoch_us(c.ts)), v.ts "
+            "  LIMIT 1) v ON TRUE"
+        ),
+        "asof_tolerance_views": (
+            # nearest + a LATERAL distance bound: candidates beyond
+            # the tolerance never enter the pick, exactly the kernel's
+            # per-direction distance clamp.
+            "SELECT c.event_id, coalesce(v.event_id, -1) AS view_event_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "LEFT JOIN LATERAL ("
+            "  SELECT event_id FROM events v "
+            "  WHERE v.event_type = 'view' AND v.user_id = c.user_id "
+            f"  AND abs(epoch_us(v.ts) - epoch_us(c.ts)) <= {_ASOF_TOL_US} "
             "  ORDER BY abs(epoch_us(v.ts) - epoch_us(c.ts)), v.ts "
             "  LIMIT 1) v ON TRUE"
         ),

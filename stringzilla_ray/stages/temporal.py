@@ -171,24 +171,41 @@ def _asof_fill(side: np.ndarray, key: np.ndarray, ts: np.ndarray,
 
 
 def _asof_group(g: pa.Table, by: str, on: str, payload: list[str],
-                direction: str = "backward") -> pa.Table:
+                direction: str = "backward",
+                tolerance: int | None = None) -> pa.Table:
     """One BY-key-complete shard; ``direction`` is pandas merge_asof's:
     backward (greatest right ts <= left ts), forward (smallest right
-    ts >= left ts), nearest (closer of the two, backward on ties)."""
+    ts >= left ts), nearest (closer of the two, backward on ties).
+    ``tolerance`` (same unit as the decoded ``on`` values — µs for
+    timestamps) nulls any match with |left ts - right ts| > tolerance,
+    exactly pandas' bound."""
     side = g["__side"].to_numpy(zero_copy_only=False)
     key = g[by].to_numpy(zero_copy_only=False).astype(np.int64)
     ts = _ts_us(g[on])
+    far = np.iinfo(np.int64).max
     if direction == "backward":
-        left_pos, match_pos, _ = _asof_fill(side, key, ts, True)
+        left_pos, match_pos, mts = _asof_fill(side, key, ts, True)
+        if tolerance is not None:
+            match_pos = np.where(
+                (match_pos >= 0) & (ts[left_pos] - mts <= tolerance),
+                match_pos, -1)
     elif direction == "forward":
-        left_pos, match_pos, _ = _asof_fill(side, key, ts, False)
+        left_pos, match_pos, mts = _asof_fill(side, key, ts, False)
+        if tolerance is not None:
+            match_pos = np.where(
+                (match_pos >= 0) & (mts - ts[left_pos] <= tolerance),
+                match_pos, -1)
     elif direction == "nearest":
         left_pos, bp, bt = _asof_fill(side, key, ts, True)
         _, fp, ft = _asof_fill(side, key, ts, False)
         lts = ts[left_pos]
-        db = np.where(bp >= 0, lts - bt, np.iinfo(np.int64).max)
-        df = np.where(fp >= 0, ft - lts, np.iinfo(np.int64).max)
+        db = np.where(bp >= 0, lts - bt, far)
+        df = np.where(fp >= 0, ft - lts, far)
+        if tolerance is not None:
+            db = np.where(db <= tolerance, db, far)
+            df = np.where(df <= tolerance, df, far)
         match_pos = np.where(db <= df, bp, fp)  # tie -> backward
+        match_pos = np.where((db == far) & (df == far), -1, match_pos)
     else:
         raise ValueError(f"unknown direction {direction!r}")
     take_left = pa.array(left_pos, pa.int64())
@@ -214,15 +231,18 @@ def _asof_group(g: pa.Table, by: str, on: str, payload: list[str],
 def asof_join(left, right, by: str, on: str,
               right_payload: tuple[str, ...] = (),
               n_shards: int | None = None,
-              direction: str = "backward"):
+              direction: str = "backward",
+              tolerance: int | None = None):
     """As-of join: for each left row, attach the right row with the
     greatest ``on`` <= left's ``on`` within the same ``by`` key
     (backward inclusive, pandas ``merge_asof`` semantics; ties are
     impossible when (by, on) is unique on the right). ``direction``
     covers merge_asof's full surface: "forward" attaches the smallest
     right ``on`` >= left's, "nearest" the closer of the two (backward
-    wins exact-distance ties). Unmatched left rows keep nulls in the
-    ``r_*`` payload columns.
+    wins exact-distance ties); ``tolerance`` (int, in the unit of
+    ``on`` — µs for timestamp columns) nulls matches farther than the
+    bound, pandas' ``merge_asof(tolerance=...)``. Unmatched left rows
+    keep nulls in the ``r_*`` payload columns.
 
     One shuffle total: both sides hash-shard on ``by`` (a shard owns
     every row of its keys), then each shard resolves all its matches
@@ -275,7 +295,7 @@ def asof_join(left, right, by: str, on: str,
     )
     return tagged.groupby("__shard").map_groups(
         functools.partial(_asof_group, by=by, on=on, payload=payload,
-                          direction=direction),
+                          direction=direction, tolerance=tolerance),
         batch_format="pyarrow",
     )
 

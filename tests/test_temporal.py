@@ -252,13 +252,21 @@ def test_asof_directions_vs_pandas(ray_session):
     })
     lpd = left.to_pandas().sort_values("ts")
     rpd = right.to_pandas().sort_values("ts")
+    # randomized tolerances exercise the full merge_asof surface:
+    # None = unbounded, plus tight/medium/loose bounds per direction
+    tolerances = [None] + [int(t) for t in rng.integers(1, 5000, 3)]
     for direction in ("backward", "forward", "nearest"):
-        exp = pd.merge_asof(lpd, rpd, on="ts", by="k",
-                            direction=direction) \
-            .sort_values("lid")["rid"].fillna(-1).astype(int).tolist()
-        got = asof_join(ray.data.from_arrow(left).repartition(3),
-                        ray.data.from_arrow(right).repartition(2),
-                        by="k", on="ts", right_payload=("rid",),
-                        direction=direction).to_pandas() \
-            .sort_values("lid")["r_rid"].fillna(-1).astype(int).tolist()
-        assert got == exp, direction
+        for tol in tolerances:
+            exp = pd.merge_asof(
+                lpd, rpd, on="ts", by="k", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(
+                    microseconds=tol),
+            ).sort_values("lid")["rid"].fillna(-1).astype(int).tolist()
+            got = asof_join(ray.data.from_arrow(left).repartition(3),
+                            ray.data.from_arrow(right).repartition(2),
+                            by="k", on="ts", right_payload=("rid",),
+                            direction=direction,
+                            tolerance=tol).to_pandas() \
+                .sort_values("lid")["r_rid"].fillna(-1).astype(int) \
+                .tolist()
+            assert got == exp, (direction, tol)
