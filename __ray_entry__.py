@@ -35,6 +35,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _ascii_mask(t: pa.Table, column: str = "text"):
+    """Rows whose text is pure ASCII (char count == byte count) — the
+    guard that keeps byte-semantics engine kernels and char-semantics
+    DuckDB oracles comparable; SQL twin: length(text) = strlen(text)."""
+    return pc.equal(pc.utf8_length(t[column]), pc.binary_length(t[column]))
+
+
 def _cached_build(path: str, build_fn) -> str:
     """Build an on-disk artifact ATOMICALLY: build_fn writes into a
     temp dir that is renamed into place only on success, so a crashed
@@ -831,8 +838,9 @@ def _q_char_entropy(sf_dir: str):
     from stringzilla_ray.stages.textstats import add_char_entropy
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_char_entropy, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    return ds.map_batches(
+        lambda t: add_char_entropy(t.filter(_ascii_mask(t))),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_funnel(sf_dir: str):
@@ -1156,7 +1164,9 @@ def _q_fuzzy_topk(sf_dir: str):
     one small sort (stages/fuzzy.py:fuzzy_topk)."""
     from stringzilla_ray.stages.fuzzy import fuzzy_topk
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda t: t.filter(_ascii_mask(t)),
+                     batch_format="pyarrow")
     return fuzzy_topk(ds, "the spark merge window data", k=10)
 
 
@@ -2057,6 +2067,7 @@ def _q_find_bounded(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
+        t = t.filter(_ascii_mask(t))  # byte==char only on ASCII rows
         return pa.table({
             "doc_id": t["doc_id"],
             "pos": pc.cast(sz_find(t["text"], "the", 10, 120), pa.int64()),
@@ -2078,6 +2089,7 @@ def _q_translate_bounded(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
+        t = t.filter(_ascii_mask(t))  # byte==char only on ASCII rows
         rot = translate(t["text"], lut, 5, 60)
         return pa.table({
             "doc_id": t["doc_id"],
@@ -3236,7 +3248,7 @@ def oracle_sql() -> dict[str, str]:
             # window [10, 120) clamped per row; absolute 0-based offset
             "WITH w AS (SELECT doc_id, least(10, length(text)) AS s, "
             "greatest(least(120, length(text)), least(10, length(text))) "
-            "AS e, text FROM documents) "
+            "AS e, text FROM documents WHERE length(text) = strlen(text)) "
             "SELECT doc_id, CAST(CASE WHEN "
             "instr(substr(text, s + 1, e - s), 'the') > 0 THEN "
             "instr(substr(text, s + 1, e - s), 'the') - 1 + s "
@@ -3245,7 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         "translate_bounded": (
             "WITH w AS (SELECT doc_id, least(5, length(text)) AS s, "
             "greatest(least(60, length(text)), least(5, length(text))) "
-            "AS e, text FROM documents) "
+            "AS e, text FROM documents WHERE length(text) = strlen(text)) "
             "SELECT doc_id, substr(text, 1, s) || "
             "translate(substr(text, s + 1, e - s), "
             "'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm') "
@@ -3714,14 +3726,16 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": (
             "WITH ch AS (SELECT doc_id, substr(text, "
             "CAST(unnest(generate_series(1, length(text))) AS INT), 1) "
-            "AS c, length(text) AS n FROM documents), "
+            "AS c, length(text) AS n FROM documents "
+            "WHERE length(text) = strlen(text)), "
             "g AS (SELECT doc_id, n, count(*) AS cnt FROM ch "
             "GROUP BY doc_id, n, c), "
             "a AS (SELECT doc_id, sum(cnt * (ln(n) - ln(cnt))) / n AS h "
             "FROM g GROUP BY doc_id, n) "
             "SELECT d.doc_id, CAST(round(coalesce(a.h, 0) * 10000, 0) "
             "AS BIGINT) AS entropy_x10000 "
-            "FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
+            "FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id "
+            "WHERE length(d.text) = strlen(d.text)"
         ),
         "funnel_stages": (
             "WITH s AS (SELECT user_id, ts, event_type FROM events "
@@ -3950,7 +3964,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": (
             "SELECT doc_id, CAST(levenshtein(text, "
             "'the spark merge window data') AS BIGINT) AS dist "
-            "FROM documents ORDER BY dist, doc_id LIMIT 10"
+            "FROM documents WHERE length(text) = strlen(text) "
+            "ORDER BY dist, doc_id LIMIT 10"
         ),
         "near_dup_index": (
             # Exact cross-split gram-Jaccard join (old = % 3 != 0,

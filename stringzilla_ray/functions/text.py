@@ -104,6 +104,11 @@ def window_slice(arr, start: int, end: int | None):
         len(w_lens),
         [None, pa.py_buffer(out_offs.tobytes()),
          pa.py_buffer(tape[idx].tobytes())])
+    if arr.null_count:
+        # carry the validity through so windowed kernels agree with
+        # their unwindowed forms on nulls (null in -> null out, not
+        # empty-string in)
+        out = pc.if_else(arr.is_null(), pa.scalar(None, out.type), out)
     return out, s
 
 
@@ -111,12 +116,18 @@ def find(arr, needle: str, start: int = 0, end: int | None = None) -> pa.Array:
     """First byte offset of ``needle`` in each string, -1 if absent
     (sz.find semantics, python/README.md:127-151). ``start``/``end``
     window the search; the returned offset stays absolute (CPython
-    str.find contract)."""
+    str.find contract); null rows stay null (matching the unwindowed
+    Arrow kernel)."""
     if start == 0 and end is None:
         return pc.find_substring(arr, needle)
     sliced, base = window_slice(arr, start, end)
-    pos = pc.find_substring(sliced, needle).to_numpy(zero_copy_only=False)
-    return pa.array(np.where(pos >= 0, pos + base, -1), pa.int64())
+    found = pc.find_substring(sliced, needle)
+    pos = pc.fill_null(found, -1).to_numpy(zero_copy_only=False)
+    res = pa.array(np.where(pos >= 0, pos + base, -1), pa.int64())
+    if found.null_count:
+        res = pc.if_else(pc.is_null(found), pa.scalar(None, pa.int64()),
+                         res)
+    return res
 
 
 def count_substring(arr, needle: str, allowoverlap: bool = False,
@@ -129,21 +140,32 @@ def count_substring(arr, needle: str, allowoverlap: bool = False,
         arr, _ = window_slice(arr, start, end)
     if not allowoverlap:
         return pc.count_substring(arr, needle)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # null rows stay null, matching pc.count_substring's propagation
+    nulls = arr.is_null() if arr.null_count else None
+    if nulls is not None:
+        arr = pc.fill_null(arr, "")
     nb = needle.encode()
     w = len(nb)
-    tape, offsets = tape_of(arr if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks())
+    tape, offsets = tape_of(arr)
     n = len(offsets) - 1
     if len(tape) < w or w == 0:
-        return pa.array([0] * n, pa.int64())
-    hit = np.ones(len(tape) - w + 1, dtype=bool)
-    pat = np.frombuffer(nb, dtype=np.uint8)
-    for k in range(w):
-        hit &= tape[k : k + len(hit)] == pat[k]
-    csum = np.concatenate([[0], np.cumsum(hit)])
-    starts = offsets[:-1]
-    ends = np.maximum(offsets[1:] - w + 1, starts)
-    counts = csum[np.minimum(ends, len(csum) - 1)] - csum[np.minimum(starts, len(csum) - 1)]
-    return pa.array(counts.astype(np.int64), pa.int64())
+        counts = np.zeros(n, np.int64)
+    else:
+        hit = np.ones(len(tape) - w + 1, dtype=bool)
+        pat = np.frombuffer(nb, dtype=np.uint8)
+        for k in range(w):
+            hit &= tape[k : k + len(hit)] == pat[k]
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        starts = offsets[:-1]
+        ends = np.maximum(offsets[1:] - w + 1, starts)
+        counts = csum[np.minimum(ends, len(csum) - 1)] \
+            - csum[np.minimum(starts, len(csum) - 1)]
+    res = pa.array(counts.astype(np.int64), pa.int64())
+    if nulls is not None:
+        res = pc.if_else(nulls, pa.scalar(None, pa.int64()), res)
+    return res
 
 
 def contains(arr, needle: str) -> pa.Array:

@@ -1317,6 +1317,13 @@ def _probe_bands_fn(batch: pa.Table, *, index_path: str, id_column: str,
             pq.read_table(f, columns=["bkey", "id"]) for f in fs])
         ib = t["bkey"].to_numpy(zero_copy_only=False)
         iid = t["id"].to_numpy(zero_copy_only=False)
+        # each FILE is bkey-sorted (group output), but the concat
+        # across files is only sorted if Ray's file naming sorts
+        # lexicographically by block order — guard it, or a split
+        # bucket silently loses recall (ADVICE r3)
+        if len(fs) > 1 and not np.all(ib[:-1] <= ib[1:]):
+            order = np.argsort(ib, kind="stable")
+            ib, iid = ib[order], iid[order]
         m = bk == b
         kb, kn = keys[m], new_ids[m]
         lo = np.searchsorted(ib, kb, side="left")

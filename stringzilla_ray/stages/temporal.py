@@ -502,21 +502,48 @@ def window_dedup(ds, keys: list[str], ts_column: str, id_column: str,
         ts = _ts_us(batch[ts_column])
         win = ts // np.int64(window_us)
         h = _key_hash(batch, win)
-        return pa.table({
+        out = {
             id_column: batch[id_column],
             "_cell": pa.array(h.view(np.int64), pa.int64()),
+            "_win": pa.array(win, pa.int64()),
             "_ts": pa.array(ts, pa.int64()),
             "_shard": pa.array((h % np.uint64(n_shards)).astype(np.int32),
                                pa.int32()),
-        })
+        }
+        # carry the TRUE key tuple: the cell hash routes and pre-groups,
+        # but identity is decided on the real values (a 2^-64 cell
+        # collision must not silently drop a legitimate first event —
+        # the shard already co-locates all contenders, so the exact
+        # check is one extra lexsort column per key)
+        for k in keys:
+            out["_k_" + k] = batch[k]
+        return pa.table(out)
 
     def pick(g: pa.Table) -> pa.Table:
         cell = g["_cell"].to_numpy(zero_copy_only=False)
+        win = g["_win"].to_numpy(zero_copy_only=False)
         ts = g["_ts"].to_numpy(zero_copy_only=False)
         ids = g[id_column].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ts, cell))
+        comps = []
+        for k in keys:
+            col = g["_k_" + k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_string(col.type) or \
+                    pa.types.is_large_string(col.type):
+                # dense local codes: equality-preserving, cheap to sort
+                comps.append(col.dictionary_encode().indices
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+            else:
+                comps.append(col.to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+        order = np.lexsort((ids, ts, *reversed(comps), win, cell))
         first = np.ones(len(order), bool)
         first[1:] = cell[order][1:] != cell[order][:-1]
+        first[1:] |= win[order][1:] != win[order][:-1]
+        for comp in comps:
+            first[1:] |= comp[order][1:] != comp[order][:-1]
         return pa.table({id_column: pa.array(ids[order][first],
                                              g[id_column].type)})
 

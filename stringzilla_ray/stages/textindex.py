@@ -113,10 +113,10 @@ def build_text_index(ds, path: str, id_column: str = "doc_id",
         _stats_partial_fn,
         fn_kwargs=dict(text_column=text_column, token_chars=token_chars),
         batch_format="pyarrow",
-    ).to_pandas()
+    ).take_all()  # one 2-int row per block
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"n_docs": int(stats["n_docs"].sum()),
-                   "n_tokens": int(stats["n_tokens"].sum()),
+        json.dump({"n_docs": int(sum(r["n_docs"] for r in stats)),
+                   "n_tokens": int(sum(r["n_tokens"] for r in stats)),
                    "n_buckets": n_buckets}, f)
 
 
@@ -160,25 +160,66 @@ def search_all_terms(index_path: str, terms: list[str],
     return counts.map_batches(conj, batch_format="pyarrow")
 
 
+def _bm25_rows(t: pa.Table, term_arr, id_column: str):
+    """Candidate postings table -> (doc, code, tf, dl) numpy columns in
+    CANONICAL (doc, code) order — one row per (doc, term) by index
+    construction, so the per-doc float summation order is identical on
+    every path regardless of block arrival order."""
+    tok = t["token"].combine_chunks() \
+        if isinstance(t["token"], pa.ChunkedArray) else t["token"]
+    code = pc.index_in(tok, value_set=term_arr) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+    dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+    doc = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((code, doc))
+    return doc[order], code[order], tf[order], dl[order]
+
+
+def _bm25_doc_scores(doc, code, tf, dl, idf_t, k1, b, avgdl, scale):
+    """(unique docs, scaled-int BM25 sums); expression shapes mirror
+    the SQL oracle token for token."""
+    idf = idf_t[code]
+    den = tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
+    sc = (idf * (tf * (k1 + 1.0))) / den
+    udoc, inv = np.unique(doc, return_inverse=True)
+    sums = np.bincount(inv, weights=sc)
+    return udoc, np.floor(sums * scale + 0.5).astype(np.int64)
+
+
 def bm25_topk(index_path: str, terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75, scale: int = 1_000_000,
-              id_column: str = "doc_id", n_buckets: int | None = None):
+              id_column: str = "doc_id", n_buckets: int | None = None,
+              distributed_threshold: int = 2_000_000,
+              n_shards: int | None = None):
     """BM25-ranked top-k retrieval over the postings index (Robertson/
     Lucene idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
 
     Scale shape: partition pruning reads ONLY the query terms' buckets;
     postings carry (tf, dl) so scoring needs NO join with a doc-length
     table; the candidate set is the union of the term posting lists
-    (what an inverted index exists to bound), scored in one warm task
-    over zero-copy block refs. Scores emit as scaled ints so the
-    DuckDB double mirror compares exactly; ranking uses the SAME int
-    (score desc, id asc) on both sides."""
+    (what an inverted index exists to bound). Below
+    ``distributed_threshold`` candidate rows, ONE warm task scores the
+    union over zero-copy block refs; above it (stopword-grade terms
+    where df ~ N), an exact df census broadcasts the idf table, the
+    candidates hash-shard on doc id, each shard emits its top-k
+    TIE-SUPERSET (kth-value cutoff, same exactness argument as
+    fuzzy_topk), and the small supersets merge in one final sort —
+    nothing corpus-sized ever passes through the driver. Both paths
+    canonicalize per-doc summation order, so they agree bit-for-bit.
+    Scores emit as scaled ints so the DuckDB double mirror compares
+    exactly; ranking uses the SAME int (score desc, id asc) on both
+    sides."""
+    import functools as _ft
     import glob as _glob
     import json
     import os
 
     import ray
     import ray.data
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
 
     with open(os.path.join(index_path, "meta.json")) as f:
         meta = json.load(f)
@@ -211,29 +252,78 @@ def bm25_topk(index_path: str, terms: list[str], k: int = 10,
     hits = postings.map_batches(keep_terms, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
 
-    @ray.remote
-    def _score(*tables):
-        t = pa.concat_tables([x for x in tables if len(x)])
-        if len(t) == 0:
-            return empty
+    if hits.count() <= distributed_threshold:
+        @ray.remote
+        def _score(*tables):
+            t = pa.concat_tables([x for x in tables if len(x)])
+            if len(t) == 0:
+                return empty
+            doc, code, tf, dl = _bm25_rows(t, term_arr, "doc_id")
+            df = np.bincount(code, minlength=len(terms)).astype(np.float64)
+            idf_t = np.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+            udoc, score_int = _bm25_doc_scores(doc, code, tf, dl, idf_t,
+                                               k1, b, avgdl, scale)
+            order = np.lexsort((udoc, -score_int))[:k]
+            return pa.table({
+                id_column: pa.array(udoc[order], pa.int64()),
+                score_col: pa.array(score_int[order], pa.int64())})
+
+        return ray.data.from_arrow(
+            ray.get(_score.remote(*hits.to_arrow_refs())))
+
+    # ---- distributed path: exact df census -> broadcast idf ->
+    # doc-shard partial top-k tie-supersets -> one small merge
+    n_shards = n_shards or reduce_buckets()
+    df = np.zeros(len(terms), np.int64)
+
+    def df_partial(t: pa.Table) -> pa.Table:
         tok = t["token"].combine_chunks() \
             if isinstance(t["token"], pa.ChunkedArray) else t["token"]
         code = pc.index_in(tok, value_set=term_arr) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
-        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        df = np.bincount(code, minlength=len(terms)).astype(np.float64)
-        # expression shapes mirror the SQL oracle token for token
-        idf_t = np.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
-        idf = idf_t[code]
-        den = tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
-        sc = (idf * (tf * (k1 + 1.0))) / den
-        udoc, inv = np.unique(doc, return_inverse=True)
-        sums = np.bincount(inv, weights=sc)
-        score_int = np.floor(sums * scale + 0.5).astype(np.int64)
-        order = np.lexsort((udoc, -score_int))[:k]
-        return pa.table({id_column: pa.array(udoc[order], pa.int64()),
-                         score_col: pa.array(score_int[order], pa.int64())})
+        cnt = np.bincount(code, minlength=len(terms))
+        return pa.table({"code": pa.array(np.arange(len(terms)), pa.int64()),
+                         "df": pa.array(cnt, pa.int64())})
 
-    return ray.data.from_arrow(ray.get(_score.remote(*hits.to_arrow_refs())))
+    for row in hits.map_batches(df_partial,
+                                batch_format="pyarrow").take_all():
+        df[int(row["code"])] += int(row["df"])
+    idf_t = np.log(1.0 + (n_corpus - df.astype(np.float64) + 0.5)
+                   / (df.astype(np.float64) + 0.5))
+
+    def shard_tag(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(doc.view(np.uint64) ^ np.uint64(0xB25))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return t.append_column("shard", pa.array(shard, pa.int32()))
+
+    def shard_topk(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return empty
+        doc, code, tf, dl = _bm25_rows(g, term_arr, "doc_id")
+        udoc, score_int = _bm25_doc_scores(doc, code, tf, dl, idf_t,
+                                           k1, b, avgdl, scale)
+        order = np.lexsort((udoc, -score_int))
+        if len(order) > k:
+            # kth-value tie superset: never drop a tied candidate to a
+            # local cutoff (the global sort decides)
+            cut = score_int[order[k - 1]]
+            order = order[score_int[order] >= cut]
+        return pa.table({
+            id_column: pa.array(udoc[order], pa.int64()),
+            score_col: pa.array(score_int[order], pa.int64())})
+
+    parts = (
+        hits.map_batches(shard_tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pyarrow")
+        .take_all()  # n_shards * (k + ties) rows — small by design
+    )
+    if not parts:
+        return ray.data.from_arrow(empty)
+    ids = np.array([r[id_column] for r in parts], np.int64)
+    scs = np.array([r[score_col] for r in parts], np.int64)
+    order = np.lexsort((ids, -scs))[:k]
+    return ray.data.from_arrow(pa.table({
+        id_column: pa.array(ids[order], pa.int64()),
+        score_col: pa.array(scs[order], pa.int64())}))

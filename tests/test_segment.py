@@ -731,3 +731,22 @@ def test_chunk_documents_by_sentence(ray_session):
         for j in range(len(ch)):
             assert ch.chunk_text[j] == "".join(segs[j*step:j*step+3])
             assert ch.n_sentences[j] == min(j*step+3, len(segs)) - j*step
+
+
+def test_windowed_kernels_null_propagation():
+    """Regression (ADVICE r3): windowed find/count used to turn null
+    rows into empty strings (find -> -1, count -> 0) while the
+    unwindowed fast paths propagated null; window_slice now carries
+    the validity buffer through."""
+    from stringzilla_ray.functions.text import count_substring, find
+
+    vals = ["hello world hello", None, "abc", "", "xxhello"]
+    col = pa.array(vals, pa.string())
+    assert find(col, "hello", 1, None).to_pylist() == \
+        [12, None, -1, -1, 2]
+    assert count_substring(col, "l", start=1).to_pylist() == \
+        [5, None, 0, 0, 2]
+    assert count_substring(col, "ll", allowoverlap=True).to_pylist() \
+        == [2, None, 0, 0, 1]
+    assert count_substring(col, "ll", allowoverlap=True,
+                           start=3).to_pylist() == [1, None, 0, 0, 1]

@@ -2267,6 +2267,12 @@ def test_bm25_topk_vs_python_reference(ray_session, tmp_path):
     want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = bm25_topk(idx, terms, k=10, n_buckets=8).to_pandas()
     assert list(map(tuple, got.values.tolist())) == want
+    # distributed path (df census -> doc-shard tie-superset top-k ->
+    # small merge) agrees bit-for-bit — the high-df / stopword-grade
+    # route where the one-task union would not scale
+    got_d = bm25_topk(idx, terms, k=10, n_buckets=8,
+                      distributed_threshold=0, n_shards=5).to_pandas()
+    assert list(map(tuple, got_d.values.tolist())) == want
 
 
 def test_fuzzy_topk_exact_vs_bruteforce(ray_session):
