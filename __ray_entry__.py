@@ -780,6 +780,32 @@ def _q_approx_distinct_users(sf_dir: str):
     }))
 
 
+def _q_approx_distinct_check(sf_dir: str):
+    """Hard-checkable HLL accuracy row: the engine computes BOTH the
+    exact distinct count (profile_columns' sharded exact dedup — a
+    proven oracle-green path) and the HLL estimate, and emits the
+    exact count plus a within-3-sigma verdict (sigma = 1.04/sqrt(m)).
+    The SQL twin computes COUNT(DISTINCT) and claims 1 — so the hash
+    compare verifies the engine's exact count AND goes red if the
+    estimator ever drifts out of its published bound."""
+    import math
+
+    import ray.data
+
+    from stringzilla_ray.stages.stats import approx_distinct, profile_columns
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est, _regs = approx_distinct(ds, "user_id", p=12)
+    prof = profile_columns(ds, ["user_id"]).to_pandas()
+    exact = int(prof["n_distinct"].iloc[0])
+    sigma = 1.04 / math.sqrt(2 ** 12)
+    ok = exact > 0 and abs(est / exact - 1.0) <= 3.0 * sigma
+    return ray.data.from_arrow(pa.table({
+        "exact_distinct": pa.array([exact], pa.int64()),
+        "within_3sigma": pa.array([int(ok)], pa.int64()),
+    }))
+
+
 def _q_unigram_surprisal(sf_dir: str):
     """CCNet-style LM quality scoring: mean token surprisal under a
     corpus-trained unigram model. Train = one vocabulary census
@@ -1432,12 +1458,21 @@ def _q_profile_events(sf_dir: str):
 
 
 def _q_simhash(sf_dir: str):
+    """Per-document 64-bit SimHash (FNV-1a token hash, per-bit majority
+    vote) — emitted as the signed int64 bit-view so the DuckDB HUGEINT
+    twin hash-compares exactly. The seeded AES variant of the same
+    kernel is pinned by golden vectors (tests/golden/simhash.json)."""
     from stringzilla_ray.stages.dedup import add_simhash
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        lambda t: add_simhash(t).select(["doc_id", "simhash"]), batch_format="pyarrow"
-    )
+
+    def f(t: pa.Table) -> pa.Table:
+        sig = add_simhash(t, token_hash="fnv")["simhash"] \
+            .to_numpy(zero_copy_only=False).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(sig, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def _q_uax29_sentence_count(sf_dir: str):
@@ -2928,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_5gram_chars": _q_dup_5gram_chars,
         "tpch_q3_revenue": _q_tpch_q3,
         "approx_distinct_users": _q_approx_distinct_users,
+        "approx_distinct_check": _q_approx_distinct_check,
         "equalize_langs": _q_equalize_langs,
         "audio_spectral": _q_audio_spectral,
         "median_chars_by_lang": _q_median_chars_by_lang,
@@ -3814,6 +3850,11 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS bigram_surprisal_x10000 "
             "FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
         ),
+        "approx_distinct_check": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS exact_distinct, CAST(1 AS BIGINT) AS within_3sigma "
+            "FROM events"
+        ),
         "incremental_surprisal": (
             # train counts from doc_id < 450; score doc_id >= 400 with
             # every miss (token or bigram unseen in training) clamped
@@ -4272,6 +4313,36 @@ def oracle_sql() -> dict[str, str]:
             "t.nt - coalesce(a.nk, 0) AS n_dropped "
             "FROM documents d JOIN tot t USING (doc_id) "
             "LEFT JOIN agg a USING (doc_id)"
+        ),
+        "simhash": (
+            # FNV-1a per-token HUGEINT fold, per-bit majority vote,
+            # then the uint64 -> int64 bit-view (subtract 2^64 above
+            # 2^63) so both sides emit the same signed value.
+            "WITH tok AS ("
+            "  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents"
+            "), h AS ("
+            "  SELECT doc_id,"
+            "    (list_reduce("
+            "      list_prepend(14695981039346656037::HUGEINT,"
+            "        list_transform(string_split(t, ''), c -> unicode(c)::HUGEINT)),"
+            "      (a, x) -> ((xor(a::UBIGINT, x::UBIGINT))::HUGEINT * 1099511628211::HUGEINT)"
+            "                % 18446744073709551616::HUGEINT"
+            "    ))::UBIGINT AS hv"
+            "  FROM tok"
+            "), bits AS ("
+            "  SELECT doc_id, b,"
+            "    CASE WHEN sum(CASE WHEN (hv >> b::UBIGINT) & 1::UBIGINT = 1::UBIGINT "
+            "THEN 1 ELSE -1 END) >= 0"
+            "         THEN power(2, b)::HUGEINT ELSE 0::HUGEINT END AS bitval"
+            "  FROM h CROSS JOIN generate_series(0, 63) AS g(b)"
+            "  GROUP BY doc_id, b"
+            "), sig AS ("
+            "  SELECT doc_id, sum(bitval)::HUGEINT AS s FROM bits GROUP BY doc_id"
+            ") "
+            "SELECT d.doc_id, CAST(coalesce(CASE WHEN s.s >= 9223372036854775808::HUGEINT "
+            "THEN s.s - 18446744073709551616::HUGEINT ELSE s.s END, 0::HUGEINT) AS BIGINT) "
+            "AS simhash "
+            "FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id"
         ),
         "simhash_near_dup": (
             # Exact SQL twin of the whole op: FNV-1a per token (HUGEINT

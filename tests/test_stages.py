@@ -2659,3 +2659,23 @@ def test_ngram_repetition_vs_python_oracle():
                    t[f"top_{n}gram_chars"][i].as_py(),
                    t[f"dup_{n}gram_chars"][i].as_py())
             assert got == oracle(d, n), (n, repr(d))
+
+
+def test_simhash_golden_vectors():
+    """The seeded AES SimHash is pinned by golden vectors
+    (tests/golden/simhash.json, generated from this kernel and frozen)
+    — the non-SQL twin of the simhash oracle row, so a refactor of the
+    token hash, vote reduction, or tokenizer cannot silently change
+    signatures."""
+    import json
+    import os
+
+    from stringzilla_ray.stages.dedup import simhash_batch
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "simhash.json")
+    with open(path) as f:
+        golden = json.load(f)
+    for rec in golden["results"]:
+        got = simhash_batch(golden["fixtures"], seed=rec["seed"])
+        assert [int(v) for v in got] == rec["values"], rec["seed"]
