@@ -2679,3 +2679,57 @@ def test_simhash_golden_vectors():
     for rec in golden["results"]:
         got = simhash_batch(golden["fixtures"], seed=rec["seed"])
         assert [int(v) for v in got] == rec["values"], rec["seed"]
+
+
+def test_ivf_recall_candidate_fraction(ray_session):
+    """IVF recall on planted Gaussian clusters with REAL pruning
+    (nprobe << nlist), measured over 20 queries: recall@10 >= 0.95
+    while scoring only the probed lists' fraction of the corpus
+    (~nprobe/nlist). Pins the accuracy/cost trade the 100-TB path
+    relies on; the measured fraction-vs-recall table lives in
+    BASELINE.md."""
+    import ray.data
+
+    from stringzilla_ray.stages.ann import (
+        add_ivf_assignment,
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    n_clusters, per, dim = 32, 125, 32
+    centers = rng.standard_normal((n_clusters, dim)) \
+        .astype(np.float32) * 2.5
+    emb = np.vstack([
+        c + rng.standard_normal((per, dim)).astype(np.float32)
+        for c in centers
+    ])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(emb)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              pa.list_(pa.float32())),
+    })).repartition(4).materialize()
+
+    cents = train_ivf_centroids(ds, nlist=n_clusters, seed=0)
+    assigned = add_ivf_assignment(ds, cents).to_pandas()
+    list_sizes = np.bincount(assigned["list_id"], minlength=n_clusters)
+
+    q_ids = rng.choice(len(emb), size=20, replace=False)
+    hits = 0
+    frac_sum = 0.0
+    for qi in q_ids:
+        query = emb[qi]
+        truth = set(brute_force_topk(ds, query, k=10)
+                    .to_pandas().vec_id)
+        got = set(ivf_topk(ds, query, k=10, nlist=n_clusters, nprobe=4,
+                           centroids=cents).to_pandas().vec_id)
+        hits += len(truth & got)
+        from stringzilla_ray.stages.ann import _probe_lists
+        probes = _probe_lists(query, cents, 4)
+        frac_sum += float(list_sizes[probes].sum()) / len(emb)
+    recall = hits / (10 * len(q_ids))
+    frac = frac_sum / len(q_ids)
+    # real pruning: ~4/32 of the corpus scored, recall stays high
+    assert frac < 0.3, frac
+    assert recall >= 0.95, (recall, frac)
