@@ -40,6 +40,24 @@ def _symmetric_edges(edges):
 DRIVER_UNION_FIND_MAX_EDGES = 50_000_000
 
 
+def _check_driver_cc_cap(edge_count: int):
+    """Explicit cap-and-error contract for the single-process CC
+    gathers (the same contract the broadcast stages carry): the
+    auto-dispatch in assign_clusters / label_propagation already
+    routes oversized graphs to the distributed LP loop, but if the
+    dispatch is ever bypassed or edited, the failure mode at 100x
+    must be this message, not an OOM inside a worker task."""
+    if edge_count > DRIVER_UNION_FIND_MAX_EDGES:
+        raise ValueError(
+            f"edge set has {edge_count:,} edges, above "
+            f"DRIVER_UNION_FIND_MAX_EDGES={DRIVER_UNION_FIND_MAX_EDGES:,} — "
+            "the single-task CC gather would hold the whole graph in one "
+            "process. Use label_propagation(..., force_distributed=True) "
+            "(or let assign_clusters auto-dispatch) for the distributed "
+            "min-label-propagation path."
+        )
+
+
 def _edges_to_numpy(edges):
     """Pull a (left, right) edge Dataset into two NumPy arrays via
     parallel block refs (zero-copy plasma reads), not a serial
@@ -114,6 +132,10 @@ def _union_find_clusters(nodes, edges, id_column: str = "conv_id"):
     no per-row Python."""
     import ray
 
+    from stringzilla_ray.util import ensure_materialized
+
+    edges = ensure_materialized(edges)
+    _check_driver_cc_cap(edges.count())
     left, right = _edges_to_numpy(edges)
     if left is None:
         node_list, root_list = [], []
@@ -211,6 +233,7 @@ def _cc_roots_ref_for(edges, edge_count: int):
     nothing moves through the driver either way."""
     import ray
 
+    _check_driver_cc_cap(edge_count)
     refs = edges.to_arrow_refs()
     if edge_count <= PARALLEL_CC_MIN_EDGES or len(refs) < 2:
         return _get_cc_task().remote(*refs)

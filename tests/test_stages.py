@@ -974,6 +974,44 @@ def test_distributed_lp_int_node_column(ray_session):
         cl.DRIVER_UNION_FIND_MAX_EDGES = old
 
 
+def test_driver_cc_cap_contract(ray_session):
+    """The single-process CC gathers carry an explicit cap-and-raise
+    contract (VERDICT r3 task 10): bypassing the auto-dispatch with an
+    edge set above DRIVER_UNION_FIND_MAX_EDGES must fail with a
+    message naming force_distributed, not an OOM. The auto paths
+    (assign_clusters / label_propagation) still dispatch silently."""
+    import pytest
+    import ray.data
+
+    import stringzilla_ray.stages.clustering as cl
+    from stringzilla_ray.state.config import ERConfig
+
+    edges = ray.data.from_arrow(pa.table({
+        "left": pa.array([1, 2, 5], pa.int64()),
+        "right": pa.array([2, 3, 6], pa.int64()),
+    })).materialize()
+    nodes = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64())
+    }))
+
+    old = cl.DRIVER_UNION_FIND_MAX_EDGES
+    cl.DRIVER_UNION_FIND_MAX_EDGES = 2
+    try:
+        # direct gather entry points raise with guidance
+        with pytest.raises(ValueError, match="force_distributed"):
+            cl._union_find_clusters(nodes, edges)
+        with pytest.raises(ValueError, match="force_distributed"):
+            cl._cc_roots_ref_for(edges, edges.count())
+        # the public API auto-dispatches to distributed LP instead
+        out = cl.label_propagation(
+            nodes, edges, ERConfig(max_lp_iters=6), id_column="conv_id"
+        ).to_pandas()
+        by = dict(zip(out.conv_id, out.cluster_id))
+        assert by == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+    finally:
+        cl.DRIVER_UNION_FIND_MAX_EDGES = old
+
+
 def test_parallel_cc_tree_reduce_matches_single_task(ray_session):
     """The spanning-forest tree reduce (PARALLEL_CC_MIN_EDGES fan-out)
     must produce the identical root map as one CC task over all edges,
