@@ -111,6 +111,7 @@ def resolve_entities(
                 ndim=cfg.ndim, window_widths=cfg.window_widths, seed=cfg.seed,
                 backend=cfg.fingerprint_backend, prefix_ndim=cfg.prefix_ndim,
                 prefix_sig_bytes=cfg.prefix_sig_bytes,
+                batch_rows=cfg.fingerprint_batch_size,
             )
             signed = canonicalize(transcripts, post_fn=post)
             if tick:

@@ -461,27 +461,28 @@ _PACKED_SCHEMA = pa.schema(
 
 
 def _canon_pack_codec() -> str | None:
-    """SZRAY_CANON_PACK=1: zstd-compress the canonicalize exchange
-    (per-shard Arrow-IPC blobs, ~4x fewer bytes on transcript text).
-    Default OFF after measurement on this host: under STAGED execution
-    (per-stage materialization, the stage-times profile — and the shape
-    a checkpointed or NIC-bound multi-node run has) it won 5/5
-    interleaved weak-hi pairs (flagship 56.6s -> 40.4s median, -29%),
-    but under the production STREAMING executor it is a wash at 32
-    CPUs and a reproducible ~2x regression on the 8-CPU leg (3/3
-    interleaved pairs, 12s -> 26s). Probed and ruled out: blob-size
-    caps, sort-boundary sampling of fat rows, target_max_block_size
-    under-partitioning (base shows the same reduce accounting) — the
-    residual streaming-overlap mechanism is undiagnosed. Keep it for
-    real clusters where exchange bytes cross NICs; never default it
-    from a single-host reading. Any other value names the Arrow IPC
-    codec."""
+    """SZRAY_CANON_PACK (default ON): zstd-compress the canonicalize
+    exchange (per-shard Arrow-IPC blobs, ~4x fewer bytes on transcript
+    text). Default ON since r4: the r3 "streaming 8-CPU 2x regression"
+    that kept this OFF was diagnosed (r4) as Ray operator fusion
+    propagating the downstream fingerprint map_batches batch_size=512
+    as the fused operator's min_rows_per_bundle — the bundler counts
+    PHYSICAL rows, each packed row is a ~4096-doc blob, so 16 sort
+    partitions coalesced into one task and the merge+fingerprint stage
+    collapsed to 2 tasks. Fixed by moving the row batching inside the
+    fingerprint kernel (Fingerprinter.batch_rows) and passing
+    batch_size=None to Ray. Re-measured interleaved (see BASELINE.md
+    r4): pack ties base on the 8-CPU lo leg and the standard sf0.1
+    bench, and WINS the 32-CPU weak-hi leg 3/3 (median 26.3s vs
+    40.5s) plus 5/5 staged — and on a real cluster the 4x exchange
+    reduction is NIC bytes. SZRAY_CANON_PACK=0 reverts; any other
+    value names the Arrow IPC codec."""
     import os
 
-    v = os.environ.get("SZRAY_CANON_PACK", "")
-    if v in ("", "0"):
+    v = os.environ.get("SZRAY_CANON_PACK", "1")
+    if v == "0":
         return None
-    return "zstd" if v == "1" else v
+    return "zstd" if v in ("", "1") else v
 
 
 def _pack_partials(t: pa.Table, codec: str) -> pa.Table:

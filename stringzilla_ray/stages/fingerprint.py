@@ -31,7 +31,7 @@ class Fingerprinter:
     def __init__(self, ndim: int, window_widths: tuple[int, ...], seed: int,
                  text_column: str = "norm_doc", emit_counts: bool = False,
                  backend: str = "fast", prefix_ndim: int = 0,
-                 prefix_sig_bytes: int = 512):
+                 prefix_sig_bytes: int = 512, batch_rows: int | None = None):
         self.ndim = ndim
         self.widths = tuple(window_widths)
         self.seed = seed
@@ -40,42 +40,79 @@ class Fingerprinter:
         self.backend = backend
         self.prefix_ndim = prefix_ndim
         self.prefix_sig_bytes = prefix_sig_bytes
-        if backend == "reference":
-            # Engine-init work amortized across batches: per-dim params
-            # (the analogue of szs engine construction).
-            self.params = fpk.dim_parameters(ndim, self.widths, seed)
+        # Kernel-internal row cap (bit-identical per string regardless
+        # of slicing): bounds the kernel's per-call temporaries WITHOUT
+        # a Ray-level batch_size. A map_batches batch_size becomes the
+        # fused operator's min_rows_per_bundle, and Ray counts PHYSICAL
+        # rows — under SZRAY_CANON_PACK each upstream row is a ~4096-doc
+        # compressed blob, so a 512-ROW bundle target coalesced 16 sort
+        # partitions into one task and collapsed the merge+fingerprint
+        # stage to 2 tasks (the r3 "streaming 8-CPU 2x regression",
+        # mechanism finally diagnosed in r4; see BASELINE.md).
+        self.batch_rows = batch_rows
+
+    def _sign_slices(self, tape, offsets):
+        """Run the kernels over <=batch_rows row slices of the tape
+        (rebased per slice — the kernels scan the whole tape they're
+        given) and stack. Returns (hashes, counts, prefix_hashes)."""
+        n = len(offsets) - 1
+        step = self.batch_rows if (self.batch_rows and 0 < self.batch_rows < n) else n
+        h_parts, c_parts, p_parts = [], [], []
+        for s in range(0, max(n, 1), max(step, 1)):
+            e = min(s + step, n)
+            sub_tape = tape[offsets[s]:offsets[e]]
+            sub_off = offsets[s:e + 1] - offsets[s]
+            if self.backend == "reference":
+                hashes, counts = fpk.fingerprint_batch(
+                    sub_tape, sub_off, ndim=self.ndim, widths=self.widths,
+                    seed=self.seed,
+                )
+            else:
+                from stringzilla_ray.functions.fastfp import oph_fingerprint_batch
+
+                if self.emit_counts:
+                    hashes, counts = oph_fingerprint_batch(
+                        sub_tape, sub_off, ndim=self.ndim, widths=self.widths,
+                        seed=self.seed, emit_counts=True,
+                    )
+                else:
+                    hashes = oph_fingerprint_batch(
+                        sub_tape, sub_off, ndim=self.ndim, widths=self.widths,
+                        seed=self.seed,
+                    )
+                    counts = None
+            h_parts.append(hashes)
+            if counts is not None:
+                c_parts.append(counts)
+            if self.prefix_ndim:
+                from stringzilla_ray.functions.fastfp import (
+                    oph_fingerprint_batch,
+                    truncate_tape,
+                )
+
+                ptape, poffsets = truncate_tape(sub_tape, sub_off,
+                                                self.prefix_sig_bytes)
+                p_parts.append(oph_fingerprint_batch(
+                    ptape, poffsets, ndim=self.prefix_ndim,
+                    widths=self.PREFIX_WIDTHS, seed=self.seed + 1,
+                ))
+            if n == 0:
+                break
+        cat = lambda ps: ps[0] if len(ps) == 1 else np.vstack(ps)  # noqa: E731
+        return (
+            cat(h_parts),
+            cat(c_parts) if c_parts else None,
+            cat(p_parts) if p_parts else None,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.text_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         tape, offsets = tape_of(col)
-        if self.backend == "reference":
-            hashes, counts = fpk.fingerprint_batch(
-                tape, offsets, ndim=self.ndim, widths=self.widths, seed=self.seed
-            )
-        else:
-            from stringzilla_ray.functions.fastfp import oph_fingerprint_batch
-
-            if self.emit_counts:
-                hashes, counts = oph_fingerprint_batch(
-                    tape, offsets, ndim=self.ndim, widths=self.widths,
-                    seed=self.seed, emit_counts=True,
-                )
-            else:
-                hashes = oph_fingerprint_batch(
-                    tape, offsets, ndim=self.ndim, widths=self.widths, seed=self.seed
-                )
-                counts = None
+        hashes, counts, phashes = self._sign_slices(tape, offsets)
         batch = batch.append_column("minhash", _sig_binary(hashes))
-        if self.prefix_ndim:
-            from stringzilla_ray.functions.fastfp import oph_fingerprint_batch, truncate_tape
-
-            ptape, poffsets = truncate_tape(tape, offsets, self.prefix_sig_bytes)
-            phashes = oph_fingerprint_batch(
-                ptape, poffsets, ndim=self.prefix_ndim, widths=self.PREFIX_WIDTHS,
-                seed=self.seed + 1,
-            )
+        if phashes is not None:
             batch = batch.append_column("prefix_minhash", _sig_binary(phashes))
         if self.emit_counts and counts is not None:
             batch = batch.append_column("mincount", _sig_binary(counts))
@@ -115,17 +152,24 @@ def fingerprint_stage(canonical, cfg: ERConfig, upstream_blocks: int | None = No
         # only pay a repartition pass when the upstream really emits
         # too few blocks to keep the pool busy (tasks are per block)
         canonical = canonical.repartition(want)
+    # batch_size stays OUT of map_batches: the kernel slices rows
+    # internally (Fingerprinter.batch_rows) so its temporaries stay
+    # bounded, while Ray sees batch_size=None and never coalesces
+    # input bundles by physical row count — which collapsed the fused
+    # unpack+fingerprint stage to 2 tasks under SZRAY_CANON_PACK
+    # (fat blob rows; see Fingerprinter.__init__ and BASELINE.md r4).
     ctor = dict(
         ndim=cfg.ndim, window_widths=cfg.window_widths, seed=cfg.seed,
         backend=cfg.fingerprint_backend, prefix_ndim=cfg.prefix_ndim,
         prefix_sig_bytes=cfg.prefix_sig_bytes,
+        batch_rows=cfg.fingerprint_batch_size,
     )
     if cfg.fingerprint_concurrency:
         return canonical.map_batches(
             Fingerprinter,
             fn_constructor_kwargs=ctor,
             batch_format="pyarrow",
-            batch_size=cfg.fingerprint_batch_size,
+            batch_size=None,
             zero_copy_batch=True,
             concurrency=cfg.fingerprint_concurrency,
         )
@@ -133,7 +177,7 @@ def fingerprint_stage(canonical, cfg: ERConfig, upstream_blocks: int | None = No
         _fingerprint_fn,
         fn_kwargs=ctor,
         batch_format="pyarrow",
-        batch_size=cfg.fingerprint_batch_size,
+        batch_size=None,
         zero_copy_batch=True,
     )
 

@@ -286,3 +286,34 @@ def test_random_strings_block_invariant(ray_session):
     lut = np.frombuffer(alpha.encode(), dtype=np.uint8)
     expect = bytes(lut[raw % len(lut)]).decode()
     assert "".join(a["text"]) == expect
+
+
+def test_fingerprinter_internal_slicing_bit_parity():
+    """batch_rows slicing must be invisible in the output: the kernel
+    is per-string, so signatures, counts and prefix signatures are
+    bit-identical for any slice size (including sizes that don't
+    divide the row count). Guards the r4 change that moved batching
+    from Ray's map_batches (whose batch_size becomes a fused-operator
+    row-bundle target and collapsed parallelism under packed blobs)
+    into the Fingerprinter itself."""
+    import pyarrow as pa
+
+    from stringzilla_ray.stages.fingerprint import Fingerprinter
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(0, 60))))
+             for _ in range(97)]
+    texts[3] = ""  # empty string row
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    kw = dict(ndim=32, window_widths=(4, 8), seed=7, text_column="text",
+              emit_counts=True, prefix_ndim=8, prefix_sig_bytes=16)
+    whole = Fingerprinter(**kw)(tbl)
+    for rows in (1, 5, 64, 97, 1000):
+        sliced = Fingerprinter(**kw, batch_rows=rows)(tbl)
+        for col in ("minhash", "mincount", "prefix_minhash"):
+            assert sliced[col].equals(whole[col]), (rows, col)
+    # empty input
+    empty = tbl.slice(0, 0)
+    out = Fingerprinter(**kw, batch_rows=8)(empty)
+    assert len(out) == 0 and "minhash" in out.column_names

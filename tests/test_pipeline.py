@@ -59,10 +59,10 @@ def test_canonicalize_stage_invariant(ray_session, corpus):
 
 
 def test_canon_pack_roundtrip_and_parity(ray_session, corpus, monkeypatch):
-    """SZRAY_CANON_PACK (NIC-bound-cluster lever, default off): the
-    IPC pack/unpack reconstructs the exact partial table per shard —
-    including the >cap multi-blob slicing — and the packed pipeline's
-    output is identical to the default path's."""
+    """SZRAY_CANON_PACK (default ON since r4): the IPC pack/unpack
+    reconstructs the exact partial table per shard — including the
+    >cap multi-blob slicing — and the packed pipeline's output is
+    identical to the unpacked path's (SZRAY_CANON_PACK=0)."""
     import ray.data
 
     from stringzilla_ray.stages.canonicalize import (
@@ -97,6 +97,7 @@ def test_canon_pack_roundtrip_and_parity(ray_session, corpus, monkeypatch):
     assert got.equals(want)
 
     transcripts, _ = corpus
+    monkeypatch.setenv("SZRAY_CANON_PACK", "0")
     base = (canonicalize(ray.data.from_arrow(transcripts)).to_pandas()
             .sort_values("conv_id").reset_index(drop=True))
     monkeypatch.setenv("SZRAY_CANON_PACK", "1")
