@@ -1070,6 +1070,19 @@ def _q_dup_spans(sf_dir: str):
     return dup_spans(ds, window=_DUP_SPAN_WINDOW)
 
 
+def _q_dup_spans_partitioned(sf_dir: str):
+    """The broadcast-free 100-TB mode of dup_spans: per-block distinct
+    grams route through the shard census and the corpus-duplicated
+    survivors route BACK to their origin blocks (two gram-bounded
+    exchanges, no global duplicated set ever materializes anywhere).
+    Bit-identical to broadcast mode — shares its oracle
+    (stages/substring.py:_run_partitioned)."""
+    from stringzilla_ray.stages.substring import dup_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_spans(ds, window=_DUP_SPAN_WINDOW, mode="partitioned")
+
+
 def _q_drop_dup_spans(sf_dir: str):
     """Repeated-substring REMOVAL: every character covered by a
     duplicated 25-codepoint window drops; survivors re-encode into a
@@ -2950,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": _q_near_dedup_keep,
         "drop_boilerplate": _q_drop_boilerplate,
         "dup_spans": _q_dup_spans,
+        "dup_spans_partitioned": _q_dup_spans_partitioned,
         "drop_dup_spans": _q_drop_dup_spans,
         "unigram_surprisal": _q_unigram_surprisal,
         "bigram_surprisal": _q_bigram_surprisal,
@@ -3112,7 +3126,7 @@ def oracle_sql() -> dict[str, str]:
         "|| CAST(doc_id AS VARCHAR) || ',' ELSE '' END AS t2 "
         "FROM documents"
     )
-    return {
+    d = {
         "hash_split": (
             "SELECT doc_id, CASE "
             f"WHEN substr(md5(text), 17, 16) < '{b_train}' THEN 'train' "
@@ -4507,3 +4521,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle: AES-hash seeds and the seeded RNG are not
         # SQL-expressible (rows-only checks; F1/golden-tested in CI).
     }
+    # The partitioned (broadcast-free) substring-dedup mode is
+    # bit-identical to broadcast mode by design — same oracle.
+    d["dup_spans_partitioned"] = d["dup_spans"]
+    return d

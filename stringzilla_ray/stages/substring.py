@@ -239,36 +239,215 @@ def _drop_fn(batch: pa.Table, *, dup_ref, id_column: str,
     })
 
 
-def dup_spans(ds, window: int = 25, id_column: str = "doc_id",
-              text_column: str = "text"):
-    """Maximal duplicated spans ``(id, span_start, span_end)`` in
-    codepoint coordinates — every ``window``-gram inside a span occurs
-    >= 2 times corpus-wide.  Census + broadcast + local run merge."""
+# --------------------------------------------------------------------
+# Partitioned (broadcast-free) mode: the 100-TB tail.
+#
+# Above ``max_broadcast`` duplicated grams the single ray.put array
+# stops being a broadcast and starts being the dataset.  The
+# partitioned mode never materializes the global duplicated set
+# anywhere: per-block distinct grams are tagged with their origin
+# block, the shard groupby computes the corpus-duplicated tail exactly
+# as before, and each shard ROUTES the surviving grams back to the
+# blocks that contain them (a second gram-bounded exchange).  Every
+# block then runs the span/drop pass against ONLY its own duplicated
+# grams — which is also strictly less probe work per block.  Exchange
+# total = 2x per-block-distinct grams; nothing is ever driver- or
+# broadcast-resident.  (The census clip-at-2 stays lossless and the
+# probe stays an exact sorted-array membership test, so both modes are
+# bit-identical — pinned by pytest.)
+# --------------------------------------------------------------------
+
+
+def _tagged_census_fn(tbl: pa.Table, block_id: int, text_column: str,
+                      window: int, n_shards: int) -> pa.Table:
+    out = _gram_census_fn(tbl, text_column=text_column, window=window,
+                          n_shards=n_shards)
+    return out.append_column(
+        "block_id", pa.array(np.full(len(out), block_id, np.int64)))
+
+
+def _route_dups_fn(g: pa.Table) -> pa.Table:
+    """One shard group: exact duplicated tail, then (block_id, h) for
+    every origin block that contains a duplicated gram."""
+    h = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+    cnt = g["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+    blk = g["block_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    uh, inv = np.unique(h, return_inverse=True)
+    sums = np.zeros(len(uh), np.int64)
+    np.add.at(sums, inv, cnt)
+    keep = (sums >= 2)[inv]
+    return pa.table({"block_id": blk[keep], "h": h[keep]})
+
+
+def _block_blob_fn(g: pa.Table) -> pa.Table:
+    """One block group: its sorted duplicated-gram set as one blob row."""
+    h = np.sort(g["h"].combine_chunks().to_numpy(zero_copy_only=False))
+    blk = g["block_id"].combine_chunks()[0].as_py()
+    return pa.table({
+        "block_id": pa.array([blk], pa.int64()),
+        "dup_blob": pa.array([h.tobytes()], pa.large_binary()),
+    })
+
+
+def _per_block_dup_refs(ds, *, window: int, text_column: str):
+    """(block_refs, dup_lookup): materialized corpus block refs plus a
+    per-block handle ``block_id -> (part_ref, row)`` into the blob
+    tables holding each block's sorted duplicated-gram array."""
     import ray
 
-    dup_ref = ray.put(duplicated_gram_hashes(
-        ds, window=window, text_column=text_column))
-    return ds.map_batches(
-        functools.partial(_spans_fn, dup_ref=dup_ref, id_column=id_column,
-                          text_column=text_column, window=window),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    from stringzilla_ray.util import ensure_materialized, reduce_buckets
+
+    ds = ensure_materialized(ds)
+    block_refs = ds.to_arrow_refs()
+    n_shards = reduce_buckets()
+
+    census = ray.data.from_arrow_refs([
+        _get_census_task().remote(r, b, text_column, window, n_shards)
+        for b, r in enumerate(block_refs)
+    ])
+    blobs = (
+        census.groupby("shard")
+        .map_groups(_route_dups_fn, batch_format="pyarrow")
+        .groupby("block_id")
+        .map_groups(_block_blob_fn, batch_format="pyarrow")
+        .materialize()
     )
+    part_refs = blobs.to_arrow_refs()
+    ids_per_part = ray.get([_get_ids_task().remote(p) for p in part_refs])
+    lookup = {}
+    for part_ref, ids in zip(part_refs, ids_per_part):
+        for row, b in enumerate(ids):
+            lookup[int(b)] = (part_ref, row)
+    return block_refs, lookup
+
+
+_CENSUS_TASK = None
+_IDS_TASK = None
+_BLOCK_PASS_TASK = None
+
+
+def _get_census_task():
+    global _CENSUS_TASK
+    if _CENSUS_TASK is None:
+        import ray
+
+        _CENSUS_TASK = ray.remote(num_cpus=1)(_tagged_census_fn)
+    return _CENSUS_TASK
+
+
+def _get_ids_task():
+    global _IDS_TASK
+    if _IDS_TASK is None:
+        import ray
+
+        @ray.remote(num_cpus=0.25)
+        def _ids(part: pa.Table) -> list:
+            # fully-empty map_groups blocks lose their schema
+            if len(part) == 0 or "block_id" not in part.column_names:
+                return []
+            return part["block_id"].to_pylist()
+
+        _IDS_TASK = _ids
+    return _IDS_TASK
+
+
+def _block_pass_fn(block: pa.Table, part, row: int, fn, kwargs) -> pa.Table:
+    if part is None:
+        dup = np.zeros(0, np.int64)
+    else:
+        dup = np.frombuffer(
+            part["dup_blob"].combine_chunks()[row].as_py(), np.int64)
+    return fn(block, dup_ref=dup, **kwargs)
+
+
+def _get_block_pass_task():
+    global _BLOCK_PASS_TASK
+    if _BLOCK_PASS_TASK is None:
+        import ray
+
+        _BLOCK_PASS_TASK = ray.remote(num_cpus=1)(_block_pass_fn)
+    return _BLOCK_PASS_TASK
+
+
+def _run_partitioned(ds, pass_fn, *, window: int, id_column: str,
+                     text_column: str):
+    import ray  # noqa: F401
+
+    block_refs, lookup = _per_block_dup_refs(
+        ds, window=window, text_column=text_column)
+    task = _get_block_pass_task()
+    kwargs = dict(id_column=id_column, text_column=text_column,
+                  window=window)
+    out = []
+    for b, ref in enumerate(block_refs):
+        part_ref, row = lookup.get(b, (None, -1))
+        out.append(task.remote(ref, part_ref, row, pass_fn, kwargs))
+    import ray.data
+
+    return ray.data.from_arrow_refs(out)
+
+
+def dup_spans(ds, window: int = 25, id_column: str = "doc_id",
+              text_column: str = "text", mode: str = "auto",
+              max_broadcast: int = 50_000_000):
+    """Maximal duplicated spans ``(id, span_start, span_end)`` in
+    codepoint coordinates — every ``window``-gram inside a span occurs
+    >= 2 times corpus-wide.  ``mode``: "broadcast" (census + one
+    ray.put gram set, the small-corpus fast path), "partitioned" (the
+    broadcast-free block-routed census — no global duplicated set ever
+    materializes; the 100-TB path), or "auto" (broadcast until its
+    ``max_broadcast`` cap trips, then partitioned)."""
+    import ray
+
+    if mode not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode != "partitioned":
+        try:
+            dup_ref = ray.put(duplicated_gram_hashes(
+                ds, window=window, text_column=text_column,
+                max_broadcast=max_broadcast))
+        except ValueError:
+            if mode == "broadcast":
+                raise
+        else:
+            return ds.map_batches(
+                functools.partial(_spans_fn, dup_ref=dup_ref,
+                                  id_column=id_column,
+                                  text_column=text_column, window=window),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+    return _run_partitioned(ds, _spans_fn, window=window,
+                            id_column=id_column, text_column=text_column)
 
 
 def drop_dup_spans(ds, window: int = 25, id_column: str = "doc_id",
-                   text_column: str = "text"):
+                   text_column: str = "text", mode: str = "auto",
+                   max_broadcast: int = 50_000_000):
     """Remove every character covered by a duplicated window (the
     remove-all-copies substring-dedup variant; Lee et al.'s released
     tool cuts every occurrence the suffix array finds).  Output:
-    ``(id, text_clean, n_removed)`` with ``n_removed`` in codepoints."""
+    ``(id, text_clean, n_removed)`` with ``n_removed`` in codepoints.
+    ``mode`` as in :func:`dup_spans`."""
     import ray
 
-    dup_ref = ray.put(duplicated_gram_hashes(
-        ds, window=window, text_column=text_column))
-    return ds.map_batches(
-        functools.partial(_drop_fn, dup_ref=dup_ref, id_column=id_column,
-                          text_column=text_column, window=window),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    if mode not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode != "partitioned":
+        try:
+            dup_ref = ray.put(duplicated_gram_hashes(
+                ds, window=window, text_column=text_column,
+                max_broadcast=max_broadcast))
+        except ValueError:
+            if mode == "broadcast":
+                raise
+        else:
+            return ds.map_batches(
+                functools.partial(_drop_fn, dup_ref=dup_ref,
+                                  id_column=id_column,
+                                  text_column=text_column, window=window),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+    return _run_partitioned(ds, _drop_fn, window=window,
+                            id_column=id_column, text_column=text_column)

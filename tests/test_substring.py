@@ -121,3 +121,45 @@ def test_no_duplicates_is_identity(ray_session):
     got = drop_dup_spans(ds, window=30).to_pandas().sort_values("doc_id")
     assert got["text_clean"].tolist() == docs
     assert got["n_removed"].sum() == 0
+
+
+def test_partitioned_mode_bit_identical(ray_session):
+    """The broadcast-free partitioned mode (block-routed census, no
+    global duplicated set anywhere) must produce bit-identical spans
+    and cleaned text to the broadcast mode, and mode='auto' must fall
+    through to it when the broadcast cap trips."""
+    import ray.data
+
+    from stringzilla_ray.stages.substring import drop_dup_spans, dup_spans
+
+    docs = _random_docs(11, n_docs=150, alpha="ab", max_len=50)
+    # plant guaranteed cross-block duplicates
+    docs[7] = docs[40] = "xx abcdefghij abcdefghij yy"
+    docs[99] = "zz abcdefghij"
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(7).materialize()
+    w = 6
+
+    def norm_spans(df):
+        return df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+    base = norm_spans(dup_spans(ds, window=w, mode="broadcast").to_pandas())
+    part = norm_spans(dup_spans(ds, window=w, mode="partitioned").to_pandas())
+    assert len(base) > 0
+    assert base.equals(part)
+
+    base_d = (drop_dup_spans(ds, window=w, mode="broadcast").to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    part_d = (drop_dup_spans(ds, window=w, mode="partitioned").to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert base_d.equals(part_d)
+
+    # auto falls back to partitioned when the broadcast cap trips
+    auto = norm_spans(
+        dup_spans(ds, window=w, mode="auto", max_broadcast=1).to_pandas())
+    assert auto.equals(base)
+    with pytest.raises(ValueError, match="max_broadcast"):
+        dup_spans(ds, window=w, mode="broadcast", max_broadcast=1).to_pandas()
