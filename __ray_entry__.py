@@ -806,6 +806,41 @@ def _q_approx_distinct_check(sf_dir: str):
     }))
 
 
+def _q_quantile_sketch_check(sf_dir: str):
+    """Hard-checkable DDSketch grouped-quantile row (the 100-TB twin of
+    the exact frequency-map quantile, whose exchange degenerates to one
+    row per input row on continuous columns): the engine computes the
+    exact per-type p95 (quantile_cont path — hash-compared against
+    DuckDB) AND the alpha=0.01 log-bucket sketch estimate, and emits a
+    within-alpha verdict against the exact order statistic the
+    guarantee is stated on (rank floor((n-1)*q), the "lower"
+    interpolation).  The SQL twin claims 1, so the hash compare
+    verifies the exact quantile AND goes red if the sketch ever drifts
+    out of its published relative-error bound
+    (stages/stats.py:grouped_quantile_sketch)."""
+    import numpy as np
+    import ray.data
+
+    from stringzilla_ray.stages.stats import (grouped_quantile,
+                                              grouped_quantile_sketch)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    q, alpha = 0.95, 0.01
+    exact = grouped_quantile(ds, "event_type", "value", q=q,
+                             out_column="p95",
+                             interpolation="both").to_pandas()
+    est = grouped_quantile_sketch(ds, "event_type", "value", q=q,
+                                  alpha=alpha, out_column="est").to_pandas()
+    m = exact.merge(est, on="event_type")
+    ok = (np.abs(m["est"] - m["p95_lower"])
+          <= alpha * np.abs(m["p95_lower"]) * 1.000001 + 1e-12)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(m["event_type"].tolist(), pa.string()),
+        "p95": pa.array(m["p95"].to_numpy(), pa.float64()),
+        "within_alpha": pa.array(ok.to_numpy().astype("int64"), pa.int64()),
+    }))
+
+
 def _q_unigram_surprisal(sf_dir: str):
     """CCNet-style LM quality scoring: mean token surprisal under a
     corpus-trained unigram model. Train = one vocabulary census
@@ -2978,6 +3013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_revenue": _q_tpch_q3,
         "approx_distinct_users": _q_approx_distinct_users,
         "approx_distinct_check": _q_approx_distinct_check,
+        "quantile_sketch_check": _q_quantile_sketch_check,
         "equalize_langs": _q_equalize_langs,
         "audio_spectral": _q_audio_spectral,
         "median_chars_by_lang": _q_median_chars_by_lang,
@@ -3868,6 +3904,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) "
             "AS exact_distinct, CAST(1 AS BIGINT) AS within_3sigma "
             "FROM events"
+        ),
+        "quantile_sketch_check": (
+            "SELECT event_type, quantile_cont(value, 0.95) AS p95, "
+            "CAST(1 AS BIGINT) AS within_alpha "
+            "FROM events GROUP BY event_type"
         ),
         "incremental_surprisal": (
             # train counts from doc_id < 450; score doc_id >= 400 with

@@ -1401,6 +1401,68 @@ def test_grouped_quantile_exact(ray_session):
         grouped_quantile(ray.data.from_arrow(tbl), "k", "v", 1.5)
 
 
+def test_grouped_quantile_sketch_bound(ray_session):
+    """DDSketch grouped quantiles: every estimate within alpha relative
+    error of the exact order statistic at rank floor((n-1)*q), on a
+    heavy-tailed lognormal mix with negatives, zeros, duplicate values
+    and skewed group sizes; reshard-invariant (mergeable by
+    construction: partial sketches sum, any partitioning)."""
+    import pandas as pd
+    import ray.data
+
+    from stringzilla_ray.stages.stats import grouped_quantile_sketch
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = rng.choice(["a", "b", "c"], size=n, p=[0.8, 0.15, 0.05])
+    vals = rng.lognormal(mean=2.0, sigma=3.0, size=n)  # 8+ decades
+    vals[rng.random(n) < 0.1] *= -1.0                  # negative tail
+    vals[rng.random(n) < 0.02] = 0.0                   # exact zeros
+    vals[rng.random(n) < 0.05] = 7.25                  # heavy ties
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    alpha = 0.01
+    for q in (0.05, 0.5, 0.95, 0.99):
+        for parts in (1, 13):
+            ds = ray.data.from_arrow(tbl)
+            if parts > 1:
+                ds = ds.repartition(parts)
+            got = (
+                grouped_quantile_sketch(ds, "k", "v", q, alpha=alpha,
+                                        out_column="est")
+                .to_pandas().sort_values("k").reset_index(drop=True)
+            )
+            want = pdf.groupby("k")["v"].apply(
+                lambda s, q=q: np.sort(s.values)[
+                    int(np.floor((len(s) - 1) * q))]
+            )
+            assert list(got["k"]) == list(want.index)
+            err = np.abs(got["est"].values - want.values)
+            assert (err <= alpha * np.abs(want.values) + 1e-12).all(), (
+                q, parts, got["est"].values, want.values)
+    # the exact "lower"/"both" interpolation matches the numpy order
+    # statistic the sketch bound is stated against
+    from stringzilla_ray.stages.stats import grouped_quantile
+
+    both = (
+        grouped_quantile(ray.data.from_arrow(tbl).repartition(5),
+                         "k", "v", 0.95, out_column="p",
+                         interpolation="both")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want95 = pdf.groupby("k")["v"].apply(
+        lambda s: np.sort(s.values)[int(np.floor((len(s) - 1) * 0.95))])
+    np.testing.assert_allclose(both["p_lower"].values, want95.values,
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(
+        both["p"].values,
+        pdf.groupby("k")["v"].quantile(0.95).values, rtol=0, atol=0)
+
+    with pytest.raises(ValueError, match="alpha must be"):
+        grouped_quantile_sketch(ray.data.from_arrow(tbl), "k", "v",
+                                alpha=0.0)
+
+
 def test_bottom_k_sample_deterministic(ray_session):
     """bottom-k content sample: exact k, rank order == brute-force
     sorted hash order, identical across reshardings and row orders,
