@@ -1,0 +1,545 @@
+"""Baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman) in pure
+NumPy — upgrades the JPEG branch of the multimodal decode stage from an
+honest strict-mode stub to a real decoder, with an encoder so tests and
+sinks can produce genuine JPEG bytes in-container (no codec libraries
+exist here).
+
+Scope (exactly the baseline process, the overwhelmingly common subset):
+8-bit samples, SOF0, Huffman entropy coding, interleaved single scan,
+grayscale or 3-component YCbCr (JFIF), any integer chroma subsampling
+(4:4:4 / 4:2:2 / 4:2:0), restart intervals.  Progressive (SOF2),
+arithmetic coding, 12-bit, hierarchical and non-interleaved
+multi-component scans raise ``NotImplementedError`` — those payloads
+keep the documented strict-mode stub behavior upstream
+(stages/multimodal.py).
+
+Decoding is table-driven from the file's own DQT/DHT segments — the
+in-module default tables are used only by the encoder and travel inside
+the produced stream, so a table transcription error cannot silently
+corrupt a decode (the hand-assembled golden bitstream pytest pins the
+bit-level contract independently of the encoder).
+
+Shape of the work: entropy decoding is inherently serial per
+entropy-coded segment (each Huffman symbol's position depends on the
+previous one), so that loop is per-symbol Python over a flat 16-bit
+prefix LUT; everything downstream — dequantization, de-zigzag, the 2-D
+IDCT (one einsum over ALL blocks), chroma upsampling, YCbCr->RGB — is
+vectorized NumPy.  At scale the parallel unit is the payload (one blob
+per row inside an actor-pool map_batches), and restart intervals mark
+the intra-image parallel seams a SIMD/multicore engine would use.
+
+Reference analogue: the reference ships no image codecs; this supports
+its multimodal-curation role (SURVEY.md section 2.1 media decode).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------- tables
+
+
+def _zigzag() -> np.ndarray:
+    """Flat (row*8+col) indices in JPEG zigzag order, derived from the
+    traversal rule (anti-diagonals, alternating direction) rather than
+    transcribed — pytest pins the structural property."""
+    cells = [(r, c) for r in range(8) for c in range(8)]
+    cells.sort(key=lambda rc: (rc[0] + rc[1],
+                               rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]))
+    return np.array([r * 8 + c for r, c in cells], np.int64)
+
+
+ZIGZAG = _zigzag()
+
+# Annex-K-style default quantization tables (encoder-side only; the
+# decoder always reads tables from the stream's DQT segments).
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int32)
+
+# Encoder Huffman specs as (counts per code length 1..16, symbols).
+# Any valid prefix code works — these travel in the stream's DHT.
+_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMBOLS = list(range(12))
+# AC: EOB + ZRL + every (run 0..15, size 1..10) symbol, canonical
+# lengths assigned shortest-first by a fixed useful-first order.
+_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis A: coef = A @ block @ A.T,
+    block = A.T @ coef @ A."""
+    n = np.arange(8)
+    a = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0)
+    a *= np.sqrt(2.0 / 8.0)
+    a[0] *= np.sqrt(0.5)
+    return a
+
+
+_DCT = _dct_basis()
+
+
+# -------------------------------------------------------- huffman codes
+
+
+def _canonical_codes(counts, symbols):
+    """(code, length) per symbol, canonical JPEG assignment."""
+    if sum(counts) != len(symbols):
+        raise ValueError("DHT counts/symbols mismatch")
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("invalid Huffman table (over-full)")
+            out[symbols[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _decode_lut(counts, symbols):
+    """Flat 65536-entry (symbol, bit-length) lookup keyed by the next
+    16 bits of the stream — one array index per decoded symbol."""
+    sym = np.full(1 << 16, -1, np.int16)
+    ln = np.zeros(1 << 16, np.uint8)
+    for s, (code, length) in _canonical_codes(counts, symbols).items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    return sym, ln
+
+
+# ------------------------------------------------------------ bit I/O
+
+
+class _BitReader:
+    __slots__ = ("d", "pos")
+
+    def __init__(self, data: bytes):
+        # pad so a 16-bit peek near the end never walks off the buffer
+        self.d = data + b"\xff\xff\xff"
+        self.pos = 0
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        v = int.from_bytes(self.d[byte:byte + 4], "big")
+        return (v >> (16 - (self.pos & 7))) & 0xFFFF
+
+    def read(self, n: int) -> int:
+        byte = self.pos >> 3
+        v = int.from_bytes(self.d[byte:byte + 4], "big")
+        out = (v >> (32 - (self.pos & 7) - n)) & ((1 << n) - 1)
+        self.pos += n
+        return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t received magnitude bits to the signed
+    coefficient value."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+# -------------------------------------------------------------- decoder
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to uint8 (H, W) grayscale or
+    (H, W, 3) RGB.  Raises NotImplementedError for non-baseline
+    processes and ValueError for malformed streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:          # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue                # standalone markers
+        seglen = int.from_bytes(payload[pos:pos + 2], "big")
+        body = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:          # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qt[tq] = tbl        # zigzag order
+        elif marker == 0xC4:        # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1:i + 17])
+                nsym = sum(counts)
+                syms = list(body[i + 17:i + 17 + nsym])
+                huff[(tc, th)] = _decode_lut(counts, syms)
+                i += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (both Huffman sequential)
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG decodes in-container")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nf = body[5]
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG process (progressive/arithmetic/"
+                "hierarchical) needs codec libraries not in this container")
+        elif marker == 0xDD:        # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:        # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 15))
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved multi-component scans are not baseline-"
+                    "typical; not decoded in-container")
+            # entropy-coded data: split at RST markers, unstuff FF00
+            segs, seg_start, i = [], pos, pos
+            while True:
+                j = payload.index(b"\xff", i)
+                m = payload[j + 1]
+                if m == 0x00:
+                    i = j + 2
+                    continue
+                if 0xD0 <= m <= 0xD7:
+                    segs.append(payload[seg_start:j].replace(b"\xff\x00", b"\xff"))
+                    seg_start = i = j + 2
+                    continue
+                segs.append(payload[seg_start:j].replace(b"\xff\x00", b"\xff"))
+                pos = j
+                break
+            return _decode_scan(frame, scan, qt, huff, segs, restart_interval)
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(frame, scan, qt, huff, segs, restart_interval):
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component coefficient stores, zigzag order
+    for c in comps:
+        c["bx"] = mcus_x * c["h"]
+        c["by"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int32)
+    pred = {c["id"]: 0 for c in comps}
+    seg_i = 0
+    br = _BitReader(segs[0])
+    mcu = 0
+    total_mcus = mcus_x * mcus_y
+    while mcu < total_mcus:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segs[seg_i])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for comp, td, ta in scan:
+            dsym, dlen = huff[(0, td)]
+            asym, alen = huff[(1, ta)]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    blk = np.zeros(64, np.int32)
+                    # DC
+                    v16 = br.peek16()
+                    t = int(dsym[v16])
+                    if t < 0:
+                        raise ValueError("bad DC Huffman code")
+                    br.pos += int(dlen[v16])
+                    diff = _extend(br.read(t), t) if t else 0
+                    pred[comp["id"]] += diff
+                    blk[0] = pred[comp["id"]]
+                    # AC
+                    k = 1
+                    while k < 64:
+                        v16 = br.peek16()
+                        rs = int(asym[v16])
+                        if rs < 0:
+                            raise ValueError("bad AC Huffman code")
+                        br.pos += int(alen[v16])
+                        if rs == 0x00:      # EOB
+                            break
+                        if rs == 0xF0:      # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        s = rs & 15
+                        if k > 63:
+                            raise ValueError("AC run overflow")
+                        blk[k] = _extend(br.read(s), s)
+                        k += 1
+                    row = my * comp["v"] + by
+                    col = mx * comp["h"] + bx
+                    comp["coef"][row * comp["bx"] + col] = blk
+        mcu += 1
+    # vectorized tail: dequant -> de-zigzag -> IDCT -> plane assembly
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]].astype(np.int32)
+        deq = (c["coef"] * q[None, :]).astype(np.float64)
+        blocks = np.zeros((len(deq), 64), np.float64)
+        blocks[:, ZIGZAG] = deq
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ij,njk,kl->nil", _DCT.T, blocks, _DCT)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255)
+        plane = (spatial.reshape(c["by"], c["bx"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["by"] * 8, c["bx"] * 8))
+        # upsample to full resolution, crop
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    if len(planes) != 3:
+        raise NotImplementedError("only 1- or 3-component JPEGs decode")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------------------- encoder
+
+
+def _encode_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (already level-shifted) -> quantized zigzag
+    coefficient rows (nblocks, 64), blocks in raster order."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8))
+    coef = np.einsum("ij,njk,kl->nil", _DCT, blocks, _DCT.T).reshape(-1, 64)
+    qz = np.round(coef / q[ZIGZAG.argsort()][None, :])
+    return qz[:, ZIGZAG].astype(np.int32)
+
+
+def _pad_to(img: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (mh, mw)."""
+    h, w = img.shape[:2]
+    ph = (-h) % mh
+    pw = (-w) % mw
+    return np.pad(img, [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2),
+                  mode="edge")
+
+
+def _cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _emit_block(bw: _BitWriter, blk, pred: int, dc_codes, ac_codes) -> int:
+    dc = int(blk[0])
+    diff = dc - pred
+    t = _cat(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    nz = np.flatnonzero(blk[1:])
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, 64):
+        v = int(blk[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _cat(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
+                restart_interval: int = 0) -> bytes:
+    """Encode uint8 (H, W) grayscale or (H, W, 3) RGB to baseline JPEG.
+    ``subsample``: 1 = 4:4:4, 2 = 4:2:0 chroma.  ``quality_tables``:
+    optional (luma, chroma) zigzag-order int tables; defaults to the
+    Annex-K-style tables above."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if quality_tables is None:
+        ql = QUANT_LUMA[ZIGZAG]
+        qc = QUANT_CHROMA[ZIGZAG]
+    else:
+        ql, qc = (np.asarray(t, np.int32) for t in quality_tables)
+    h, w = img.shape[:2]
+    if gray:
+        comps = [(1, 1, 1, 0, img.astype(np.float64) - 128.0)]
+        qts = {0: ql}
+    else:
+        x = img.astype(np.float64)
+        y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+        cb = -0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2] + 128.0
+        cr = 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2] + 128.0
+        if subsample == 2:
+            p = _pad_to(cb, 2, 2)
+            cb = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
+            p = _pad_to(cr, 2, 2)
+            cr = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
+        comps = [(1, subsample, subsample, 0, y - 128.0),
+                 (2, 1, 1, 1, cb - 128.0), (3, 1, 1, 1, cr - 128.0)]
+        qts = {0: ql, 1: qc}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coef = {}
+    for cid, ch, cv, tq, plane in comps:
+        padded = _pad_to(plane, 8 * mcus_y * cv // 1, 8)
+        # each component plane must cover mcus * its sampling blocks
+        need_h, need_w = 8 * mcus_y * cv, 8 * mcus_x * ch
+        padded = _pad_to(plane, need_h, need_w)[:need_h, :need_w]
+        coef[cid] = (_encode_blocks(padded, qts[tq]), need_w // 8)
+    dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for tq, tbl in qts.items():
+        seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(comps))
+    for cid, ch, cv, tq, _ in comps:
+        sof.extend([cid, (ch << 4) | cv, tq])
+    seg(0xC0, bytes(sof))
+    for tc, (counts, syms) in ((0, (_DC_COUNTS, _DC_SYMBOLS)),
+                               (1, (_AC_COUNTS, _AC_SYMBOLS))):
+        seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([len(comps)])
+    for cid, *_ in comps:
+        sos.extend([cid, 0x00])     # DC table 0, AC table 0
+    sos.extend([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    bw = _BitWriter()
+    pred = {cid: 0 for cid, *_ in comps}
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out.extend(bw.out)
+            out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            bw = _BitWriter()
+            pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for cid, ch, cv, tq, _ in comps:
+            rows, bxw = coef[cid]
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = rows[(my * cv + by) * bxw + (mx * ch + bx)]
+                    pred[cid] = _emit_block(bw, blk, pred[cid],
+                                            dc_codes, ac_codes)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -4,10 +4,11 @@ for container-feasible formats.
 Image/audio/video travel as opaque ``large_binary`` columns with typed
 metadata and are processed by actor-pool map_batches stages. The
 decode kernels for WAV (RIFF PCM), PPM (P6), BMP (24-bit
-BITMAPINFOHEADER) and Y4M video (YUV4MPEG2 mono, with uniform
-frame sampling) are genuine NumPy decoders — header parse +
-``np.frombuffer`` — producing real signal statistics. Formats that
-need codec libraries this container lacks (JPEG, MP4, ...) remain
+BITMAPINFOHEADER), Y4M video (YUV4MPEG2 mono, with uniform
+frame sampling) and baseline JPEG (full ITU T.81 sequential-Huffman
+decoder in ``functions/jpeg.py``) are genuine NumPy decoders
+producing real signal statistics. Formats that need codec libraries
+this container lacks (progressive/arithmetic JPEG, MP4, ...) remain
 STUBBED: ``strict=True`` raises ``NotImplementedError`` (the honest
 marker), ``strict=False`` emits a deterministic content-hash fake so
 the plumbing stays testable end to end.
@@ -212,6 +213,7 @@ def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
 # ------------------------------------------------------------- features
 
 _FMT_FAKE, _FMT_WAV, _FMT_PPM, _FMT_BMP, _FMT_Y4M = 0.0, 1.0, 2.0, 3.0, 4.0
+_FMT_JPG = 5.0
 
 
 def _audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
@@ -231,10 +233,14 @@ def _audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
 
 def _image_features(img: np.ndarray, fmt: float) -> list[float]:
     x = img.astype(np.float64) / 255.0
-    luma = x @ np.array([0.2126, 0.7152, 0.0722])
+    if img.ndim == 2:  # grayscale (JPEG single-component)
+        luma, channels = x, 1.0
+    else:
+        luma = x @ np.array([0.2126, 0.7152, 0.0722])
+        channels = float(img.shape[2])
     edge = float(np.abs(np.diff(luma, axis=1)).mean()) if img.shape[1] > 1 else 0.0
     return [
-        fmt, float(img.shape[1]), float(img.shape[0]), 3.0,
+        fmt, float(img.shape[1]), float(img.shape[0]), channels,
         float(x.mean()), float(x.std()), float(x.min()), float(x.max()),
         float(luma.mean()), edge,
     ]
@@ -260,7 +266,7 @@ class MediaDecoder:
     """Actor-pool UDF: real NumPy decode for WAV/PPM/BMP/Y4M payloads
     -> signal-statistic features float32[16]:
 
-      [0] format (1=wav, 2=ppm, 3=bmp, 4=y4m-video, 0=stub-fake)
+      [0] format (1=wav, 2=ppm, 3=bmp, 4=y4m-video, 5=jpeg, 0=stub-fake)
       [1] width | n_samples   [2] height | sample_rate   [3] channels | n_frames
       [4] mean  [5] std  [6] min  [7] max
       [8] rms | luminance mean | fps  [9] zero-cross | edge | motion
@@ -289,6 +295,17 @@ class MediaDecoder:
         if payload[:9] == b"YUV4MPEG2":
             frames, fps = decode_y4m(payload)
             return _video_features(frames, fps)
+        if head[:2] == b"\xff\xd8":
+            from stringzilla_ray.functions.jpeg import decode_jpeg
+
+            try:
+                return _image_features(decode_jpeg(payload), _FMT_JPG)
+            except NotImplementedError:
+                # non-baseline process (progressive/arithmetic): keep the
+                # honest stub behavior — raise in strict, fake otherwise
+                if self.strict:
+                    raise
+                return None
         return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -362,7 +379,18 @@ def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
                 (yy * 255 // max(h - 1, 1)),
                 ((xx + yy + i) % 256),
             ], axis=-1).astype(np.uint8)
-            payloads.append(make_ppm(img) if i % 6 == 0 else make_bmp(img))
+            if i % 12 == 0:
+                payloads.append(make_ppm(img))
+            elif i % 12 == 3:
+                from stringzilla_ray.functions.jpeg import encode_jpeg
+
+                payloads.append(encode_jpeg(img, subsample=1))
+            elif i % 12 == 9:
+                from stringzilla_ray.functions.jpeg import encode_jpeg
+
+                payloads.append(encode_jpeg(img, subsample=2))
+            else:
+                payloads.append(make_bmp(img))
             kinds.append("image")
             widths.append(w); heights.append(h); rates.append(0); durs.append(0)
         elif m == 1:
