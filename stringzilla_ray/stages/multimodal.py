@@ -213,7 +213,7 @@ def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
 # ------------------------------------------------------------- features
 
 _FMT_FAKE, _FMT_WAV, _FMT_PPM, _FMT_BMP, _FMT_Y4M = 0.0, 1.0, 2.0, 3.0, 4.0
-_FMT_JPG = 5.0
+_FMT_JPG, _FMT_PNG = 5.0, 6.0
 
 
 def _audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
@@ -233,10 +233,10 @@ def _audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
 
 def _image_features(img: np.ndarray, fmt: float) -> list[float]:
     x = img.astype(np.float64) / 255.0
-    if img.ndim == 2:  # grayscale (JPEG single-component)
+    if img.ndim == 2:  # grayscale (JPEG single-component / PNG type 0)
         luma, channels = x, 1.0
-    else:
-        luma = x @ np.array([0.2126, 0.7152, 0.0722])
+    else:  # RGB or RGBA — luma over the color planes
+        luma = x[:, :, :3] @ np.array([0.2126, 0.7152, 0.0722])
         channels = float(img.shape[2])
     edge = float(np.abs(np.diff(luma, axis=1)).mean()) if img.shape[1] > 1 else 0.0
     return [
@@ -266,7 +266,7 @@ class MediaDecoder:
     """Actor-pool UDF: real NumPy decode for WAV/PPM/BMP/Y4M payloads
     -> signal-statistic features float32[16]:
 
-      [0] format (1=wav, 2=ppm, 3=bmp, 4=y4m-video, 5=jpeg, 0=stub-fake)
+      [0] format (1=wav, 2=ppm, 3=bmp, 4=y4m-video, 5=jpeg, 6=png, 0=stub-fake)
       [1] width | n_samples   [2] height | sample_rate   [3] channels | n_frames
       [4] mean  [5] std  [6] min  [7] max
       [8] rms | luminance mean | fps  [9] zero-cross | edge | motion
@@ -303,6 +303,16 @@ class MediaDecoder:
             except NotImplementedError:
                 # non-baseline process (progressive/arithmetic): keep the
                 # honest stub behavior — raise in strict, fake otherwise
+                if self.strict:
+                    raise
+                return None
+        if head[:4] == b"\x89PNG":
+            from stringzilla_ray.functions.png import decode_png
+
+            try:
+                return _image_features(decode_png(payload), _FMT_PNG)
+            except NotImplementedError:
+                # interlaced / 16-bit: honest stub behavior
                 if self.strict:
                     raise
                 return None
@@ -386,9 +396,9 @@ def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
 
                 payloads.append(encode_jpeg(img, subsample=1))
             elif i % 12 == 9:
-                from stringzilla_ray.functions.jpeg import encode_jpeg
+                from stringzilla_ray.functions.png import encode_png
 
-                payloads.append(encode_jpeg(img, subsample=2))
+                payloads.append(encode_png(img))
             else:
                 payloads.append(make_bmp(img))
             kinds.append("image")
