@@ -2437,6 +2437,26 @@ def _q_multimodal_features(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _q_media_probe(sf_dir: str):
+    """Header-only media metadata census (rows-only: binary container
+    parsing has no SQL twin; the probe is pinned by a pytest comparing
+    every extracted field against the synthetic table's ground-truth
+    metadata columns). Reads only header bytes per payload — the
+    metadata-census shape that matters at 100 TB — including full MP4
+    box-tree metadata for payloads whose samples can't be decoded
+    in-container (stages/multimodal.py:probe_payload,
+    functions/mp4.py:probe_mp4)."""
+    import ray.data
+
+    from stringzilla_ray.stages.multimodal import probe_media, synthetic_media_table
+
+    ds = ray.data.from_arrow(synthetic_media_table(n=96, seed=3))
+    out = probe_media(ds)
+    return out.select_columns(
+        ["media_id", "kind", "container", "width", "height",
+         "channels", "duration_ms", "codec"])
+
+
 def _q_split_rows(sf_dir: str):
     """Row-exploding split (the Strs split surface as a flat operator:
     one output row per field), vs DuckDB unnest(string_split(...))."""
@@ -3086,6 +3106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_chars": _q_strip_chars,
         "equal_pairs": _q_equal_pairs,
         "multimodal_features": _q_multimodal_features,
+        "media_probe": _q_media_probe,
         "random_fill": _q_random_fill,
         "word_explode": _q_word_explode,
         "find_denormalized": _q_find_denormalized,

@@ -373,6 +373,153 @@ def decode_features(ds, strict: bool = False, seed: int = 0, batch_size: int = 6
     )
 
 
+# ---------------------------------------------------------------- probe
+
+
+def probe_payload(payload: bytes) -> dict:
+    """Header-only metadata for one media payload — NO entropy decode.
+
+    At 100 TB the dominant media operation is a metadata census
+    (geometry, duration, codec) over billions of payloads; every
+    branch here reads only the container's header bytes, so the
+    per-payload cost is independent of payload size. Formats whose
+    pixels/samples can't be decoded in-container (MP4) still probe
+    fully — that is the point.
+    """
+    out = {"container": "unknown", "width": 0, "height": 0, "channels": 0,
+           "sample_rate": 0, "duration_ms": 0, "codec": ""}
+    if len(payload) < 12:
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, fmt, data_len = 12, None, 0
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)
+        if fmt:
+            audio_format, channels, sr, byte_rate, _, bits = fmt
+            out.update(container="wav", channels=channels, sample_rate=sr,
+                       codec=f"pcm{bits}" if audio_format == 1 else f"fmt{audio_format}",
+                       duration_ms=int(data_len * 1000 // byte_rate) if byte_rate else 0)
+        return out
+    if payload[:2] == b"P6":
+        fields, pos = [], 2
+        while len(fields) < 2 and pos < len(payload):
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        out.update(container="ppm", width=fields[0], height=fields[1],
+                   channels=3, codec="raw")
+        return out
+    if payload[:2] == b"BM":
+        _, w, h = struct.unpack_from("<Iii", payload, 14)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        out.update(container="bmp", width=w, height=abs(h),
+                   channels=bpp // 8, codec="raw")
+        return out
+    if payload[:9] == b"YUV4MPEG2":
+        nl = payload.index(b"\n")
+        w = h = 0
+        fps = 25.0
+        for tok in payload[9:nl].decode("latin-1").split():
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "F":
+                num, den = tok[1:].split(":")
+                fps = int(num) / int(den)
+        n_frames = (len(payload) - nl - 1) // (6 + h * w) if h * w else 0
+        out.update(container="y4m", width=w, height=h, channels=1,
+                   codec="rawvideo",
+                   duration_ms=int(n_frames * 1000 / fps) if fps else 0)
+        return out
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9 or marker == 0xDA:
+                break
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                continue
+            seglen = int.from_bytes(payload[pos:pos + 2], "big")
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                h = int.from_bytes(payload[pos + 3:pos + 5], "big")
+                w = int.from_bytes(payload[pos + 5:pos + 7], "big")
+                out.update(container="jpeg", width=w, height=h,
+                           channels=payload[pos + 7],
+                           codec="baseline" if marker in (0xC0, 0xC1)
+                           else "progressive" if marker == 0xC2 else "other")
+                return out
+            pos += seglen
+        out.update(container="jpeg", codec="truncated")
+        return out
+    if payload[:4] == b"\x89PNG":
+        w, h, depth, ctype = struct.unpack_from(">IIBB", payload, 16)
+        out.update(container="png", width=w, height=h,
+                   channels={0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(ctype, 0),
+                   codec=f"deflate{depth}")
+        return out
+    if payload[4:8] == b"ftyp":
+        from stringzilla_ray.functions.mp4 import probe_mp4
+
+        try:
+            meta = probe_mp4(payload)
+        except (ValueError, struct.error):
+            out.update(container="mp4", codec="malformed")
+            return out
+        out.update(container="mp4", width=meta["width"], height=meta["height"],
+                   channels=meta["n_tracks"], duration_ms=meta["duration_ms"],
+                   codec=meta["codecs"])
+        return out
+    return out
+
+
+_PROBE_COLS = ("container", "width", "height", "channels",
+               "sample_rate", "duration_ms", "codec")
+
+
+def _probe_batch(batch: pa.Table) -> pa.Table:
+    payloads = batch["payload"]
+    if isinstance(payloads, pa.ChunkedArray):
+        payloads = payloads.combine_chunks()
+    rows = [probe_payload(p.as_py() or b"") for p in payloads]
+    for name in _PROBE_COLS:
+        typ = pa.string() if name in ("container", "codec") else pa.int32()
+        batch = batch.append_column(
+            name, pa.array([r[name] for r in rows], typ))
+    return batch
+
+
+def probe_media(ds, batch_size: int = 256):
+    """Media Dataset -> + (container, width, height, channels,
+    sample_rate, duration_ms, codec) from header bytes only.
+
+    Stateless tasks (no actor pool): the probe holds no state and per
+    batch does microseconds of header parsing, so task overhead
+    dominates an actor pool's spin-up. Larger batch_size than decode
+    stages — headers, not pixels, bound the heap.
+    """
+    cols = [c for c in ds.schema().names if c not in _PROBE_COLS]
+    return ds.select_columns(cols).map_batches(
+        _probe_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
 def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
     """Deterministic media rows in REAL container formats: sine-sweep
     WAVs, gradient PPMs/BMPs, moving-gradient mono Y4M videos — plus
@@ -422,6 +569,19 @@ def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
             kinds.append("video")
             widths.append(w); heights.append(h); rates.append(0)
             durs.append(int(t_ * 1000 / 30))
+        elif i % 12 == 5:
+            # REAL MP4 container (metadata boxes only — sample data
+            # needs codecs): probe-able, decode stays the honest stub
+            from stringzilla_ray.functions.mp4 import make_mp4
+
+            w, h = 320 + 16 * (i % 5), 240 + 16 * (i % 3)
+            dur = 1.0 + (i % 7)
+            payloads.append(make_mp4(width=w, height=h, duration_s=dur,
+                                     codec=b"avc1" if i % 24 == 5 else b"hvc1",
+                                     n_samples=24 * int(dur)))
+            kinds.append("video")
+            widths.append(w); heights.append(h); rates.append(0)
+            durs.append(int(dur * 1000))
         else:
             # opaque payload in a codec-needing format: the honest stub
             payloads.append(rng.integers(0, 256, size=int(rng.integers(64, 2048)),

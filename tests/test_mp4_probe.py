@@ -1,0 +1,85 @@
+"""ISO-BMFF probe (functions/mp4.py) + header-only media metadata
+census (stages/multimodal.py:probe_media).
+
+The probe is pinned against make_mp4's independently hand-assembled
+byte layouts and, end-to-end, against the synthetic media table's
+ground-truth metadata columns for every container format.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from stringzilla_ray.functions.mp4 import make_mp4, probe_mp4
+from stringzilla_ray.stages.multimodal import probe_payload
+
+
+def test_probe_mp4_fields():
+    p = make_mp4(width=640, height=360, duration_s=3.5, timescale=90000,
+                 codec=b"hvc1", n_samples=84, brand=b"mp42")
+    meta = probe_mp4(p)
+    assert meta == {"brand": "mp42", "timescale": 90000, "duration_ms": 3500,
+                    "n_tracks": 1, "width": 640, "height": 360,
+                    "codecs": "hvc1", "handlers": "vide", "n_samples": 84}
+
+
+def test_probe_mp4_largesize_and_errors():
+    p = make_mp4()
+    # rewrite the trailing mdat as a 64-bit largesize box
+    assert p.endswith(struct.pack(">I", 8) + b"mdat")
+    p64 = p[:-8] + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16)
+    assert probe_mp4(p64)["width"] == 320
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00\x00\x08free" + bytes(64))
+    with pytest.raises(ValueError):
+        probe_mp4(struct.pack(">I", 3) + b"ftyp")  # size < header
+
+
+def test_probe_payload_dispatch():
+    from stringzilla_ray.functions.jpeg import encode_jpeg
+    from stringzilla_ray.functions.png import encode_png
+    from stringzilla_ray.stages.multimodal import make_bmp, make_wav, make_y4m
+
+    img = np.zeros((10, 14, 3), np.uint8)
+    assert probe_payload(encode_jpeg(img))["codec"] == "baseline"
+    assert probe_payload(encode_png(img)) == {
+        "container": "png", "width": 14, "height": 10, "channels": 3,
+        "sample_rate": 0, "duration_ms": 0, "codec": "deflate8"}
+    assert probe_payload(make_bmp(img))["width"] == 14
+    sig = np.zeros(8000, np.int16)
+    wav = probe_payload(make_wav(sig, 8000))
+    assert (wav["container"], wav["sample_rate"], wav["duration_ms"]) == \
+        ("wav", 8000, 1000)
+    y4m = probe_payload(make_y4m(np.zeros((5, 4, 6), np.uint8), fps=(10, 1)))
+    assert (y4m["width"], y4m["height"], y4m["duration_ms"]) == (6, 4, 500)
+    assert probe_payload(b"\x00" * 64)["container"] == "unknown"
+
+
+def test_probe_media_vs_ground_truth(ray_session):
+    """End-to-end: the probe's extracted metadata must match the
+    synthetic table's ground-truth columns for every identifiable
+    payload (the table records what it generated)."""
+    import ray.data
+
+    from stringzilla_ray.stages.multimodal import probe_media, synthetic_media_table
+
+    t = synthetic_media_table(n=48, seed=7)
+    out = probe_media(ray.data.from_arrow(t)).to_pandas().set_index("media_id")
+    truth = t.to_pandas().set_index("media_id")
+    assert len(out) == 48
+    identified = 0
+    for mid, r in out.iterrows():
+        exp = truth.loc[mid]
+        if r.container == "unknown":
+            assert exp.kind == "video"  # only the opaque stub payloads
+            continue
+        identified += 1
+        if exp.width:
+            assert (r.width, r.height) == (exp.width, exp.height), (mid, r.container)
+        if exp.sample_rate:
+            assert r.sample_rate == exp.sample_rate
+        if exp.duration_ms and r.container in ("wav", "y4m", "mp4"):
+            assert abs(r.duration_ms - exp.duration_ms) <= 40, (mid, r.container)
+    assert identified >= 40  # everything but the opaque rows
