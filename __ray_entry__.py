@@ -1311,6 +1311,43 @@ def _q_count_overlapping(sf_dir: str):
     return ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_soundex_first_token(sf_dir: str):
+    """American Soundex (NARA standard, H/W transparency) of each
+    document's first whitespace token — the classic phonetic BLOCKING
+    key for record linkage, vectorized over the byte tape
+    (functions/text.py:soundex). The oracle is a pure-SQL NARA
+    implementation (translate + per-digit run collapse), so the kernel
+    is pinned against an independent formulation of the spec."""
+    from stringzilla_ray.functions.text import soundex
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sdx(t: pa.Table) -> pa.Table:
+        toks = pc.list_element(
+            pc.split_pattern(t["text"], pattern=" ", max_splits=1), 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tok": toks,
+            "sdx": soundex(toks),
+        })
+
+    return ds.map_batches(sdx, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_TAG_KEYWORDS = ["table", "spark", "window", "agg", "customer"]
+
+
+def _q_tag_keywords(sf_dir: str):
+    """Dictionary tagging: per (doc, keyword) non-overlapping match
+    counts over a broadcast keyword list, matches only — taxonomy
+    bucketing / blocklist screening (stages/web.py:tag_keywords). One
+    vectorized Arrow scan per keyword, zero shuffles."""
+    from stringzilla_ray.stages.web import tag_keywords
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tag_keywords(ds, _TAG_KEYWORDS)
+
+
 def _q_vocab_by_lang(sf_dir: str):
     """Grouped COUNT(DISTINCT token) without shipping occurrences:
     batch-local distinct pairs, token-hash shard dedup, subtotal sum
@@ -3046,6 +3083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk_sketch": _q_token_topk_sketch,
         "find_all_positions": _q_find_all_positions,
         "count_overlapping": _q_count_overlapping,
+        "soundex_first_token": _q_soundex_first_token,
+        "tag_keywords": _q_tag_keywords,
         "vocab_by_lang": _q_vocab_by_lang,
         "curation_pipeline": _q_curation_pipeline,
         "curation_pipeline_simhash": _q_curation_pipeline_simhash,
@@ -4156,6 +4195,33 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE gs <= length(text) - 2"
             "  AND substring(text, CAST(gs AS INT), 3) = 'a a'"
             ") AS BIGINT) AS n_overlap FROM documents"
+        ),
+        "soundex_first_token": (
+            # Independent pure-SQL NARA Soundex: strip non-letters,
+            # keep the first letter, delete H/W from the rest
+            # (transparency), translate to digit codes, collapse
+            # per-digit runs (RE2 has no backrefs -> one regexp per
+            # digit), drop the first code and the vowel 0s, pad to 3.
+            "WITH s AS (SELECT doc_id, split_part(text,' ',1) AS tok FROM documents),"
+            "c AS (SELECT doc_id, tok, upper(regexp_replace(tok,'[^A-Za-z]','','g')) AS cl FROM s),"
+            "b AS (SELECT doc_id, tok, cl, CASE WHEN cl='' THEN '' ELSE"
+            " substr(cl,1,1) || replace(replace(substr(cl,2),'H',''),'W','') END AS body FROM c),"
+            "d AS (SELECT doc_id, tok, cl, translate(body,"
+            "'ABCDEFGHIJKLMNOPQRSTUVWXYZ','01230120022455012623010202') AS code FROM b),"
+            "e AS (SELECT doc_id, tok, cl, regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace(code,"
+            "'11+','1','g'),'22+','2','g'),'33+','3','g'),'44+','4','g'),"
+            "'55+','5','g'),'66+','6','g') AS col FROM d) "
+            "SELECT doc_id, tok, CASE WHEN cl='' THEN '' ELSE"
+            " substr(cl,1,1) || rpad(substr(replace(substr(col,2),'0',''),1,3),3,'0')"
+            " END AS sdx FROM e"
+        ),
+        "tag_keywords": (
+            "SELECT doc_id, k AS keyword,"
+            " CAST((length(text)-length(replace(text,k,'')))//length(k) AS BIGINT)"
+            " AS n_matches FROM documents,"
+            " (VALUES ('table'),('spark'),('window'),('agg'),('customer')) AS kw(k)"
+            " WHERE length(text)-length(replace(text,k,'')) > 0"
         ),
         "vocab_by_lang": (
             "SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size "

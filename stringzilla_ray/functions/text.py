@@ -521,3 +521,62 @@ def find_all(arr, needle: str) -> tuple[np.ndarray, np.ndarray]:
     ok = pos + w <= offsets[row + 1]  # drop matches spanning two rows
     row, pos = row[ok], pos[ok]
     return row, pos - offsets[row]
+
+
+def soundex(arr) -> pa.Array:
+    """American Soundex (NARA standard, Knuth TAOCP v3 variant with
+    H/W transparency) per string, fully vectorized over the byte tape.
+
+    Returns 4-char codes (letter + 3 digits, zero-padded); strings
+    containing no ASCII letters code to ''. Non-ASCII bytes are
+    stripped like any non-letter, matching char-level stripping in the
+    SQL twin. The classic phonetic BLOCKING key for record linkage —
+    the reference's hash/fingerprint blocking analogue for names
+    (SURVEY.md §2.4); oracle `soundex_first_token` pins it against a
+    pure-SQL NARA implementation (translate + run-collapse).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    tape, offsets = tape_of(arr)
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = offsets - offsets[0]
+    row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    is_up = (tape >= 65) & (tape <= 90)
+    is_lo = (tape >= 97) & (tape <= 122)
+    up = np.where(is_lo, tape - 32, tape)
+    alpha = is_up | is_lo
+    up_a, row_a = up[alpha], row[alpha]
+    # first letter per row = position where the (sorted) row id changes
+    starts = np.r_[True, row_a[1:] != row_a[:-1]] if len(row_a) else np.zeros(0, bool)
+    # H/W are transparent (removed) everywhere except a leading H/W
+    hw = (up_a == 72) | (up_a == 87)
+    keep = starts | ~hw
+    up2, row2, starts2 = up_a[keep], row_a[keep], starts[keep]
+    lut = np.zeros(128, np.uint8)
+    for chars, d in (("BFPV", 1), ("CGJKQSXZ", 2), ("DT", 3),
+                     ("L", 4), ("MN", 5), ("R", 6)):
+        for ch in chars:
+            lut[ord(ch)] = d
+    code = lut[up2]
+    # collapse runs of equal code (vowel 0s break runs; H/W already
+    # removed, so equal codes across a dropped H/W merge — NARA rule)
+    prev = np.r_[np.uint8(255), code[:-1]] if len(code) else code
+    run_start = starts2 | (code != prev)
+    code3, row3, starts3 = code[run_start], row2[run_start], starts2[run_start]
+    # digits = non-first, non-vowel codes; rank them within each row
+    dmask = ~starts3 & (code3 != 0)
+    drow, dcode = row3[dmask], code3[dmask]
+    first_in_row = np.searchsorted(drow, drow, side="left")
+    rank = np.arange(len(drow)) - first_in_row
+    sel = rank < 3
+    drow, dcode, rank = drow[sel], dcode[sel], rank[sel]
+    out = np.full((n, 4), ord("0"), np.uint8)
+    first_rows = row2[starts2]
+    out[first_rows, 0] = up2[starts2]
+    out[drow, 1 + rank] = dcode + ord("0")
+    has_letters = np.zeros(n, bool)
+    has_letters[first_rows] = True
+    codes = [out[i].tobytes().decode("ascii") if has_letters[i] else ""
+             for i in range(n)]
+    return pa.array(codes, pa.string())

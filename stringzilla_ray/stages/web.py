@@ -153,3 +153,39 @@ def top_domains(ds, text_column: str = "text", k: int = 20):
                             "n_urls": t["sum(n_urls)"].cast(pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+def tag_keywords(ds, keywords: list[str], id_column: str = "doc_id",
+                 text_column: str = "text"):
+    """Dictionary tagging: per (doc, keyword) non-overlapping match
+    counts, keeping only matching pairs — taxonomy/topic bucketing and
+    blocklist screening over a corpus.
+
+    The keyword list is small and travels inside the task closure
+    (broadcast once per worker process, never per batch); each keyword
+    is one vectorized Arrow ``count_substring`` pass over the batch,
+    so the work is k fused scans with zero shuffles — the same
+    multi-needle shape as the reference's repeated ``sz.count`` calls
+    (python/README.md:127-151) without materializing intermediates.
+    Count semantics are Python ``str.count`` (non-overlapping), the
+    SQL-twin-friendly form ((len(text)-len(replace(text,k,'')))/len(k)).
+    """
+    kws = list(keywords)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_column]
+        texts = t[text_column]
+        id_chunks, kw_chunks, n_chunks = [], [], []
+        for kw in kws:
+            n = pc.count_substring(texts, kw)
+            mask = pc.greater(n, 0)
+            id_chunks.append(pc.filter(ids, mask))
+            n_chunks.append(pc.filter(n, mask).cast(pa.int64()))
+            kw_chunks.append(pa.array([kw] * len(id_chunks[-1]), pa.string()))
+        return pa.table({
+            id_column: pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in id_chunks]),
+            "keyword": pa.concat_arrays(kw_chunks),
+            "n_matches": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in n_chunks]),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)

@@ -104,3 +104,67 @@ def test_quantile_reduce_matches_numpy(vals, q):
     want = np.quantile(v, q)  # linear interpolation == quantile_cont
     np.testing.assert_allclose(out["qv"].to_numpy()[0], want,
                                rtol=1e-12, atol=1e-12)
+
+
+def _soundex_ref(s: str) -> str:
+    """Per-row NARA Soundex reference (plain Python, independent of
+    the vectorized tape kernel): strip non-ASCII-letters, H/W
+    transparency, digit-run collapse, drop first code + vowels."""
+    letters = [c.upper() for c in s if c.isascii() and c.isalpha()]
+    if not letters:
+        return ""
+    body = [letters[0]] + [c for c in letters[1:] if c not in "HW"]
+    table = {c: d for chars, d in (
+        ("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+        ("L", "4"), ("MN", "5"), ("R", "6")) for c in chars}
+    codes = [table.get(c, "0") for c in body]
+    collapsed = [codes[0]] + [c for p, c in zip(codes, codes[1:]) if c != p]
+    digits = [c for c in collapsed[1:] if c != "0"]
+    return letters[0] + "".join(digits[:3]).ljust(3, "0")
+
+
+def test_soundex_nara_vectors():
+    from stringzilla_ray.functions.text import soundex
+
+    vec = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+           "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+           "Honeyman": "H555", "Hall": "H400", "Washington": "W252",
+           "Lee": "L000", "Gutierrez": "G362", "Jackson": "J250",
+           "": "", "123": "", "a": "A000"}
+    got = soundex(pa.array(list(vec))).to_pylist()
+    assert got == list(vec.values())
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=st.lists(st.text(
+    alphabet="abcdefhwAEIOUHW 'z-", min_size=0, max_size=16),
+    min_size=1, max_size=16))
+def test_soundex_matches_reference(texts):
+    from stringzilla_ray.functions.text import soundex
+
+    got = soundex(pa.array(texts, pa.string())).to_pylist()
+    assert got == [_soundex_ref(t) for t in texts]
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=24),
+                      min_size=1, max_size=10),
+       kws=st.lists(st.sampled_from(["a", "ab", "b a", "aa"]),
+                    min_size=1, max_size=3, unique=True))
+def test_tag_keywords_batch_matches_str_count(texts, kws):
+    from stringzilla_ray.stages.web import tag_keywords
+
+    class _FakeDs:
+        def map_batches(self, fn, **kw):
+            return fn(pa.table({
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }))
+
+    out = tag_keywords(_FakeDs(), kws)
+    got = {(i, k): n for i, k, n in zip(
+        out["doc_id"].to_pylist(), out["keyword"].to_pylist(),
+        out["n_matches"].to_pylist())}
+    expect = {(i, k): t.count(k)
+              for i, t in enumerate(texts) for k in kws if t.count(k) > 0}
+    assert got == expect
