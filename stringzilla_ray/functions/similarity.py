@@ -415,3 +415,80 @@ def sw_gotoh_slow(a, b, byte_to_class, class_costs, open=-1, extend=-1) -> int:
             H[i][j] = max(0, H[i - 1][j - 1] + sub, D[i][j], I[i][j])
             best = max(best, H[i][j])
     return int(best)
+
+
+def jaro_winkler_batch(
+    a_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    b_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    prefix_weight: float = 0.1,
+    boost_threshold: float = 0.7,
+    winkler: bool = True,
+) -> np.ndarray:
+    """Pairwise Jaro / Jaro-Winkler similarity for aligned batches,
+    vectorized ACROSS pairs: the two scan loops run over character
+    POSITIONS (bounded by the longest string in the batch), with every
+    step a whole-batch NumPy mask op — the same batching shape as
+    ``levenshtein_batch``. Intended for short record-linkage keys
+    (names, tokens); cost grows ~quadratically in the max length.
+
+    Semantics pinned to DuckDB's ``jaro_winkler_similarity`` (the
+    oracle): either side empty -> 0.0 (including both empty), standard
+    match window max(m,n)//2-1, half-transposition rule, and the
+    Winkler prefix bonus (up to 4 chars, weight ``prefix_weight``)
+    applied only when jaro > ``boost_threshold``. The reference has no
+    Jaro engine (SURVEY.md "what the reference does not have"); this is
+    the auxiliary recall scorer the north-star prose calls for.
+    Accepts byte lists or pre-padded (matrix, lengths) pairs
+    (``utf8_to_padded`` for codepoint semantics).
+    """
+    S, ls = strings_to_padded(a_items) if isinstance(a_items, list) else a_items
+    T, lt = strings_to_padded(b_items) if isinstance(b_items, list) else b_items
+    B = S.shape[0]
+    if B == 0:
+        return np.zeros(0, np.float64)
+    L1, L2 = S.shape[1], T.shape[1]
+    win = np.maximum(np.maximum(ls, lt) // 2 - 1, 0)
+    wmax = int(win.max()) if B else 0
+    t_used = np.zeros((B, L2), bool)
+    s_matched = np.zeros((B, L1), bool)
+    for i in range(int(ls.max()) if B else 0):
+        si = S[:, i]
+        lo = np.maximum(0, i - win)
+        hi = np.minimum(lt, i + win + 1)
+        found = np.zeros(B, bool)
+        for j in range(max(0, i - wmax), min(L2, i + wmax + 1)):
+            ok = ((~found) & (si >= 0) & (j >= lo) & (j < hi)
+                  & (~t_used[:, j]) & (T[:, j] == si))
+            if not ok.any():
+                continue
+            t_used[:, j] |= ok
+            s_matched[:, i] |= ok
+            found |= ok
+    matches = s_matched.sum(axis=1).astype(np.int64)
+    # transpositions: k-th matched char of s vs k-th matched char of t
+    # (np.nonzero is row-major, so ranks align per row)
+    bs, isx = np.nonzero(s_matched)
+    bt, jts = np.nonzero(t_used)
+    trans = np.zeros(B, np.int64)
+    np.add.at(trans, bs, S[bs, isx] != T[bt, jts])
+    trans //= 2
+    mf = matches.astype(np.float64)
+    denom_s = np.maximum(ls, 1).astype(np.float64)
+    denom_t = np.maximum(lt, 1).astype(np.float64)
+    jaro = np.where(
+        matches > 0,
+        (mf / denom_s + mf / denom_t
+         + (mf - trans) / np.maximum(mf, 1.0)) / 3.0,
+        0.0,
+    )
+    jaro = np.where((ls == 0) | (lt == 0), 0.0, jaro)
+    if not winkler:
+        return jaro
+    plen = np.zeros(B, np.int64)
+    alive = np.ones(B, bool)
+    for k in range(min(4, L1, L2)):
+        ok = alive & (k < ls) & (k < lt) & (S[:, k] == T[:, k])
+        plen += ok
+        alive &= ok
+    return np.where(jaro > boost_threshold,
+                    jaro + plen * prefix_weight * (1.0 - jaro), jaro)

@@ -180,3 +180,60 @@ def test_empty_batches():
     byte_to_class, class_costs = _unit_nw_tables()
     assert len(sim.needleman_wunsch_batch([], [], byte_to_class, class_costs)) == 0
     assert len(sim.smith_waterman_batch([], [], byte_to_class, class_costs)) == 0
+
+
+def _jaro_winkler_slow(a: str, b: str) -> float:
+    """Textbook Jaro-Winkler, per-pair, pinned to DuckDB semantics:
+    either side empty -> 0.0, window max(m,n)//2-1, prefix bonus <=4
+    chars at weight 0.1 only when jaro > 0.7."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    win = max(max(la, lb) // 2 - 1, 0)
+    b_used = [False] * lb
+    a_hit = []
+    for i, ch in enumerate(a):
+        for j in range(max(0, i - win), min(lb, i + win + 1)):
+            if not b_used[j] and b[j] == ch:
+                b_used[j] = True
+                a_hit.append(i)
+                break
+    m = len(a_hit)
+    if m == 0:
+        return 0.0
+    b_hit = [j for j in range(lb) if b_used[j]]
+    trans = sum(a[i] != b[j] for i, j in zip(a_hit, b_hit)) // 2
+    jaro = (m / la + m / lb + (m - trans) / m) / 3.0
+    plen = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        plen += 1
+    if jaro > 0.7:
+        jaro = jaro + plen * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+@pytest.mark.parametrize("seed", SEED_VALUES)
+def test_jaro_winkler_vs_slow_and_duckdb(seed):
+    rng = random.Random(seed)
+    # small alphabet -> plenty of matches/transpositions; include empties
+    a = random_strings(rng, 300, min_len=0, max_len=24, variability=6)
+    b = random_strings(rng, 300, min_len=0, max_len=24, variability=6)
+    got = sim.jaro_winkler_batch([s.encode() for s in a], [s.encode() for s in b])
+    expected = np.array([_jaro_winkler_slow(x, y) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(got, expected)  # exact, same arithmetic order
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", list(zip(a, b)))
+    dd = con.sql(
+        "SELECT jaro_winkler_similarity(a, b) FROM p"
+    ).fetchnumpy()["jaro_winkler_similarity(a, b)"]
+    np.testing.assert_array_equal(got, dd)
+
+
+def test_jaro_plain_no_winkler():
+    got = sim.jaro_winkler_batch([b"martha"], [b"marhta"], winkler=False)
+    np.testing.assert_allclose(got, [0.944444444444444], rtol=1e-12)
