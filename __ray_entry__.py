@@ -2069,6 +2069,74 @@ def _q_hamming_prefix(sf_dir: str):
     return ds.repartition(1).map_batches(pair_and_score, batch_format="pyarrow", batch_size=100000)
 
 
+def _q_damerau_pairs(sf_dir: str):
+    """Batched FULL Damerau-Levenshtein over consecutive doc first
+    tokens (functions/similarity.py:damerau_levenshtein_batch — the
+    unrestricted da/db variant, batch-vectorized over the padded
+    grid). Oracle: DuckDB damerau_levenshtein, same byte semantics."""
+    from stringzilla_ray.functions.similarity import damerau_levenshtein_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_and_score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.list_element(
+            pc.split_pattern(t["text"], pattern=" ", max_splits=1), 0
+        ).to_pylist()
+        order = np.argsort(ids)
+        ids = ids[order]
+        toks = [toks[i] for i in order]
+        by_id = dict(zip(ids.tolist(), toks))
+        lefts, la, lb = [], [], []
+        for i in ids.tolist():
+            if i % 2 == 0 and (i + 1) in by_id:
+                lefts.append(i)
+                la.append(by_id[i].encode())
+                lb.append(by_id[i + 1].encode())
+        dist = damerau_levenshtein_batch(la, lb) if lefts else np.zeros(0, np.int64)
+        return pa.table({
+            "left_id": pa.array(lefts, pa.int64()),
+            "right_id": pa.array([i + 1 for i in lefts], pa.int64()),
+            "dist": pa.array(dist, pa.int64()),
+        })
+
+    return ds.repartition(1).map_batches(
+        pair_and_score, batch_format="pyarrow", batch_size=100000)
+
+
+def _q_byte_jaccard_pairs(sf_dir: str):
+    """Byte-set Jaccard similarity over consecutive doc FULL texts
+    (functions/similarity.py:byte_jaccard_batch — one presence-bitmap
+    pass over the concatenated byte tape, masked popcounts; exact
+    int/int division so the doubles hash-compare vs DuckDB jaccard)."""
+    from stringzilla_ray.functions.similarity import byte_jaccard_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_and_score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        order = np.argsort(ids)
+        ids = ids[order]
+        texts = [texts[i] for i in order]
+        by_id = dict(zip(ids.tolist(), texts))
+        lefts, la, lb = [], [], []
+        for i in ids.tolist():
+            if i % 2 == 0 and (i + 1) in by_id and by_id[i] and by_id[i + 1]:
+                lefts.append(i)
+                la.append(by_id[i].encode())
+                lb.append(by_id[i + 1].encode())
+        sim = byte_jaccard_batch(la, lb) if lefts else np.zeros(0, np.float64)
+        return pa.table({
+            "left_id": pa.array(lefts, pa.int64()),
+            "right_id": pa.array([i + 1 for i in lefts], pa.int64()),
+            "sim": pa.array(sim, pa.float64()),
+        })
+
+    return ds.repartition(1).map_batches(
+        pair_and_score, batch_format="pyarrow", batch_size=100000)
+
+
 def _q_rfind(sf_dir: str):
     from stringzilla_ray.functions.text import rfind
 
@@ -3157,6 +3225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "levenshtein_pairs": _q_levenshtein_pairs,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
         "hamming_prefix": _q_hamming_prefix,
+        "damerau_pairs": _q_damerau_pairs,
+        "byte_jaccard_pairs": _q_byte_jaccard_pairs,
         "rfind_substring": _q_rfind,
         "find_first_of": _q_find_first_of,
         "nw_unit_pairs": _q_nw_unit_pairs,
@@ -3486,6 +3556,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
             "WHERE a.doc_id % 2 = 0 "
             "AND length(substr(a.text, 1, 50)) = length(substr(b.text, 1, 50))"
+        ),
+        "damerau_pairs": (
+            "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+            "CAST(damerau_levenshtein(split_part(a.text,' ',1),"
+            " split_part(b.text,' ',1)) AS BIGINT) AS dist "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0"
+        ),
+        "byte_jaccard_pairs": (
+            "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+            "jaccard(a.text, b.text) AS sim "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0 AND length(a.text) > 0 AND length(b.text) > 0"
         ),
         "embedding_sim_pairs": (
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "

@@ -40,6 +40,10 @@ __all__ = [
     "gotoh_distance_slow",
     "needleman_wunsch_batch",
     "smith_waterman_batch",
+    "jaro_winkler_batch",
+    "damerau_levenshtein_batch",
+    "damerau_levenshtein_slow",
+    "byte_jaccard_batch",
     "nw_gotoh_slow",
     "sw_gotoh_slow",
     "strings_to_padded",
@@ -492,3 +496,126 @@ def jaro_winkler_batch(
         alive &= ok
     return np.where(jaro > boost_threshold,
                     jaro + plen * prefix_weight * (1.0 - jaro), jaro)
+
+
+def damerau_levenshtein_batch(
+    a_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    b_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+) -> np.ndarray:
+    """Pairwise FULL (unrestricted) Damerau-Levenshtein distance for
+    aligned batches — the ``da``/``db`` last-occurrence formulation, not
+    the restricted OSA variant (``damerau('CA','ABC') == 2``, matching
+    DuckDB's ``damerau_levenshtein``, the oracle). Byte alphabet.
+
+    Vectorized across the BATCH: the two position loops run over the
+    padded (max_len_a × max_len_b) grid with every cell update a
+    B-wide NumPy op, the same batching shape as ``jaro_winkler_batch``.
+    Intended for short record-linkage keys (names, first tokens); cost
+    grows quadratically in the max length, memory is
+    ``B × (m+2) × (n+2)`` int64 for the DP cube.
+    """
+    A, la = strings_to_padded(a_items) if isinstance(a_items, list) else a_items
+    Bm, lb = strings_to_padded(b_items) if isinstance(b_items, list) else b_items
+    B = A.shape[0]
+    if B == 0:
+        return np.zeros(0, dtype=np.int64)
+    m, n = A.shape[1], Bm.shape[1]
+    maxd = (la + lb).astype(np.int64)
+    # D[:, i+1, j+1] = d[i][j] for i in -1..m, j in -1..n (Wikipedia layout)
+    D = np.zeros((B, m + 2, n + 2), dtype=np.int64)
+    D[:, 0, :] = maxd[:, None]
+    D[:, :, 0] = maxd[:, None]
+    D[:, 1, 1:] = np.arange(n + 1, dtype=np.int64)[None, :]
+    D[:, 1:, 1] = np.arange(m + 1, dtype=np.int64)[None, :]
+    da = np.zeros((B, 256), dtype=np.int64)  # last row where byte occurred in a
+    rows = np.arange(B)
+    for i in range(1, m + 1):
+        ai = A[:, i - 1]  # int16, -1 pad
+        a_ok = i <= la
+        db = np.zeros(B, dtype=np.int64)
+        for j in range(1, n + 1):
+            bj = Bm[:, j - 1]
+            valid = a_ok & (j <= lb)
+            match = valid & (ai == bj)
+            k = da[rows, np.where(valid, bj, 0).astype(np.int64) & 0xFF]
+            l = db.copy()
+            cost = np.where(match, 0, 1).astype(np.int64)
+            db = np.where(match, j, db)
+            trans = D[rows, k, l] + (i - k - 1) + 1 + (j - l - 1)
+            best = np.minimum(
+                np.minimum(D[:, i, j] + cost, D[:, i + 1, j] + 1),
+                np.minimum(D[:, i, j + 1] + 1, trans),
+            )
+            D[:, i + 1, j + 1] = np.where(valid, best, D[:, i + 1, j + 1])
+        upd = a_ok
+        if upd.any():
+            da[rows[upd], (ai[upd].astype(np.int64) & 0xFF)] = i
+    return D[rows, la + 1, lb + 1]
+
+
+def damerau_levenshtein_slow(a: bytes, b: bytes) -> int:
+    """Per-pair full Damerau-Levenshtein oracle (Wikipedia
+    'Distance with adjacent transpositions' pseudocode, 1-indexed)."""
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxd
+    for i in range(la + 1):
+        d[i + 1][0] = maxd
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxd
+        d[1][j + 1] = j
+    da = dict()
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def byte_jaccard_batch(
+    a_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+    b_items: list[bytes] | tuple[np.ndarray, np.ndarray],
+) -> np.ndarray:
+    """Pairwise byte-SET Jaccard similarity |set(a) ∩ set(b)| /
+    |set(a) ∪ set(b)| for aligned batches — the semantics of DuckDB's
+    ``jaccard`` (the oracle; byte-based, multiset-insensitive). Fully
+    vectorized: one 256-wide boolean presence matrix per side built
+    from the concatenated byte tape, then masked popcounts. Division
+    of two small int64s in float64 is exact on both sides, so doubles
+    hash-compare safely. Empty inputs return 0.0 (DuckDB raises on
+    empties — keep them out of oracle rows)."""
+
+    def _presence(items) -> np.ndarray:
+        if isinstance(items, tuple):
+            mat, lens = items
+            P = np.zeros((mat.shape[0], 256), dtype=bool)
+            ridx = np.repeat(np.arange(mat.shape[0]), mat.shape[1])
+            vals = mat.reshape(-1)
+            keep = vals >= 0
+            P[ridx[keep], vals[keep].astype(np.int64)] = True
+            return P
+        lens = np.fromiter((len(s) for s in items), np.int64, len(items))
+        tape = np.frombuffer(b"".join(items), np.uint8)
+        P = np.zeros((len(items), 256), dtype=bool)
+        P[np.repeat(np.arange(len(items)), lens), tape] = True
+        return P
+
+    Pa, Pb = _presence(a_items), _presence(b_items)
+    inter = (Pa & Pb).sum(axis=1).astype(np.int64)
+    union = (Pa | Pb).sum(axis=1).astype(np.int64)
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)

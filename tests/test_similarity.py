@@ -237,3 +237,44 @@ def test_jaro_winkler_vs_slow_and_duckdb(seed):
 def test_jaro_plain_no_winkler():
     got = sim.jaro_winkler_batch([b"martha"], [b"marhta"], winkler=False)
     np.testing.assert_allclose(got, [0.944444444444444], rtol=1e-12)
+
+@pytest.mark.parametrize("seed", SEED_VALUES)
+def test_damerau_levenshtein_vs_slow_and_duckdb(seed):
+    rng = random.Random(seed)
+    a = random_strings(rng, 300, min_len=0, max_len=16, variability=5)
+    b = random_strings(rng, 300, min_len=0, max_len=16, variability=5)
+    got = sim.damerau_levenshtein_batch(
+        [s.encode() for s in a], [s.encode() for s in b])
+    expected = np.array(
+        [sim.damerau_levenshtein_slow(x.encode(), y.encode())
+         for x, y in zip(a, b)])
+    np.testing.assert_array_equal(got, expected)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", list(zip(a, b)))
+    dd = con.sql("SELECT damerau_levenshtein(a, b) FROM p").fetchnumpy()[
+        "damerau_levenshtein(a, b)"]
+    np.testing.assert_array_equal(got, dd.astype(np.int64))
+
+
+def test_damerau_full_not_osa():
+    # the canonical case separating full DL (2) from restricted OSA (3)
+    assert sim.damerau_levenshtein_batch([b"CA"], [b"ABC"])[0] == 2
+    assert sim.damerau_levenshtein_slow(b"CA", b"ABC") == 2
+
+
+@pytest.mark.parametrize("seed", SEED_VALUES)
+def test_byte_jaccard_vs_duckdb(seed):
+    rng = random.Random(seed)
+    a = random_strings(rng, 300, min_len=1, max_len=40, variability=8)
+    b = random_strings(rng, 300, min_len=1, max_len=40, variability=8)
+    got = sim.byte_jaccard_batch([s.encode() for s in a], [s.encode() for s in b])
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", list(zip(a, b)))
+    dd = con.sql("SELECT jaccard(a, b) FROM p").fetchnumpy()["jaccard(a, b)"]
+    np.testing.assert_array_equal(got, dd)  # exact: same int/int division
