@@ -1459,6 +1459,84 @@ def _q_incremental_dedup(sf_dir: str):
         .select_columns(["doc_id", "seen_before"])
 
 
+def _q_bloom_contains_self(sf_dir: str):
+    """Sharded Bloom membership filter, probed with its OWN build keys
+    (stages/membership.py) — pins the no-false-negative contract
+    oracle-green: every inserted key MUST probe 1, so the SQL twin is
+    a constant TRUE column. The false-positive half (fresh keys hit at
+    ~fp_rate) is pinned by pytest, where an inequality is checkable."""
+    from stringzilla_ray.stages.membership import (
+        build_bloom_index,
+        probe_bloom_index,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = _cached_build(
+        f"/tmp/stringzilla_ray_bloomidx/{scale}-v1",
+        lambda tmp: build_bloom_index(
+            ds, tmp, expected_items=ds.count(), fp_rate=0.01),
+    )
+    return probe_bloom_index(ds, idx, flag_column="hit") \
+        .select_columns(["doc_id", "hit"])
+
+
+def _q_bloom_decontaminate(sf_dir: str):
+    """Bloom-as-prefilter with exact confirmation — the production
+    pattern for probabilistic membership: docs probe a Bloom filter
+    built over an 'eval set' (docs with doc_id % 7 == 0); only the
+    bloom MAYBEs are exact-verified against the broadcast eval text
+    set, so the final flag is EXACT (semi-join oracle) while the
+    filter prunes ~99% of the corpus from verification at scale."""
+    from stringzilla_ray.stages.membership import (
+        build_bloom_index,
+        probe_bloom_index,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def evals_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return t.filter(pa.array(ids.to_numpy(zero_copy_only=False) % 7 == 0))
+
+    eval_ds = ds.map_batches(evals_only, batch_format="pyarrow")
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = _cached_build(
+        f"/tmp/stringzilla_ray_bloomeval/{scale}-v1",
+        lambda tmp: build_bloom_index(
+            eval_ds, tmp, expected_items=eval_ds.count(), fp_rate=0.01),
+    )
+    # eval sets are small by nature (same broadcast rationale as
+    # decontaminate, stages/dedup.py:589): ship the exact text set once
+    import ray as _ray
+
+    eval_texts = set()
+    for blk in eval_ds.select_columns(["text"]).to_arrow_refs():
+        eval_texts.update(_ray.get(blk)["text"].to_pylist())
+    eval_ref = _ray.put(eval_texts)
+
+    flagged = probe_bloom_index(ds, idx, flag_column="maybe")
+
+    def confirm(t: pa.Table, eval_set) -> pa.Table:
+        eval_set = _ray.get(eval_set)  # broadcast ref, zero-copy from the store
+        maybe = t["maybe"].to_numpy(zero_copy_only=False).astype(bool)
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        hit = np.zeros(len(t), dtype=np.int64)
+        if maybe.any():
+            # exact check ONLY on the bloom maybes
+            idxs = np.nonzero(maybe)[0]
+            tl = texts.take(pa.array(idxs)).to_pylist()
+            hit[idxs] = [1 if s in eval_set else 0 for s in tl]
+        return pa.table({"doc_id": t["doc_id"], "contaminated": pa.array(hit, pa.int64())})
+
+    return flagged.map_batches(
+        confirm, batch_format="pyarrow", fn_kwargs={"eval_set": eval_ref})
+
+
 def _q_chunk_documents(sf_dir: str):
     """RAG-style fixed-window token chunking with overlap (window=8,
     overlap=2): pure per-row explode, no shuffle
@@ -3194,6 +3272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "curation_pipeline_simhash": _q_curation_pipeline_simhash,
         "incremental_dedup": _q_incremental_dedup,
+        "bloom_contains_self": _q_bloom_contains_self,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "chunk_documents": _q_chunk_documents,
         "longest_docs_per_lang": _q_longest_docs_per_lang,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -4531,6 +4611,18 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT text FROM documents WHERE doc_id < 450"
             ") AS INT) AS seen_before "
             "FROM documents n WHERE n.doc_id >= 400"
+        ),
+        "bloom_contains_self": (
+            # the Bloom no-false-negative contract: every key inserted
+            # at build time must probe 1
+            "SELECT doc_id, CAST(1 AS BIGINT) AS hit FROM documents"
+        ),
+        "bloom_decontaminate": (
+            # exact semi-join: the engine's bloom prefilter + exact
+            # confirm must equal plain membership
+            "SELECT d.doc_id, CAST(d.text IN ("
+            "  SELECT text FROM documents WHERE doc_id % 7 = 0"
+            ") AS BIGINT) AS contaminated FROM documents d"
         ),
         "chunk_documents": (
             # window=8, overlap=2, step=6; 1-based inclusive
