@@ -1537,6 +1537,48 @@ def _q_bloom_decontaminate(sf_dir: str):
         confirm, batch_format="pyarrow", fn_kwargs={"eval_set": eval_ref})
 
 
+def _bpe_merges_for(sf_dir: str):
+    from stringzilla_ray.stages.bpe import load_merges, save_merges, train_bpe
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/stringzilla_ray_bpe/{scale}-v1"
+    idx = _cached_build(
+        path,
+        lambda tmp: save_merges(
+            train_bpe(_read(sf_dir, "documents", columns=["text"]),
+                      n_merges=200),
+            os.path.join(tmp, "merges.json")),
+    )
+    return load_merges(os.path.join(idx, "merges.json"))
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Learned BPE merge table over the documents corpus
+    (stages/bpe.py: distributed word census -> driver pair-merge
+    learner, vocab-bounded). Iterative learner — no SQL twin; the
+    trainer is pinned by pytest against a from-scratch recount
+    reference plus determinism/round-trip properties."""
+    import ray.data
+
+    merges = _bpe_merges_for(sf_dir)
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([a for a, _ in merges], pa.string()),
+        "right": pa.array([b for _, b in merges], pa.string()),
+    }))
+
+
+def _q_bpe_token_count(sf_dir: str):
+    """Per-doc BPE token count under the corpus-trained merge table
+    (stages/bpe.py bpe_encode_counts: distinct-word memoized encode,
+    vectorized re-assembly). The packing/pricing primitive."""
+    from stringzilla_ray.stages.bpe import bpe_encode_counts
+
+    merges = _bpe_merges_for(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_encode_counts(ds, merges)
+
+
 def _q_chunk_documents(sf_dir: str):
     """RAG-style fixed-window token chunking with overlap (window=8,
     overlap=2): pure per-row explode, no shuffle
@@ -3274,6 +3316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "bloom_contains_self": _q_bloom_contains_self,
         "bloom_decontaminate": _q_bloom_decontaminate,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_count": _q_bpe_token_count,
         "chunk_documents": _q_chunk_documents,
         "longest_docs_per_lang": _q_longest_docs_per_lang,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
