@@ -468,6 +468,207 @@ def _q_tpch_q1(sf_dir: str):
     )
 
 
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6-shaped forecasting-revenue query: pure streaming
+    filter + map-side partial sums, ZERO shuffle (the one-row partials
+    reduce in a tree). Revenue in exact 1e-4 currency units (int64:
+    round(ep*100) * round(d*100)) so float summation order can never
+    flip the hash — same contract as tpch_q3."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+    lo = pa.scalar(_dt.datetime(1996, 1, 1))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                        pc.less_equal(t["l_discount"], 0.07)),
+                pc.less(t["l_quantity"], 24.0),
+            ),
+        )
+        f = t.filter(m)
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = f["l_discount"].to_numpy(zero_copy_only=False)
+        ru = int((np.floor(ep * 100 + 0.5).astype(np.int64)
+                  * np.floor(d * 100 + 0.5).astype(np.int64)).sum())
+        return pa.table({"revenue_e4": pa.array([ru], pa.int64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").sum("revenue_e4")
+    return pd.DataFrame({"revenue_e4": [int(total or 0)]})
+
+
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14-shaped promo-revenue query. The part side collapses
+    to (sorted partkey array, promo bool array) broadcast ONCE —
+    probing is a searchsorted per batch, never a join; the ratio's
+    numerator and denominator emit as separate exact 1e-4-unit int64
+    sums (a float division would make the hash precision-fragile)."""
+    import datetime as _dt
+
+    import pandas as pd
+    import ray
+
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_type"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    promo = pc.equal(pt["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    part_ref = ray.put((pk[order], promo[order]))
+
+    lo = pa.scalar(_dt.datetime(1996, 3, 1))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, is_promo = ray.get(part_ref)
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        f = t.filter(m)
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = f["l_discount"].to_numpy(zero_copy_only=False)
+        ru = (np.floor(ep * 100 + 0.5).astype(np.int64)
+              * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        lp = f["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.minimum(np.searchsorted(keys, lp), max(len(keys) - 1, 0))
+        hit = (keys[j] == lp) if len(keys) else np.zeros(len(lp), bool)
+        pm = np.zeros(len(lp), bool)
+        pm[hit] = is_promo[j[hit]]
+        return pa.table({
+            "promo_e4": pa.array([int(ru[pm].sum())], pa.int64()),
+            "total_e4": pa.array([int(ru[hit].sum())], pa.int64()),
+        })
+
+    parts = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                           "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    import pandas as _pd
+
+    pdf = parts.to_pandas()
+    return _pd.DataFrame({
+        "promo_e4": [int(pdf["promo_e4"].sum())],
+        "total_e4": [int(pdf["total_e4"].sum())],
+    })
+
+
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5-shaped local-supplier-volume query, all six tables:
+    region/nation/supplier collapse to broadcast lookups (tiny),
+    customer to a sorted (custkey -> nationkey) probe array (the q3
+    broadcast rationale — at true scale this side becomes a hash
+    join, the exchange shape the lineitem side already pays), orders
+    filter+probe to (orderkey, cust_nation), and the one genuinely
+    big-big exchange is lineitem ⋈ orders on orderkey. The
+    same-nation supplier condition applies post-join via the supplier
+    lookup; revenue sums exactly in 1e-4 units per nation name."""
+    import datetime as _dt
+
+    import ray
+
+    from stringzilla_ray.util import join_partitions
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"] \
+        .to_numpy(zero_copy_only=False)
+    nmask = np.isin(nation["n_regionkey"].to_numpy(zero_copy_only=False), rk)
+    asia_nk = nation["n_nationkey"].to_numpy(zero_copy_only=False)[nmask] \
+        .astype(np.int64)
+    names = {int(k): v for k, v in zip(
+        nation["n_nationkey"].to_numpy(zero_copy_only=False),
+        nation["n_name"].to_pylist())}
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk)
+    sup_ref = ray.put((sk[so], snk[so]))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnk = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.isin(cnk, asia_nk)
+    ck, cnk = ck[keep], cnk[keep]
+    co = np.argsort(ck)
+    cust_ref = ray.put((ck[co], cnk[co]))
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1))
+
+    def orders_probe(t: pa.Table) -> pa.Table:
+        keys, nk = ray.get(cust_ref)
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        f = t.filter(m)
+        oc = f["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.minimum(np.searchsorted(keys, oc), max(len(keys) - 1, 0))
+        hit = (keys[j] == oc) if len(keys) else np.zeros(len(oc), bool)
+        f = f.filter(pa.array(hit))
+        return pa.table({
+            "o_orderkey": pc.cast(f["o_orderkey"], pa.int64()),
+            "c_nation": pa.array(nk[j[hit]], pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_probe, batch_format="pyarrow")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        ru = (np.floor(ep * 100 + 0.5).astype(np.int64)
+              * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "ru": pa.array(ru, pa.int64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]) \
+        .map_batches(li_rows, batch_format="pyarrow")
+    j = li.join(orders, join_type="inner",
+                num_partitions=join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        keys, nk = ray.get(sup_ref)
+        sup_k = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        jj = np.minimum(np.searchsorted(keys, sup_k), max(len(keys) - 1, 0))
+        hit = (keys[jj] == sup_k) if len(keys) else np.zeros(len(sup_k), bool)
+        same = hit & (nk[jj] == t["c_nation"].to_numpy(zero_copy_only=False))
+        ru = t["ru"].to_numpy(zero_copy_only=False)[same]
+        nat = t["c_nation"].to_numpy(zero_copy_only=False)[same]
+        uk, inv = np.unique(nat, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, ru)
+        return pa.table({
+            "n_name": pa.array([names[int(k)] for k in uk], pa.string()),
+            "revenue_e4": pa.array(sums, pa.int64()),
+        })
+
+    agged = (
+        j.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(*_sum_aggs(("revenue_e4", "revenue_e4_sum")))
+    )
+    return agged.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"],
+                            "revenue_e4": t["revenue_e4_sum"]}),
+        batch_format="pyarrow",
+    )
+
+
 def _sum_aggs(*pairs):
     from ray.data.aggregate import Sum
 
@@ -3293,6 +3494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_2gram_chars": _q_top_2gram_chars,
         "dup_5gram_chars": _q_dup_5gram_chars,
         "tpch_q3_revenue": _q_tpch_q3,
+        "tpch_q5_revenue": _q_tpch_q5,
+        "tpch_q6_revenue": _q_tpch_q6,
+        "tpch_q14_promo": _q_tpch_q14,
         "approx_distinct_users": _q_approx_distinct_users,
         "approx_distinct_check": _q_approx_distinct_check,
         "quantile_sketch_check": _q_quantile_sketch_check,
@@ -4173,6 +4377,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, CAST(sum(ru) AS BIGINT) AS revenue_u "
             "FROM r GROUP BY l_orderkey "
             "ORDER BY revenue_u DESC, l_orderkey LIMIT 10"
+        ),
+        "tpch_q5_revenue": (
+            "WITH an AS (SELECT n_nationkey, n_name FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA'), "
+            "ac AS (SELECT c_custkey, n_nationkey, n_name FROM customer "
+            "JOIN an ON c_nationkey = n_nationkey), "
+            "ao AS (SELECT o_orderkey, n_nationkey, n_name FROM orders "
+            "JOIN ac ON o_custkey = c_custkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01') "
+            "SELECT ao.n_name, CAST(sum("
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+            ") AS BIGINT) AS revenue_e4 "
+            "FROM lineitem "
+            "JOIN ao ON l_orderkey = ao.o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND s_nationkey = ao.n_nationkey "
+            "GROUP BY ao.n_name"
+        ),
+        "tpch_q6_revenue": (
+            "SELECT CAST(coalesce(sum("
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "CAST(round(l_discount * 100, 0) AS BIGINT)), 0) AS BIGINT) "
+            "AS revenue_e4 FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "tpch_q14_promo": (
+            "SELECT "
+            "CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) "
+            "ELSE 0 END), 0) AS BIGINT) AS promo_e4, "
+            "CAST(coalesce(sum("
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))), 0) AS BIGINT) "
+            "AS total_e4 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01'"
         ),
         "quantize_embeddings": (
             # same double expression shape as the engine: float32
