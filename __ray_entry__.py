@@ -2458,6 +2458,37 @@ def _q_byte_jaccard_pairs(sf_dir: str):
         pair_and_score, batch_format="pyarrow", batch_size=100000)
 
 
+_SCREEN_KWS = ["data", "table", "the", "row", "scan", "part", "query",
+               "value", "sort", "merge", "ta", "da"]
+
+
+def _q_dictionary_screen(sf_dir: str):
+    """Multi-pattern dictionary screening: K needles, ONE rolling-hash
+    sweep over the byte tape (functions/multifind.py multi_count —
+    Rabin-Karp prefix trick, exact-verified hits). Overlapping counts,
+    long format, zero shuffles. The 12-keyword dictionary includes
+    same-length needle groups so the per-length hash-table path is the
+    one exercised."""
+    from stringzilla_ray.functions.multifind import multi_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def screen(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = multi_count(col, _SCREEN_KWS)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ri, ki = np.nonzero(counts)
+        return pa.table({
+            "doc_id": pa.array(ids[ri], pa.int64()),
+            "kw": pa.array([_SCREEN_KWS[k] for k in ki], pa.string()),
+            "n": pa.array(counts[ri, ki], pa.int64()),
+        })
+
+    return ds.map_batches(screen, batch_format="pyarrow")
+
+
 def _q_rfind(sf_dir: str):
     from stringzilla_ray.functions.text import rfind
 
@@ -3554,6 +3585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
         "hamming_prefix": _q_hamming_prefix,
         "damerau_pairs": _q_damerau_pairs,
+        "dictionary_screen": _q_dictionary_screen,
         "byte_jaccard_pairs": _q_byte_jaccard_pairs,
         "rfind_substring": _q_rfind,
         "find_first_of": _q_find_first_of,
@@ -3891,6 +3923,19 @@ def oracle_sql() -> dict[str, str]:
             " split_part(b.text,' ',1)) AS BIGINT) AS dist "
             "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
             "WHERE a.doc_id % 2 = 0"
+        ),
+        "dictionary_screen": (
+            # overlapping counts by char-position enumeration; ASCII
+            # needles in valid UTF-8 count identically under byte and
+            # char semantics (an ASCII byte only encodes an ASCII char)
+            "WITH kws(kw) AS (VALUES " + ", ".join(
+                f"('{k}')" for k in _SCREEN_KWS) + "), "
+            "pos AS (SELECT doc_id, text, "
+            "unnest(range(1, length(text) + 1)) AS i FROM documents) "
+            "SELECT p.doc_id, k.kw, CAST(count(*) AS BIGINT) AS n "
+            "FROM pos p JOIN kws k "
+            "ON substr(p.text, CAST(p.i AS BIGINT), length(k.kw)) = k.kw "
+            "GROUP BY p.doc_id, k.kw"
         ),
         "byte_jaccard_pairs": (
             "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
