@@ -213,7 +213,7 @@ def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
 # ------------------------------------------------------------- features
 
 _FMT_FAKE, _FMT_WAV, _FMT_PPM, _FMT_BMP, _FMT_Y4M = 0.0, 1.0, 2.0, 3.0, 4.0
-_FMT_JPG, _FMT_PNG = 5.0, 6.0
+_FMT_JPG, _FMT_PNG, _FMT_GIF = 5.0, 6.0, 7.0
 
 
 def _audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
@@ -266,7 +266,8 @@ class MediaDecoder:
     """Actor-pool UDF: real NumPy decode for WAV/PPM/BMP/Y4M payloads
     -> signal-statistic features float32[16]:
 
-      [0] format (1=wav, 2=ppm, 3=bmp, 4=y4m-video, 5=jpeg, 6=png, 0=stub-fake)
+      [0] format (1=wav, 2=ppm, 3=bmp, 4=y4m-video, 5=jpeg, 6=png,
+          7=gif, 0=stub-fake)
       [1] width | n_samples   [2] height | sample_rate   [3] channels | n_frames
       [4] mean  [5] std  [6] min  [7] max
       [8] rms | luminance mean | fps  [9] zero-cross | edge | motion
@@ -316,6 +317,24 @@ class MediaDecoder:
                 if self.strict:
                     raise
                 return None
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from stringzilla_ray.functions.gif import decode_gif
+
+            try:
+                frames, delays = decode_gif(payload)
+            except NotImplementedError:
+                # disposal 3 (restore previous): honest stub behavior
+                if self.strict:
+                    raise
+                return None
+            if len(frames) == 1:
+                return _image_features(frames[0], _FMT_GIF)
+            total_s = sum(delays) / 1000.0
+            fps = len(frames) / total_s if total_s > 0 else 0.0
+            row = _video_features(
+                frames.mean(axis=3).astype(np.uint8), fps)
+            row[0] = _FMT_GIF
+            return row
         return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -475,6 +494,43 @@ def probe_payload(payload: bytes) -> dict:
                    channels={0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(ctype, 0),
                    codec=f"deflate{depth}")
         return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        # frame count + total delay need only block-header walking (the
+        # LZW data is skipped via sub-block lengths — still no decode)
+        n_frames = total_cs = pos = 0
+        packed = payload[10]
+        pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+        try:
+            while pos < len(payload):
+                b0 = payload[pos]
+                pos += 1
+                if b0 == 0x3B:
+                    break
+                if b0 == 0x21:
+                    label = payload[pos]
+                    pos += 1
+                    while payload[pos]:
+                        if label == 0xF9 and payload[pos] >= 4:
+                            total_cs += struct.unpack_from(
+                                "<H", payload, pos + 2)[0]
+                        pos += payload[pos] + 1
+                    pos += 1
+                    continue
+                if b0 != 0x2C:
+                    break
+                iflags = payload[pos + 8]
+                pos += 9 + (3 * (2 << (iflags & 7)) if iflags & 0x80 else 0)
+                pos += 1  # min code size
+                while payload[pos]:
+                    pos += payload[pos] + 1
+                pos += 1
+                n_frames += 1
+        except IndexError:
+            pass
+        out.update(container="gif", width=w, height=h, channels=3,
+                   codec=f"lzw{n_frames}f", duration_ms=total_cs * 10)
+        return out
     if payload[4:8] == b"ftyp":
         from stringzilla_ray.functions.mp4 import probe_mp4
 
@@ -546,6 +602,12 @@ def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
                 from stringzilla_ray.functions.png import encode_png
 
                 payloads.append(encode_png(img))
+            elif i % 12 == 6:
+                from stringzilla_ray.functions.gif import encode_gif
+
+                # palette-index the gradient's red plane on a 256-gray ramp
+                pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+                payloads.append(encode_gif(img[:, :, 0], pal))
             else:
                 payloads.append(make_bmp(img))
             kinds.append("image")
