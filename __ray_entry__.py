@@ -3470,6 +3470,31 @@ def _q_embedding_near_dup(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540) within-cluster cosine pruning over
+    the stored `label` assignment — row i pruned iff an earlier-id row
+    in the same cluster has cosine >= 0.30 (stages/semdedup.py). The
+    0.30 threshold sits >=1e-4 from every sf0.001/sf0.01 pair cosine
+    (pytest-pinned), so the engine's float64 and DuckDB's float32
+    kernels agree."""
+    from stringzilla_ray.stages.semdedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return semantic_dedup(ds, threshold=0.30, cluster_col="label")
+
+
+def _q_semantic_dedup_kmeans(sf_dir: str):
+    """The real SemDeDup path: spherical k-means assignment trained on
+    a corpus sample, then the same within-cluster prune (rows-only:
+    k-means is not SQL; the prune rule itself is oracle-pinned by
+    `semantic_dedup` and the mode is property-pinned in pytest)."""
+    from stringzilla_ray.stages.semdedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return semantic_dedup(ds, threshold=0.30, cluster_col=None,
+                          nlist=8, seed=7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -3579,6 +3604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
         "levenshtein_pairs": _q_levenshtein_pairs,
@@ -4158,6 +4185,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "semantic_dedup": (
+            # Greedy dominated-by-earlier-id prune within the stored
+            # cluster assignment; 0.30 sits >=1e-4 from every pair
+            # cosine at sf0.001/sf0.01 so float32-vs-float64 kernel
+            # differences (~2e-7) cannot flip a comparison.
+            "SELECT a.vec_id, a.label FROM embeddings a "
+            "WHERE NOT EXISTS (SELECT 1 FROM embeddings b "
+            "WHERE b.label = a.label AND b.vec_id < a.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.30)"
         ),
         "bytesum": (
             # UTF-8 byte sum reconstructed from codepoints: a k-byte
