@@ -3495,6 +3495,32 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_fuzzy_join(sf_dir: str):
+    """Blocking fuzzy self-join (stages/linkage.py): documents' first
+    tokens blocked by their NARA Soundex code, every within-block pair
+    scored with the batch Jaro-Winkler kernel (0-ULP DuckDB parity),
+    kept at jw >= 0.92. One key-hash shuffle; pair expansion is
+    segment arithmetic, scoring a padded-tape batch kernel."""
+    from stringzilla_ray.functions.text import soundex
+    from stringzilla_ray.stages.linkage import fuzzy_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.list_element(
+            pc.split_pattern(t["text"], pattern=" ", max_splits=1), 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tok": toks,
+            "sdx": soundex(toks),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return fuzzy_join(prepped, key_column="sdx", text_column="tok",
+                      id_column="doc_id", threshold=0.92, out_score="jw")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -3605,6 +3631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
+        "fuzzy_join_tokens": _q_fuzzy_join,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
@@ -4185,6 +4212,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "fuzzy_join_tokens": (
+            # The proven NARA-Soundex CTE (soundex_first_token oracle)
+            # as the blocking key; jaro_winkler_similarity is 0-ULP
+            # identical to the engine kernel so raw doubles hash-match.
+            "WITH s AS (SELECT doc_id, split_part(text,' ',1) AS tok FROM documents),"
+            "c AS (SELECT doc_id, tok, upper(regexp_replace(tok,'[^A-Za-z]','','g')) AS cl FROM s),"
+            "b AS (SELECT doc_id, tok, cl, CASE WHEN cl='' THEN '' ELSE"
+            " substr(cl,1,1) || replace(replace(substr(cl,2),'H',''),'W','') END AS body FROM c),"
+            "d AS (SELECT doc_id, tok, cl, translate(body,"
+            "'ABCDEFGHIJKLMNOPQRSTUVWXYZ','01230120022455012623010202') AS code FROM b),"
+            "e AS (SELECT doc_id, tok, cl, regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace(code,"
+            "'11+','1','g'),'22+','2','g'),'33+','3','g'),'44+','4','g'),"
+            "'55+','5','g'),'66+','6','g') AS col FROM d),"
+            "f AS (SELECT doc_id, tok, CASE WHEN cl='' THEN '' ELSE"
+            " substr(cl,1,1) || rpad(substr(replace(substr(col,2),'0',''),1,3),3,'0')"
+            " END AS sdx FROM e) "
+            "SELECT a.doc_id AS left_id, b.doc_id AS right_id,"
+            " jaro_winkler_similarity(a.tok, b.tok) AS jw"
+            " FROM f a JOIN f b ON a.sdx = b.sdx AND a.doc_id < b.doc_id"
+            " WHERE a.sdx <> ''"
+            " AND jaro_winkler_similarity(a.tok, b.tok) >= 0.92"
         ),
         "semantic_dedup": (
             # Greedy dominated-by-earlier-id prune within the stored
