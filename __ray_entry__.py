@@ -3495,6 +3495,17 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_top_tokens_per_lang(sf_dir: str):
+    """EXACT per-language top-10 token frequencies — grouped heavy
+    hitters with one hash(group) shuffle; each shard owns its groups
+    whole so local sum + local top-k is final
+    (stages/textstats.py:token_topk_by_group)."""
+    from stringzilla_ray.stages.textstats import token_topk_by_group
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return token_topk_by_group(ds, "lang", "text", k=10)
+
+
 def _q_fuzzy_join(sf_dir: str):
     """Blocking fuzzy self-join (stages/linkage.py): documents' first
     tokens blocked by their NARA Soundex code, every within-block pair
@@ -3632,6 +3643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
         "fuzzy_join_tokens": _q_fuzzy_join,
+        "top_tokens_per_lang": _q_top_tokens_per_lang,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
@@ -4212,6 +4224,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "top_tokens_per_lang": (
+            "SELECT lang, token, cnt FROM ("
+            "SELECT lang, tok AS token, CAST(count(*) AS BIGINT) AS cnt,"
+            " row_number() OVER (PARTITION BY lang"
+            "  ORDER BY count(*) DESC, tok) AS rk"
+            " FROM (SELECT lang, unnest(regexp_extract_all(text,"
+            " '[0-9A-Za-z_]+')) AS tok FROM documents)"
+            " GROUP BY lang, tok) WHERE rk <= 10"
         ),
         "fuzzy_join_tokens": (
             # The proven NARA-Soundex CTE (soundex_first_token oracle)

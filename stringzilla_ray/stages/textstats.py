@@ -249,6 +249,90 @@ def _token_reduce_fn(g: pa.Table, k: int) -> pa.Table:
     return summed.slice(0, k)
 
 
+def _group_token_partial_fn(batch: pa.Table, group_column: str,
+                            text_column: str) -> pa.Table:
+    """Per-batch (group, token, cnt) partials — the grouped census
+    combiner; the shuffle moves per-batch (group, vocab) rows, not one
+    row per occurrence."""
+    from stringzilla_ray.functions.segment import word_explode
+
+    col = _combined(batch[text_column])
+    words, parents = word_explode(col)
+    if len(words) == 0:
+        return pa.table({"grp": batch[group_column].slice(0, 0),
+                         "token": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    groups = _combined(batch[group_column]).take(parents)
+    t = pa.table({"grp": groups, "token": words.cast(pa.string()),
+                  "cnt": pa.array(np.ones(len(words), np.int64))})
+    return pa.TableGroupBy(t, ["grp", "token"]).aggregate(
+        [("cnt", "sum")]).rename_columns(["grp", "token", "cnt"])
+
+
+def token_topk_by_group(ds, group_column: str = "lang",
+                        text_column: str = "text", k: int = 10):
+    """EXACT per-group top-k token frequencies — (group, token, cnt)
+    with cnt the global count, k rows per group ordered
+    (cnt desc, token asc).
+
+    One shuffle, keyed on hash(GROUP) alone: each shard owns every
+    partial of each of its groups, so the local sum is exact and the
+    per-group top-k is final — no second exchange, no global sort.
+    Skew note: a single group's census is vocab-bounded (it is a
+    vocabulary, not the corpus), so the worst shard carries
+    O(vocab(group)) rows; with many groups the hash spreads them.
+    Tokens are the [0-9A-Za-z_]+ runs of word_explode, so DuckDB's
+    regexp_extract_all + row_number() mirrors the operator exactly."""
+    import functools
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+
+    def shard_fn(t: pa.Table) -> pa.Table:
+        col = t["grp"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hash_string_column(col, seed=0x6).view(np.uint64)
+        shard = (h % np.uint64(n_shards)).astype(np.int32)
+        return t.append_column("shard", pa.array(shard, pa.int32()))
+
+    def reduce_fn(g: pa.Table, k: int) -> pa.Table:
+        summed = pa.TableGroupBy(
+            g.select(["grp", "token", "cnt"]), ["grp", "token"]
+        ).aggregate([("cnt", "sum")]).rename_columns(
+            ["grp", "token", "cnt"])
+        summed = summed.sort_by([
+            ("grp", "ascending"), ("cnt", "descending"),
+            ("token", "ascending")])
+        gcol = summed["grp"]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        n = len(summed)
+        if n == 0:
+            return summed.rename_columns([group_column, "token", "cnt"])
+        new_seg = np.concatenate(
+            [[True], pc.not_equal(gcol.slice(1), gcol.slice(0, n - 1))
+             .to_numpy(zero_copy_only=False)])
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        rank = np.arange(n) - seg_start
+        out = summed.filter(pa.array(rank < k))
+        return out.rename_columns([group_column, "token", "cnt"])
+
+    parts = ds.map_batches(
+        _group_token_partial_fn,
+        fn_kwargs=dict(group_column=group_column, text_column=text_column),
+        batch_format="pyarrow",
+    )
+    return (
+        parts.map_batches(shard_fn, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(functools.partial(reduce_fn, k=k),
+                    batch_format="pyarrow")
+    )
+
+
 def add_repetition_stats(batch: pa.Table, text_column: str = "text",
                          unit: str = "line") -> pa.Table:
     """Gopher/MassiveText-style intra-document repetition counters:

@@ -248,6 +248,33 @@ def test_token_topk_exact(ray_session, docs_table):
         assert list(zip(got.token, got.cnt)) == want, distinct
 
 
+def test_token_topk_by_group_exact(ray_session, docs_table):
+    """Grouped heavy hitters equal the brute-force per-group Counter
+    truth, including the (cnt desc, token asc) boundary tie-break —
+    with more partitions than groups so empty-group shards occur."""
+    import collections
+    import re
+
+    import ray.data
+
+    from stringzilla_ray.stages.textstats import token_topk_by_group
+
+    langs = ["en", "fr", "de"]
+    t = docs_table.append_column(
+        "lang", pa.array([langs[i % 3] for i in range(len(docs_table))]))
+    ds = ray.data.from_arrow(t).repartition(9)
+    got = token_topk_by_group(ds, "lang", "text", k=4).to_pandas()
+    for lang in langs:
+        tf = collections.Counter()
+        for i, txt in enumerate(t["text"].to_pylist()):
+            if langs[i % 3] == lang:
+                tf.update(re.findall(r"[0-9A-Za-z_]+", txt))
+        want = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        sub = got[got.lang == lang].sort_values(
+            ["cnt", "token"], ascending=[False, True])
+        assert list(zip(sub.token, sub.cnt)) == want, lang
+
+
 def test_decontaminate(ray_session):
     """n-gram decontamination equals the brute-force substring-set
     truth: exactly the train docs sharing a char n-gram with any eval
