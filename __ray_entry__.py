@@ -3495,6 +3495,97 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18-shaped large-volume-customer query: the classic
+    big-table HAVING pattern. lineitem collapses to per-batch
+    (orderkey, qty) partials BEFORE its one hash shuffle (map-side
+    combine), the > 300 survivors are a tiny set broadcast into an
+    orders probe, and customer names attach from a second broadcast —
+    zero big-big joins, one exchange over partials. Quantities are
+    integral by TPC-H spec, so sums are exact int64; price goes out
+    in exact cents, the date as epoch micros (q3 contract)."""
+    import functools
+
+    import ray
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_buckets = reduce_buckets()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        g = pa.table({"k": pc.cast(t["l_orderkey"], pa.int64()),
+                      "q": pa.array(q, pa.int64())})
+        s = pa.TableGroupBy(g, "k").aggregate([("q", "sum")]) \
+            .rename_columns(["k", "q"])
+        sh = (splitmix64(s["k"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64) ^ np.uint64(0x18))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return s.append_column("shard", pa.array(sh, pa.int32()))
+
+    def li_reduce(g: pa.Table, thresh: int) -> pa.Table:
+        s = pa.TableGroupBy(g.select(["k", "q"]), "k").aggregate(
+            [("q", "sum")]).rename_columns(["k", "q"])
+        return s.filter(pc.greater(s["q"], thresh))
+
+    big = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(functools.partial(li_reduce, thresh=300),
+                    batch_format="pyarrow")
+    )
+    ks, qs = [], []
+    for b in big.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ks.append(b["k"].to_numpy(zero_copy_only=False))
+        qs.append(b["q"].to_numpy(zero_copy_only=False))
+    ks = np.concatenate(ks) if ks else np.zeros(0, np.int64)
+    qs = np.concatenate(qs) if qs else np.zeros(0, np.int64)
+    o = np.argsort(ks)
+    big_ref = ray.put((ks[o], qs[o]))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    co = np.argsort(ck)
+    cust_ref = ray.put((ck[co], cust["c_name"].take(
+        pa.array(co, pa.int64()))))
+
+    def orders_probe(t: pa.Table) -> pa.Table:
+        keys, sums = ray.get(big_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.minimum(np.searchsorted(keys, ok), max(len(keys) - 1, 0))
+        hit = (keys[j] == ok) if len(keys) else np.zeros(len(ok), bool)
+        f = t.filter(pa.array(hit))
+        ckeys, cnames = ray.get(cust_ref)
+        oc = f["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cj = np.minimum(np.searchsorted(ckeys, oc), max(len(ckeys) - 1, 0))
+        price_c = np.floor(
+            f["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "c_name": cnames.take(pa.array(cj, pa.int64())),
+            "c_custkey": pa.array(oc, pa.int64()),
+            "o_orderkey": pa.array(ok[hit], pa.int64()),
+            "o_odate_us": pc.cast(f["o_orderdate"], pa.int64()),
+            "price_cents": pa.array(price_c, pa.int64()),
+            "sum_qty": pa.array(sums[j[hit]], pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"])
+        .map_batches(orders_probe, batch_format="pyarrow")
+        .sort(["price_cents", "o_odate_us", "o_orderkey"],
+              descending=[True, False, False])
+        .limit(100)
+    )
+
+
 def _q_top_tokens_per_lang(sf_dir: str):
     """EXACT per-language top-10 token frequencies — grouped heavy
     hitters with one hash(group) shuffle; each shard owns its groups
@@ -3644,6 +3735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "fuzzy_join_tokens": _q_fuzzy_join,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
+        "tpch_q18_top_orders": _q_tpch_q18,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
@@ -4224,6 +4316,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "tpch_q18_top_orders": (
+            "WITH big AS (SELECT l_orderkey, CAST(sum(CAST(floor("
+            "l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty"
+            " FROM lineitem GROUP BY l_orderkey"
+            " HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 300) "
+            "SELECT c.c_name, o.o_custkey AS c_custkey, o.o_orderkey,"
+            " CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_odate_us,"
+            " CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,"
+            " big.sum_qty"
+            " FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
+            " ORDER BY price_cents DESC, o_odate_us, o.o_orderkey LIMIT 100"
         ),
         "top_tokens_per_lang": (
             "SELECT lang, token, cnt FROM ("
