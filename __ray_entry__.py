@@ -3495,6 +3495,28 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact phrase search over a POSITIONAL inverted index
+    (stages/textindex.py:search_phrase): adjacency as a (doc, start)
+    coincidence census — slot i's token at position p votes for start
+    p-i; a start with all three votes is a phrase occurrence. Reads
+    only the phrase tokens' buckets."""
+    from stringzilla_ray.stages.textindex import (
+        build_text_index,
+        search_phrase,
+    )
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = _cached_build(
+        f"/tmp/stringzilla_ray_textindex/{scale}-pos-v1",
+        lambda tmp: build_text_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), tmp,
+            include_positions=True,
+        ),
+    )
+    return search_phrase(idx, ["slow", "hash", "batch"])
+
+
 def _q_tpch_q18(sf_dir: str):
     """TPC-H Q18-shaped large-volume-customer query: the classic
     big-table HAVING pattern. lineitem collapses to per-batch
@@ -3736,6 +3758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_tokens": _q_fuzzy_join,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "tpch_q18_top_orders": _q_tpch_q18,
+        "phrase_search": _q_phrase_search,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
@@ -4316,6 +4339,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "phrase_search": (
+            # Token-stream adjacency via a position self-join chain;
+            # generate_subscripts over regexp_extract_all is exactly
+            # the engine's 1-based kept-token ordinal.
+            "WITH w AS (SELECT doc_id, regexp_extract_all(text,"
+            " '[0-9A-Za-z_]+') AS ws FROM documents),"
+            "t AS (SELECT doc_id, unnest(ws) AS tok,"
+            " generate_subscripts(ws, 1) AS pos FROM w) "
+            "SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches"
+            " FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1"
+            " JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2"
+            " WHERE a.tok = 'slow' AND b.tok = 'hash' AND c.tok = 'batch'"
+            " GROUP BY a.doc_id"
         ),
         "tpch_q18_top_orders": (
             "WITH big AS (SELECT l_orderkey, CAST(sum(CAST(floor("

@@ -37,7 +37,8 @@ def _token_buckets(tokens: pa.Array, n_buckets: int) -> np.ndarray:
 
 
 def _postings_fn(batch: pa.Table, id_column: str, text_column: str,
-                 token_chars: str, n_buckets: int) -> pa.Table:
+                 token_chars: str, n_buckets: int,
+                 include_positions: bool = False) -> pa.Table:
     col = batch[text_column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -52,12 +53,23 @@ def _postings_fn(batch: pa.Table, id_column: str, text_column: str,
     keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
     ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
     par_kept = parents[keep]
-    pairs = pa.table({
+    pairs = {
         "token": flat.filter(pa.array(keep)),
         "doc_id": pa.array(ids[par_kept], pa.int64()),
-    })
-    grouped = pairs.group_by(["token", "doc_id"]).aggregate(
-        [("doc_id", "count")])
+    }
+    aggs = [("doc_id", "count")]
+    if include_positions:
+        # 1-based ordinal among the doc's KEPT tokens — exactly
+        # generate_subscripts over regexp_extract_all in the oracle
+        n = len(par_kept)
+        new_seg = np.concatenate([[True], par_kept[1:] != par_kept[:-1]]) \
+            if n else np.zeros(0, bool)
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(n), 0)) if n else np.zeros(0, np.int64)
+        pairs["pos"] = pa.array(
+            (np.arange(n) - seg_start + 1).astype(np.int32))
+        aggs.append(("pos", "list"))
+    grouped = pa.table(pairs).group_by(["token", "doc_id"]).aggregate(aggs)
     toks = grouped["token"]
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -68,13 +80,16 @@ def _postings_fn(batch: pa.Table, id_column: str, text_column: str,
     gid = grouped["doc_id"].to_numpy(zero_copy_only=False)
     pos = np.searchsorted(ids[order], gid)
     dl_post = dl_by_row[order[pos]]
-    return pa.table({
+    out = {
         "token": toks,
         "doc_id": grouped["doc_id"],
         "tf": grouped["doc_id_count"].cast(pa.int64()),
         "dl": pa.array(dl_post, pa.int64()),
-        "bucket": pa.array(_token_buckets(toks, n_buckets), pa.int32()),
-    })
+    }
+    if include_positions:
+        out["pos"] = grouped["pos_list"]
+    out["bucket"] = pa.array(_token_buckets(toks, n_buckets), pa.int32())
+    return pa.table(out)
 
 
 def _stats_partial_fn(batch: pa.Table, text_column: str,
@@ -94,16 +109,22 @@ def _stats_partial_fn(batch: pa.Table, text_column: str,
 def build_text_index(ds, path: str, id_column: str = "doc_id",
                      text_column: str = "text",
                      token_chars: str = DEFAULT_TOKEN_CHARS,
-                     n_buckets: int = 64) -> None:
+                     n_buckets: int = 64,
+                     include_positions: bool = False) -> None:
     """Write (token, doc_id) postings Parquet partitioned by token-hash
-    bucket. See module docstring for the shape."""
+    bucket. See module docstring for the shape. With
+    ``include_positions`` each posting also carries the token's 1-based
+    occurrence ordinals (list<int32>) — the positional index phrase
+    search needs; ~1 int per token occurrence, the standard positional
+    postings cost."""
     import json
     import os
 
     ds.map_batches(
         _postings_fn,
         fn_kwargs=dict(id_column=id_column, text_column=text_column,
-                       token_chars=token_chars, n_buckets=n_buckets),
+                       token_chars=token_chars, n_buckets=n_buckets,
+                       include_positions=include_positions),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).write_parquet(path, partition_cols=["bucket"])
@@ -327,3 +348,116 @@ def bm25_topk(index_path: str, terms: list[str], k: int = 10,
     return ray.data.from_arrow(pa.table({
         id_column: pa.array(ids[order], pa.int64()),
         score_col: pa.array(scs[order], pa.int64())}))
+
+
+def search_phrase(index_path: str, phrase: list[str],
+                  n_buckets: int | None = None,
+                  id_column: str = "doc_id", n_shards: int | None = None):
+    """Exact phrase search over a POSITIONAL postings index
+    (``build_text_index(include_positions=True)``): documents whose
+    token stream contains ``phrase`` as consecutive tokens, with the
+    occurrence count — (doc_id, n_matches).
+
+    Shape: read only the phrase tokens' buckets (partition-pruned),
+    then turn adjacency into a COINCIDENCE COUNT — a posting of slot
+    i's token at position p votes for candidate start p - i, and a
+    start is a match iff all len(phrase) slots voted. That makes the
+    whole verification one (doc, start) census: no per-doc Python, no
+    position-set intersection loop, one hash(doc) shuffle of
+    candidate votes (bounded by the rarest phrase token's postings).
+    Repeated phrase tokens are correct by construction: each slot
+    votes independently even when two slots share a token."""
+    import glob as _glob
+
+    import ray.data
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    if n_buckets is None:
+        import json
+        import os
+
+        with open(os.path.join(index_path, "meta.json")) as f:
+            n_buckets = int(json.load(f)["n_buckets"])
+    m = len(phrase)
+    empty = pa.table({id_column: pa.array([], pa.int64()),
+                      "n_matches": pa.array([], pa.int64())})
+    if m == 0:
+        return ray.data.from_arrow(empty)
+    distinct = sorted(set(phrase))
+    term_arr = pa.array(distinct, pa.string())
+    buckets = sorted(set(int(b) for b in _token_buckets(term_arr, n_buckets)))
+    paths = [
+        f
+        for b in buckets
+        for f in sorted(_glob.glob(f"{index_path}/bucket={b}/*.parquet"))
+    ]
+    if not paths:
+        return ray.data.from_arrow(empty)
+    postings = ray.data.read_parquet(
+        paths, columns=["token", "doc_id", "pos"])
+    n_shards_v = n_shards or reduce_buckets()
+    slots_by_token = {}
+    for i, t in enumerate(phrase):
+        slots_by_token.setdefault(t, []).append(i)
+
+    def votes(t: pa.Table) -> pa.Table:
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        t = t.filter(pc.is_in(tok, value_set=term_arr))
+        if len(t) == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "start": pa.array([], pa.int32()),
+                             "shard": pa.array([], pa.int32())})
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        pos_col = t["pos"]
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        flat = pos_col.flatten().to_numpy(zero_copy_only=False)
+        counts = np.diff(pos_col.offsets.to_numpy())
+        docs = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            counts)
+        toks_rep = np.repeat(np.asarray(tok.to_pylist(), object), counts)
+        out_d, out_s = [], []
+        for term, slots in slots_by_token.items():
+            sel = toks_rep == term
+            p, d = flat[sel], docs[sel]
+            for i in slots:
+                st = p - i
+                ok = st >= 1
+                out_d.append(d[ok])
+                out_s.append(st[ok])
+        d = np.concatenate(out_d) if out_d else np.zeros(0, np.int64)
+        s = np.concatenate(out_s) if out_s else np.zeros(0, np.int32)
+        shard = (splitmix64(d.astype(np.int64).view(np.uint64)
+                            ^ np.uint64(0xF3A5E))
+                 % np.uint64(n_shards_v)).astype(np.int32)
+        return pa.table({"doc": pa.array(d, pa.int64()),
+                         "start": pa.array(s.astype(np.int32)),
+                         "shard": pa.array(shard, pa.int32())})
+
+    def census(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return empty
+        d = g["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (d << np.int64(32)) | s  # start < 2^31 (int32 ordinal)
+        uk, cnt = np.unique(key, return_counts=True)
+        full = uk[cnt == m]
+        if not len(full):
+            return empty
+        udoc, nm = np.unique(full >> np.int64(32), return_counts=True)
+        return pa.table({id_column: pa.array(udoc, pa.int64()),
+                         "n_matches": pa.array(nm.astype(np.int64))})
+
+    return (
+        postings.map_batches(votes, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(census, batch_format="pyarrow")
+    )

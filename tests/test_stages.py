@@ -1568,6 +1568,50 @@ def test_gopher_quality_rules(ray_session):
     assert out["passes"].dtype == np.int32
 
 
+def test_phrase_search_vs_brute(ray_session, tmp_path):
+    """Positional-index phrase search == brute-force token-stream
+    scan, including repeated-token phrases ('a a'), overlapping
+    occurrences, phrases spanning punctuation-delimited tokens, and
+    absent phrases (empty result)."""
+    import ray.data
+
+    from stringzilla_ray.stages.textindex import (
+        build_text_index,
+        search_phrase,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = ["a", "b", "c", "d"]
+    texts = [" ".join(rng.choice(vocab, size=20)).replace("a b", "a,b", 1)
+             for _ in range(80)]
+    texts[3] = "a a a a"          # overlapping repeated-token phrase
+    texts[4] = "x y z x y z x y"  # multi-occurrence
+    tbl = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                    "text": pa.array(texts)})
+    idx = str(tmp_path / "posidx")
+    build_text_index(ray.data.from_arrow(tbl).repartition(5), idx,
+                     n_buckets=16, include_positions=True)
+
+    import re
+
+    def brute(phrase):
+        out = {}
+        for i, t in enumerate(texts):
+            toks = re.findall(r"[0-9A-Za-z_]+", t)
+            n = sum(
+                1 for s in range(len(toks) - len(phrase) + 1)
+                if toks[s:s + len(phrase)] == phrase)
+            if n:
+                out[i] = n
+        return out
+
+    for phrase in (["a", "a"], ["a", "a", "a"], ["x", "y", "z"],
+                   ["a", "b"], ["c", "d", "a"], ["missing", "tok"]):
+        df = search_phrase(idx, phrase, n_buckets=16).to_pandas()
+        got = dict(zip(df.doc_id, df.n_matches)) if len(df) else {}
+        assert got == brute(phrase), phrase
+
+
 def test_text_index_conjunctive_search(ray_session, tmp_path):
     """Inverted-index search == brute-force whole-token AND scan;
     partition pruning verified (only query-term buckets are read);
