@@ -3495,6 +3495,18 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_compression_quality(sf_dir: str):
+    """Deflate-compressibility quality signal (rows-only: SQL has no
+    zlib; pinned by determinism + direct-zlib pytests). Integer
+    numerator/denominator per doc; zero shuffles."""
+    from stringzilla_ray.stages.textstats import add_compression_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_compression_stats(t).drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_phrase_search(sf_dir: str):
     """Exact phrase search over a POSITIONAL inverted index
     (stages/textindex.py:search_phrase): adjacency as a (doc, start)
@@ -3759,6 +3771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "tpch_q18_top_orders": _q_tpch_q18,
         "phrase_search": _q_phrase_search,
+        "compression_quality": _q_compression_quality,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,

@@ -333,6 +333,40 @@ def token_topk_by_group(ds, group_column: str = "lang",
     )
 
 
+def add_compression_stats(batch: pa.Table, text_column: str = "text",
+                          level: int = 6, prefix_cap: int = 65536) -> pa.Table:
+    """Deflate-compressibility quality signal: highly compressible
+    documents are repetitive boilerplate, incompressible ones are
+    noise/binary junk — the classic two-sided filter (used e.g. in
+    RefinedWeb-style web curation). Emits integer ``n_bytes`` /
+    ``n_zbytes`` (never a float ratio — ints survive cross-system
+    hashing); callers threshold n_zbytes/n_bytes.
+
+    Per-document zlib at ``level`` over the first ``prefix_cap`` bytes
+    (compressibility stabilizes within a few KB; the cap bounds cost
+    on huge docs). The per-row loop body is one C call on a zero-copy
+    tape slice — rows-only territory: SQL has no deflate, so this is
+    pinned by pytest (determinism + direct-zlib equality) instead of
+    an oracle."""
+    import zlib
+
+    from stringzilla_ray.functions.text import tape_of
+
+    col = _combined(batch[text_column])
+    tape, offs = tape_of(col)
+    n = len(col)
+    nb = (offs[1:] - offs[:-1]).astype(np.int64)
+    nz = np.empty(n, np.int64)
+    mv = memoryview(tape)
+    for i in range(n):
+        s, e = offs[i], offs[i + 1]
+        if e - s > prefix_cap:
+            e = s + prefix_cap
+        nz[i] = len(zlib.compress(mv[s:e], level))
+    return batch.append_column("n_bytes", pa.array(nb)) \
+                .append_column("n_zbytes", pa.array(nz))
+
+
 def add_repetition_stats(batch: pa.Table, text_column: str = "text",
                          unit: str = "line") -> pa.Table:
     """Gopher/MassiveText-style intra-document repetition counters:

@@ -1568,6 +1568,29 @@ def test_gopher_quality_rules(ray_session):
     assert out["passes"].dtype == np.int32
 
 
+def test_compression_stats(ray_session):
+    """n_zbytes equals direct zlib on each doc's capped prefix; the
+    repetitive doc compresses strictly better than the random one;
+    the prefix cap binds."""
+    import zlib
+
+    from stringzilla_ray.stages.textstats import add_compression_stats
+
+    rng = np.random.default_rng(4)
+    rand = bytes(rng.integers(32, 127, 3000, dtype=np.uint8)).decode()
+    rep = "spam ham " * 400
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([rand, rep, rand * 40])})
+    out = add_compression_stats(t, prefix_cap=4096)
+    nb, nz = out["n_bytes"].to_pylist(), out["n_zbytes"].to_pylist()
+    texts = [rand, rep, rand * 40]
+    for i in range(3):
+        assert nb[i] == len(texts[i].encode())
+        assert nz[i] == len(zlib.compress(
+            texts[i].encode()[:4096], 6))
+    assert nz[1] / nb[1] < nz[0] / nb[0]  # boilerplate compresses better
+
+
 def test_phrase_search_vs_brute(ray_session, tmp_path):
     """Positional-index phrase search == brute-force token-stream
     scan, including repeated-token phrases ('a a'), overlapping
