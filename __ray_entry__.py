@@ -3495,6 +3495,34 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_trailing_window(sf_dir: str):
+    """Per-event trailing 1-hour RANGE frame (count + exact cent sum)
+    per user — SQL's RANGE BETWEEN ... PRECEDING AND CURRENT ROW
+    including peers, as one hash(user) shuffle + two vectorized
+    searchsorteds on a segment-packed axis
+    (stages/temporal.py:trailing_window)."""
+    from stringzilla_ray.stages.temporal import trailing_window
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return trailing_window(ds, by="user_id", on="ts",
+                           window_us=3_600_000_000,
+                           id_column="event_id", value_column="value")
+
+
+def _q_event_transitions(sf_dir: str):
+    """Markov transition census of consecutive event types per user
+    (stages/temporal.py:transition_census): one hash(user) shuffle,
+    per-shard census collapses to |alphabet|^2 rows."""
+    from stringzilla_ray.stages.temporal import transition_census
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return transition_census(ds, by="user_id", on="ts",
+                             type_column="event_type",
+                             id_column="event_id")
+
+
 def _q_compression_quality(sf_dir: str):
     """Deflate-compressibility quality signal (rows-only: SQL has no
     zlib; pinned by determinism + direct-zlib pytests). Integer
@@ -3772,6 +3800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_top_orders": _q_tpch_q18,
         "phrase_search": _q_phrase_search,
         "compression_quality": _q_compression_quality,
+        "trailing_window_1h": _q_trailing_window,
+        "event_transitions": _q_event_transitions,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
@@ -4352,6 +4382,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "trailing_window_1h": (
+            "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS trail_n,"
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w"
+            " AS BIGINT) AS trail_sum"
+            " FROM events WINDOW w AS (PARTITION BY user_id"
+            " ORDER BY epoch_us(ts)"
+            " RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        "event_transitions": (
+            "WITH x AS (SELECT user_id, event_type,"
+            " lag(event_type) OVER (PARTITION BY user_id"
+            "  ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev, event_type AS cur,"
+            " CAST(count(*) AS BIGINT) AS cnt FROM x"
+            " WHERE prev IS NOT NULL GROUP BY prev, cur"
         ),
         "phrase_search": (
             # Token-stream adjacency via a position self-join chain;

@@ -614,3 +614,151 @@ def funnel(ds, by: str, ts_column: str, type_column: str,
         .groupby("_shard")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def trailing_window(ds, by: str, on: str, window_us: int, id_column: str,
+                    value_column: str | None = None, value_scale: int = 100,
+                    n_shards: int | None = None):
+    """Per-row TRAILING RANGE-frame aggregate: for each row, the count
+    (and exact scaled-int value sum) of same-key rows with timestamp in
+    ``[ts - window_us, ts]`` — SQL's ``RANGE BETWEEN w PRECEDING AND
+    CURRENT ROW`` including peers (rows tied on ts count for each
+    other, exactly the SQL frame rule).
+
+    Same single-shuffle shape as sessionize: hash-shard on the key,
+    then ONE lexsort + two vectorized searchsorteds answer every row.
+    Segments pack onto one adjusted axis (segment_id * span offsets
+    with span > ts-range + window, so no window can cross a segment
+    boundary) — the whole shard is two searchsorted calls, no per-key
+    loop; if nseg * span would overflow int64 the kernel falls back to
+    a per-segment loop (each step still vectorized). Value sums are
+    prefix-sum differences over ``floor(v * value_scale + 0.5)`` int64
+    cents, so both the math and the SQL mirror are order-independent
+    and exact."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0x7A11))
+                 % np.uint64(n_shards)).astype(np.int32)
+        cols = {
+            id_column: batch[id_column],
+            by: batch[by],
+            "__ts": pa.array(_ts_us(batch[on]), pa.int64()),
+            "__shard": pa.array(shard, pa.int32()),
+        }
+        if value_column is not None:
+            v = batch[value_column].to_numpy(zero_copy_only=False)
+            cols["__vc"] = pa.array(
+                np.floor(v * value_scale + 0.5).astype(np.int64))
+        return pa.table(cols)
+
+    def agg(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        order = np.lexsort((ids, ts, key))
+        k_s, t_s = key[order], ts[order]
+        new_seg = np.ones(n, bool)
+        if n > 1:
+            new_seg[1:] = k_s[1:] != k_s[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        nseg = int(seg_id[-1]) + 1 if n else 0
+        tmin = int(t_s.min()) if n else 0
+        span = (int(t_s.max()) - tmin) + window_us + 2 if n else 1
+        if n and nseg * span < (1 << 62):
+            adj = (t_s - tmin) + seg_id * span
+            lo = np.searchsorted(adj, adj - window_us, side="left")
+            hi = np.searchsorted(adj, adj, side="right")
+        else:
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            heads = np.flatnonzero(new_seg)
+            ends = np.concatenate([heads[1:], [n]])
+            for s, e in zip(heads, ends):
+                seg = t_s[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - window_us, "left")
+                hi[s:e] = s + np.searchsorted(seg, seg, "right")
+        out = {
+            id_column: pa.array(ids[order], pa.int64()),
+            "trail_n": pa.array((hi - lo).astype(np.int64)),
+        }
+        if value_column is not None:
+            vc = g["__vc"].to_numpy(zero_copy_only=False)[order]
+            csum = np.concatenate([[0], np.cumsum(vc)])
+            out["trail_sum"] = pa.array(
+                (csum[hi] - csum[lo]).astype(np.int64))
+        return pa.table(out)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(agg, batch_format="pyarrow")
+    )
+
+
+def transition_census(ds, by: str, on: str, type_column: str,
+                      id_column: str, n_shards: int | None = None):
+    """Markov transition census over per-key event sequences: global
+    counts of consecutive (prev_type -> type) pairs, ordering each
+    key's rows by (``on``, ``id_column``). One hash(key) shuffle moves
+    the events; the per-shard census collapses to at most
+    |type-alphabet|^2 rows before the final tiny groupby sum."""
+    import pyarrow.compute as _pc
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0x7212))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            id_column: batch[id_column],
+            by: batch[by],
+            "__ts": pa.array(_ts_us(batch[on]), pa.int64()),
+            "__ty": batch[type_column],
+            "__shard": pa.array(shard, pa.int32()),
+        })
+
+    def census(g: pa.Table) -> pa.Table:
+        empty = pa.table({"prev": pa.array([], pa.string()),
+                          "cur": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        n = len(g)
+        if n < 2:
+            return empty
+        ids = g[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, key))
+        k_s = key[order]
+        same = k_s[1:] == k_s[:-1]
+        if not same.any():
+            return empty
+        ty = g["__ty"]
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        ty_s = ty.take(pa.array(order, pa.int64()))
+        idx = np.flatnonzero(same)
+        pairs = pa.table({
+            "prev": ty_s.take(pa.array(idx, pa.int64())),
+            "cur": ty_s.take(pa.array(idx + 1, pa.int64())),
+            "cnt": pa.array(np.ones(len(idx), np.int64)),
+        })
+        return pa.TableGroupBy(pairs, ["prev", "cur"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["prev", "cur", "cnt"])
+
+    local = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(census, batch_format="pyarrow")
+    )
+    return (
+        local.groupby(["prev", "cur"]).sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+    )

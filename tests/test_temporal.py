@@ -270,3 +270,65 @@ def test_asof_directions_vs_pandas(ray_session):
                 .sort_values("lid")["r_rid"].fillna(-1).astype(int) \
                 .tolist()
             assert got == exp, (direction, tol)
+
+
+def test_trailing_window_vs_brute(ray_session):
+    """Trailing RANGE frame == brute-force per-row scan, including
+    peer rows (ties on ts count for each other) and exact cent sums;
+    the overflow fallback (per-segment loop) agrees with the packed
+    fast path."""
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import trailing_window
+
+    t = _events_table(seed=3, n=300, users=6)
+    # plant ts ties inside one user so the peer rule is exercised
+    ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    rows = np.flatnonzero(uid == uid[0])[:4]
+    ts[rows] = ts[rows[0]]
+    t = t.set_column(1, "ts", pa.array(ts, pa.int64()).cast(pa.timestamp("us")))
+
+    out = trailing_window(ray.data.from_arrow(t), by="user_id", on="ts",
+                          window_us=HOUR, id_column="event_id",
+                          value_column="value").to_pandas()
+    got = out.set_index("event_id")
+    vc = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+                  ).astype(np.int64)
+    for i in range(len(t)):
+        m = (uid == uid[i]) & (ts >= ts[i] - HOUR) & (ts <= ts[i])
+        assert got.loc[i, "trail_n"] == m.sum(), i
+        assert got.loc[i, "trail_sum"] == vc[m].sum(), i
+
+    # overflow fallback: monkeypatch via a huge window that forces
+    # nseg*span past 2^62? simpler — call the kernel loop path by
+    # shrinking the packing budget: use a window so large spans blow up
+    big = trailing_window(ray.data.from_arrow(t), by="user_id", on="ts",
+                          window_us=(1 << 61), id_column="event_id",
+                          value_column="value").to_pandas()
+    # every prior row of the user is inside a 2^61-us window
+    gb = big.set_index("event_id")
+    for i in range(len(t)):
+        m = (uid == uid[i]) & (ts <= ts[i])
+        assert gb.loc[i, "trail_n"] == m.sum(), i
+
+
+def test_transition_census_vs_brute(ray_session):
+    import collections
+
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import transition_census
+
+    t = _events_table(seed=9, n=500, users=8)
+    out = transition_census(ray.data.from_arrow(t), by="user_id",
+                            on="ts", type_column="event_type",
+                            id_column="event_id").to_pandas()
+    got = {(r.prev, r.cur): r.cnt for r in out.itertuples()}
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = collections.Counter()
+    for _, g in df.groupby("user_id"):
+        tys = list(g.event_type)
+        for a, b in zip(tys, tys[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
