@@ -3495,6 +3495,119 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width numeric histogram over events.value (width 5):
+    map-side (bin, n, sum) partials, one O(bins) exchange
+    (stages/stats.py:histogram)."""
+    from stringzilla_ray.stages.stats import histogram
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return histogram(ds, "value", bin_width=5.0)
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10-shaped returned-item customer ranking: the one
+    genuinely big-big exchange is lineitem('R') ⋈ orders(3-month
+    window) on orderkey; revenue pre-aggregates per custkey with
+    map-side partials before one tiny shuffle; customer + nation
+    attach from broadcast lookups at the very end (20 rows). Exact
+    1e-4-unit int64 revenue and cent balances — the q3/q5 contract."""
+    import datetime as _dt
+    import functools
+
+    import ray
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import join_partitions, reduce_buckets
+
+    lo = pa.scalar(_dt.datetime(1996, 7, 1))
+    hi = pa.scalar(_dt.datetime(1996, 10, 1))
+
+    def orders_rows(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        f = t.filter(m)
+        return pa.table({
+            "o_orderkey": pc.cast(f["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(f["o_custkey"], pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_rows, batch_format="pyarrow")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = f["l_discount"].to_numpy(zero_copy_only=False)
+        ru = (np.floor(ep * 100 + 0.5).astype(np.int64)
+              * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
+            "ru": pa.array(ru, pa.int64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"]) \
+        .map_batches(li_rows, batch_format="pyarrow")
+    j = li.join(orders, join_type="inner",
+                num_partitions=join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    n_buckets = reduce_buckets()
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["o_custkey", "ru"]), "o_custkey") \
+            .aggregate([("ru", "sum")]).rename_columns(["ck", "ru"])
+        sh = (splitmix64(g["ck"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64) ^ np.uint64(0x10))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return g.append_column("shard", pa.array(sh, pa.int32()))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey",
+                                  "c_acctbal"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nnames = {int(k): v for k, v in zip(
+        nation["n_nationkey"].to_numpy(zero_copy_only=False),
+        nation["n_name"].to_pylist())}
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    co = np.argsort(ck)
+    bal_c = np.floor(
+        cust["c_acctbal"].to_numpy(zero_copy_only=False) * 100 + 0.5
+    ).astype(np.int64)
+    nname_arr = pa.array(
+        [nnames[int(k)] for k in
+         cust["c_nationkey"].to_numpy(zero_copy_only=False)[co]])
+    cust_ref = ray.put((ck[co],
+                        cust["c_name"].take(pa.array(co, pa.int64())),
+                        bal_c[co], nname_arr))
+
+    def cust_reduce(g: pa.Table) -> pa.Table:
+        s = pa.TableGroupBy(g.select(["ck", "ru"]), "ck").aggregate(
+            [("ru", "sum")]).rename_columns(["ck", "revenue_u"])
+        keys, names, bals, nns = ray.get(cust_ref)
+        ckv = s["ck"].to_numpy(zero_copy_only=False)
+        jj = np.minimum(np.searchsorted(keys, ckv), max(len(keys) - 1, 0))
+        return pa.table({
+            "c_custkey": s["ck"],
+            "c_name": names.take(pa.array(jj, pa.int64())),
+            "revenue_u": s["revenue_u"],
+            "bal_cents": pa.array(bals[jj], pa.int64()),
+            "n_name": nns.take(pa.array(jj, pa.int64())),
+        })
+
+    return (
+        j.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(cust_reduce, batch_format="pyarrow")
+        .sort(["revenue_u", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def _q_trailing_window(sf_dir: str):
     """Per-event trailing 1-hour RANGE frame (count + exact cent sum)
     per user — SQL's RANGE BETWEEN ... PRECEDING AND CURRENT ROW
@@ -3801,6 +3914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "compression_quality": _q_compression_quality,
         "trailing_window_1h": _q_trailing_window,
+        "tpch_q10_returns": _q_tpch_q10,
+        "value_histogram": _q_value_histogram,
         "event_transitions": _q_event_transitions,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
@@ -4382,6 +4497,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "value_histogram": (
+            "SELECT CAST(floor(value / 5) AS BIGINT) AS bin,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            " AS sum_x100 FROM events GROUP BY bin"
+        ),
+        "tpch_q10_returns": (
+            "SELECT c.c_custkey, c.c_name,"
+            " CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)"
+            "  * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))"
+            "  AS BIGINT) AS revenue_u,"
+            " CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,"
+            " n.n_name"
+            " FROM customer c"
+            " JOIN orders o ON o.o_custkey = c.c_custkey"
+            " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+            " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+            " WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'"
+            " AND o.o_orderdate < TIMESTAMP '1996-10-01'"
+            " AND l.l_returnflag = 'R'"
+            " GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name"
+            " ORDER BY revenue_u DESC, c.c_custkey LIMIT 20"
         ),
         "trailing_window_1h": (
             "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS trail_n,"

@@ -684,3 +684,33 @@ def mad_outliers(ds, key_column: str, value_column: str, id_column: str,
 
     return dev.map_batches(_ft.partial(flag, ref=mad_ref),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def histogram(ds, column: str, bin_width: float, value_scale: int = 100):
+    """Fixed-width numeric histogram: (bin, n, sum_scaled) with
+    ``bin = floor(value / bin_width)`` and the per-bin value total in
+    exact ``floor(v * value_scale + 0.5)`` integer units (floats never
+    cross the hash boundary). The double division+floor is the same
+    IEEE op on both sides, so DuckDB's floor(value/w) mirrors it
+    bit-for-bit.
+
+    Shape: each batch collapses to its own (bin, n, sum) partials —
+    the exchange is O(bins) per block, then one tiny groupby sums.
+    The profiling op next to profile_columns/grouped_quantile."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False)
+        b = np.floor(v / bin_width).astype(np.int64)
+        sc = np.floor(v * value_scale + 0.5).astype(np.int64)
+        g = pa.table({"bin": pa.array(b), "n": pa.array(
+            np.ones(len(b), np.int64)), "s": pa.array(sc)})
+        return pa.TableGroupBy(g, "bin").aggregate(
+            [("n", "sum"), ("s", "sum")]).rename_columns(
+            ["bin", "n", "s"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return (
+        parts.groupby("bin").sum(["n", "s"])
+        .rename_columns({"sum(n)": "n", "sum(s)": f"sum_x{value_scale}"})
+    )
