@@ -3495,6 +3495,30 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_exact_dedup_best(sf_dir: str):
+    """exact_dedup keeping the BEST duplicate (max n_chars, min-id
+    tie-break) instead of the first — the curation form
+    (stages/dedup.py:exact_dedup_best). Same one-shuffle shape."""
+    from stringzilla_ray.stages.dedup import exact_dedup_best
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+    out = exact_dedup_best(ds, id_column="doc_id",
+                           score_column="n_chars")
+    return out.select_columns(["doc_id", "lang"])
+
+
+def _q_ntile_by_lang(sf_dir: str):
+    """NTILE(4) of documents by length within each language — SQL's
+    window-bucket rule (sizes differ by <=1, earlier buckets larger)
+    via one hash(group) shuffle + segment arithmetic
+    (stages/stats.py:grouped_ntile)."""
+    from stringzilla_ray.stages.stats import grouped_ntile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_ntile(ds, "lang", "n_chars", "doc_id", k=4)
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width numeric histogram over events.value (width 5):
     map-side (bin, n, sum) partials, one O(bins) exchange
@@ -3916,6 +3940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window_1h": _q_trailing_window,
         "tpch_q10_returns": _q_tpch_q10,
         "value_histogram": _q_value_histogram,
+        "exact_dedup_best": _q_exact_dedup_best,
+        "ntile_by_lang": _q_ntile_by_lang,
         "event_transitions": _q_event_transitions,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
@@ -4497,6 +4523,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "exact_dedup_best": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rn"
+            " FROM documents) WHERE rn = 1"
+        ),
+        "ntile_by_lang": (
+            "SELECT doc_id, lang, n_chars,"
+            " CAST(ntile(4) OVER (PARTITION BY lang"
+            "  ORDER BY n_chars, doc_id) AS BIGINT) AS ntile"
+            " FROM documents"
         ),
         "value_histogram": (
             "SELECT CAST(floor(value / 5) AS BIGINT) AS bin,"

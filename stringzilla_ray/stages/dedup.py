@@ -124,6 +124,48 @@ def exact_dedup_flags(ds, id_column: str, text_column: str = "text",
     )
 
 
+def exact_dedup_best(ds, id_column: str, score_column: str,
+                     text_column: str = "text", seed: int = 0,
+                     descending: bool = True):
+    """exact_dedup keeping the BEST duplicate instead of the first:
+    per distinct text, the winner maximizes (score, then min id as the
+    deterministic tie-break). The curation form — when duplicates
+    differ in quality metadata (longer canonical copy, higher source
+    trust), min-id keep throws the best copy away. Same single
+    shard-groupby shuffle and contract as exact_dedup."""
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    hashed = ds.map_batches(
+        lambda b: add_text_hash(b, text_column, seed), batch_format="pyarrow"
+    )
+    n_buckets = reduce_buckets()
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        k = t["text_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        s = (splitmix64(k ^ np.uint64(0x33)) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("shard", pa.array(s, pa.int32()))
+
+    score_dir = "descending" if descending else "ascending"
+
+    def best_per_hash(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["shard"]).sort_by(
+            [("text_hash", "ascending"), (score_column, score_dir),
+             (id_column, "ascending")]
+        )
+        hs = t["text_hash"].to_numpy()
+        first = (np.concatenate([[True], hs[1:] != hs[:-1]])
+                 if len(hs) else np.zeros(0, bool))
+        return t.drop_columns(["text_hash"]).take(
+            pa.array(np.nonzero(first)[0], pa.int64()))
+
+    return (
+        hashed.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(best_per_hash, batch_format="pyarrow")
+    )
+
+
 def _gram_hash_sets(tape: np.ndarray, offsets: np.ndarray, n: int = 3):
     """Sorted-unique gram-hash sets for EVERY row of a string tape in
     one vectorized pass — the batch twin of ``ngram_set_hashes`` (same

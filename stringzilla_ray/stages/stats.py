@@ -714,3 +714,70 @@ def histogram(ds, column: str, bin_width: float, value_scale: int = 100):
         parts.groupby("bin").sum(["n", "s"])
         .rename_columns({"sum(n)": "n", "sum(s)": f"sum_x{value_scale}"})
     )
+
+
+def grouped_ntile(ds, group_column: str, value_column: str,
+                  id_column: str, k: int = 4, n_shards: int | None = None):
+    """SQL NTILE(k) within groups: rows of each group, ordered by
+    (value, id), split into k buckets whose sizes differ by at most
+    one, earlier buckets larger — exactly NTILE's rule (bucket numbers
+    1-based). One hash(group) shuffle; per shard a single lexsort +
+    segment arithmetic labels every row (no per-group loop).
+
+    The window-rank companion to grouped_quantile: binning rows rather
+    than reading values off the CDF."""
+    import pyarrow.compute as _pc
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t[group_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash_string_column(col, seed=0xA7).view(np.uint64)
+        else:
+            h = splitmix64(col.to_numpy(zero_copy_only=False)
+                           .astype(np.int64).view(np.uint64))
+        shard = (h % np.uint64(n_shards)).astype(np.int32)
+        return t.select([id_column, group_column, value_column]) \
+            .append_column("__shard", pa.array(shard, pa.int32()))
+
+    def label(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(group_column, "ascending"),
+                       (value_column, "ascending"),
+                       (id_column, "ascending")])
+        n = len(t)
+        if n == 0:
+            return t.drop_columns(["__shard"]).append_column(
+                "ntile", pa.array([], pa.int64()))
+        gcol = t[group_column]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        new_seg = np.concatenate(
+            [[True], _pc.not_equal(gcol.slice(1), gcol.slice(0, n - 1))
+             .to_numpy(zero_copy_only=False)]) if n > 1 else np.ones(1, bool)
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        heads = np.flatnonzero(new_seg)
+        sizes = np.diff(np.concatenate([heads, [n]]))
+        gsize = np.repeat(sizes, sizes)
+        rank = np.arange(n) - seg_start
+        q, r = gsize // k, gsize % k
+        cut = r * (q + 1)
+        ntile = np.where(
+            rank < cut,
+            rank // np.maximum(q + 1, 1),
+            r + np.where(q > 0, (rank - cut) // np.maximum(q, 1), 0),
+        ) + 1
+        return t.drop_columns(["__shard"]).append_column(
+            "ntile", pa.array(ntile.astype(np.int64)))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(label, batch_format="pyarrow")
+    )

@@ -1568,6 +1568,55 @@ def test_gopher_quality_rules(ray_session):
     assert out["passes"].dtype == np.int32
 
 
+def test_exact_dedup_best(ray_session):
+    """Winner per duplicate group is max-score (min-id tie-break) —
+    including when the best copy has the HIGHEST id (the case min-id
+    dedup gets wrong)."""
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import exact_dedup_best
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["x", "x", "y", "y", "z"]),
+        "score": pa.array([1, 5, 7, 7, 2], pa.int64()),
+    })
+    out = exact_dedup_best(ray.data.from_arrow(t), id_column="doc_id",
+                           score_column="score").to_pandas()
+    assert sorted(out.doc_id) == [1, 2, 4]  # 1 beats 0 on score; 2 ties->min id
+
+
+def test_grouped_ntile_rule(ray_session):
+    """grouped_ntile == SQL NTILE bucket-size rule for group sizes
+    both above and below k (n<k: one row per bucket)."""
+    import ray.data
+
+    from stringzilla_ray.stages.stats import grouped_ntile
+
+    rng = np.random.default_rng(8)
+    sizes = {"a": 11, "b": 8, "c": 2, "d": 4}
+    rows = []
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g, int(rng.integers(0, 50))))
+            i += 1
+    t = pa.table({
+        "rid": pa.array([r[0] for r in rows], pa.int64()),
+        "grp": pa.array([r[1] for r in rows]),
+        "val": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = grouped_ntile(ray.data.from_arrow(t), "grp", "val", "rid",
+                        k=4).to_pandas()
+    for g, n in sizes.items():
+        sub = out[out.grp == g].sort_values(["val", "rid"])
+        q, r = divmod(n, 4)
+        want = []
+        for b in range(4):
+            want += [b + 1] * (q + (1 if b < r else 0))
+        assert list(sub.ntile) == want[:n], g
+
+
 def test_compression_stats(ray_session):
     """n_zbytes equals direct zlib on each doc's capped prefix; the
     repetitive doc compresses strictly better than the random one;
