@@ -3495,6 +3495,22 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_daily_event_pivot(sf_dir: str):
+    """Crosstab reshape: events pivoted to one row per day with a
+    count column per event type (stages/stats.py:pivot_counts) — the
+    exchange is the crosstab, never the events."""
+    from stringzilla_ray.stages.stats import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day_of(t: pa.Table) -> np.ndarray:
+        return (pc.cast(t["ts"], pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+
+    return pivot_counts(ds, day_of, "day", "event_type",
+                        ["click", "error", "purchase", "signup", "view"])
+
+
 def _q_exact_dedup_best(sf_dir: str):
     """exact_dedup keeping the BEST duplicate (max n_chars, min-id
     tie-break) instead of the first — the curation form
@@ -3941,6 +3957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10_returns": _q_tpch_q10,
         "value_histogram": _q_value_histogram,
         "exact_dedup_best": _q_exact_dedup_best,
+        "daily_event_pivot": _q_daily_event_pivot,
         "ntile_by_lang": _q_ntile_by_lang,
         "event_transitions": _q_event_transitions,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
@@ -4523,6 +4540,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "daily_event_pivot": (
+            "SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,"
+            " CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,"
+            " CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,"
+            " CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,"
+            " CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,"
+            " CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view"
+            " FROM events GROUP BY day"
         ),
         "exact_dedup_best": (
             "SELECT doc_id, lang FROM ("

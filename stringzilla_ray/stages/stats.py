@@ -781,3 +781,44 @@ def grouped_ntile(ds, group_column: str, value_column: str,
         .groupby("__shard")
         .map_groups(label, batch_format="pyarrow")
     )
+
+
+def pivot_counts(ds, row_key_fn, key_name: str, type_column: str,
+                 categories: list[str]):
+    """Crosstab / pivot: one row per ``row_key_fn`` value with a count
+    column per category (``n_<cat>``) — the reporting reshape on top
+    of a census. ``categories`` fixes the output schema up front (a
+    pivot's column set must be known before execution — same contract
+    as SQL's explicit FILTER/PIVOT list); rows with other categories
+    are ignored.
+
+    Shape: each batch collapses to its own wide partial (one row per
+    distinct key in the batch), then one O(keys) groupby sums — the
+    exchange is the crosstab itself, never the events."""
+    import pyarrow.compute as _pc
+
+    cat_arr = pa.array(categories, pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = row_key_fn(t)
+        ty = t[type_column]
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        code = _pc.index_in(ty, value_set=cat_arr) \
+            .to_numpy(zero_copy_only=False)
+        valid = code == code  # index_in yields null -> nan via to_numpy
+        code = np.where(valid, code, len(categories)).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        flat = np.zeros(len(uk) * (len(categories) + 1), np.int64)
+        np.add.at(flat, inv * (len(categories) + 1) + code, 1)
+        wide = flat.reshape(len(uk), len(categories) + 1)
+        cols = {key_name: pa.array(uk, pa.int64())}
+        for i, c in enumerate(categories):
+            cols[f"n_{c}"] = pa.array(wide[:, i])
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    summed = parts.groupby(key_name).sum([f"n_{c}" for c in categories])
+    return summed.rename_columns(
+        {f"sum(n_{c})": f"n_{c}" for c in categories})
