@@ -3495,6 +3495,45 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_incremental_window(sf_dir: str):
+    """Incremental window aggregation: events with id%3!=0 are
+    "yesterday", persisted as a window index partitioned by
+    hash(window_start) bucket; the id%3==0 shard merges in WITHOUT
+    recomputing or reading unaffected windows (bucket-pruned read +
+    affected-window filter). Per-event integer rounding makes partials
+    exactly mergeable (stages/temporal.py:{build_window_index,
+    update_window_index}). Result: updated rows for touched windows."""
+    from stringzilla_ray.stages.temporal import (
+        build_window_index,
+        update_window_index,
+    )
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+    def third(t: pa.Table, want_zero: bool) -> pa.Table:
+        m = (t["event_id"].to_numpy(zero_copy_only=False) % 3) == 0
+        return t.filter(pa.array(m if want_zero else ~m))
+
+    def build(tmp: str) -> None:
+        old = _read(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"]) \
+            .map_batches(third, fn_kwargs=dict(want_zero=False),
+                         batch_format="pyarrow")
+        build_window_index(old, tmp, ts_column="ts",
+                           window_us=3_600_000_000,
+                           key_column="event_type",
+                           value_column="value")
+
+    idx = _cached_build(
+        f"/tmp/stringzilla_ray_winindex/{scale}-v1", build)
+    new = _read(sf_dir, "events",
+                columns=["event_id", "ts", "event_type", "value"]) \
+        .map_batches(third, fn_kwargs=dict(want_zero=True),
+                     batch_format="pyarrow")
+    return update_window_index(idx, new, ts_column="ts",
+                               value_column="value")
+
+
 def _q_daily_event_pivot(sf_dir: str):
     """Crosstab reshape: events pivoted to one row per day with a
     count column per event type (stages/stats.py:pivot_counts) — the
@@ -3958,6 +3997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "exact_dedup_best": _q_exact_dedup_best,
         "daily_event_pivot": _q_daily_event_pivot,
+        "incremental_window_sum": _q_incremental_window,
         "ntile_by_lang": _q_ntile_by_lang,
         "event_transitions": _q_event_transitions,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
@@ -4540,6 +4580,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "incremental_window_sum": (
+            # full recompute over the union, restricted to windows the
+            # new (id%3==0) shard touches — must equal the merged index
+            "WITH aff AS (SELECT DISTINCT"
+            " (epoch_us(ts) // 3600000000) * 3600000000 AS window_start"
+            " FROM events WHERE event_id % 3 = 0),"
+            "agg AS (SELECT event_type,"
+            " (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,"
+            " CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            " AS sum_scaled FROM events GROUP BY 1, 2) "
+            "SELECT a.event_type, a.window_start, a.n_events, a.sum_scaled"
+            " FROM agg a JOIN aff USING (window_start)"
         ),
         "daily_event_pivot": (
             "SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,"

@@ -762,3 +762,157 @@ def transition_census(ds, by: str, on: str, type_column: str,
         local.groupby(["prev", "cur"]).sum("cnt")
         .rename_columns({"sum(cnt)": "cnt"})
     )
+
+
+def _window_census(ds, ts_column: str, window_us: int, key_column: str,
+                   value_column: str, value_scale: int,
+                   n_shards: int):
+    """EXACT (key, window_start, n_events, sum_scaled) tumbling-window
+    aggregate with per-EVENT integer rounding (floor(v*scale+0.5)), so
+    partial aggregates merge associatively — the property the
+    incremental index below depends on. Map-side census per batch, one
+    hash(window) shuffle of aggregate rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t[ts_column])
+        win = (ts // window_us) * window_us
+        v = t[value_column].to_numpy(zero_copy_only=False)
+        sc = np.floor(v * value_scale + 0.5).astype(np.int64)
+        g = pa.table({
+            key_column: t[key_column],
+            "window_start": pa.array(win, pa.int64()),
+            "n_events": pa.array(np.ones(len(ts), np.int64)),
+            "sum_scaled": pa.array(sc),
+        })
+        s = pa.TableGroupBy(g, [key_column, "window_start"]).aggregate(
+            [("n_events", "sum"), ("sum_scaled", "sum")]
+        ).rename_columns([key_column, "window_start", "n_events",
+                          "sum_scaled"])
+        sh = (splitmix64(s["window_start"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64) ^ np.uint64(0x71D))
+              % np.uint64(n_shards)).astype(np.int32)
+        return s.append_column("shard", pa.array(sh, pa.int32()))
+
+    def reduce(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            g.select([key_column, "window_start", "n_events",
+                      "sum_scaled"]), [key_column, "window_start"]
+        ).aggregate([("n_events", "sum"), ("sum_scaled", "sum")]) \
+            .rename_columns([key_column, "window_start", "n_events",
+                             "sum_scaled"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
+
+
+def build_window_index(ds, path: str, ts_column: str, window_us: int,
+                       key_column: str, value_column: str,
+                       value_scale: int = 100, n_buckets: int = 64) -> None:
+    """Persist exact tumbling-window aggregates as Parquet partitioned
+    by hash(window_start) bucket — the window twin of
+    build_dedup_index: tomorrow's events update yesterday's windows
+    without recomputing (or even reading) the unaffected ones."""
+    import json
+    import os
+
+    census = _window_census(ds, ts_column, window_us, key_column,
+                            value_column, value_scale, n_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        w = t["window_start"].to_numpy(zero_copy_only=False)
+        b = (splitmix64(w.view(np.uint64) ^ np.uint64(0xB1D))
+             % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    census.map_batches(tag, batch_format="pyarrow") \
+        .write_parquet(path, partition_cols=["bucket"])
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"window_us": window_us, "key_column": key_column,
+                   "value_scale": value_scale,
+                   "n_buckets": n_buckets}, f)
+
+
+def update_window_index(index_path: str, ds_new, ts_column: str,
+                        value_column: str):
+    """Merge a NEW event shard into a persisted window index and
+    return the updated rows: exact (key, window_start, n_events,
+    sum_scaled) for every window the new shard touches — old
+    contributions included, unaffected windows never read (their
+    buckets stay on disk; within a read bucket, rows filter to the
+    affected window set). The incremental form of window_aggregate:
+    the exchange is aggregate rows on both sides, events collapse at
+    the map."""
+    import glob as _glob
+    import json
+    import os
+
+    import ray.data
+
+    from stringzilla_ray.util import reduce_buckets
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    window_us = int(meta["window_us"])
+    key_column = meta["key_column"]
+    value_scale = int(meta["value_scale"])
+    n_buckets = int(meta["n_buckets"])
+    n_shards = reduce_buckets()
+
+    new_census = _window_census(ds_new, ts_column, window_us, key_column,
+                                value_column, value_scale,
+                                n_shards).materialize()
+
+    affected = set()
+    for b in new_census.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+        affected.update(b["window_start"].to_pylist())
+    aff = np.sort(np.fromiter(affected, np.int64, len(affected)))
+    buckets = sorted(set(
+        int(x) for x in
+        (splitmix64(aff.view(np.uint64) ^ np.uint64(0xB1D))
+         % np.uint64(n_buckets)).astype(np.int64)))
+    paths = [
+        f
+        for b in buckets
+        for f in sorted(_glob.glob(f"{index_path}/bucket={b}/*.parquet"))
+    ]
+    pieces = [new_census]
+    if paths:
+        old = ray.data.read_parquet(
+            paths, columns=[key_column, "window_start", "n_events",
+                            "sum_scaled"])
+
+        def keep_affected(t: pa.Table, aff=aff) -> pa.Table:
+            w = t["window_start"].to_numpy(zero_copy_only=False)
+            j = np.minimum(np.searchsorted(aff, w), len(aff) - 1)
+            return t.filter(pa.array(aff[j] == w))
+
+        pieces.append(old.map_batches(keep_affected,
+                                      batch_format="pyarrow"))
+    both = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else pieces[0]
+
+    def tag(t: pa.Table) -> pa.Table:
+        w = t["window_start"].to_numpy(zero_copy_only=False)
+        sh = (splitmix64(w.view(np.uint64) ^ np.uint64(0x71D))
+              % np.uint64(n_shards)).astype(np.int32)
+        return t.select([key_column, "window_start", "n_events",
+                         "sum_scaled"]) \
+            .append_column("shard", pa.array(sh, pa.int32()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            g.select([key_column, "window_start", "n_events",
+                      "sum_scaled"]), [key_column, "window_start"]
+        ).aggregate([("n_events", "sum"), ("sum_scaled", "sum")]) \
+            .rename_columns([key_column, "window_start", "n_events",
+                             "sum_scaled"])
+
+    return (
+        both.map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge, batch_format="pyarrow")
+    )

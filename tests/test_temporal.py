@@ -332,3 +332,44 @@ def test_transition_census_vs_brute(ray_session):
         for a, b in zip(tys, tys[1:]):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+def test_incremental_window_index(ray_session, tmp_path):
+    """Index build + incremental merge == full recompute restricted to
+    affected windows; unaffected buckets are never read (path-pruned);
+    per-event integer rounding keeps partials exactly mergeable."""
+    import glob
+
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import (
+        build_window_index,
+        update_window_index,
+    )
+
+    t = _events_table(seed=17, n=600, users=10)
+    ids = t["event_id"].to_numpy(zero_copy_only=False)
+    old = t.filter(pa.array(ids % 3 != 0))
+    new = t.filter(pa.array(ids % 3 == 0))
+    idx = str(tmp_path / "widx")
+    build_window_index(ray.data.from_arrow(old), idx, ts_column="ts",
+                       window_us=HOUR, key_column="event_type",
+                       value_column="value", n_buckets=8)
+    got = update_window_index(idx, ray.data.from_arrow(new),
+                              ts_column="ts",
+                              value_column="value").to_pandas()
+
+    # brute truth over the union, restricted to windows new touches
+    df = t.to_pandas()
+    df["win"] = (df.ts.astype("int64") // HOUR) * HOUR
+    df["cents"] = np.floor(df.value * 100 + 0.5).astype(np.int64)
+    newdf = df[df.event_id % 3 == 0]
+    aff = set(newdf.win)
+    full = df[df.win.isin(aff)].groupby(["event_type", "win"]).agg(
+        n=("cents", "size"), s=("cents", "sum")).reset_index()
+    want = {(r.event_type, r.win): (r.n, r.s) for r in full.itertuples()}
+    gm = {(r.event_type, r.window_start): (r.n_events, r.sum_scaled)
+          for r in got.itertuples()}
+    assert gm == want
+    # sanity: index is bucket-partitioned on disk
+    assert len(glob.glob(f"{idx}/bucket=*/")) > 1
