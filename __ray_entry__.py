@@ -3495,6 +3495,16 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_bigram_topk(sf_dir: str):
+    """Corpus-wide top-30 token bigrams — the bigram census that
+    collocation mining / LM eval needs, same map-side-partial shape as
+    token_topk (stages/textstats.py:bigram_topk)."""
+    from stringzilla_ray.stages.textstats import bigram_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bigram_topk(ds, "text", k=30)
+
+
 def _q_incremental_window(sf_dir: str):
     """Incremental window aggregation: events with id%3!=0 are
     "yesterday", persisted as a window index partitioned by
@@ -3998,6 +4008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_best": _q_exact_dedup_best,
         "daily_event_pivot": _q_daily_event_pivot,
         "incremental_window_sum": _q_incremental_window,
+        "bigram_topk": _q_bigram_topk,
         "ntile_by_lang": _q_ntile_by_lang,
         "event_transitions": _q_event_transitions,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
@@ -4580,6 +4591,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "bigram_topk": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(text,"
+            " '[0-9A-Za-z_]+') AS ws FROM documents),"
+            "t AS (SELECT doc_id, unnest(ws) AS tok,"
+            " generate_subscripts(ws, 1) AS pos FROM w),"
+            "b AS (SELECT a.tok AS t1, c.tok AS t2 FROM t a"
+            " JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1) "
+            "SELECT t1, t2, CAST(count(*) AS BIGINT) AS cnt FROM b"
+            " GROUP BY t1, t2 ORDER BY cnt DESC, t1, t2 LIMIT 30"
         ),
         "incremental_window_sum": (
             # full recompute over the union, restricted to windows the

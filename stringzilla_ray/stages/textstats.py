@@ -1395,3 +1395,73 @@ def vocab_by_group(ds, group_column: str = "lang",
     return subtotals.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+def bigram_topk(ds, text_column: str = "text", k: int = 30):
+    """EXACT corpus-wide top-k token BIGRAM frequencies — (t1, t2,
+    cnt) by (cnt desc, t1 asc, t2 asc); bigrams never cross document
+    boundaries. Same census shape as token_topk: per-batch (t1, t2,
+    cnt) partials collapse BEFORE the exchange, one hash-shard groupby
+    sums exactly (a shard owns every partial of each of its bigrams,
+    so its local top-k is final), and the driver-side sort+limit runs
+    over n_shards*k rows."""
+    import functools
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.functions.segment import word_explode
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = _combined(batch[text_column])
+        words, parents = word_explode(col)
+        n = len(words)
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        par = parents.to_numpy(zero_copy_only=False)
+        adj = par[1:] == par[:-1]
+        idx = np.flatnonzero(adj)
+        if not len(idx):
+            return empty
+        t = pa.table({
+            "t1": words.take(pa.array(idx, pa.int64())).cast(pa.string()),
+            "t2": words.take(pa.array(idx + 1, pa.int64())).cast(pa.string()),
+            "cnt": pa.array(np.ones(len(idx), np.int64)),
+        })
+        return pa.TableGroupBy(t, ["t1", "t2"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["t1", "t2", "cnt"])
+
+    def shard_fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        joined = _pc.binary_join_element_wise(
+            t["t1"].combine_chunks() if isinstance(t["t1"], pa.ChunkedArray)
+            else t["t1"],
+            t["t2"].combine_chunks() if isinstance(t["t2"], pa.ChunkedArray)
+            else t["t2"], "\x00")
+        h = hash_string_column(joined, seed=0x2B).view(np.uint64)
+        shard = (h % np.uint64(n_shards)).astype(np.int32)
+        return t.append_column("shard", pa.array(shard, pa.int32()))
+
+    def reduce_fn(g: pa.Table, k: int) -> pa.Table:
+        s = pa.TableGroupBy(g.select(["t1", "t2", "cnt"]),
+                            ["t1", "t2"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["t1", "t2", "cnt"])
+        s = s.sort_by([("cnt", "descending"), ("t1", "ascending"),
+                       ("t2", "ascending")])
+        return s.slice(0, k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(shard_fn, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(functools.partial(reduce_fn, k=k),
+                    batch_format="pyarrow")
+        .sort(["cnt", "t1", "t2"], descending=[True, False, False])
+        .limit(k)
+    )
