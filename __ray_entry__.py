@@ -3495,6 +3495,18 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """EXACT 4-gram max-containment pairs (|A∩B|/min >= 0.8) — the
+    sub-document duplication detector Jaccard misses at unequal sizes
+    (stages/dedup.py:ngram_containment_pairs): asymmetric
+    probe-prefix × full-index expansion, pigeonhole-exact."""
+    from stringzilla_ray.stages.dedup import ngram_containment_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_containment_pairs(ds, "doc_id", "text", n=4,
+                                   threshold=0.8)
+
+
 def _q_bigram_topk(sf_dir: str):
     """Corpus-wide top-30 token bigrams — the bigram census that
     collocation mining / LM eval needs, same map-side-partial shape as
@@ -4009,6 +4021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_pivot": _q_daily_event_pivot,
         "incremental_window_sum": _q_incremental_window,
         "bigram_topk": _q_bigram_topk,
+        "containment_pairs": _q_containment_pairs,
         "ntile_by_lang": _q_ntile_by_lang,
         "event_transitions": _q_event_transitions,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
@@ -4591,6 +4604,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "containment_pairs": (
+            # Same gram CTE as the jaccard oracle; containment divides
+            # by the SMALLER set (ASCII corpus: char == byte grams).
+            "WITH g AS ("
+            "  SELECT DISTINCT doc_id, substring(text, CAST(gs AS INT), 4) AS gram"
+            "  FROM documents CROSS JOIN generate_series(1, 100000) AS t(gs)"
+            "  WHERE gs <= length(text) - 3"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i"
+            "  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            "SELECT l AS left, r AS right,"
+            " CAST(floor(CAST(i AS DOUBLE) / least(sa.n, sb.n) * 1e6 + 0.5)"
+            " AS BIGINT) AS containment_r6"
+            " FROM inter JOIN sizes sa ON sa.doc_id = l"
+            " JOIN sizes sb ON sb.doc_id = r"
+            " WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.8"
         ),
         "bigram_topk": (
             "WITH w AS (SELECT doc_id, regexp_extract_all(text,"

@@ -436,7 +436,10 @@ def _prefix_postings_fn(batch: pa.Table, id_column: str = "doc_id",
     sizes = np.diff(row_offs)
     plen = np.where(
         sizes > 0,
-        sizes - np.ceil(threshold * sizes).astype(np.int64) + 1,
+        # 1e-9 slack: float t*s one ulp above an integer would shrink
+        # the prefix below the pigeonhole bound and drop
+        # exactly-at-threshold pairs (see _containment_postings_fn)
+        sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1,
         0,
     )
     if df_ref is not None and len(flat):
@@ -1456,3 +1459,207 @@ def near_dup_against_index(new_ds, index_path: str,
     return verify_pairs_ngram(cands, docs, id_column, text_column,
                               ngram, jaccard_threshold,
                               strategy=verify_strategy)
+
+
+def _containment_postings_fn(batch: pa.Table, id_column: str,
+                             text_column: str, n: int, threshold: float,
+                             n_shards: int, df_ref=None) -> pa.Table:
+    """(id, text) batch -> ASYMMETRIC containment-join postings: every
+    gram posts (the index side must be complete — a small doc can hide
+    anywhere inside a big one), and ``probe`` flags each doc's first
+    floor((1-t)*s)+1 grams in the canonical (df asc, hash asc) order.
+    Pigeonhole: if |A∩B| >= t*|A| then A has <= (1-t)*|A| non-shared
+    grams, so A's probe prefix must contain a shared gram — probing
+    only prefixes while indexing everything loses no qualifying pair
+    whose smaller side is the prober."""
+    import ray
+
+    ids_col = batch[id_column]
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offs = tape_of(pc.cast(col, pa.large_binary()))
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    flat, row_offs = _gram_hash_sets(tape, (offs - offs[0]).astype(np.int64), n)
+    sizes = np.diff(row_offs)
+    if df_ref is not None and len(flat):
+        dfg, dfc = ray.get(df_ref)
+        if len(dfg):
+            pos = np.minimum(np.searchsorted(dfg, flat), len(dfg) - 1)
+            df = np.where(dfg[pos] == flat, dfc[pos], 0)
+        else:
+            df = np.zeros(len(flat), np.int64)
+        rows_of = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        order = np.lexsort((flat, df, rows_of))
+        flat = flat[order]
+    # allowed non-shared grams of the SMALLER side = s - ceil(t*s);
+    # prefix must be one longer. The ceil takes a 1e-9 slack: float
+    # t*s can land an ulp ABOVE an exact integer ((1-0.9)*20 ->
+    # 1.9999...), which would shrink the prefix below the pigeonhole
+    # bound and silently drop exactly-at-threshold pairs (caught by
+    # test_containment_pairs_vs_brute). Slack only ever LENGTHENS the
+    # prefix — correctness is one-sided.
+    plen = np.where(
+        sizes > 0,
+        sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1,
+        0)
+    local = (np.arange(len(flat), dtype=np.int64)
+             - np.repeat(row_offs[:-1], sizes))
+    probe = local < np.repeat(plen, sizes)
+    ids = np.repeat(ids_col.to_numpy(zero_copy_only=False).astype(np.int64),
+                    sizes)
+    shard = (splitmix64(flat ^ np.uint64(0xC0417)) % np.uint64(n_shards)) \
+        .astype(np.int32)
+    return pa.table({
+        id_column: pa.array(ids, pa.int64()),
+        "gram": pa.array(flat.view(np.int64), pa.int64()),
+        "sz": pa.array(np.repeat(sizes, sizes), pa.int64()),
+        "probe": pa.array(probe),
+        "shard": pa.array(shard, pa.int32()),
+    })
+
+
+def ngram_containment_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 4,
+    threshold: float = 0.8,
+    census_sample_rows: int = 16384,
+    max_group_pairs: int = 50_000_000,
+    n_shards: int | None = None,
+):
+    """EXACT n-gram max-CONTAINMENT pairs: every (left, right) with
+    ``|A∩B| / min(|A|,|B|) >= threshold`` — the sub-document
+    duplication detector (a quote, a template instantiation, a doc
+    embedded in a larger one) that Jaccard misses when sizes differ
+    (J <= min/max can be arbitrarily small at containment 1.0).
+
+    Shape: the jaccard join's inverted-index expansion made
+    ASYMMETRIC (probe prefixes × full index, see
+    _containment_postings_fn) — only pairs whose SMALLER side probes
+    are generated (size_p <= size_i, the pigeonhole direction), then
+    pair-hash-bucket dedupe + the exact vectorized intersection kernel
+    against the broadcast doc tape. df-ordered prefixes keep
+    stop-grams out of probes; gram groups cannot be salted (exactness)
+    so a group whose candidate count exceeds ``max_group_pairs``
+    raises with guidance. Emits (left, right, containment_r6) with the
+    raw double i/min compared to the threshold — an exact IEEE op that
+    DuckDB mirrors bit-for-bit."""
+    import functools
+
+    from stringzilla_ray.stages.blocking import _dedupe_bucket_table
+    from stringzilla_ray.stages.scoring import _fetch_docs_ref
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+    n_buckets = reduce_buckets()
+    df_ref = _gram_df_census(ds, text_column, n,
+                             sample_rows=census_sample_rows)
+    posted = ds.map_batches(
+        _containment_postings_fn,
+        fn_kwargs=dict(id_column=id_column, text_column=text_column, n=n,
+                       threshold=threshold, n_shards=n_shards,
+                       df_ref=df_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def expand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"left": pa.array([], pa.int64()),
+                          "right": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int32())})
+        m = len(g)
+        if m < 2:
+            return empty
+        # probes first within each gram segment
+        t = g.sort_by([("gram", "ascending"), ("probe", "descending"),
+                       (id_column, "ascending")])
+        gr = t["gram"].to_numpy(zero_copy_only=False)
+        pr = t["probe"].to_numpy(zero_copy_only=False)
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        sz = t["sz"].to_numpy(zero_copy_only=False)
+        new_seg = np.concatenate([[True], gr[1:] != gr[:-1]])
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(m), 0))
+        # probes per segment, repeated per row
+        pcum = np.concatenate([[0], np.cumsum(pr.astype(np.int64))])
+        heads = np.flatnonzero(new_seg)
+        ends = np.concatenate([heads[1:], [m]])
+        nprobe_seg = pcum[ends] - pcum[heads]
+        nprobe = np.repeat(nprobe_seg, ends - heads)
+        total = int(nprobe.sum())
+        if total > max_group_pairs:
+            raise ValueError(
+                f"ngram_containment_pairs: {total} candidates in one gram "
+                f"shard exceed max_group_pairs={max_group_pairs}; raise n, "
+                f"the threshold, or the cap")
+        if total == 0:
+            return empty
+        row = np.repeat(np.arange(m), nprobe)
+        cum = np.concatenate([[0], np.cumsum(nprobe)])
+        offs2 = np.arange(total) - np.repeat(cum[:-1], nprobe)
+        pidx = np.repeat(seg_start, nprobe) + offs2
+        keep = (ids[pidx] != ids[row]) & (sz[pidx] <= sz[row])
+        pi, ri = pidx[keep], row[keep]
+        lo = np.minimum(ids[pi], ids[ri])
+        hi = np.maximum(ids[pi], ids[ri])
+        bucket = (splitmix64(lo.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                             ^ hi.view(np.uint64))
+                  % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"left": pa.array(lo, pa.int64()),
+                         "right": pa.array(hi, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    expanded = posted.groupby("shard").map_groups(
+        expand, batch_format="pyarrow")
+    docs_ref = _fetch_docs_ref(ds, id_column, None, text_column)
+
+    def dedupe_verify(g: pa.Table, slice_rows: int = 32768) -> pa.Table:
+        import ray
+
+        empty = pa.table({"left": pa.array([], pa.int64()),
+                          "right": pa.array([], pa.int64()),
+                          "containment_r6": pa.array([], pa.int64())})
+        if len(g) == 0:
+            return empty
+        lo = g["left"].to_numpy(zero_copy_only=False)
+        hi = g["right"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi, lo))
+        l2, h2 = lo[order], hi[order]
+        new = np.ones(len(l2), bool)
+        if len(l2) > 1:
+            new[1:] = (l2[1:] != l2[:-1]) | (h2[1:] != h2[:-1])
+        l2, h2 = l2[new], h2[new]
+        ids_sorted, tape, offsets = ray.get(docs_ref)
+        outs = []
+        for s in range(0, len(l2), slice_rows):
+            left, right = l2[s:s + slice_rows], h2[s:s + slice_rows]
+            il = np.searchsorted(ids_sorted, left)
+            ir = np.searchsorted(ids_sorted, right)
+            u = np.unique(np.concatenate([il, ir]))
+            lens = offsets[u + 1] - offsets[u]
+            sub_offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            idx = (np.repeat(offsets[u] - sub_offs[:-1], lens)
+                   + np.arange(sub_offs[-1]))
+            flat, gram_offs = _gram_hash_sets(np.asarray(tape)[idx],
+                                              sub_offs, n)
+            pl = np.searchsorted(u, il)
+            prr = np.searchsorted(u, ir)
+            dense, n_dense = _densify_grams(flat)
+            inter = _inter_counts(dense, gram_offs, n_dense, pl, prr)
+            szs = np.diff(gram_offs)
+            mn = np.minimum(szs[pl], szs[prr])
+            cont = np.where(mn > 0, inter / np.maximum(mn, 1), 1.0)
+            ok = cont >= threshold
+            outs.append(pa.table({
+                "left": pa.array(left[ok], pa.int64()),
+                "right": pa.array(right[ok], pa.int64()),
+                "containment_r6": pa.array(
+                    np.floor(cont[ok] * 1e6 + 0.5).astype(np.int64)),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+    return expanded.groupby("bucket").map_groups(
+        dedupe_verify, batch_format="pyarrow")

@@ -1568,6 +1568,46 @@ def test_gopher_quality_rules(ray_session):
     assert out["passes"].dtype == np.int32
 
 
+def test_containment_pairs_vs_brute(ray_session):
+    """Asymmetric containment join == brute-force gram-set scan,
+    including the planted small-doc-inside-big-doc case whose Jaccard
+    (min/max bound) is far below any usable threshold."""
+    import ray.data
+
+    from stringzilla_ray.stages.dedup import ngram_containment_pairs
+
+    rng = np.random.default_rng(6)
+    words = ["alpha", "beta", "gamma", "delta", "zeta", "omega"]
+    texts = [" ".join(rng.choice(words, size=25)) for _ in range(40)]
+    texts[1] = texts[0][:40]              # prefix quote: contained
+    texts[2] = texts[0] + " " + texts[3]  # doc 0 embedded in doc 2
+    texts[5] = "qwrtypsdfghjklzxcvbnm0123456789"      # unique alphabet
+    texts[6] = texts[8] * 3 + " " + texts[5] + " " + texts[9] * 3
+    t = pa.table({"doc_id": pa.array(np.arange(40), pa.int64()),
+                  "text": pa.array(texts)})
+
+    def grams(s, n=4):
+        return {s[i:i + n] for i in range(len(s) - n + 1)}
+
+    want = set()
+    gs = [grams(x) for x in texts]
+    for i in range(40):
+        for j in range(i + 1, 40):
+            mn = min(len(gs[i]), len(gs[j]))
+            if mn and len(gs[i] & gs[j]) / mn >= 0.9:
+                want.add((i, j))
+    out = ngram_containment_pairs(
+        ray.data.from_arrow(t), "doc_id", "text", n=4,
+        threshold=0.9).to_pandas()
+    got = set(zip(out.left, out.right)) if len(out) else set()
+    assert got == want
+    assert (0, 1) in got and (0, 2) in got and (5, 6) in got
+    # Jaccard of the unique-alphabet embedded pair is tiny —
+    # containment finding it is the whole point of the operator
+    assert len(gs[5] & gs[6]) / len(gs[5] | gs[6]) < 0.5
+    assert len(gs[5] & gs[6]) / min(len(gs[5]), len(gs[6])) == 1.0
+
+
 def test_exact_dedup_best(ray_session):
     """Winner per duplicate group is max-score (min-id tie-break) —
     including when the best copy has the HIGHEST id (the case min-id
