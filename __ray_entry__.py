@@ -3495,6 +3495,27 @@ def _q_semantic_dedup_kmeans(sf_dir: str):
                           nlist=8, seed=7)
 
 
+def _q_cume_rank_by_lang(sf_dir: str):
+    """Peers-inclusive cumulative rank + group size per language —
+    the exact-rational cume_dist (no float anywhere)
+    (stages/stats.py:grouped_cume)."""
+    from stringzilla_ray.stages.stats import grouped_cume
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_cume(ds, "lang", "n_chars", "doc_id")
+
+
+def _q_pool_embeddings(sf_dir: str):
+    """Per-label mean-pooled embeddings (class centroids / chunk→doc
+    pooling). Rows-only: float sums have no deterministic SQL twin;
+    pinned by direct-NumPy + determinism pytests
+    (stages/ann.py:pool_embeddings)."""
+    from stringzilla_ray.stages.ann import pool_embeddings
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return pool_embeddings(ds, "label")
+
+
 def _q_containment_pairs(sf_dir: str):
     """EXACT 4-gram max-containment pairs (|A∩B|/min >= 0.8) — the
     sub-document duplication detector Jaccard misses at unequal sizes
@@ -4022,6 +4043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_window_sum": _q_incremental_window,
         "bigram_topk": _q_bigram_topk,
         "containment_pairs": _q_containment_pairs,
+        "pool_embeddings_by_label": _q_pool_embeddings,
+        "cume_rank_by_lang": _q_cume_rank_by_lang,
         "ntile_by_lang": _q_ntile_by_lang,
         "event_transitions": _q_event_transitions,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
@@ -4604,6 +4627,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS left, b.vec_id AS right FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "cume_rank_by_lang": (
+            "SELECT doc_id, lang, n_chars,"
+            " CAST(count(*) OVER (PARTITION BY lang ORDER BY n_chars"
+            "  RANGE UNBOUNDED PRECEDING) AS BIGINT) AS rank_le,"
+            " CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group"
+            " FROM documents"
         ),
         "containment_pairs": (
             # Same gram CTE as the jaccard oracle; containment divides

@@ -586,3 +586,59 @@ def quantize_embeddings(ds, column: str = "embedding",
 
     return ds.map_batches(_ft.partial(f, ref=ref),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pool_embeddings(ds, group_column: str, emb_column: str = "embedding",
+                    n_shards: int | None = None):
+    """Mean-pool embeddings per group — the chunk→document / doc→class
+    centroid pooling every RAG or classification pipeline needs.
+    Emits (group, embedding list<float>, n int64).
+
+    Exactness/determinism: each shard owns whole groups (hash(group)
+    shuffle), rows sort by id-free stable group order and sums run in
+    float64 over the per-group slice in one np.add.reduceat — the same
+    input set always reduces in the same order, so results are
+    run-to-run deterministic (float sums have no SQL twin: rows-only,
+    pinned by a direct-NumPy pytest). Exchange = embedding rows once;
+    map-side partial pooling is deliberately NOT done (it would change
+    the summation order and break determinism across repartitions)."""
+    import pyarrow.compute as _pc
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[group_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0x9001))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return t.select([group_column, emb_column]) \
+            .append_column("__shard", pa.array(shard, pa.int32()))
+
+    def pool(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return pa.table({group_column: pa.array([], pa.int64()),
+                             emb_column: pa.array([], pa.list_(pa.float32())),
+                             "n": pa.array([], pa.int64())})
+        keys = g[group_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        m = _emb_matrix(g, emb_column).astype(np.float64)[order]
+        k_s = keys[order]
+        heads = np.flatnonzero(
+            np.concatenate([[True], k_s[1:] != k_s[:-1]]))
+        sums = np.add.reduceat(m, heads, axis=0)
+        counts = np.diff(np.concatenate([heads, [n]]))
+        means = (sums / counts[:, None]).astype(np.float32)
+        return pa.table({
+            group_column: pa.array(k_s[heads], pa.int64()),
+            emb_column: pa.array(list(means)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(pool, batch_format="pyarrow")
+    )

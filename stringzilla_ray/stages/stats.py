@@ -822,3 +822,70 @@ def pivot_counts(ds, row_key_fn, key_name: str, type_column: str,
     summed = parts.groupby(key_name).sum([f"n_{c}" for c in categories])
     return summed.rename_columns(
         {f"sum(n_{c})": f"n_{c}" for c in categories})
+
+
+def grouped_cume(ds, group_column: str, value_column: str,
+                 id_column: str, n_shards: int | None = None):
+    """Peers-inclusive cumulative rank within groups — SQL's
+    ``count(*) OVER (PARTITION BY g ORDER BY v RANGE UNBOUNDED
+    PRECEDING)`` — plus the group size: the EXACT-rational form of
+    cume_dist (rank_le / n_group) with no float anywhere. Same
+    one-shuffle segment-arithmetic shape as grouped_ntile; peer runs
+    resolve by run-end indices, no searchsorted needed."""
+    import pyarrow.compute as _pc
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t[group_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash_string_column(col, seed=0xCD).view(np.uint64)
+        else:
+            h = splitmix64(col.to_numpy(zero_copy_only=False)
+                           .astype(np.int64).view(np.uint64))
+        shard = (h % np.uint64(n_shards)).astype(np.int32)
+        return t.select([id_column, group_column, value_column]) \
+            .append_column("__shard", pa.array(shard, pa.int32()))
+
+    def label(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(group_column, "ascending"),
+                       (value_column, "ascending"),
+                       (id_column, "ascending")])
+        n = len(t)
+        if n == 0:
+            return t.drop_columns(["__shard"]) \
+                .append_column("rank_le", pa.array([], pa.int64())) \
+                .append_column("n_group", pa.array([], pa.int64()))
+        gcol = t[group_column]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        v = t[value_column].to_numpy(zero_copy_only=False)
+        new_seg = np.concatenate(
+            [[True], _pc.not_equal(gcol.slice(1), gcol.slice(0, n - 1))
+             .to_numpy(zero_copy_only=False)]) if n > 1 else np.ones(1, bool)
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        heads = np.flatnonzero(new_seg)
+        sizes = np.diff(np.concatenate([heads, [n]]))
+        n_group = np.repeat(sizes, sizes)
+        new_run = new_seg.copy()
+        if n > 1:
+            new_run[1:] |= v[1:] != v[:-1]
+        run_heads = np.flatnonzero(new_run)
+        run_ends = np.concatenate([run_heads[1:], [n]])
+        run_id = np.cumsum(new_run) - 1
+        rank_le = run_ends[run_id] - seg_start
+        return t.drop_columns(["__shard"]) \
+            .append_column("rank_le", pa.array(rank_le.astype(np.int64))) \
+            .append_column("n_group", pa.array(n_group.astype(np.int64)))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(label, batch_format="pyarrow")
+    )

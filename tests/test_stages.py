@@ -3016,3 +3016,31 @@ def test_ivf_recall_candidate_fraction(ray_session):
     # real pruning: ~4/32 of the corpus scored, recall stays high
     assert frac < 0.3, frac
     assert recall >= 0.95, (recall, frac)
+
+
+def test_pool_embeddings(ray_session):
+    """Per-group mean pooling == direct NumPy groupby-mean, counts
+    exact, deterministic across runs and repartitions."""
+    import ray.data
+
+    from stringzilla_ray.stages.ann import pool_embeddings
+
+    rng = np.random.default_rng(12)
+    emb = rng.normal(size=(90, 8)).astype(np.float32)
+    lab = rng.integers(0, 5, 90).astype(np.int64)
+    t = pa.table({"label": pa.array(lab),
+                  "embedding": pa.array(list(emb))})
+    out1 = pool_embeddings(ray.data.from_arrow(t), "label").to_pandas()
+    out2 = pool_embeddings(
+        ray.data.from_arrow(t).repartition(7), "label").to_pandas()
+    for df in (out1, out2):
+        assert sorted(df.label) == sorted(set(lab.tolist()))
+        for r in df.itertuples():
+            want = emb[lab == r.label].astype(np.float64).mean(axis=0)
+            got = np.asarray(r.embedding, np.float64)
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+            assert r.n == int((lab == r.label).sum())
+    # bit-determinism between the two partitionings
+    a = {r.label: tuple(r.embedding) for r in out1.itertuples()}
+    b = {r.label: tuple(r.embedding) for r in out2.itertuples()}
+    assert a == b
