@@ -3920,6 +3920,459 @@ def _q_fuzzy_join(sf_dir: str):
                       id_column="doc_id", threshold=0.92, out_score="jw")
 
 
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4-shaped order-priority check: the EXISTS semi-join
+    pattern.  EXISTS(lineitem later than its order) collapses to ONE
+    scalar per orderkey (max shipdate) — map-side partial max, one
+    shard-groupby to finalize, then a single big-big hash join against
+    the window-filtered orders; the count-per-priority reduce is
+    map-side partials -> 5-row driver combine.  lineitem text/price
+    columns never leave storage (2-column read)."""
+    import datetime as _dt
+    import functools
+
+    import pandas as pd
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import join_partitions, reduce_buckets
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1))
+    hi = pa.scalar(_dt.datetime(1996, 7, 1))
+    n_buckets = reduce_buckets()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "k": pc.cast(t["l_orderkey"], pa.int64()),
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+        })
+        s = pa.TableGroupBy(g, "k").aggregate([("ship_us", "max")]) \
+            .rename_columns(["k", "max_ship_us"])
+        sh = (splitmix64(s["k"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64) ^ np.uint64(0x04))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return s.append_column("shard", pa.array(sh, pa.int32()))
+
+    def li_reduce(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(g.select(["k", "max_ship_us"]), "k") \
+            .aggregate([("max_ship_us", "max")]) \
+            .rename_columns(["k", "max_ship_us"])
+
+    ship = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(li_reduce, batch_format="pyarrow")
+    )
+
+    def orders_rows(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        f = t.filter(m)
+        return pa.table({
+            "o_orderkey": pc.cast(f["o_orderkey"], pa.int64()),
+            "odate_us": pc.cast(f["o_orderdate"], pa.int64()),
+            "o_orderpriority": f["o_orderpriority"],
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(orders_rows, batch_format="pyarrow")
+
+    j = orders.join(ship, join_type="inner",
+                    num_partitions=join_partitions(),
+                    on=("o_orderkey",), right_on=("k",))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["max_ship_us"], t["odate_us"]))
+        return pa.TableGroupBy(f.select(["o_orderpriority"]),
+                               "o_orderpriority") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["o_orderpriority", "n"])
+
+    pdf = j.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    out = (pdf.groupby("o_orderpriority", as_index=False)["n"].sum()
+           if len(pdf) else
+           pd.DataFrame({"o_orderpriority": pd.Series([], dtype=str),
+                         "n": pd.Series([], dtype="int64")}))
+    out["order_count"] = out.pop("n").astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution: left-join
+    + COUNT + histogram WITHOUT the join.  Per-custkey counts come
+    from map-side partials + one shard-groupby; each shard emits its
+    own (c_count, custdist) histogram partial, and the zero bucket is
+    pure arithmetic — total customers (parquet METADATA row count, no
+    scan) minus customers seen.  Exchange volume is O(distinct
+    custkeys) then O(distinct counts); the customer table is never
+    read beyond its footer."""
+    import functools
+
+    import pandas as pd
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_buckets = reduce_buckets()
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t["o_orderpriority"], "1-URGENT"))
+        g = pa.table({"ck": pc.cast(f["o_custkey"], pa.int64())})
+        s = pa.TableGroupBy(g, "ck").aggregate([([], "count_all")]) \
+            .rename_columns(["ck", "n"])
+        sh = (splitmix64(s["ck"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64) ^ np.uint64(0x13))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return s.append_column("shard", pa.array(sh, pa.int32()))
+
+    def o_reduce(g: pa.Table) -> pa.Table:
+        s = pa.TableGroupBy(g.select(["ck", "n"]), "ck") \
+            .aggregate([("n", "sum")]).rename_columns(["ck", "n"])
+        # shard owns its custkeys whole: per-count histogram is final
+        # for these custkeys; emit (c_count, custdist) partials.
+        return pa.TableGroupBy(s.select(["n"]), "n") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["c_count", "custdist"])
+
+    hist = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(o_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(o_reduce, batch_format="pyarrow")
+    ).to_pandas()
+
+    n_cust = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    out = (hist.groupby("c_count", as_index=False)["custdist"].sum()
+           if len(hist) else
+           pd.DataFrame({"c_count": pd.Series([], dtype="int64"),
+                         "custdist": pd.Series([], dtype="int64")}))
+    zero = int(n_cust - out["custdist"].sum())
+    if zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True)
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]).reset_index(drop=True)
+
+
+def _q_tpch_q16(sf_dir: str):
+    """TPC-H Q16-shaped supplier-count census: COUNT(DISTINCT) under
+    an anti-join.  The excluded-supplier set (low balance ≈ Q16's
+    complaints) broadcasts once as a sorted array; lineitem collapses
+    to per-batch-unique (partkey, suppkey) pairs before its one hash
+    join with the filtered part table; the distinct-supplier count per
+    (brand, type, size) runs inside a shard-groupby keyed on the GROUP
+    hash only, so each shard owns its groups whole and local dedup +
+    count is final."""
+    import functools
+
+    import ray
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import join_partitions, reduce_buckets
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_acctbal"])
+    bad = sup.filter(pc.less(sup["s_acctbal"], 2000.0))["s_suppkey"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    bad_ref = ray.put(np.sort(bad))
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        sizes = pa.array([1, 5, 9, 13, 17, 21, 25, 29], pa.int32())
+        m = pc.and_(
+            pc.and_(pc.not_equal(t["p_brand"], "Brand#11"),
+                    pc.not_equal(t["p_type"], "PROMO")),
+            pc.is_in(t["p_size"], value_set=sizes),
+        )
+        f = t.filter(m)
+        return pa.table({
+            "p_partkey": pc.cast(f["p_partkey"], pa.int64()),
+            "p_brand": f["p_brand"],
+            "p_type": f["p_type"],
+            "p_size": pc.cast(f["p_size"], pa.int64()),
+        })
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(part_rows, batch_format="pyarrow")
+
+    def li_pairs(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        badk = ray.get(bad_ref)
+        if len(badk):
+            j = np.minimum(np.searchsorted(badk, sk), len(badk) - 1)
+            keep = badk[j] != sk
+            pk, sk = pk[keep], sk[keep]
+        # batch-local dedup (volume cut; global dedup happens in the
+        # per-group distinct count).  Fast packed-int path when the
+        # keys fit 43+20 bits, exact group_by fallback otherwise.
+        if len(pk) and (pk.max() >= (1 << 43) or sk.max() >= (1 << 20)
+                        or pk.min() < 0 or sk.min() < 0):
+            tb = pa.table({"l_partkey": pa.array(pk, pa.int64()),
+                           "l_suppkey": pa.array(sk, pa.int64())})
+            return tb.group_by(["l_partkey", "l_suppkey"]) \
+                .aggregate([]).rename_columns(["l_partkey", "l_suppkey"])
+        u = np.unique(pk << np.int64(20) | sk) if len(pk) else \
+            np.zeros(0, np.int64)
+        return pa.table({
+            "l_partkey": pa.array(u >> np.int64(20), pa.int64()),
+            "l_suppkey": pa.array(u & np.int64((1 << 20) - 1), pa.int64()),
+        })
+
+    pairs = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(li_pairs, batch_format="pyarrow")
+
+    j = pairs.join(part, join_type="inner",
+                   num_partitions=join_partitions(),
+                   on=("l_partkey",), right_on=("p_partkey",))
+
+    n_buckets = reduce_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["p_brand"], t["p_type"],
+            pc.cast(t["p_size"], pa.string()), "\x1f")
+        h = hash_string_column(key.combine_chunks()
+                               if isinstance(key, pa.ChunkedArray) else key,
+                               seed=0x16).view(np.uint64)
+        sh = (h % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "p_brand": t["p_brand"], "p_type": t["p_type"],
+            "p_size": t["p_size"], "l_suppkey": t["l_suppkey"],
+            "shard": pa.array(sh, pa.int32()),
+        })
+
+    def group_count(g: pa.Table) -> pa.Table:
+        d = g.select(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .group_by(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .aggregate([])
+        return pa.TableGroupBy(d, ["p_brand", "p_type", "p_size"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+
+    return (
+        j.map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(group_count, batch_format="pyarrow")
+        .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+              descending=[True, False, False, False])
+    )
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity revenue: the correlated scalar
+    subquery (avg qty per part) as a brand-pruned census.  The brand's
+    partkeys broadcast once; BOTH lineitem passes filter to them at
+    the batch level, so the per-part (count, sum_qty) census and its
+    probe join touch 1/brands of the data.  The avg comparison is
+    exact integers: qty < sum/(5n)  <=>  5·n·qty_e2 < sumq_e2 — no
+    float division on either side (qty is 100ths-integral in this
+    corpus, checked by construction)."""
+    import pandas as pd
+    import ray
+
+    from stringzilla_ray.util import join_partitions
+
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_brand"])
+    brand_keys = np.sort(
+        pt.filter(pc.equal(pt["p_brand"], "Brand#11"))["p_partkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+    brand_ref = ray.put(brand_keys)
+
+    def _brand_filter(pk: np.ndarray) -> np.ndarray:
+        keys = ray.get(brand_ref)
+        if not len(keys):
+            return np.zeros(len(pk), bool)
+        j = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+        return keys[j] == pk
+
+    def census_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _brand_filter(pk)
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+                     * 100 + 0.5).astype(np.int64)
+        g = pa.table({"k": pa.array(pk[keep], pa.int64()),
+                      "q": pa.array(q, pa.int64())})
+        return pa.TableGroupBy(g, "k") \
+            .aggregate([("q", "sum"), ([], "count_all")]) \
+            .rename_columns(["k", "sq", "n"])
+
+    census = _read(sf_dir, "lineitem",
+                   columns=["l_partkey", "l_quantity"]) \
+        .map_batches(census_partial, batch_format="pyarrow")
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _brand_filter(pk)
+        f = t.filter(pa.array(keep))
+        q = np.floor(f["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        epc = np.floor(f["l_extendedprice"].to_numpy(zero_copy_only=False)
+                       * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "pk": pa.array(pk[keep], pa.int64()),
+            "q_e2": pa.array(q, pa.int64()),
+            "price_cents": pa.array(epc, pa.int64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(probe_rows, batch_format="pyarrow")
+
+    # census partials must be FINAL per key before the join (a probe
+    # row would otherwise join once per partial and double-count):
+    # finalize with a shard-groupby — the brand-pruned census is small
+    # but unbounded at scale, so it stays distributed.
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_buckets = reduce_buckets()
+
+    def census_shard(t: pa.Table) -> pa.Table:
+        sh = (splitmix64(t["k"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64) ^ np.uint64(0x17))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("shard", pa.array(sh, pa.int32()))
+
+    def census_final(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(g.select(["k", "sq", "n"]), "k") \
+            .aggregate([("sq", "sum"), ("n", "sum")]) \
+            .rename_columns(["k", "sq", "n"])
+
+    census_f = (census.map_batches(census_shard, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(census_final, batch_format="pyarrow"))
+
+    j = li.join(census_f, join_type="inner",
+                num_partitions=join_partitions(),
+                on=("pk",), right_on=("k",))
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        q = t["q_e2"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sq = t["sq"].to_numpy(zero_copy_only=False)
+        m = 5 * n * q < sq
+        pcents = t["price_cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "total_cents": pa.array([int(pcents[m].sum())], pa.int64()),
+            "n_rows": pa.array([int(m.sum())], pa.int64()),
+        })
+
+    pdf = j.map_batches(final_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "total_cents": [int(pdf["total_cents"].sum())],
+        "n_rows": [int(pdf["n_rows"].sum())],
+    })
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22-shaped idle-rich-customer census: global-average
+    comparison + NOT EXISTS anti-join, both exact.  The global
+    positive-balance (count, sum) reduces from map-side partials to
+    two driver ints; richness is the exact integer cross-multiply
+    bal_e2·cnt > sum_e2 (no float division).  The anti-join runs as a
+    shard-groupby on hash(custkey) over the UNION of tagged customer
+    rows and batch-unique recent-order custkeys — both sides scale-out,
+    nothing broadcasts."""
+    import datetime as _dt
+    import functools
+
+    import pandas as pd
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    cutoff = pa.scalar(_dt.datetime(1999, 1, 1))
+    n_buckets = reduce_buckets()
+
+    # pass 1: global positive-balance count+sum (two ints)
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal > 0
+        e2 = np.floor(bal[pos] * 100 + 0.5).astype(np.int64)
+        return pa.table({"c": pa.array([int(pos.sum())], pa.int64()),
+                         "s": pa.array([int(e2.sum())], pa.int64())})
+
+    bp = _read(sf_dir, "customer", columns=["c_acctbal"]) \
+        .map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    cnt_pos, sum_pos = int(bp["c"].sum()), int(bp["s"].sum())
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        e2 = np.floor(bal * 100 + 0.5).astype(np.int64)
+        keep = e2 * cnt_pos > sum_pos
+        f = t.filter(pa.array(keep))
+        ck = f["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = (splitmix64(ck.view(np.uint64) ^ np.uint64(0x22))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "ck": pa.array(ck, pa.int64()),
+            "seg": f["c_mktsegment"],
+            "bal_e2": pa.array(e2[keep], pa.int64()),
+            "side": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+            "shard": pa.array(sh, pa.int32()),
+        })
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"]) \
+        .map_batches(cust_rows, batch_format="pyarrow")
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater_equal(t["o_orderdate"], cutoff))
+        ck = np.unique(
+            f["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        sh = (splitmix64(ck.view(np.uint64) ^ np.uint64(0x22))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "ck": pa.array(ck, pa.int64()),
+            "seg": pa.array([None] * len(ck), pa.string()),
+            "bal_e2": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+            "side": pa.array(np.ones(len(ck), np.int8), pa.int8()),
+            "shard": pa.array(sh, pa.int32()),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(order_rows, batch_format="pyarrow")
+
+    def anti_reduce(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        active = np.unique(ck[side == 1])
+        crows = g.filter(pa.array(side == 0))
+        cck = crows["ck"].to_numpy(zero_copy_only=False)
+        if len(active):
+            j = np.minimum(np.searchsorted(active, cck),
+                           len(active) - 1)
+            keep = active[j] != cck
+        else:
+            keep = np.ones(len(cck), bool)
+        f = crows.filter(pa.array(keep))
+        return pa.TableGroupBy(f.select(["seg", "bal_e2"]), "seg") \
+            .aggregate([([], "count_all"), ("bal_e2", "sum")]) \
+            .rename_columns(["c_mktsegment", "numcust", "totacctbal_e2"])
+
+    pdf = cust.union(orders).groupby("shard") \
+        .map_groups(anti_reduce, batch_format="pyarrow").to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({
+            "c_mktsegment": pd.Series([], dtype=str),
+            "numcust": pd.Series([], dtype="int64"),
+            "totacctbal_e2": pd.Series([], dtype="int64")})
+    out = pdf.groupby("c_mktsegment", as_index=False).agg(
+        numcust=("numcust", "sum"), totacctbal_e2=("totacctbal_e2", "sum"))
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal_e2"] = out["totacctbal_e2"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -4037,6 +4490,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_quality": _q_compression_quality,
         "trailing_window_1h": _q_trailing_window,
         "tpch_q10_returns": _q_tpch_q10,
+        "tpch_q4_priority": _q_tpch_q4,
+        "tpch_q13_custdist": _q_tpch_q13,
+        "tpch_q16_supplier_cnt": _q_tpch_q16,
+        "tpch_q17_small_qty": _q_tpch_q17,
+        "tpch_q22_idle_rich": _q_tpch_q22,
         "value_histogram": _q_value_histogram,
         "exact_dedup_best": _q_exact_dedup_best,
         "daily_event_pivot": _q_daily_event_pivot,
@@ -4721,6 +5179,69 @@ def oracle_sql() -> dict[str, str]:
             " AND l.l_returnflag = 'R'"
             " GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name"
             " ORDER BY revenue_u DESC, c.c_custkey LIMIT 20"
+        ),
+        "tpch_q4_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT)"
+            " AS order_count FROM orders o"
+            " WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o.o_orderdate < TIMESTAMP '1996-07-01'"
+            " AND EXISTS (SELECT 1 FROM lineitem l"
+            "  WHERE l.l_orderkey = o.o_orderkey"
+            "  AND l.l_shipdate > o.o_orderdate)"
+            " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "tpch_q13_custdist": (
+            "WITH c AS (SELECT o_custkey, count(*) AS n FROM orders"
+            " WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey),"
+            " j AS (SELECT cu.c_custkey, coalesce(c.n, 0) AS c_count"
+            "  FROM customer cu LEFT JOIN c ON c.o_custkey = cu.c_custkey) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count,"
+            " CAST(count(*) AS BIGINT) AS custdist FROM j"
+            " GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "tpch_q16_supplier_cnt": (
+            "WITH pr AS (SELECT DISTINCT l_partkey, l_suppkey"
+            " FROM lineitem WHERE l_suppkey NOT IN"
+            "  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)) "
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,"
+            " CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+            " FROM pr JOIN part ON p_partkey = l_partkey"
+            " WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'"
+            " AND p_size IN (1,5,9,13,17,21,25,29)"
+            " GROUP BY p_brand, p_type, p_size"
+            " ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "tpch_q17_small_qty": (
+            # qty < avg/5 as the exact integer cross-multiply
+            # 5*n*qty_e2 < sum_e2 — identical arithmetic to the engine.
+            "WITH cen AS (SELECT l_partkey, count(*) AS n,"
+            " sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sq"
+            " FROM lineitem GROUP BY l_partkey),"
+            " b AS (SELECT p_partkey FROM part"
+            "  WHERE p_brand = 'Brand#11') "
+            "SELECT CAST(coalesce(sum(CAST(floor(l.l_extendedprice * 100"
+            " + 0.5) AS BIGINT)), 0) AS BIGINT) AS total_cents,"
+            " CAST(count(*) AS BIGINT) AS n_rows FROM lineitem l"
+            " JOIN cen ON cen.l_partkey = l.l_partkey"
+            " JOIN b ON b.p_partkey = l.l_partkey"
+            " WHERE 5 * cen.n * CAST(floor(l.l_quantity * 100 + 0.5)"
+            "  AS BIGINT) < cen.sq"
+        ),
+        "tpch_q22_idle_rich": (
+            # bal > avg(positive bal) as the exact integer
+            # cross-multiply bal_e2*cnt > sum_e2 (no float division).
+            "WITH avgpos AS (SELECT count(*) AS c,"
+            " sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS s"
+            " FROM customer WHERE c_acctbal > 0),"
+            " act AS (SELECT DISTINCT o_custkey FROM orders"
+            "  WHERE o_orderdate >= TIMESTAMP '1999-01-01') "
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,"
+            " CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))"
+            "  AS BIGINT) AS totacctbal_e2 FROM customer, avgpos"
+            " WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+            "  * avgpos.c > avgpos.s"
+            " AND c_custkey NOT IN (SELECT o_custkey FROM act)"
+            " GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         "trailing_window_1h": (
             "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS trail_n,"
