@@ -4373,6 +4373,40 @@ def _q_tpch_q22(sf_dir: str):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def _q_event_interarrival(sf_dir: str):
+    """Per-user LAG inter-arrival deltas (stages/temporal.py
+    lag_delta): one hash(user) shuffle, vectorized shifted-difference
+    kernel; NULL at each user's first event, exactly SQL LAG."""
+    from stringzilla_ray.stages.temporal import lag_delta
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return lag_delta(ds, by="user_id", on="ts", id_column="event_id")
+
+
+def _q_rank_by_user_value(sf_dir: str):
+    """Per-user RANK + DENSE_RANK by value desc (stages/temporal.py
+    group_rank) — exact SQL tie semantics from segment-boundary masks
+    over one lexsort; one hash(user) shuffle."""
+    from stringzilla_ray.stages.temporal import group_rank
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return group_rank(ds, by="user_id", value_column="value",
+                      id_column="event_id", descending=True)
+
+
+def _q_rolling_sum_rows(sf_dir: str):
+    """Per-user ROWS-frame rolling count+sum (3 PRECEDING..CURRENT,
+    stages/temporal.py rolling_sum_rows): exact scaled-int prefix-sum
+    differences, one hash(user) shuffle."""
+    from stringzilla_ray.stages.temporal import rolling_sum_rows
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return rolling_sum_rows(ds, by="user_id", on="ts",
+                            id_column="event_id", value_column="value",
+                            preceding=3, value_scale=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -4495,6 +4529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16_supplier_cnt": _q_tpch_q16,
         "tpch_q17_small_qty": _q_tpch_q17,
         "tpch_q22_idle_rich": _q_tpch_q22,
+        "event_interarrival": _q_event_interarrival,
+        "rank_by_user_value": _q_rank_by_user_value,
+        "rolling_sum_rows": _q_rolling_sum_rows,
         "value_histogram": _q_value_histogram,
         "exact_dedup_best": _q_exact_dedup_best,
         "daily_event_pivot": _q_daily_event_pivot,
@@ -5242,6 +5279,23 @@ def oracle_sql() -> dict[str, str]:
             "  * avgpos.c > avgpos.s"
             " AND c_custkey NOT IN (SELECT o_custkey FROM act)"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "event_interarrival": (
+            "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts))"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " AS delta_us FROM events"
+        ),
+        "rank_by_user_value": (
+            "SELECT event_id, CAST(rank() OVER w AS BIGINT) AS rnk,"
+            " CAST(dense_rank() OVER w AS BIGINT) AS drnk FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY value DESC)"
+        ),
+        "rolling_sum_rows": (
+            "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS roll_n,"
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w"
+            " AS BIGINT) AS roll_sum FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
         ),
         "trailing_window_1h": (
             "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS trail_n,"

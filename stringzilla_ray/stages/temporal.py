@@ -31,10 +31,14 @@ from stringzilla_ray.functions.fingerprint import splitmix64
 
 
 def _ts_us(col) -> np.ndarray:
-    """timestamp[us] (or int64) column -> int64 microseconds."""
+    """timestamp (any unit) or int64 column -> int64 microseconds.
+    Non-us timestamp units are normalized first — a ns column viewed
+    as us would silently scale every window/delta by 1000."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_timestamp(col.type):
+        if col.type.unit != "us":
+            col = col.cast(pa.timestamp("us", tz=col.type.tz))
         col = col.cast(pa.int64())
     return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
@@ -916,3 +920,194 @@ def update_window_index(index_path: str, ds_new, ts_column: str,
         .groupby("shard")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------- row windows
+#
+# SQL row-window surface (LAG deltas, RANK/DENSE_RANK, ROWS-frame
+# rolling sums) re-expressed as the house single-shuffle shape: hash
+# the partition key to an int32 shard, ONE groupby(shard) exchange,
+# then a fully vectorized per-shard kernel (lexsort + segment-boundary
+# masks — no per-key loop).  Mirrors the reference's sorted/argsort
+# collection surface (reference: python/stringzilla.c Strs.sort /
+# Strs.order) generalized to keyed window semantics.
+
+
+def _shard_tag_int(ds, by: str, cols_fn, n_shards: int, salt: int):
+    """Tag each batch with shard = splitmix64(key ^ salt) % n_shards."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(salt))
+                 % np.uint64(n_shards)).astype(np.int32)
+        t = cols_fn(batch)
+        return t.append_column("__shard", pa.array(shard, pa.int32()))
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def lag_delta(ds, by: str, on: str, id_column: str,
+              n_shards: int | None = None):
+    """Per-key LAG delta: for each row, ``ts - previous same-key ts``
+    ordered by (``on``, ``id_column``); NULL at each key's first row.
+    SQL twin: ``epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY by
+    ORDER BY ts, id)``.  One hash(key) shuffle; the shard kernel is a
+    single lexsort + shifted difference."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_column: pa.array(
+                batch[id_column].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__k": pa.array(
+                batch[by].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__ts": pa.array(_ts_us(batch[on]), pa.int64()),
+        })
+
+    def agg(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        key = g["__k"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        order = np.lexsort((ids, ts, key))
+        k_s, t_s, i_s = key[order], ts[order], ids[order]
+        delta = np.empty(n, np.int64)
+        head = np.ones(n, bool)
+        if n > 1:
+            head[1:] = k_s[1:] != k_s[:-1]
+            delta[1:] = t_s[1:] - t_s[:-1]
+        if n:
+            delta[0] = 0
+        return pa.table({
+            id_column: pa.array(i_s, pa.int64()),
+            "delta_us": pa.array(delta, pa.int64(),
+                                 mask=head),
+        })
+
+    return _shard_tag_int(ds, by, cols, n_shards, 0x1A6) \
+        .groupby("__shard").map_groups(agg, batch_format="pyarrow")
+
+
+def group_rank(ds, by: str, value_column: str, id_column: str,
+               descending: bool = True, n_shards: int | None = None):
+    """Per-key RANK and DENSE_RANK over a float value column — exact
+    SQL tie semantics (peers share a rank; rank skips, dense doesn't).
+    One hash(key) shuffle; ranks come from segment-boundary masks over
+    one lexsort, never a per-key loop.  Float negation for descending
+    order is a sign flip — exact for all finite doubles."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_column: pa.array(
+                batch[id_column].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__k": pa.array(
+                batch[by].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__v": pa.array(
+                batch[value_column].to_numpy(zero_copy_only=False)
+                .astype(np.float64)),
+        })
+
+    def agg(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        key = g["__k"].to_numpy(zero_copy_only=False)
+        v = g["__v"].to_numpy(zero_copy_only=False)
+        sv = -v if descending else v
+        n = len(ids)
+        order = np.lexsort((ids, sv, key))
+        k_s, v_s, i_s = key[order], sv[order], ids[order]
+        new_key = np.ones(n, bool)
+        if n > 1:
+            new_key[1:] = k_s[1:] != k_s[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(n), 0))
+        new_val = np.ones(n, bool)
+        if n > 1:
+            new_val[1:] = new_key[1:] | (v_s[1:] != v_s[:-1])
+        # rank = 1 + (global index of the value-run head - segment
+        # start).  Accumulate GLOBAL indices — they increase
+        # monotonically, so maximum.accumulate can never leak a value
+        # across a segment boundary (every segment head is a run head).
+        run_head_idx = np.maximum.accumulate(
+            np.where(new_val, np.arange(n), 0))
+        rnk = run_head_idx - seg_start + 1
+        # dense rank = value-run heads seen so far MINUS those before
+        # the segment (same monotone-accumulate trick on the cumsum).
+        heads_cum = np.cumsum(new_val)
+        seg_base = np.maximum.accumulate(
+            np.where(new_key, heads_cum - 1, 0))
+        drnk = heads_cum - seg_base
+        return pa.table({
+            id_column: pa.array(i_s, pa.int64()),
+            "rnk": pa.array(rnk.astype(np.int64)),
+            "drnk": pa.array(drnk.astype(np.int64)),
+        })
+
+    return _shard_tag_int(ds, by, cols, n_shards, 0x1A7) \
+        .groupby("__shard").map_groups(agg, batch_format="pyarrow")
+
+
+def rolling_sum_rows(ds, by: str, on: str, id_column: str,
+                     value_column: str, preceding: int = 3,
+                     value_scale: int = 100,
+                     n_shards: int | None = None):
+    """Per-key ROWS-frame rolling aggregate: count and exact scaled-int
+    sum over ``ROWS BETWEEN preceding PRECEDING AND CURRENT ROW``
+    ordered by (``on``, ``id_column``).  Values go through
+    ``floor(v * scale + 0.5)`` int64 once, so the windowed sums are
+    integer prefix-sum differences — order-independent and bit-equal
+    to the SQL twin.  One hash(key) shuffle."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+    w = int(preceding) + 1
+
+    def cols(batch: pa.Table) -> pa.Table:
+        v = batch[value_column].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_column: pa.array(
+                batch[id_column].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__k": pa.array(
+                batch[by].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__ts": pa.array(_ts_us(batch[on]), pa.int64()),
+            "__vc": pa.array(
+                np.floor(v * value_scale + 0.5).astype(np.int64)),
+        })
+
+    def agg(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        key = g["__k"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        vc = g["__vc"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        order = np.lexsort((ids, ts, key))
+        k_s, i_s, v_s = key[order], ids[order], vc[order]
+        new_key = np.ones(n, bool)
+        if n > 1:
+            new_key[1:] = k_s[1:] != k_s[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(n), 0))
+        pos = np.arange(n) - seg_start
+        take = np.minimum(pos + 1, w)
+        csum = np.concatenate([[0], np.cumsum(v_s)])
+        idx = np.arange(n)
+        roll = csum[idx + 1] - csum[idx + 1 - take]
+        return pa.table({
+            id_column: pa.array(i_s, pa.int64()),
+            "roll_n": pa.array(take.astype(np.int64)),
+            "roll_sum": pa.array(roll.astype(np.int64)),
+        })
+
+    return _shard_tag_int(ds, by, cols, n_shards, 0x1A8) \
+        .groupby("__shard").map_groups(agg, batch_format="pyarrow")

@@ -373,3 +373,98 @@ def test_incremental_window_index(ray_session, tmp_path):
     assert gm == want
     # sanity: index is bucket-partitioned on disk
     assert len(glob.glob(f"{idx}/bucket=*/")) > 1
+
+
+# ---------------------------------------------------------- row windows
+
+
+def _window_frame(seed: int, n: int = 400, n_users: int = 7):
+    rng = np.random.default_rng(seed)
+    import pandas as pd
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, n_users, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 50, n).cumsum(), unit="s"
+        ).astype("datetime64[us]"),
+        # few distinct values => many rank ties, including cross-user
+        "value": rng.integers(0, 5, n).astype(np.float64) / 4.0,
+    })
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_group_rank_matches_sql_semantics(ray_session, tmp_path, seed):
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import group_rank
+
+    df = _window_frame(seed)
+    ds = ray.data.from_pandas(df)
+    got = group_rank(ds, by="user_id", value_column="value",
+                     id_column="event_id").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT event_id, CAST(rank() OVER w AS BIGINT) AS rnk,"
+        " CAST(dense_rank() OVER w AS BIGINT) AS drnk FROM df"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY value DESC)"
+        " ORDER BY event_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_group_rank_segment_boundary_no_leak(ray_session):
+    """Adversarial layout for the maximum.accumulate kernel: a LONG
+    first segment (late run-heads at high positions) followed by a
+    short segment — a position-based accumulate would leak the first
+    segment's run-head position into the second's ranks."""
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import group_rank
+
+    df = pd.DataFrame({
+        "event_id": np.arange(12, dtype=np.int64),
+        "user_id": np.array([1] * 10 + [2] * 2, dtype=np.int64),
+        "value": np.array(
+            [9, 8, 7, 6, 5, 4, 3, 2, 1, 0, 5.0, 5.0]),
+    })
+    got = group_rank(ray.data.from_pandas(df), by="user_id",
+                     value_column="value", id_column="event_id") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    # user 2: both rows tie at value 5 -> rnk 1, drnk 1
+    assert got.loc[10, "rnk"] == 1 and got.loc[11, "rnk"] == 1
+    assert got.loc[10, "drnk"] == 1 and got.loc[11, "drnk"] == 1
+    # user 1: strict descending -> rnk == position+1
+    assert list(got.loc[:9, "rnk"]) == list(range(1, 11))
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_lag_and_rolling_match_sql(ray_session, seed):
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import lag_delta, rolling_sum_rows
+
+    df = _window_frame(seed)
+    ds = ray.data.from_pandas(df)
+    lag = lag_delta(ds, by="user_id", on="ts",
+                    id_column="event_id").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want_lag = duckdb.sql(
+        "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us"
+        " FROM df ORDER BY event_id").df()
+    pd.testing.assert_frame_equal(lag, want_lag, check_dtype=False)
+
+    ds = ray.data.from_pandas(df)
+    roll = rolling_sum_rows(ds, by="user_id", on="ts",
+                            id_column="event_id", value_column="value",
+                            preceding=3, value_scale=100).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want_roll = duckdb.sql(
+        "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS roll_n,"
+        " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w"
+        " AS BIGINT) AS roll_sum FROM df"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        " ORDER BY event_id").df()
+    pd.testing.assert_frame_equal(roll, want_roll, check_dtype=False)
