@@ -4407,6 +4407,38 @@ def _q_rolling_sum_rows(sf_dir: str):
                             preceding=3, value_scale=100)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023) toward the lang='en'
+    slice: two distributed unigram censuses (target + raw), one
+    broadcast, zero-shuffle scoring pass
+    (stages/textstats.py add_dsir_weight)."""
+    from stringzilla_ray.stages.textstats import (add_dsir_weight,
+                                                  unigram_model)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")),
+        batch_format="pyarrow")
+    raw_model = unigram_model(docs, text_column="text")
+    target_model = unigram_model(target, text_column="text")
+    return add_dsir_weight(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        target_model=target_model, raw_model=raw_model)
+
+
+def _q_lexical_diversity(sf_dir: str):
+    """Per-doc type-token ratio (Gopher 'fraction of unique words'):
+    zero-shuffle batch kernel, exact integer ratio
+    (stages/textstats.py lexical_diversity)."""
+    import functools
+
+    from stringzilla_ray.stages.textstats import lexical_diversity
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lexical_diversity, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -4530,6 +4562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17_small_qty": _q_tpch_q17,
         "tpch_q22_idle_rich": _q_tpch_q22,
         "event_interarrival": _q_event_interarrival,
+        "dsir_weights": _q_dsir_weights,
+        "lexical_diversity": _q_lexical_diversity,
         "rank_by_user_value": _q_rank_by_user_value,
         "rolling_sum_rows": _q_rolling_sum_rows,
         "value_histogram": _q_value_histogram,
@@ -5279,6 +5313,47 @@ def oracle_sql() -> dict[str, str]:
             "  * avgpos.c > avgpos.s"
             " AND c_custkey NOT IN (SELECT o_custkey FROM act)"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "dsir_weights": (
+            # Laplace(+1)-smoothed per-token log-likelihood ratio,
+            # target = lang='en' slice, raw = whole corpus; the ln
+            # expression order matches the engine's IEEE op order and
+            # the mean rounds at 1e4 (same contract as
+            # unigram_surprisal).
+            "WITH e AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[0-9A-Za-z_]+')) AS tok FROM documents), "
+            "et AS (SELECT unnest(regexp_extract_all(text,"
+            " '[0-9A-Za-z_]+')) AS tok FROM documents"
+            " WHERE lang = 'en'), "
+            "tc AS (SELECT tok, count(*) AS c FROM et GROUP BY tok), "
+            "tt AS (SELECT count(*) AS total FROM et), "
+            "rc AS (SELECT tok, count(*) AS c FROM e GROUP BY tok), "
+            "rt AS (SELECT count(*) AS total FROM e), "
+            "s AS (SELECT e.doc_id,"
+            " ln(coalesce(tc.c, 0) + 1.0)"
+            "  - ln((SELECT total FROM tt) + 1.0)"
+            "  - ln(rc.c + 1.0)"
+            "  + ln((SELECT total FROM rt) + 1.0) AS w"
+            " FROM e JOIN rc USING (tok) LEFT JOIN tc USING (tok)), "
+            "a AS (SELECT doc_id, count(*) AS n_tokens, avg(w) AS m"
+            " FROM s GROUP BY doc_id) "
+            "SELECT d.doc_id,"
+            " CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,"
+            " CAST(floor(coalesce(a.m, 0) * 10000 + 0.5) AS BIGINT)"
+            " AS dsir_x10000"
+            " FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
+        ),
+        "lexical_diversity": (
+            "WITH e AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[0-9A-Za-z_]+')) AS tok FROM documents), "
+            "a AS (SELECT doc_id, count(*) AS n_tokens,"
+            " count(DISTINCT tok) AS n_distinct FROM e GROUP BY doc_id) "
+            "SELECT d.doc_id,"
+            " CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,"
+            " CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,"
+            " CAST(coalesce(a.n_distinct * 1000000 // a.n_tokens, 0)"
+            "  AS BIGINT) AS ttr_x1000000"
+            " FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
         ),
         "event_interarrival": (
             "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts))"

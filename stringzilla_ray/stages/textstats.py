@@ -1465,3 +1465,131 @@ def bigram_topk(ds, text_column: str = "text", k: int = 30):
         .sort(["cnt", "t1", "t2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+# --------------------------------------------------- DSIR + diversity
+
+
+def _probe_counts(h: np.ndarray, cnt: np.ndarray,
+                  th: np.ndarray) -> np.ndarray:
+    """Sorted-model lookup with miss -> 0 (NOT the clamp-to-1 the
+    surprisal lookup uses — DSIR's Laplace smoothing adds its own +1,
+    so a miss must stay a genuine zero)."""
+    if not len(h):
+        return np.zeros(len(th), np.int64)
+    j = np.minimum(np.searchsorted(h, th), len(h) - 1)
+    out = cnt[j].copy()
+    out[h[j] != th] = 0
+    return out
+
+
+def _dsir_fn(batch: pa.Table, *, models_ref, text_column: str,
+             id_column: str, scale: int) -> pa.Table:
+    import ray
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.functions.segment import word_explode
+
+    ht, ct, lnTt1, hr, cr, lnTr1 = ray.get(models_ref)
+    col = _combined(batch[text_column])
+    words, parents = word_explode(col)
+    nrows = len(col)
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64) \
+        if len(words) else np.zeros(0, np.int64)
+    n_tok = np.bincount(par, minlength=nrows).astype(np.int64)
+    if len(words):
+        th = hash_string_column(words.combine_chunks()
+                                if isinstance(words, pa.ChunkedArray)
+                                else words, seed=0).view(np.int64)
+        c_t = _probe_counts(ht, ct, th).astype(np.float64)
+        c_r = _probe_counts(hr, cr, th).astype(np.float64)
+        # identical IEEE op order to the SQL twin:
+        # ((ln(ct+1) - ln(Tt+1)) - ln(cr+1)) + ln(Tr+1)
+        w = np.log(c_t + 1.0) - lnTt1 - np.log(c_r + 1.0) + lnTr1
+        wsum = np.bincount(par, weights=w, minlength=nrows)
+    else:
+        wsum = np.zeros(nrows, np.float64)
+    mean = np.divide(wsum, n_tok, out=np.zeros(nrows, np.float64),
+                     where=n_tok > 0)
+    x = np.floor(mean * scale + 0.5).astype(np.int64)
+    return pa.table({
+        id_column: batch[id_column],
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        f"dsir_x{scale}": pa.array(x, pa.int64()),
+    })
+
+
+def add_dsir_weight(ds, target_model, raw_model,
+                    text_column: str = "text",
+                    id_column: str = "doc_id", scale: int = 10_000):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document, the
+    mean per-token log-likelihood ratio between a TARGET unigram model
+    and the RAW-corpus model, Laplace(+1)-smoothed —
+    ``mean(ln((ct+1)/(Tt+1)) - ln((cr+1)/(Tr+1)))``. Positive =
+    target-like; resampling on these weights shifts the corpus toward
+    the target distribution.
+
+    Both models are ``unigram_model(...)`` censuses (hashed-unigram
+    features exactly as the paper's hashed n-gram variant): the train
+    passes are distributed map-side-partial censuses, scoring is one
+    broadcast + vectorized lookup pass with ZERO shuffles. At web
+    scale the same hash-range-partitioned model path the surprisal
+    scorer uses (build_unigram_model) applies unchanged. Weight is
+    emitted as a scaled int (floor(m*scale+0.5), the exact expression
+    the SQL twin uses) so the oracle hashes identically."""
+    import functools as _ft
+
+    import ray
+
+    ht, ct, Tt = target_model
+    hr, cr, Tr = raw_model
+    models_ref = ray.put((ht, ct, float(np.log(np.float64(Tt + 1))),
+                          hr, cr, float(np.log(np.float64(Tr + 1)))))
+    return ds.map_batches(
+        _ft.partial(_dsir_fn, models_ref=models_ref,
+                    text_column=text_column, id_column=id_column,
+                    scale=scale),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def lexical_diversity(batch: pa.Table, text_column: str = "text",
+                      id_column: str = "doc_id",
+                      scale: int = 1_000_000) -> pa.Table:
+    """Type-token ratio per document (MassiveText/Gopher's "fraction
+    of unique words" quality signal): n_tokens, n_distinct, and the
+    exact integer ratio ``n_distinct * scale // n_tokens``. Fully
+    batch-local (zero shuffles): one token explode + one lexsort;
+    distinct counting is on 64-bit token hashes (the same accepted
+    2^-64 collision risk as vocab_by_lang / decontaminate)."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.functions.segment import word_explode
+
+    col = _combined(batch[text_column])
+    words, parents = word_explode(col)
+    nrows = len(col)
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64) \
+        if len(words) else np.zeros(0, np.int64)
+    n_tok = np.bincount(par, minlength=nrows).astype(np.int64)
+    n_dis = np.zeros(nrows, np.int64)
+    if len(words):
+        th = hash_string_column(words.combine_chunks()
+                                if isinstance(words, pa.ChunkedArray)
+                                else words, seed=0).view(np.int64)
+        order = np.lexsort((th, par))
+        ps, hs = par[order], th[order]
+        new = np.ones(len(ps), bool)
+        if len(ps) > 1:
+            new[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+        n_dis = np.bincount(ps[new], minlength=nrows).astype(np.int64)
+    ttr = np.zeros(nrows, np.int64)
+    nz = n_tok > 0
+    ttr[nz] = (n_dis[nz] * scale) // n_tok[nz]
+    return pa.table({
+        id_column: batch[id_column],
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "n_distinct": pa.array(n_dis, pa.int64()),
+        f"ttr_x{scale}": pa.array(ttr, pa.int64()),
+    })

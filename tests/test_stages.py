@@ -3044,3 +3044,50 @@ def test_pool_embeddings(ray_session):
     a = {r.label: tuple(r.embedding) for r in out1.itertuples()}
     b = {r.label: tuple(r.embedding) for r in out2.itertuples()}
     assert a == b
+
+
+# ----------------------------------------------------- DSIR + diversity
+
+
+def test_dsir_weight_prefers_target_like_docs(ray_session):
+    """Docs drawn from the target vocabulary must get higher DSIR
+    weights than docs from a disjoint vocabulary; smoothing must keep
+    unseen-token docs finite."""
+    import ray.data
+
+    from stringzilla_ray.stages.textstats import (add_dsir_weight,
+                                                  unigram_model)
+
+    t_docs = ["alpha beta gamma delta"] * 8
+    o_docs = ["omega sigma tau rho"] * 8
+    df = pd.DataFrame({
+        "doc_id": np.arange(16, dtype=np.int64),
+        "text": t_docs + o_docs,
+    })
+    ds = ray.data.from_pandas(df)
+    raw = unigram_model(ds, text_column="text")
+    target = unigram_model(
+        ray.data.from_pandas(df.iloc[:8].reset_index(drop=True)),
+        text_column="text")
+    out = add_dsir_weight(ray.data.from_pandas(df), target_model=target,
+                          raw_model=raw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    w_t = out.loc[:7, "dsir_x10000"].to_numpy()
+    w_o = out.loc[8:, "dsir_x10000"].to_numpy()
+    assert (w_t > w_o).all()
+    assert (w_t > 0).all() and (w_o < 0).all()
+
+
+def test_lexical_diversity_exact():
+    import pyarrow as pa
+
+    from stringzilla_ray.stages.textstats import lexical_diversity
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b a", "x y z", "", "q q q q"]),
+    })
+    out = lexical_diversity(batch).to_pandas()
+    assert list(out["n_tokens"]) == [5, 3, 0, 4]
+    assert list(out["n_distinct"]) == [2, 3, 0, 1]
+    assert list(out["ttr_x1000000"]) == [400000, 1000000, 0, 250000]
