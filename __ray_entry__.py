@@ -4439,6 +4439,26 @@ def _q_lexical_diversity(sf_dir: str):
                      zero_copy_batch=True)
 
 
+def _q_pagerank_events(sf_dir: str):
+    """Exact integer PageRank (3 sweeps) over the event-stream
+    temporal-adjacency graph: consecutive events on the same
+    event_type stream link their users (stages/graph.py).  Every
+    arithmetic step is int64 floor division, so the distributed
+    result hash-matches the unrolled-CTE SQL twin bit-for-bit."""
+    from stringzilla_ray.stages.graph import (distinct_nodes,
+                                              pagerank_int,
+                                              stream_succession_edges)
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    edges = stream_succession_edges(ev, stream_key="event_type",
+                                    on="ts", id_column="event_id",
+                                    node_column="user_id")
+    nodes = distinct_nodes(
+        _read(sf_dir, "events", columns=["user_id"]), "user_id")
+    return pagerank_int(edges, nodes, iters=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -4563,6 +4583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_idle_rich": _q_tpch_q22,
         "event_interarrival": _q_event_interarrival,
         "dsir_weights": _q_dsir_weights,
+        "pagerank_events": _q_pagerank_events,
         "lexical_diversity": _q_lexical_diversity,
         "rank_by_user_value": _q_rank_by_user_value,
         "rolling_sum_rows": _q_rolling_sum_rows,
@@ -5313,6 +5334,37 @@ def oracle_sql() -> dict[str, str]:
             "  * avgpos.c > avgpos.s"
             " AND c_custkey NOT IN (SELECT o_custkey FROM act)"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "pagerank_events": (
+            # 3 unrolled integer-PageRank sweeps; every step is BIGINT
+            # floor division, identical to the engine's arithmetic.
+            "WITH ord AS (SELECT event_type, user_id,"
+            " lag(user_id) OVER (PARTITION BY event_type"
+            "  ORDER BY ts, event_id) AS prev FROM events),"
+            " edges AS (SELECT prev AS src, user_id AS dst FROM ord"
+            "  WHERE prev IS NOT NULL),"
+            " nodes AS (SELECT DISTINCT user_id AS node FROM events),"
+            " deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),"
+            " r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),"
+            " c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS c"
+            "  FROM edges e JOIN r0 ON r0.node = e.src"
+            "  JOIN deg ON deg.src = e.src GROUP BY e.dst),"
+            " r1 AS (SELECT n.node, CAST(150000 +"
+            "  (85 * coalesce(c1.c, 0)) // 100 AS BIGINT) AS r"
+            "  FROM nodes n LEFT JOIN c1 USING (node)),"
+            " c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS c"
+            "  FROM edges e JOIN r1 ON r1.node = e.src"
+            "  JOIN deg ON deg.src = e.src GROUP BY e.dst),"
+            " r2 AS (SELECT n.node, CAST(150000 +"
+            "  (85 * coalesce(c2.c, 0)) // 100 AS BIGINT) AS r"
+            "  FROM nodes n LEFT JOIN c2 USING (node)),"
+            " c3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS c"
+            "  FROM edges e JOIN r2 ON r2.node = e.src"
+            "  JOIN deg ON deg.src = e.src GROUP BY e.dst),"
+            " r3 AS (SELECT n.node, CAST(150000 +"
+            "  (85 * coalesce(c3.c, 0)) // 100 AS BIGINT) AS r"
+            "  FROM nodes n LEFT JOIN c3 USING (node)) "
+            "SELECT node, r AS rank_scaled FROM r3"
         ),
         "dsir_weights": (
             # Laplace(+1)-smoothed per-token log-likelihood ratio,

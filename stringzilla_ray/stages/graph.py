@@ -1,0 +1,308 @@
+"""Distributed graph operators on edge-list datasets.
+
+The reference's collection surface stops at sort/order/dedup; a
+100-TB curation pipeline also needs graph-shaped passes (centrality
+for dedup prioritization, influence over interaction graphs).  This
+module gives the minimal scale-true kit: edge extraction from keyed
+event streams and an EXACT integer-arithmetic PageRank whose fixed
+iteration count makes it SQL-oracle-checkable bit-for-bit (every
+step is int64 //-division — no float drift, no convergence test).
+
+Scale shape: every step is the house shard-groupby pattern — hash a
+key to an int32 shard, one groupby(shard) exchange, vectorized local
+kernel.  Ranks/degrees never materialize on the driver; an iteration
+is two exchanges (contrib join on src, sum on dst), so k iterations
+cost exactly 2k shuffles of O(|E|) + O(|V|) rows.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from stringzilla_ray.functions.fingerprint import splitmix64
+
+
+def _shard_i64(v: np.ndarray, n_shards: int, salt: int) -> np.ndarray:
+    return (splitmix64(v.view(np.uint64) ^ np.uint64(salt))
+            % np.uint64(n_shards)).astype(np.int32)
+
+
+def stream_succession_edges(ds, stream_key: str, on: str,
+                            id_column: str, node_column: str,
+                            n_shards: int | None = None):
+    """(src, dst) edges between the actors of CONSECUTIVE events on
+    the same stream, ordered by (``on``, ``id_column``) — the temporal
+    adjacency graph of a keyed event log.  One hash(stream) shuffle;
+    the per-shard kernel is one lexsort + shifted pairing.  NOTE: the
+    partitioning key is the stream, so skewed/low-cardinality streams
+    bound parallelism — inherent to the sequential dependency, same
+    contract as sessionize/transition_census."""
+    from stringzilla_ray.stages.temporal import _ts_us
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key = batch[stream_key]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        if pa.types.is_string(key.type) or pa.types.is_large_string(key.type):
+            kh = hash_string_column(key, seed=0x96).view(np.int64)
+        else:
+            kh = key.to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = _shard_i64(kh, n_shards, 0x96)
+        return pa.table({
+            "__k": pa.array(kh, pa.int64()),
+            "__ts": pa.array(_ts_us(batch[on]), pa.int64()),
+            "__id": pa.array(
+                batch[id_column].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__node": pa.array(
+                batch[node_column].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__shard": pa.array(sh, pa.int32()),
+        })
+
+    def pair(g: pa.Table) -> pa.Table:
+        k = g["__k"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        ids = g["__id"].to_numpy(zero_copy_only=False)
+        node = g["__node"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, k))
+        k_s, n_s = k[order], node[order]
+        same = k_s[1:] == k_s[:-1]
+        return pa.table({
+            "src": pa.array(n_s[:-1][same], pa.int64()),
+            "dst": pa.array(n_s[1:][same], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(pair, batch_format="pyarrow")
+    )
+
+
+def _attach_outdeg(edges, n_shards: int):
+    """(src, dst) -> (src, dst, d) with d = src's out-degree.  ONE
+    hash(src) exchange: each shard owns every edge of its srcs, so the
+    census and the attach are one local pass."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        sh = _shard_i64(src, n_shards, 0x9A)
+        return t.append_column("__shard", pa.array(sh, pa.int32()))
+
+    def attach(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        u, inv, cnt = np.unique(src, return_inverse=True,
+                                return_counts=True)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "d": pa.array(cnt[inv].astype(np.int64)),
+        })
+
+    return (edges.map_batches(tag, batch_format="pyarrow")
+            .groupby("__shard").map_groups(attach,
+                                           batch_format="pyarrow"))
+
+
+def pagerank_int(edges, nodes, iters: int = 3, init: int = 1_000_000,
+                 base: int = 150_000, damping_num: int = 85,
+                 damping_den: int = 100, n_shards: int | None = None,
+                 node_column: str = "node"):
+    """EXACT integer PageRank, fixed iteration count:
+
+        r_0(v)   = init
+        r_{k+1}(v) = base + damping_num * S_k(v) // damping_den,
+        S_k(v)   = sum over in-edges (u, v) of  r_k(u) // outdeg(u)
+
+    Every operation is int64 floor division/multiplication, so the
+    result is bit-deterministic and a DuckDB twin with the same k
+    unrolled as CTEs hash-matches exactly.  Dangling nodes simply
+    don't propagate (their mass is dropped — the standard simplified
+    formulation; the SQL twin states the same rule).
+
+    Iteration layout: ranks live as a (node, r) dataset sharded by
+    hash(node) — the SAME hash as the edge src shard, so the
+    contrib step is a union + local searchsorted join, never a
+    broadcast.  2 exchanges per iteration, O(|E|+|V|) rows each.
+    ``iters`` is small and fixed (3 by default) by design: PageRank
+    at web scale is always run a bounded number of sweeps."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+    ew = _attach_outdeg(edges, n_shards)
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        v = t[node_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(v, pa.int64()),
+            "r": pa.array(np.full(len(v), init, np.int64)),
+            "side": pa.array(np.zeros(len(v), np.int8), pa.int8()),
+            "dst": pa.array(np.zeros(len(v), np.int64)),
+            "d": pa.array(np.ones(len(v), np.int64)),
+            "__shard": pa.array(_shard_i64(v, n_shards, 0x9B),
+                                pa.int32()),
+        })
+
+    ranks = nodes.map_batches(node_rows, batch_format="pyarrow")
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(src, pa.int64()),
+            "r": pa.array(np.zeros(len(src), np.int64)),
+            "side": pa.array(np.ones(len(src), np.int8), pa.int8()),
+            "dst": t["dst"],
+            "d": t["d"],
+            "__shard": pa.array(_shard_i64(src, n_shards, 0x9B),
+                                pa.int32()),
+        })
+
+    edges_tagged = ew.map_batches(edge_rows, batch_format="pyarrow")
+
+    def contrib(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        node = g["node"].to_numpy(zero_copy_only=False)
+        r = g["r"].to_numpy(zero_copy_only=False)
+        rmask = side == 0
+        rn, rr = node[rmask], r[rmask]
+        o = np.argsort(rn, kind="stable")
+        rn, rr = rn[o], rr[o]
+        em = ~rmask
+        esrc = node[em]
+        edst = g["dst"].to_numpy(zero_copy_only=False)[em]
+        ed = g["d"].to_numpy(zero_copy_only=False)[em]
+        if not len(esrc):
+            return pa.table({"dst": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        j = np.minimum(np.searchsorted(rn, esrc), max(len(rn) - 1, 0))
+        hit = (rn[j] == esrc) if len(rn) else np.zeros(len(esrc), bool)
+        rv = np.zeros(len(esrc), np.int64)
+        rv[hit] = rr[j[hit]]
+        c = rv // ed
+        # local pre-sum per dst before the dst exchange
+        t = pa.table({"dst": pa.array(edst, pa.int64()),
+                      "c": pa.array(c, pa.int64())})
+        return pa.TableGroupBy(t, "dst").aggregate([("c", "sum")]) \
+            .rename_columns(["dst", "c"])
+
+    def sum_tag(t: pa.Table) -> pa.Table:
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(dst, pa.int64()),
+            "c": t["c"],
+            "side": pa.array(np.ones(len(dst), np.int8), pa.int8()),
+            "__shard": pa.array(_shard_i64(dst, n_shards, 0x9C),
+                                pa.int32()),
+        })
+
+    def next_node_rows(t: pa.Table) -> pa.Table:
+        v = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(v, pa.int64()),
+            "c": pa.array(np.zeros(len(v), np.int64)),
+            "side": pa.array(np.zeros(len(v), np.int8), pa.int8()),
+            "__shard": pa.array(_shard_i64(v, n_shards, 0x9C),
+                                pa.int32()),
+        })
+
+    def apply_rank(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        node = g["node"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        nmask = side == 0
+        nn = node[nmask]
+        cm = ~nmask
+        sums = np.zeros(len(nn), np.int64)
+        if cm.any() and len(nn):
+            o = np.argsort(nn, kind="stable")
+            nn_s = nn[o]
+            j = np.minimum(np.searchsorted(nn_s, node[cm]),
+                           len(nn_s) - 1)
+            hit = nn_s[j] == node[cm]
+            add = np.zeros(len(nn_s), np.int64)
+            np.add.at(add, j[hit], c[cm][hit])
+            back = np.empty(len(nn), np.int64)
+            back[o] = add
+            sums = back
+        r = base + (damping_num * sums) // damping_den
+        return pa.table({"node": pa.array(nn, pa.int64()),
+                         "r": pa.array(r, pa.int64())})
+
+    from stringzilla_ray.util import ensure_materialized
+
+    # edges are re-consumed every iteration and cur twice per
+    # iteration with a growing lineage — without pinning, Ray
+    # re-executes the whole upstream plan per consumer (the
+    # ensure_materialized lesson; re-execution is exponential in
+    # iters here).
+    edges_tagged = ensure_materialized(edges_tagged)
+    cur = ranks
+    for _ in range(iters):
+        cur = ensure_materialized(cur)
+        contribs = (
+            cur.union(edges_tagged)
+            .groupby("__shard")
+            .map_groups(contrib, batch_format="pyarrow")
+            .map_batches(sum_tag, batch_format="pyarrow")
+        )
+        nodes_side = cur.map_batches(next_node_rows,
+                                     batch_format="pyarrow")
+        new = (
+            nodes_side.union(contribs)
+            .groupby("__shard")
+            .map_groups(apply_rank, batch_format="pyarrow")
+        )
+
+        def rank_rows(t: pa.Table) -> pa.Table:
+            v = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": pa.array(v, pa.int64()),
+                "r": t["r"],
+                "side": pa.array(np.zeros(len(v), np.int8), pa.int8()),
+                "dst": pa.array(np.zeros(len(v), np.int64)),
+                "d": pa.array(np.ones(len(v), np.int64)),
+                "__shard": pa.array(_shard_i64(v, n_shards, 0x9B),
+                                    pa.int32()),
+            })
+
+        cur = new.map_batches(rank_rows, batch_format="pyarrow")
+
+    def out_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "rank_scaled": t["r"]})
+
+    return cur.map_batches(out_rows, batch_format="pyarrow")
+
+
+def distinct_nodes(ds, column: str, n_shards: int | None = None):
+    """DISTINCT int64 node ids: per-batch unique partials, one
+    hash-shard exchange, per-shard unique — never a driver gather."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t[column].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({
+            "node": pa.array(u, pa.int64()),
+            "__shard": pa.array(_shard_i64(u, n_shards, 0x9D),
+                                pa.int32()),
+        })
+
+    def dedup(g: pa.Table) -> pa.Table:
+        u = np.unique(g["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("__shard").map_groups(dedup,
+                                           batch_format="pyarrow"))

@@ -1,0 +1,70 @@
+"""Graph operators (stages/graph.py): exact integer PageRank vs a
+NumPy reference, stream-succession edge extraction vs a pandas
+oracle, distinct-node census."""
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ref_pagerank(src, dst, n_nodes, iters=3):
+    deg = np.bincount(src, minlength=n_nodes)
+    r = np.full(n_nodes, 1_000_000, np.int64)
+    for _ in range(iters):
+        contrib = r[src] // deg[src]
+        s = np.zeros(n_nodes, np.int64)
+        np.add.at(s, dst, contrib)
+        r = 150_000 + (85 * s) // 100
+    return r
+
+
+@pytest.mark.parametrize("seed,V,E", [(0, 40, 500), (5, 9, 12)])
+def test_pagerank_int_matches_reference(ray_session, seed, V, E):
+    import ray.data
+
+    from stringzilla_ray.stages.graph import pagerank_int
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, V, E).astype(np.int64)
+    dst = rng.integers(0, V, E).astype(np.int64)
+    edges = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    nodes = ray.data.from_pandas(
+        pd.DataFrame({"node": np.arange(V, dtype=np.int64)}))
+    got = pagerank_int(edges, nodes, iters=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = pd.DataFrame({
+        "node": np.arange(V, dtype=np.int64),
+        "rank_scaled": _ref_pagerank(src, dst, V),
+    })
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_succession_edges(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.graph import stream_succession_edges
+
+    df = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "ts": pd.to_datetime(
+            [3, 1, 2, 5, 4, 6, 7, 8], unit="s").astype("datetime64[us]"),
+        "user_id": np.array([10, 11, 12, 13, 14, 15, 16, 17],
+                            dtype=np.int64),
+        "stream": ["a", "a", "a", "b", "b", "b", "c", "c"],
+    })
+    got = stream_succession_edges(
+        ray.data.from_pandas(df), stream_key="stream", on="ts",
+        id_column="event_id", node_column="user_id").to_pandas()
+    got = set(map(tuple, got[["src", "dst"]].to_numpy()))
+    # stream a by ts: 11,12,10 ; b: 14,13,15 ; c: 16,17
+    want = {(11, 12), (12, 10), (14, 13), (13, 15), (16, 17)}
+    assert got == want
+
+
+def test_distinct_nodes(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.graph import distinct_nodes
+
+    df = pd.DataFrame({"u": np.array([5, 5, 1, 9, 1, 5], np.int64)})
+    got = distinct_nodes(ray.data.from_pandas(df), "u").to_pandas()
+    assert sorted(got["node"]) == [1, 5, 9]
