@@ -4459,6 +4459,49 @@ def _q_pagerank_events(sf_dir: str):
     return pagerank_int(edges, nodes, iters=3)
 
 
+def _q_json_extract_props(sf_dir: str):
+    """Vectorized flat-JSON scalar extraction
+    (functions/jsonx.py json_scalar): one tape pass per batch, zero
+    Python per row — the per-record property-bag parse every
+    web-scale event pipeline needs."""
+    from stringzilla_ray.functions.jsonx import json_scalar
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = json_scalar(t["props"], "k")
+        return pa.table({
+            "event_id": t["event_id"],
+            "k": pc.cast(v, pa.int64()),
+        })
+
+    return _read(sf_dir, "events", columns=["event_id", "props"]) \
+        .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_props_sum_by_type(sf_dir: str):
+    """Aggregate over an extracted JSON field: per-event-type count +
+    exact int64 sum of props.k — extraction fuses into the map-side
+    partial, so the exchange is |event types| rows."""
+    import pandas as pd
+
+    from stringzilla_ray.functions.jsonx import json_scalar
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(json_scalar(t["props"], "k"), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "k": k})
+        return pa.TableGroupBy(g, "event_type") \
+            .aggregate([("k", "sum"), ([], "count_all")]) \
+            .rename_columns(["event_type", "sum_k", "n"])
+
+    pdf = _read(sf_dir, "events", columns=["event_type", "props"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()
+    out = pdf.groupby("event_type", as_index=False).agg(
+        sum_k=("sum_k", "sum"), n=("n", "sum"))
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -4584,6 +4627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_interarrival": _q_event_interarrival,
         "dsir_weights": _q_dsir_weights,
         "pagerank_events": _q_pagerank_events,
+        "json_extract_props": _q_json_extract_props,
+        "props_sum_by_type": _q_props_sum_by_type,
         "lexical_diversity": _q_lexical_diversity,
         "rank_by_user_value": _q_rank_by_user_value,
         "rolling_sum_rows": _q_rolling_sum_rows,
@@ -5334,6 +5379,16 @@ def oracle_sql() -> dict[str, str]:
             "  * avgpos.c > avgpos.s"
             " AND c_custkey NOT IN (SELECT o_custkey FROM act)"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "json_extract_props": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k')"
+            " AS BIGINT) AS k FROM events"
+        ),
+        "props_sum_by_type": (
+            "SELECT event_type, CAST(sum(CAST(json_extract_string("
+            "props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,"
+            " CAST(count(*) AS BIGINT) AS n FROM events"
+            " GROUP BY event_type ORDER BY event_type"
         ),
         "pagerank_events": (
             # 3 unrolled integer-PageRank sweeps; every step is BIGINT
