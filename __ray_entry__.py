@@ -4502,6 +4502,33 @@ def _q_props_sum_by_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_lang_source_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) census with exact int64 sums
+    (stages/stats.py rollup_census): detail + per-lang subtotal rows
+    finalize inside one hash(lang) shard exchange."""
+    from stringzilla_ray.stages.stats import rollup_census
+
+    out = rollup_census(
+        _read(sf_dir, "documents", columns=["lang", "source", "n_chars"]),
+        key1="lang", key2="source", value_column="n_chars")
+    return out.rename(columns={"k1": "lang", "k2": "source",
+                               "sum_v": "sum_chars", "n": "n_docs"})
+
+
+def _q_fk_orphans(sf_dir: str):
+    """Referential-integrity validation census (stages/stats.py
+    membership_orphans): events.user_id probed against
+    supplier.s_suppkey — count + distinct count of orphan keys,
+    one shared-hash exchange, no broadcast."""
+    from stringzilla_ray.stages.stats import membership_orphans
+
+    return membership_orphans(
+        _read(sf_dir, "events", columns=["user_id"]),
+        key_column="user_id",
+        ref=_read(sf_dir, "supplier", columns=["s_suppkey"]),
+        ref_key="s_suppkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -4628,6 +4655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "pagerank_events": _q_pagerank_events,
         "json_extract_props": _q_json_extract_props,
+        "lang_source_rollup": _q_lang_source_rollup,
+        "fk_orphans": _q_fk_orphans,
         "props_sum_by_type": _q_props_sum_by_type,
         "lexical_diversity": _q_lexical_diversity,
         "rank_by_user_value": _q_rank_by_user_value,
@@ -5379,6 +5408,18 @@ def oracle_sql() -> dict[str, str]:
             "  * avgpos.c > avgpos.s"
             " AND c_custkey NOT IN (SELECT o_custkey FROM act)"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "lang_source_rollup": (
+            "SELECT lang, source,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+            " CAST(count(*) AS BIGINT) AS n_docs"
+            " FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "fk_orphans": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows_orphan,"
+            " CAST(count(DISTINCT user_id) AS BIGINT)"
+            " AS n_distinct_orphan FROM events"
+            " WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)"
         ),
         "json_extract_props": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k')"

@@ -889,3 +889,154 @@ def grouped_cume(ds, group_column: str, value_column: str,
         .groupby("__shard")
         .map_groups(label, batch_format="pyarrow")
     )
+
+
+def rollup_census(ds, key1: str, key2: str, value_column: str,
+                  n_shards: int | None = None):
+    """GROUP BY ROLLUP(key1, key2) census — count + exact int64 sum at
+    the (key1,key2), (key1, NULL) and (NULL, NULL) levels, the OLAP
+    subtotal shape.  One exchange: shard on hash(key1) so each shard
+    owns its key1 groups whole and emits BOTH detail and key1-subtotal
+    rows locally as FINAL; the single grand-total row reduces from
+    one partial row per shard."""
+    import pyarrow.compute as pc
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "k1": t[key1], "k2": t[key2],
+            "v": pc.cast(t[value_column], pa.int64()),
+        })
+        s = pa.TableGroupBy(g, ["k1", "k2"]) \
+            .aggregate([("v", "sum"), ([], "count_all")]) \
+            .rename_columns(["k1", "k2", "sum_v", "n"])
+        k = s["k1"].combine_chunks() if isinstance(s["k1"], pa.ChunkedArray) \
+            else s["k1"]
+        h = hash_string_column(k, seed=0x2011).view(np.uint64)
+        sh = (h % np.uint64(n_shards)).astype(np.int32)
+        return s.append_column("__shard", pa.array(sh, pa.int32()))
+
+    def reduce(g: pa.Table) -> pa.Table:
+        s = pa.TableGroupBy(g.select(["k1", "k2", "sum_v", "n"]),
+                            ["k1", "k2"]) \
+            .aggregate([("sum_v", "sum"), ("n", "sum")]) \
+            .rename_columns(["k1", "k2", "sum_v", "n"])
+        sub = pa.TableGroupBy(s.select(["k1", "sum_v", "n"]), "k1") \
+            .aggregate([("sum_v", "sum"), ("n", "sum")]) \
+            .rename_columns(["k1", "sum_v", "n"])
+        total_v = int(pc.sum(s["sum_v"]).as_py() or 0)
+        total_n = int(pc.sum(s["n"]).as_py() or 0)
+        detail = pa.table({
+            "k1": s["k1"], "k2": s["k2"],
+            "sum_v": s["sum_v"], "n": s["n"],
+            "lvl": pa.array(np.zeros(len(s), np.int8), pa.int8()),
+        })
+        subt = pa.table({
+            "k1": sub["k1"],
+            "k2": pa.array([None] * len(sub), detail["k2"].type),
+            "sum_v": sub["sum_v"], "n": sub["n"],
+            "lvl": pa.array(np.zeros(len(sub), np.int8), pa.int8()),
+        })
+        tot = pa.table({
+            "k1": pa.array([None], detail["k1"].type),
+            "k2": pa.array([None], detail["k2"].type),
+            "sum_v": pa.array([total_v], pa.int64()),
+            "n": pa.array([total_n], pa.int64()),
+            "lvl": pa.array([1], pa.int8()),
+        })
+        return pa.concat_tables([detail, subt, tot])
+
+    rolled = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("__shard")
+              .map_groups(reduce, batch_format="pyarrow"))
+
+    import pandas as pd
+
+    pdf = rolled.to_pandas()
+    final = pdf[pdf["lvl"] == 0][["k1", "k2", "sum_v", "n"]]
+    tot = pdf[pdf["lvl"] == 1]
+    total = pd.DataFrame({
+        "k1": [None], "k2": [None],
+        "sum_v": [int(tot["sum_v"].sum())], "n": [int(tot["n"].sum())],
+    })
+    out = pd.concat([final, total], ignore_index=True)
+    out["sum_v"] = out["sum_v"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["k1", "k2"], na_position="last") \
+        .reset_index(drop=True)
+
+
+def membership_orphans(ds, key_column: str, ref, ref_key: str,
+                       n_shards: int | None = None):
+    """Referential-integrity census: rows of ``ds`` whose key is
+    absent from the reference table — (n_rows_orphan,
+    n_distinct_orphan).  Both sides shard on the SAME key hash (union
+    + local sorted anti-probe), so nothing broadcasts and the exchange
+    is O(distinct keys) thanks to per-batch (key, count) partials."""
+    import pandas as pd
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        k = t[key_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(k, return_counts=True)
+        sh = (splitmix64(u.view(np.uint64) ^ np.uint64(0x0F))
+              % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            "k": pa.array(u, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "side": pa.array(np.zeros(len(u), np.int8), pa.int8()),
+            "__shard": pa.array(sh, pa.int32()),
+        })
+
+    def ref_partial(t: pa.Table) -> pa.Table:
+        k = np.unique(t[ref_key].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        sh = (splitmix64(k.view(np.uint64) ^ np.uint64(0x0F))
+              % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "cnt": pa.array(np.zeros(len(k), np.int64)),
+            "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "__shard": pa.array(sh, pa.int32()),
+        })
+
+    def anti(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        k = g["k"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        refk = np.unique(k[side == 1])
+        pm = side == 0
+        pk, pcnt = k[pm], cnt[pm]
+        if len(refk):
+            j = np.minimum(np.searchsorted(refk, pk),
+                           len(refk) - 1)
+            miss = refk[j] != pk
+        else:
+            miss = np.ones(len(pk), bool)
+        # distinct keys may span batches within the shard: re-unique
+        u = np.unique(pk[miss])
+        return pa.table({
+            "n_rows_orphan": pa.array([int(pcnt[miss].sum())],
+                                      pa.int64()),
+            "n_distinct_orphan": pa.array([len(u)], pa.int64()),
+        })
+
+    probe = ds.map_batches(probe_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    refs = ref.map_batches(ref_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    pdf = probe.union(refs).groupby("__shard") \
+        .map_groups(anti, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_rows_orphan": [int(pdf["n_rows_orphan"].sum())],
+        "n_distinct_orphan": [int(pdf["n_distinct_orphan"].sum())],
+    })

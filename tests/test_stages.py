@@ -3091,3 +3091,37 @@ def test_lexical_diversity_exact():
     assert list(out["n_tokens"]) == [5, 3, 0, 4]
     assert list(out["n_distinct"]) == [2, 3, 0, 1]
     assert list(out["ttr_x1000000"]) == [400000, 1000000, 0, 250000]
+
+
+def test_rollup_census_levels(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.stats import rollup_census
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "x", "y"],
+        "b": ["p", "p", "q", "p"],
+        "v": np.array([1, 2, 4, 8], np.int64),
+    })
+    out = rollup_census(ray.data.from_pandas(df), "a", "b", "v")
+    rows = {(r.k1, r.k2): (r.sum_v, r.n) for r in out.itertuples()}
+    assert rows[("x", "p")] == (3, 2)
+    assert rows[("x", "q")] == (4, 1)
+    assert rows[("y", "p")] == (8, 1)
+    assert rows[("x", None)] == (7, 3)
+    assert rows[("y", None)] == (8, 1)
+    assert rows[(None, None)] == (15, 4)
+    assert len(rows) == 6
+
+
+def test_membership_orphans_exact(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.stats import membership_orphans
+
+    probe = pd.DataFrame({"k": np.array([1, 2, 2, 3, 9, 9, 9], np.int64)})
+    ref = pd.DataFrame({"r": np.array([2, 3], np.int64)})
+    out = membership_orphans(ray.data.from_pandas(probe), "k",
+                             ray.data.from_pandas(ref), "r")
+    assert out.loc[0, "n_rows_orphan"] == 4      # 1, 9, 9, 9
+    assert out.loc[0, "n_distinct_orphan"] == 2  # {1, 9}
