@@ -81,6 +81,21 @@ def main():
                                   pa.string()), col)
     out["casefold_perrow_MBps_per_core"] = round(n * w / dt / 1e6, 1)
 
+    # flat-JSON scalar extraction (tape kernel vs per-row json.loads)
+    import json as _json
+
+    from stringzilla_ray.functions.jsonx import json_scalar
+
+    n = 100_000
+    jcol = pa.array([f'{{"a": {i % 97}, "k": {i}, "s": "v{i % 13}"}}'
+                     for i in range(n)])
+    jbytes = sum(len(s.as_py()) for s in jcol)
+    dt = bench(json_scalar, jcol, "k")
+    out["json_scalar_MBps_per_core"] = round(jbytes / dt / 1e6, 1)
+    dt = bench(lambda c: pa.array(
+        [str(_json.loads(s)["k"]) for s in c.to_pylist()]), jcol)
+    out["json_perrow_MBps_per_core"] = round(jbytes / dt / 1e6, 1)
+
     print(json.dumps(out, indent=2))
     return out
 

@@ -16,11 +16,8 @@ cost exactly 2k shuffles of O(|E|) + O(|V|) rows.
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from stringzilla_ray.functions.fingerprint import splitmix64
 
