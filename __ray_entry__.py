@@ -4529,6 +4529,40 @@ def _q_fk_orphans(sf_dir: str):
         ref_key="s_suppkey")
 
 
+def _q_keyword_search_incremental(sf_dir: str):
+    """Incremental inverted-index maintenance: docs with doc_id%3 != 0
+    are "yesterday's corpus" built into the postings index; the
+    doc_id%3 == 0 shard merges in via update_text_index — O(new shard)
+    cost, existing buckets never read.  Search over the merged index
+    must equal a full-corpus index, so the oracle is the plain
+    whole-corpus conjunctive SQL."""
+    from stringzilla_ray.stages.textindex import (build_text_index,
+                                                  search_all_terms,
+                                                  update_text_index)
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+    def _part(t: pa.Table, keep_new: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 3 == 0) == keep_new))
+
+    def _build(tmp: str) -> None:
+        import functools
+
+        old = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(functools.partial(_part, keep_new=False),
+                         batch_format="pyarrow")
+        build_text_index(old, tmp)
+        new = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(functools.partial(_part, keep_new=True),
+                         batch_format="pyarrow")
+        update_text_index(tmp, new)
+
+    idx = _cached_build(
+        f"/tmp/stringzilla_ray_textindex/{scale}-incr-v1", _build)
+    return search_all_terms(idx, ["spark", "window", "merge"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -4596,6 +4630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": _q_bottomk_sample,
         "gopher_quality": _q_gopher_quality,
         "keyword_search": _q_keyword_search,
+        "keyword_search_incremental": _q_keyword_search_incremental,
         "bm25_topk": _q_bm25_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "near_dup_index": _q_near_dup_index,
@@ -6160,6 +6195,14 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": (
             # Whole-token AND semantics, same [0-9A-Za-z_]+ tokenizer
             # as the index build.
+            "SELECT doc_id FROM documents "
+            "WHERE list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'spark') "
+            "AND list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'window') "
+            "AND list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'merge')"
+        ),
+        "keyword_search_incremental": (
+            # merged (build + update) index must equal a full-corpus
+            # index, so the oracle is the plain whole-corpus query.
             "SELECT doc_id FROM documents "
             "WHERE list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'spark') "
             "AND list_contains(regexp_extract_all(text, '[0-9A-Za-z_]+'), 'window') "

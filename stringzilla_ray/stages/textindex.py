@@ -141,6 +141,58 @@ def build_text_index(ds, path: str, id_column: str = "doc_id",
                    "n_buckets": n_buckets}, f)
 
 
+def update_text_index(index_path: str, ds_new,
+                      id_column: str = "doc_id",
+                      text_column: str = "text",
+                      token_chars: str = DEFAULT_TOKEN_CHARS) -> None:
+    """Incrementally merge NEW documents into an existing postings
+    index WITHOUT rescanning yesterday's corpus: the new shard's
+    postings write as additional files under the same token-hash
+    bucket partitions (readers glob every file per bucket, so old and
+    new postings coexist with no compaction step), and the BM25 corpus
+    stats in meta.json update by addition.  Append-only contract: new
+    doc_ids must be previously unseen (re-adding a doc would duplicate
+    its postings — same contract as build_dedup_index's probe side).
+    Cost is O(new shard) — the existing buckets are never read."""
+    import json
+    import os
+
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    # positional indexes carry a pos column — match the existing
+    # files' schema so appended postings stay read-compatible
+    existing = sorted(_glob.glob(f"{index_path}/bucket=*/*.parquet"))
+    include_positions = bool(
+        existing and "pos" in _pq.read_schema(existing[0]).names)
+
+    ds_new.map_batches(
+        _postings_fn,
+        fn_kwargs=dict(id_column=id_column, text_column=text_column,
+                       token_chars=token_chars, n_buckets=n_buckets,
+                       include_positions=include_positions),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_parquet(index_path, partition_cols=["bucket"])
+    stats = ds_new.map_batches(
+        _stats_partial_fn,
+        fn_kwargs=dict(text_column=text_column, token_chars=token_chars),
+        batch_format="pyarrow",
+    ).take_all()
+    meta["n_docs"] = int(meta["n_docs"]) + int(
+        sum(r["n_docs"] for r in stats))
+    meta["n_tokens"] = int(meta["n_tokens"]) + int(
+        sum(r["n_tokens"] for r in stats))
+    tmp = os.path.join(index_path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_path, "meta.json"))
+
+
 def search_all_terms(index_path: str, terms: list[str],
                      n_buckets: int = 64, id_column: str = "doc_id"):
     """Documents containing ALL ``terms`` as whole tokens, via the

@@ -3125,3 +3125,53 @@ def test_membership_orphans_exact(ray_session):
                              ray.data.from_pandas(ref), "r")
     assert out.loc[0, "n_rows_orphan"] == 4      # 1, 9, 9, 9
     assert out.loc[0, "n_distinct_orphan"] == 2  # {1, 9}
+
+
+def test_update_text_index_equals_rebuild(ray_session, tmp_path):
+    """Incrementally-updated postings index == from-scratch full-corpus
+    index for BOTH conjunctive search and BM25 ranking (the meta.json
+    n_docs/avgdl addition path), including a positional index."""
+    import ray.data
+
+    from stringzilla_ray.stages.textindex import (bm25_topk,
+                                                  build_text_index,
+                                                  search_all_terms,
+                                                  search_phrase,
+                                                  update_text_index)
+
+    rng = np.random.default_rng(7)
+    vocab = ["spark", "window", "merge", "scan", "join", "agg", "row"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 15)))
+             for _ in range(120)]
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array(texts)})
+    old = ray.data.from_arrow(tbl.slice(0, 80)).repartition(3)
+    new = ray.data.from_arrow(tbl.slice(80)).repartition(2)
+    full = ray.data.from_arrow(tbl).repartition(4)
+
+    for positions in (False, True):
+        inc = str(tmp_path / f"inc{positions}")
+        ref = str(tmp_path / f"ref{positions}")
+        build_text_index(old, inc, n_buckets=8,
+                         include_positions=positions)
+        update_text_index(inc, new)
+        build_text_index(full, ref, n_buckets=8,
+                         include_positions=positions)
+
+        terms = ["spark", "merge"]
+        a = sorted(search_all_terms(inc, terms, n_buckets=8)
+                   .to_pandas()["doc_id"])
+        b = sorted(search_all_terms(ref, terms, n_buckets=8)
+                   .to_pandas()["doc_id"])
+        assert a == b and len(a) > 0
+        ta = bm25_topk(inc, terms, k=15, n_buckets=8).to_pandas()
+        tb = bm25_topk(ref, terms, k=15, n_buckets=8).to_pandas()
+        pd.testing.assert_frame_equal(ta, tb)
+        if positions:
+            pa_ = search_phrase(inc, ["spark", "merge"],
+                                n_buckets=8).to_pandas()
+            pb_ = search_phrase(ref, ["spark", "merge"],
+                                n_buckets=8).to_pandas()
+            pd.testing.assert_frame_equal(
+                pa_.sort_values("doc_id").reset_index(drop=True),
+                pb_.sort_values("doc_id").reset_index(drop=True))
