@@ -4563,6 +4563,77 @@ def _q_keyword_search_incremental(sf_dir: str):
     return search_all_terms(idx, ["spark", "window", "merge"])
 
 
+def _q_contamination_fraction(sf_dir: str):
+    """Graded decontamination: per training doc, distinct-13-gram
+    count and how many appear in the eval slice (doc_id%50==0) —
+    the overlap fraction as exact integer numerator/denominator
+    (stages/dedup.py contamination_stats)."""
+    import functools
+
+    from stringzilla_ray.stages.dedup import contamination_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _part(t: pa.Table, keep_eval: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 50 == 0) == keep_eval))
+
+    ev = ds.map_batches(functools.partial(_part, keep_eval=True),
+                        batch_format="pyarrow")
+    tr = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(functools.partial(_part, keep_eval=False),
+                     batch_format="pyarrow")
+    return contamination_stats(tr, ev, n=13)
+
+
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram — the curation analytics view
+    behind keep-one dedup (how much of the corpus sits in how-big
+    duplicate clouds).  Same exact pair set + CC as near_dedup_keep,
+    then a per-cluster size census (map-side partials, one
+    hash(cluster_rep) shard exchange, per-shard histogram partials,
+    tiny driver combine)."""
+    import functools
+
+    import pandas as pd
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.stages.dedup import near_dedup_keep
+    from stringzilla_ray.util import reduce_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    labeled = near_dedup_keep(ds, "doc_id", "text", n=4,
+                              jaccard_threshold=0.7)
+    n_buckets = reduce_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"rep": pc.cast(t["cluster_rep"], pa.int64())})
+        s = pa.TableGroupBy(g, "rep").aggregate([([], "count_all")]) \
+            .rename_columns(["rep", "n"])
+        sh = (splitmix64(s["rep"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64) ^ np.uint64(0xC5))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return s.append_column("shard", pa.array(sh, pa.int32()))
+
+    def reduce(g: pa.Table) -> pa.Table:
+        s = pa.TableGroupBy(g.select(["rep", "n"]), "rep") \
+            .aggregate([("n", "sum")]).rename_columns(["rep", "n"])
+        return pa.TableGroupBy(s.select(["n"]), "n") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["cluster_size", "n_clusters"])
+
+    pdf = (labeled.map_batches(partial, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(reduce, batch_format="pyarrow")).to_pandas()
+    out = (pdf.groupby("cluster_size", as_index=False)["n_clusters"]
+           .sum() if len(pdf) else
+           pd.DataFrame({"cluster_size": pd.Series([], dtype="int64"),
+                         "n_clusters": pd.Series([], dtype="int64")}))
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -4631,6 +4702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "keyword_search": _q_keyword_search,
         "keyword_search_incremental": _q_keyword_search_incremental,
+        "contamination_fraction": _q_contamination_fraction,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
         "bm25_topk": _q_bm25_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "near_dup_index": _q_near_dup_index,
@@ -4824,6 +4897,25 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN substr(md5(text), 17, 16) < '{b_train}' THEN 'train' "
             f"WHEN substr(md5(text), 17, 16) < '{b_val}' THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "contamination_fraction": (
+            # distinct-13-gram numerator/denominator per training doc;
+            # char substr == engine byte grams on this ASCII corpus
+            # (same dependency as the decontaminate row).
+            "WITH ev AS (SELECT text FROM documents WHERE doc_id % 50 = 0), "
+            "eg AS (SELECT DISTINCT substr(text, CAST(p AS INT), 13) AS gram "
+            "FROM ev, unnest(generate_series(1, length(text) - 12)) AS t(p) "
+            "WHERE length(text) >= 13), "
+            "tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0), "
+            "tg AS (SELECT DISTINCT tr.doc_id, substr(tr.text, CAST(p AS INT), 13) AS gram "
+            "FROM tr, unnest(generate_series(1, length(tr.text) - 12)) AS t(p) "
+            "WHERE length(tr.text) >= 13), "
+            "agg AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit "
+            "FROM tg LEFT JOIN eg USING (gram) GROUP BY tg.doc_id) "
+            "SELECT tr.doc_id, coalesce(agg.n_grams, 0) AS n_grams, "
+            "coalesce(agg.n_hit, 0) AS n_hit "
+            "FROM tr LEFT JOIN agg USING (doc_id)"
         ),
         "decontaminate": (
             "WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0), "
@@ -5770,6 +5862,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) AS BIGINT) AS jaccard_r6 "
             "FROM inter JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r "
             "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7"
+        ),
+        "dup_cluster_sizes": (
+            # near_dedup_keep's recursive closure + a size histogram.
+            "WITH RECURSIVE g AS ("
+            "  SELECT DISTINCT doc_id, substring(text, CAST(gs AS INT), 4) AS gram"
+            "  FROM documents CROSS JOIN generate_series(1, 100000) AS t(gs)"
+            "  WHERE gs <= length(text) - 3"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i"
+            "  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id),"
+            "pairs AS ("
+            "  SELECT l, r FROM inter"
+            "  JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r"
+            "  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7),"
+            "sym AS (SELECT l AS a, r AS b FROM pairs"
+            "        UNION ALL SELECT r AS a, l AS b FROM pairs),"
+            "reach(s, d) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT reach.s, sym.b FROM reach JOIN sym ON sym.a = reach.d),"
+            "reps AS (SELECT s, min(d) AS rep FROM reach GROUP BY s),"
+            "cs AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size"
+            "  FROM reps GROUP BY rep) "
+            "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters"
+            " FROM cs GROUP BY cluster_size ORDER BY cluster_size"
         ),
         "near_dedup_keep": (
             # Same exact pair set as ngram_jaccard_near_dup, then a

@@ -631,6 +631,83 @@ def _contamination_fn(batch: pa.Table, eval_ref=None, n: int = 13,
                      "contaminated": pa.array(contaminated, pa.bool_())})
 
 
+def _eval_gram_hashes(eval_ds, text_column: str, n: int) -> np.ndarray:
+    """Collapse the (small) eval side to ONE sorted uint64 gram-hash
+    array — ~8 bytes per distinct eval gram, shipped once."""
+    parts = []
+    for b in eval_ds.select_columns([text_column]).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        col = b[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tape, offs = tape_of(pc.cast(col, pa.large_binary()))
+        tape = np.asarray(tape[offs[0]:offs[-1]])
+        flat, _ = _gram_hash_sets(tape, (offs - offs[0]).astype(np.int64), n)
+        parts.append(flat)
+    return (np.unique(np.concatenate(parts))
+            if parts else np.zeros(0, np.uint64))
+
+
+def _contamination_stats_fn(batch: pa.Table, eval_ref=None, n: int = 13,
+                            id_column: str = "doc_id",
+                            text_column: str = "text") -> pa.Table:
+    """(id, n_grams, n_hit): per-doc DISTINCT n-gram census against the
+    broadcast eval set — the graded contamination-overlap signal
+    behind the boolean decontaminate flag.  Same one-gram-pass +
+    one-searchsorted shape."""
+    import ray
+
+    eval_hashes = ray.get(eval_ref)
+    ids = batch[id_column]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tape, offs = tape_of(pc.cast(col, pa.large_binary()))
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    flat, gram_offs = _gram_hash_sets(
+        tape, (offs - offs[0]).astype(np.int64), n)
+    if len(eval_hashes) and len(flat):
+        pos = np.minimum(np.searchsorted(eval_hashes, flat),
+                         len(eval_hashes) - 1)
+        hit = eval_hashes[pos] == flat
+    else:
+        hit = np.zeros(len(flat), bool)
+    sizes = np.diff(gram_offs)
+    rows = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    n_hit = np.bincount(rows, weights=hit,
+                        minlength=len(sizes)).astype(np.int64)
+    return pa.table({
+        id_column: ids,
+        "n_grams": pa.array(sizes.astype(np.int64)),
+        "n_hit": pa.array(n_hit),
+    })
+
+
+def contamination_stats(train_ds, eval_ds, n: int = 13,
+                        id_column: str = "doc_id",
+                        text_column: str = "text"):
+    """Graded eval-set contamination: per training document, the count
+    of DISTINCT character n-grams and how many of them appear anywhere
+    in the eval corpus — the overlap-fraction numerator/denominator
+    (exact ints; the fraction itself is derived, keeping the contract
+    hash-stable).  Same broadcast-small-side shape as decontaminate:
+    eval collapses to one sorted hash array, scoring is one vectorized
+    pass per batch, zero shuffles."""
+    import ray
+
+    eval_ref = ray.put(_eval_gram_hashes(eval_ds, text_column, n))
+    return train_ds.map_batches(
+        _contamination_stats_fn,
+        fn_kwargs=dict(eval_ref=eval_ref, n=n, id_column=id_column,
+                       text_column=text_column),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def decontaminate(train_ds, eval_ds, n: int = 13,
                   id_column: str = "doc_id", text_column: str = "text",
                   flag_only: bool = False, append_flag: bool = False):
@@ -648,20 +725,7 @@ def decontaminate(train_ds, eval_ds, n: int = 13,
     (id, contaminated) for auditing instead of the filtered corpus."""
     import ray
 
-    parts = []
-    for b in eval_ds.select_columns([text_column]).iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow"
-    ):
-        col = b[text_column]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        tape, offs = tape_of(pc.cast(col, pa.large_binary()))
-        tape = np.asarray(tape[offs[0]:offs[-1]])
-        flat, _ = _gram_hash_sets(tape, (offs - offs[0]).astype(np.int64), n)
-        parts.append(flat)
-    eval_hashes = (np.unique(np.concatenate(parts))
-                   if parts else np.zeros(0, np.uint64))
-    eval_ref = ray.put(eval_hashes)
+    eval_ref = ray.put(_eval_gram_hashes(eval_ds, text_column, n))
     if append_flag:
         # full rows + contaminated column, one pass (the pipeline
         # composition mode: later stages still need the text)
