@@ -4634,6 +4634,72 @@ def _q_dup_cluster_sizes(sf_dir: str):
     return out.sort_values("cluster_size").reset_index(drop=True)
 
 
+def _q_quantized_dot_topk(sf_dir: str):
+    """EXACT integer similarity ranking: embeddings quantize to int64
+    (floor(v*1024+0.5) — the same IEEE expression the SQL twin uses),
+    scores are integer dot products, so the SCORES themselves
+    hash-match (the cosine rows can only compare ranks — DuckDB
+    computes float32).  Per-block top-k keeps the k-th-value tie
+    SUPERSET (argpartition drops tied winners — the knn_join lesson);
+    the deterministic (score desc, id) global sort decides."""
+    import ray
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    q = np.asarray(emb["embedding"][2].as_py(), dtype=np.float64)
+    qi = np.floor(q * 1024 + 0.5).astype(np.int64)
+    q_ref = ray.put(qi)
+    k = 10
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        vals = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        qv = ray.get(q_ref)
+        if d == 0 or len(vals) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        mat = np.floor(vals.reshape(-1, d) * 1024 + 0.5).astype(np.int64)
+        s = mat @ qv
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) > k:
+            kth = np.partition(s, len(s) - k)[len(s) - k]
+            keep = s >= kth  # tie superset
+            s, ids = s[keep], ids[keep]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "score": pa.array(s, pa.int64())})
+
+    out = (_read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+           .map_batches(score, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .sort(["score", "vec_id"], descending=[True, False])
+           .limit(k))
+
+    def ranked(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank", pa.array(np.arange(1, len(t) + 1), pa.int64()))
+
+    return out.map_batches(ranked, batch_format="pyarrow",
+                           batch_size=1000)
+
+
+def _q_temperature_langs(sf_dir: str):
+    """Alpha=0.5 temperature mixing (stages/curation.py
+    sample_temperature_groups): keep-rate sqrt(n_min/n_g) per lang —
+    IEEE sqrt/divide are correctly rounded, so the HUGEINT-hex bound
+    in the SQL twin is bit-identical."""
+    from stringzilla_ray.stages.curation import sample_temperature_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = sample_temperature_groups(ds, group_column="lang", alpha=0.5)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -4704,6 +4770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search_incremental": _q_keyword_search_incremental,
         "contamination_fraction": _q_contamination_fraction,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "quantized_dot_topk": _q_quantized_dot_topk,
+        "temperature_langs": _q_temperature_langs,
         "bm25_topk": _q_bm25_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "near_dup_index": _q_near_dup_index,
@@ -5054,6 +5122,22 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 4) AS sum_base_price, "
             "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "quantized_dot_topk": (
+            # int64 quantized dot products — the SCORES hash, not just
+            # ranks; floor(v*1024+0.5) is the same IEEE expression the
+            # engine computes.
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 2), "
+            "qv AS (SELECT generate_subscripts(qe, 1) AS i, "
+            "CAST(floor(CAST(unnest(qe) AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS x FROM q), "
+            "ev AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS x "
+            "FROM embeddings), "
+            "scored AS (SELECT ev.vec_id, CAST(sum(ev.x * qv.x) AS BIGINT) AS score "
+            "FROM ev JOIN qv USING (i) GROUP BY ev.vec_id) "
+            "SELECT vec_id, score, CAST(row_number() OVER "
+            "(ORDER BY score DESC, vec_id) AS BIGINT) AS rank "
+            "FROM scored ORDER BY score DESC, vec_id LIMIT 10"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
@@ -5939,6 +6023,23 @@ def oracle_sql() -> dict[str, str]:
             "t.n_tot - coalesce(a.n_kept, 0) AS n_dropped "
             "FROM documents d JOIN tot t USING (doc_id) "
             "LEFT JOIN agg a USING (doc_id)"
+        ),
+        "temperature_langs": (
+            # bound = floor(sqrt(nmin/n) * 2^60): sqrt and divide are
+            # IEEE-correctly-rounded, power-of-two scale exact, so the
+            # bound matches the engine bit-for-bit; clamp below 2^60
+            # (hex width) and compare as fixed-width hex vs the md5
+            # draw's top 15 chars — the equalize_langs contract.
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang), "
+            "mn AS (SELECT min(n) AS nmin FROM c), "
+            "b AS (SELECT lang, lpad(lower(hex(CAST(least(CAST(floor("
+            "sqrt(CAST((SELECT nmin FROM mn) AS DOUBLE) / n) * "
+            "1152921504606846976) AS BIGINT), 1152921504606846975) "
+            "AS BIGINT))), 15, '0') AS bound FROM c) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN b ON b.lang = d.lang "
+            "WHERE substr(md5(d.text), 17, 15) < b.bound"
         ),
         "equalize_langs": (
             # exact-rational bounds: floor(n_min * 2^60 / n_g) in

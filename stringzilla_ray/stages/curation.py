@@ -831,6 +831,70 @@ def equalize_hex_bound(n_min: int, n_g: int, bits: int = 60) -> str:
     return f"{b:0{bits // 4}x}"
 
 
+def sample_temperature_groups(ds, group_column: str,
+                               text_column: str = "text",
+                               alpha: float = 0.5, method: str = "md5",
+                               seed: int = 0, bits: int = 60):
+    """Temperature-mixing generalization of equalize-to-smallest: keep
+    each group with rate (n_min/n_g)^alpha — alpha=1 leaves the mix
+    unchanged, alpha=0 equalizes, alpha=0.5 is the standard LLM
+    multilingual rebalancing temperature.  Same zero-shuffle shape as
+    sample_equalize_groups (tiny census gather + one stateless filter
+    pass, content-hash deterministic and reshard-stable).
+
+    Exactness contract: for alpha=0.5 the bound is
+    floor(sqrt(n_min/n_g) * 2^bits) — IEEE-754 sqrt and division are
+    correctly rounded, and scaling by a power of two is exact, so
+    DuckDB computes the bit-identical bound and the oracle hashes
+    exactly.  Other alphas use pow(), which is not guaranteed
+    correctly rounded across libms (last-ulp risk, documented)."""
+    import ray
+
+    from stringzilla_ray.util import ensure_materialized
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t[group_column]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        vc = pc.value_counts(g)
+        return pa.table({"g": vc.field("values").cast(pa.string()),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    census = ensure_materialized(
+        ds.map_batches(part, batch_format="pyarrow"))
+    counts: dict[str, int] = {}
+    for t in ray.get(census.to_arrow_refs()):
+        for g, n in zip(t["g"].to_pylist(), t["n"].to_pylist()):
+            counts[g] = counts.get(g, 0) + int(n)
+    if not counts:
+        return ds
+    n_min = min(counts.values())
+    cap = (1 << bits) - 1
+    names = list(counts)
+    scale = np.float64(1 << bits)
+    bvals = []
+    for g in names:
+        ratio = np.float64(n_min) / np.float64(counts[g])
+        r = np.sqrt(ratio) if alpha == 0.5 else ratio ** np.float64(alpha)
+        bvals.append(min(int(np.floor(r * scale)), cap))
+    bounds = np.array(bvals, np.uint64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        key = _split_key(batch[text_column], method, seed) \
+            >> np.uint64(64 - bits)
+        gcol = batch[group_column]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        idx = pc.index_in(gcol, value_set=pa.array(names, gcol.type))
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx_np) if idx_np.dtype.kind == "f" else (idx_np < 0)
+        bound = np.where(miss, np.uint64(0),
+                         bounds[np.where(miss, 0, idx_np).astype(np.int64)])
+        return batch.filter(pa.array(key < bound))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def sample_equalize_groups(ds, group_column: str, text_column: str = "text",
                            method: str = "md5", seed: int = 0,
                            bits: int = 60):

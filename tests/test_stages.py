@@ -3175,3 +3175,36 @@ def test_update_text_index_equals_rebuild(ray_session, tmp_path):
             pd.testing.assert_frame_equal(
                 pa_.sort_values("doc_id").reset_index(drop=True),
                 pb_.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_temperature_sampling_between_equalize_and_identity(ray_session):
+    """alpha=0.5 keep-rates sit strictly between alpha=0 (equalize)
+    and alpha=1 (no-op) for every non-smallest group; the smallest
+    group keeps everything under both."""
+    import ray.data
+
+    from stringzilla_ray.stages.curation import (
+        sample_equalize_groups,
+        sample_temperature_groups,
+    )
+
+    rng = np.random.default_rng(3)
+    n_a, n_b = 900, 100
+    df = pd.DataFrame({
+        "doc_id": np.arange(n_a + n_b, dtype=np.int64),
+        "text": [f"doc number {i} with body {rng.integers(1e9)}"
+                 for i in range(n_a + n_b)],
+        "lang": ["a"] * n_a + ["b"] * n_b,
+    })
+    eq = sample_equalize_groups(
+        ray.data.from_pandas(df), "lang").to_pandas()
+    tp = sample_temperature_groups(
+        ray.data.from_pandas(df), "lang", alpha=0.5).to_pandas()
+    a_eq = (eq["lang"] == "a").sum()
+    a_tp = (tp["lang"] == "a").sum()
+    # same hash draws, monotone bounds => strict subset relation
+    assert a_eq < a_tp < n_a
+    assert set(eq[eq.lang == "a"].doc_id) <= set(tp[tp.lang == "a"].doc_id)
+    # smallest group survives whole under both (rate 1.0 clamps to cap,
+    # which loses only the single all-ones draw)
+    assert (tp["lang"] == "b").sum() >= n_b - 1
