@@ -110,10 +110,64 @@ def _attach_outdeg(edges, n_shards: int):
                                            batch_format="pyarrow"))
 
 
+def _pagerank_small(edge_refs, node_refs, iters, init, base,
+                    damping_num, damping_den):
+    """Single warm-task twin of the distributed iteration — the SAME
+    int64 arithmetic, so dispatch never changes the result.  One
+    remote task over the materialized block refs (the driver-UF
+    pattern: gather in a worker, not on the driver)."""
+    import ray
+
+    @ray.remote
+    def run(eblocks, nblocks):
+        # refs nested in a list arg are NOT auto-dereferenced; groupby
+        # partitions with no groups emit ZERO-COLUMN blocks — drop them
+        eblocks = [t for t in ray.get(list(eblocks)) if t.num_columns]
+        nblocks = [t for t in ray.get(list(nblocks)) if t.num_columns]
+        src = np.concatenate(
+            [t["src"].to_numpy(zero_copy_only=False) for t in eblocks]
+        ) if eblocks else np.zeros(0, np.int64)
+        dst = np.concatenate(
+            [t["dst"].to_numpy(zero_copy_only=False) for t in eblocks]
+        ) if eblocks else np.zeros(0, np.int64)
+        node = np.unique(np.concatenate(
+            [t.column(0).to_numpy(zero_copy_only=False)
+             for t in nblocks])) if nblocks else np.zeros(0, np.int64)
+        if len(node) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "rank_scaled": pa.array([], pa.int64())})
+        # distributed-path semantics for out-of-node-set endpoints:
+        # a missing src contributes nothing (rank reads as 0), a
+        # missing dst drops the delivery, but the SRC DEGREE counts
+        # every out-edge either way (_attach_outdeg is node-agnostic).
+        si = np.minimum(np.searchsorted(node, src), len(node) - 1)
+        di = np.minimum(np.searchsorted(node, dst), len(node) - 1)
+        ok_s = node[si] == src
+        ok_d = node[di] == dst
+        u, inv, cnt = np.unique(src, return_inverse=True,
+                                return_counts=True)
+        deg_e = cnt[inv]  # per-edge out-degree of its src
+        r = np.full(len(node), init, np.int64)
+        deliver = ok_s & ok_d
+        sd, dd, degd = si[deliver], di[deliver], deg_e[deliver]
+        for _ in range(iters):
+            contrib = r[sd] // degd
+            s = np.zeros(len(node), np.int64)
+            np.add.at(s, dd, contrib)
+            r = base + (damping_num * s) // damping_den
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "rank_scaled": pa.array(r, pa.int64())})
+
+    import ray.data
+
+    return ray.data.from_arrow_refs([run.remote(edge_refs, node_refs)])
+
+
 def pagerank_int(edges, nodes, iters: int = 3, init: int = 1_000_000,
                  base: int = 150_000, damping_num: int = 85,
                  damping_den: int = 100, n_shards: int | None = None,
-                 node_column: str = "node"):
+                 node_column: str = "node",
+                 small_threshold: int = 5_000_000):
     """EXACT integer PageRank, fixed iteration count:
 
         r_0(v)   = init
@@ -131,8 +185,27 @@ def pagerank_int(edges, nodes, iters: int = 3, init: int = 1_000_000,
     contrib step is a union + local searchsorted join, never a
     broadcast.  2 exchanges per iteration, O(|E|+|V|) rows each.
     ``iters`` is small and fixed (3 by default) by design: PageRank
-    at web scale is always run a bounded number of sweeps."""
-    from stringzilla_ray.util import reduce_buckets
+    at web scale is always run a bounded number of sweeps.
+
+    Size dispatch (the house small-side pattern): below
+    ``small_threshold`` total rows the whole loop runs as ONE warm
+    worker task over the materialized block refs — each Ray exchange
+    costs seconds of fixed orchestration regardless of size, and a
+    3-sweep distributed run is ~8 of them; the twin computes the
+    identical int64 arithmetic so dispatch can never change a bit."""
+    import ray
+
+    from stringzilla_ray.util import ensure_materialized, reduce_buckets
+
+    edges = ensure_materialized(edges)
+    nodes = ensure_materialized(nodes)
+    if edges.count() + nodes.count() <= small_threshold:
+        # ObjectRef args auto-deref inside the task — blocks never
+        # touch the driver
+        nsel = nodes.select_columns([node_column]).materialize()
+        return _pagerank_small(
+            edges.to_arrow_refs(), nsel.to_arrow_refs(),
+            iters, init, base, damping_num, damping_den)
 
     n_shards = n_shards or reduce_buckets()
     ew = _attach_outdeg(edges, n_shards)

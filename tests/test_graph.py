@@ -18,7 +18,11 @@ def _ref_pagerank(src, dst, n_nodes, iters=3):
 
 
 @pytest.mark.parametrize("seed,V,E", [(0, 40, 500), (5, 9, 12)])
-def test_pagerank_int_matches_reference(ray_session, seed, V, E):
+@pytest.mark.parametrize("small_threshold", [5_000_000, 0])
+def test_pagerank_int_matches_reference(ray_session, seed, V, E,
+                                        small_threshold):
+    """Both dispatch paths (single warm task / distributed iteration)
+    against the NumPy reference — identical int64 arithmetic."""
     import ray.data
 
     from stringzilla_ray.stages.graph import pagerank_int
@@ -29,7 +33,8 @@ def test_pagerank_int_matches_reference(ray_session, seed, V, E):
     edges = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
     nodes = ray.data.from_pandas(
         pd.DataFrame({"node": np.arange(V, dtype=np.int64)}))
-    got = pagerank_int(edges, nodes, iters=3).to_pandas() \
+    got = pagerank_int(edges, nodes, iters=3,
+                       small_threshold=small_threshold).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     want = pd.DataFrame({
         "node": np.arange(V, dtype=np.int64),
