@@ -675,6 +675,287 @@ def _sum_aggs(*pairs):
     return [Sum(col, alias_name=alias) for col, alias in pairs]
 
 
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7-shaped cross-nation shipping volume: revenue between
+    an (ordered) pair of nations by ship year.  supplier and customer
+    collapse to sorted broadcast probe arrays (the q3/q5 contract —
+    at true scale these become hash joins with the same exchange
+    shape the lineitem side already pays); the only big-big exchange
+    is lineitem ⋈ orders on orderkey.  Revenue in exact 1e-4-unit
+    int64 so summation order can't flip the hash."""
+    import ray
+
+    from stringzilla_ray.util import join_partitions
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = nation["n_name"].to_pylist()
+    pair_keys = np.array(
+        [nk[nn.index("NATION_3")], nk[nn.index("NATION_8")]], np.int64)
+    names = {int(k): v for k, v in zip(nk, nn)}
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.isin(snk, pair_keys)
+    sk, snk = sk[keep], snk[keep]
+    so = np.argsort(sk)
+    sup_ref = ray.put((sk[so], snk[so]))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnk = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.isin(cnk, pair_keys)
+    ck, cnk = ck[keep], cnk[keep]
+    co = np.argsort(ck)
+    cust_ref = ray.put((ck[co], cnk[co]))
+
+    def orders_probe(t: pa.Table) -> pa.Table:
+        keys, cn = ray.get(cust_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.minimum(np.searchsorted(keys, oc), max(len(keys) - 1, 0))
+        hit = (keys[j] == oc) if len(keys) else np.zeros(len(oc), bool)
+        return pa.table({
+            "o_orderkey": pc.cast(t.filter(pa.array(hit))["o_orderkey"],
+                                  pa.int64()),
+            "c_nation": pa.array(cn[j[hit]], pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_probe, batch_format="pyarrow")
+
+    import datetime as _dt
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1))
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        keys, sn = ray.get(sup_ref)
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        f = t.filter(m)
+        lsk = f["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.minimum(np.searchsorted(keys, lsk), max(len(keys) - 1, 0))
+        hit = (keys[j] == lsk) if len(keys) else np.zeros(len(lsk), bool)
+        f = f.filter(pa.array(hit))
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = f["l_discount"].to_numpy(zero_copy_only=False)
+        ru = (np.floor(ep * 100 + 0.5).astype(np.int64)
+              * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
+            "s_nation": pa.array(sn[j[hit]], pa.int64()),
+            "l_year": pc.cast(pc.year(f["l_shipdate"]), pa.int64()),
+            "ru": pa.array(ru, pa.int64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"]) \
+        .map_batches(li_rows, batch_format="pyarrow")
+    j = li.join(orders, join_type="inner",
+                num_partitions=join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        sn = t["s_nation"].to_numpy(zero_copy_only=False)
+        cn = t["c_nation"].to_numpy(zero_copy_only=False)
+        keep = sn != cn  # both already restricted to the pair
+        yr = t["l_year"].to_numpy(zero_copy_only=False)[keep]
+        ru = t["ru"].to_numpy(zero_copy_only=False)[keep]
+        sn, cn = sn[keep], cn[keep]
+        comp = (sn << 32) | (cn << 16) | yr
+        uk, inv = np.unique(comp, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, ru)
+        return pa.table({
+            "supp_nation": pa.array(
+                [names[int(k >> 32)] for k in uk], pa.string()),
+            "cust_nation": pa.array(
+                [names[int((k >> 16) & 0xFFFF)] for k in uk], pa.string()),
+            "l_year": pa.array(uk & np.int64(0xFFFF), pa.int64()),
+            "revenue_e4": pa.array(sums, pa.int64()),
+        })
+
+    agged = (
+        j.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(*_sum_aggs(("revenue_e4", "revenue_e4_sum")))
+    )
+    return agged.map_batches(
+        lambda t: pa.table({
+            "supp_nation": t["supp_nation"],
+            "cust_nation": t["cust_nation"],
+            "l_year": t["l_year"],
+            "revenue_e4": t["revenue_e4_sum"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_tpch_q11_part_value(sf_dir: str):
+    """TPC-H Q11-shaped HAVING-over-global-fraction: per-part lineitem
+    value census, keep parts whose value exceeds a scale-free fraction
+    of the global sum (1.25x the average per-part share; this
+    synthetic corpus is near-uniform, max/avg ~1.8).  The census
+    finalizes with a shard-groupby (map-side partials first, so the
+    exchange is per-(batch,part) rows); the global scalars are the
+    census's own Sum/Count — driver ints, never a second corpus
+    pass.  The comparison is an integer cross-multiply
+    (4·n_parts·v > 5·total), no float division on either side."""
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import ensure_materialized, reduce_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, v)
+        return pa.table({"l_partkey": pa.array(uk, pa.int64()),
+                         "value_e2": pa.array(sums, pa.int64())})
+
+    n_buckets = reduce_buckets()
+
+    def shard(t: pa.Table) -> pa.Table:
+        sh = (splitmix64(t["l_partkey"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64) ^ np.uint64(0x2B))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("shard", pa.array(sh, pa.int32()))
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(g.select(["l_partkey", "value_e2"]),
+                               "l_partkey") \
+            .aggregate([("value_e2", "sum")]) \
+            .rename_columns(["l_partkey", "value_e2"])
+
+    census = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    census = ensure_materialized(census)
+    total = int(census.sum("value_e2") or 0)
+    n_parts = int(census.count())
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["value_e2"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(4 * n_parts * v > 5 * total))
+
+    return census.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_tpch_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped top supplier(s): quarterly revenue census per
+    suppkey (map-side partials -> shard-groupby finalize), global max
+    as one driver int off the materialized census, emit ALL suppliers
+    at the max (the view/HAVING-max tie semantics of the original)."""
+    import datetime as _dt
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import ensure_materialized, reduce_buckets
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        f = t.filter(m)
+        sk = f["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = f["l_discount"].to_numpy(zero_copy_only=False)
+        ru = (np.floor(ep * 100 + 0.5).astype(np.int64)
+              * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        uk, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, ru)
+        return pa.table({"s_suppkey": pa.array(uk, pa.int64()),
+                         "total_revenue_e4": pa.array(sums, pa.int64())})
+
+    n_buckets = reduce_buckets()
+
+    def shard(t: pa.Table) -> pa.Table:
+        sh = (splitmix64(t["s_suppkey"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64) ^ np.uint64(0x15))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("shard", pa.array(sh, pa.int32()))
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            g.select(["s_suppkey", "total_revenue_e4"]), "s_suppkey") \
+            .aggregate([("total_revenue_e4", "sum")]) \
+            .rename_columns(["s_suppkey", "total_revenue_e4"])
+
+    census = (
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    census = ensure_materialized(census)
+    best = int(census.max("total_revenue_e4") or 0)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["total_revenue_e4"], best))
+
+    return census.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_tpch_q19(sf_dir: str):
+    """TPC-H Q19-shaped OR-of-ANDs discounted revenue: the part side
+    collapses to (sorted partkey, brand code, size) broadcast once;
+    every batch evaluates the three (brand, size-range, qty-range)
+    clauses vectorized and emits one exact 1e-4-unit partial — ZERO
+    shuffle end to end (the classic pushed-down disjunctive predicate
+    join)."""
+    import pandas as pd
+    import ray
+
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_brand", "p_size"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = np.zeros(len(pk), np.int8)
+    for code, b in ((1, "Brand#1"), (2, "Brand#2"), (3, "Brand#3")):
+        brand[pc.equal(pt["p_brand"], b).to_numpy(zero_copy_only=False)] \
+            = code
+    size = pt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk)
+    part_ref = ray.put((pk[order], brand[order], size[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, br, sz = ray.get(part_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.minimum(np.searchsorted(keys, lp), max(len(keys) - 1, 0))
+        hit = (keys[j] == lp) if len(keys) else np.zeros(len(lp), bool)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        b = np.where(hit, br[j], 0)
+        s = np.where(hit, sz[j], 0)
+        m = ((b == 1) & (s >= 1) & (s <= 5) & (qty >= 1) & (qty <= 11)) | \
+            ((b == 2) & (s >= 1) & (s <= 10) & (qty >= 10) & (qty <= 20)) | \
+            ((b == 3) & (s >= 1) & (s <= 15) & (qty >= 20) & (qty <= 30))
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        d = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        ru = int((np.floor(ep * 100 + 0.5).astype(np.int64)
+                  * (100 - np.floor(d * 100 + 0.5).astype(np.int64))).sum())
+        return pa.table({"revenue_e4": pa.array([ru], pa.int64())})
+
+    total = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity", "l_extendedprice",
+                           "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow").sum("revenue_e4")
+    import pandas as _pd
+
+    return _pd.DataFrame({"revenue_e4": [int(total or 0)]})
+
+
 def _q_ann_topk(sf_dir: str):
     from stringzilla_ray.stages.ann import brute_force_topk
 
@@ -4757,6 +5038,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_revenue": _q_tpch_q3,
         "tpch_q5_revenue": _q_tpch_q5,
         "tpch_q6_revenue": _q_tpch_q6,
+        "tpch_q7_volume": _q_tpch_q7,
+        "tpch_q11_part_value": _q_tpch_q11_part_value,
+        "tpch_q15_top_supplier": _q_tpch_q15_top_supplier,
+        "tpch_q19_discount": _q_tpch_q19,
         "tpch_q14_promo": _q_tpch_q14,
         "approx_distinct_users": _q_approx_distinct_users,
         "approx_distinct_check": _q_approx_distinct_check,
@@ -6143,6 +6428,57 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier ON l_suppkey = s_suppkey "
             "AND s_nationkey = ao.n_nationkey "
             "GROUP BY ao.n_name"
+        ),
+        "tpch_q7_volume": (
+            "WITH pair AS (SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_name IN ('NATION_3', 'NATION_8')), "
+            "o AS (SELECT o_orderkey, n_name AS cust_nation, "
+            "n_nationkey AS ck FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN pair ON c_nationkey = n_nationkey), "
+            "l AS (SELECT l_orderkey, n_name AS supp_nation, "
+            "n_nationkey AS sk, CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS ru "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN pair ON s_nationkey = n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01') "
+            "SELECT supp_nation, cust_nation, l_year, "
+            "CAST(sum(ru) AS BIGINT) AS revenue_e4 "
+            "FROM l JOIN o ON l_orderkey = o.o_orderkey WHERE sk <> ck "
+            "GROUP BY supp_nation, cust_nation, l_year"
+        ),
+        "tpch_q11_part_value": (
+            "WITH v AS (SELECT l_partkey, CAST(sum("
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS value_e2 FROM lineitem GROUP BY l_partkey) "
+            "SELECT l_partkey, value_e2 FROM v "
+            "WHERE 4 * (SELECT count(*) FROM v) * value_e2 > "
+            "5 * (SELECT CAST(sum(value_e2) AS BIGINT) FROM v)"
+        ),
+        "tpch_q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey AS s_suppkey, CAST(sum("
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+            ") AS BIGINT) AS total_revenue_e4 FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, total_revenue_e4 FROM r "
+            "WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM r)"
+        ),
+        "tpch_q19_discount": (
+            "SELECT CAST(coalesce(sum("
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))), 0) "
+            "AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
         ),
         "tpch_q6_revenue": (
             "SELECT CAST(coalesce(sum("

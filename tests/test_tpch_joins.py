@@ -10,9 +10,13 @@ import pytest
 SF = "/root/testdata/sf0.001"
 QUERIES = [
     "tpch_q4_priority",
+    "tpch_q7_volume",
+    "tpch_q11_part_value",
     "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty",
+    "tpch_q19_discount",
     "tpch_q22_idle_rich",
 ]
 
@@ -20,7 +24,8 @@ QUERIES = [
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("orders", "customer", "lineitem", "supplier", "part"):
+    for t in ("orders", "customer", "lineitem", "supplier", "part",
+              "nation", "region"):
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
               f"read_parquet('{SF}/{t}.parquet')")
     return c
