@@ -130,6 +130,40 @@ def _q_contains_filter(sf_dir: str):
     )
 
 
+def _q_like_filter(sf_dir: str):
+    """SQL LIKE as a vectorized tape kernel (functions/text.py
+    like_match): anchored prefix + greedy middle segment.  Byte vs
+    char semantics coincide under the ASCII guard (both sides)."""
+    from stringzilla_ray.functions.text import like_match
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.fill_null(like_match(t["text"], "key%sort%"),
+                                 False),
+                    _ascii_mask(t))
+        return t.filter(m).select(["doc_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_ilike_filter(sf_dir: str):
+    """Case-insensitive LIKE with a '_' single-char wildcard — the
+    haystack AND pattern fold through one ASCII LUT pass before the
+    same greedy segment matcher."""
+    from stringzilla_ray.functions.text import like_match
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.fill_null(
+            like_match(t["text"], "%THE_Q%", case_insensitive=True),
+            False), _ascii_mask(t))
+        return t.filter(m).select(["doc_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_startswith_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
     flagged = ds.map_batches(
@@ -4986,6 +5020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_substring": _q_find_substring,
         "count_substring": _q_count_substring,
         "contains_filter": _q_contains_filter,
+        "like_filter": _q_like_filter,
+        "ilike_filter": _q_ilike_filter,
         "startswith_by_lang": _q_startswith_by_lang,
         "token_count": _q_token_count,
         "token_topk": _q_token_topk,
@@ -5348,6 +5384,14 @@ def oracle_sql() -> dict[str, str]:
         "count_substring": (
             "SELECT doc_id, CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS n "
             "FROM documents"
+        ),
+        "like_filter": (
+            "SELECT doc_id FROM documents WHERE text LIKE 'key%sort%' "
+            "AND length(text) = strlen(text)"
+        ),
+        "ilike_filter": (
+            "SELECT doc_id FROM documents WHERE text ILIKE '%THE_Q%' "
+            "AND length(text) = strlen(text)"
         ),
         "contains_filter": (
             "SELECT doc_id, n_chars FROM documents WHERE instr(text, 'merge') > 0"

@@ -44,6 +44,7 @@ __all__ = [
     "uncased_sort_key",
     "utf8_count",
     "byte_length",
+    "like_match",
     "tape_of",
 ]
 
@@ -521,6 +522,98 @@ def find_all(arr, needle: str) -> tuple[np.ndarray, np.ndarray]:
     ok = pos + w <= offsets[row + 1]  # drop matches spanning two rows
     row, pos = row[ok], pos[ok]
     return row, pos - offsets[row]
+
+
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[ord("A"):ord("Z") + 1] += 32
+
+
+def like_match(arr, pattern: str,
+               case_insensitive: bool = False) -> pa.Array:
+    """SQL LIKE / ILIKE over byte semantics ('%' = any run incl.
+    empty, '_' = exactly one byte; no escape support).  The classic
+    greedy algorithm — anchor the first segment if the pattern
+    doesn't start with '%', anchor the last at the row end if it
+    doesn't end with '%', and take the LEFTMOST occurrence of every
+    middle segment (leftmost-greedy is lossless for LIKE) — run
+    segment-at-a-time over the whole batch tape: each segment is one
+    vectorized mask sweep (wildcard bytes skip their equality term),
+    each row keeps a cursor advanced by searchsorted into the
+    segment's global hit positions.  Byte '_' equals char '_' only on
+    ASCII; pair oracles with the strlen guard.  Null rows stay null
+    (SQL three-valued LIKE)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nulls = arr.is_null() if arr.null_count else None
+    if nulls is not None:
+        arr = pc.fill_null(arr, "")
+    tape, offsets = tape_of(arr)
+    tape = np.asarray(tape[offsets[0]:offsets[-1]])
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    pat = pattern.encode()
+    if case_insensitive:
+        tape = _LOWER_LUT[tape]
+        pat = bytes(_LOWER_LUT[np.frombuffer(pat, np.uint8)])
+    n = len(offsets) - 1
+    row_start, row_end = offsets[:-1], offsets[1:]
+    ok = np.ones(n, bool)
+
+    def hits_of(seg: bytes):
+        """Global tape positions where ``seg`` matches ('_' matches
+        any byte). Returns (sorted positions, bool mask over tape)."""
+        L = len(seg)
+        if L == 0 or len(tape) < L:
+            return np.zeros(0, np.int64), np.zeros(0, bool)
+        m = np.ones(len(tape) - L + 1, bool)
+        sb = np.frombuffer(seg, np.uint8)
+        for j in range(L):
+            if seg[j] != 0x5F:  # '_'
+                m &= tape[j:j + len(m)] == sb[j]
+        return np.flatnonzero(m).astype(np.int64), m
+
+    segs = pat.split(b"%")
+    if len(segs) == 1:
+        # no '%': exact wildcard equality
+        seg = segs[0]
+        L = len(seg)
+        lens = row_end - row_start
+        if L == 0:
+            ok = lens == 0
+        else:
+            _, mask = hits_of(seg)
+            pos = np.minimum(row_start, max(len(mask) - 1, 0))
+            ok = (lens == L) & (mask[pos] if len(mask) else False)
+    else:
+        cursor = row_start.copy()
+        middles = [s for s in segs[1:-1] if s]
+        first, last = segs[0], segs[-1]
+        if first:
+            L = len(first)
+            _, mask = hits_of(first)
+            pos = np.minimum(row_start, max(len(mask) - 1, 0))
+            ok &= (mask[pos] if len(mask) else False) \
+                & (row_start + L <= row_end)
+            cursor = row_start + L
+        for seg in middles:
+            L = len(seg)
+            hits, _ = hits_of(seg)
+            idx = np.searchsorted(hits, cursor)
+            found = idx < len(hits)
+            p = hits[np.minimum(idx, max(len(hits) - 1, 0))] \
+                if len(hits) else np.zeros(n, np.int64)
+            ok &= found & (p + L <= row_end)
+            cursor = np.where(ok, p + L, cursor)
+        if last:
+            L = len(last)
+            _, mask = hits_of(last)
+            pos = row_end - L
+            valid = (pos >= cursor) & (pos >= 0)
+            safe = np.clip(pos, 0, max(len(mask) - 1, 0))
+            ok &= valid & (mask[safe] if len(mask) else False)
+    res = pa.array(ok)
+    if nulls is not None:
+        res = pc.if_else(nulls, pa.scalar(None, pa.bool_()), res)
+    return res
 
 
 def soundex(arr) -> pa.Array:

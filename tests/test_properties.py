@@ -168,3 +168,42 @@ def test_tag_keywords_batch_matches_str_count(texts, kws):
     expect = {(i, k): t.count(k)
               for i, t in enumerate(texts) for k in kws if t.count(k) > 0}
     assert got == expect
+
+
+_like_alpha = "ab_c %"
+
+
+def _like_ref(s: str, pattern: str, ci: bool) -> bool:
+    """Byte-level LIKE reference: translate to a DOTALL regex."""
+    import re
+
+    sb, pb = s.encode(), pattern.encode()
+    if ci:
+        sb, pb = sb.lower(), pb.lower()
+    parts = []
+    for ch in pb:
+        if ch == 0x25:  # %
+            parts.append(b".*")
+        elif ch == 0x5F:  # _
+            parts.append(b".")
+        else:
+            parts.append(re.escape(bytes([ch])))
+    return re.fullmatch(b"".join(parts), sb, re.DOTALL) is not None
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    texts=st.lists(st.one_of(st.none(), st.text(alphabet="abc d",
+                                                 max_size=14)),
+                   min_size=1, max_size=10),
+    pattern=st.text(alphabet=_like_alpha, max_size=8),
+    ci=st.booleans(),
+)
+def test_like_match_matches_regex_reference(texts, pattern, ci):
+    from stringzilla_ray.functions.text import like_match
+
+    arr = pa.array(texts, pa.string())
+    got = like_match(arr, pattern, case_insensitive=ci).to_pylist()
+    exp = [None if t is None else _like_ref(t, pattern, ci)
+           for t in texts]
+    assert got == exp
