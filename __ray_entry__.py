@@ -4698,6 +4698,46 @@ def _q_event_interarrival(sf_dir: str):
     return lag_delta(ds, by="user_id", on="ts", id_column="event_id")
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort-retention census (stages/temporal.py cohort_retention):
+    distinct-users-active per (first-seen day, day offset) cell.
+    Map-side (user, day) distinct -> one hash(user) shuffle -> shard
+    owns its users whole so min-day and per-cell counts are final
+    locally -> tiny census groupby."""
+    from stringzilla_ray.stages.temporal import cohort_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, by="user_id", on="ts")
+
+
+def _q_first_last_event(sf_dir: str):
+    """Per-user FIRST_VALUE/LAST_VALUE of event_type ordered by
+    (ts, event_id) (stages/temporal.py group_first_last): map-side
+    boundary combiner caps the exchange at 2 rows per (batch, user)."""
+    from stringzilla_ray.stages.temporal import group_first_last
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return group_first_last(ds, by="user_id", on="ts",
+                            id_column="event_id",
+                            value_column="event_type") \
+        .map_batches(lambda t: t.select(
+            ["user_id", "first_value", "last_value"]),
+        batch_format="pyarrow")
+
+
+def _q_value_moments_by_type(sf_dir: str):
+    """Per-type exact integer moment census (stages/stats.py
+    grouped_moments): n, Σq, Σq² with q = floor(value·100) — the
+    sufficient statistics for variance with zero float-sum-order
+    hash risk."""
+    from stringzilla_ray.stages.stats import grouped_moments
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_moments(ds, key_column="event_type",
+                           value_column="value", value_scale=100)
+
+
 def _q_rank_by_user_value(sf_dir: str):
     """Per-user RANK + DENSE_RANK by value desc (stages/temporal.py
     group_rank) — exact SQL tie semantics from segment-boundary masks
@@ -5149,6 +5189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17_small_qty": _q_tpch_q17,
         "tpch_q22_idle_rich": _q_tpch_q22,
         "event_interarrival": _q_event_interarrival,
+        "cohort_retention": _q_cohort_retention,
+        "first_last_event": _q_first_last_event,
+        "value_moments_by_type": _q_value_moments_by_type,
         "dsir_weights": _q_dsir_weights,
         "pagerank_events": _q_pagerank_events,
         "json_extract_props": _q_json_extract_props,
@@ -6047,6 +6090,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts))"
             " OVER (PARTITION BY user_id ORDER BY ts, event_id)"
             " AS delta_us FROM events"
+        ),
+        "cohort_retention": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day "
+            "FROM events), "
+            "c AS (SELECT user_id, min(day) AS cohort FROM ud "
+            "GROUP BY user_id) "
+            "SELECT cohort AS cohort_day, day - cohort AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM ud JOIN c USING (user_id) "
+            "GROUP BY cohort, day - cohort"
+        ),
+        "first_last_event": (
+            "WITH r AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS ra, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rd FROM events) "
+            "SELECT user_id, "
+            "max(CASE WHEN ra = 1 THEN event_type END) AS first_value, "
+            "max(CASE WHEN rd = 1 THEN event_type END) AS last_value "
+            "FROM r GROUP BY user_id"
+        ),
+        "value_moments_by_type": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_q, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT) * "
+            "CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_q2 "
+            "FROM events GROUP BY event_type"
         ),
         "rank_by_user_value": (
             "SELECT event_id, CAST(rank() OVER w AS BIGINT) AS rnk,"

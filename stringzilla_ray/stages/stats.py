@@ -1040,3 +1040,49 @@ def membership_orphans(ds, key_column: str, ref, ref_key: str,
         "n_rows_orphan": [int(pdf["n_rows_orphan"].sum())],
         "n_distinct_orphan": [int(pdf["n_distinct_orphan"].sum())],
     })
+
+
+def grouped_moments(ds, key_column: str, value_column: str,
+                    value_scale: int = 100):
+    """Per-group exact integer moment census — n, Σq and Σq² with
+    q = floor(v·scale) — the sufficient statistics for mean/variance/
+    stddev (and, pairwise, covariance/regression) without a single
+    float sum whose order could flip a hash.  floor(v·scale) is the
+    same one IEEE double op on both engine and SQL sides.
+
+    Scale shape: each batch collapses to one row per group present
+    (map-side partial via bincount over local dictionary codes), the
+    only exchange is the tiny per-group census groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_column].to_numpy(zero_copy_only=False)
+        q = np.floor(v * value_scale).astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            key_column: enc.dictionary,
+            "n": pa.array(np.bincount(code, minlength=k)
+                          .astype(np.int64)),
+            "sum_q": pa.array(np.bincount(code, weights=q, minlength=k)
+                              .astype(np.int64)),
+            "sum_q2": pa.array(np.bincount(code, weights=q * q,
+                                           minlength=k).astype(np.int64)),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(key_column) \
+        .aggregate(Sum("n", alias_name="n_s"),
+                   Sum("sum_q", alias_name="sum_q_s"),
+                   Sum("sum_q2", alias_name="sum_q2_s"))
+    return out.map_batches(
+        lambda t: pa.table({
+            key_column: t[key_column],
+            "n": t["n_s"], "sum_q": t["sum_q_s"],
+            "sum_q2": t["sum_q2_s"]}),
+        batch_format="pyarrow")

@@ -1111,3 +1111,143 @@ def rolling_sum_rows(ds, by: str, on: str, id_column: str,
 
     return _shard_tag_int(ds, by, cols, n_shards, 0x1A8) \
         .groupby("__shard").map_groups(agg, batch_format="pyarrow")
+
+
+def cohort_retention(ds, by: str, on: str, day_us: int = 86_400_000_000,
+                     n_shards: int | None = None):
+    """Classic cohort-retention census: cohort = each key's first
+    active day, offset = active day - cohort day, output the number of
+    DISTINCT keys active at each (cohort_day, day_offset) cell.
+
+    Scale shape: a map-side distinct collapses each batch to its
+    (key, day) pairs before the ONE hash(key) shuffle; each shard owns
+    its keys whole, so per-key min-day and the per-cell distinct
+    counts are final locally — the last exchange is the tiny
+    (cohorts x offsets) census groupby."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = _ts_us(batch[on]) // np.int64(day_us)
+        comp = np.unique((k.astype(np.uint64) << np.uint64(20))
+                         | day.astype(np.uint64))
+        # day fits 20 bits for any us-epoch horizon (~2870 years)
+        ku = (comp >> np.uint64(20)).astype(np.int64)
+        shard = (splitmix64(ku.view(np.uint64) ^ np.uint64(0x1C0))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            by: pa.array(ku),
+            "__day": pa.array(
+                (comp & np.uint64((1 << 20) - 1)).astype(np.int64)),
+            "__shard": pa.array(shard, pa.int32()),
+        })
+
+    def agg(g: pa.Table) -> pa.Table:
+        k = g[by].to_numpy(zero_copy_only=False)
+        day = g["__day"].to_numpy(zero_copy_only=False)
+        comp = np.unique((k.astype(np.uint64) << np.uint64(20))
+                         | day.astype(np.uint64))
+        k = (comp >> np.uint64(20)).astype(np.int64)
+        day = (comp & np.uint64((1 << 20) - 1)).astype(np.int64)
+        # comp sorts by (key, day): each key's first row is its cohort
+        head = np.ones(len(k), bool)
+        head[1:] = k[1:] != k[:-1]
+        cohort = day[np.maximum.accumulate(
+            np.where(head, np.arange(len(k)), 0))]
+        cell = (cohort << np.int64(20)) | (day - cohort)
+        uc, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array(uc >> np.int64(20), pa.int64()),
+            "day_offset": pa.array(uc & np.int64((1 << 20) - 1),
+                                   pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    part = ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(agg, batch_format="pyarrow")
+    out = part.groupby(["cohort_day", "day_offset"]) \
+        .aggregate(Sum("n_users", alias_name="n_users_sum"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "cohort_day": t["cohort_day"],
+            "day_offset": t["day_offset"],
+            "n_users": t["n_users_sum"]}),
+        batch_format="pyarrow")
+
+
+def group_first_last(ds, by: str, on: str, id_column: str,
+                     value_column: str, n_shards: int | None = None):
+    """Per-key FIRST_VALUE/LAST_VALUE of a string column ordered by
+    (``on``, ``id_column``) — one row per key.  Map-side combiner:
+    each batch keeps only its per-key boundary rows (the global first
+    is some batch's first), so the hash(key) exchange carries at most
+    2 rows per (batch, key); the shard kernel re-runs the same
+    boundary pick and is final because each shard owns its keys
+    whole."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def boundary(t: pa.Table) -> pa.Table:
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        n = len(k)
+        order = np.lexsort((ids, ts, k))
+        k_s = k[order]
+        head = np.ones(n, bool)
+        tail = np.ones(n, bool)
+        if n > 1:
+            head[1:] = k_s[1:] != k_s[:-1]
+            tail[:-1] = k_s[1:] != k_s[:-1]
+        keep = order[head | tail]
+        return t.take(pa.array(np.sort(keep)))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_column: pa.array(
+                batch[id_column].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__k": pa.array(
+                batch[by].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "__ts": pa.array(_ts_us(batch[on]), pa.int64()),
+            "__v": batch[value_column],
+        })
+        t = boundary(t)
+        shard = (splitmix64(t["__k"].to_numpy(zero_copy_only=False)
+                            .view(np.uint64) ^ np.uint64(0x1C1))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return t.append_column("__shard", pa.array(shard, pa.int32()))
+
+    def agg(g: pa.Table) -> pa.Table:
+        k = g["__k"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        n = len(k)
+        order = np.lexsort((ids, ts, k))
+        k_s = k[order]
+        head = np.ones(n, bool)
+        tail = np.ones(n, bool)
+        if n > 1:
+            head[1:] = k_s[1:] != k_s[:-1]
+            tail[:-1] = k_s[1:] != k_s[:-1]
+        v = g["__v"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        first = v.take(pa.array(order[head]))
+        last = v.take(pa.array(order[tail]))
+        return pa.table({
+            by: pa.array(k_s[head], pa.int64()),
+            "first_value": first,
+            "last_value": last,
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(agg, batch_format="pyarrow")

@@ -468,3 +468,78 @@ def test_lag_and_rolling_match_sql(ray_session, seed):
         " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
         " ORDER BY event_id").df()
     pd.testing.assert_frame_equal(roll, want_roll, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [1, 9])
+def test_cohort_retention_matches_sql(ray_session, seed):
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import cohort_retention
+
+    df = _window_frame(seed, n=600, n_users=11)
+    ds = ray.data.from_pandas(df)
+    got = cohort_retention(ds, by="user_id", on="ts", day_us=60_000_000) \
+        .to_pandas().sort_values(["cohort_day", "day_offset"]) \
+        .reset_index(drop=True)
+    want = duckdb.sql(
+        "WITH ud AS (SELECT DISTINCT user_id,"
+        " CAST(epoch_us(ts) // 60000000 AS BIGINT) AS day FROM df),"
+        " c AS (SELECT user_id, min(day) AS cohort FROM ud"
+        " GROUP BY user_id)"
+        " SELECT cohort AS cohort_day, day - cohort AS day_offset,"
+        " CAST(count(*) AS BIGINT) AS n_users FROM ud"
+        " JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [2, 8])
+def test_group_first_last_matches_sql(ray_session, seed):
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import group_first_last
+
+    df = _window_frame(seed, n=500, n_users=9)
+    df["event_type"] = np.array(list("abcde"))[
+        np.random.default_rng(seed + 1).integers(0, 5, len(df))]
+    ds = ray.data.from_pandas(df)
+    got = group_first_last(ds, by="user_id", on="ts",
+                           id_column="event_id",
+                           value_column="event_type") \
+        .to_pandas()[["user_id", "first_value", "last_value"]] \
+        .sort_values("user_id").reset_index(drop=True)
+    want = duckdb.sql(
+        "WITH r AS (SELECT user_id, event_type,"
+        " row_number() OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS ra,"
+        " row_number() OVER (PARTITION BY user_id"
+        " ORDER BY ts DESC, event_id DESC) AS rd FROM df)"
+        " SELECT user_id,"
+        " max(CASE WHEN ra = 1 THEN event_type END) AS first_value,"
+        " max(CASE WHEN rd = 1 THEN event_type END) AS last_value"
+        " FROM r GROUP BY user_id ORDER BY user_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_moments_exact(ray_session):
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.stats import grouped_moments
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": np.array(list("xyz"))[rng.integers(0, 3, 300)],
+        "v": rng.uniform(0, 500, 300),
+    })
+    got = grouped_moments(ray.data.from_pandas(df), "k", "v",
+                          value_scale=100).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT k, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(CAST(floor(v * 100) AS BIGINT)) AS BIGINT) AS sum_q,"
+        " CAST(sum(CAST(floor(v * 100) AS BIGINT) *"
+        " CAST(floor(v * 100) AS BIGINT)) AS BIGINT) AS sum_q2"
+        " FROM df GROUP BY k ORDER BY k").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
