@@ -164,6 +164,24 @@ def _q_ilike_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_encode_text(sf_dir: str):
+    """base64 + hex transcodes (functions/binary.py): whole-batch
+    tape gather + LUT passes, closed-form output offsets — byte-level
+    on both sides, so no ASCII guard is needed."""
+    from stringzilla_ray.functions.binary import base64_encode, hex_encode
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "b64": pc.cast(base64_encode(t["text"]), pa.string()),
+            "hexs": pc.cast(hex_encode(t["text"]), pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_startswith_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
     flagged = ds.map_batches(
@@ -5061,6 +5079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_substring": _q_count_substring,
         "contains_filter": _q_contains_filter,
         "like_filter": _q_like_filter,
+        "encode_text": _q_encode_text,
         "ilike_filter": _q_ilike_filter,
         "startswith_by_lang": _q_startswith_by_lang,
         "token_count": _q_token_count,
@@ -5427,6 +5446,10 @@ def oracle_sql() -> dict[str, str]:
         "count_substring": (
             "SELECT doc_id, CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS n "
             "FROM documents"
+        ),
+        "encode_text": (
+            "SELECT doc_id, to_base64(encode(text)) AS b64, "
+            "hex(encode(text)) AS hexs FROM documents"
         ),
         "like_filter": (
             "SELECT doc_id FROM documents WHERE text LIKE 'key%sort%' "

@@ -207,3 +207,30 @@ def test_like_match_matches_regex_reference(texts, pattern, ci):
     exp = [None if t is None else _like_ref(t, pattern, ci)
            for t in texts]
     assert got == exp
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=st.lists(st.one_of(st.none(), st.binary(max_size=32)),
+                     min_size=1, max_size=12))
+def test_base64_hex_roundtrip_stdlib(rows):
+    import base64 as b64mod
+
+    from stringzilla_ray.functions.binary import (base64_decode,
+                                                  base64_encode,
+                                                  hex_encode)
+
+    arr = pa.array(rows, pa.binary())
+    enc = base64_encode(arr)
+    assert enc.to_pylist() == [
+        None if r is None else b64mod.b64encode(r).decode()
+        for r in rows]
+    assert base64_decode(enc).to_pylist() == rows
+    assert hex_encode(arr).to_pylist() == [
+        None if r is None else r.hex().upper() for r in rows]
+
+
+def test_base64_decode_rejects_malformed():
+    from stringzilla_ray.functions.binary import base64_decode
+
+    bad = pa.array(["!!!!", "AB", "=AAA", "A=AA", "QQ=A"], pa.string())
+    assert base64_decode(bad).to_pylist() == [None] * 5
