@@ -4716,6 +4716,18 @@ def _q_event_interarrival(sf_dir: str):
     return lag_delta(ds, by="user_id", on="ts", id_column="event_id")
 
 
+def _q_copurchase_pairs(sf_dir: str):
+    """Market-basket pair mining over orders (stages/graph.py
+    cooccurrence_pairs): support = DISTINCT orders containing both
+    parts, one hash(order) shuffle + local pair expansion; cap 64 >>
+    corpus max basket (13) so the uncapped SQL twin matches."""
+    from stringzilla_ray.stages.graph import cooccurrence_pairs
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return cooccurrence_pairs(ds, basket_column="l_orderkey",
+                              item_column="l_partkey", min_support=2)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort-retention census (stages/temporal.py cohort_retention):
     distinct-users-active per (first-seen day, day offset) cell.
@@ -5209,6 +5221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_idle_rich": _q_tpch_q22,
         "event_interarrival": _q_event_interarrival,
         "cohort_retention": _q_cohort_retention,
+        "copurchase_pairs": _q_copurchase_pairs,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
         "dsir_weights": _q_dsir_weights,
@@ -6113,6 +6126,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts))"
             " OVER (PARTITION BY user_id ORDER BY ts, event_id)"
             " AS delta_us FROM events"
+        ),
+        "copurchase_pairs": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem) "
+            "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, "
+            "CAST(count(*) AS BIGINT) AS support "
+            "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2"
         ),
         "cohort_retention": (
             "WITH ud AS (SELECT DISTINCT user_id, "

@@ -376,3 +376,111 @@ def distinct_nodes(ds, column: str, n_shards: int | None = None):
                            zero_copy_batch=True)
             .groupby("__shard").map_groups(dedup,
                                            batch_format="pyarrow"))
+
+
+def cooccurrence_pairs(ds, basket_column: str, item_column: str,
+                       min_support: int = 2, max_basket: int = 64,
+                       n_shards: int | None = None):
+    """Market-basket pair mining: for every unordered item pair,
+    the number of DISTINCT baskets containing both; keep pairs with
+    support >= ``min_support``.
+
+    Scale shape: ONE hash(basket) shuffle co-locates each basket
+    whole; the shard kernel dedups (basket, item), expands each
+    basket's sorted items into (lo, hi) pairs with a vectorized
+    repeat/arange sweep (no Python loop), and pre-censuses pairs
+    locally — a pair's per-shard counts then sum in the final (small)
+    pair-census groupby because a basket lives in exactly one shard.
+    Baskets longer than ``max_basket`` are dropped (quadratic blowup
+    guard, the standard market-basket practice); mirror the cap in
+    any oracle or set it above the corpus maximum."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch[basket_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = batch[item_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        comp = np.unique((b.astype(np.uint64) << np.uint64(22))
+                         | i.astype(np.uint64))
+        # item ids fit 22 bits here; at wider id domains switch the
+        # pack to a structured sort — the algorithm is unchanged
+        bu = (comp >> np.uint64(22)).astype(np.int64)
+        iu = (comp & np.uint64((1 << 22) - 1)).astype(np.int64)
+        shard = (splitmix64(bu.view(np.uint64) ^ np.uint64(0x1D2))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            "__b": pa.array(bu), "__i": pa.array(iu),
+            "__shard": pa.array(shard, pa.int32()),
+        })
+
+    def expand(g: pa.Table) -> pa.Table:
+        b = g["__b"].to_numpy(zero_copy_only=False)
+        i = g["__i"].to_numpy(zero_copy_only=False)
+        comp = np.unique((b.astype(np.uint64) << np.uint64(22))
+                         | i.astype(np.uint64))
+        b = (comp >> np.uint64(22)).astype(np.int64)
+        i = (comp & np.uint64((1 << 22) - 1)).astype(np.int64)
+        n = len(b)
+        if not n:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "support": pa.array([], pa.int64())})
+        head = np.ones(n, bool)
+        head[1:] = b[1:] != b[:-1]
+        seg_id = np.cumsum(head) - 1
+        m = np.bincount(seg_id)[seg_id]
+        keep = m <= max_basket
+        b, i = b[keep], i[keep]
+        n = len(b)
+        if not n:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "support": pa.array([], pa.int64())})
+        # segment geometry on the kept rows
+        head = np.ones(n, bool)
+        head[1:] = b[1:] != b[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(head, np.arange(n), 0))
+        local = np.arange(n) - seg_start
+        seg_id = np.cumsum(head) - 1
+        m = np.bincount(seg_id)[seg_id]
+        # each row pairs with every LATER row of its basket
+        reps = m - 1 - local
+        total = int(reps.sum())
+        if not total:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "support": pa.array([], pa.int64())})
+        lo = np.repeat(i, reps)
+        starts2 = np.zeros(n, np.int64)
+        np.cumsum(reps[:-1], out=starts2[1:])
+        hi_idx = np.repeat(np.arange(n) + 1, reps) + \
+            (np.arange(total, dtype=np.int64) - np.repeat(starts2, reps))
+        hi = i[hi_idx]
+        # items are sorted within a basket, so lo < hi by construction
+        pair = (lo << np.int64(22)) | hi
+        up, cnt = np.unique(pair, return_counts=True)
+        return pa.table({"pair": pa.array(up, pa.int64()),
+                         "support": pa.array(cnt.astype(np.int64))})
+
+    part = ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(expand, batch_format="pyarrow")
+    out = part.groupby("pair") \
+        .aggregate(Sum("support", alias_name="support_s"))
+
+    def final(t: pa.Table) -> pa.Table:
+        sup = t["support_s"].to_numpy(zero_copy_only=False)
+        pairv = t["pair"].to_numpy(zero_copy_only=False)
+        keepm = sup >= min_support
+        pairv, sup = pairv[keepm], sup[keepm]
+        return pa.table({
+            "item_a": pa.array(pairv >> np.int64(22), pa.int64()),
+            "item_b": pa.array(pairv & np.int64((1 << 22) - 1),
+                               pa.int64()),
+            "support": pa.array(sup.astype(np.int64)),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")

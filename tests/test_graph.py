@@ -73,3 +73,41 @@ def test_distinct_nodes(ray_session):
     df = pd.DataFrame({"u": np.array([5, 5, 1, 9, 1, 5], np.int64)})
     got = distinct_nodes(ray.data.from_pandas(df), "u").to_pandas()
     assert sorted(got["node"]) == [1, 5, 9]
+
+
+def test_cooccurrence_pairs_matches_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.graph import cooccurrence_pairs
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "basket": rng.integers(0, 150, 2500).astype(np.int64),
+        "item": rng.integers(0, 30, 2500).astype(np.int64),
+    })
+    got = cooccurrence_pairs(ray.data.from_pandas(df), "basket", "item",
+                             min_support=3).to_pandas() \
+        .sort_values(["item_a", "item_b"]).reset_index(drop=True)
+    want = duckdb.sql(
+        "WITH d AS (SELECT DISTINCT basket, item FROM df) "
+        "SELECT a.item AS item_a, b.item AS item_b, "
+        "CAST(count(*) AS BIGINT) AS support FROM d a "
+        "JOIN d b ON a.basket = b.basket AND a.item < b.item "
+        "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cooccurrence_basket_cap_drops_whales(ray_session):
+    """A basket wider than max_basket contributes NO pairs (quadratic
+    guard), while narrow baskets still count."""
+    import ray.data
+
+    from stringzilla_ray.stages.graph import cooccurrence_pairs
+
+    rows = [(1, i) for i in range(10)] + [(2, 1), (2, 2)] * 2 + \
+        [(3, 1), (3, 2)]
+    df = pd.DataFrame(rows, columns=["basket", "item"])
+    got = cooccurrence_pairs(ray.data.from_pandas(df), "basket", "item",
+                             min_support=1, max_basket=4).to_pandas()
+    assert set(map(tuple, got.values)) == {(1, 2, 2)}
