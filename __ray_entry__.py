@@ -164,6 +164,55 @@ def _q_ilike_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_reverse_text(sf_dir: str):
+    """Per-row byte reversal as one tape gather (functions/text.py
+    reverse_bytes); byte == char reversal under the ASCII guard."""
+    from stringzilla_ray.functions.text import reverse_bytes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(_ascii_mask(t))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "rev": pc.cast(reverse_bytes(t["text"]), pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_vowel_groups(sf_dir: str):
+    """Maximal-vowel-run (syllable heuristic) count per doc
+    (functions/text.py vowel_group_count): one LUT fold + run-head
+    mask, equals len(regexp_extract_all(lower(text), '[aeiou]+'))."""
+    from stringzilla_ray.functions.text import vowel_group_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(_ascii_mask(t))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_vgroups": vowel_group_count(t["text"]),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_zscore_outliers(sf_dir: str):
+    """Per-type 3-sigma outlier events (stages/stats.py
+    zscore_outliers): exact integer thresholds from the moment census
+    (isqrt in bigint on the driver, HUGEINT in the SQL twin), one
+    census exchange + one streaming flag scan."""
+    from stringzilla_ray.stages.stats import zscore_outliers
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    return zscore_outliers(ds, key_column="event_type",
+                           value_column="value", id_column="event_id",
+                           k=3)
+
+
 def _q_encode_text(sf_dir: str):
     """base64 + hex transcodes (functions/binary.py): whole-batch
     tape gather + LUT passes, closed-form output offsets — byte-level
@@ -5092,6 +5141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contains_filter": _q_contains_filter,
         "like_filter": _q_like_filter,
         "encode_text": _q_encode_text,
+        "reverse_text": _q_reverse_text,
+        "vowel_groups": _q_vowel_groups,
+        "zscore_outliers": _q_zscore_outliers,
         "ilike_filter": _q_ilike_filter,
         "startswith_by_lang": _q_startswith_by_lang,
         "token_count": _q_token_count,
@@ -5459,6 +5511,26 @@ def oracle_sql() -> dict[str, str]:
         "count_substring": (
             "SELECT doc_id, CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS n "
             "FROM documents"
+        ),
+        "reverse_text": (
+            "SELECT doc_id, reverse(text) AS rev FROM documents "
+            "WHERE length(text) = strlen(text)"
+        ),
+        "vowel_groups": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
+            "'[aeiou]+')) AS BIGINT) AS n_vgroups FROM documents "
+            "WHERE length(text) = strlen(text)"
+        ),
+        "zscore_outliers": (
+            "WITH m AS (SELECT event_type, CAST(count(*) AS HUGEINT) "
+            "AS n, CAST(sum(CAST(floor(value * 100) AS BIGINT)) "
+            "AS HUGEINT) AS sq, CAST(sum(CAST(floor(value * 100) "
+            "AS BIGINT) * CAST(floor(value * 100) AS BIGINT)) "
+            "AS HUGEINT) AS sq2 FROM events GROUP BY event_type) "
+            "SELECT event_id FROM events e JOIN m USING (event_type) "
+            "WHERE (n * CAST(floor(value * 100) AS HUGEINT) - sq) * "
+            "(n * CAST(floor(value * 100) AS HUGEINT) - sq) > "
+            "9 * (n * sq2 - sq * sq)"
         ),
         "encode_text": (
             "SELECT doc_id, to_base64(encode(text)) AS b64, "

@@ -673,3 +673,65 @@ def soundex(arr) -> pa.Array:
     codes = [out[i].tobytes().decode("ascii") if has_letters[i] else ""
              for i in range(n)]
     return pa.array(codes, pa.string())
+
+
+def reverse_bytes(arr) -> pa.Array:
+    """Per-row byte reversal as ONE tape gather (src[g] =
+    row_start + row_end - 1 - g on the rebased tape).  Byte reversal
+    equals char reversal only on ASCII; pair oracles with the strlen
+    guard.  Null rows stay null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nulls = arr.is_null() if arr.null_count else None
+    if nulls is not None:
+        arr = pc.fill_null(arr, "")
+    tape, offs = tape_of(arr)
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    offs = (offs - offs[0]).astype(np.int64)
+    lens = np.diff(offs)
+    src = np.repeat(offs[:-1] + offs[1:] - 1, lens) \
+        - np.arange(len(tape), dtype=np.int64)
+    out = tape[src] if len(tape) else tape
+    res = pa.Array.from_buffers(
+        pa.large_utf8(), len(lens),
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(out.tobytes())])
+    if nulls is not None:
+        res = pc.if_else(nulls, pa.scalar(None, res.type), res)
+    return res
+
+
+_VOWEL_MASK = np.zeros(256, bool)
+for _c in b"aeiou":
+    _VOWEL_MASK[_c] = True
+
+
+def vowel_group_count(arr) -> pa.Array:
+    """Number of maximal [aeiou]+ runs per row after ASCII lowercase
+    folding — the syllable-count heuristic classic readability scores
+    build on.  One LUT pass + one run-head mask; equals
+    len(regexp_extract_all(lower(text), '[aeiou]+')) on ASCII."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nulls = arr.is_null() if arr.null_count else None
+    if nulls is not None:
+        arr = pc.fill_null(arr, "")
+    tape, offs = tape_of(arr)
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    offs = (offs - offs[0]).astype(np.int64)
+    n = len(offs) - 1
+    v = _VOWEL_MASK[_LOWER_LUT[tape]]
+    run_head = v.copy()
+    run_head[1:] &= ~v[:-1]
+    # a vowel at a row start is always a run head, even if the
+    # previous row ended in one
+    starts = offs[:-1]
+    in_range = starts[starts < len(v)]
+    run_head[in_range] = v[in_range]
+    row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    cnt = np.bincount(row_of[run_head], minlength=n) if len(tape) \
+        else np.zeros(n, np.int64)
+    res = pa.array(cnt.astype(np.int64), pa.int64())
+    if nulls is not None:
+        res = pc.if_else(nulls, pa.scalar(None, pa.int64()), res)
+    return res

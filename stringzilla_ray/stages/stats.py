@@ -1086,3 +1086,43 @@ def grouped_moments(ds, key_column: str, value_column: str,
             "n": t["n_s"], "sum_q": t["sum_q_s"],
             "sum_q2": t["sum_q2_s"]}),
         batch_format="pyarrow")
+
+
+def zscore_outliers(ds, key_column: str, value_column: str,
+                    id_column: str, k: int = 3, value_scale: int = 100):
+    """Per-group k-sigma outlier flags with EXACT integer arithmetic:
+    |q - mean| > k·sigma  ⟺  (n·q - Σq)² > k²·(n·Σq² - (Σq)²), solved
+    once per group into integer thresholds n·q > Σq + r / n·q < Σq - r
+    with r = isqrt(k²·D) in arbitrary-precision Python ints (the
+    squared forms overflow int64; the per-row probe n·q stays well
+    inside it).  The moment census is grouped_moments — one tiny
+    exchange — and the flag pass is a second streaming scan with the
+    per-group thresholds broadcast in the task closure."""
+    import math
+
+    census = grouped_moments(ds, key_column, value_column,
+                             value_scale=value_scale).to_pandas()
+    bounds = {}
+    for _, row in census.iterrows():
+        n, sq, sq2 = int(row["n"]), int(row["sum_q"]), int(row["sum_q2"])
+        r = math.isqrt(k * k * (n * sq2 - sq * sq))
+        bounds[row[key_column]] = (n, sq - r, sq + r)
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys = t[key_column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        never = (1, np.iinfo(np.int64).min, np.iinfo(np.int64).max)
+        tbl = np.array([bounds.get(kv, never)
+                        for kv in enc.dictionary.to_pylist()],
+                       np.int64).reshape(-1, 3)
+        v = t[value_column].to_numpy(zero_copy_only=False)
+        q = np.floor(v * value_scale).astype(np.int64)
+        nq = tbl[code, 0] * q
+        m = (nq > tbl[code, 2]) | (nq < tbl[code, 1])
+        return t.filter(pa.array(m)).select([id_column])
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -234,3 +234,22 @@ def test_base64_decode_rejects_malformed():
 
     bad = pa.array(["!!!!", "AB", "=AAA", "A=AA", "QQ=A"], pa.string())
     assert base64_decode(bad).to_pylist() == [None] * 5
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(st.one_of(st.none(),
+                                st.text(alphabet="aeiou bcdXYZ",
+                                        max_size=20)),
+                      min_size=1, max_size=10))
+def test_reverse_and_vowel_groups(texts):
+    import re
+
+    from stringzilla_ray.functions.text import (reverse_bytes,
+                                                vowel_group_count)
+
+    arr = pa.array(texts, pa.string())
+    assert reverse_bytes(arr).to_pylist() == [
+        None if t is None else t[::-1] for t in texts]
+    assert vowel_group_count(arr).to_pylist() == [
+        None if t is None else len(re.findall(r"[aeiou]+", t.lower()))
+        for t in texts]

@@ -3208,3 +3208,33 @@ def test_temperature_sampling_between_equalize_and_identity(ray_session):
     # smallest group survives whole under both (rate 1.0 clamps to cap,
     # which loses only the single all-ones draw)
     assert (tp["lang"] == "b").sum() >= n_b - 1
+
+
+def test_zscore_outliers_exact_thresholds(ray_session):
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.stats import zscore_outliers
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "event_id": np.arange(2000, dtype=np.int64),
+        "k": np.array(list("pq"))[rng.integers(0, 2, 2000)],
+        "v": rng.exponential(50, 2000),
+    })
+    got = zscore_outliers(ray.data.from_pandas(df), key_column="k",
+                          value_column="v", id_column="event_id",
+                          k=2).to_pandas()
+    want = duckdb.sql(
+        "WITH m AS (SELECT k, CAST(count(*) AS HUGEINT) AS n,"
+        " CAST(sum(CAST(floor(v * 100) AS BIGINT)) AS HUGEINT) AS sq,"
+        " CAST(sum(CAST(floor(v * 100) AS BIGINT) *"
+        " CAST(floor(v * 100) AS BIGINT)) AS HUGEINT) AS sq2"
+        " FROM df GROUP BY k)"
+        " SELECT event_id FROM df JOIN m USING (k)"
+        " WHERE (n * CAST(floor(v * 100) AS HUGEINT) - sq) *"
+        " (n * CAST(floor(v * 100) AS HUGEINT) - sq) >"
+        " 4 * (n * sq2 - sq * sq) ORDER BY event_id").df()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
