@@ -4777,6 +4777,75 @@ def _q_copurchase_pairs(sf_dir: str):
                               item_column="l_partkey", min_support=2)
 
 
+def _q_weekly_active_users(sf_dir: str):
+    """Trailing 7-day distinct-active census (stages/temporal.py
+    active_users_window): map-side (user, day) distinct, <=7x anchor
+    explosion of the DISTINCT pairs (not the events), per-shard final
+    dedup, tiny day census groupby."""
+    from stringzilla_ray.stages.temporal import active_users_window
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return active_users_window(ds, by="user_id", on="ts",
+                               window_days=7)
+
+
+def _q_tpch_q9_profit(sf_dir: str):
+    """TPC-H Q9-shaped profit rollup by (supplier nation, ship year):
+    supplier collapses to a sorted broadcast probe, every batch emits
+    a per-(nation, year) exact 1e-4-unit partial — zero shuffle
+    before the tiny census groupby."""
+    import ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    names = {int(k): v for k, v in zip(
+        nation["n_nationkey"].to_numpy(zero_copy_only=False),
+        nation["n_name"].to_pylist())}
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = sup["s_nationkey"].to_numpy(zero_copy_only=False)         .astype(np.int64)
+    so = np.argsort(sk)
+    sup_ref = ray.put((sk[so], snk[so]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, nk = ray.get(sup_ref)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False)             .astype(np.int64)
+        j = np.minimum(np.searchsorted(keys, lsk), max(len(keys) - 1, 0))
+        hit = (keys[j] == lsk) if len(keys) else np.zeros(len(lsk), bool)
+        f = t.filter(pa.array(hit))
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = f["l_discount"].to_numpy(zero_copy_only=False)
+        ru = (np.floor(ep * 100 + 0.5).astype(np.int64)
+              * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        yr = pc.year(f["l_shipdate"]).to_numpy(zero_copy_only=False)             .astype(np.int64)
+        comp = (nk[j[hit]] << 16) | yr
+        uk, inv = np.unique(comp, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, ru)
+        return pa.table({
+            "supp_nation": pa.array(
+                [names[int(k >> 16)] for k in uk], pa.string()),
+            "l_year": pa.array(uk & np.int64(0xFFFF), pa.int64()),
+            "profit_e4": pa.array(sums, pa.int64()),
+        })
+
+    agged = (
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["supp_nation", "l_year"])
+        .aggregate(*_sum_aggs(("profit_e4", "profit_e4_sum")))
+    )
+    return agged.map_batches(
+        lambda t: pa.table({
+            "supp_nation": t["supp_nation"],
+            "l_year": t["l_year"],
+            "profit_e4": t["profit_e4_sum"]}),
+        batch_format="pyarrow",
+    )
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort-retention census (stages/temporal.py cohort_retention):
     distinct-users-active per (first-seen day, day offset) cell.
@@ -5273,6 +5342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_idle_rich": _q_tpch_q22,
         "event_interarrival": _q_event_interarrival,
         "cohort_retention": _q_cohort_retention,
+        "weekly_active_users": _q_weekly_active_users,
+        "tpch_q9_profit": _q_tpch_q9_profit,
         "copurchase_pairs": _q_copurchase_pairs,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
@@ -6207,6 +6278,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey "
             "GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2"
+        ),
+        "weekly_active_users": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day "
+            "FROM events), days AS (SELECT DISTINCT day FROM ud) "
+            "SELECT d.day, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_active FROM days d "
+            "JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day "
+            "GROUP BY d.day"
+        ),
+        "tpch_q9_profit": (
+            "SELECT n_name AS supp_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+            ") AS BIGINT) AS profit_e4 "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name, year(l_shipdate)"
         ),
         "cohort_retention": (
             "WITH ud AS (SELECT DISTINCT user_id, "

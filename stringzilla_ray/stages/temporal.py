@@ -1251,3 +1251,89 @@ def group_first_last(ds, by: str, on: str, id_column: str,
     return ds.map_batches(tag, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("__shard").map_groups(agg, batch_format="pyarrow")
+
+
+def active_users_window(ds, by: str, on: str, window_days: int = 7,
+                        day_us: int = 86_400_000_000,
+                        n_shards: int | None = None):
+    """Trailing-window distinct-actives census (DAU/WAU/MAU family):
+    for every OBSERVED day d, the number of distinct keys active in
+    [d - window_days + 1, d].
+
+    Scale shape: batches collapse to distinct (key, day) pairs
+    map-side; each pair then explodes into the <= window_days anchor
+    days it can serve, is re-deduped per (key, anchor) inside its
+    hash(key) shard (a key lives in one shard, so the distinct is
+    final), and the per-anchor counts sum in one tiny census groupby.
+    Anchors restrict to days that actually occur, via a broadcast of
+    the observed-day set (bounded by the corpus time span)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.util import ensure_materialized, reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = _ts_us(batch[on]) // np.int64(day_us)
+        comp = np.unique((k.astype(np.uint64) << np.uint64(20))
+                         | day.astype(np.uint64))
+        return pa.table({
+            "__k": pa.array((comp >> np.uint64(20)).astype(np.int64)),
+            "__day": pa.array(
+                (comp & np.uint64((1 << 20) - 1)).astype(np.int64)),
+        })
+
+    pairs = ensure_materialized(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    # observed-day set: tiny (corpus span in days), gathered once
+    days = np.unique(np.concatenate([
+        b["__day"].to_numpy(zero_copy_only=False)
+        for b in ray.get(pairs.to_arrow_refs()) if b.num_rows] or
+        [np.zeros(0, np.int64)]))
+    days_ref = ray.put(days)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        obs = ray.get(days_ref)
+        k = batch["__k"].to_numpy(zero_copy_only=False)
+        day = batch["__day"].to_numpy(zero_copy_only=False)
+        k = np.repeat(k, window_days)
+        anchor = np.repeat(day, window_days) + np.tile(
+            np.arange(window_days, dtype=np.int64), len(day))
+        j = np.searchsorted(obs, anchor)
+        hit = (obs[np.minimum(j, max(len(obs) - 1, 0))] == anchor) \
+            if len(obs) else np.zeros(len(anchor), bool)
+        k, anchor = k[hit], anchor[hit]
+        comp = np.unique((k.astype(np.uint64) << np.uint64(20))
+                         | anchor.astype(np.uint64))
+        ku = (comp >> np.uint64(20)).astype(np.int64)
+        shard = (splitmix64(ku.view(np.uint64) ^ np.uint64(0x1D7))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            "__k": pa.array(ku),
+            "__anchor": pa.array(
+                (comp & np.uint64((1 << 20) - 1)).astype(np.int64)),
+            "__shard": pa.array(shard, pa.int32()),
+        })
+
+    def count_cells(g: pa.Table) -> pa.Table:
+        k = g["__k"].to_numpy(zero_copy_only=False)
+        a = g["__anchor"].to_numpy(zero_copy_only=False)
+        comp = np.unique((k.astype(np.uint64) << np.uint64(20))
+                         | a.astype(np.uint64))
+        av = (comp & np.uint64((1 << 20) - 1)).astype(np.int64)
+        ua, cnt = np.unique(av, return_counts=True)
+        return pa.table({"day": pa.array(ua, pa.int64()),
+                         "n_active": pa.array(cnt.astype(np.int64))})
+
+    part = pairs.map_batches(explode, batch_format="pyarrow") \
+        .groupby("__shard").map_groups(count_cells,
+                                       batch_format="pyarrow")
+    out = part.groupby("day").aggregate(Sum("n_active",
+                                            alias_name="n_active_s"))
+    return out.map_batches(
+        lambda t: pa.table({"day": t["day"],
+                            "n_active": t["n_active_s"]}),
+        batch_format="pyarrow")

@@ -543,3 +543,26 @@ def test_grouped_moments_exact(ray_session):
         " CAST(floor(v * 100) AS BIGINT)) AS BIGINT) AS sum_q2"
         " FROM df GROUP BY k ORDER BY k").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("window", [1, 3])
+def test_active_users_window_matches_sql(ray_session, window):
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import active_users_window
+
+    df = _window_frame(4, n=800, n_users=13)
+    got = active_users_window(ray.data.from_pandas(df), by="user_id",
+                              on="ts", window_days=window,
+                              day_us=120_000_000).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    want = duckdb.sql(
+        "WITH ud AS (SELECT DISTINCT user_id,"
+        " CAST(epoch_us(ts) // 120000000 AS BIGINT) AS day FROM df),"
+        " days AS (SELECT DISTINCT day FROM ud)"
+        " SELECT d.day, CAST(count(DISTINCT user_id) AS BIGINT)"
+        f" AS n_active FROM days d"
+        f" JOIN ud ON ud.day BETWEEN d.day - {window - 1} AND d.day"
+        " GROUP BY d.day ORDER BY d.day").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
