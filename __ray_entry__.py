@@ -4777,6 +4777,52 @@ def _q_copurchase_pairs(sf_dir: str):
                               item_column="l_partkey", min_support=2)
 
 
+def _q_session_length_hist(sf_dir: str):
+    """Session-length histogram (stages/temporal.py session_stats):
+    one hash(user) shuffle emits one row PER SESSION (boundary
+    arithmetic on the sessionize gap mask, no second shuffle over
+    per-event output), then a tiny (n_events -> n_sessions) census."""
+    from ray.data.aggregate import Count
+
+    from stringzilla_ray.stages.temporal import session_stats
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    sess = session_stats(ds, by="user_id", on="ts",
+                         gap_us=3_600_000_000, id_column="event_id")
+    out = sess.groupby("n_events").aggregate(
+        Count(alias_name="n_sessions"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "n_events": t["n_events"],
+            "n_sessions": pc.cast(t["n_sessions"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_value_regression(sf_dir: str):
+    """Per-type OLS sufficient statistics of value (y, 1e-2 units)
+    against hour-of-day (x) — exact integer co-moment census
+    (stages/stats.py grouped_comoments); slope/intercept/correlation
+    derive exactly from these six integers."""
+    from stringzilla_ray.stages.stats import grouped_comoments
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        from stringzilla_ray.stages.temporal import _ts_us
+
+        hour = (_ts_us(t["ts"]) // np.int64(3_600_000_000)) % 24
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pa.array(hour.astype(np.float64)),
+            "value": t["value"],
+        })
+
+    return grouped_comoments(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        key_column="event_type", x_column="hour", y_column="value",
+        x_scale=1, y_scale=100)
+
+
 def _q_weekly_active_users(sf_dir: str):
     """Trailing 7-day distinct-active census (stages/temporal.py
     active_users_window): map-side (user, day) distinct, <=7x anchor
@@ -5343,6 +5389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_interarrival": _q_event_interarrival,
         "cohort_retention": _q_cohort_retention,
         "weekly_active_users": _q_weekly_active_users,
+        "session_length_hist": _q_session_length_hist,
+        "value_regression": _q_value_regression,
         "tpch_q9_profit": _q_tpch_q9_profit,
         "copurchase_pairs": _q_copurchase_pairs,
         "first_last_event": _q_first_last_event,
@@ -6278,6 +6326,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey "
             "GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2"
+        ),
+        "session_length_hist": (
+            "WITH x AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END "
+            "AS new_s FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT user_id, sum(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS sidx "
+            "FROM x), "
+            "z AS (SELECT user_id, sidx, CAST(count(*) AS BIGINT) "
+            "AS n_events FROM y GROUP BY user_id, sidx) "
+            "SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM z GROUP BY n_events"
+        ),
+        "value_regression": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(h) AS BIGINT) AS sum_x, "
+            "CAST(sum(q) AS BIGINT) AS sum_y, "
+            "CAST(sum(h * h) AS BIGINT) AS sum_xx, "
+            "CAST(sum(q * q) AS BIGINT) AS sum_yy, "
+            "CAST(sum(h * q) AS BIGINT) AS sum_xy FROM "
+            "(SELECT event_type, "
+            "(epoch_us(ts) // 3600000000) % 24 AS h, "
+            "CAST(floor(value * 100) AS BIGINT) AS q FROM events) "
+            "GROUP BY event_type"
         ),
         "weekly_active_users": (
             "WITH ud AS (SELECT DISTINCT user_id, "

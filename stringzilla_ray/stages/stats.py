@@ -1126,3 +1126,50 @@ def zscore_outliers(ds, key_column: str, value_column: str,
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def grouped_comoments(ds, key_column: str, x_column: str, y_column: str,
+                      x_scale: int = 1, y_scale: int = 100):
+    """Pairwise exact integer co-moment census per group — n, Σx, Σy,
+    Σx², Σy², Σxy with x = floor(vx·x_scale), y = floor(vy·y_scale) —
+    the sufficient statistics for covariance, correlation and OLS
+    slope/intercept, all exact under any summation order.  Same
+    map-side-bincount + tiny-census-groupby shape as
+    grouped_moments."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.floor(t[x_column].to_numpy(zero_copy_only=False)
+                     * x_scale).astype(np.int64)
+        y = np.floor(t[y_column].to_numpy(zero_copy_only=False)
+                     * y_scale).astype(np.int64)
+        k = len(enc.dictionary)
+
+        def bc(w=None):
+            return pa.array((np.bincount(code, weights=w, minlength=k)
+                             if w is not None else
+                             np.bincount(code, minlength=k))
+                            .astype(np.int64))
+
+        return pa.table({
+            key_column: enc.dictionary,
+            "n": bc(), "sum_x": bc(x), "sum_y": bc(y),
+            "sum_xx": bc(x * x), "sum_yy": bc(y * y),
+            "sum_xy": bc(x * y),
+        })
+
+    cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(key_column) \
+        .aggregate(*[Sum(c, alias_name=c + "_s") for c in cols])
+    return out.map_batches(
+        lambda t: pa.table(
+            {key_column: t[key_column],
+             **{c: t[c + "_s"] for c in cols}}),
+        batch_format="pyarrow")

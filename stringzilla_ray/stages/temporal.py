@@ -1337,3 +1337,64 @@ def active_users_window(ds, by: str, on: str, window_days: int = 7,
         lambda t: pa.table({"day": t["day"],
                             "n_active": t["n_active_s"]}),
         batch_format="pyarrow")
+
+
+def session_stats(ds, by: str, on: str, gap_us: int, id_column: str,
+                  n_shards: int | None = None):
+    """One row per session: (key, session_idx, n_events, duration_us).
+    Same single hash(key) shuffle and lexsort as sessionize — the
+    session boundaries fall out of the same gap mask, and counts /
+    durations are segment-head arithmetic, so this avoids a second
+    shuffle over sessionize's per-event output."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0x5E56))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            id_column: batch[id_column],
+            by: batch[by],
+            "__ts": pa.array(_ts_us(batch[on]), pa.int64()),
+            "__shard": pa.array(shard, pa.int32()),
+        })
+
+    def label(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, key))
+        k_s, t_s = key[order], ts[order]
+        n = len(order)
+        if not n:
+            return pa.table({
+                by: pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "duration_us": pa.array([], pa.int64()),
+            })
+        new_key = np.ones(n, bool)
+        new_key[1:] = k_s[1:] != k_s[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (t_s[1:] - t_s[:-1]) > gap_us
+        cs = np.cumsum(new_sess)
+        key_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(n), 0))
+        sess_idx = cs - cs[key_start] + 1
+        heads = np.flatnonzero(new_sess)
+        ends = np.concatenate([heads[1:], [n]])
+        return pa.table({
+            by: pa.array(k_s[heads], pa.int64()),
+            "session_idx": pa.array(sess_idx[heads], pa.int64()),
+            "n_events": pa.array((ends - heads).astype(np.int64)),
+            "duration_us": pa.array(t_s[ends - 1] - t_s[heads],
+                                    pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(label, batch_format="pyarrow")
+    )

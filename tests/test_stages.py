@@ -3238,3 +3238,31 @@ def test_zscore_outliers_exact_thresholds(ray_session):
     got = got.sort_values("event_id").reset_index(drop=True)
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_comoments_exact(ray_session):
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.stats import grouped_comoments
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "k": np.array(list("ab"))[rng.integers(0, 2, 400)],
+        "x": rng.integers(0, 24, 400).astype(np.float64),
+        "y": rng.uniform(0, 300, 400),
+    })
+    got = grouped_comoments(ray.data.from_pandas(df), "k", "x", "y",
+                            x_scale=1, y_scale=100).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT k, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(xi) AS BIGINT) AS sum_x,"
+        " CAST(sum(yi) AS BIGINT) AS sum_y,"
+        " CAST(sum(xi * xi) AS BIGINT) AS sum_xx,"
+        " CAST(sum(yi * yi) AS BIGINT) AS sum_yy,"
+        " CAST(sum(xi * yi) AS BIGINT) AS sum_xy FROM"
+        " (SELECT k, CAST(floor(x) AS BIGINT) AS xi,"
+        " CAST(floor(y * 100) AS BIGINT) AS yi FROM df)"
+        " GROUP BY k ORDER BY k").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

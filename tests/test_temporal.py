@@ -566,3 +566,29 @@ def test_active_users_window_matches_sql(ray_session, window):
         f" JOIN ud ON ud.day BETWEEN d.day - {window - 1} AND d.day"
         " GROUP BY d.day ORDER BY d.day").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_stats_matches_sessionize(ray_session):
+    """session_stats is the per-session rollup of sessionize's
+    per-event labels — check exact agreement on counts/durations."""
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import session_stats, sessionize
+
+    df = _window_frame(6, n=700, n_users=9)
+    ds = ray.data.from_pandas(df)
+    gap = 40_000_000
+    got = session_stats(ds, by="user_id", on="ts", gap_us=gap,
+                        id_column="event_id").to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    ev = sessionize(ray.data.from_pandas(df), by="user_id", on="ts",
+                    gap_us=gap, id_column="event_id").to_pandas()
+    ev = ev.merge(df[["event_id", "ts"]], on="event_id")
+    want = ev.groupby(["user_id", "session_idx"]).agg(
+        n_events=("event_id", "size"),
+        duration_us=("ts", lambda s: int(
+            (s.max() - s.min()).total_seconds() * 1e6)),
+    ).reset_index().sort_values(["user_id", "session_idx"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
