@@ -334,6 +334,44 @@ def _url_augmented(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _param_augmented(sf_dir: str):
+    """_url_augmented plus a multi-parameter URL on every 4th doc
+    (keys, valueless flags, empty segments, a fragment) so the
+    query-param splitter exercises its full surface."""
+    ds = _url_augmented(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idu = ids.astype("U20")
+        s3 = np.where(
+            ids % 4 == 0,
+            np.char.add(np.char.add(np.char.add(
+                " http://p", (ids % 3).astype("U1")),
+                ".io/s?q="), np.char.add(
+                    idu, np.char.add(
+                        np.char.add("&lang=x", (ids % 2).astype("U1")),
+                        "&f&&#frag"))),
+            "")
+        t2 = pc.binary_join_element_wise(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            pa.array(s3, pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": t2})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_url_query_params(sf_dir: str):
+    """Row-exploding URL query-parameter extraction (stages/web.py
+    extract_query_params): RE2-exact URL scan composed with the
+    '?'/'#'/'&'/'=' tape splitter, DuckDB
+    regexp_extract + string_split + split_part as the oracle."""
+    from stringzilla_ray.stages.web import extract_query_params
+
+    return extract_query_params(_param_augmented(sf_dir), "doc_id",
+                                "text")
+
+
 def _q_extract_urls(sf_dir: str):
     """Row-exploding URL extraction (stages/web.py extract_urls — a
     vectorized byte-tape scan exactly matching RE2-greedy
@@ -5272,6 +5310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": _q_sample_per_lang,
         "sample_rate_per_lang": _q_sample_rate_per_lang,
         "extract_urls": _q_extract_urls,
+        "url_query_params": _q_url_query_params,
         "top_domains": _q_top_domains,
         "pack_assign": _q_pack_assign,
         "utf8_count": _q_utf8_count,
@@ -5594,6 +5633,31 @@ def oracle_sql() -> dict[str, str]:
                 for g, r in _RATE_PER_LANG.items()
             )
             + f" ELSE '{_rhex(0.0)}' END"
+        ),
+        "url_query_params": (
+            "WITH aug AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' see https://ex' || "
+            "CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' || "
+            "CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN ' go http://m' || "
+            "CAST(doc_id % 4 AS VARCHAR) || "
+            "'.net/q?u=http://inner.org/' || "
+            "CAST(doc_id AS VARCHAR) || ',' ELSE '' END || "
+            "CASE WHEN doc_id % 4 = 0 THEN ' http://p' || "
+            "CAST(doc_id % 3 AS VARCHAR) || '.io/s?q=' || "
+            "CAST(doc_id AS VARCHAR) || '&lang=x' || "
+            "CAST(doc_id % 2 AS VARCHAR) || '&f&&#frag' "
+            "ELSE '' END AS t2 FROM documents), "
+            "u AS (SELECT doc_id, unnest(regexp_extract_all(t2, "
+            "'https?://[^ \t\n\r\f]+')) AS url FROM aug), "
+            "q AS (SELECT doc_id, regexp_extract(url, "
+            "'\?([^#]*)', 1) AS qs FROM u WHERE contains(url, '?')), "
+            "p AS (SELECT doc_id, unnest(string_split(qs, '&')) "
+            "AS param FROM q) "
+            "SELECT doc_id, split_part(param, '=', 1) AS pkey, "
+            "CASE WHEN contains(param, '=') THEN substr(param, "
+            "length(split_part(param, '=', 1)) + 2) ELSE '' END "
+            "AS pvalue FROM p"
         ),
         "extract_urls": (
             "SELECT doc_id, unnest(regexp_extract_all(t2, "

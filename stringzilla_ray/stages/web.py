@@ -189,3 +189,95 @@ def tag_keywords(ds, keywords: list[str], id_column: str = "doc_id",
         })
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _first_in_row(tape: np.ndarray, offs: np.ndarray, byte: int,
+                  after: np.ndarray | None = None) -> np.ndarray:
+    """First position of ``byte`` per row (absolute, -1 if absent);
+    with ``after`` (per-row absolute position), first occurrence
+    strictly after it."""
+    n = len(offs) - 1
+    hits = np.flatnonzero(tape == byte).astype(np.int64)
+    row = np.searchsorted(offs, hits, "right") - 1
+    if after is not None:
+        keep = hits > after[row]
+        hits, row = hits[keep], row[keep]
+    out = np.full(n, -1, np.int64)
+    out[row[::-1]] = hits[::-1]  # reversed assign keeps the FIRST
+    return out
+
+
+def query_params_of(urls: pa.Array):
+    """Explode each URL's query string into (key, value) pairs —
+    query = between the first '?' and the first '#' after it (or the
+    end), params split on '&', key/value split at each param's FIRST
+    '=' (no '=' -> empty value).  Semantics mirror
+    ``regexp_extract(url, '\\?([^#]*)', 1)`` + ``string_split`` +
+    ``split_part`` exactly, including empty segments from '&&' and
+    the single empty param of a bare trailing '?'.
+
+    Returns (parent_row_idx, keys, values) — one vectorized tape
+    pass, no per-row Python."""
+    from stringzilla_ray.functions.segment import _gather_strings
+    from stringzilla_ray.functions.text import tape_of
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    tape, offs = tape_of(urls)
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    offs = (offs - offs[0]).astype(np.int64)
+    n = len(offs) - 1
+    qpos = _first_in_row(tape, offs, 0x3F)  # '?'
+    valid = qpos >= 0
+    hpos = _first_in_row(tape, offs, 0x23, after=qpos)  # '#' after '?'
+    w1 = np.where(hpos >= 0, hpos, offs[1:])
+    w0 = qpos + 1
+    vrows = np.flatnonzero(valid)
+    # segment heads: each valid row's w0, plus amp+1 for each
+    # in-window '&'
+    amps = np.flatnonzero(tape == 0x26).astype(np.int64)
+    arow = np.searchsorted(offs, amps, "right") - 1
+    inw = valid[arow] & (amps > qpos[arow]) & (amps < w1[arow])
+    amps, arow = amps[inw], arow[inw]
+    seg_start = np.concatenate([w0[vrows], amps + 1])
+    seg_row = np.concatenate([vrows, arow])
+    order = np.lexsort((seg_start, seg_row))
+    seg_start, seg_row = seg_start[order], seg_row[order]
+    m = len(seg_start)
+    if not m:
+        empty = pa.array([], pa.string())
+        return np.zeros(0, np.int64), empty, empty
+    # end = next segment's start - 1 (the '&') within the row, else w1
+    same = np.zeros(m, bool)
+    same[:-1] = seg_row[1:] == seg_row[:-1]
+    seg_end = np.where(
+        same, np.concatenate([seg_start[1:] - 1, [0]]), w1[seg_row])
+    # first '=' inside each segment
+    eqs = np.flatnonzero(tape == 0x3D).astype(np.int64)
+    j = np.searchsorted(eqs, seg_start)
+    has_eq = (j < len(eqs))
+    p = eqs[np.minimum(j, max(len(eqs) - 1, 0))] if len(eqs) \
+        else np.zeros(m, np.int64)
+    has_eq &= p < seg_end
+    k_end = np.where(has_eq, p, seg_end)
+    v_start = np.where(has_eq, p + 1, seg_end)
+    keys = _gather_strings(tape, seg_start, k_end)
+    vals = _gather_strings(tape, v_start, seg_end)
+    return seg_row, keys, vals
+
+
+def extract_query_params(ds, id_column: str = "doc_id",
+                         text_column: str = "text"):
+    """Row-exploding URL query-parameter extraction: every (key,
+    value) pair of every URL mention's query string.  Composes the
+    RE2-exact URL scan with the '?'/'#'/'&'/'=' tape splitter — two
+    vectorized passes per batch, zero shuffles."""
+
+    def f(t: pa.Table) -> pa.Table:
+        urls, rows = extract_url_column(t[text_column])
+        prow, keys, vals = query_params_of(urls)
+        ids = t[id_column].take(pa.array(rows[prow]))
+        return pa.table({id_column: ids, "pkey": keys, "pvalue": vals})
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -253,3 +253,32 @@ def test_reverse_and_vowel_groups(texts):
     assert vowel_group_count(arr).to_pylist() == [
         None if t is None else len(re.findall(r"[aeiou]+", t.lower()))
         for t in texts]
+
+
+def test_query_params_edge_semantics():
+    """'?'/'#'/'&'/'=' splitter vs DuckDB regexp+split_part on the
+    full edge set: bare '?', valueless keys, '&&' empties, '=' inside
+    values, fragment before/after '?'."""
+    import duckdb
+
+    from stringzilla_ray.stages.web import query_params_of
+
+    urls = ["http://a.com/x?a=1&b=2", "http://a.com/",
+            "http://a.com/?", "http://a.com/?x",
+            "http://a.com/?a=1&&c=d=e#frag?bad=1",
+            "http://a.com/#f?a=2", "http://a.com/?k=v&",
+            "http://x/?=v"]
+    prow, k, v = query_params_of(pa.array(urls, pa.string()))
+    got = list(zip(prow.tolist(), k.to_pylist(), v.to_pylist()))
+    con = duckdb.connect()
+    exp = []
+    for i, u in enumerate(urls):
+        r = con.execute(
+            "WITH q AS (SELECT CASE WHEN contains(?, '?') THEN "
+            "regexp_extract(?, '\\?([^#]*)', 1) END AS qs) "
+            "SELECT split_part(p, '=', 1), CASE WHEN contains(p, '=') "
+            "THEN substr(p, length(split_part(p, '=', 1)) + 2) "
+            "ELSE '' END FROM (SELECT unnest(string_split(qs, '&')) "
+            "AS p FROM q WHERE qs IS NOT NULL)", [u, u]).fetchall()
+        exp += [(i, a, b) for a, b in r]
+    assert got == exp
