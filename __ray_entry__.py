@@ -164,6 +164,56 @@ def _q_ilike_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_truncate_tokens(sf_dir: str):
+    """Context-window truncation: first 20 whitespace tokens per doc
+    (functions/text.py truncate_tokens — one separator tape scan +
+    one gather; byte == char on the single-byte separator, so no
+    ASCII guard is needed)."""
+    from stringzilla_ray.functions.text import truncate_tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "head": pc.cast(truncate_tokens(t["text"], 20), pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_drop_long_tail(sf_dir: str):
+    """p95 length-tail filter per language: the exact grouped
+    quantile census (stages/stats.py grouped_quantile, quantile_cont
+    semantics — already hash-pinned by median_chars_by_lang)
+    broadcasts per-lang thresholds; docs keep iff n_chars <= p95.
+    Identical float threshold + identical comparison on both sides."""
+    import ray
+
+    from stringzilla_ray.stages.stats import grouped_quantile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    census = grouped_quantile(ds, key_column="lang",
+                              value_column="n_chars", q=0.95,
+                              out_column="p95").to_pandas()
+    thr = dict(zip(census["lang"], census["p95"]))
+    thr_ref = ray.put(thr)
+
+    def f(t: pa.Table) -> pa.Table:
+        tt = ray.get(thr_ref)
+        langs = t["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        enc = langs.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        tv = np.array([tt.get(x, np.inf)
+                       for x in enc.dictionary.to_pylist()], np.float64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(nc <= tv[code])).select(["doc_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_reverse_text(sf_dir: str):
     """Per-row byte reversal as one tape gather (functions/text.py
     reverse_bytes); byte == char reversal under the ASCII guard."""
@@ -5295,6 +5345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "like_filter": _q_like_filter,
         "encode_text": _q_encode_text,
         "reverse_text": _q_reverse_text,
+        "truncate_tokens": _q_truncate_tokens,
+        "drop_long_tail": _q_drop_long_tail,
         "vowel_groups": _q_vowel_groups,
         "zscore_outliers": _q_zscore_outliers,
         "ilike_filter": _q_ilike_filter,
@@ -5694,6 +5746,17 @@ def oracle_sql() -> dict[str, str]:
         "count_substring": (
             "SELECT doc_id, CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS n "
             "FROM documents"
+        ),
+        "truncate_tokens": (
+            "SELECT doc_id, array_to_string("
+            "(string_split(text, ' '))[1:20], ' ') AS head "
+            "FROM documents"
+        ),
+        "drop_long_tail": (
+            "WITH t AS (SELECT lang, quantile_cont(n_chars, 0.95) "
+            "AS p95 FROM documents GROUP BY lang) "
+            "SELECT doc_id FROM documents JOIN t USING (lang) "
+            "WHERE n_chars <= p95"
         ),
         "reverse_text": (
             "SELECT doc_id, reverse(text) AS rev FROM documents "

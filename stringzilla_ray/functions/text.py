@@ -735,3 +735,37 @@ def vowel_group_count(arr) -> pa.Array:
     if nulls is not None:
         res = pc.if_else(nulls, pa.scalar(None, pa.int64()), res)
     return res
+
+
+def truncate_tokens(arr, n_tokens: int, sep: str = " ") -> pa.Array:
+    """Keep each row's first ``n_tokens`` sep-separated fields — the
+    context-window truncation primitive.  Equals
+    array_to_string(string_split(text, sep)[1:n], sep) byte-for-byte
+    (the prefix up to the n-th separator IS the join of the first n
+    fields, including empty-field runs).  One tape scan for the
+    separator positions, one gather."""
+    if len(sep) != 1:
+        raise ValueError("single-byte separator only")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nulls = arr.is_null() if arr.null_count else None
+    if nulls is not None:
+        arr = pc.fill_null(arr, "")
+    tape, offs = tape_of(arr)
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    offs = (offs - offs[0]).astype(np.int64)
+    n = len(offs) - 1
+    hits = np.flatnonzero(tape == ord(sep)).astype(np.int64)
+    row = np.searchsorted(offs, hits, "right") - 1
+    # index of each row's first separator in `hits`
+    first = np.searchsorted(row, np.arange(n))
+    nth = first + (n_tokens - 1)
+    cnt = np.searchsorted(row, np.arange(n), "right") - first
+    end = np.where(cnt >= n_tokens, hits[np.minimum(nth, max(len(hits) - 1, 0))]
+                   if len(hits) else offs[1:], offs[1:])
+    from stringzilla_ray.functions.segment import _gather_strings
+
+    res = _gather_strings(tape, offs[:-1], end)
+    if nulls is not None:
+        res = pc.if_else(nulls, pa.scalar(None, res.type), res)
+    return res

@@ -282,3 +282,17 @@ def test_query_params_edge_semantics():
             "AS p FROM q WHERE qs IS NOT NULL)", [u, u]).fetchall()
         exp += [(i, a, b) for a, b in r]
     assert got == exp
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(st.one_of(st.none(),
+                                st.text(alphabet="ab ", max_size=25)),
+                      min_size=1, max_size=8),
+       k=st.integers(min_value=1, max_value=6))
+def test_truncate_tokens_matches_split_join(texts, k):
+    from stringzilla_ray.functions.text import truncate_tokens
+
+    got = truncate_tokens(pa.array(texts, pa.string()), k).to_pylist()
+    exp = [None if t is None else " ".join(t.split(" ")[:k])
+           for t in texts]
+    assert got == exp
