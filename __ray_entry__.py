@@ -164,6 +164,38 @@ def _q_ilike_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_byte_frequency(sf_dir: str):
+    """Corpus byte-frequency census: each batch collapses to ONE
+    256-bin bincount row over the tape (the whole exchange), partials
+    sum in a tree; bytes == chars under the ASCII guard."""
+    import pandas as _pd
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from stringzilla_ray.functions.text import tape_of
+
+        f = t.filter(_ascii_mask(t))
+        col = f["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tape, offs = tape_of(col)
+        tape = np.asarray(tape[offs[0]:offs[-1]])
+        cnt = np.bincount(tape, minlength=256).astype(np.int64)
+        return pa.table({"counts": pa.array([cnt.tobytes()],
+                                            pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.zeros(256, np.int64)
+    for r in rows:
+        total += np.frombuffer(r["counts"], np.int64)
+    present = np.flatnonzero(total)
+    return _pd.DataFrame({
+        "ch": [chr(b) for b in present],
+        "n": total[present].astype("int64"),
+    })
+
+
 def _q_truncate_tokens(sf_dir: str):
     """Context-window truncation: first 20 whitespace tokens per doc
     (functions/text.py truncate_tokens — one separator tape scan +
@@ -979,6 +1011,117 @@ def _q_tpch_q7(sf_dir: str):
             "cust_nation": t["cust_nation"],
             "l_year": t["l_year"],
             "revenue_e4": t["revenue_e4_sum"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_tpch_q8_share(sf_dir: str):
+    """TPC-H Q8-shaped market-share query: for orders of customers in
+    one region, per order year, NATION_3-supplied revenue (numerator)
+    vs all revenue (denominator), both as exact 1e-4-unit int64 —
+    the ratio derives exactly, no float division in the hash.
+    customer/supplier collapse to broadcast probes; the one big-big
+    exchange is lineitem ⋈ orders on orderkey (q5/q7 contract)."""
+    import ray
+
+    from stringzilla_ray.util import join_partitions
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nn = nation["n_name"].to_pylist()
+    target_nk = int(nk[nn.index("NATION_3")])
+    # the region NATION_3 belongs to
+    rk = int(nation["n_regionkey"].to_numpy(zero_copy_only=False)
+             [nn.index("NATION_3")])
+    region_nks = nk[nation["n_regionkey"].to_numpy(zero_copy_only=False)
+                    == rk]
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnk = cust["c_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    keep = np.isin(cnk, region_nks)
+    ck = np.sort(ck[keep])
+    cust_ref = ray.put(ck)
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = sup["s_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    so = np.argsort(sk)
+    sup_ref = ray.put((sk[so], snk[so]))
+
+    def orders_probe(t: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        j = np.minimum(np.searchsorted(keys, oc), max(len(keys) - 1, 0))
+        hit = (keys[j] == oc) if len(keys) else np.zeros(len(oc), bool)
+        f = t.filter(pa.array(hit))
+        return pa.table({
+            "o_orderkey": pc.cast(f["o_orderkey"], pa.int64()),
+            "o_year": pc.cast(pc.year(f["o_orderdate"]), pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_probe, batch_format="pyarrow")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        keys, nkv = ray.get(sup_ref)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        j = np.minimum(np.searchsorted(keys, lsk), max(len(keys) - 1, 0))
+        hit = (keys[j] == lsk) if len(keys) else np.zeros(len(lsk), bool)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        ru = (np.floor(ep * 100 + 0.5).astype(np.int64)
+              * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        is_t = hit & (nkv[j] == target_nk)
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "ru": pa.array(ru, pa.int64()),
+            "ru_t": pa.array(np.where(is_t, ru, 0), pa.int64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]) \
+        .map_batches(li_rows, batch_format="pyarrow")
+    j = li.join(orders, join_type="inner",
+                num_partitions=join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = t["o_year"].to_numpy(zero_copy_only=False)
+        ru = t["ru"].to_numpy(zero_copy_only=False)
+        rt = t["ru_t"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(yr, return_inverse=True)
+        den = np.zeros(len(uk), np.int64)
+        num = np.zeros(len(uk), np.int64)
+        np.add.at(den, inv, ru)
+        np.add.at(num, inv, rt)
+        return pa.table({
+            "o_year": pa.array(uk, pa.int64()),
+            "share_num_e4": pa.array(num, pa.int64()),
+            "share_den_e4": pa.array(den, pa.int64()),
+        })
+
+    agged = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(*_sum_aggs(("share_num_e4", "num_s"),
+                              ("share_den_e4", "den_s")))
+    )
+    return agged.map_batches(
+        lambda t: pa.table({
+            "o_year": t["o_year"],
+            "share_num_e4": t["num_s"],
+            "share_den_e4": t["den_s"]}),
         batch_format="pyarrow",
     )
 
@@ -5346,6 +5489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_text": _q_encode_text,
         "reverse_text": _q_reverse_text,
         "truncate_tokens": _q_truncate_tokens,
+        "byte_frequency": _q_byte_frequency,
         "drop_long_tail": _q_drop_long_tail,
         "vowel_groups": _q_vowel_groups,
         "zscore_outliers": _q_zscore_outliers,
@@ -5483,6 +5627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_length_hist": _q_session_length_hist,
         "value_regression": _q_value_regression,
         "tpch_q9_profit": _q_tpch_q9_profit,
+        "tpch_q8_share": _q_tpch_q8_share,
         "copurchase_pairs": _q_copurchase_pairs,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
@@ -5746,6 +5891,12 @@ def oracle_sql() -> dict[str, str]:
         "count_substring": (
             "SELECT doc_id, CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS n "
             "FROM documents"
+        ),
+        "byte_frequency": (
+            "SELECT ch, CAST(count(*) AS BIGINT) AS n FROM "
+            "(SELECT unnest(string_split(text, '')) AS ch "
+            "FROM documents WHERE length(text) = strlen(text)) "
+            "GROUP BY ch"
         ),
         "truncate_tokens": (
             "SELECT doc_id, array_to_string("
@@ -6488,6 +6639,26 @@ def oracle_sql() -> dict[str, str]:
             "AS n_active FROM days d "
             "JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day "
             "GROUP BY d.day"
+        ),
+        "tpch_q8_share": (
+            "WITH rn AS (SELECT n_nationkey FROM nation WHERE "
+            "n_regionkey = (SELECT n_regionkey FROM nation "
+            "WHERE n_name = 'NATION_3')), "
+            "o AS (SELECT o_orderkey, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN rn ON c_nationkey = rn.n_nationkey), "
+            "l AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS ru, "
+            "CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation "
+            "WHERE n_name = 'NATION_3') THEN 1 ELSE 0 END AS is_t "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey) "
+            "SELECT o_year, "
+            "CAST(sum(ru * is_t) AS BIGINT) AS share_num_e4, "
+            "CAST(sum(ru) AS BIGINT) AS share_den_e4 "
+            "FROM l JOIN o ON l_orderkey = o.o_orderkey "
+            "GROUP BY o_year"
         ),
         "tpch_q9_profit": (
             "SELECT n_name AS supp_nation, "

@@ -11,6 +11,8 @@ SF = "/root/testdata/sf0.001"
 QUERIES = [
     "tpch_q4_priority",
     "tpch_q7_volume",
+    "tpch_q8_share",
+    "tpch_q9_profit",
     "tpch_q11_part_value",
     "tpch_q13_custdist",
     "tpch_q15_top_supplier",
