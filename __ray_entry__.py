@@ -164,6 +164,33 @@ def _q_ilike_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_grapheme_explode(sf_dir: str):
+    """Row-exploding extended grapheme clusters
+    (functions/segment.py utf8_graphemes_column — the reference's
+    utf8_graphemes iterator).  SQL cannot segment graphemes, so the
+    oracle restricts to ASCII-without-CR rows where cluster == char
+    (CRLF is the one ASCII multi-char cluster); the full UAX #29
+    rule surface is pinned by the spec pytests on _grapheme_join."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        from stringzilla_ray.functions.segment import \
+            utf8_graphemes_column
+
+        m = pc.and_(_ascii_mask(t),
+                    pc.invert(pc.match_substring(t["text"], "\r")))
+        t = t.filter(m)
+        vals, parents, idx = utf8_graphemes_column(t["text"])
+        ids = t["doc_id"].take(pa.array(parents))
+        return pa.table({
+            "doc_id": ids,
+            "gidx": pa.array(idx + 1, pa.int64()),
+            "g": vals,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_byte_frequency(sf_dir: str):
     """Corpus byte-frequency census: each batch collapses to ONE
     256-bin bincount row over the tape (the whole exchange), partials
@@ -5490,6 +5517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_text": _q_reverse_text,
         "truncate_tokens": _q_truncate_tokens,
         "byte_frequency": _q_byte_frequency,
+        "grapheme_explode": _q_grapheme_explode,
         "drop_long_tail": _q_drop_long_tail,
         "vowel_groups": _q_vowel_groups,
         "zscore_outliers": _q_zscore_outliers,
@@ -5891,6 +5919,13 @@ def oracle_sql() -> dict[str, str]:
         "count_substring": (
             "SELECT doc_id, CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS n "
             "FROM documents"
+        ),
+        "grapheme_explode": (
+            "SELECT doc_id, CAST(generate_subscripts(cs, 1) AS BIGINT) "
+            "AS gidx, unnest(cs) AS g FROM "
+            "(SELECT doc_id, string_split(text, '') AS cs "
+            "FROM documents WHERE length(text) = strlen(text) "
+            "AND NOT contains(text, chr(13)))"
         ),
         "byte_frequency": (
             "SELECT ch, CAST(count(*) AS BIGINT) AS n FROM "

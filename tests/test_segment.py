@@ -750,3 +750,33 @@ def test_windowed_kernels_null_propagation():
         == [2, None, 0, 0, 1]
     assert count_substring(col, "ll", allowoverlap=True,
                            start=3).to_pylist() == [1, None, 0, 0, 1]
+
+
+def test_utf8_graphemes_column_explodes_clusters():
+    """Row-exploding graphemes: concat == original, per-row count ==
+    grapheme_count_batch, multi-codepoint clusters stay whole."""
+    import pyarrow as pa
+
+    from stringzilla_ray.functions.segment import (grapheme_count_batch,
+                                                   utf8_graphemes_column)
+    from stringzilla_ray.functions.text import tape_of
+
+    texts = ["abc", "", "áb", "\U0001F1E6\U0001F1E6\U0001F1E6",
+             "x\r\ny", "é̂f", "plain ascii"]
+    col = pa.array(texts, pa.string())
+    vals, parents, idx = utf8_graphemes_column(col)
+    vs = vals.to_pylist()
+    # reassembly per row
+    out = ["" for _ in texts]
+    for v, p in zip(vs, parents.tolist()):
+        out[p] += v
+    assert out == texts
+    tape, offs = tape_of(col)
+    counts = grapheme_count_batch(tape, offs)
+    import numpy as np
+
+    got_counts = np.bincount(parents, minlength=len(texts))
+    assert list(got_counts) == list(counts)
+    # combining marks attach to their base; CRLF is one cluster
+    assert "á" in vs and "x" in vs and "\r\n" in vs
+    assert "é̂" in vs
