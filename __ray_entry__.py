@@ -5178,6 +5178,33 @@ def _q_first_last_event(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_running_total(sf_dir: str):
+    """Per-user running total (ROWS UNBOUNDED PRECEDING) of the exact
+    1e-2-unit value — the rolling_sum_rows kernel with an unbounded
+    frame; prefix sums make it one pass per shard."""
+    from stringzilla_ray.stages.temporal import rolling_sum_rows
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_sum_rows(ds, by="user_id", on="ts",
+                           id_column="event_id",
+                           value_column="value", preceding=None)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "roll_n", "roll_sum"]),
+        batch_format="pyarrow")
+
+
+def _q_mode_value_by_type(sf_dir: str):
+    """Deterministic per-type MODE of floor(value·100)
+    (stages/stats.py grouped_mode): frequency-map partials, winner by
+    (count desc, value asc) so ties are reproducible."""
+    from stringzilla_ray.stages.stats import grouped_mode
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_mode(ds, key_column="event_type",
+                        value_column="value", value_scale=100)
+
+
 def _q_value_moments_by_type(sf_dir: str):
     """Per-type exact integer moment census (stages/stats.py
     grouped_moments): n, Σq, Σq² with q = floor(value·100) — the
@@ -5659,6 +5686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": _q_copurchase_pairs,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
+        "running_total": _q_running_total,
+        "mode_value_by_type": _q_mode_value_by_type,
         "dsir_weights": _q_dsir_weights,
         "pagerank_events": _q_pagerank_events,
         "json_extract_props": _q_json_extract_props,
@@ -6726,6 +6755,22 @@ def oracle_sql() -> dict[str, str]:
             "max(CASE WHEN ra = 1 THEN event_type END) AS first_value, "
             "max(CASE WHEN rd = 1 THEN event_type END) AS last_value "
             "FROM r GROUP BY user_id"
+        ),
+        "running_total": (
+            "SELECT event_id, CAST(count(*) OVER w AS BIGINT) "
+            "AS roll_n, CAST(sum(CAST(floor(value * 100 + 0.5) "
+            "AS BIGINT)) OVER w AS BIGINT) AS roll_sum FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "mode_value_by_type": (
+            "WITH c AS (SELECT event_type, CAST(floor(value * 100) "
+            "AS BIGINT) AS q, count(*) AS cnt FROM events "
+            "GROUP BY event_type, q), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY "
+            "event_type ORDER BY cnt DESC, q ASC) AS rn FROM c) "
+            "SELECT event_type, q AS mode_q, CAST(cnt AS BIGINT) "
+            "AS n_mode FROM r WHERE rn = 1"
         ),
         "value_moments_by_type": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "

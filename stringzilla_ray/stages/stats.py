@@ -1173,3 +1173,60 @@ def grouped_comoments(ds, key_column: str, x_column: str, y_column: str,
             {key_column: t[key_column],
              **{c: t[c + "_s"] for c in cols}}),
         batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_column: str, value_column: str,
+                 value_scale: int = 100, n_shards: int | None = None):
+    """Deterministic per-group MODE of a quantized value — winner by
+    (count desc, value asc), so ties can't produce nondeterministic
+    output (SQL's bare mode() can; the twin uses an explicit
+    row_number window).  Frequency-map shape: batches collapse to
+    (key, q, cnt) partials, one hash(key) shard groupby sums them and
+    picks each key's winner locally."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        q = np.floor(t[value_column].to_numpy(zero_copy_only=False)
+                     * value_scale).astype(np.int64)
+        g = pa.table({key_column: keys, "q": pa.array(q)})
+        part = pa.TableGroupBy(g, [key_column, "q"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([key_column, "q", "cnt"])
+        kk = part[key_column]
+        if isinstance(kk, pa.ChunkedArray):
+            kk = kk.combine_chunks()
+        h = hash_string_column(kk)
+        return part.append_column(
+            "__shard", pa.array((np.abs(h) % n_shards).astype(np.int32),
+                                pa.int32()))
+
+    def final(g: pa.Table) -> pa.Table:
+        summed = pa.TableGroupBy(
+            g.select([key_column, "q", "cnt"]), [key_column, "q"]) \
+            .aggregate([("cnt", "sum")]) \
+            .rename_columns([key_column, "q", "cnt"])
+        keys = summed[key_column].to_numpy(zero_copy_only=False)
+        q = summed["q"].to_numpy(zero_copy_only=False)
+        cnt = summed["cnt"].to_numpy(zero_copy_only=False)
+        uniq, code = np.unique(keys, return_inverse=True)
+        order = np.lexsort((q, -cnt, code))
+        code_s = code[order]
+        head = np.ones(len(code_s), bool)
+        head[1:] = code_s[1:] != code_s[:-1]
+        win = order[head]
+        return pa.table({
+            key_column: pa.array(uniq[code_s[head]],
+                                 summed[key_column].type),
+            "mode_q": pa.array(q[win], pa.int64()),
+            "n_mode": pa.array(cnt[win].astype(np.int64)),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(final, batch_format="pyarrow")

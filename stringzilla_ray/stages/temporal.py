@@ -1057,19 +1057,20 @@ def group_rank(ds, by: str, value_column: str, id_column: str,
 
 
 def rolling_sum_rows(ds, by: str, on: str, id_column: str,
-                     value_column: str, preceding: int = 3,
+                     value_column: str, preceding: int | None = 3,
                      value_scale: int = 100,
                      n_shards: int | None = None):
     """Per-key ROWS-frame rolling aggregate: count and exact scaled-int
     sum over ``ROWS BETWEEN preceding PRECEDING AND CURRENT ROW``
-    ordered by (``on``, ``id_column``).  Values go through
+    ordered by (``on``, ``id_column``); ``preceding=None`` = UNBOUNDED
+    PRECEDING (per-key running total).  Values go through
     ``floor(v * scale + 0.5)`` int64 once, so the windowed sums are
     integer prefix-sum differences — order-independent and bit-equal
     to the SQL twin.  One hash(key) shuffle."""
     from stringzilla_ray.util import reduce_buckets
 
     n_shards = n_shards or reduce_buckets()
-    w = int(preceding) + 1
+    w = (1 << 62) if preceding is None else int(preceding) + 1
 
     def cols(batch: pa.Table) -> pa.Table:
         v = batch[value_column].to_numpy(zero_copy_only=False)

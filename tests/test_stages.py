@@ -3266,3 +3266,21 @@ def test_grouped_comoments_exact(ray_session):
         " CAST(floor(y * 100) AS BIGINT) AS yi FROM df)"
         " GROUP BY k ORDER BY k").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_mode_deterministic_ties(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.stats import grouped_mode
+
+    # 1.0 and 3.0 tie at count 2 in group 'a' -> smallest q wins
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3,
+        "v": [3.0, 1.0, 3.0, 1.0, 7.0, 7.0, 2.0],
+    })
+    got = grouped_mode(ray.data.from_pandas(df), "k", "v",
+                       value_scale=100).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == ["a", "b"]
+    assert list(got["mode_q"]) == [100, 700]
+    assert list(got["n_mode"]) == [2, 2]
