@@ -5336,6 +5336,117 @@ def _q_props_sum_by_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_lang_source_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) census (stages/stats.py
+    cube_census): the rollup exchange yields final detail; the (k2)
+    and () sets reduce from the DETAIL CENSUS, never the raw rows."""
+    from stringzilla_ray.stages.stats import cube_census
+
+    out = cube_census(
+        _read(sf_dir, "documents", columns=["lang", "source", "n_chars"]),
+        key1="lang", key2="source", value_column="n_chars")
+    return out.rename(columns={"k1": "lang", "k2": "source",
+                               "sum_v": "sum_chars", "n": "n_docs"})
+
+
+def _q_trending_types_daily(sf_dir: str):
+    """Daily trending event types: per-(day, type) census (map-side
+    bincount partials), then deterministic top-2 per day by
+    (count desc, type asc) on the tiny census."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.stages.temporal import _ts_us
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = _ts_us(t["ts"]) // np.int64(86_400_000_000)
+        keys = t["event_type"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        g = pa.table({"day": pa.array(day), "event_type": keys})
+        return pa.TableGroupBy(g, ["day", "event_type"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["day", "event_type", "n"])
+
+    census = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n_s")).to_pandas()
+    census = census.rename(columns={"n_s": "n"})
+    census = census.sort_values(
+        ["day", "n", "event_type"], ascending=[True, False, True])
+    census["rn"] = census.groupby("day").cumcount() + 1
+    out = census[census["rn"] <= 2][["day", "event_type", "n"]] \
+        .reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _q_window_wow_change(sf_dir: str):
+    """Day-over-day delta of each type's exact daily value sum: the
+    (type, day) census shuffles once more by hash(type) so each shard
+    lag-differences its types locally (a census-sized exchange)."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.stages.temporal import _ts_us
+    from stringzilla_ray.util import reduce_buckets
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = _ts_us(t["ts"]) // np.int64(86_400_000_000)
+        q = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        keys = t["event_type"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        g = pa.table({"day": pa.array(day), "event_type": keys,
+                      "q": pa.array(q)})
+        return pa.TableGroupBy(g, ["day", "event_type"]) \
+            .aggregate([("q", "sum")]) \
+            .rename_columns(["day", "event_type", "s"])
+
+    n_shards = reduce_buckets()
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["event_type"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        h = hash_string_column(k, seed=0x2D1)
+        return t.append_column(
+            "__shard", pa.array((np.abs(h) % n_shards).astype(np.int32),
+                                pa.int32()))
+
+    def lagdiff(g: pa.Table) -> pa.Table:
+        # finalize the census per (type, day) first (partials from
+        # different batches), then difference consecutive days
+        f = pa.TableGroupBy(g.select(["day", "event_type", "s"]),
+                            ["event_type", "day"]) \
+            .aggregate([("s", "sum")]) \
+            .rename_columns(["event_type", "day", "s"])
+        keys = f["event_type"].to_numpy(zero_copy_only=False)
+        day = f["day"].to_numpy(zero_copy_only=False)
+        sv = f["s"].to_numpy(zero_copy_only=False)
+        uniq, code = np.unique(keys, return_inverse=True)
+        order = np.lexsort((day, code))
+        cs, ds_, ss = code[order], day[order], sv[order]
+        head = np.ones(len(cs), bool)
+        head[1:] = cs[1:] != cs[:-1]
+        delta = np.zeros(len(cs), np.int64)
+        delta[1:] = ss[1:] - ss[:-1]
+        return pa.table({
+            "event_type": pa.array(uniq[cs], f["event_type"].type),
+            "day": pa.array(ds_, pa.int64()),
+            "day_sum": pa.array(ss, pa.int64()),
+            "delta": pa.array(delta, pa.int64(), mask=head),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(shard, batch_format="pyarrow") \
+        .groupby("__shard").map_groups(lagdiff, batch_format="pyarrow")
+
+
 def _q_lang_source_rollup(sf_dir: str):
     """GROUP BY ROLLUP(lang, source) census with exact int64 sums
     (stages/stats.py rollup_census): detail + per-lang subtotal rows
@@ -5692,6 +5803,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_events": _q_pagerank_events,
         "json_extract_props": _q_json_extract_props,
         "lang_source_rollup": _q_lang_source_rollup,
+        "lang_source_cube": _q_lang_source_cube,
+        "trending_types_daily": _q_trending_types_daily,
+        "window_wow_change": _q_window_wow_change,
         "fk_orphans": _q_fk_orphans,
         "props_sum_by_type": _q_props_sum_by_type,
         "lexical_diversity": _q_lexical_diversity,
@@ -6560,6 +6674,28 @@ def oracle_sql() -> dict[str, str]:
             "  * avgpos.c > avgpos.s"
             " AND c_custkey NOT IN (SELECT o_custkey FROM act)"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "lang_source_cube": (
+            "SELECT lang, source, CAST(sum(n_chars) AS BIGINT) "
+            "AS sum_chars, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        "trending_types_daily": (
+            "WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 "
+            "AS BIGINT) AS day, event_type, CAST(count(*) AS BIGINT) "
+            "AS n FROM events GROUP BY day, event_type), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY day "
+            "ORDER BY n DESC, event_type ASC) AS rn FROM c) "
+            "SELECT day, event_type, n FROM r WHERE rn <= 2"
+        ),
+        "window_wow_change": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS s FROM events GROUP BY event_type, day) "
+            "SELECT event_type, day, s AS day_sum, "
+            "s - lag(s) OVER (PARTITION BY event_type ORDER BY day) "
+            "AS delta FROM c"
         ),
         "lang_source_rollup": (
             "SELECT lang, source,"

@@ -1230,3 +1230,27 @@ def grouped_mode(ds, key_column: str, value_column: str,
     return ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("__shard").map_groups(final, batch_format="pyarrow")
+
+
+def cube_census(ds, key1: str, key2: str, value_column: str,
+                n_shards: int | None = None):
+    """GROUP BY CUBE(key1, key2) census — all four grouping sets with
+    count + exact int64 sum.  Shape: rollup_census's single
+    hash(key1) exchange produces the FINAL (k1,k2) detail; the (k2)
+    and () subtotals then reduce from the DETAIL CENSUS (cardinality
+    |k1|x|k2|), never from the raw rows — the second 'pass' costs
+    O(census), not O(data)."""
+    import pandas as pd
+
+    detail_plus = rollup_census(ds, key1, key2, value_column,
+                                n_shards=n_shards)
+    detail = detail_plus[detail_plus["k1"].notna()
+                         & detail_plus["k2"].notna()]
+    k2_sub = detail.groupby("k2", as_index=False) \
+        .agg(sum_v=("sum_v", "sum"), n=("n", "sum"))
+    k2_sub.insert(0, "k1", None)
+    out = pd.concat([detail_plus, k2_sub], ignore_index=True)
+    out["sum_v"] = out["sum_v"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["k1", "k2"], na_position="last") \
+        .reset_index(drop=True)
