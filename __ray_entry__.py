@@ -1042,6 +1042,72 @@ def _q_tpch_q7(sf_dir: str):
     )
 
 
+def _q_order_latency_hist(sf_dir: str):
+    """Order-fulfillment latency histogram: per-order LAST shipdate
+    minus orderdate in whole days, then a (days -> n_orders) census.
+    The per-orderkey max-shipdate census finalizes in a shard-groupby
+    (q4's shape) before ONE big-big orderkey join; the histogram is
+    census-sized."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.stages.temporal import _ts_us
+    from stringzilla_ray.util import join_partitions, reduce_buckets
+
+    n_buckets = reduce_buckets()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ship = _ts_us(t["l_shipdate"])
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ship)
+        sh = (splitmix64(uk.view(np.uint64) ^ np.uint64(0x4A))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"ok": pa.array(uk), "ms": pa.array(mx),
+                         "shard": pa.array(sh, pa.int32())})
+
+    def li_final(g: pa.Table) -> pa.Table:
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        ms = g["ms"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ms)
+        return pa.table({"ok": pa.array(uk), "ms": pa.array(mx)})
+
+    census = (_read(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+              .map_batches(li_partial, batch_format="pyarrow")
+              .groupby("shard")
+              .map_groups(li_final, batch_format="pyarrow"))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda t: pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "od": pa.array(_ts_us(t["o_orderdate"]), pa.int64())}),
+        batch_format="pyarrow")
+
+    j = orders.join(census, join_type="inner",
+                    num_partitions=join_partitions(),
+                    on=("o_orderkey",), right_on=("ok",))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        days = (t["ms"].to_numpy(zero_copy_only=False)
+                - t["od"].to_numpy(zero_copy_only=False)) \
+            // np.int64(86_400_000_000)
+        uk, cnt = np.unique(days, return_counts=True)
+        return pa.table({"days": pa.array(uk, pa.int64()),
+                         "n_orders": pa.array(cnt.astype(np.int64))})
+
+    out = j.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("days").aggregate(Sum("n_orders", alias_name="n_s"))
+    return out.map_batches(
+        lambda t: pa.table({"days": t["days"], "n_orders": t["n_s"]}),
+        batch_format="pyarrow")
+
+
 def _q_tpch_q8_share(sf_dir: str):
     """TPC-H Q8-shaped market-share query: for orders of customers in
     one region, per order year, NATION_3-supplied revenue (numerator)
@@ -2925,6 +2991,123 @@ def _q_embedding_sim_pairs(sf_dir: str):
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def _q_prompt_template(sf_dir: str):
+    """Prompt assembly: 'lang: {lang}\n{text}' per doc — one
+    element-wise join, the templating map every training pipeline
+    runs before packing."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        lit = lambda x: pa.array([x] * n, pa.string())
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        prompt = pc.binary_join_element_wise(
+            lit("lang: "), lang, lit("\n"), text, "")
+        return pa.table({"doc_id": t["doc_id"], "prompt": prompt})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV interchange round-trip (functions/csvx.py): RFC-4180
+    encode then the quote-parity vectorized parse; the oracle is the
+    source table itself, so any byte the codec mangles flips the
+    hash.  (Quoting edge cases — embedded commas/quotes/newlines —
+    are pinned by the csv-module pytest; this corpus exercises the
+    fast unquoted path at volume.)"""
+    from stringzilla_ray.functions.csvx import (csv_encode_rows,
+                                                csv_parse_rows)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lines = csv_encode_rows(pa.table({
+            "doc_id": t["doc_id"], "text": t["text"],
+            "lang": t["lang"]}))
+        ids, text, lang = csv_parse_rows(lines, 3)
+        return pa.table({
+            "doc_id": pc.cast(ids, pa.int64()),
+            "text": pc.cast(text, pa.string()),
+            "lang": pc.cast(lang, pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_token_cosine_pairs(sf_dir: str):
+    """Exact token-space cosine sufficient statistics for consecutive
+    doc pairs: integer dot product and squared norms over ' '-split
+    token counts (empty fields included — string_split parity).  The
+    cosine derives exactly from three ints; no float leaves the
+    engine."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_and_score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        t = t.take(pa.array(order))
+        ids = ids[order]
+        pos = {int(i): k for k, i in enumerate(ids)}
+        lefts = [i for i in ids.tolist() if i % 2 == 0 and i + 1 in pos]
+        if not lefts:
+            return pa.table({
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+                "norm_a2": pa.array([], pa.int64()),
+                "norm_b2": pa.array([], pa.int64())})
+        li = np.array([pos[i] for i in lefts], np.int64)
+        ri = np.array([pos[i + 1] for i in lefts], np.int64)
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        # explode tokens for both sides with (pair, side) tags
+        toks = pc.split_pattern(texts, " ")
+        flat = toks.flatten()
+        parent = toks.value_parent_indices().to_numpy(
+            zero_copy_only=False)
+        code = flat.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # map row -> (pair idx, side); rows not in any pair drop
+        npairs = len(lefts)
+        row_pair = np.full(len(t), -1, np.int64)
+        row_side = np.zeros(len(t), np.int64)
+        row_pair[li] = np.arange(npairs)
+        row_pair[ri] = np.arange(npairs)
+        row_side[ri] = 1
+        pr = row_pair[parent]
+        keep = pr >= 0
+        pr, sd, cd = pr[keep], row_side[parent][keep], code[keep]
+        key = (pr << np.int64(33)) | (cd << np.int64(1)) | sd
+        uk, cnt = np.unique(key, return_counts=True)
+        cnt = cnt.astype(np.int64)
+        kp = uk >> np.int64(33)
+        kc = (uk >> np.int64(1)) & np.int64((1 << 32) - 1)
+        ks = uk & np.int64(1)
+        # adjacent (pair, code) rows with sides 0,1 -> dot term
+        dot = np.zeros(npairs, np.int64)
+        if len(uk) > 1:
+            adj = (kp[:-1] == kp[1:]) & (kc[:-1] == kc[1:]) &                 (ks[:-1] == 0) & (ks[1:] == 1)
+            np.add.at(dot, kp[:-1][adj], cnt[:-1][adj] * cnt[1:][adj])
+        n2 = np.zeros((npairs, 2), np.int64)
+        np.add.at(n2, (kp, ks), cnt * cnt)
+        return pa.table({
+            "left_id": pa.array(lefts, pa.int64()),
+            "right_id": pa.array([i + 1 for i in lefts], pa.int64()),
+            "dot": pa.array(dot, pa.int64()),
+            "norm_a2": pa.array(n2[:, 0], pa.int64()),
+            "norm_b2": pa.array(n2[:, 1], pa.int64()),
+        })
+
+    return ds.repartition(1).map_batches(
+        pair_and_score, batch_format="pyarrow", batch_size=100000)
 
 
 def _q_levenshtein_pairs(sf_dir: str):
@@ -5794,6 +5977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_regression": _q_value_regression,
         "tpch_q9_profit": _q_tpch_q9_profit,
         "tpch_q8_share": _q_tpch_q8_share,
+        "order_latency_hist": _q_order_latency_hist,
         "copurchase_pairs": _q_copurchase_pairs,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
@@ -5825,6 +6009,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "flagship_er_clusters": _q_flagship_clusters,
         "levenshtein_pairs": _q_levenshtein_pairs,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "prompt_template": _q_prompt_template,
+        "token_cosine_pairs": _q_token_cosine_pairs,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
         "hamming_prefix": _q_hamming_prefix,
         "damerau_pairs": _q_damerau_pairs,
@@ -6255,6 +6442,39 @@ def oracle_sql() -> dict[str, str]:
         "sw_substring": (
             "SELECT doc_id, CAST(GREATEST(LEAST(length(text) - 10, 40), 0) AS BIGINT) AS score "
             "FROM documents"
+        ),
+        "csv_roundtrip": (
+            "SELECT doc_id, text, lang FROM documents"
+        ),
+        "prompt_template": (
+            "SELECT doc_id, 'lang: ' || lang || chr(10) || text "
+            "AS prompt FROM documents"
+        ),
+        "token_cosine_pairs": (
+            "WITH p AS (SELECT a.doc_id AS la, b.doc_id AS rb, "
+            "a.text AS ta, b.text AS tb FROM documents a "
+            "JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0), "
+            "ea AS (SELECT la, rb, unnest(string_split(ta, ' ')) "
+            "AS tok FROM p), "
+            "eb AS (SELECT la, rb, unnest(string_split(tb, ' ')) "
+            "AS tok FROM p), "
+            "ca AS (SELECT la, rb, tok, count(*) AS c FROM ea "
+            "GROUP BY la, rb, tok), "
+            "cb AS (SELECT la, rb, tok, count(*) AS c FROM eb "
+            "GROUP BY la, rb, tok), "
+            "d AS (SELECT ca.la, sum(ca.c * cb.c) AS dot FROM ca "
+            "JOIN cb ON ca.la = cb.la AND ca.tok = cb.tok "
+            "GROUP BY ca.la), "
+            "na AS (SELECT la, rb, sum(c * c) AS n2 FROM ca "
+            "GROUP BY la, rb), "
+            "nb AS (SELECT la, sum(c * c) AS n2 FROM cb GROUP BY la) "
+            "SELECT na.la AS left_id, na.rb AS right_id, "
+            "CAST(coalesce(d.dot, 0) AS BIGINT) AS dot, "
+            "CAST(na.n2 AS BIGINT) AS norm_a2, "
+            "CAST(nb.n2 AS BIGINT) AS norm_b2 "
+            "FROM na JOIN nb ON na.la = nb.la "
+            "LEFT JOIN d ON d.la = na.la"
         ),
         "levenshtein_pairs": (
             "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
@@ -6839,6 +7059,15 @@ def oracle_sql() -> dict[str, str]:
             "AS n_active FROM days d "
             "JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day "
             "GROUP BY d.day"
+        ),
+        "order_latency_hist": (
+            "WITH m AS (SELECT l_orderkey, "
+            "max(epoch_us(l_shipdate)) AS ms FROM lineitem "
+            "GROUP BY l_orderkey) "
+            "SELECT CAST((ms - epoch_us(o_orderdate)) // 86400000000 "
+            "AS BIGINT) AS days, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN m ON o_orderkey = l_orderkey "
+            "GROUP BY days"
         ),
         "tpch_q8_share": (
             "WITH rn AS (SELECT n_nationkey FROM nation WHERE "
