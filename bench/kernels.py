@@ -7,9 +7,13 @@ Run: python bench/kernels.py
 from __future__ import annotations
 
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def bench(fn, *args, repeat=3):
@@ -95,6 +99,34 @@ def main():
     dt = bench(lambda c: pa.array(
         [str(_json.loads(s)["k"]) for s in c.to_pylist()]), jcol)
     out["json_perrow_MBps_per_core"] = round(jbytes / dt / 1e6, 1)
+
+    # SQL LIKE (greedy segment tape kernel) over 40B rows
+    from stringzilla_ray.functions.text import like_match
+
+    dt = bench(like_match, col, "%ab%cd%")
+    out["like_2seg_40B_MBps_per_core"] = round(n * w / dt / 1e6, 1)
+
+    # base64 encode (padded-triple gather + sixbit LUT)
+    from stringzilla_ray.functions.binary import base64_encode
+
+    dt = bench(base64_encode, col)
+    out["base64_enc_MBps_per_core"] = round(n * w / dt / 1e6, 1)
+
+    # CSV parse (quote-parity kernel) vs per-row csv module
+    import csv as _csv
+    import io as _io
+
+    from stringzilla_ray.functions.csvx import (csv_encode_rows,
+                                                csv_parse_rows)
+
+    ctab = pa.table({"a": col, "b": col, "c": col})
+    lines = csv_encode_rows(ctab)
+    cbytes = sum(len(s.as_py()) for s in lines)
+    dt = bench(csv_parse_rows, lines, 3)
+    out["csv_parse_MBps_per_core"] = round(cbytes / dt / 1e6, 1)
+    dt = bench(lambda ls: list(_csv.reader(
+        _io.StringIO("\n".join(ls.to_pylist())))), lines)
+    out["csv_perrow_MBps_per_core"] = round(cbytes / dt / 1e6, 1)
 
     print(json.dumps(out, indent=2))
     return out

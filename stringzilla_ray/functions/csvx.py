@@ -73,16 +73,21 @@ def csv_parse_rows(lines, n_cols: int) -> list[pa.Array]:
     n = len(offs) - 1
     T = len(tape)
     is_q = tape == 0x22
-    # parity AFTER each byte; parity BEFORE byte i = par[i-1] (0 at 0)
-    par_after = np.cumsum(is_q) & 1
-    par_before = np.empty(T, np.int64)
-    if T:
-        par_before[0] = 0
-        par_before[1:] = par_after[:-1]
-    # reset parity at row starts: valid CSV closes quotes per row, so
-    # cumulative parity is already 0 at each boundary; trust but don't
-    # verify (strict scope).
-    sep = (tape == 0x2C) & (par_before == 0)
+    has_quotes = bool(is_q.any())
+    if has_quotes:
+        # parity AFTER each byte; parity BEFORE i = par[i-1] (0 at 0)
+        par_after = np.cumsum(is_q, dtype=np.int32) & 1
+        par_before = np.empty(T, np.int32)
+        if T:
+            par_before[0] = 0
+            par_before[1:] = par_after[:-1]
+        # parity is already 0 at each row boundary for valid CSV
+        # (quotes close per row); trust but don't verify (strict scope)
+        sep = (tape == 0x2C) & (par_before == 0)
+    else:
+        # fast path: no quote byte anywhere — every comma separates,
+        # every byte is kept; all parity/drop machinery skipped
+        sep = tape == 0x2C
     # field boundaries per row: row_start, separators+1, row_end
     sep_pos = np.flatnonzero(sep).astype(np.int64)
     sep_row = np.searchsorted(offs, sep_pos, "right") - 1
@@ -103,11 +108,16 @@ def csv_parse_rows(lines, n_cols: int) -> list[pa.Array]:
         pos = sep_row * n_cols + fld
         ends[pos] = sep_pos
         starts[pos + 1] = sep_pos + 1
+    if not has_quotes:
+        rows_idx = np.arange(n) * n_cols
+        return [_gather_strings(tape, starts[rows_idx + c],
+                                ends[rows_idx + c])
+                for c in range(n_cols)]
     # drop structural quotes: opening (parity-even-before, at field
     # start or after sep), closing (parity-odd-before, at field end or
     # before sep), and escape-FIRST (parity-odd-before, next is quote)
     keep = np.ones(T, bool)
-    if is_q.any():
+    if has_quotes:
         qpos = np.flatnonzero(is_q).astype(np.int64)
         pb = par_before[qpos]
         nxt = np.full(len(qpos), -1, np.int64)
