@@ -241,6 +241,178 @@ def _q_truncate_tokens(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_winsorize_values(sf_dir: str):
+    """Per-type winsorization: clip value to its type's exact
+    [p05, p95] quantile_cont band (both thresholds from the pinned
+    grouped-quantile census; the clipped output is either the
+    original double or the identical threshold double on both
+    sides)."""
+    import ray
+
+    from stringzilla_ray.stages.stats import grouped_quantile
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    lo = grouped_quantile(ds, key_column="event_type",
+                          value_column="value", q=0.05,
+                          out_column="t").to_pandas()
+    hi = grouped_quantile(ds, key_column="event_type",
+                          value_column="value", q=0.95,
+                          out_column="t").to_pandas()
+    band = {k: (float(a), float(b)) for k, a, b in zip(
+        lo["event_type"], lo["t"],
+        hi.set_index("event_type").loc[lo["event_type"], "t"])}
+    ref = ray.put(band)
+
+    def f(t: pa.Table) -> pa.Table:
+        bb = ray.get(ref)
+        keys = t["event_type"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        tbl = np.array([bb.get(k, (-np.inf, np.inf))
+                        for k in enc.dictionary.to_pylist()],
+                       np.float64).reshape(-1, 2)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        clipped = np.clip(v, tbl[code, 0], tbl[code, 1])
+        return pa.table({"event_id": t["event_id"],
+                         "v_wins": pa.array(clipped, pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_langs_per_source(sf_dir: str):
+    """Ordered DISTINCT group concat: the languages seen per source
+    as one comma-joined sorted string — one hash(source) shuffle of
+    map-side-distinct (source, lang) pairs, shard-local sort+join."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["source", "lang"]),
+                            ["source", "lang"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["source", "lang", "n"]) \
+            .select(["source", "lang"])
+        k = g["source"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        h = hash_string_column(k, seed=0x3A1)
+        return g.append_column(
+            "__shard", pa.array((np.abs(h) % n_shards).astype(np.int32),
+                                pa.int32()))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g.select(["source", "lang"]),
+                            ["source", "lang"]) \
+            .aggregate([([], "count_all")]) \
+            .select(["source", "lang"])
+        df = t.to_pandas().sort_values(["source", "lang"])
+        agg = df.groupby("source", sort=True)["lang"] \
+            .agg(",".join).reset_index()
+        return pa.table({
+            "source": pa.array(agg["source"], pa.string()),
+            "langs": pa.array(agg["lang"], pa.string()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(final, batch_format="pyarrow")
+
+
+def _q_session_paths(sf_dir: str):
+    """Product-analytics path census: the first up-to-3 event types
+    of every session joined with '>' and counted — sessionize's gap
+    mask, a per-session head gather, and a tiny path census in one
+    hash(user) exchange."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.stages.temporal import _ts_us
+    from stringzilla_ray.util import reduce_buckets
+
+    gap_us = 3_600_000_000
+    n_shards = reduce_buckets()
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0x3B2))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "user_id": pa.array(k),
+            "event_type": batch["event_type"],
+            "__ts": pa.array(_ts_us(batch["ts"]), pa.int64()),
+            "__shard": pa.array(shard, pa.int32()),
+        })
+
+    def paths(g: pa.Table) -> pa.Table:
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        key = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if not n:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_sessions": pa.array([], pa.int64())})
+        order = np.lexsort((ids, ts, key))
+        k_s, t_s = key[order], ts[order]
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        et_s = et.take(pa.array(order))
+        new_key = np.ones(n, bool)
+        new_key[1:] = k_s[1:] != k_s[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (t_s[1:] - t_s[:-1]) > gap_us
+        sess_start = np.maximum.accumulate(
+            np.where(new_sess, np.arange(n), 0))
+        posn = np.arange(n) - sess_start
+        head3 = posn < 3
+        # join the first <=3 types per session with '>'
+        # pack each session's first <=3 type codes into one int:
+        # digit base V+1 with 0 = absent — Python then touches only
+        # DISTINCT paths, never sessions
+        enc = et_s.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + 1
+        vocab = enc.dictionary.to_pylist()
+        V = len(vocab) + 1
+        sid = np.cumsum(new_sess) - 1
+        n_sess = int(sid[-1]) + 1
+        packed = np.zeros(n_sess, np.int64)
+        for slot in range(3):
+            m = posn == slot
+            packed[sid[m]] += code[m] * (V ** (2 - slot))
+        up, cnt = np.unique(packed, return_counts=True)
+        def unpack(v: int) -> str:
+            toks = []
+            for d in (v // (V * V), (v // V) % V, v % V):
+                if d:
+                    toks.append(vocab[int(d) - 1])
+            return ">".join(toks)
+        return pa.table({
+            "path": pa.array([unpack(v) for v in up], pa.string()),
+            "n_sessions": pa.array(cnt.astype(np.int64)),
+        })
+
+    part = ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(paths, batch_format="pyarrow")
+    out = part.groupby("path").aggregate(
+        Sum("n_sessions", alias_name="n_s"))
+    return out.map_batches(
+        lambda t: pa.table({"path": t["path"],
+                            "n_sessions": t["n_s"]}),
+        batch_format="pyarrow")
+
+
 def _q_drop_long_tail(sf_dir: str):
     """p95 length-tail filter per language: the exact grouped
     quantile census (stages/stats.py grouped_quantile, quantile_cont
@@ -5840,6 +6012,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "byte_frequency": _q_byte_frequency,
         "grapheme_explode": _q_grapheme_explode,
         "drop_long_tail": _q_drop_long_tail,
+        "winsorize_values": _q_winsorize_values,
+        "langs_per_source": _q_langs_per_source,
+        "session_paths": _q_session_paths,
         "vowel_groups": _q_vowel_groups,
         "zscore_outliers": _q_zscore_outliers,
         "ilike_filter": _q_ilike_filter,
@@ -6267,6 +6442,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, array_to_string("
             "(string_split(text, ' '))[1:20], ' ') AS head "
             "FROM documents"
+        ),
+        "winsorize_values": (
+            "WITH b AS (SELECT event_type, "
+            "quantile_cont(value, 0.05) AS lo, "
+            "quantile_cont(value, 0.95) AS hi FROM events "
+            "GROUP BY event_type) "
+            "SELECT event_id, CASE WHEN value < lo THEN lo "
+            "WHEN value > hi THEN hi ELSE value END AS v_wins "
+            "FROM events JOIN b USING (event_type)"
+        ),
+        "langs_per_source": (
+            "SELECT source, string_agg(DISTINCT lang, ',' "
+            "ORDER BY lang) AS langs FROM documents GROUP BY source"
+        ),
+        "session_paths": (
+            "WITH x AS (SELECT event_id, user_id, ts, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END "
+            "AS new_s FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS sidx FROM x), "
+            "z AS (SELECT *, row_number() OVER (PARTITION BY user_id, "
+            "sidx ORDER BY ts, event_id) AS rn FROM y), "
+            "p AS (SELECT user_id, sidx, string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS path FROM z WHERE rn <= 3 "
+            "GROUP BY user_id, sidx) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM p GROUP BY path"
         ),
         "drop_long_tail": (
             "WITH t AS (SELECT lang, quantile_cont(n_chars, 0.95) "
