@@ -780,6 +780,54 @@ def _q_utf8_count(sf_dir: str):
     )
 
 
+def _q_sorted_topk_page2(sf_dir: str):
+    """Deterministic pagination: rows 21-40 of the global stable
+    (text, doc_id) sort — Ray's sort+limit(40) materializes only the
+    top slice; the offset skip happens on the single 40-row block."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    top = ds.sort(["text", "doc_id"]).limit(40).repartition(1)
+
+    def page(t: pa.Table) -> pa.Table:
+        return t.slice(20)
+
+    return top.map_batches(page, batch_format="pyarrow")
+
+
+def _q_daily_autocorr_stats(sf_dir: str):
+    """Lag-1 autocorrelation sufficient statistics of the daily event
+    count series: exact integer sums over (count[d], count[d+1])
+    pairs of consecutive OBSERVED days — the census is span-bounded
+    (~days), so the pair stats finalize on the driver in bigint."""
+    import pandas as _pd
+
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.stages.temporal import _ts_us
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = _ts_us(t["ts"]) // np.int64(86_400_000_000)
+        uk, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    census = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n", alias_name="n_s")) \
+        .to_pandas().sort_values("day")
+    day = census["day"].to_numpy()
+    cnt = census["n_s"].to_numpy().astype(np.int64)
+    adj = day[1:] == day[:-1] + 1
+    x = cnt[:-1][adj]
+    y = cnt[1:][adj]
+    return _pd.DataFrame({
+        "n_pairs": [int(len(x))],
+        "sum_x": [int(x.sum())], "sum_y": [int(y.sum())],
+        "sum_xx": [int((x * x).sum())], "sum_yy": [int((y * y).sum())],
+        "sum_xy": [int((x * y).sum())],
+    })
+
+
 def _q_sorted_topk(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     # stable lexicographic top-k: composite key (text, doc_id) mirrors the
@@ -6035,6 +6083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assign": _q_pack_assign,
         "utf8_count": _q_utf8_count,
         "sorted_topk": _q_sorted_topk,
+        "sorted_topk_page2": _q_sorted_topk_page2,
+        "daily_autocorr_stats": _q_daily_autocorr_stats,
         "exact_dedup": _q_exact_dedup,
         "intersect_nationkeys": _q_intersect,
         "events_avg_by_type": _q_groupby_events,
@@ -6543,6 +6593,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rn = 1"
         ),
         "utf8_count": "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_codepoints FROM documents",
+        "sorted_topk_page2": (
+            "SELECT doc_id, text FROM documents "
+            "ORDER BY text, doc_id LIMIT 20 OFFSET 20"
+        ),
+        "daily_autocorr_stats": (
+            "WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 "
+            "AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY day) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(sum(a.n) AS BIGINT) AS sum_x, "
+            "CAST(sum(b.n) AS BIGINT) AS sum_y, "
+            "CAST(sum(a.n * a.n) AS BIGINT) AS sum_xx, "
+            "CAST(sum(b.n * b.n) AS BIGINT) AS sum_yy, "
+            "CAST(sum(a.n * b.n) AS BIGINT) AS sum_xy "
+            "FROM c a JOIN c b ON b.day = a.day + 1"
+        ),
         "sorted_topk": (
             "SELECT doc_id, text FROM documents ORDER BY text, doc_id LIMIT 20"
         ),
