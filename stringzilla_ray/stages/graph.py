@@ -468,19 +468,31 @@ def cooccurrence_pairs(ds, basket_column: str, item_column: str,
     part = ds.map_batches(tag, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("__shard").map_groups(expand, batch_format="pyarrow")
-    out = part.groupby("pair") \
-        .aggregate(Sum("support", alias_name="support_s"))
 
-    def final(t: pa.Table) -> pa.Table:
-        sup = t["support_s"].to_numpy(zero_copy_only=False)
-        pairv = t["pair"].to_numpy(zero_copy_only=False)
-        keepm = sup >= min_support
-        pairv, sup = pairv[keepm], sup[keepm]
+    # final pair census: shard-groupby on hash(pair) (a global
+    # groupby on the ~|pairs| key domain pays a needlessly expensive
+    # sort shuffle; 128 hash shards carry the same rows and the shard
+    # kernel sums + filters locally — the pair lives in one shard)
+    def pair_shard(t: pa.Table) -> pa.Table:
+        pv = t["pair"].to_numpy(zero_copy_only=False)
+        sh = (splitmix64(pv.view(np.uint64) ^ np.uint64(0x1D3))
+              % np.uint64(n_shards)).astype(np.int32)
+        return t.append_column("__pshard", pa.array(sh, pa.int32()))
+
+    def final(g: pa.Table) -> pa.Table:
+        pairv = g["pair"].to_numpy(zero_copy_only=False)
+        sup = g["support"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(pairv, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, sup)
+        keepm = tot >= min_support
+        uk, tot = uk[keepm], tot[keepm]
         return pa.table({
-            "item_a": pa.array(pairv >> np.int64(22), pa.int64()),
-            "item_b": pa.array(pairv & np.int64((1 << 22) - 1),
+            "item_a": pa.array(uk >> np.int64(22), pa.int64()),
+            "item_b": pa.array(uk & np.int64((1 << 22) - 1),
                                pa.int64()),
-            "support": pa.array(sup.astype(np.int64)),
+            "support": pa.array(tot.astype(np.int64)),
         })
 
-    return out.map_batches(final, batch_format="pyarrow")
+    return part.map_batches(pair_shard, batch_format="pyarrow") \
+        .groupby("__pshard").map_groups(final, batch_format="pyarrow")
