@@ -835,6 +835,134 @@ def _q_sorted_topk(sf_dir: str):
     return ds.sort(["text", "doc_id"]).limit(20)
 
 
+def _q_upsert_latest(sf_dir: str):
+    """MERGE/upsert: an updates table (deterministically synthesized
+    — every 10th doc re-texted) merges into the base; per key the
+    newest version wins.  One hash(doc_id) shard exchange of the
+    UNION with a version tag; the shard owns the key whole, so the
+    winner pick is local — the CDC compaction shape."""
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def as_base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text": t["text"],
+            "v": pa.array(np.zeros(len(t), np.int64)),
+        })
+
+    def as_update(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 10 == 0
+        f = t.filter(pa.array(m))
+        return pa.table({
+            "doc_id": pc.cast(f["doc_id"], pa.int64()),
+            "text": pc.utf8_upper(f["text"]),
+            "v": pa.array(np.ones(int(m.sum()), np.int64)),
+        })
+
+    unioned = base.map_batches(as_base, batch_format="pyarrow").union(
+        base.map_batches(as_update, batch_format="pyarrow"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False)
+        sh = (splitmix64(k.view(np.uint64) ^ np.uint64(0x4B1))
+              % np.uint64(n_shards)).astype(np.int32)
+        return t.append_column("__shard", pa.array(sh, pa.int32()))
+
+    def winner(g: pa.Table) -> pa.Table:
+        k = g["doc_id"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-v, k))
+        head = np.ones(len(order), bool)
+        head[1:] = k[order][1:] != k[order][:-1]
+        return g.take(pa.array(order[head])).select(["doc_id", "text"])
+
+    return unioned.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__shard").map_groups(winner, batch_format="pyarrow")
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff: compare documents against a
+    deterministically perturbed second snapshot (every 97th doc
+    removed, every 10th re-texted) and emit each surviving or
+    vanished key's change_type.  Content equality compares 64-bit
+    content hashes locally after one shared hash(doc_id) shard
+    exchange — full outer join semantics without a join operator."""
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(which: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            txt = t["text"]
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            if which == 1:
+                keep = ids % 97 != 0
+                t2 = t.filter(pa.array(keep))
+                ids = ids[keep]
+                txt = t2["text"]
+                if isinstance(txt, pa.ChunkedArray):
+                    txt = txt.combine_chunks()
+                txt = pc.if_else(
+                    pa.array(ids % 10 == 0), pc.utf8_upper(txt), txt)
+            h = hash_string_column(txt, seed=0x51).view(np.int64)
+            sh = (splitmix64(ids.view(np.uint64) ^ np.uint64(0x4B2))
+                  % np.uint64(n_shards)).astype(np.int32)
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "h": pa.array(h, pa.int64()),
+                "side": pa.array(np.full(len(ids), which, np.int8),
+                                 pa.int8()),
+                "__shard": pa.array(sh, pa.int32()),
+            })
+        return f
+
+    u = base.map_batches(side(0), batch_format="pyarrow").union(
+        base.map_batches(side(1), batch_format="pyarrow"))
+
+    def diff(g: pa.Table) -> pa.Table:
+        k = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        sd = g["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sd, k))
+        k_s, h_s, s_s = k[order], h[order], sd[order]
+        head = np.ones(len(k_s), bool)
+        head[1:] = k_s[1:] != k_s[:-1]
+        both = head & np.concatenate([~head[1:], [False]])
+        # classify per key at its head row
+        kinds = np.empty(len(k_s), object)
+        changed = np.zeros(len(k_s), bool)
+        if len(k_s) > 1:
+            changed[:-1] = both[:-1] & (h_s[:-1] != h_s[1:])
+        only = head & ~both
+        removed = only & (s_s == 0)
+        added = only & (s_s == 1)
+        out_k, out_t = [], []
+        for mask, name in ((changed, "changed"), (removed, "removed"),
+                           (added, "added")):
+            idx = np.flatnonzero(mask)
+            out_k.append(k_s[idx])
+            out_t += [name] * len(idx)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_k)
+                               if out_k else np.zeros(0, np.int64),
+                               pa.int64()),
+            "change_type": pa.array(out_t, pa.string()),
+        })
+
+    return u.groupby("__shard").map_groups(diff, batch_format="pyarrow")
+
+
 def _q_exact_dedup(sf_dir: str):
     from stringzilla_ray.stages.dedup import exact_dedup
 
@@ -6086,6 +6214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_topk_page2": _q_sorted_topk_page2,
         "daily_autocorr_stats": _q_daily_autocorr_stats,
         "exact_dedup": _q_exact_dedup,
+        "upsert_latest": _q_upsert_latest,
+        "snapshot_diff": _q_snapshot_diff,
         "intersect_nationkeys": _q_intersect,
         "events_avg_by_type": _q_groupby_events,
         "events_count_by_type": _q_events_count_by_type,
@@ -6611,6 +6741,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sorted_topk": (
             "SELECT doc_id, text FROM documents ORDER BY text, doc_id LIMIT 20"
+        ),
+        "upsert_latest": (
+            "SELECT d.doc_id, CASE WHEN d.doc_id % 10 = 0 THEN "
+            "upper(d.text) ELSE d.text END AS text FROM documents d"
+        ),
+        "snapshot_diff": (
+            "WITH s2 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 "
+            "THEN upper(text) ELSE text END AS text FROM documents "
+            "WHERE doc_id % 97 <> 0) "
+            "SELECT coalesce(d.doc_id, s2.doc_id) AS doc_id, "
+            "CASE WHEN d.doc_id IS NULL THEN 'added' "
+            "WHEN s2.doc_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS change_type "
+            "FROM documents d FULL OUTER JOIN s2 USING (doc_id) "
+            "WHERE d.doc_id IS NULL OR s2.doc_id IS NULL "
+            "OR d.text <> s2.text"
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, any_value(lang) AS lang FROM documents GROUP BY text"
