@@ -5736,6 +5736,75 @@ def _q_mode_value_by_type(sf_dir: str):
                         value_column="value", value_scale=100)
 
 
+def _q_incremental_moments(sf_dir: str):
+    """Incremental statistics maintenance: the moment census is
+    ADDITIVE, so updating with a new shard costs O(new shard) — build
+    from events with event_id %% 3 != 0, fold in the %% 3 == 0 shard,
+    and the merged census must equal the full-corpus one (the SQL
+    twin computes it whole)."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.stages.stats import grouped_moments
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def split(which: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0) == (which == 1)
+            return t.filter(pa.array(m)).select(["event_type", "value"])
+        return f
+
+    old = grouped_moments(ds.map_batches(split(0),
+                                         batch_format="pyarrow"),
+                          "event_type", "value", value_scale=100)
+    new = grouped_moments(ds.map_batches(split(1),
+                                         batch_format="pyarrow"),
+                          "event_type", "value", value_scale=100)
+    merged = old.union(new).groupby("event_type").aggregate(
+        Sum("n", alias_name="n_m"), Sum("sum_q", alias_name="q_m"),
+        Sum("sum_q2", alias_name="q2_m"))
+    return merged.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"], "n": t["n_m"],
+            "sum_q": t["q_m"], "sum_q2": t["q2_m"]}),
+        batch_format="pyarrow")
+
+
+def _q_morton_order(sf_dir: str):
+    """Z-order (Morton) locality layout: interleave the low 8 bits of
+    user_id and event day into one curve key and take the first 50
+    events along the curve — the storage-clustering primitive for
+    multi-column range pruning.  Bit spread is three vectorized
+    mask-shift passes; the SQL twin sums the 16 shifted bit terms
+    explicitly."""
+    from stringzilla_ray.stages.temporal import _ts_us
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def key(t: pa.Table) -> pa.Table:
+        u = (t["user_id"].to_numpy(zero_copy_only=False)
+             .astype(np.int64) % 256).astype(np.uint32)
+        d = ((_ts_us(t["ts"]) // np.int64(86_400_000_000)) % 256) \
+            .astype(np.uint32)
+
+        def spread(x):
+            x = (x | (x << 4)) & 0x0F0F
+            x = (x | (x << 2)) & 0x3333
+            x = (x | (x << 1)) & 0x5555
+            return x
+
+        z = spread(u) | (spread(d) << np.uint32(1))
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "morton": pa.array(z.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(key, batch_format="pyarrow") \
+        .sort(["morton", "event_id"]).limit(50)
+
+
 def _q_value_moments_by_type(sf_dir: str):
     """Per-type exact integer moment census (stages/stats.py
     grouped_moments): n, Σq, Σq² with q = floor(value·100) — the
@@ -6336,6 +6405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": _q_copurchase_pairs,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
+        "incremental_moments": _q_incremental_moments,
+        "morton_order": _q_morton_order,
         "running_total": _q_running_total,
         "mode_value_by_type": _q_mode_value_by_type,
         "dsir_weights": _q_dsir_weights,
@@ -7552,6 +7623,18 @@ def oracle_sql() -> dict[str, str]:
             "event_type ORDER BY cnt DESC, q ASC) AS rn FROM c) "
             "SELECT event_type, q AS mode_q, CAST(cnt AS BIGINT) "
             "AS n_mode FROM r WHERE rn = 1"
+        ),
+        "incremental_moments": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_q, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT) * "
+            "CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_q2 "
+            "FROM events GROUP BY event_type"
+        ),
+        "morton_order": (
+            "SELECT event_id, CAST((((user_id % 256) >> 0) & 1) * 1 + (((user_id % 256) >> 1) & 1) * 4 + (((user_id % 256) >> 2) & 1) * 16 + (((user_id % 256) >> 3) & 1) * 64 + (((user_id % 256) >> 4) & 1) * 256 + (((user_id % 256) >> 5) & 1) * 1024 + (((user_id % 256) >> 6) & 1) * 4096 + (((user_id % 256) >> 7) & 1) * 16384 + ((((epoch_us(ts) // 86400000000) % 256) >> 0) & 1) * 2 + ((((epoch_us(ts) // 86400000000) % 256) >> 1) & 1) * 8 + ((((epoch_us(ts) // 86400000000) % 256) >> 2) & 1) * 32 + ((((epoch_us(ts) // 86400000000) % 256) >> 3) & 1) * 128 + ((((epoch_us(ts) // 86400000000) % 256) >> 4) & 1) * 512 + ((((epoch_us(ts) // 86400000000) % 256) >> 5) & 1) * 2048 + ((((epoch_us(ts) // 86400000000) % 256) >> 6) & 1) * 8192 + ((((epoch_us(ts) // 86400000000) % 256) >> 7) & 1) * 32768 AS BIGINT) AS morton "
+            "FROM events ORDER BY morton, event_id LIMIT 50"
         ),
         "value_moments_by_type": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
