@@ -5554,6 +5554,27 @@ def _q_event_interarrival(sf_dir: str):
     return lag_delta(ds, by="user_id", on="ts", id_column="event_id")
 
 
+def _q_bfs_copurchase(sf_dir: str):
+    """Fixed-depth BFS over the co-purchase graph (stages/graph.py
+    bfs_levels): min hop distance <= 3 from the first order's parts —
+    iterative dataflow in the PageRank contract (one shard exchange
+    per sweep, every intermediate pinned), unrolled-recursive-CTE
+    oracle."""
+    from stringzilla_ray.stages.graph import bfs_levels, \
+        cooccurrence_pairs
+
+    li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_partkey"])
+    ok = li["l_orderkey"].to_numpy(zero_copy_only=False)
+    seeds = np.unique(
+        li["l_partkey"].to_numpy(zero_copy_only=False)[ok == ok.min()]
+    ).astype(np.int64)
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_pairs(ds, basket_column="l_orderkey",
+                               item_column="l_partkey", min_support=2)
+    return bfs_levels(edges, seeds, max_depth=3)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     """Market-basket pair mining over orders (stages/graph.py
     cooccurrence_pairs): support = DISTINCT orders containing both
@@ -6403,6 +6424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8_share": _q_tpch_q8_share,
         "order_latency_hist": _q_order_latency_hist,
         "copurchase_pairs": _q_copurchase_pairs,
+        "bfs_copurchase": _q_bfs_copurchase,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
         "incremental_moments": _q_incremental_moments,
@@ -7502,6 +7524,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts))"
             " OVER (PARTITION BY user_id ORDER BY ts, event_id)"
             " AS delta_us FROM events"
+        ),
+        "bfs_copurchase": (
+            "WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, "
+            "l_partkey FROM lineitem), "
+            "e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 "
+            "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY p1, p2 "
+            "HAVING count(*) >= 2), "
+            "e AS (SELECT p1 AS s, p2 AS t FROM e0 "
+            "UNION ALL SELECT p2, p1 FROM e0), "
+            "seeds AS (SELECT DISTINCT l_partkey AS node "
+            "FROM lineitem WHERE l_orderkey = "
+            "(SELECT min(l_orderkey) FROM lineitem)), "
+            "walk(node, level) AS (SELECT node, 0 FROM seeds "
+            "UNION ALL SELECT e.t, w.level + 1 FROM walk w "
+            "JOIN e ON e.s = w.node WHERE w.level < 3) "
+            "SELECT node, CAST(min(level) AS BIGINT) AS level "
+            "FROM walk GROUP BY node"
         ),
         "copurchase_pairs": (
             "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "

@@ -496,3 +496,119 @@ def cooccurrence_pairs(ds, basket_column: str, item_column: str,
 
     return part.map_batches(pair_shard, batch_format="pyarrow") \
         .groupby("__pshard").map_groups(final, batch_format="pyarrow")
+
+
+def bfs_levels(edges, seeds, max_depth: int = 3,
+               n_shards: int | None = None):
+    """Fixed-depth BFS from a seed set over an undirected edge list:
+    each node's MINIMUM hop distance (<= max_depth).  Iterative
+    dataflow in the PageRank contract: every sweep is one hash(src)
+    shard exchange of (frontier ∪ edges) and each intermediate
+    dataset is pinned (ensure_materialized) so lineage can't
+    re-execute exponentially.  Exact and deterministic — levels are
+    min-folded ints.
+
+    ``edges``: Dataset[(item_a, item_b)] (undirected, deduped);
+    ``seeds``: sorted int64 np.ndarray broadcast via ray.put."""
+    import ray
+    from stringzilla_ray.util import ensure_materialized, reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    seeds_ref = ray.put(seeds)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["item_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["item_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        sh = _shard_i64(src, n_shards, 0x5F1)
+        return pa.table({
+            "src": pa.array(src), "dst": pa.array(dst),
+            "lvl": pa.array(np.full(len(src), -1, np.int64)),
+            "__shard": pa.array(sh, pa.int32()),
+        })
+
+    e2 = ensure_materialized(
+        edges.map_batches(both_dirs, batch_format="pyarrow"))
+
+    def seed_frontier(t: pa.Table) -> pa.Table:
+        sv = ray.get(seeds_ref)
+        sh = _shard_i64(sv, n_shards, 0x5F1)
+        return pa.table({
+            "src": pa.array(sv, pa.int64()),
+            "dst": pa.array(np.full(len(sv), -1, np.int64)),
+            "lvl": pa.array(np.zeros(len(sv), np.int64)),
+            "__shard": pa.array(sh, pa.int32()),
+        })
+
+    import ray.data
+
+    frontier = ray.data.from_arrow(
+        seed_frontier(pa.table({"x": pa.array([0])})))
+    # known levels accumulate as (node, lvl) min-folded per sweep
+    known = frontier.map_batches(
+        lambda t: pa.table({"node": t["src"], "lvl": t["lvl"]}),
+        batch_format="pyarrow")
+    known = ensure_materialized(known)
+
+    for depth in range(1, max_depth + 1):
+        # expand: shard owns all out-edges of its srcs AND the
+        # frontier rows routed to the same shard — next frontier =
+        # dst of edges whose src is in frontier
+        def expand(g: pa.Table, d=depth) -> pa.Table:
+            lvl = g["lvl"].to_numpy(zero_copy_only=False)
+            src = g["src"].to_numpy(zero_copy_only=False)
+            dst = g["dst"].to_numpy(zero_copy_only=False)
+            fr = np.unique(src[lvl >= 0])
+            is_e = lvl < 0
+            es, ed = src[is_e], dst[is_e]
+            j = np.searchsorted(fr, es)
+            hit = (fr[np.minimum(j, max(len(fr) - 1, 0))] == es) \
+                if len(fr) else np.zeros(len(es), bool)
+            nxt = np.unique(ed[hit])
+            return pa.table({
+                "node": pa.array(nxt, pa.int64()),
+                "lvl": pa.array(np.full(len(nxt), d, np.int64)),
+            })
+
+        fshard = frontier  # already sharded rows
+        combined = e2.union(fshard)
+        nxt = combined.groupby("__shard").map_groups(
+            expand, batch_format="pyarrow")
+        nxt = ensure_materialized(nxt)
+        known = ensure_materialized(known.union(nxt))
+        # next frontier rows (nodes discovered this sweep, re-tagged)
+        def as_frontier(t: pa.Table, d=depth) -> pa.Table:
+            nv = t["node"].to_numpy(zero_copy_only=False)
+            lv = t["lvl"].to_numpy(zero_copy_only=False)
+            m = lv == d
+            nv = nv[m]
+            sh = _shard_i64(nv, n_shards, 0x5F1)
+            return pa.table({
+                "src": pa.array(nv, pa.int64()),
+                "dst": pa.array(np.full(len(nv), -1, np.int64)),
+                "lvl": pa.array(np.full(len(nv), d, np.int64)),
+                "__shard": pa.array(sh, pa.int32()),
+            })
+
+        frontier = ensure_materialized(
+            nxt.map_batches(as_frontier, batch_format="pyarrow"))
+
+    # min level per node (a node can be re-discovered at deeper hops)
+    def tag_node(t: pa.Table) -> pa.Table:
+        nv = t["node"].to_numpy(zero_copy_only=False)
+        sh = _shard_i64(nv, n_shards, 0x5F2)
+        return t.append_column("__shard", pa.array(sh, pa.int32()))
+
+    def min_lvl(g: pa.Table) -> pa.Table:
+        nv = g["node"].to_numpy(zero_copy_only=False)
+        lv = g["lvl"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nv, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, lv)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "level": pa.array(mn, pa.int64())})
+
+    return known.map_batches(tag_node, batch_format="pyarrow") \
+        .groupby("__shard").map_groups(min_lvl, batch_format="pyarrow")
