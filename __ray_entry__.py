@@ -835,6 +835,37 @@ def _q_sorted_topk(sf_dir: str):
     return ds.sort(["text", "doc_id"]).limit(20)
 
 
+def _q_partitioned_write_prune(sf_dir: str):
+    """Resumable partitioned output + partition-pruned re-read: write
+    documents as lang=<v>/ Hive partitions (atomic cached build — a
+    failed run can re-run per partition), then read back ONLY two
+    partition directories and census them; the scan never touches the
+    other languages' files."""
+    import ray.data
+
+    cache = os.path.join("/tmp/stringzilla_ray_cache",
+                         f"bylang-{os.path.basename(os.path.normpath(sf_dir))}")
+
+    def build(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"]) \
+            .write_parquet(tmp, partition_cols=["lang"])
+
+    _cached_build(cache, build)
+    from ray.data.aggregate import Sum
+
+    import glob as _glob
+
+    parts = [f for d in ("lang=en", "lang=fr")
+             for f in sorted(_glob.glob(os.path.join(cache, d, "*.parquet")))]
+    ds = ray.data.read_parquet(parts, columns=["doc_id", "n_chars"])
+    n = int(ds.count())
+    tot = int(ds.sum("n_chars") or 0)
+    import pandas as _pd
+
+    return _pd.DataFrame({"n_docs": [n], "sum_chars": [tot]})
+
+
 def _q_upsert_latest(sf_dir: str):
     """MERGE/upsert: an updates table (deterministically synthesized
     — every 10th doc re-texted) merges into the base; per key the
@@ -5826,6 +5857,101 @@ def _q_morton_order(sf_dir: str):
         .sort(["morton", "event_id"]).limit(50)
 
 
+def _q_value_band_join(sf_dir: str):
+    """Broadcast range (theta) join: map each event's value into a
+    static named band via searchsorted against the broadcast bounds —
+    the small-side interval-join shape (GeoIP/tier tables) that must
+    NEVER become a shuffle join.  Census per band."""
+    from ray.data.aggregate import Sum
+
+    bands = [("micro", 0.0, 1.0), ("small", 1.0, 10.0),
+             ("mid", 10.0, 100.0), ("large", 100.0, 1e9)]
+    los = np.array([b[1] for b in bands])
+    names = [b[0] for b in bands]
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, v, "right") - 1
+        ok = idx >= 0
+        cnt = np.bincount(idx[ok], minlength=len(bands))
+        return pa.table({
+            "band": pa.array(names, pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("band").aggregate(Sum("n", alias_name="n_s"))
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t["n_s"], 0)),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"band": t["band"], "n": t["n_s"]}),
+        batch_format="pyarrow")
+
+
+def _q_csv_source_roundtrip(sf_dir: str):
+    """File-level CSV source (sources/text.py read_csv_files): write
+    the documents table as sharded headerless CSV files (atomic
+    cached build), read them back through the quote-parity codec, and
+    census chars per lang — any mangled byte flips the hash."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    cache = os.path.join(
+        "/tmp/stringzilla_ray_cache",
+        f"csvsrc-{os.path.basename(os.path.normpath(sf_dir))}")
+
+    def build(tmp):
+        import pyarrow.parquet as _pq
+
+        from stringzilla_ray.functions.csvx import csv_encode_rows
+
+        os.makedirs(tmp, exist_ok=True)
+        t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+        n = t.num_rows
+        shards = 4
+        for i in range(shards):
+            sl = t.slice((n * i) // shards,
+                         (n * (i + 1)) // shards - (n * i) // shards)
+            lines = csv_encode_rows(sl)
+            with open(os.path.join(tmp, f"part-{i}.csv"), "wb") as f:
+                data = ("\n".join(lines.to_pylist()) + "\n").encode()
+                f.write(data)
+
+    _cached_build(cache, build)
+    from stringzilla_ray.sources.text import read_csv_files
+
+    ds = read_csv_files(cache, ["doc_id", "text", "lang"])
+
+    def census(t: pa.Table) -> pa.Table:
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        nb = pc.binary_length(t["text"]).to_numpy(zero_copy_only=False)
+        enc = lang.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        return pa.table({
+            "lang": enc.dictionary,
+            "n_docs": pa.array(np.bincount(code, minlength=k)
+                               .astype(np.int64)),
+            "sum_bytes": pa.array(
+                np.bincount(code, weights=nb, minlength=k)
+                .astype(np.int64)),
+        })
+
+    out = ds.map_batches(census, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n_docs", alias_name="d_s"),
+                                   Sum("sum_bytes", alias_name="b_s"))
+    return out.map_batches(
+        lambda t: pa.table({"lang": t["lang"], "n_docs": t["d_s"],
+                            "sum_bytes": t["b_s"]}),
+        batch_format="pyarrow")
+
+
 def _q_value_moments_by_type(sf_dir: str):
     """Per-type exact integer moment census (stages/stats.py
     grouped_moments): n, Σq, Σq² with q = floor(value·100) — the
@@ -6305,6 +6431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_autocorr_stats": _q_daily_autocorr_stats,
         "exact_dedup": _q_exact_dedup,
         "upsert_latest": _q_upsert_latest,
+        "partitioned_write_prune": _q_partitioned_write_prune,
         "snapshot_diff": _q_snapshot_diff,
         "intersect_nationkeys": _q_intersect,
         "events_avg_by_type": _q_groupby_events,
@@ -6427,6 +6554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase": _q_bfs_copurchase,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
+        "value_band_join": _q_value_band_join,
+        "csv_source_roundtrip": _q_csv_source_roundtrip,
         "incremental_moments": _q_incremental_moments,
         "morton_order": _q_morton_order,
         "running_total": _q_running_total,
@@ -6834,6 +6963,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sorted_topk": (
             "SELECT doc_id, text FROM documents ORDER BY text, doc_id LIMIT 20"
+        ),
+        "partitioned_write_prune": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents WHERE lang IN ('en', 'fr')"
         ),
         "upsert_latest": (
             "SELECT d.doc_id, CASE WHEN d.doc_id % 10 = 0 THEN "
@@ -7663,6 +7797,18 @@ def oracle_sql() -> dict[str, str]:
             "event_type ORDER BY cnt DESC, q ASC) AS rn FROM c) "
             "SELECT event_type, q AS mode_q, CAST(cnt AS BIGINT) "
             "AS n_mode FROM r WHERE rn = 1"
+        ),
+        "value_band_join": (
+            "WITH b(band, lo, hi) AS (VALUES "
+            "('micro', 0.0, 1.0), ('small', 1.0, 10.0), "
+            "('mid', 10.0, 100.0), ('large', 100.0, 1e9)) "
+            "SELECT band, CAST(count(*) AS BIGINT) AS n FROM events "
+            "JOIN b ON value >= lo AND value < hi GROUP BY band"
+        ),
+        "csv_source_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes "
+            "FROM documents GROUP BY lang"
         ),
         "incremental_moments": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "

@@ -129,3 +129,42 @@ def write_jsonl(ds, path: str) -> None:
     ``read_documents_any(path)``: write + read is the identity on a
     documents-shaped table (oracle `jsonl_roundtrip`)."""
     ds.write_json(path)
+
+
+def read_csv_files(path: str, column_names: list[str]) -> "ray.data.Dataset":
+    """CSV file(s) -> typed-string rows via the vectorized RFC-4180
+    codec (functions/csvx.py): per file-blob batch, one quote-parity
+    record split (quoted newlines stay inside their record) + one
+    field parse — no per-row Python.  Header-less files; callers name
+    the columns.  Scale shape: parallelism is per FILE
+    (read_binary_files), matching the sharded-parquet contract."""
+    from stringzilla_ray.functions.csvx import (csv_parse_rows,
+                                                csv_split_records)
+
+    ds = ray.data.read_binary_files(path, include_paths=True)
+    n_cols = len(column_names)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        paths = batch["path"]
+        if isinstance(paths, pa.ChunkedArray):
+            paths = paths.combine_chunks()
+        blobs = batch["bytes"]
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        tables = []
+        for i in range(len(blobs)):
+            recs = csv_split_records(blobs[i].as_py())
+            cols = csv_parse_rows(recs, n_cols)
+            tables.append(pa.table({
+                "path": pa.array([paths[i].as_py()] * len(recs),
+                                 pa.string()),
+                **{c: v for c, v in zip(column_names, cols)},
+            }))
+        if not tables:
+            return pa.table({
+                "path": pa.array([], pa.string()),
+                **{c: pa.array([], pa.string()) for c in column_names},
+            })
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
