@@ -866,6 +866,39 @@ def _q_partitioned_write_prune(sf_dir: str):
     return _pd.DataFrame({"n_docs": [n], "sum_chars": [tot]})
 
 
+def _q_partition_manifest(sf_dir: str):
+    """Metadata-only partition manifest: per-language row counts read
+    from the parquet FOOTERS of the Hive-partitioned layout — zero
+    data pages touched (the q13 footer trick generalized to a
+    manifest), the resume/skip-list primitive for partitioned
+    outputs."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    cache = os.path.join(
+        "/tmp/stringzilla_ray_cache",
+        f"bylang-{os.path.basename(os.path.normpath(sf_dir))}")
+    # reuse the partitioned layout (atomic cached build)
+    _q_partitioned_write_prune(sf_dir)
+    rows = []
+    for d in sorted(os.listdir(cache)):
+        if not d.startswith("lang="):
+            continue
+        n = 0
+        for f in sorted(_glob.glob(os.path.join(cache, d, "*.parquet"))):
+            n += pq.ParquetFile(f).metadata.num_rows
+        rows.append((d.split("=", 1)[1], n))
+    return _pd.DataFrame({
+        "lang": [r[0] for r in rows],
+        "n_docs": _np_int64([r[1] for r in rows]),
+    })
+
+
+def _np_int64(v):
+    return np.asarray(v, np.int64)
+
+
 def _q_upsert_latest(sf_dir: str):
     """MERGE/upsert: an updates table (deterministically synthesized
     — every 10th doc re-texted) merges into the base; per key the
@@ -6432,6 +6465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "upsert_latest": _q_upsert_latest,
         "partitioned_write_prune": _q_partitioned_write_prune,
+        "partition_manifest": _q_partition_manifest,
         "snapshot_diff": _q_snapshot_diff,
         "intersect_nationkeys": _q_intersect,
         "events_avg_by_type": _q_groupby_events,
@@ -6963,6 +6997,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sorted_topk": (
             "SELECT doc_id, text FROM documents ORDER BY text, doc_id LIMIT 20"
+        ),
+        "partition_manifest": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY lang"
         ),
         "partitioned_write_prune": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
