@@ -793,6 +793,39 @@ def _q_sorted_topk_page2(sf_dir: str):
     return top.map_batches(page, batch_format="pyarrow")
 
 
+def _q_traffic_profile(sf_dir: str):
+    """Traffic profile census: events per (day-of-week, hour-of-day)
+    cell — calendar math as pure epoch integer ops on BOTH sides
+    (dow = (epoch_day + 4) %% 7, 1970-01-01 being a Thursday), so no
+    engine-vs-SQL calendar semantics can diverge."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.stages.temporal import _ts_us
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = _ts_us(t["ts"])
+        day = us // np.int64(86_400_000_000)
+        dow = (day + 4) % 7
+        hour = (us // np.int64(3_600_000_000)) % 24
+        cell = dow * 24 + hour
+        cnt = np.bincount(cell, minlength=168)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "dow": pa.array(nz // 24, pa.int64()),
+            "hour": pa.array(nz % 24, pa.int64()),
+            "n": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["dow", "hour"]).aggregate(Sum("n", alias_name="n_s"))
+    return out.map_batches(
+        lambda t: pa.table({"dow": t["dow"], "hour": t["hour"],
+                            "n": t["n_s"]}),
+        batch_format="pyarrow")
+
+
 def _q_daily_autocorr_stats(sf_dir: str):
     """Lag-1 autocorrelation sufficient statistics of the daily event
     count series: exact integer sums over (count[d], count[d+1])
@@ -6462,6 +6495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_topk": _q_sorted_topk,
         "sorted_topk_page2": _q_sorted_topk_page2,
         "daily_autocorr_stats": _q_daily_autocorr_stats,
+        "traffic_profile": _q_traffic_profile,
         "exact_dedup": _q_exact_dedup,
         "upsert_latest": _q_upsert_latest,
         "partitioned_write_prune": _q_partitioned_write_prune,
@@ -6982,6 +7016,12 @@ def oracle_sql() -> dict[str, str]:
         "sorted_topk_page2": (
             "SELECT doc_id, text FROM documents "
             "ORDER BY text, doc_id LIMIT 20 OFFSET 20"
+        ),
+        "traffic_profile": (
+            "SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, "
+            "(epoch_us(ts) // 3600000000) % 24 AS hour, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY dow, hour"
         ),
         "daily_autocorr_stats": (
             "WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 "
