@@ -5799,6 +5799,21 @@ def _q_tpch_q9_profit(sf_dir: str):
     )
 
 
+def _q_user_analytics(sf_dir: str):
+    """Composed per-user analytics profile (stages/temporal.py
+    user_analytics): n_events, gap-session count, cohort day,
+    first/last event type and in-order funnel stage — the
+    sessionize/cohort/first-last/funnel kernels FUSED into one
+    hash(user) exchange (each component also pins separately)."""
+    from stringzilla_ray.stages.temporal import user_analytics
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return user_analytics(ds, by="user_id", on="ts",
+                          id_column="event_id",
+                          type_column="event_type")
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort-retention census (stages/temporal.py cohort_retention):
     distinct-users-active per (first-seen day, day offset) cell.
@@ -6612,6 +6627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_idle_rich": _q_tpch_q22,
         "event_interarrival": _q_event_interarrival,
         "cohort_retention": _q_cohort_retention,
+        "user_analytics": _q_user_analytics,
         "weekly_active_users": _q_weekly_active_users,
         "session_length_hist": _q_session_length_hist,
         "value_regression": _q_value_regression,
@@ -7789,6 +7805,47 @@ def oracle_sql() -> dict[str, str]:
             "(epoch_us(ts) // 3600000000) % 24 AS h, "
             "CAST(floor(value * 100) AS BIGINT) AS q FROM events) "
             "GROUP BY event_type"
+        ),
+        "user_analytics": (
+            "WITH base AS (SELECT user_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) "
+            "AS cohort_day FROM events GROUP BY user_id), "
+            "x AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END "
+            "AS new_s FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sess AS (SELECT user_id, CAST(sum(new_s) AS BIGINT) "
+            "AS n_sessions FROM x GROUP BY user_id), "
+            "r AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS ra, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rd FROM events), "
+            "fl AS (SELECT user_id, "
+            "max(CASE WHEN ra = 1 THEN event_type END) AS first_type, "
+            "max(CASE WHEN rd = 1 THEN event_type END) AS last_type "
+            "FROM r GROUP BY user_id), "
+            "sv AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "sc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN sv ON sv.user_id = e.user_id AND e.ts > sv.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "sp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN sc ON sc.user_id = e.user_id AND e.ts > sc.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT b.user_id, b.n_events, s.n_sessions, "
+            "b.cohort_day, fl.first_type, fl.last_type, "
+            "CAST(CASE WHEN sp.user_id IS NOT NULL THEN 3 "
+            "WHEN sc.user_id IS NOT NULL THEN 2 "
+            "WHEN sv.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS funnel_stage "
+            "FROM base b JOIN sess s USING (user_id) "
+            "JOIN fl USING (user_id) "
+            "LEFT JOIN sv ON sv.user_id = b.user_id "
+            "LEFT JOIN sc ON sc.user_id = b.user_id "
+            "LEFT JOIN sp ON sp.user_id = b.user_id"
         ),
         "weekly_active_users": (
             "WITH ud AS (SELECT DISTINCT user_id, "

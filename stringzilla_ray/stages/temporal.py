@@ -1399,3 +1399,103 @@ def session_stats(ds, by: str, on: str, gap_us: int, id_column: str,
         .groupby("__shard")
         .map_groups(label, batch_format="pyarrow")
     )
+
+
+def user_analytics(ds, by: str, on: str, id_column: str,
+                   type_column: str, funnel_stages_list=None,
+                   gap_us: int = 3_600_000_000,
+                   day_us: int = 86_400_000_000,
+                   n_shards: int | None = None):
+    """Composed per-key analytics profile in ONE hash(key) exchange:
+    n_events, gap-session count, cohort (first-seen) day, first/last
+    value by (ts, id), and the furthest in-order funnel stage — the
+    components sessionize / cohort_retention / group_first_last /
+    funnel each pin separately; this fuses their per-shard kernels so
+    the composed pipeline reads the events once and shuffles once."""
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = n_shards or reduce_buckets()
+    stages = list(funnel_stages_list or ("view", "click", "purchase"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (splitmix64(k.view(np.uint64) ^ np.uint64(0x6A7))
+                 % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            id_column: pa.array(
+                batch[id_column].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            by: pa.array(k),
+            type_column: batch[type_column],
+            "__ts": pa.array(_ts_us(batch[on]), pa.int64()),
+            "__shard": pa.array(shard, pa.int32()),
+        })
+
+    def profile(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        key = g[by].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if not n:
+            return pa.table({
+                by: pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "cohort_day": pa.array([], pa.int64()),
+                "first_type": pa.array([], pa.string()),
+                "last_type": pa.array([], pa.string()),
+                "funnel_stage": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((ids, ts, key))
+        k_s, t_s = key[order], ts[order]
+        et = g[type_column]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        et_s = et.take(pa.array(order))
+        head = np.ones(n, bool)
+        head[1:] = k_s[1:] != k_s[:-1]
+        tail = np.ones(n, bool)
+        tail[:-1] = k_s[1:] != k_s[:-1]
+        uid = np.cumsum(head) - 1
+        n_users = int(uid[-1]) + 1
+        n_events = np.bincount(uid, minlength=n_users)
+        new_sess = head.copy()
+        new_sess[1:] |= (t_s[1:] - t_s[:-1]) > gap_us
+        n_sessions = np.bincount(uid[new_sess], minlength=n_users)
+        cohort = np.full(n_users, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cohort, uid, t_s // np.int64(day_us))
+        # funnel: earliest stage0 ts, then earliest stage k STRICTLY
+        # after the user's earliest stage k-1 (the funnel() contract)
+        codes = et_s.dictionary_encode()
+        code = codes.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = codes.dictionary.to_pylist()
+        smap = {sname: i for i, sname in enumerate(vocab)}
+        INF = np.iinfo(np.int64).max
+        prev = np.zeros(n_users, np.int64)  # -inf analog: ts > -1
+        prev[:] = -1
+        reached = np.zeros(n_users, np.int64)
+        for depth, sname in enumerate(stages):
+            sc = smap.get(sname)
+            cur = np.full(n_users, INF, np.int64)
+            if sc is not None:
+                m = (code == sc) & (t_s > prev[uid])
+                np.minimum.at(cur, uid[m], t_s[m])
+            hit = cur < INF
+            reached[hit] = depth + 1
+            prev = np.where(hit, cur, INF)
+            # users that missed this stage can't reach later ones:
+            # prev=INF makes ts > prev impossible
+        return pa.table({
+            by: pa.array(k_s[head], pa.int64()),
+            "n_events": pa.array(n_events.astype(np.int64)),
+            "n_sessions": pa.array(n_sessions.astype(np.int64)),
+            "cohort_day": pa.array(cohort, pa.int64()),
+            "first_type": et_s.take(pa.array(np.flatnonzero(head))),
+            "last_type": et_s.take(pa.array(np.flatnonzero(tail))),
+            "funnel_stage": pa.array(reached, pa.int64()),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(profile, batch_format="pyarrow")

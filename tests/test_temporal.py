@@ -592,3 +592,50 @@ def test_session_stats_matches_sessionize(ray_session):
     ).reset_index().sort_values(["user_id", "session_idx"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_user_analytics_agrees_with_components(ray_session):
+    """The fused per-user profile must equal the standalone kernels
+    it fuses (sessions / first-last / funnel / cohort)."""
+    import ray.data
+
+    from stringzilla_ray.stages.temporal import (funnel,
+                                                 group_first_last,
+                                                 session_stats,
+                                                 user_analytics)
+
+    df = _window_frame(13, n=900, n_users=10)
+    df["event_type"] = np.array(["view", "click", "purchase", "error"])[
+        np.random.default_rng(14).integers(0, 4, len(df))]
+    ds = ray.data.from_pandas(df)
+    gap = 90_000_000
+    prof = user_analytics(ds, by="user_id", on="ts",
+                          id_column="event_id",
+                          type_column="event_type", gap_us=gap,
+                          day_us=60_000_000).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    sess = session_stats(ray.data.from_pandas(df), by="user_id",
+                         on="ts", gap_us=gap, id_column="event_id") \
+        .to_pandas().groupby("user_id").agg(
+            n_sessions=("session_idx", "max"),
+            n_events=("n_events", "sum")).reset_index()
+    fl = group_first_last(ray.data.from_pandas(df), by="user_id",
+                          on="ts", id_column="event_id",
+                          value_column="event_type").to_pandas()
+    fn = funnel(ray.data.from_pandas(df), by="user_id",
+                ts_column="ts", type_column="event_type",
+                stages=("view", "click", "purchase")).to_pandas()
+    m = prof.merge(sess, on="user_id", suffixes=("", "_c")) \
+        .merge(fl, on="user_id", suffixes=("", "_f")) \
+        .merge(fn, on="user_id", suffixes=("", "_n"))
+    assert (m["n_sessions"] == m["n_sessions_c"]).all()
+    assert (m["n_events"] == m["n_events_c"]).all()
+    assert (m["first_type"] == m["first_value"]).all()
+    assert (m["last_type"] == m["last_value"]).all()
+    stage_col = [c for c in fn.columns if c != "user_id"][0]
+    assert (m["funnel_stage"] == m[stage_col]).all()
+    # cohort day = min event ts bucket
+    want_cohort = df.assign(d=df.ts.astype("int64") // 60_000_000) \
+        .groupby("user_id")["d"].min()
+    assert (prof.set_index("user_id")["cohort_day"]
+            == want_cohort).all()
