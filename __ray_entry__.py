@@ -793,6 +793,67 @@ def _q_sorted_topk_page2(sf_dir: str):
     return top.map_batches(page, batch_format="pyarrow")
 
 
+def _q_anomalous_days(sf_dir: str):
+    """Time-series anomaly flags: days whose event count deviates
+    from the all-days mean by more than 2 sigma — exact integer
+    threshold arithmetic over the (tiny, span-bounded) daily census,
+    bigints on the driver, HUGEINT in the twin."""
+    import math
+
+    import pandas as _pd
+
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.stages.temporal import _ts_us
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = _ts_us(t["ts"]) // np.int64(86_400_000_000)
+        uk, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    census = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n", alias_name="n_s")) \
+        .to_pandas()
+    day = census["day"].to_numpy()
+    c = census["n_s"].to_numpy().astype(np.int64)
+    m = len(c)
+    sc, sc2 = int(c.sum()), int((c.astype(object) ** 2).sum())
+    r = math.isqrt(4 * (m * sc2 - sc * sc))
+    mc = m * c.astype(object)
+    flag = (mc > sc + r) | (mc < sc - r)
+    out = _pd.DataFrame({"day": day[np.asarray(flag, bool)],
+                         "n": c[np.asarray(flag, bool)]})
+    out["day"] = out["day"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _q_funnel_by_cohort(sf_dir: str):
+    """Funnel-by-cohort census: users per (first-seen day, furthest
+    funnel stage) — one extra tiny groupby over the fused
+    user_analytics profile."""
+    from ray.data.aggregate import Count
+
+    from stringzilla_ray.stages.temporal import user_analytics
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    prof = user_analytics(ds, by="user_id", on="ts",
+                          id_column="event_id",
+                          type_column="event_type")
+    out = prof.groupby(["cohort_day", "funnel_stage"]) \
+        .aggregate(Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "cohort_day": t["cohort_day"],
+            "funnel_stage": t["funnel_stage"],
+            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_traffic_profile(sf_dir: str):
     """Traffic profile census: events per (day-of-week, hour-of-day)
     cell — calendar math as pure epoch integer ops on BOTH sides
@@ -6511,6 +6572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_topk_page2": _q_sorted_topk_page2,
         "daily_autocorr_stats": _q_daily_autocorr_stats,
         "traffic_profile": _q_traffic_profile,
+        "anomalous_days": _q_anomalous_days,
+        "funnel_by_cohort": _q_funnel_by_cohort,
         "exact_dedup": _q_exact_dedup,
         "upsert_latest": _q_upsert_latest,
         "partitioned_write_prune": _q_partitioned_write_prune,
@@ -7032,6 +7095,42 @@ def oracle_sql() -> dict[str, str]:
         "sorted_topk_page2": (
             "SELECT doc_id, text FROM documents "
             "ORDER BY text, doc_id LIMIT 20 OFFSET 20"
+        ),
+        "anomalous_days": (
+            "WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 "
+            "AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY day), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS md, "
+            "CAST(sum(n) AS HUGEINT) AS sc, "
+            "CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sc2 "
+            "FROM c) "
+            "SELECT day, n FROM c, m "
+            "WHERE (md * n - sc) * (md * n - sc) > "
+            "4 * (md * sc2 - sc * sc)"
+        ),
+        "funnel_by_cohort": (
+            "WITH base AS (SELECT user_id, "
+            "CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) "
+            "AS cohort_day FROM events GROUP BY user_id), "
+            "sv AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "sc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN sv ON sv.user_id = e.user_id AND e.ts > sv.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "sp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN sc ON sc.user_id = e.user_id AND e.ts > sc.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+            "u AS (SELECT b.user_id, b.cohort_day, "
+            "CAST(CASE WHEN sp.user_id IS NOT NULL THEN 3 "
+            "WHEN sc.user_id IS NOT NULL THEN 2 "
+            "WHEN sv.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS funnel_stage FROM base b "
+            "LEFT JOIN sv ON sv.user_id = b.user_id "
+            "LEFT JOIN sc ON sc.user_id = b.user_id "
+            "LEFT JOIN sp ON sp.user_id = b.user_id) "
+            "SELECT cohort_day, funnel_stage, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM u "
+            "GROUP BY cohort_day, funnel_stage"
         ),
         "traffic_profile": (
             "SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, "
