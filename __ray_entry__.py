@@ -793,6 +793,86 @@ def _q_sorted_topk_page2(sf_dir: str):
     return top.map_batches(page, batch_format="pyarrow")
 
 
+def _q_repeat_purchase_rate(sf_dir: str):
+    """Repeat-purchase numerator/denominator: users with >= 2
+    purchases vs users with >= 1 — per-user purchase census,
+    shard-final, two driver ints (the rate derives exactly)."""
+    import pandas as _pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)[m]
+        uk, cnt = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(uk.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    census = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n_s")) \
+        .to_pandas()
+    n = census["n_s"].to_numpy()
+    return _pd.DataFrame({
+        "n_buyers": [int(len(n))],
+        "n_repeat": [int((n >= 2).sum())],
+    })
+
+
+def _q_median_time_to_convert(sf_dir: str):
+    """Median microseconds from a user's first view to their first
+    later purchase (the funnel timing metric): per-user deltas from
+    one minimum.at pass each, exact integer median on the driver
+    (odd n exact, even n the half-sum of two ints — float64-exact,
+    == quantile_cont)."""
+    import pandas as _pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from stringzilla_ray.stages.temporal import _ts_us
+
+        us = _ts_us(t["ts"])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        isv = pc.equal(et, "view").to_numpy(zero_copy_only=False)
+        isp = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        keep = isv | isp
+        return pa.table({
+            "user_id": pa.array(u[keep].astype(np.int64)),
+            "us": pa.array(us[keep], pa.int64()),
+            "is_view": pa.array(isv[keep]),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # per-user first view, then first purchase strictly after it —
+    # the reduced (view|purchase) table is a small fraction of events;
+    # exact driver fold keeps the median exact
+    u = rows["user_id"].to_numpy()
+    us = rows["us"].to_numpy()
+    isv = rows["is_view"].to_numpy()
+    uniq, inv = np.unique(u, return_inverse=True)
+    INF = np.iinfo(np.int64).max
+    tv = np.full(len(uniq), INF, np.int64)
+    np.minimum.at(tv, inv[isv], us[isv])
+    tp = np.full(len(uniq), INF, np.int64)
+    mp = ~isv & (us > tv[inv])
+    np.minimum.at(tp, inv[mp], us[mp])
+    ok = (tv < INF) & (tp < INF)
+    delta = np.sort(tp[ok] - tv[ok])
+    n = len(delta)
+    if n == 0:
+        med = float("nan")
+    elif n % 2:
+        med = float(delta[n // 2])
+    else:
+        med = (int(delta[n // 2 - 1]) + int(delta[n // 2])) / 2.0
+    return _pd.DataFrame({"n_converted": [int(n)],
+                          "median_us": [med]})
+
+
 def _q_anomalous_days(sf_dir: str):
     """Time-series anomaly flags: days whose event count deviates
     from the all-days mean by more than 2 sigma — exact integer
@@ -6573,6 +6653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_autocorr_stats": _q_daily_autocorr_stats,
         "traffic_profile": _q_traffic_profile,
         "anomalous_days": _q_anomalous_days,
+        "repeat_purchase_rate": _q_repeat_purchase_rate,
+        "median_time_to_convert": _q_median_time_to_convert,
         "funnel_by_cohort": _q_funnel_by_cohort,
         "exact_dedup": _q_exact_dedup,
         "upsert_latest": _q_upsert_latest,
@@ -7095,6 +7177,24 @@ def oracle_sql() -> dict[str, str]:
         "sorted_topk_page2": (
             "SELECT doc_id, text FROM documents "
             "ORDER BY text, doc_id LIMIT 20 OFFSET 20"
+        ),
+        "repeat_purchase_rate": (
+            "WITH c AS (SELECT user_id, count(*) AS n FROM events "
+            "WHERE event_type = 'purchase' GROUP BY user_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_buyers, "
+            "CAST(count(*) FILTER (n >= 2) AS BIGINT) AS n_repeat "
+            "FROM c"
+        ),
+        "median_time_to_convert": (
+            "WITH sv AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "sp AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN sv ON sv.user_id = e.user_id AND e.ts > sv.t1 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+            "d AS (SELECT epoch_us(t2) - epoch_us(t1) AS delta "
+            "FROM sp JOIN sv USING (user_id)) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_converted, "
+            "median(delta) AS median_us FROM d"
         ),
         "anomalous_days": (
             "WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 "
