@@ -1805,6 +1805,104 @@ def _q_tpch_q8_share(sf_dir: str):
     )
 
 
+def _q_pareto_revenue_share(sf_dir: str):
+    """Pareto concentration: the top-20%% orders' share of total
+    revenue — per-order revenue census (shard-final), distributed
+    (revenue desc, orderkey) sort+limit over the census for the top
+    slice, exact 1e-4-unit integer sums on both sides."""
+    import pandas as _pd
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import ensure_materialized, reduce_buckets
+
+    n_buckets = reduce_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        ru = (np.floor(ep * 100 + 0.5).astype(np.int64)
+              * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, ru)
+        sh = (splitmix64(uk.view(np.uint64) ^ np.uint64(0x7A))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"ok": pa.array(uk), "rev": pa.array(sums),
+                         "shard": pa.array(sh, pa.int32())})
+
+    def final(g: pa.Table) -> pa.Table:
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        rv = g["rev"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, rv)
+        return pa.table({"ok": pa.array(uk), "rev": pa.array(sums)})
+
+    census = ensure_materialized(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shard").map_groups(final, batch_format="pyarrow"))
+    n = int(census.count())
+    total = int(census.sum("rev") or 0)
+    k = n // 5
+    top = census.sort(["rev", "ok"], descending=[True, False]).limit(k)
+    top_rev = int(top.sum("rev") or 0)
+    return _pd.DataFrame({"n_top": [k], "top_rev_e4": [top_rev],
+                          "total_rev_e4": [total]})
+
+
+def _q_hapax_stats(sf_dir: str):
+    """Hapax legomena census: distinct corpus tokens seen exactly
+    once vs all distinct tokens — the vocabulary census (map-side
+    partials, hash(token) shard-final) reduced to two ints; the
+    Zipf-tail diagnostic every tokenizer build starts from."""
+    import pandas as _pd
+
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.functions.fasthash import hash_string_column
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            " ").flatten()
+        g = pa.table({"tok": toks})
+        part = pa.TableGroupBy(g, "tok").aggregate([([], "count_all")]) \
+            .rename_columns(["tok", "n"])
+        k = part["tok"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        h = hash_string_column(k, seed=0x8B)
+        return part.append_column(
+            "__shard", pa.array((np.abs(h) % n_shards).astype(np.int32),
+                                pa.int32()))
+
+    def final(g: pa.Table) -> pa.Table:
+        part = pa.TableGroupBy(g.select(["tok", "n"]), "tok") \
+            .aggregate([("n", "sum")]).rename_columns(["tok", "n"])
+        nv = part["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_distinct": pa.array([len(nv)], pa.int64()),
+            "n_hapax": pa.array([int((nv == 1).sum())], pa.int64()),
+        })
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__shard").map_groups(final, batch_format="pyarrow") \
+        .to_pandas()
+    return _pd.DataFrame({
+        "n_distinct": [int(pdf["n_distinct"].sum())],
+        "n_hapax": [int(pdf["n_hapax"].sum())],
+    })
+
+
 def _q_tpch_q11_part_value(sf_dir: str):
     """TPC-H Q11-shaped HAVING-over-global-fraction: per-part lineitem
     value census, keep parts whose value exceeds a scale-free fraction
@@ -6698,6 +6796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_revenue": _q_tpch_q6,
         "tpch_q7_volume": _q_tpch_q7,
         "tpch_q11_part_value": _q_tpch_q11_part_value,
+        "pareto_revenue_share": _q_pareto_revenue_share,
+        "hapax_stats": _q_hapax_stats,
         "tpch_q15_top_supplier": _q_tpch_q15_top_supplier,
         "tpch_q19_discount": _q_tpch_q19,
         "tpch_q14_promo": _q_tpch_q14,
@@ -8608,6 +8708,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(ru) AS BIGINT) AS revenue_e4 "
             "FROM l JOIN o ON l_orderkey = o.o_orderkey WHERE sk <> ck "
             "GROUP BY supp_nation, cust_nation, l_year"
+        ),
+        "pareto_revenue_share": (
+            "WITH c AS (SELECT l_orderkey, CAST(sum("
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+            ") AS BIGINT) AS rev FROM lineitem GROUP BY l_orderkey), "
+            "r AS (SELECT *, row_number() OVER "
+            "(ORDER BY rev DESC, l_orderkey) AS rn FROM c) "
+            "SELECT CAST((SELECT count(*) FROM c) // 5 AS BIGINT) "
+            "AS n_top, "
+            "CAST((SELECT coalesce(sum(rev), 0) FROM r WHERE rn <= "
+            "(SELECT count(*) FROM c) // 5) AS BIGINT) AS top_rev_e4, "
+            "CAST((SELECT sum(rev) FROM c) AS BIGINT) AS total_rev_e4"
+        ),
+        "hapax_stats": (
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents), c AS (SELECT tok, count(*) AS n FROM t "
+            "GROUP BY tok) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax "
+            "FROM c"
         ),
         "tpch_q11_part_value": (
             "WITH v AS (SELECT l_partkey, CAST(sum("
