@@ -189,6 +189,15 @@ def run_benchmarks() -> dict:
         ).count(),
     )
 
+    # two session-6 pipeline ops for breadth (extra keys; the driver
+    # compares shared keys, additions are free)
+    import __ray_entry__ as _entry
+
+    timed("cohort_retention",
+          lambda: _entry.queries()["cohort_retention"](SF_DIR).count())
+    timed("like_filter",
+          lambda: _entry.queries()["like_filter"](SF_DIR).count())
+
     # transcript volume for throughput context
     turns = pq.read_table(tpath, columns=["turn_idx"]).num_rows
     headline = timings["flagship_er"]
