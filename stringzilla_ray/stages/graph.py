@@ -405,10 +405,13 @@ def cooccurrence_pairs(ds, basket_column: str, item_column: str,
             .astype(np.int64)
         i = batch[item_column].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        if len(i) and (i.min() < 0 or i.max() >= (1 << 22)
+                       or b.min() < 0 or b.max() >= (1 << 42)):
+            raise ValueError(
+                "cooccurrence_pairs packs (basket, item) into 64 bits "
+                "(42 + 22); remap wider id domains (dense-rank) first")
         comp = np.unique((b.astype(np.uint64) << np.uint64(22))
                          | i.astype(np.uint64))
-        # item ids fit 22 bits here; at wider id domains switch the
-        # pack to a structured sort — the algorithm is unchanged
         bu = (comp >> np.uint64(22)).astype(np.int64)
         iu = (comp & np.uint64((1 << 22) - 1)).astype(np.int64)
         shard = (splitmix64(bu.view(np.uint64) ^ np.uint64(0x1D2))

@@ -1131,6 +1131,10 @@ def cohort_retention(ds, by: str, on: str, day_us: int = 86_400_000_000,
 
     def tag(batch: pa.Table) -> pa.Table:
         k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) and (k.min() < 0 or k.max() >= (1 << 43)):
+            raise ValueError(
+                "cohort_retention packs keys into 44 bits; got keys "
+                "outside [0, 2^43) — remap ids (dense-rank) first")
         day = _ts_us(batch[on]) // np.int64(day_us)
         comp = np.unique((k.astype(np.uint64) << np.uint64(20))
                          | day.astype(np.uint64))
@@ -1277,6 +1281,10 @@ def active_users_window(ds, by: str, on: str, window_days: int = 7,
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         k = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) and (k.min() < 0 or k.max() >= (1 << 43)):
+            raise ValueError(
+                "active_users_window packs keys into 44 bits; got "
+                "keys outside [0, 2^43) — remap ids first")
         day = _ts_us(batch[on]) // np.int64(day_us)
         comp = np.unique((k.astype(np.uint64) << np.uint64(20))
                          | day.astype(np.uint64))

@@ -111,3 +111,14 @@ def test_cooccurrence_basket_cap_drops_whales(ray_session):
     got = cooccurrence_pairs(ray.data.from_pandas(df), "basket", "item",
                              min_support=1, max_basket=4).to_pandas()
     assert set(map(tuple, got.values)) == {(1, 2, 2)}
+
+
+def test_cooccurrence_rejects_wide_ids(ray_session):
+    import ray.data
+
+    from stringzilla_ray.stages.graph import cooccurrence_pairs
+
+    df = pd.DataFrame({"basket": [1, 1], "item": [1, 1 << 23]})
+    with pytest.raises(Exception, match="packs"):
+        cooccurrence_pairs(ray.data.from_pandas(df), "basket", "item",
+                           min_support=1).to_pandas()
