@@ -191,6 +191,73 @@ def _q_grapheme_explode(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_any_keyword_search(sf_dir: str):
+    """Disjunctive (match-any) keyword search with a matched-term
+    score: docs matching >= 2 of K dictionary terms — K vectorized
+    Arrow substring scans, zero shuffles (the OR-semantics sibling of
+    the conjunctive keyword_search)."""
+    kws = ["merge", "spark", "vector", "stream"]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = np.zeros(len(t), np.int64)
+        for kw in kws:
+            n += pc.match_substring(t["text"], kw) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= 2
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep))
+            if isinstance(t["doc_id"], pa.Array)
+            else t["doc_id"].combine_chunks().filter(pa.array(keep)),
+            "n_matched": pa.array(n[keep]),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_users_per_type(sf_dir: str):
+    """Grouped COUNT DISTINCT users per event type: map-side
+    (type, user) distinct partials, ONE hash(user) shard — a user
+    lives in one shard so per-(type, user) dedup is final there —
+    tiny per-type census sum."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type", "user_id"]),
+                            ["event_type", "user_id"]) \
+            .aggregate([([], "count_all")]) \
+            .select(["event_type", "user_id"])
+        u = g["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sh = (splitmix64(u.view(np.uint64) ^ np.uint64(0x9C1))
+              % np.uint64(n_shards)).astype(np.int32)
+        return g.append_column("__shard", pa.array(sh, pa.int32()))
+
+    def final(g: pa.Table) -> pa.Table:
+        d = pa.TableGroupBy(g.select(["event_type", "user_id"]),
+                            ["event_type", "user_id"]) \
+            .aggregate([([], "count_all")])
+        return pa.TableGroupBy(d.select(["event_type"]), "event_type") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "n_users"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("__shard").map_groups(final, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("n_users",
+                                             alias_name="n_s"))
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n_users": pc.cast(t["n_s"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_byte_frequency(sf_dir: str):
     """Corpus byte-frequency census: each batch collapses to ONE
     256-bin bincount row over the tape (the whole exchange), partials
@@ -6722,6 +6789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_text": _q_reverse_text,
         "truncate_tokens": _q_truncate_tokens,
         "byte_frequency": _q_byte_frequency,
+        "any_keyword_search": _q_any_keyword_search,
+        "users_per_type": _q_users_per_type,
         "grapheme_explode": _q_grapheme_explode,
         "drop_long_tail": _q_drop_long_tail,
         "winsorize_values": _q_winsorize_values,
@@ -7155,6 +7224,22 @@ def oracle_sql() -> dict[str, str]:
         "count_substring": (
             "SELECT doc_id, CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS n "
             "FROM documents"
+        ),
+        "any_keyword_search": (
+            "SELECT doc_id, CAST("
+            "CAST(contains(text, 'merge') AS BIGINT) + "
+            "CAST(contains(text, 'spark') AS BIGINT) + "
+            "CAST(contains(text, 'vector') AS BIGINT) + "
+            "CAST(contains(text, 'stream') AS BIGINT) AS BIGINT) "
+            "AS n_matched FROM documents WHERE "
+            "CAST(contains(text, 'merge') AS BIGINT) + "
+            "CAST(contains(text, 'spark') AS BIGINT) + "
+            "CAST(contains(text, 'vector') AS BIGINT) + "
+            "CAST(contains(text, 'stream') AS BIGINT) >= 2"
+        ),
+        "users_per_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) "
+            "AS BIGINT) AS n_users FROM events GROUP BY event_type"
         ),
         "grapheme_explode": (
             "SELECT doc_id, CAST(generate_subscripts(cs, 1) AS BIGINT) "
