@@ -3284,3 +3284,43 @@ def test_grouped_mode_deterministic_ties(ray_session):
     assert list(got["k"]) == ["a", "b"]
     assert list(got["mode_q"]) == [100, 700]
     assert list(got["n_mode"]) == [2, 2]
+
+
+def test_snapshot_diff_classification(ray_session, tmp_path, monkeypatch):
+    """snapshot_diff's added/removed/changed classification on a toy
+    table vs DuckDB FULL OUTER JOIN (the query's own perturbation
+    rule: drop id%97==0, upper id%10==0)."""
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    import __ray_entry__ as entry
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "text": ["word%d text" % (i % 7) for i in range(300)],
+        "lang": ["en"] * 300,
+        "source": ["s"] * 300,
+        "n_chars": np.full(300, 11, dtype=np.int64),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_.write_table(pa.Table.from_pandas(df), str(d / "documents.parquet"))
+    got = entry.queries()["snapshot_diff"](str(d))
+    import ray.data
+
+    if isinstance(got, ray.data.Dataset):
+        got = got.to_pandas()
+    got = got.sort_values(["doc_id", "change_type"]).reset_index(drop=True)
+    want = duckdb.sql(
+        "WITH s2 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN "
+        "upper(text) ELSE text END AS text FROM df "
+        "WHERE doc_id % 97 <> 0) "
+        "SELECT coalesce(d.doc_id, s2.doc_id) AS doc_id, "
+        "CASE WHEN d.doc_id IS NULL THEN 'added' "
+        "WHEN s2.doc_id IS NULL THEN 'removed' "
+        "ELSE 'changed' END AS change_type "
+        "FROM df d FULL OUTER JOIN s2 USING (doc_id) "
+        "WHERE d.doc_id IS NULL OR s2.doc_id IS NULL "
+        "OR d.text <> s2.text ORDER BY doc_id, change_type").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["change_type"]) == {"removed", "changed"}
