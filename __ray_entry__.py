@@ -7181,7 +7181,7 @@ def oracle_sql() -> dict[str, str]:
             "u AS (SELECT doc_id, unnest(regexp_extract_all(t2, "
             "'https?://[^ \t\n\r\f]+')) AS url FROM aug), "
             "q AS (SELECT doc_id, regexp_extract(url, "
-            "'\?([^#]*)', 1) AS qs FROM u WHERE contains(url, '?')), "
+            "'\\?([^#]*)', 1) AS qs FROM u WHERE contains(url, '?')), "
             "p AS (SELECT doc_id, unnest(string_split(qs, '&')) "
             "AS param FROM q) "
             "SELECT doc_id, split_part(param, '=', 1) AS pkey, "
