@@ -737,6 +737,23 @@ def _q_top_domains(sf_dir: str):
     return top_domains(_url_augmented(sf_dir), "text", k=20)
 
 
+def _q_sample_weighted_bylen(sf_dir: str):
+    """Length-weighted Bernoulli sampling (stages/curation.py
+    sample_weighted): keep probability = n_chars / max(n_chars),
+    exact big-int rational rule, md5-audited so the HUGEINT SQL twin
+    reproduces every draw; max from one footer-cheap census."""
+    from stringzilla_ray.stages.curation import sample_weighted
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "n_chars"])
+    mx = int(ds.max("n_chars") or 1)
+    out = sample_weighted(ds, weight_column="n_chars", max_weight=mx,
+                          method="md5")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_chars"]),
+        batch_format="pyarrow")
+
+
 def _q_sample_rate_per_lang(sf_dir: str):
     """Dataset-mixing sampler: per-language deterministic Bernoulli
     keep-rates (stages/curation.py sample_rate_per_group, md5 audit
@@ -6810,6 +6827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "sample_per_lang": _q_sample_per_lang,
         "sample_rate_per_lang": _q_sample_rate_per_lang,
+        "sample_weighted_bylen": _q_sample_weighted_bylen,
         "extract_urls": _q_extract_urls,
         "url_query_params": _q_url_query_params,
         "top_domains": _q_top_domains,
@@ -7154,6 +7172,14 @@ def oracle_sql() -> dict[str, str]:
             r"'\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'), "
             r"'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') "
             "AS text_scrubbed FROM documents"
+        ),
+        "sample_weighted_bylen": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE CAST(CAST('0x' || substr(md5(text), 17, 16) "
+            "AS UBIGINT) AS HUGEINT) * "
+            "(SELECT max(n_chars) FROM documents) < "
+            "CAST(n_chars AS HUGEINT) * "
+            "CAST('18446744073709551616' AS HUGEINT)"
         ),
         "sample_rate_per_lang": (
             "SELECT doc_id, lang FROM documents "

@@ -950,3 +950,40 @@ def sample_equalize_groups(ds, group_column: str, text_column: str = "text",
         return batch.filter(pa.array(key < bound))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sample_weighted(ds, weight_column: str, max_weight: int,
+                    text_column: str = "text", method: str = "md5",
+                    seed: int = 0):
+    """Deterministic WEIGHTED Bernoulli sampling: keep probability =
+    weight / max_weight per row (importance sampling by length or
+    quality score).  Exact rational keep rule with no float anywhere:
+    keep  iff  key_u64 · max_weight < weight · 2^64, realized as
+    key < ceil(weight·2^64 / max_weight) computed per DISTINCT weight
+    in arbitrary-precision ints.  Content-keyed ⇒ reshard-stable and
+    duplicates co-sample; ``method="md5"`` is the audit mode the SQL
+    twin reproduces via
+    ``CAST('0x' || substr(md5(text), 17, 16) AS UBIGINT)`` and a
+    HUGEINT cross-multiply.  Zero shuffles."""
+    max_w = int(max_weight)
+    if max_w <= 0:
+        raise ValueError("max_weight must be positive")
+
+    def f(batch: pa.Table) -> pa.Table:
+        key = _split_key(batch[text_column], method, seed)
+        w = batch[weight_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uw = np.unique(w)
+        full = np.zeros(len(uw), bool)
+        bnd = np.zeros(len(uw), np.uint64)
+        for i, wv in enumerate(uw.tolist()):
+            b = (wv * (1 << 64) + max_w - 1) // max_w if wv > 0 else 0
+            if b >= (1 << 64):
+                full[i] = True
+            else:
+                bnd[i] = np.uint64(b)
+        idx = np.searchsorted(uw, w)
+        keep = full[idx] | (key < bnd[idx])
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")

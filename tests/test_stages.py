@@ -3324,3 +3324,31 @@ def test_snapshot_diff_classification(ray_session, tmp_path, monkeypatch):
         "OR d.text <> s2.text ORDER BY doc_id, change_type").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert set(got["change_type"]) == {"removed", "changed"}
+
+
+def test_sample_weighted_rates(ray_session):
+    """Weighted Bernoulli: empirical keep rate per weight tracks
+    w/max within binomial noise; w == max keeps everything; w == 0
+    keeps nothing."""
+    import ray.data
+
+    from stringzilla_ray.stages.curation import sample_weighted
+
+    n = 4000
+    rng = np.random.default_rng(31)
+    w = rng.choice([0, 250, 500, 1000], n).astype(np.int64)
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [f"doc {i} payload" for i in range(n)],
+        "w": w,
+    })
+    out = sample_weighted(ray.data.from_pandas(df), weight_column="w",
+                          max_weight=1000, text_column="text",
+                          method="fast").to_pandas()
+    kept = out.groupby("w").size()
+    totals = pd.Series(w).value_counts()
+    assert kept.get(0, 0) == 0
+    assert kept[1000] == totals[1000]
+    for wv, p in ((250, 0.25), (500, 0.5)):
+        rate = kept[wv] / totals[wv]
+        assert abs(rate - p) < 4 * np.sqrt(p * (1 - p) / totals[wv])
