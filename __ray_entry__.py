@@ -877,6 +877,68 @@ def _q_sorted_topk_page2(sf_dir: str):
     return top.map_batches(page, batch_format="pyarrow")
 
 
+def _q_ab_experiment(sf_dir: str):
+    """A/B experiment readout: users assigned to arms by the
+    md5-audited content-hash rule (arm A iff low64(md5(user_id)) <
+    2^63 — any external system reproduces the assignment), per arm
+    the distinct-user and converted-user (>=1 purchase) counts as
+    exact ints; lift/significance derive from the four numbers."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.stages.curation import _md5_low64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_shards = reduce_buckets()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isp = pc.equal(t["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        comp = np.unique((u.astype(np.uint64) << np.uint64(1))
+                         | isp.astype(np.uint64))
+        uu = (comp >> np.uint64(1)).astype(np.int64)
+        sh = (splitmix64(uu.view(np.uint64) ^ np.uint64(0xAB1))
+              % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "bought": pa.array((comp & np.uint64(1)).astype(np.int64)),
+            "__shard": pa.array(sh, pa.int32()),
+        })
+
+    def arm_census(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        b = g["bought"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        bmax = np.zeros(len(uu), np.int64)
+        np.maximum.at(bmax, inv, b)
+        # arm assignment inside the worker, vectorized over the
+        # shard's DISTINCT users (md5-audited; any external system
+        # reproduces it from the id alone)
+        keys = _md5_low64([str(int(x)) for x in uu])
+        is_a = keys < np.uint64(1 << 63)
+        n_a, n_b = int(is_a.sum()), int((~is_a).sum())
+        c_a = int(bmax[is_a].sum())
+        c_b = int(bmax[~is_a].sum())
+        return pa.table({
+            "arm": pa.array(["A", "B"], pa.string()),
+            "n_users": pa.array([n_a, n_b], pa.int64()),
+            "n_converted": pa.array([c_a, c_b], pa.int64()),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__shard").map_groups(arm_census,
+                                       batch_format="pyarrow") \
+        .groupby("arm").aggregate(Sum("n_users", alias_name="u_s"),
+                                  Sum("n_converted", alias_name="c_s"))
+    return out.map_batches(
+        lambda t: pa.table({"arm": t["arm"],
+                            "n_users": t["u_s"],
+                            "n_converted": t["c_s"]}),
+        batch_format="pyarrow")
+
+
 def _q_repeat_purchase_rate(sf_dir: str):
     """Repeat-purchase numerator/denominator: users with >= 2
     purchases vs users with >= 1 — per-user purchase census,
@@ -6839,6 +6901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "traffic_profile": _q_traffic_profile,
         "anomalous_days": _q_anomalous_days,
         "repeat_purchase_rate": _q_repeat_purchase_rate,
+        "ab_experiment": _q_ab_experiment,
         "median_time_to_convert": _q_median_time_to_convert,
         "funnel_by_cohort": _q_funnel_by_cohort,
         "exact_dedup": _q_exact_dedup,
@@ -7388,6 +7451,17 @@ def oracle_sql() -> dict[str, str]:
         "sorted_topk_page2": (
             "SELECT doc_id, text FROM documents "
             "ORDER BY text, doc_id LIMIT 20 OFFSET 20"
+        ),
+        "ab_experiment": (
+            "WITH u AS (SELECT user_id, CAST(max(CASE WHEN "
+            "event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS bought FROM events GROUP BY user_id), "
+            "a AS (SELECT CASE WHEN substr(md5(CAST(user_id "
+            "AS VARCHAR)), 17, 16) < '8000000000000000' THEN 'A' "
+            "ELSE 'B' END AS arm, bought FROM u) "
+            "SELECT arm, CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(sum(bought) AS BIGINT) AS n_converted FROM a "
+            "GROUP BY arm"
         ),
         "repeat_purchase_rate": (
             "WITH c AS (SELECT user_id, count(*) AS n FROM events "
