@@ -97,3 +97,25 @@ def test_read_csv_files_roundtrip(ray_session, tmp_path):
     want2 = want[["x", "y", "z"]].sort_values(["x", "y", "z"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want2)
+
+
+def test_full_file_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stringzilla_ray.functions.csvx import csv_split_records
+
+    @settings(max_examples=120, deadline=None)
+    @given(rows=st.lists(
+        st.tuples(*[st.text(alphabet='ab,"x \n\r', max_size=6)] * 2),
+        min_size=1, max_size=8),
+        crlf=st.booleans())
+    def inner(rows, crlf):
+        tbl = pa.table({"a": [r[0] for r in rows],
+                        "b": [r[1] for r in rows]})
+        sep = "\r\n" if crlf else "\n"
+        data = (sep.join(csv_encode_rows(tbl).to_pylist()) + sep).encode()
+        cols = csv_parse_rows(csv_split_records(data), 2)
+        assert list(zip(*[c.to_pylist() for c in cols])) == rows
+
+    inner()
