@@ -6418,6 +6418,26 @@ def _q_csv_source_roundtrip(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_acctbal_moments_by_nation(sf_dir: str):
+    """Moment census over customer account balances per nation —
+    exercises grouped_moments' NEGATIVE-value path (floor of a
+    negative scaled double rounds down identically on both sides)."""
+    from stringzilla_ray.stages.stats import grouped_moments
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_acctbal"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "c_acctbal": t["c_acctbal"],
+        })
+
+    return grouped_moments(ds.map_batches(keyed, batch_format="pyarrow"),
+                           key_column="c_nationkey",
+                           value_column="c_acctbal", value_scale=100)
+
+
 def _q_value_moments_by_type(sf_dir: str):
     """Per-type exact integer moment census (stages/stats.py
     grouped_moments): n, Σq, Σq² with q = floor(value·100) — the
@@ -7033,6 +7053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase": _q_bfs_copurchase,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
+        "acctbal_moments_by_nation": _q_acctbal_moments_by_nation,
         "value_band_join": _q_value_band_join,
         "csv_source_roundtrip": _q_csv_source_roundtrip,
         "incremental_moments": _q_incremental_moments,
@@ -8440,6 +8461,15 @@ def oracle_sql() -> dict[str, str]:
         "morton_order": (
             "SELECT event_id, CAST((((user_id % 256) >> 0) & 1) * 1 + (((user_id % 256) >> 1) & 1) * 4 + (((user_id % 256) >> 2) & 1) * 16 + (((user_id % 256) >> 3) & 1) * 64 + (((user_id % 256) >> 4) & 1) * 256 + (((user_id % 256) >> 5) & 1) * 1024 + (((user_id % 256) >> 6) & 1) * 4096 + (((user_id % 256) >> 7) & 1) * 16384 + ((((epoch_us(ts) // 86400000000) % 256) >> 0) & 1) * 2 + ((((epoch_us(ts) // 86400000000) % 256) >> 1) & 1) * 8 + ((((epoch_us(ts) // 86400000000) % 256) >> 2) & 1) * 32 + ((((epoch_us(ts) // 86400000000) % 256) >> 3) & 1) * 128 + ((((epoch_us(ts) // 86400000000) % 256) >> 4) & 1) * 512 + ((((epoch_us(ts) // 86400000000) % 256) >> 5) & 1) * 2048 + ((((epoch_us(ts) // 86400000000) % 256) >> 6) & 1) * 8192 + ((((epoch_us(ts) // 86400000000) % 256) >> 7) & 1) * 32768 AS BIGINT) AS morton "
             "FROM events ORDER BY morton, event_id LIMIT 50"
+        ),
+        "acctbal_moments_by_nation": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_q, "
+            "CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT) * "
+            "CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_q2 FROM customer GROUP BY c_nationkey"
         ),
         "value_moments_by_type": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
