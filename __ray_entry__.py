@@ -6036,6 +6036,50 @@ def _q_event_interarrival(sf_dir: str):
     return lag_delta(ds, by="user_id", on="ts", id_column="event_id")
 
 
+def _q_copurchase_lift(sf_dir: str):
+    """Market-basket LIFT inputs: each supported pair's co-occurrence
+    count plus both items' own basket counts and the total basket
+    count — lift = support·N / (n_a·n_b) derives exactly from four
+    ints.  The per-item census is items-bounded and broadcasts once;
+    pairs attach their endpoints' counts with two searchsorted
+    probes."""
+    import ray
+
+    from stringzilla_ray.stages.graph import cooccurrence_pairs
+
+    li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_partkey"])
+    ok = li["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = li["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = np.unique((ok.astype(np.uint64) << np.uint64(22))
+                     | pk.astype(np.uint64))
+    items = (comp & np.uint64((1 << 22) - 1)).astype(np.int64)
+    uk, cnt = np.unique(items, return_counts=True)
+    n_baskets = int(len(np.unique(ok)))
+    item_ref = ray.put((uk, cnt.astype(np.int64)))
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(ds, basket_column="l_orderkey",
+                               item_column="l_partkey", min_support=3)
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, n = ray.get(item_ref)
+        a = t["item_a"].to_numpy(zero_copy_only=False)
+        b = t["item_b"].to_numpy(zero_copy_only=False)
+        ja = np.searchsorted(keys, a)
+        jb = np.searchsorted(keys, b)
+        return pa.table({
+            "item_a": t["item_a"], "item_b": t["item_b"],
+            "support": t["support"],
+            "n_a": pa.array(n[ja], pa.int64()),
+            "n_b": pa.array(n[jb], pa.int64()),
+            "n_baskets": pa.array(
+                np.full(len(t), n_baskets, np.int64)),
+        })
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
 def _q_bfs_copurchase(sf_dir: str):
     """Fixed-depth BFS over the co-purchase graph (stages/graph.py
     bfs_levels): min hop distance <= 3 from the first order's parts —
@@ -7051,6 +7095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_latency_hist": _q_order_latency_hist,
         "copurchase_pairs": _q_copurchase_pairs,
         "bfs_copurchase": _q_bfs_copurchase,
+        "copurchase_lift": _q_copurchase_lift,
         "first_last_event": _q_first_last_event,
         "value_moments_by_type": _q_value_moments_by_type,
         "acctbal_moments_by_nation": _q_acctbal_moments_by_nation,
@@ -8257,6 +8302,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts))"
             " OVER (PARTITION BY user_id ORDER BY ts, event_id)"
             " AS delta_us FROM events"
+        ),
+        "copurchase_lift": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n "
+            "FROM d GROUP BY l_partkey), "
+            "nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) "
+            "AS n_baskets FROM lineitem), "
+            "p AS (SELECT a.l_partkey AS item_a, b.l_partkey "
+            "AS item_b, CAST(count(*) AS BIGINT) AS support "
+            "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY item_a, item_b HAVING count(*) >= 3) "
+            "SELECT p.item_a, p.item_b, p.support, ca.n AS n_a, "
+            "cb.n AS n_b, nb.n_baskets FROM p "
+            "JOIN ic ca ON ca.l_partkey = p.item_a "
+            "JOIN ic cb ON cb.l_partkey = p.item_b, nb"
         ),
         "bfs_copurchase": (
             "WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, "
