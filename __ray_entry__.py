@@ -6228,6 +6228,103 @@ def _q_tpch_q9_profit(sf_dir: str):
     )
 
 
+def _q_user_path_distance(sf_dir: str):
+    """Behavioral-similarity pairs: byte Levenshtein between the
+    letter-coded first-20-event paths of consecutive user ids — the
+    temporal path builder (one hash(user) shuffle) feeding the
+    ref-parity batched DP kernel; DuckDB recomputes the same derived
+    strings (CASE letter map + ordered string_agg + levenshtein)."""
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.functions.similarity import levenshtein_batch
+    from stringzilla_ray.stages.temporal import _ts_us
+    from stringzilla_ray.util import reduce_buckets
+
+    code_of = {"click": "c", "error": "e", "purchase": "p",
+               "signup": "s", "view": "v"}
+    n_shards = reduce_buckets()
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sh = (splitmix64(k.view(np.uint64) ^ np.uint64(0xB41))
+              % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "user_id": pa.array(k),
+            "event_type": batch["event_type"],
+            "__ts": pa.array(_ts_us(batch["ts"]), pa.int64()),
+            "__shard": pa.array(sh, pa.int32()),
+        })
+
+    def paths(g: pa.Table) -> pa.Table:
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        key = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if not n:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.string())})
+        order = np.lexsort((ids, ts, key))
+        k_s = key[order]
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.take(pa.array(order)).dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        letters = np.frombuffer(
+            "".join(code_of.get(v, "x")
+                    for v in enc.dictionary.to_pylist()).encode(),
+            np.uint8)
+        head = np.ones(n, bool)
+        head[1:] = k_s[1:] != k_s[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(head, np.arange(n), 0))
+        posn = np.arange(n) - seg_start
+        keep = posn < 20
+        kk, cc = k_s[keep], letters[code[keep]]
+        # per-user byte strings via offsets over the kept rows
+        heads2 = np.ones(len(kk), bool)
+        heads2[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(heads2)
+        ends = np.concatenate([starts[1:], [len(kk)]])
+        offs = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(ends - starts, out=offs[1:])
+        out = pa.Array.from_buffers(
+            pa.large_utf8(), len(starts),
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(cc.tobytes())])
+        return pa.table({"user_id": pa.array(kk[heads2], pa.int64()),
+                         "path": pc.cast(out, pa.string())})
+
+    per_user = ds.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("__shard").map_groups(paths, batch_format="pyarrow")
+
+    def pair_and_score(t: pa.Table) -> pa.Table:
+        ids = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        t = t.take(pa.array(order))
+        ids = ids[order]
+        pos = {int(i): k for k, i in enumerate(ids)}
+        lefts = [i for i in ids.tolist() if i % 2 == 0 and i + 1 in pos]
+        texts = t["path"].to_pylist()
+        la = [texts[pos[i]].encode() for i in lefts]
+        lb = [texts[pos[i + 1]].encode() for i in lefts]
+        dist = levenshtein_batch(la, lb) if lefts \
+            else np.zeros(0, np.int64)
+        return pa.table({
+            "left_user": pa.array(lefts, pa.int64()),
+            "right_user": pa.array([i + 1 for i in lefts], pa.int64()),
+            "dist": pa.array(dist, pa.int64()),
+        })
+
+    return per_user.repartition(1).map_batches(
+        pair_and_score, batch_format="pyarrow", batch_size=100000)
+
+
 def _q_user_analytics(sf_dir: str):
     """Composed per-user analytics profile (stages/temporal.py
     user_analytics): n_events, gap-session count, cohort day,
@@ -7087,6 +7184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_interarrival": _q_event_interarrival,
         "cohort_retention": _q_cohort_retention,
         "user_analytics": _q_user_analytics,
+        "user_path_distance": _q_user_path_distance,
         "weekly_active_users": _q_weekly_active_users,
         "session_length_hist": _q_session_length_hist,
         "value_regression": _q_value_regression,
@@ -8372,6 +8470,20 @@ def oracle_sql() -> dict[str, str]:
             "(epoch_us(ts) // 3600000000) % 24 AS h, "
             "CAST(floor(value * 100) AS BIGINT) AS q FROM events) "
             "GROUP BY event_type"
+        ),
+        "user_path_distance": (
+            "WITH r AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "p AS (SELECT user_id, string_agg(CASE event_type "
+            "WHEN 'click' THEN 'c' WHEN 'error' THEN 'e' "
+            "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' "
+            "WHEN 'view' THEN 'v' ELSE 'x' END, '' ORDER BY rn) "
+            "AS path FROM r WHERE rn <= 20 GROUP BY user_id) "
+            "SELECT a.user_id AS left_user, b.user_id AS right_user, "
+            "CAST(levenshtein(a.path, b.path) AS BIGINT) AS dist "
+            "FROM p a JOIN p b ON b.user_id = a.user_id + 1 "
+            "WHERE a.user_id % 2 = 0"
         ),
         "user_analytics": (
             "WITH base AS (SELECT user_id, "
