@@ -6228,14 +6228,10 @@ def _q_tpch_q9_profit(sf_dir: str):
     )
 
 
-def _q_user_path_distance(sf_dir: str):
-    """Behavioral-similarity pairs: byte Levenshtein between the
-    letter-coded first-20-event paths of consecutive user ids — the
-    temporal path builder (one hash(user) shuffle) feeding the
-    ref-parity batched DP kernel; DuckDB recomputes the same derived
-    strings (CASE letter map + ordered string_agg + levenshtein)."""
+def _user_paths(sf_dir: str):
+    """Shared builder: per-user letter-coded first-20-event path
+    dataset (one hash(user) shuffle)."""
     from stringzilla_ray.functions.fingerprint import splitmix64
-    from stringzilla_ray.functions.similarity import levenshtein_batch
     from stringzilla_ray.stages.temporal import _ts_us
     from stringzilla_ray.util import reduce_buckets
 
@@ -6299,9 +6295,20 @@ def _q_user_path_distance(sf_dir: str):
         return pa.table({"user_id": pa.array(kk[heads2], pa.int64()),
                          "path": pc.cast(out, pa.string())})
 
-    per_user = ds.map_batches(tag, batch_format="pyarrow",
-                              zero_copy_batch=True) \
+    return ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True) \
         .groupby("__shard").map_groups(paths, batch_format="pyarrow")
+
+
+def _q_user_path_distance(sf_dir: str):
+    """Behavioral-similarity pairs: byte Levenshtein between the
+    letter-coded first-20-event paths of consecutive user ids — the
+    temporal path builder (one hash(user) shuffle) feeding the
+    ref-parity batched DP kernel; DuckDB recomputes the same derived
+    strings (CASE letter map + ordered string_agg + levenshtein)."""
+    from stringzilla_ray.functions.similarity import levenshtein_batch
+
+    per_user = _user_paths(sf_dir)
 
     def pair_and_score(t: pa.Table) -> pa.Table:
         ids = t["user_id"].to_numpy(zero_copy_only=False)
@@ -6319,6 +6326,39 @@ def _q_user_path_distance(sf_dir: str):
             "left_user": pa.array(lefts, pa.int64()),
             "right_user": pa.array([i + 1 for i in lefts], pa.int64()),
             "dist": pa.array(dist, pa.int64()),
+        })
+
+    return per_user.repartition(1).map_batches(
+        pair_and_score, batch_format="pyarrow", batch_size=100000)
+
+
+def _q_user_typeset_jaccard(sf_dir: str):
+    """Behavioral SET similarity: byte-set Jaccard between the same
+    letter-coded paths (the set of event types each user touched in
+    their first 20 events) — the presence-bitmap kernel already
+    0-ULP-pinned against DuckDB's jaccard()."""
+    from stringzilla_ray.functions.similarity import byte_jaccard_batch
+
+    per_user = _user_paths(sf_dir)
+
+    def pair_and_score(t: pa.Table) -> pa.Table:
+        ids = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        t = t.take(pa.array(order))
+        ids = ids[order]
+        pos = {int(i): k for k, i in enumerate(ids)}
+        texts = t["path"].to_pylist()
+        lefts = [i for i in ids.tolist()
+                 if i % 2 == 0 and i + 1 in pos
+                 and texts[pos[i]] and texts[pos[i + 1]]]
+        la = [texts[pos[i]].encode() for i in lefts]
+        lb = [texts[pos[i + 1]].encode() for i in lefts]
+        sim = byte_jaccard_batch(la, lb) if lefts \
+            else np.zeros(0, np.float64)
+        return pa.table({
+            "left_user": pa.array(lefts, pa.int64()),
+            "right_user": pa.array([i + 1 for i in lefts], pa.int64()),
+            "sim": pa.array(sim, pa.float64()),
         })
 
     return per_user.repartition(1).map_batches(
@@ -7185,6 +7225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "user_analytics": _q_user_analytics,
         "user_path_distance": _q_user_path_distance,
+        "user_typeset_jaccard": _q_user_typeset_jaccard,
         "weekly_active_users": _q_weekly_active_users,
         "session_length_hist": _q_session_length_hist,
         "value_regression": _q_value_regression,
@@ -8470,6 +8511,21 @@ def oracle_sql() -> dict[str, str]:
             "(epoch_us(ts) // 3600000000) % 24 AS h, "
             "CAST(floor(value * 100) AS BIGINT) AS q FROM events) "
             "GROUP BY event_type"
+        ),
+        "user_typeset_jaccard": (
+            "WITH r AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "p AS (SELECT user_id, string_agg(CASE event_type "
+            "WHEN 'click' THEN 'c' WHEN 'error' THEN 'e' "
+            "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' "
+            "WHEN 'view' THEN 'v' ELSE 'x' END, '' ORDER BY rn) "
+            "AS path FROM r WHERE rn <= 20 GROUP BY user_id) "
+            "SELECT a.user_id AS left_user, b.user_id AS right_user, "
+            "jaccard(a.path, b.path) AS sim "
+            "FROM p a JOIN p b ON b.user_id = a.user_id + 1 "
+            "WHERE a.user_id % 2 = 0 "
+            "AND length(a.path) > 0 AND length(b.path) > 0"
         ),
         "user_path_distance": (
             "WITH r AS (SELECT user_id, event_type, "
