@@ -512,6 +512,34 @@ def _q_drop_long_tail(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_percent_decode(sf_dir: str):
+    """URL percent-decoding (functions/text.py percent_decode —
+    urllib.unquote_to_bytes parity, one tape pass): docs augmented
+    with a %20/%2F/%3F/%25 path on every 6th id; the oracle's chained
+    replaces (%25 LAST) equal single-pass decode because no code's
+    output can complete another code's pattern in this alphabet."""
+    from stringzilla_ray.functions.text import percent_decode
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idu = ids.astype("U20")
+        suf = np.where(ids % 6 == 0,
+                       np.char.add(" /p%20q%2Fr%3Fs%25t", idu), "")
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        aug = pc.binary_join_element_wise(
+            txt, pa.array(suf, pa.string()), "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "decoded": pc.cast(percent_decode(aug), pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_reverse_text(sf_dir: str):
     """Per-row byte reversal as one tape gather (functions/text.py
     reverse_bytes); byte == char reversal under the ASCII guard."""
@@ -7067,6 +7095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "like_filter": _q_like_filter,
         "encode_text": _q_encode_text,
         "reverse_text": _q_reverse_text,
+        "percent_decode": _q_percent_decode,
         "truncate_tokens": _q_truncate_tokens,
         "byte_frequency": _q_byte_frequency,
         "any_keyword_search": _q_any_keyword_search,
@@ -7587,6 +7616,14 @@ def oracle_sql() -> dict[str, str]:
             "AS p95 FROM documents GROUP BY lang) "
             "SELECT doc_id FROM documents JOIN t USING (lang) "
             "WHERE n_chars <= p95"
+        ),
+        "percent_decode": (
+            "SELECT doc_id, replace(replace(replace(replace("
+            "text || CASE WHEN doc_id % 6 = 0 THEN "
+            "' /p%20q%2Fr%3Fs%25t' || CAST(doc_id AS VARCHAR) "
+            "ELSE '' END, "
+            "'%20', ' '), '%2F', '/'), '%3F', '?'), '%25', '%') "
+            "AS decoded FROM documents"
         ),
         "reverse_text": (
             "SELECT doc_id, reverse(text) AS rev FROM documents "

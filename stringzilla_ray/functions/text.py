@@ -769,3 +769,67 @@ def truncate_tokens(arr, n_tokens: int, sep: str = " ") -> pa.Array:
     if nulls is not None:
         res = pc.if_else(nulls, pa.scalar(None, res.type), res)
     return res
+
+
+_HEX_VAL = np.full(256, -1, np.int8)
+for _c in b"0123456789":
+    _HEX_VAL[_c] = _c - 48
+for _c in b"abcdef":
+    _HEX_VAL[_c] = _c - 87
+for _c in b"ABCDEF":
+    _HEX_VAL[_c] = _c - 55
+
+
+def percent_decode(arr) -> pa.Array:
+    """URL percent-decoding per row (RFC 3986 %XX, case-insensitive
+    hex), CPython urllib.parse.unquote_to_bytes semantics: a '%' not
+    followed by two hex digits stays literal.  One tape pass: classify
+    every '%', hex-combine valid escapes, drop their two digit bytes
+    with a boolean gather.  Returns large_binary (decoded bytes may
+    not be UTF-8); nulls propagate."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nulls = arr.is_null() if arr.null_count else None
+    if nulls is not None:
+        arr = pc.fill_null(arr, "" if pa.types.is_string(arr.type)
+                           or pa.types.is_large_string(arr.type)
+                           else b"")
+    tape, offs = tape_of(arr)
+    tape = np.asarray(tape[offs[0]:offs[-1]]).copy()
+    offs = (offs - offs[0]).astype(np.int64)
+    T = len(tape)
+    n = len(offs) - 1
+    pct = np.flatnonzero(tape == 0x25).astype(np.int64)
+    keep = np.ones(T, bool)
+    if len(pct):
+        row = np.searchsorted(offs, pct, "right") - 1
+        # valid escape: both digit bytes exist INSIDE the same row
+        in_row = pct + 2 < offs[row + 1]
+        h1 = np.where(in_row, _HEX_VAL[tape[np.minimum(pct + 1, T - 1)]],
+                      -1)
+        h2 = np.where(in_row, _HEX_VAL[tape[np.minimum(pct + 2, T - 1)]],
+                      -1)
+        ok = in_row & (h1 >= 0) & (h2 >= 0)
+        # CPython scans left-to-right and consumes digits, so "%%41"
+        # decodes the SECOND '%41' ('%%' is literal '%' + literal '%'?
+        # no: unquote_to_bytes(b"%%41") == b"%A" — the first '%' fails
+        # (next is '%'), the second succeeds. Overlapping escapes
+        # cannot otherwise occur because a valid escape's digits are
+        # hex, never '%'.
+        vp = pct[ok]
+        tape[vp] = (h1[ok].astype(np.int64) * 16
+                    + h2[ok].astype(np.int64)).astype(np.uint8)
+        keep[vp + 1] = False
+        keep[vp + 2] = False
+    kept = np.flatnonzero(keep).astype(np.int64)
+    new_tape = tape[kept]
+    new_pos = np.zeros(T + 1, np.int64)
+    np.cumsum(keep, out=new_pos[1:])
+    new_offs = new_pos[offs]
+    res = pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(new_offs.tobytes()),
+         pa.py_buffer(new_tape.tobytes())])
+    if nulls is not None:
+        res = pc.if_else(nulls, pa.scalar(None, res.type), res)
+    return res

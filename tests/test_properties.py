@@ -296,3 +296,18 @@ def test_truncate_tokens_matches_split_join(texts, k):
     exp = [None if t is None else " ".join(t.split(" ")[:k])
            for t in texts]
     assert got == exp
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=st.lists(st.one_of(st.none(),
+                                st.text(alphabet="ab%2F0A9fz",
+                                        max_size=14)),
+                      min_size=1, max_size=10))
+def test_percent_decode_matches_urllib(texts):
+    from urllib.parse import unquote_to_bytes
+
+    from stringzilla_ray.functions.text import percent_decode
+
+    got = percent_decode(pa.array(texts, pa.string())).to_pylist()
+    assert got == [None if t is None else unquote_to_bytes(t)
+                   for t in texts]
