@@ -540,6 +540,27 @@ def _q_percent_decode(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_percent_roundtrip(sf_dir: str):
+    """percent_encode ∘ percent_decode == identity over the corpus
+    (the encoder itself is pinned byte-for-byte against
+    urllib.parse.quote by the property pytest; SQL has no quote(), so
+    the oracle checks the round trip against the source)."""
+    from stringzilla_ray.functions.text import (percent_decode,
+                                                percent_encode)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        enc = percent_encode(t["text"])
+        dec = percent_decode(enc)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.cast(dec, pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_reverse_text(sf_dir: str):
     """Per-row byte reversal as one tape gather (functions/text.py
     reverse_bytes); byte == char reversal under the ASCII guard."""
@@ -7096,6 +7117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_text": _q_encode_text,
         "reverse_text": _q_reverse_text,
         "percent_decode": _q_percent_decode,
+        "percent_roundtrip": _q_percent_roundtrip,
         "truncate_tokens": _q_truncate_tokens,
         "byte_frequency": _q_byte_frequency,
         "any_keyword_search": _q_any_keyword_search,
@@ -7616,6 +7638,9 @@ def oracle_sql() -> dict[str, str]:
             "AS p95 FROM documents GROUP BY lang) "
             "SELECT doc_id FROM documents JOIN t USING (lang) "
             "WHERE n_chars <= p95"
+        ),
+        "percent_roundtrip": (
+            "SELECT doc_id, text FROM documents"
         ),
         "percent_decode": (
             "SELECT doc_id, replace(replace(replace(replace("

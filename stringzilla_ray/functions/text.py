@@ -833,3 +833,47 @@ def percent_decode(arr) -> pa.Array:
     if nulls is not None:
         res = pc.if_else(nulls, pa.scalar(None, res.type), res)
     return res
+
+
+def percent_encode(arr, safe: bytes = b"/") -> pa.Array:
+    """URL percent-encoding (urllib.parse.quote semantics: unreserved
+    ALWAYS-SAFE set A-Za-z0-9_.-~ plus ``safe``), uppercase hex — one
+    mask pass + one 1-or-3-byte expansion gather."""
+    keep_lut = np.zeros(256, bool)
+    for b in (b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              b"abcdefghijklmnopqrstuvwxyz0123456789_.-~" + safe):
+        keep_lut[b] = True
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nulls = arr.is_null() if arr.null_count else None
+    if nulls is not None:
+        arr = pc.fill_null(arr, "" if pa.types.is_string(arr.type)
+                           or pa.types.is_large_string(arr.type)
+                           else b"")
+    tape, offs = tape_of(arr)
+    tape = np.asarray(tape[offs[0]:offs[-1]])
+    offs = (offs - offs[0]).astype(np.int64)
+    n = len(offs) - 1
+    enc = ~keep_lut[tape]
+    out_len_per = np.where(enc, 3, 1).astype(np.int64)
+    # per-byte output start = prefix sum
+    pos = np.zeros(len(tape) + 1, np.int64)
+    np.cumsum(out_len_per, out=pos[1:])
+    out = np.empty(int(pos[-1]), np.uint8)
+    out[pos[:-1][~enc]] = tape[~enc]
+    ep = pos[:-1][enc]
+    ev = tape[enc]
+    out[ep] = 0x25
+    out[ep + 1] = _HEX_UPPER_T[ev >> 4]
+    out[ep + 2] = _HEX_UPPER_T[ev & 0xF]
+    new_offs = pos[offs]
+    res = pa.Array.from_buffers(
+        pa.large_utf8(), n,
+        [None, pa.py_buffer(new_offs.tobytes()),
+         pa.py_buffer(out.tobytes())])
+    if nulls is not None:
+        res = pc.if_else(nulls, pa.scalar(None, res.type), res)
+    return res
+
+
+_HEX_UPPER_T = np.frombuffer(b"0123456789ABCDEF", np.uint8)

@@ -311,3 +311,22 @@ def test_percent_decode_matches_urllib(texts):
     got = percent_decode(pa.array(texts, pa.string())).to_pylist()
     assert got == [None if t is None else unquote_to_bytes(t)
                    for t in texts]
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(st.one_of(st.none(),
+                                st.text(alphabet="ab /?=%~.é",
+                                        max_size=12)),
+                      min_size=1, max_size=8))
+def test_percent_encode_matches_urllib_quote(texts):
+    from urllib.parse import quote
+
+    from stringzilla_ray.functions.text import (percent_decode,
+                                                percent_encode)
+
+    arr = pa.array(texts, pa.string())
+    got = percent_encode(arr).to_pylist()
+    assert got == [None if t is None else quote(t, safe="/")
+                   for t in texts]
+    dec = percent_decode(pa.array(got, pa.string())).to_pylist()
+    assert dec == [None if t is None else t.encode() for t in texts]
