@@ -769,6 +769,27 @@ def _q_url_query_params(sf_dir: str):
                                 "text")
 
 
+def _q_top_param_keys(sf_dir: str):
+    """Tracking-parameter census: most common URL query-param keys
+    with appearance counts (>= 2) — one tiny census groupby over the
+    query-param explode."""
+    from ray.data.aggregate import Count
+
+    from stringzilla_ray.stages.web import extract_query_params
+
+    params = extract_query_params(_param_augmented(sf_dir), "doc_id",
+                                  "text")
+    out = params.groupby("pkey").aggregate(Count(alias_name="n"))
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        keep = pc.greater_equal(n, 2)
+        return pa.table({"pkey": t["pkey"],
+                         "n": n}).filter(keep)
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
 def _q_extract_urls(sf_dir: str):
     """Row-exploding URL extraction (stages/web.py extract_urls — a
     vectorized byte-tape scan exactly matching RE2-greedy
@@ -7144,6 +7165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_weighted_bylen": _q_sample_weighted_bylen,
         "extract_urls": _q_extract_urls,
         "url_query_params": _q_url_query_params,
+        "top_param_keys": _q_top_param_keys,
         "top_domains": _q_top_domains,
         "pack_assign": _q_pack_assign,
         "utf8_count": _q_utf8_count,
@@ -7508,6 +7530,30 @@ def oracle_sql() -> dict[str, str]:
                 for g, r in _RATE_PER_LANG.items()
             )
             + f" ELSE '{_rhex(0.0)}' END"
+        ),
+        "top_param_keys": (
+            "WITH aug AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' see https://ex' || "
+            "CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' || "
+            "CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN ' go http://m' || "
+            "CAST(doc_id % 4 AS VARCHAR) || "
+            "'.net/q?u=http://inner.org/' || "
+            "CAST(doc_id AS VARCHAR) || ',' ELSE '' END || "
+            "CASE WHEN doc_id % 4 = 0 THEN ' http://p' || "
+            "CAST(doc_id % 3 AS VARCHAR) || '.io/s?q=' || "
+            "CAST(doc_id AS VARCHAR) || '&lang=x' || "
+            "CAST(doc_id % 2 AS VARCHAR) || '&f&&#frag' "
+            "ELSE '' END AS t2 FROM documents), "
+            "u AS (SELECT doc_id, unnest(regexp_extract_all(t2, "
+            "'https?://[^ \t\n\r\f]+')) AS url FROM aug), "
+            "q AS (SELECT doc_id, regexp_extract(url, "
+            "'\\?([^#]*)', 1) AS qs FROM u WHERE contains(url, '?')), "
+            "p AS (SELECT doc_id, unnest(string_split(qs, '&')) "
+            "AS param FROM q) "
+            "SELECT split_part(param, '=', 1) AS pkey, "
+            "CAST(count(*) AS BIGINT) AS n FROM p "
+            "GROUP BY pkey HAVING count(*) >= 2"
         ),
         "url_query_params": (
             "WITH aug AS (SELECT doc_id, text || "
