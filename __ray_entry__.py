@@ -1725,6 +1725,48 @@ def _sum_aggs(*pairs):
     return [Sum(col, alias_name=alias) for col, alias in pairs]
 
 
+def _q_weighted_discount_stats(sf_dir: str):
+    """Exact weighted-average inputs: per return flag, the
+    revenue-weighted discount as two int64 sums (Σ price_e2·disc_e2,
+    Σ price_e2) — the weighted mean derives exactly, no float
+    division in the hash.  Map-side partials, tiny census."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["l_returnflag"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ep = np.floor(t["l_extendedprice"]
+                      .to_numpy(zero_copy_only=False) * 100
+                      + 0.5).astype(np.int64)
+        d = np.floor(t["l_discount"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "l_returnflag": enc.dictionary,
+            "wsum": pa.array(np.bincount(code, weights=ep * d,
+                                         minlength=k).astype(np.int64)),
+            "w": pa.array(np.bincount(code, weights=ep, minlength=k)
+                          .astype(np.int64)),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("wsum", alias_name="ws"),
+                   Sum("w", alias_name="w_s"))
+    return out.map_batches(
+        lambda t: pa.table({"l_returnflag": t["l_returnflag"],
+                            "wsum": t["ws"], "w": t["w_s"]}),
+        batch_format="pyarrow")
+
+
 def _q_tpch_q7(sf_dir: str):
     """TPC-H Q7-shaped cross-nation shipping volume: revenue between
     an (ordered) pair of nations by ship year.  supplier and customer
@@ -7219,6 +7261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_revenue": _q_tpch_q5,
         "tpch_q6_revenue": _q_tpch_q6,
         "tpch_q7_volume": _q_tpch_q7,
+        "weighted_discount_stats": _q_weighted_discount_stats,
         "tpch_q11_part_value": _q_tpch_q11_part_value,
         "pareto_revenue_share": _q_pareto_revenue_share,
         "hapax_stats": _q_hapax_stats,
@@ -9241,6 +9284,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier ON l_suppkey = s_suppkey "
             "AND s_nationkey = ao.n_nationkey "
             "GROUP BY ao.n_name"
+        ),
+        "weighted_discount_stats": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) "
+            "* CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS wsum, "
+            "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+            ") AS BIGINT) AS w "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "tpch_q7_volume": (
             "WITH pair AS (SELECT n_nationkey, n_name FROM nation "
