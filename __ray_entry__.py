@@ -6225,6 +6225,96 @@ def _q_copurchase_pairs(sf_dir: str):
                               item_column="l_partkey", min_support=2)
 
 
+def _q_session_path_census(sf_dir: str):
+    """Unbounded session-path census: every session's FULL
+    letter-coded event sequence, counted across the corpus (paths
+    with support >= 3) — per-shard vectorized string assembly
+    (sessions are contiguous after the lexsort, so the path strings
+    are one offsets construction over the letter tape), then one
+    tiny path census."""
+    from ray.data.aggregate import Sum
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.stages.temporal import _ts_us
+    from stringzilla_ray.util import reduce_buckets
+
+    code_of = {"click": "c", "error": "e", "purchase": "p",
+               "signup": "s", "view": "v"}
+    gap_us = 3_600_000_000
+    n_shards = reduce_buckets()
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sh = (splitmix64(k.view(np.uint64) ^ np.uint64(0xC51))
+              % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "user_id": pa.array(k),
+            "event_type": batch["event_type"],
+            "__ts": pa.array(_ts_us(batch["ts"]), pa.int64()),
+            "__shard": pa.array(sh, pa.int32()),
+        })
+
+    def census(g: pa.Table) -> pa.Table:
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        key = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if not n:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_sessions": pa.array([], pa.int64())})
+        order = np.lexsort((ids, ts, key))
+        k_s, t_s = key[order], ts[order]
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.take(pa.array(order)).dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        letters = np.frombuffer(
+            "".join(code_of.get(v, "x")
+                    for v in enc.dictionary.to_pylist()).encode(),
+            np.uint8)
+        cc = letters[code]
+        new_key = np.ones(n, bool)
+        new_key[1:] = k_s[1:] != k_s[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (t_s[1:] - t_s[:-1]) > gap_us
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate([starts[1:], [n]])
+        offs = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(ends - starts, out=offs[1:])
+        paths = pa.Array.from_buffers(
+            pa.large_utf8(), len(starts),
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(cc.tobytes())])
+        part = pa.TableGroupBy(
+            pa.table({"path": pc.cast(paths, pa.string())}), "path") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["path", "n_sessions"])
+        return part
+
+    out = ds.map_batches(tag, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("__shard").map_groups(census, batch_format="pyarrow") \
+        .groupby("path").aggregate(Sum("n_sessions", alias_name="n_s"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n_s"].to_numpy(zero_copy_only=False)
+        keep = n >= 3
+        return pa.table({
+            "path": t["path"].filter(pa.array(keep))
+            if isinstance(t["path"], pa.Array)
+            else t["path"].combine_chunks().filter(pa.array(keep)),
+            "n_sessions": pa.array(n[keep].astype(np.int64)),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_session_length_hist(sf_dir: str):
     """Session-length histogram (stages/temporal.py session_stats):
     one hash(user) shuffle emits one row PER SESSION (boundary
@@ -7344,6 +7434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_typeset_jaccard": _q_user_typeset_jaccard,
         "weekly_active_users": _q_weekly_active_users,
         "session_length_hist": _q_session_length_hist,
+        "session_path_census": _q_session_path_census,
         "value_regression": _q_value_regression,
         "tpch_q9_profit": _q_tpch_q9_profit,
         "tpch_q8_share": _q_tpch_q8_share,
@@ -8636,6 +8727,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey "
             "GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2"
+        ),
+        "session_path_census": (
+            "WITH x AS (SELECT event_id, user_id, ts, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END "
+            "AS new_s FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS sidx FROM x), "
+            "p AS (SELECT user_id, sidx, string_agg(CASE event_type "
+            "WHEN 'click' THEN 'c' WHEN 'error' THEN 'e' "
+            "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' "
+            "WHEN 'view' THEN 'v' ELSE 'x' END, '' "
+            "ORDER BY ts, event_id) AS path FROM y "
+            "GROUP BY user_id, sidx) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM p GROUP BY path HAVING count(*) >= 3"
         ),
         "session_length_hist": (
             "WITH x AS (SELECT event_id, user_id, ts, "
