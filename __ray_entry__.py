@@ -6315,6 +6315,72 @@ def _q_session_path_census(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_session_gap_median(sf_dir: str):
+    """Median idle gap between a user's consecutive sessions (end of
+    one to start of the next) — per-shard session boundaries off the
+    sessionize lexsort, gap list is sessions-minus-users small, exact
+    integer median on the driver (== quantile_cont)."""
+    import pandas as _pd
+
+    from stringzilla_ray.stages.temporal import session_stats
+
+    # session_stats gives counts/durations; gaps need boundary ts —
+    # recompute inline with the same machinery, emitting per-session
+    # (user, start, end)
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.stages.temporal import _ts_us
+    from stringzilla_ray.util import reduce_buckets
+
+    gap_us = 3_600_000_000
+    n_shards = reduce_buckets()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sh = (splitmix64(k.view(np.uint64) ^ np.uint64(0xC61))
+              % np.uint64(n_shards)).astype(np.int32)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "user_id": pa.array(k),
+            "__ts": pa.array(_ts_us(batch["ts"]), pa.int64()),
+            "__shard": pa.array(sh, pa.int32()),
+        })
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        key = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if not n:
+            return pa.table({"gap_us": pa.array([], pa.int64())})
+        order = np.lexsort((ids, ts, key))
+        k_s, t_s = key[order], ts[order]
+        new_key = np.ones(n, bool)
+        new_key[1:] = k_s[1:] != k_s[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (t_s[1:] - t_s[:-1]) > gap_us
+        starts = np.flatnonzero(new_sess)
+        # gap precedes every session start that is NOT a user head
+        inner = starts[~new_key[starts]]
+        return pa.table({"gap_us": pa.array(
+            t_s[inner] - t_s[inner - 1], pa.int64())})
+
+    rows = ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(gaps, batch_format="pyarrow") \
+        .to_pandas()
+    delta = np.sort(rows["gap_us"].to_numpy())
+    m = len(delta)
+    if m == 0:
+        med = float("nan")
+    elif m % 2:
+        med = float(delta[m // 2])
+    else:
+        med = (int(delta[m // 2 - 1]) + int(delta[m // 2])) / 2.0
+    return _pd.DataFrame({"n_gaps": [int(m)], "median_gap_us": [med]})
+
+
 def _q_session_length_hist(sf_dir: str):
     """Session-length histogram (stages/temporal.py session_stats):
     one hash(user) shuffle emits one row PER SESSION (boundary
@@ -7435,6 +7501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": _q_weekly_active_users,
         "session_length_hist": _q_session_length_hist,
         "session_path_census": _q_session_path_census,
+        "session_gap_median": _q_session_gap_median,
         "value_regression": _q_value_regression,
         "tpch_q9_profit": _q_tpch_q9_profit,
         "tpch_q8_share": _q_tpch_q8_share,
@@ -8727,6 +8794,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey "
             "GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2"
+        ),
+        "session_gap_median": (
+            "WITH x AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END "
+            "AS new_s, epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+            "AS d FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_gaps, "
+            "median(d) AS median_gap_us FROM x "
+            "WHERE new_s = 1 AND d IS NOT NULL"
         ),
         "session_path_census": (
             "WITH x AS (SELECT event_id, user_id, ts, event_type, "
