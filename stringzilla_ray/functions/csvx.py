@@ -166,12 +166,15 @@ def csv_split_records(data: bytes) -> pa.Array:
         .astype(np.int64)
     starts = np.concatenate([[0], nl + 1])
     ends = np.concatenate([nl, [T]])
-    # strip a CR immediately before each LF terminator
+    # strip a CR immediately before each LF terminator — every end
+    # except the last came from an LF; the file-end record (ends[-1]
+    # == T with no LF) keeps a bare trailing CR as DATA (ADVICE r4:
+    # 'a,b\r' must not lose the CR it never terminated with)
     has_cr = np.zeros(len(ends), bool)
     pos = ends - 1
     valid = pos >= 0
+    valid[-1] = False
     has_cr[valid] = tape[pos[valid]] == 0x0D
-    # only strip CR when the end came from a terminator or file end
     ends = np.where(has_cr, ends - 1, ends)
     keep = starts < ends
     keep |= (starts == ends) & (starts < T)  # interior empty records

@@ -541,7 +541,12 @@ def like_match(arr, pattern: str,
     each row keeps a cursor advanced by searchsorted into the
     segment's global hit positions.  Byte '_' equals char '_' only on
     ASCII; pair oracles with the strlen guard.  Null rows stay null
-    (SQL three-valued LIKE)."""
+    (SQL three-valued LIKE).
+
+    Cost: O(pattern_bytes · tape_bytes) passes plus one transient
+    bool mask per segment — sized for the short patterns a query
+    filter uses, not for adversarially long user patterns; once no
+    row can still match, remaining segment sweeps are skipped."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     nulls = arr.is_null() if arr.null_count else None
@@ -595,6 +600,8 @@ def like_match(arr, pattern: str,
                 & (row_start + L <= row_end)
             cursor = row_start + L
         for seg in middles:
+            if not ok.any():
+                break  # no row can match — skip remaining tape sweeps
             L = len(seg)
             hits, _ = hits_of(seg)
             idx = np.searchsorted(hits, cursor)
@@ -603,7 +610,7 @@ def like_match(arr, pattern: str,
                 if len(hits) else np.zeros(n, np.int64)
             ok &= found & (p + L <= row_end)
             cursor = np.where(ok, p + L, cursor)
-        if last:
+        if last and ok.any():
             L = len(last)
             _, mask = hits_of(last)
             pos = row_end - L

@@ -502,17 +502,26 @@ def cooccurrence_pairs(ds, basket_column: str, item_column: str,
 
 
 def bfs_levels(edges, seeds, max_depth: int = 3,
-               n_shards: int | None = None):
+               n_shards: int | None = None,
+               sweep_counts: list | None = None):
     """Fixed-depth BFS from a seed set over an undirected edge list:
     each node's MINIMUM hop distance (<= max_depth).  Iterative
     dataflow in the PageRank contract: every sweep is one hash(src)
-    shard exchange of (frontier ∪ edges) and each intermediate
-    dataset is pinned (ensure_materialized) so lineage can't
-    re-execute exponentially.  Exact and deterministic — levels are
-    min-folded ints.
+    shard exchange of (frontier ∪ edges) plus one hash(node) min-fold
+    of the candidate set into the accumulated known levels, and each
+    intermediate dataset is pinned (ensure_materialized) so lineage
+    can't re-execute exponentially.  The min-fold doubles as the
+    frontier ANTI-JOIN (ADVICE r4): a node's folded level equals the
+    current depth iff this sweep discovered it, so previously-visited
+    nodes never re-enter the frontier and exchange volume per sweep is
+    O(newly reached + edges), not O(all reached so far) — the classic
+    BFS invariant, load-bearing on dense graphs.  Exact and
+    deterministic — levels are min-folded ints.
 
     ``edges``: Dataset[(item_a, item_b)] (undirected, deduped);
-    ``seeds``: sorted int64 np.ndarray broadcast via ray.put."""
+    ``seeds``: sorted int64 np.ndarray broadcast via ray.put;
+    ``sweep_counts``: debug hook — appends each sweep's frontier size.
+    """
     import ray
     from stringzilla_ray.util import ensure_materialized, reduce_buckets
 
@@ -549,15 +558,32 @@ def bfs_levels(edges, seeds, max_depth: int = 3,
 
     frontier = ray.data.from_arrow(
         seed_frontier(pa.table({"x": pa.array([0])})))
-    # known levels accumulate as (node, lvl) min-folded per sweep
-    known = frontier.map_batches(
-        lambda t: pa.table({"node": t["src"], "lvl": t["lvl"]}),
-        batch_format="pyarrow")
-    known = ensure_materialized(known)
+    # known levels live sharded by hash(node) and stay min-folded:
+    # (node, lvl, __kshard), at most one row per node after each fold
+    def tag_node(t: pa.Table) -> pa.Table:
+        nv = t["node"].to_numpy(zero_copy_only=False)
+        sh = _shard_i64(nv, n_shards, 0x5F2)
+        return t.append_column("__kshard", pa.array(sh, pa.int32()))
+
+    def min_fold(g: pa.Table) -> pa.Table:
+        nv = g["node"].to_numpy(zero_copy_only=False)
+        lv = g["lvl"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nv, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, lv)
+        sh = _shard_i64(u, n_shards, 0x5F2)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "lvl": pa.array(mn, pa.int64()),
+                         "__kshard": pa.array(sh, pa.int32())})
+
+    known = ensure_materialized(frontier.map_batches(
+        lambda t: tag_node(pa.table({"node": t["src"],
+                                     "lvl": t["lvl"]})),
+        batch_format="pyarrow"))
 
     for depth in range(1, max_depth + 1):
         # expand: shard owns all out-edges of its srcs AND the
-        # frontier rows routed to the same shard — next frontier =
+        # frontier rows routed to the same shard — candidates =
         # dst of edges whose src is in frontier
         def expand(g: pa.Table, d=depth) -> pa.Table:
             lvl = g["lvl"].to_numpy(zero_copy_only=False)
@@ -575,18 +601,20 @@ def bfs_levels(edges, seeds, max_depth: int = 3,
                 "lvl": pa.array(np.full(len(nxt), d, np.int64)),
             })
 
-        fshard = frontier  # already sharded rows
-        combined = e2.union(fshard)
-        nxt = combined.groupby("__shard").map_groups(
+        cand = e2.union(frontier).groupby("__shard").map_groups(
             expand, batch_format="pyarrow")
-        nxt = ensure_materialized(nxt)
-        known = ensure_materialized(known.union(nxt))
-        # next frontier rows (nodes discovered this sweep, re-tagged)
+        # fold candidates into known: the per-node min decides both
+        # the level AND membership in the next frontier (lvl == d
+        # exactly for first-time discoveries — the anti-join)
+        known = ensure_materialized(
+            known.union(cand.map_batches(tag_node,
+                                         batch_format="pyarrow"))
+            .groupby("__kshard").map_groups(min_fold,
+                                            batch_format="pyarrow"))
+
         def as_frontier(t: pa.Table, d=depth) -> pa.Table:
-            nv = t["node"].to_numpy(zero_copy_only=False)
             lv = t["lvl"].to_numpy(zero_copy_only=False)
-            m = lv == d
-            nv = nv[m]
+            nv = t["node"].to_numpy(zero_copy_only=False)[lv == d]
             sh = _shard_i64(nv, n_shards, 0x5F1)
             return pa.table({
                 "src": pa.array(nv, pa.int64()),
@@ -596,22 +624,13 @@ def bfs_levels(edges, seeds, max_depth: int = 3,
             })
 
         frontier = ensure_materialized(
-            nxt.map_batches(as_frontier, batch_format="pyarrow"))
+            known.map_batches(as_frontier, batch_format="pyarrow"))
+        if sweep_counts is not None:
+            sweep_counts.append(int(frontier.count()))
+        if frontier.count() == 0:
+            break
 
-    # min level per node (a node can be re-discovered at deeper hops)
-    def tag_node(t: pa.Table) -> pa.Table:
-        nv = t["node"].to_numpy(zero_copy_only=False)
-        sh = _shard_i64(nv, n_shards, 0x5F2)
-        return t.append_column("__shard", pa.array(sh, pa.int32()))
-
-    def min_lvl(g: pa.Table) -> pa.Table:
-        nv = g["node"].to_numpy(zero_copy_only=False)
-        lv = g["lvl"].to_numpy(zero_copy_only=False)
-        u, inv = np.unique(nv, return_inverse=True)
-        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
-        np.minimum.at(mn, inv, lv)
-        return pa.table({"node": pa.array(u, pa.int64()),
-                         "level": pa.array(mn, pa.int64())})
-
-    return known.map_batches(tag_node, batch_format="pyarrow") \
-        .groupby("__shard").map_groups(min_lvl, batch_format="pyarrow")
+    # known is already min-folded — just rename/strip the shard tag
+    return known.map_batches(
+        lambda t: pa.table({"node": t["node"], "level": t["lvl"]}),
+        batch_format="pyarrow")

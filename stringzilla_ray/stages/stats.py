@@ -1042,6 +1042,48 @@ def membership_orphans(ds, key_column: str, ref, ref_key: str,
     })
 
 
+# isqrt(2^63 - 1): |q| above this overflows q*q in int64
+_Q_SQUARE_BOUND = 3_037_000_499
+
+
+def _int_group_sums(code: np.ndarray, k: int,
+                    *weights: np.ndarray) -> list[np.ndarray]:
+    """Exact per-group int64 sums of int64 weight columns.
+
+    np.bincount(weights=...) accumulates in FLOAT64, which silently
+    loses exactness once any running partial passes 2^53 (ADVICE r4).
+    Keep bincount only when the worst case provably fits —
+    rows · max|w| < 2^53, the common case at value_scale=100 — else
+    fall back to np.add.at on an int64 accumulator, which is exact
+    whenever the true partial fits int64 (the downstream int64 Sum
+    aggregate requires that anyway)."""
+    outs = []
+    for w in weights:
+        if len(w) == 0:
+            outs.append(np.zeros(k, np.int64))
+            continue
+        mx = int(np.abs(w).max())
+        if mx and len(w) > (1 << 53) // mx:
+            acc = np.zeros(k, np.int64)
+            np.add.at(acc, code, w)
+            outs.append(acc)
+        else:
+            outs.append(np.bincount(code, weights=w, minlength=k)
+                        .astype(np.int64))
+    return outs
+
+
+def _check_q_bound(*qs: np.ndarray) -> None:
+    """Products of these columns must fit int64: |q| <= isqrt(2^63-1)
+    pairwise.  Raises instead of silently wrapping (documented bound
+    of the exact-integer-moment contract)."""
+    for q in qs:
+        if len(q) and int(np.abs(q).max()) > _Q_SQUARE_BOUND:
+            raise ValueError(
+                "quantized value exceeds the exact-moment bound "
+                f"|q| <= {_Q_SQUARE_BOUND}; lower value_scale")
+
+
 def grouped_moments(ds, key_column: str, value_column: str,
                     value_scale: int = 100):
     """Per-group exact integer moment census — n, Σq and Σq² with
@@ -1064,14 +1106,14 @@ def grouped_moments(ds, key_column: str, value_column: str,
         v = t[value_column].to_numpy(zero_copy_only=False)
         q = np.floor(v * value_scale).astype(np.int64)
         k = len(enc.dictionary)
+        _check_q_bound(q)
+        sum_q, sum_q2 = _int_group_sums(code, k, q, q * q)
         return pa.table({
             key_column: enc.dictionary,
             "n": pa.array(np.bincount(code, minlength=k)
                           .astype(np.int64)),
-            "sum_q": pa.array(np.bincount(code, weights=q, minlength=k)
-                              .astype(np.int64)),
-            "sum_q2": pa.array(np.bincount(code, weights=q * q,
-                                           minlength=k).astype(np.int64)),
+            "sum_q": pa.array(sum_q),
+            "sum_q2": pa.array(sum_q2),
         })
 
     out = ds.map_batches(partial, batch_format="pyarrow",
@@ -1102,11 +1144,17 @@ def zscore_outliers(ds, key_column: str, value_column: str,
 
     census = grouped_moments(ds, key_column, value_column,
                              value_scale=value_scale).to_pandas()
+    # column-wise lists (not iterrows — a per-row pandas loop degrades
+    # on large key domains); only the bigint isqrt stays per-group
+    # Python, which it must (n·Σq² − (Σq)² overflows int64)
     bounds = {}
-    for _, row in census.iterrows():
-        n, sq, sq2 = int(row["n"]), int(row["sum_q"]), int(row["sum_q2"])
+    for kv, n, sq, sq2 in zip(census[key_column].to_list(),
+                              census["n"].to_list(),
+                              census["sum_q"].to_list(),
+                              census["sum_q2"].to_list()):
+        n, sq, sq2 = int(n), int(sq), int(sq2)
         r = math.isqrt(k * k * (n * sq2 - sq * sq))
-        bounds[row[key_column]] = (n, sq - r, sq + r)
+        bounds[kv] = (n, sq - r, sq + r)
 
     def flag(t: pa.Table) -> pa.Table:
         keys = t[key_column]
@@ -1149,18 +1197,16 @@ def grouped_comoments(ds, key_column: str, x_column: str, y_column: str,
         y = np.floor(t[y_column].to_numpy(zero_copy_only=False)
                      * y_scale).astype(np.int64)
         k = len(enc.dictionary)
-
-        def bc(w=None):
-            return pa.array((np.bincount(code, weights=w, minlength=k)
-                             if w is not None else
-                             np.bincount(code, minlength=k))
-                            .astype(np.int64))
-
+        _check_q_bound(x, y)
+        sx, sy, sxx, syy, sxy = _int_group_sums(
+            code, k, x, y, x * x, y * y, x * y)
         return pa.table({
             key_column: enc.dictionary,
-            "n": bc(), "sum_x": bc(x), "sum_y": bc(y),
-            "sum_xx": bc(x * x), "sum_yy": bc(y * y),
-            "sum_xy": bc(x * y),
+            "n": pa.array(np.bincount(code, minlength=k)
+                          .astype(np.int64)),
+            "sum_x": pa.array(sx), "sum_y": pa.array(sy),
+            "sum_xx": pa.array(sxx), "sum_yy": pa.array(syy),
+            "sum_xy": pa.array(sxy),
         })
 
     cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]

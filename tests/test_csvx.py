@@ -61,6 +61,18 @@ def test_split_records_respects_quoted_newlines():
     assert got == list(map(tuple, csv.reader(io.StringIO(data.decode()))))
 
 
+def test_split_records_keeps_bare_trailing_cr():
+    """ADVICE r4: a CR that is the FINAL byte of the file with no LF
+    after it never terminated a record — it is data and must survive;
+    CRs that did precede an LF still strip."""
+    from stringzilla_ray.functions.csvx import csv_split_records
+
+    assert csv_split_records(b"a,b\r").to_pylist() == ["a,b\r"]
+    assert csv_split_records(b"a,b\r\n").to_pylist() == ["a,b"]
+    assert csv_split_records(b"x\r\ny\r").to_pylist() == ["x", "y\r"]
+    assert csv_split_records(b"x\r\n\r\n").to_pylist() == ["x", ""]
+
+
 def test_full_file_roundtrip_with_embedded_newlines():
     from stringzilla_ray.functions.csvx import csv_split_records
 

@@ -122,3 +122,64 @@ def test_cooccurrence_rejects_wide_ids(ray_session):
     with pytest.raises(Exception, match="packs"):
         cooccurrence_pairs(ray.data.from_pandas(df), "basket", "item",
                            min_support=1).to_pandas()
+
+
+def _ref_bfs(src, dst, seeds, max_depth):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+        adj[d].append(s)
+    lvl = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if lvl[u] >= max_depth:
+            continue
+        for v in adj[u]:
+            if v not in lvl:
+                lvl[v] = lvl[u] + 1
+                q.append(v)
+    return lvl
+
+
+def test_bfs_levels_matches_reference(ray_session):
+    """Min hop levels on a random sparse graph == queue BFS."""
+    import ray.data
+
+    from stringzilla_ray.stages.graph import bfs_levels
+
+    rng = np.random.default_rng(7)
+    E = 400
+    a = rng.integers(0, 120, E).astype(np.int64)
+    b = rng.integers(0, 120, E).astype(np.int64)
+    m = a != b
+    df = pd.DataFrame({"item_a": a[m], "item_b": b[m]}) \
+        .drop_duplicates()
+    seeds = np.array([0, 1, 2], np.int64)
+    got = bfs_levels(ray.data.from_pandas(df).repartition(4), seeds,
+                     max_depth=3).to_pandas()
+    want = _ref_bfs(df["item_a"].values, df["item_b"].values,
+                    seeds.tolist(), 3)
+    assert dict(zip(got["node"], got["level"])) == want
+
+
+def test_bfs_frontier_never_reexpands_visited(ray_session):
+    """ADVICE r4: on a clique, sweep 1 discovers every node; later
+    sweeps must have EMPTY frontiers (visited nodes pruned by the
+    min-fold anti-join), not re-expand the whole graph each sweep."""
+    import itertools
+
+    import ray.data
+
+    from stringzilla_ray.stages.graph import bfs_levels
+
+    pairs = list(itertools.combinations(range(12), 2))
+    df = pd.DataFrame(pairs, columns=["item_a", "item_b"])
+    counts = []
+    got = bfs_levels(ray.data.from_pandas(df), np.array([0], np.int64),
+                     max_depth=3, sweep_counts=counts).to_pandas()
+    assert counts == [11, 0]  # sweep 2 empty -> early stop, no sweep 3
+    lv = dict(zip(got["node"], got["level"]))
+    assert lv == {0: 0, **{i: 1 for i in range(1, 12)}}

@@ -545,6 +545,42 @@ def test_grouped_moments_exact(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_grouped_moments_exact_past_float53(ray_session):
+    """ADVICE r4 regression: per-batch Σq² partials beyond 2^53 must
+    stay exact (float64-weighted bincount silently rounds there — the
+    int64 np.add.at fallback path must engage), and |q| past the
+    int64-square bound must raise, not wrap."""
+    import duckdb
+    import ray.data
+
+    from stringzilla_ray.stages.stats import grouped_moments
+
+    rng = np.random.default_rng(11)
+    # q ≈ 3e8 -> q² ≈ 9e16 > 2^53; 50 rows keep Σq² inside int64
+    v = rng.uniform(2.9e6, 3.1e6, 50)
+    df = pd.DataFrame({
+        "k": np.array(list("ab"))[rng.integers(0, 2, 50)], "v": v})
+    got = grouped_moments(ray.data.from_pandas(df), "k", "v",
+                          value_scale=100).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    q = np.floor(v * 100).astype(np.int64)
+    for _, row in got.iterrows():
+        m = df["k"].values == row["k"]
+        assert int(row["sum_q"]) == sum(int(x) for x in q[m])
+        assert int(row["sum_q2"]) == sum(int(x) * int(x) for x in q[m])
+    want = duckdb.sql(
+        "SELECT k, CAST(sum(CAST(floor(v * 100) AS BIGINT) *"
+        " CAST(floor(v * 100) AS BIGINT)) AS BIGINT) AS sum_q2"
+        " FROM df GROUP BY k ORDER BY k").df()
+    assert got["sum_q2"].astype("int64").tolist() == \
+        want["sum_q2"].astype("int64").tolist()
+    # documented bound: |q| > isqrt(2^63-1) raises (never wraps)
+    bad = pd.DataFrame({"k": ["a"], "v": [4e16]})
+    with pytest.raises(Exception, match="exact-moment bound"):
+        grouped_moments(ray.data.from_pandas(bad), "k", "v",
+                        value_scale=100).to_pandas()
+
+
 @pytest.mark.parametrize("window", [1, 3])
 def test_active_users_window_matches_sql(ray_session, window):
     import duckdb
