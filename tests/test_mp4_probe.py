@@ -83,3 +83,44 @@ def test_probe_media_vs_ground_truth(ray_session):
         if exp.duration_ms and r.container in ("wav", "y4m", "mp4"):
             assert abs(r.duration_ms - exp.duration_ms) <= 40, (mid, r.container)
     assert identified >= 40  # everything but the opaque rows
+
+
+def test_expected_tables_pin_probe_and_decode():
+    """The generator-derived expectation tables (VERDICT r4 #8: the
+    hard-check upgrade of the media rows) must equal what the probe
+    parsers and the lossless decoders actually produce — any header
+    walk or codec drift breaks this, with zero circularity (the
+    expectations replay slot arithmetic + source arrays, never the
+    parsers)."""
+    import numpy as np
+
+    from stringzilla_ray.stages.multimodal import (
+        MediaDecoder,
+        expected_features_table,
+        expected_probe_table,
+        probe_payload,
+        synthetic_media_table,
+    )
+
+    for n, seed in ((96, 3), (40, 11)):
+        tbl = synthetic_media_table(n=n, seed=seed)
+        exp = expected_probe_table(n=n, seed=seed)
+        keys = ("container", "width", "height", "channels",
+                "duration_ms", "codec")
+        for i in range(n):
+            got = probe_payload(tbl["payload"][i].as_py())
+            assert {k: got[k] for k in keys} == \
+                {k: exp[k][i].as_py() for k in keys}, i
+
+        dec = MediaDecoder(strict=False)
+        expf = expected_features_table(n=n, seed=seed)
+        assert len(expf) > 0
+        for k, i in enumerate(expf["media_id"].to_pylist()):
+            f = dec._decode_one(tbl["payload"][i].as_py())
+            row16 = np.zeros(MediaDecoder.FEATURE_DIM, np.float32)
+            row16[: len(f)] = np.asarray(f, np.float32)
+            got = np.floor(row16.astype(np.float64) * 1e6 + 0.5) \
+                .astype(np.int64)
+            want = np.array([expf[f"f{j:02d}_x1e6"][k].as_py()
+                             for j in range(MediaDecoder.FEATURE_DIM)])
+            np.testing.assert_array_equal(got, want, err_msg=str(i))
