@@ -6,10 +6,9 @@ Scope: global and local color tables, variable-width LZW with deferred
 clear (the 12-bit dict-full quirk), interlaced images (4-pass
 deinterlace), GIF89a graphic-control extensions (transparency +
 per-frame delay), multi-frame animations composed on the logical
-screen under disposal methods 0/1 (leave) and 2 (restore to
-background). Disposal 3 (restore to previous) raises
-``NotImplementedError`` — the documented strict-stub convention
-(stages/multimodal.py), never a faked frame.
+screen under all four disposal methods — 0/1 (leave), 2 (restore to
+background), 3 (restore to previous: the drawn region reverts to its
+pre-frame pixels before the next frame composes).
 
 Shape of the work: LZW is inherently sequential (each code extends the
 dictionary the next code may reference), so the code loop is Python —
@@ -167,9 +166,9 @@ def _read_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
 
 def decode_gif(payload: bytes):
     """Decode GIF bytes to ``(frames, delays_ms)``: frames uint8
-    (F, H, W, 3) composed on the logical screen, delays per frame in
-    milliseconds. Raises ValueError for malformed streams and
-    NotImplementedError for disposal method 3."""
+    (F, H, W, 3) composed on the logical screen under disposal
+    methods 0-3, delays per frame in milliseconds. Raises ValueError
+    for malformed streams."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (missing signature)")
     W, H = struct.unpack_from("<HH", payload, 6)
@@ -222,10 +221,11 @@ def decode_gif(payload: bytes):
         table = lct if lct is not None else gct
         if table is None:
             raise ValueError("GIF image with no color table")
-        if disposal == 3:
-            raise NotImplementedError("GIF disposal 3 (restore previous)")
         rgb = table[np.minimum(idx, len(table) - 1)]
         region = canvas[y:y + h, x:x + w]
+        # disposal 3 (restore previous): after this frame displays,
+        # the area it drew reverts to what was there BEFORE it drew
+        prev_region = region.copy() if disposal == 3 else None
         if transparent is not None:
             opaque = idx != transparent
             region[opaque] = rgb[opaque]
@@ -235,6 +235,8 @@ def decode_gif(payload: bytes):
         delays.append(delay_ms)
         if disposal == 2:
             canvas[y:y + h, x:x + w] = bg[y:y + h, x:x + w]
+        elif disposal == 3:
+            canvas[y:y + h, x:x + w] = prev_region
     if not frames:
         raise ValueError("GIF with no image data")
     return np.stack(frames), delays

@@ -3,9 +3,11 @@ the PNG branch of the multimodal decode stage to a real decoder, with
 an encoder so tests and sinks can produce genuine PNG bytes
 in-container.
 
-Scope: 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), all five scanline filters, non-interlaced.
-Adam7 interlace and 16-bit depth raise ``NotImplementedError`` and
+Scope: 8- and 16-bit samples, color types 0 (gray), 2 (RGB),
+3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline filters,
+non-interlaced AND Adam7-interlaced streams (each of the seven passes
+is an independently filtered sub-image scattered back onto the pixel
+grid).  Sub-byte depths (1/2/4-bit) raise ``NotImplementedError`` and
 keep the documented strict-stub behavior upstream
 (stages/multimodal.py).
 
@@ -39,11 +41,16 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body)) + raw + struct.pack(">I", zlib.crc32(raw))
 
 
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode PNG bytes to uint8 (H, W) gray, (H, W, 3) RGB, or
-    (H, W, 4) RGBA (gray+alpha and palette expand to RGBA/RGB).
-    Raises NotImplementedError for interlaced or 16-bit streams and
-    ValueError for malformed ones."""
+    """Decode PNG bytes to (H, W) gray, (H, W, 3) RGB, or (H, W, 4)
+    RGBA (gray+alpha and palette expand to RGBA/RGB) — uint8 for
+    8-bit streams, uint16 for 16-bit.  Adam7-interlaced streams
+    decode pass-by-pass.  Raises NotImplementedError for sub-byte
+    depths and ValueError for malformed streams."""
     if payload[:8] != _SIG:
         raise ValueError("not a PNG (missing signature)")
     pos = 8
@@ -75,22 +82,51 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not decoded in-container")
-    if depth != 8:
-        raise NotImplementedError("only 8-bit PNG decodes in-container")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            "only 8/16-bit PNG decodes in-container")
     if ctype not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {ctype}")
-    bpp = _CHANNELS[ctype]
-    stride = w * bpp
+    nch = _CHANNELS[ctype]
+    bpp = nch * (depth // 8)  # filter byte-lane offset (spec T.4)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    raw = raw.reshape(h, stride + 1)
-    filters = raw[:, 0]
-    img = _unfilter(raw[:, 1:], filters, bpp)
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        raw = raw.reshape(h, stride + 1)
+        img = _unfilter(raw[:, 1:], raw[:, 0], bpp)
+    else:  # Adam7: seven independently filtered sub-images
+        img = np.zeros((h, w, bpp), np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass emits no bytes (spec)
+            need = ph * (pw * bpp + 1)
+            sub = raw[pos2:pos2 + need]
+            if len(sub) != need:
+                raise ValueError("PNG interlaced data length mismatch")
+            pos2 += need
+            sub = sub.reshape(ph, pw * bpp + 1)
+            rec = _unfilter(sub[:, 1:], sub[:, 0], bpp) \
+                .reshape(ph, pw, bpp)
+            img[np.ix_(y0 + dy * np.arange(ph),
+                       x0 + dx * np.arange(pw))] = rec
+        if pos2 != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
     img = img.reshape(h, w, bpp)
+    if depth == 16:  # big-endian sample pairs -> uint16
+        img = ((img.reshape(h, w, nch, 2)[..., 0].astype(np.uint16) << 8)
+               | img.reshape(h, w, nch, 2)[..., 1])
+    else:
+        img = img.reshape(h, w, nch)
     if ctype == 3:
+        if depth != 8:
+            raise ValueError("palette PNG depth must be 8 here")
         if palette is None:
             raise ValueError("palette color type without PLTE")
         idx = img[:, :, 0]

@@ -232,7 +232,9 @@ def _audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
 
 
 def _image_features(img: np.ndarray, fmt: float) -> list[float]:
-    x = img.astype(np.float64) / 255.0
+    # 16-bit PNGs decode to uint16 — normalize by the dtype's range
+    den = 65535.0 if img.dtype == np.uint16 else 255.0
+    x = img.astype(np.float64) / den
     if img.ndim == 2:  # grayscale (JPEG single-component / PNG type 0)
         luma, channels = x, 1.0
     else:  # RGB or RGBA — luma over the color planes
@@ -313,7 +315,8 @@ class MediaDecoder:
             try:
                 return _image_features(decode_png(payload), _FMT_PNG)
             except NotImplementedError:
-                # interlaced / 16-bit: honest stub behavior
+                # sub-byte depth (1/2/4-bit): honest stub behavior
+                # (Adam7 + 16-bit decode for real since r5)
                 if self.strict:
                     raise
                 return None
@@ -323,7 +326,9 @@ class MediaDecoder:
             try:
                 frames, delays = decode_gif(payload)
             except NotImplementedError:
-                # disposal 3 (restore previous): honest stub behavior
+                # defensive: decode_gif covers all four disposal
+                # methods since r5; keep the honest-stub route for any
+                # future strict marker
                 if self.strict:
                     raise
                 return None

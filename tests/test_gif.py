@@ -100,3 +100,43 @@ def test_media_decoder_gif_branch():
 def test_malformed_rejected():
     with pytest.raises(ValueError):
         decode_gif(b"NOTAGIF" + b"\x00" * 20)
+
+
+def test_disposal_3_restores_previous_canvas():
+    """Disposal method 3 (restore previous): the region a frame drew
+    reverts to its pre-frame pixels before the next frame composes —
+    a later transparent frame must show the RESTORED canvas, not the
+    disposed frame's pixels (closes the last GIF strict stub)."""
+    import re
+
+    import numpy as np
+
+    from stringzilla_ray.functions.gif import decode_gif, encode_gif
+
+    T = 255  # transparent index
+    f1 = np.full((4, 4), 10, np.uint8)
+    f2 = np.full((4, 4), 20, np.uint8)
+    f2[0, 0] = T
+    f3 = np.full((4, 4), T, np.uint8)
+    f3[1, 1] = 30
+    data = bytearray(encode_gif(np.stack([f1, f2, f3]),
+                                delays_ms=[20, 20, 20]))
+    gces = [m.start() for m in re.finditer(b"\x21\xf9\x04", bytes(data))]
+    assert len(gces) == 3
+    # frame 2: disposal 3 + transparency; frame 3: transparency only
+    data[gces[1] + 3] = (3 << 2) | 1
+    data[gces[1] + 6] = T
+    data[gces[2] + 3] = 1
+    data[gces[2] + 6] = T
+    frames, delays = decode_gif(bytes(data))
+    assert frames.shape == (3, 4, 4, 3)
+    # frame 1: all 10s
+    assert (frames[0] == 10).all()
+    # frame 2: 20s everywhere except (0,0), which shows frame 1's pixel
+    assert (frames[1][0, 0] == 10).all()
+    assert (frames[1][1:, :] == 20).all() and (frames[1][0, 1:] == 20).all()
+    # frame 3: composed on the RESTORED canvas (all 10s), not on the
+    # disposed frame 2 — only (1,1) is newly drawn
+    want3 = np.full((4, 4, 3), 10, np.uint8)
+    want3[1, 1] = 30
+    np.testing.assert_array_equal(frames[2], want3)

@@ -108,17 +108,108 @@ def test_error_paths():
     bad[20] ^= 0xFF  # inside IHDR body
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # interlaced and 16-bit raise the strict stub marker
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    # sub-byte depth stays the strict stub marker (interlace and
+    # 16-bit decode for real since r5 — see the Adam7/16-bit tests)
+    ihdr_4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError):
+        decode_png(_SIG + _chunk(b"IHDR", ihdr_4)
+                   + _chunk(b"IDAT", zlib.compress(bytes(4)))
+                   + _chunk(b"IEND", b""))
+    # interlaced stream with wrong pass byte count is malformed
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlaced"):
         decode_png(_SIG + _chunk(b"IHDR", ihdr_i)
                    + _chunk(b"IDAT", zlib.compress(bytes(6)))
                    + _chunk(b"IEND", b""))
-    ihdr_16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    with pytest.raises(NotImplementedError):
-        decode_png(_SIG + _chunk(b"IHDR", ihdr_16)
-                   + _chunk(b"IDAT", zlib.compress(bytes(10)))
+
+
+def _adam7_scanlines(img: np.ndarray, nch: int, sampb: int = 1) -> bytes:
+    """Serialize an image as Adam7 passes, filter 0 rows (plus filter
+    2 'Up' on every second row of a pass, to exercise per-pass
+    unfilter state)."""
+    from stringzilla_ray.functions.png import _ADAM7
+
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w, -1)
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = flat[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        if sampb == 2:
+            rows = sub.astype(">u2").tobytes()
+        else:
+            rows = sub.astype(np.uint8).tobytes()
+        stride = pw * sub.shape[2] * sampb
+        arr = np.frombuffer(rows, np.uint8).reshape(ph, stride)
+        prev = np.zeros(stride, np.uint8)
+        for y in range(ph):
+            if y % 2 == 1:
+                out += b"\x02" + (arr[y] - prev).tobytes()  # Up
+            else:
+                out += b"\x00" + arr[y].tobytes()  # None
+            prev = arr[y]
+    return bytes(out)
+
+
+def test_adam7_interlaced_rgb_and_gray():
+    """Adam7: seven independently filtered passes scatter back to the
+    exact pixel grid, at awkward (non-multiple-of-8) geometries."""
+    rng = np.random.default_rng(3)
+    for hw, ctype in (((11, 13), 2), ((9, 5), 0), ((8, 8), 2),
+                      ((1, 1), 0), ((3, 17), 2)):
+        nch = 3 if ctype == 2 else 1
+        shape = hw + (nch,) if nch == 3 else hw
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        scan = _adam7_scanlines(img.reshape(hw + (nch,)), nch)
+        ihdr = struct.pack(">IIBBBBB", hw[1], hw[0], 8, ctype, 0, 0, 1)
+        payload = (_SIG + _chunk(b"IHDR", ihdr)
+                   + _chunk(b"IDAT", zlib.compress(scan))
                    + _chunk(b"IEND", b""))
+        np.testing.assert_array_equal(decode_png(payload), img)
+
+
+def test_16bit_gray_and_rgb():
+    """16-bit streams decode to uint16 (big-endian sample pairs), with
+    byte-lane filters applied at the doubled pixel offset."""
+    rng = np.random.default_rng(4)
+    for hw, ctype in (((6, 5), 0), ((4, 7), 2)):
+        nch = 3 if ctype == 2 else 1
+        shape = hw + (nch,) if nch == 3 else hw
+        img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        arr = np.frombuffer(img.reshape(hw + (nch,)).astype(">u2")
+                            .tobytes(), np.uint8) \
+            .reshape(hw[0], hw[1] * nch * 2)
+        out = bytearray()
+        prev = np.zeros(arr.shape[1], np.uint8)
+        for y in range(hw[0]):
+            if y % 2 == 1:
+                out += b"\x02" + (arr[y] - prev).tobytes()
+            else:
+                out += b"\x00" + arr[y].tobytes()
+            prev = arr[y]
+        ihdr = struct.pack(">IIBBBBB", hw[1], hw[0], 16, ctype, 0, 0, 0)
+        payload = (_SIG + _chunk(b"IHDR", ihdr)
+                   + _chunk(b"IDAT", zlib.compress(bytes(out)))
+                   + _chunk(b"IEND", b""))
+        got = decode_png(payload)
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got, img)
+
+
+def test_adam7_16bit_combined():
+    """Interlace and 16-bit compose: an Adam7 16-bit RGB stream."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 65536, size=(10, 6, 3), dtype=np.uint16)
+    scan = _adam7_scanlines(img, 3, sampb=2)
+    ihdr = struct.pack(">IIBBBBB", 6, 10, 16, 2, 0, 0, 1)
+    payload = (_SIG + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(scan))
+               + _chunk(b"IEND", b""))
+    got = decode_png(payload)
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, img)
 
 
 def test_media_decoder_png_branch():

@@ -2558,6 +2558,33 @@ def test_bm25_topk_vs_python_reference(ray_session, tmp_path):
     assert list(map(tuple, got_d.values.tolist())) == want
 
 
+def test_bm25_stopword_grade_term_df_equals_n(ray_session, tmp_path):
+    """A term present in EVERY document (df == N): the distributed
+    dispatch must engage below threshold and agree with the single-task
+    path — the O(corpus) postings union never lands in one task on
+    the scale route (VERDICT r4 #1)."""
+    import ray.data
+
+    from stringzilla_ray.stages.textindex import bm25_topk, build_text_index
+
+    rng = np.random.default_rng(4)
+    vocab = [f"v{k}" for k in range(20)]
+    texts = ["stop " + " ".join(
+        rng.choice(vocab, size=int(rng.integers(2, 12))))
+        for _ in range(200)]  # 'stop' in all 200 docs
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    idx = str(tmp_path / "swidx")
+    build_text_index(ray.data.from_arrow(tbl).repartition(4), idx,
+                     n_buckets=8)
+    one_task = bm25_topk(idx, ["stop", "v3"], k=15, n_buckets=8) \
+        .to_pandas()
+    dist = bm25_topk(idx, ["stop", "v3"], k=15, n_buckets=8,
+                     distributed_threshold=0, n_shards=7).to_pandas()
+    assert one_task.values.tolist() == dist.values.tolist()
+    assert len(dist) == 15
+
+
 def test_fuzzy_topk_exact_vs_bruteforce(ray_session):
     """Length-bound + banded-kernel pruned fuzzy search returns the
     EXACT (dist, id)-ordered top-k at every k, across reshardings."""
