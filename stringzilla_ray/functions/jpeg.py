@@ -248,7 +248,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = list(body[i + 17:i + 17 + nsym])
                 huff[(tc, th)] = _decode_lut(counts, syms)
                 i += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 (sequential), SOF2 (progressive)
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes in-container")
@@ -259,12 +259,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nf):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG process (progressive/arithmetic/"
-                "hierarchical) needs codec libraries not in this container")
+                "non-baseline JPEG process (arithmetic/hierarchical/"
+                "lossless) needs codec libraries not in this container")
         elif marker == 0xDD:        # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:        # SOS
@@ -276,10 +277,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 15))
-            if ns != len(frame["comps"]):
-                raise NotImplementedError(
-                    "non-interleaved multi-component scans are not baseline-"
-                    "typical; not decoded in-container")
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
             # entropy-coded data: split at RST markers, unstuff FF00
             segs, seg_start, i = [], pos, pos
             while True:
@@ -295,22 +295,50 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 segs.append(payload[seg_start:j].replace(b"\xff\x00", b"\xff"))
                 pos = j
                 break
-            return _decode_scan(frame, scan, qt, huff, segs, restart_interval)
+            if not frame.get("progressive"):
+                if ns != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "non-interleaved multi-component scans are not baseline-"
+                        "typical; not decoded in-container")
+                _alloc_coef(frame)
+                _decode_scan(frame, scan, huff, segs, restart_interval)
+                return _reconstruct(frame, qt)
+            # progressive: scans accumulate into the coefficient
+            # stores; reconstruction happens at EOI
+            _alloc_coef(frame)
+            _decode_scan_progressive(frame, scan, huff, segs,
+                                     restart_interval, ss, se, ah, al)
+    if frame is not None and frame.get("progressive") \
+            and "coef_ready" in frame:
+        return _reconstruct(frame, qt)
     raise ValueError("no scan data found")
 
 
-def _decode_scan(frame, scan, qt, huff, segs, restart_interval):
+def _alloc_coef(frame) -> None:
+    """Per-component MCU-padded coefficient stores (zigzag order),
+    allocated once — progressive scans accumulate into them."""
+    if "coef_ready" in frame:
+        return
     h, w = frame["h"], frame["w"]
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    # per-component coefficient stores, zigzag order
     for c in comps:
         c["bx"] = mcus_x * c["h"]
         c["by"] = mcus_y * c["v"]
+        # true block dims for non-interleaved scans (NOT MCU-padded)
+        c["nbx"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["nby"] = -(-(-(-h * c["v"] // vmax)) // 8)
         c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int32)
+    frame["mcus_x"], frame["mcus_y"] = mcus_x, mcus_y
+    frame["coef_ready"] = True
+
+
+def _decode_scan(frame, scan, huff, segs, restart_interval):
+    comps = frame["comps"]
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
     pred = {c["id"]: 0 for c in comps}
     seg_i = 0
     br = _BitReader(segs[0])
@@ -362,7 +390,154 @@ def _decode_scan(frame, scan, qt, huff, segs, restart_interval):
                     col = mx * comp["h"] + bx
                     comp["coef"][row * comp["bx"] + col] = blk
         mcu += 1
-    # vectorized tail: dequant -> de-zigzag -> IDCT -> plane assembly
+
+
+def _huff_dec(br: "_BitReader", sym, ln) -> int:
+    v16 = br.peek16()
+    s = int(sym[v16])
+    if s < 0:
+        raise ValueError("bad Huffman code")
+    br.pos += int(ln[v16])
+    return s
+
+
+def _decode_scan_progressive(frame, scan, huff, segs, restart_interval,
+                             ss, se, ah, al):
+    """One progressive scan (T.81 Annex G): DC/AC first and
+    successive-approximation refinement passes accumulate into the
+    frame's coefficient stores (G.1.2.2-G.1.2.3; run/EOB semantics as
+    in the IJG reference implementation)."""
+    p1, m1 = 1 << al, -(1 << al)
+    seg_i = 0
+    br = _BitReader(segs[0])
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan requires Se=0")
+        interleaved = len(scan) > 1
+        pred = {c["id"]: 0 for c, _, _ in scan}
+        if interleaved:
+            total = frame["mcus_x"] * frame["mcus_y"]
+        else:
+            total = scan[0][0]["nbx"] * scan[0][0]["nby"]
+        for mcu in range(total):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart segment")
+                br = _BitReader(segs[seg_i])
+                pred = {c["id"]: 0 for c, _, _ in scan}
+            blocks = []
+            if interleaved:
+                my, mx = divmod(mcu, frame["mcus_x"])
+                for comp, td, _ in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blocks.append(
+                                (comp, td,
+                                 (my * comp["v"] + by) * comp["bx"]
+                                 + mx * comp["h"] + bx))
+            else:
+                comp, td, _ = scan[0]
+                row, col = divmod(mcu, comp["nbx"])
+                blocks.append((comp, td, row * comp["bx"] + col))
+            for comp, td, bi in blocks:
+                coefrow = comp["coef"][bi]
+                if ah == 0:
+                    dsym, dlen = huff[(0, td)]
+                    t = _huff_dec(br, dsym, dlen)
+                    diff = _extend(br.read(t), t) if t else 0
+                    pred[comp["id"]] += diff
+                    coefrow[0] = pred[comp["id"]] << al
+                elif br.read(1):
+                    coefrow[0] |= p1
+        return
+    # AC scans are single-component, non-interleaved by spec
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    comp, _, ta = scan[0]
+    asym, alen = huff[(1, ta)]
+    eobrun = 0
+    for mcu in range(comp["nbx"] * comp["nby"]):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segs[seg_i])
+            eobrun = 0
+        row, col = divmod(mcu, comp["nbx"])
+        coefrow = comp["coef"][row * comp["bx"] + col]
+        if ah == 0:                           # AC first pass
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_dec(br, asym, alen)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:               # EOBn
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    k += 16                   # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflow")
+                coefrow[k] = _extend(br.read(s), s) << al
+                k += 1
+            continue
+        # AC refinement pass: newly-significant coefficients arrive as
+        # +-1<<Al; already-nonzero ones receive correction bits, both
+        # inside runs and across the EOB tail
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_dec(br, asym, alen)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r != 15:               # EOBn (covers this block)
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                elif s == 1:
+                    newval = p1 if br.read(1) else m1
+                else:
+                    raise ValueError("invalid refinement magnitude")
+                while k <= se:
+                    if coefrow[k] != 0:
+                        if br.read(1) and (coefrow[k] & p1) == 0:
+                            coefrow[k] += p1 if coefrow[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement overflow")
+                    coefrow[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coefrow[k] != 0:
+                    if br.read(1) and (coefrow[k] & p1) == 0:
+                        coefrow[k] += p1 if coefrow[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+
+def _reconstruct(frame, qt):
+    """Vectorized tail shared by the sequential and progressive
+    paths: dequant -> de-zigzag -> IDCT -> plane assembly."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = qt[c["tq"]].astype(np.int32)
@@ -451,12 +626,11 @@ def _emit_block(bw: _BitWriter, blk, pred: int, dc_codes, ac_codes) -> int:
     return dc
 
 
-def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
-                restart_interval: int = 0) -> bytes:
-    """Encode uint8 (H, W) grayscale or (H, W, 3) RGB to baseline JPEG.
-    ``subsample``: 1 = 4:4:4, 2 = 4:2:0 chroma.  ``quality_tables``:
-    optional (luma, chroma) zigzag-order int tables; defaults to the
-    Annex-K-style tables above."""
+def _frame_setup(img: np.ndarray, quality_tables, subsample: int):
+    """Shared encoder front-matter: color transform, subsampling,
+    per-component quantized zigzag coefficients.  Returns
+    (comps, qts, coef, mcus_x, mcus_y, h, w) where comps rows are
+    (cid, ch, cv, tq) and coef[cid] = (rows, blocks_per_row)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     if quality_tables is None:
@@ -466,7 +640,7 @@ def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
         ql, qc = (np.asarray(t, np.int32) for t in quality_tables)
     h, w = img.shape[:2]
     if gray:
-        comps = [(1, 1, 1, 0, img.astype(np.float64) - 128.0)]
+        planes = [(1, 1, 1, 0, img.astype(np.float64) - 128.0)]
         qts = {0: ql}
     else:
         x = img.astype(np.float64)
@@ -478,20 +652,31 @@ def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
             cb = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
             p = _pad_to(cr, 2, 2)
             cr = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
-        comps = [(1, subsample, subsample, 0, y - 128.0),
-                 (2, 1, 1, 1, cb - 128.0), (3, 1, 1, 1, cr - 128.0)]
+        planes = [(1, subsample, subsample, 0, y - 128.0),
+                  (2, 1, 1, 1, cb - 128.0), (3, 1, 1, 1, cr - 128.0)]
         qts = {0: ql, 1: qc}
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
+    hmax = max(c[1] for c in planes)
+    vmax = max(c[2] for c in planes)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     coef = {}
-    for cid, ch, cv, tq, plane in comps:
-        padded = _pad_to(plane, 8 * mcus_y * cv // 1, 8)
+    for cid, ch, cv, tq, plane in planes:
         # each component plane must cover mcus * its sampling blocks
         need_h, need_w = 8 * mcus_y * cv, 8 * mcus_x * ch
         padded = _pad_to(plane, need_h, need_w)[:need_h, :need_w]
         coef[cid] = (_encode_blocks(padded, qts[tq]), need_w // 8)
+    comps = [(cid, ch, cv, tq) for cid, ch, cv, tq, _ in planes]
+    return comps, qts, coef, mcus_x, mcus_y, h, w
+
+
+def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
+                restart_interval: int = 0) -> bytes:
+    """Encode uint8 (H, W) grayscale or (H, W, 3) RGB to baseline JPEG.
+    ``subsample``: 1 = 4:4:4, 2 = 4:2:0 chroma.  ``quality_tables``:
+    optional (luma, chroma) zigzag-order int tables; defaults to the
+    Annex-K-style tables above."""
+    comps, qts, coef, mcus_x, mcus_y, h, w = _frame_setup(
+        img, quality_tables, subsample)
     dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
 
@@ -506,7 +691,7 @@ def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
         seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof.append(len(comps))
-    for cid, ch, cv, tq, _ in comps:
+    for cid, ch, cv, tq in comps:
         sof.extend([cid, (ch << 4) | cv, tq])
     seg(0xC0, bytes(sof))
     for tc, (counts, syms) in ((0, (_DC_COUNTS, _DC_SYMBOLS)),
@@ -532,7 +717,7 @@ def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
             bw = _BitWriter()
             pred = {cid: 0 for cid, *_ in comps}
         my, mx = divmod(mcu, mcus_x)
-        for cid, ch, cv, tq, _ in comps:
+        for cid, ch, cv, tq in comps:
             rows, bxw = coef[cid]
             for by in range(cv):
                 for bx in range(ch):
@@ -541,5 +726,246 @@ def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
                                             dc_codes, ac_codes)
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# flat canonical Huffman tables for the progressive encoder: valid
+# (Kraft sum ~0.5), deliberately simple — 16 DC symbols at 5 bits;
+# EOB0 and ZRL at 8 bits plus the remaining 254 run/size bytes at 9
+# bits (a DHT count byte caps at 255 symbols per length), so EOBn and
+# refinement symbols all exist without per-scan optimization
+_FLAT_DC_COUNTS = [0, 0, 0, 0, 16] + [0] * 11
+_FLAT_DC_SYMBOLS = list(range(16))
+_FLAT_AC_COUNTS = [0] * 7 + [2, 254] + [0] * 7
+_FLAT_AC_SYMBOLS = [0x00, 0xF0] + [s for s in range(256)
+                                   if s not in (0x00, 0xF0)]
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al rounding toward zero."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality_tables=None,
+                            subsample: int = 1) -> bytes:
+    """Progressive (SOF2) encoder with a spectral-selection +
+    successive-approximation scan script — DC first (Al=1), AC first
+    per component (bands 1-5 and 6-63, Al=1), DC refinement, AC
+    refinement per band — so every progressive decode path (EOB runs,
+    ZRL inside refinement, buffered correction bits) is exercised.
+    Same coefficient pipeline as the baseline encoder: decoding this
+    stream must reproduce the baseline decode exactly.  T.81 Annex G
+    scan rules; run/EOB bookkeeping as in the IJG encoder."""
+    comps, qts, coef, mcus_x, mcus_y, h, w = _frame_setup(
+        img, quality_tables, subsample)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    dc_codes = _canonical_codes(_FLAT_DC_COUNTS, _FLAT_DC_SYMBOLS)
+    ac_codes = _canonical_codes(_FLAT_AC_COUNTS, _FLAT_AC_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for tq, tbl in qts.items():
+        seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(comps))
+    for cid, ch, cv, tq in comps:
+        sof.extend([cid, (ch << 4) | cv, tq])
+    seg(0xC2, bytes(sof))
+    seg(0xC4, bytes([0x00]) + bytes(_FLAT_DC_COUNTS)
+        + bytes(_FLAT_DC_SYMBOLS))
+    seg(0xC4, bytes([0x10]) + bytes(_FLAT_AC_COUNTS)
+        + bytes(_FLAT_AC_SYMBOLS))
+
+    def stuffed(bw: _BitWriter) -> bytes:
+        bw.flush()
+        return bytes(bw.out)  # _BitWriter already FF00-stuffs
+
+    def sos_header(scan_comps, ss, se, ah, al) -> bytes:
+        b = bytearray([len(scan_comps)])
+        for cid, *_ in scan_comps:
+            b.extend([cid, 0x00])
+        b.extend([ss, se, (ah << 4) | al])
+        return bytes(b)
+
+    def nb_dims(ch, cv):
+        nbx = -(-(-(-w * ch // hmax)) // 8)
+        nby = -(-(-(-h * cv // vmax)) // 8)
+        return nbx, nby
+
+    def dc_first(al: int):
+        seg(0xDA, sos_header(comps, 0, 0, 0, al))
+        bw = _BitWriter()
+        pred = {cid: 0 for cid, *_ in comps}
+        if len(comps) > 1:
+            walk = (
+                (cid, (my * cv + by) * coef[cid][1] + mx * ch + bx)
+                for mcu in range(mcus_x * mcus_y)
+                for my, mx in (divmod(mcu, mcus_x),)
+                for cid, ch, cv, tq in comps
+                for by in range(cv)
+                for bx in range(ch))
+        else:
+            cid0, ch0, cv0, _ = comps[0]
+            nbx, nby = nb_dims(ch0, cv0)
+            walk = ((cid0, r * coef[cid0][1] + c)
+                    for r in range(nby) for c in range(nbx))
+        for cid, bi in walk:
+            v = int(coef[cid][0][bi][0]) >> al   # DC: arithmetic shift
+            diff = v - pred[cid]
+            pred[cid] = v
+            t = _cat(diff)
+            code, ln = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        out.extend(stuffed(bw))
+
+    def dc_refine(al: int):
+        seg(0xDA, sos_header(comps, 0, 0, al + 1, al))
+        bw = _BitWriter()
+        if len(comps) > 1:
+            walk = (
+                (cid, (my * cv + by) * coef[cid][1] + mx * ch + bx)
+                for mcu in range(mcus_x * mcus_y)
+                for my, mx in (divmod(mcu, mcus_x),)
+                for cid, ch, cv, tq in comps
+                for by in range(cv)
+                for bx in range(ch))
+        else:
+            cid0, ch0, cv0, _ = comps[0]
+            nbx, nby = nb_dims(ch0, cv0)
+            walk = ((cid0, r * coef[cid0][1] + c)
+                    for r in range(nby) for c in range(nbx))
+        for cid, bi in walk:
+            bw.write((int(coef[cid][0][bi][0]) >> al) & 1, 1)
+        out.extend(stuffed(bw))
+
+    def ac_first(comp, ss, se, al):
+        cid, ch, cv, tq = comp
+        seg(0xDA, sos_header([comp], ss, se, 0, al))
+        bw = _BitWriter()
+        rows, bxw = coef[cid]
+        nbx, nby = nb_dims(ch, cv)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                bw.write(code, ln)
+                if nb:
+                    bw.write(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for rr in range(nby):
+            for cc in range(nbx):
+                blk = rows[rr * bxw + cc]
+                ts = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+                if not any(ts):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for t in ts:
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                    s = _cat(t)
+                    code, ln = ac_codes[(r << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(t if t >= 0 else t + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+        flush_eob()
+        out.extend(stuffed(bw))
+
+    def ac_refine(comp, ss, se, al):
+        cid, ch, cv, tq = comp
+        seg(0xDA, sos_header([comp], ss, se, al + 1, al))
+        bw = _BitWriter()
+        rows, bxw = coef[cid]
+        nbx, nby = nb_dims(ch, cv)
+        eobrun = 0
+        be: list[int] = []  # correction bits pending behind an EOBn
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                bw.write(code, ln)
+                if nb:
+                    bw.write(eobrun - (1 << nb), nb)
+                for b in be:
+                    bw.write(b, 1)
+                be = []
+                eobrun = 0
+
+        for rr in range(nby):
+            for cc in range(nbx):
+                blk = rows[rr * bxw + cc]
+                absv = [abs(_pt_ac(int(blk[k]), al))
+                        for k in range(ss, se + 1)]
+                eobpos = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = i
+                r = 0
+                br_bits: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eobpos:
+                        flush_eob()
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                    if t > 1:
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_codes[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be.extend(br_bits)
+                    if eobrun == 0x7FFF or len(be) > 900:
+                        flush_eob()
+        flush_eob()
+        out.extend(stuffed(bw))
+
+    al0 = 1
+    dc_first(al0)
+    for comp in comps:
+        ac_first(comp, 1, 5, al0)
+        ac_first(comp, 6, 63, al0)
+    dc_refine(0)
+    for comp in comps:
+        ac_refine(comp, 1, 5, 0)
+        ac_refine(comp, 6, 63, 0)
     out.extend(b"\xff\xd9")
     return bytes(out)

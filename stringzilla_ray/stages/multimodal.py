@@ -5,13 +5,14 @@ Image/audio/video travel as opaque ``large_binary`` columns with typed
 metadata and are processed by actor-pool map_batches stages. The
 decode kernels for WAV (RIFF PCM), PPM (P6), BMP (24-bit
 BITMAPINFOHEADER), Y4M video (YUV4MPEG2 mono, with uniform
-frame sampling) and baseline JPEG (full ITU T.81 sequential-Huffman
-decoder in ``functions/jpeg.py``) are genuine NumPy decoders
-producing real signal statistics. Formats that need codec libraries
-this container lacks (progressive/arithmetic JPEG, MP4, ...) remain
-STUBBED: ``strict=True`` raises ``NotImplementedError`` (the honest
-marker), ``strict=False`` emits a deterministic content-hash fake so
-the plumbing stays testable end to end.
+frame sampling) and JPEG (full ITU T.81 sequential-Huffman decoder
+plus the Annex-G progressive process in ``functions/jpeg.py``) are
+genuine NumPy decoders producing real signal statistics. Formats that
+need codec libraries this container lacks (arithmetic-coded JPEG,
+MP4 sample data, ...) remain STUBBED: ``strict=True`` raises
+``NotImplementedError`` (the honest marker), ``strict=False`` emits a
+deterministic content-hash fake so the plumbing stays testable end to
+end.
 
 Scale notes: binary payloads are large, so these stages use small
 ``batch_size`` (payload_bytes * batch_size * concurrency must fit the
@@ -304,8 +305,9 @@ class MediaDecoder:
             try:
                 return _image_features(decode_jpeg(payload), _FMT_JPG)
             except NotImplementedError:
-                # non-baseline process (progressive/arithmetic): keep the
-                # honest stub behavior — raise in strict, fake otherwise
+                # arithmetic/hierarchical process: keep the honest
+                # stub behavior — raise in strict, fake otherwise
+                # (sequential AND progressive decode for real)
                 if self.strict:
                     raise
                 return None
@@ -599,7 +601,9 @@ def _synthetic_sources(n: int, seed: int) -> list[dict]:
                 (yy * 255 // max(h - 1, 1)),
                 ((xx + yy + i) % 256),
             ], axis=-1).astype(np.uint8)
-            fmt = ("ppm" if i % 12 == 0 else "jpeg" if i % 12 == 3
+            fmt = ("ppm" if i % 12 == 0
+                   else ("jpeg" if i % 24 == 3 else "jpegp")
+                   if i % 12 == 3
                    else "png" if i % 12 == 9 else "gif" if i % 12 == 6
                    else "bmp")
             rows.append(dict(i=i, kind="image", fmt=fmt, img=img,
@@ -640,6 +644,10 @@ def _encode_source(r: dict) -> bytes:
         from stringzilla_ray.functions.jpeg import encode_jpeg
 
         return encode_jpeg(r["img"], subsample=1)
+    if fmt == "jpegp":
+        from stringzilla_ray.functions.jpeg import encode_jpeg_progressive
+
+        return encode_jpeg_progressive(r["img"], subsample=1)
     if fmt == "png":
         from stringzilla_ray.functions.png import encode_png
 
@@ -695,7 +703,9 @@ def synthetic_media_table(n: int = 32, seed: int = 0) -> pa.Table:
 # derived from the ENCODERS' declared parameters, not from parsing
 _EXPECTED_PROBE = {
     "ppm": ("ppm", "raw", 3), "bmp": ("bmp", "raw", 3),
-    "jpeg": ("jpeg", "baseline", 3), "png": ("png", "deflate8", 3),
+    "jpeg": ("jpeg", "baseline", 3),
+    "jpegp": ("jpeg", "progressive", 3),
+    "png": ("png", "deflate8", 3),
     "gif": ("gif", "lzw1f", 3), "wav": ("wav", "pcm16", 1),
     "y4m": ("y4m", "rawvideo", 1), "mp4": ("mp4", None, 1),
     "opaque": ("unknown", "", 0),

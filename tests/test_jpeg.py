@@ -157,12 +157,19 @@ def test_byte_stuffing_roundtrip():
 def test_error_paths():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n")
-    # progressive (SOF2) raises the honest strict marker
+    # progressive (SOF2) decodes for real since r5 — a SOF2 header
+    # with no scan data is now simply malformed
     prog = (b"\xff\xd8" + _dqt_unit()
             + _seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
                    + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(prog)
+    # arithmetic coding (SOF9) stays the honest strict marker
+    arith = (b"\xff\xd8" + _dqt_unit()
+             + _seg(0xC9, bytes([8]) + (8).to_bytes(2, "big")
+                    + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(arith)
 
 
 def test_media_decoder_jpeg_branch():
@@ -187,3 +194,46 @@ def test_media_decoder_jpeg_branch():
     # stats computed on the decoded pixels, so only sanity-bound them
     x = decode_jpeg(encode_jpeg(img)).astype(np.float64) / 255.0
     np.testing.assert_allclose(feats[0, 4], x.mean(), atol=1e-6)
+
+
+def test_progressive_equals_baseline_decode():
+    """The progressive (SOF2) encoder writes the SAME quantized
+    coefficients as the baseline encoder through a spectral-selection
+    + successive-approximation scan script, so decoding the
+    progressive stream must reproduce the baseline decode EXACTLY —
+    across color/gray, both subsampling modes, odd geometries, and
+    content that stresses every scan path (dense random blocks, long
+    EOB runs on smooth gradients and constants, ZRL-in-refinement on
+    sparse impulses)."""
+    from stringzilla_ray.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(0)
+    cases = []
+    for shape, sub in (((24, 33, 3), 1), ((24, 33, 3), 2),
+                       ((17, 9), 1), ((8, 8), 1), ((23, 41, 3), 2)):
+        cases.append((rng.integers(0, 256, shape, dtype=np.uint8), sub))
+    yy, xx = np.mgrid[0:48, 0:80]
+    cases.append((np.stack([(xx * 255 // 79), (yy * 255 // 47),
+                            ((xx + yy) % 256)], -1).astype(np.uint8), 2))
+    imp = np.full((40, 56), 128, np.uint8)
+    imp[::7, ::11] = 255
+    imp[3::13, 5::9] = 0
+    cases.append((imp, 1))
+    cases.append((np.full((32, 32, 3), 77, np.uint8), 1))
+    for img, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsample=sub))
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_probe_codec():
+    """probe_payload reports the SOF2 stream as progressive with true
+    geometry (header-only walk)."""
+    from stringzilla_ray.functions.jpeg import encode_jpeg_progressive
+    from stringzilla_ray.stages.multimodal import probe_payload
+
+    img = np.random.default_rng(1).integers(0, 256, (21, 34, 3),
+                                            dtype=np.uint8)
+    got = probe_payload(encode_jpeg_progressive(img))
+    assert (got["container"], got["codec"]) == ("jpeg", "progressive")
+    assert (got["width"], got["height"]) == (34, 21)
