@@ -7420,6 +7420,389 @@ def _q_temperature_langs(sf_dir: str):
         lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow")
 
 
+def _q_tpch_q2(sf_dir: str):
+    """TPC-H Q2-shaped min-cost supplier (adapted: the corpus has no
+    partsupp, so (part, supplier) supply cost is the MIN extendedprice
+    observed on their lineitems — exact cents int64).  The correlated
+    scalar subquery (min cost per part within a region) runs as ONE
+    hash(partkey) shard-groupby: a shard owns every (part, supplier)
+    cost row of its parts, so the per-part min AND the equal-min row
+    pick are both final locally.  part's eligible keys and the
+    region's supplier->name maps broadcast once (the q3/q5 small-side
+    contract); lineitem is the only table that moves, and it moves
+    pre-reduced to per-(part,supp) batch-partial minima."""
+    import ray
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = int(region.filter(pc.equal(region["r_name"], "EUROPE"))
+               ["r_regionkey"][0].as_py())
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmask = pc.equal(nation["n_regionkey"], rkey)
+    nset = nation.filter(nmask)
+    nk = nset["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = {int(k): v for k, v in zip(nk, nset["n_name"].to_pylist())}
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    snk = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.isin(snk, nk)
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[keep]
+    s_names = np.asarray(sup["s_name"].to_pylist(), object)[keep]
+    s_nnames = np.asarray([nname[int(x)] for x in snk[keep]], object)
+    so = np.argsort(sk)
+    sk, s_names, s_nnames = sk[so], s_names[so], s_nnames[so]
+
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_type"])
+    elig = np.sort(pt.filter(pc.equal(pt["p_type"], "STANDARD"))
+                   ["p_partkey"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+    elig_ref = ray.put(elig)
+    sup_ref = ray.put(sk)
+    n_buckets = reduce_buckets()
+
+    def cost_partial(t: pa.Table) -> pa.Table:
+        ek = ray.get(elig_ref)
+        sks = ray.get(sup_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.minimum(np.searchsorted(ek, pk), max(len(ek) - 1, 0))
+        m = (ek[j] == pk) if len(ek) else np.zeros(len(pk), bool)
+        j = np.minimum(np.searchsorted(sks, lsk), max(len(sks) - 1, 0))
+        m &= (sks[j] == lsk) if len(sks) else False
+        pk, lsk = pk[m], lsk[m]
+        cost = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100
+            + 0.5).astype(np.int64)
+        key = np.stack([pk, lsk], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        mins = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv.reshape(-1), cost)
+        sh = (splitmix64(uk[:, 0].view(np.uint64) ^ np.uint64(0x02))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "pk": pa.array(uk[:, 0], pa.int64()),
+            "sk": pa.array(uk[:, 1], pa.int64()),
+            "cost_e2": pa.array(mins, pa.int64()),
+            "shard": pa.array(sh, pa.int32()),
+        })
+
+    def pick_best(g: pa.Table) -> pa.Table:
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        sks_ = g["sk"].to_numpy(zero_copy_only=False)
+        c = g["cost_e2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sks_, c, pk))
+        pk, sks_, c = pk[order], sks_[order], c[order]
+        # finalize the per-(part, supp) min across batch partials
+        key_new = np.ones(len(pk), bool)
+        key_new[1:] = (pk[1:] != pk[:-1]) | (sks_[1:] != sks_[:-1])
+        pk, sks_, c = pk[key_new], sks_[key_new], c[key_new]
+        order = np.lexsort((sks_, c, pk))
+        pk, sks_, c = pk[order], sks_[order], c[order]
+        head = np.ones(len(pk), bool)
+        head[1:] = pk[1:] != pk[:-1]
+        # rows tied with their part's min cost (sorted: min is at head)
+        best_per = c[head][np.cumsum(head) - 1]
+        m = c == best_per
+        pk, sks_, c = pk[m], sks_[m], c[m]
+        j = np.searchsorted(sk, sks_)
+        return pa.table({
+            "p_partkey": pa.array(pk, pa.int64()),
+            "s_suppkey": pa.array(sks_, pa.int64()),
+            "s_name": pa.array(s_names[j], pa.large_utf8()),
+            "n_name": pa.array(s_nnames[j], pa.large_utf8()),
+            "cost_e2": pa.array(c, pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(cost_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pick_best, batch_format="pyarrow")
+    )
+
+
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12-shaped priority-by-shipmode counts (adapted: no
+    l_shipmode column, so the grouping attribute is l_returnflag; the
+    join + conditional-aggregation shape is Q12's).  The only exchange
+    is the big-big lineitem ⋈ orders orderkey join (the q7 contract);
+    the joined rows reduce map-side to (flag, high, low) partials and
+    the driver sums 3 final cells."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from stringzilla_ray.util import join_partitions
+
+    lo = pa.scalar(_dt.datetime(1997, 1, 1))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1))
+
+    def orders_rows(t: pa.Table) -> pa.Table:
+        high = pc.is_in(t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "high": pc.cast(high, pa.int32()),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(orders_rows, batch_format="pyarrow")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        f = t.filter(m)
+        return pa.table({
+            "l_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
+            "l_returnflag": f["l_returnflag"],
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate", "l_returnflag"]) \
+        .map_batches(li_rows, batch_format="pyarrow")
+
+    j = li.join(orders, join_type="inner",
+                num_partitions=join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rf = t["l_returnflag"]
+        if isinstance(rf, pa.ChunkedArray):
+            rf = rf.combine_chunks()
+        codes = rf.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hi_ = t["high"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nlab = len(codes.dictionary)
+        return pa.table({
+            "l_returnflag": codes.dictionary,
+            "high_line_count": pa.array(
+                np.bincount(idx, weights=hi_, minlength=nlab)
+                .astype(np.int64), pa.int64()),
+            "low_line_count": pa.array(
+                np.bincount(idx, weights=1 - hi_, minlength=nlab)
+                .astype(np.int64), pa.int64()),
+        })
+
+    pdf = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pdf.groupby("l_returnflag", as_index=False).sum()
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out
+
+
+def _q_tpch_q20(sf_dir: str):
+    """TPC-H Q20-shaped dominant suppliers (adapted: availqty > half
+    of the part's yearly shipped quantity becomes supplier share > 1/2
+    of the part's windowed total — the partsupp-census + semi-join
+    chain shape is Q20's).  The name-filtered partkeys broadcast once;
+    lineitem reduces map-side to per-(part, supp) quantity partials;
+    ONE hash(partkey) shard-groupby finalizes sums, computes the
+    part total, and applies the exact cross-multiply 2·sq > tq.  The
+    qualifying supplier set (bounded by |supplier|) reduces in the
+    driver where names attach."""
+    import datetime as _dt
+
+    import pandas as pd
+    import ray
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_name"])
+    elig = np.sort(
+        pt.filter(pc.ends_with(pt["p_name"], "widget"))["p_partkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+    elig_ref = ray.put(elig)
+    lo = pa.scalar(_dt.datetime(1997, 1, 1))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1))
+    n_buckets = reduce_buckets()
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        ek = ray.get(elig_ref)
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        f = t.filter(m)
+        pk = f["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.minimum(np.searchsorted(ek, pk), max(len(ek) - 1, 0))
+        keep = (ek[j] == pk) if len(ek) else np.zeros(len(pk), bool)
+        pk = pk[keep]
+        lsk = f["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        q = np.floor(f["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+                     * 100 + 0.5).astype(np.int64)
+        key = np.stack([pk, lsk], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv.reshape(-1), q)
+        sh = (splitmix64(uk[:, 0].view(np.uint64) ^ np.uint64(0x20))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "pk": pa.array(uk[:, 0], pa.int64()),
+            "sk": pa.array(uk[:, 1], pa.int64()),
+            "sq": pa.array(sums, pa.int64()),
+            "shard": pa.array(sh, pa.int32()),
+        })
+
+    def winners(g: pa.Table) -> pa.Table:
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        sks = g["sk"].to_numpy(zero_copy_only=False)
+        sq = g["sq"].to_numpy(zero_copy_only=False)
+        key = np.stack([pk, sks], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        fin = np.zeros(len(uk), np.int64)
+        np.add.at(fin, inv.reshape(-1), sq)
+        upk, pinv = np.unique(uk[:, 0], return_inverse=True)
+        tot = np.zeros(len(upk), np.int64)
+        np.add.at(tot, pinv, fin)
+        win = 2 * fin > tot[pinv]
+        return pa.table({
+            "s_suppkey": pa.array(np.unique(uk[win, 1]), pa.int64())})
+
+    cen = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_quantity",
+                       "l_shipdate"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+    sks = np.unique(np.concatenate(
+        [t["s_suppkey"].to_numpy(zero_copy_only=False)
+         for t in ray.get(cen.to_arrow_refs()) if len(t)] or
+        [np.array([], np.int64)]))
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nname = {int(k): v for k, v in
+             zip(nation["n_nationkey"].to_pylist(),
+                 nation["n_name"].to_pylist())}
+    ssk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    j = np.searchsorted(np.sort(ssk), sks)
+    order = np.argsort(ssk)
+    return pd.DataFrame({
+        "s_suppkey": sks,
+        "s_name": np.asarray(sup["s_name"].to_pylist(), object)[order][j],
+        "n_name": [nname[int(x)] for x in
+                   sup["s_nationkey"].to_numpy(zero_copy_only=False)
+                   [order][j]],
+    })
+
+
+def _q_tpch_q21(sf_dir: str):
+    """TPC-H Q21-shaped waiting-supplier census (adapted: no
+    commit/receipt dates, so "late" = shipped more than 60 days after
+    the order date; the multi-supplier EXISTS / sole-late NOT-EXISTS
+    logic is Q21's).  Zero joins: orders(status F) and lineitem union
+    into ONE hash(orderkey) shard-groupby — a shard owns each order's
+    date row and every line, so lateness, the distinct-supplier
+    census, and the sole-late-supplier test are all final locally
+    (the shard-groupby-replaces-self-joins pattern).  Per-shard
+    per-supplier partials reduce in the driver (bounded by
+    |supplier|)."""
+    import pandas as pd
+
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_buckets = reduce_buckets()
+    late_us = np.int64(60 * 86400 * 1_000_000)
+
+    def orders_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        ok = f["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(f["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sh = (splitmix64(ok.view(np.uint64) ^ np.uint64(0x21))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "okey": pa.array(ok, pa.int64()),
+            "supp": pa.array(np.full(len(ok), -1, np.int64), pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "shard": pa.array(sh, pa.int32()),
+        })
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(t["l_shipdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sh = (splitmix64(ok.view(np.uint64) ^ np.uint64(0x21))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "okey": pa.array(ok, pa.int64()),
+            "supp": pa.array(sk, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "shard": pa.array(sh, pa.int32()),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_orderdate"]) \
+        .map_batches(orders_rows, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(li_rows, batch_format="pyarrow")
+
+    def census(g: pa.Table) -> pa.Table:
+        ok = g["okey"].to_numpy(zero_copy_only=False)
+        sp = g["supp"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        is_o = sp == -1
+        o_keys = ok[is_o]
+        o_ts = ts[is_o]
+        oo = np.argsort(o_keys)
+        o_keys, o_ts = o_keys[oo], o_ts[oo]
+        lk, lsp, lts = ok[~is_o], sp[~is_o], ts[~is_o]
+        if not len(o_keys) or not len(lk):
+            return pa.table({"sk": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        j = np.minimum(np.searchsorted(o_keys, lk), len(o_keys) - 1)
+        hit = o_keys[j] == lk
+        lk, lsp, lts, j = lk[hit], lsp[hit], lts[hit], j[hit]
+        late = lts > o_ts[j] + late_us
+        # distinct (order, supplier) pairs, overall and late-only
+        pair = np.stack([lk, lsp], axis=1)
+        up = np.unique(pair, axis=0)
+        uo, n_supp = np.unique(up[:, 0], return_counts=True)
+        upl = np.unique(pair[late], axis=0)
+        uol, n_late = np.unique(upl[:, 0], return_counts=True)
+        # orders with >=2 suppliers and exactly ONE late supplier
+        jj = np.minimum(np.searchsorted(uo, uol), len(uo) - 1)
+        ok2 = (n_supp[jj] >= 2) & (n_late == 1)
+        sole = uol[ok2]
+        # the sole late supplier of each qualifying order: first (and
+        # only) late pair row of that order
+        heads = np.searchsorted(upl[:, 0], sole)
+        sk_win = upl[heads, 1]
+        usk, cnt = np.unique(sk_win, return_counts=True)
+        return pa.table({"sk": pa.array(usk, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    pdf = orders.union(li).groupby("shard") \
+        .map_groups(census, batch_format="pyarrow").to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype="int64")})
+    fin = pdf.groupby("sk", as_index=False)["cnt"].sum()
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"])
+    ssk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ssk)
+    j = np.searchsorted(ssk[order], fin["sk"].to_numpy())
+    return pd.DataFrame({
+        "s_name": np.asarray(sup["s_name"].to_pylist(), object)[order][j],
+        "numwait": fin["cnt"].astype("int64"),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -7597,6 +7980,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_gap_median": _q_session_gap_median,
         "value_regression": _q_value_regression,
         "tpch_q9_profit": _q_tpch_q9_profit,
+        "tpch_q2_mincost": _q_tpch_q2,
+        "tpch_q12_priority": _q_tpch_q12,
+        "tpch_q20_dominant": _q_tpch_q20,
+        "tpch_q21_waiting": _q_tpch_q21,
         "tpch_q8_share": _q_tpch_q8_share,
         "order_latency_hist": _q_order_latency_hist,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -8718,6 +9105,80 @@ def oracle_sql() -> dict[str, str]:
             " AND p_size IN (1,5,9,13,17,21,25,29)"
             " GROUP BY p_brand, p_type, p_size"
             " ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "tpch_q2_mincost": (
+            # (part, supp) supply cost = min lineitem extendedprice in
+            # exact cents; min per part within the region, emit ties.
+            "WITH cost AS (SELECT l_partkey, l_suppkey,"
+            " min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            " AS cost_e2 FROM lineitem GROUP BY l_partkey, l_suppkey),"
+            " eligible AS (SELECT c.* FROM cost c"
+            "  JOIN supplier s ON s.s_suppkey = c.l_suppkey"
+            "  JOIN nation n ON n.n_nationkey = s.s_nationkey"
+            "  JOIN region r ON r.r_regionkey = n.n_regionkey"
+            "  JOIN part p ON p.p_partkey = c.l_partkey"
+            "  WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'),"
+            " best AS (SELECT l_partkey, min(cost_e2) AS best_e2"
+            "  FROM eligible GROUP BY l_partkey) "
+            "SELECT e.l_partkey AS p_partkey, e.l_suppkey AS s_suppkey,"
+            " s.s_name, n.n_name, e.cost_e2"
+            " FROM eligible e JOIN best b ON b.l_partkey = e.l_partkey"
+            "  AND e.cost_e2 = b.best_e2"
+            " JOIN supplier s ON s.s_suppkey = e.l_suppkey"
+            " JOIN nation n ON n.n_nationkey = s.s_nationkey"
+        ),
+        "tpch_q12_priority": (
+            # Q12 shape over available columns: returnflag stands in
+            # for shipmode; high = priority in (1-URGENT, 2-HIGH).
+            "SELECT l_returnflag,"
+            " CAST(sum(CASE WHEN o_orderpriority IN"
+            "  ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS high_line_count,"
+            " CAST(sum(CASE WHEN o_orderpriority IN"
+            "  ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)"
+            "  AS low_line_count"
+            " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+            " WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+            "  AND l_shipdate < TIMESTAMP '1998-01-01'"
+            " GROUP BY l_returnflag"
+        ),
+        "tpch_q20_dominant": (
+            # supplier share > 1/2 of the part's windowed total as the
+            # exact cross-multiply 2*sq > tq (same ints as the engine).
+            "WITH w AS (SELECT l_partkey, l_suppkey,"
+            "  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q_e2"
+            " FROM lineitem JOIN part ON p_partkey = l_partkey"
+            " WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+            "  AND l_shipdate < TIMESTAMP '1998-01-01'"
+            "  AND p_name LIKE '%widget'),"
+            " ps AS (SELECT l_partkey, l_suppkey, sum(q_e2) AS sq"
+            "  FROM w GROUP BY 1, 2),"
+            " tot AS (SELECT l_partkey, sum(q_e2) AS tq"
+            "  FROM w GROUP BY 1) "
+            "SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name"
+            " FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey"
+            " JOIN supplier s ON s.s_suppkey = ps.l_suppkey"
+            " JOIN nation n ON n.n_nationkey = s.s_nationkey"
+            " WHERE 2 * ps.sq > tot.tq"
+        ),
+        "tpch_q21_waiting": (
+            # late = shipped >60 days after the order date; orders with
+            # >=2 distinct suppliers and exactly one late supplier.
+            "WITH li AS (SELECT l_orderkey, l_suppkey,"
+            "  CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY"
+            "   THEN 1 ELSE 0 END AS late"
+            " FROM lineitem JOIN orders ON o_orderkey = l_orderkey"
+            " WHERE o_orderstatus = 'F'),"
+            " per_order AS (SELECT l_orderkey,"
+            "  count(DISTINCT l_suppkey) AS n_supp,"
+            "  count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)"
+            "   AS n_late,"
+            "  max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp"
+            " FROM li GROUP BY 1) "
+            "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait"
+            " FROM per_order p JOIN supplier s"
+            "  ON s.s_suppkey = p.late_supp"
+            " WHERE p.n_supp >= 2 AND p.n_late = 1 GROUP BY s.s_name"
         ),
         "tpch_q17_small_qty": (
             # qty < avg/5 as the exact integer cross-multiply

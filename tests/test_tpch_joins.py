@@ -20,6 +20,10 @@ QUERIES = [
     "tpch_q17_small_qty",
     "tpch_q19_discount",
     "tpch_q22_idle_rich",
+    "tpch_q2_mincost",
+    "tpch_q12_priority",
+    "tpch_q20_dominant",
+    "tpch_q21_waiting",
 ]
 
 
