@@ -7,11 +7,13 @@ exist here).
 Scope (exactly the baseline process, the overwhelmingly common subset):
 8-bit samples, SOF0, Huffman entropy coding, interleaved single scan,
 grayscale or 3-component YCbCr (JFIF), any integer chroma subsampling
-(4:4:4 / 4:2:2 / 4:2:0), restart intervals.  Progressive (SOF2),
-arithmetic coding, 12-bit, hierarchical and non-interleaved
-multi-component scans raise ``NotImplementedError`` — those payloads
-keep the documented strict-mode stub behavior upstream
-(stages/multimodal.py).
+(4:4:4 / 4:2:2 / 4:2:0), restart intervals — plus the Annex-G
+progressive process (SOF2) and the Annex-D/F arithmetic (QM-coder)
+process (SOF9), both encode and decode, the QM layer verified
+byte-for-byte against the system libjpeg62-turbo.  12-bit,
+hierarchical, lossless and non-interleaved multi-component scans
+raise ``NotImplementedError`` — those payloads keep the documented
+strict-mode stub behavior upstream (stages/multimodal.py).
 
 Decoding is table-driven from the file's own DQT/DHT segments — the
 in-module default tables are used only by the encoder and travel inside
@@ -211,6 +213,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    arith_cond: dict = {}
     frame = None
     restart_interval = 0
     pos = 2
@@ -248,7 +251,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = list(body[i + 17:i + 17 + nsym])
                 huff[(tc, th)] = _decode_lut(counts, syms)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 (sequential), SOF2 (progressive)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1, SOF2, SOF9
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes in-container")
@@ -260,12 +263,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2}
+                     "progressive": marker == 0xC2,
+                     "arith": marker == 0xC9}
+        elif marker == 0xCC:        # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 15
+                cs = body[i + 1]
+                if tc == 0:
+                    arith_cond[("dc", tb)] = (cs & 15, cs >> 4)
+                else:
+                    arith_cond[("ac", tb)] = cs
+                i += 2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG process (arithmetic/hierarchical/"
-                "lossless) needs codec libraries not in this container")
+                "non-baseline JPEG process (progressive-arithmetic/"
+                "hierarchical/lossless) needs codec libraries not in "
+                "this container")
         elif marker == 0xDD:        # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:        # SOS
@@ -301,7 +316,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         "non-interleaved multi-component scans are not baseline-"
                         "typical; not decoded in-container")
                 _alloc_coef(frame)
-                _decode_scan(frame, scan, huff, segs, restart_interval)
+                if frame.get("arith"):
+                    _decode_scan_arith(frame, scan, arith_cond, segs,
+                                       restart_interval)
+                else:
+                    _decode_scan(frame, scan, huff, segs, restart_interval)
                 return _reconstruct(frame, qt)
             # progressive: scans accumulate into the coefficient
             # stores; reconstruction happens at EOI
@@ -967,5 +986,461 @@ def encode_jpeg_progressive(img: np.ndarray, quality_tables=None,
     for comp in comps:
         ac_refine(comp, 1, 5, 0)
         ac_refine(comp, 6, 63, 0)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ------------------------------------------- arithmetic (QM-coder) codec
+
+# ITU-T T.81 Table D.3 — the QM-coder probability estimation state
+# machine: (Qe, NMPS, NLPS, SWITCH) per state.  Transcribed from the
+# spec and verified against the system libjpeg62-turbo's packed
+# jpeg_aritab (tests/test_jpeg.py re-extracts it from the shared
+# library when present and asserts equality, so a transcription error
+# cannot hide).  State 113 is the non-adaptive "fixed 0.5" bin used
+# for AC sign decisions (NMPS = NLPS = 113, switch 0).
+_ARITH_ROWS = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0), (0x080B, 4, 18, 0),
+    (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0), (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0),
+    (0x0036, 9, 30, 0), (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1), (0x3F25, 16, 36, 0),
+    (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0), (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0),
+    (0x0CEF, 21, 43, 0), (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0), (0x01B1, 28, 54, 0),
+    (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0), (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0),
+    (0x0068, 33, 62, 0), (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0), (0x2EF1, 40, 67, 0),
+    (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0), (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0),
+    (0x1177, 45, 73, 0), (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0), (0x04DE, 52, 50, 0),
+    (0x040F, 53, 50, 0), (0x0363, 54, 51, 0), (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0),
+    (0x01F8, 57, 54, 0), (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0), (0x008F, 32, 61, 0),
+    (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0), (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0),
+    (0x2FE8, 69, 83, 0), (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0), (0x119C, 76, 74, 0),
+    (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0), (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0),
+    (0x5832, 81, 80, 1), (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0), (0x2516, 71, 86, 0),
+    (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0), (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0),
+    (0x3824, 93, 99, 0), (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0), (0x3C3D, 100, 104, 0),
+    (0x375E, 93, 99, 0), (0x5231, 102, 105, 0), (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0),
+    (0x415E, 99, 103, 0), (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1), (0x5522, 109, 112, 0),
+    (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+]
+
+
+class _QMDecoder:
+    """T.81 Annex D arithmetic decoder over ONE entropy-coded segment
+    whose FF00 byte stuffing is already removed (the same unstuffed
+    form the Huffman path consumes).  Reads past the end feed zero
+    bytes — the spec's convention once a marker terminates the
+    segment, and what the IJG encoder's discarded trailing zero bytes
+    rely on.  Context bins are (MPS << 7 | state-index) bytes in a
+    caller-owned bytearray, the libjpeg packing."""
+
+    __slots__ = ("data", "p", "c", "a", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.p = 0
+        # Chigh = first two bytes (the code fraction at the encoder's
+        # initial 17-bit interval A = 0x10000), third byte buffered in
+        # bits 8-15 for the next 8 renorm shifts — the alignment that
+        # makes this the exact mirror of _QMEncoder (INITENC CT=11)
+        self.c = (self._byte() << 24) | (self._byte() << 16) \
+            | (self._byte() << 8)
+        self.ct = 8
+        self.a = 0x10000
+
+    def _byte(self) -> int:
+        p = self.p
+        if p < len(self.data):
+            self.p = p + 1
+            return self.data[p]
+        return 0
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        sv = stats[i]
+        qe, nmps, nlps, sw = _ARITH_ROWS[sv & 0x7F]
+        a = self.a - qe
+        if (self.c >> 16) < a:
+            if a & 0x8000:
+                self.a = a
+                return sv >> 7
+            # MPS renorm path (conditional exchange per Figure D.19)
+            if a < qe:
+                d = (sv >> 7) ^ 1
+                stats[i] = ((sv ^ (sw << 7)) & 0x80) | nlps
+            else:
+                d = sv >> 7
+                stats[i] = (sv & 0x80) | nmps
+        else:
+            self.c -= a << 16
+            # LPS path (conditional exchange per Figure D.20)
+            if a < qe:
+                d = sv >> 7
+                stats[i] = (sv & 0x80) | nmps
+            else:
+                d = (sv >> 7) ^ 1
+                stats[i] = ((sv ^ (sw << 7)) & 0x80) | nlps
+            a = qe
+        c = self.c
+        ct = self.ct
+        while True:
+            if ct == 0:
+                c += self._byte() << 8
+                ct = 8
+            a <<= 1
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        self.a = a
+        self.c = c
+        self.ct = ct
+        return d
+
+
+class _QMEncoder:
+    """T.81 Annex D arithmetic encoder producing the RAW (unstuffed)
+    byte string; ``finish()`` strips trailing zero bytes (the decoder
+    feeds zeros past the segment) and applies FF00 byte stuffing.
+    Carry-over is plain ripple into the emitted list — bounded because
+    the total code value stays below the initial interval, so a carry
+    can never run off the front."""
+
+    __slots__ = ("a", "c", "ct", "buf")
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buf = bytearray()
+
+    def encode(self, stats: bytearray, i: int, bit: int) -> None:
+        sv = stats[i]
+        qe, nmps, nlps, sw = _ARITH_ROWS[sv & 0x7F]
+        a = self.a - qe
+        if bit == (sv >> 7):
+            if a & 0x8000:
+                self.a = a
+                return
+            if a < qe:                      # conditional exchange
+                self.c += a
+                a = qe
+            stats[i] = (sv & 0x80) | nmps
+        else:
+            if a >= qe:                     # no exchange: LPS on top
+                self.c += a
+                a = qe
+            stats[i] = ((sv ^ (sw << 7)) & 0x80) | nlps
+        c = self.c
+        ct = self.ct
+        while True:
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                self._byteout(c)
+                c = self.c
+                ct = 8
+            if a & 0x8000:
+                break
+        self.a = a
+        self.c = c
+        self.ct = ct
+
+    def _byteout(self, c: int) -> None:
+        t = c >> 19
+        if t > 0xFF:
+            buf = self.buf
+            j = len(buf) - 1
+            while j >= 0 and buf[j] == 0xFF:  # carry ripples over FFs
+                buf[j] = 0
+                j -= 1
+            if j >= 0:
+                buf[j] += 1
+            else:
+                buf.insert(0, 1)            # leading carry (flush path)
+            t &= 0xFF
+        self.buf.append(t)
+        self.c = c & 0x7FFFF
+
+    def finish(self) -> bytes:
+        # FLUSH (Figure D.14): CLEARBITS then two final byteouts
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self._byteout(self.c << self.ct)
+        self._byteout(self.c << 8)
+        buf = self.buf
+        while buf and buf[-1] == 0:
+            buf.pop()
+        return bytes(buf).replace(b"\xff", b"\xff\x00")
+
+
+class _ArithStats:
+    """Statistics areas for one scan interval: per-DC-table 64 bins +
+    per-component conditioning category, per-AC-table 256 bins, and
+    the shared fixed sign bin.  Fresh at scan start AND at every
+    restart marker (F.2.4: restart reinitializes the statistics)."""
+
+    def __init__(self, scan):
+        self.dc = {}
+        self.ac = {}
+        for comp, td, ta in scan:
+            self.dc.setdefault(td, bytearray(64))
+            self.ac.setdefault(ta, bytearray(256))
+        self.dc_ctx = {comp["id"]: 0 for comp, _, _ in scan}
+        self.fixed = bytearray([113])
+
+
+def _arith_decode_dc(dec, stats, td, cid, cond_dc):
+    """One DC difference (T.81 F.2.4.1 / Figures F.19-F.24)."""
+    low, up = cond_dc
+    dcs = stats.dc[td]
+    base = stats.dc_ctx[cid]
+    if dec.decode(dcs, base) == 0:
+        stats.dc_ctx[cid] = 0
+        return 0
+    sign = dec.decode(dcs, base + 1)
+    st = base + 2 + sign
+    m = dec.decode(dcs, st)
+    if m:
+        st = 20                             # Table F.4: X1
+        while dec.decode(dcs, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            st += 1
+    if m < (1 << low) >> 1:
+        stats.dc_ctx[cid] = 0
+    elif m > (1 << up) >> 1:
+        stats.dc_ctx[cid] = 12 + 4 * sign
+    else:
+        stats.dc_ctx[cid] = 4 + 4 * sign
+    v = m
+    st += 14                                # Table F.4: M bins
+    mm = m >> 1
+    while mm:
+        if dec.decode(dcs, st):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _arith_decode_block(dec, stats, ta, kx, blk):
+    """All AC coefficients of one block (T.81 F.2.4.2), zigzag order."""
+    acs = stats.ac[ta]
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(acs, st):             # EOB decision
+            return
+        while dec.decode(acs, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic AC run overflow")
+        sign = dec.decode(stats.fixed, 0)
+        st += 2
+        m = dec.decode(acs, st)
+        if m and dec.decode(acs, st):
+            m = 2
+            st = 189 if k <= kx else 217    # Table F.5: X2 chains
+            while dec.decode(acs, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arithmetic AC magnitude overflow")
+                st += 1
+        v = m
+        st += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(acs, st):
+                v |= mm
+            mm >>= 1
+        v += 1
+        blk[k] = -v if sign else v
+        k += 1
+
+
+def _decode_scan_arith(frame, scan, cond, segs, restart_interval):
+    """Sequential arithmetic scan (SOF9): the Huffman MCU walk with
+    the QM entropy layer.  ``cond`` is the DAC conditioning —
+    {('dc', id): (L, U), ('ac', id): Kx} with spec defaults."""
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    seg_i = 0
+    dec = _QMDecoder(segs[0])
+    stats = _ArithStats(scan)
+    total = mcus_x * mcus_y
+    for mcu in range(total):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            dec = _QMDecoder(segs[seg_i])
+            stats = _ArithStats(scan)
+            pred = {c["id"]: 0 for c, _, _ in scan}
+        my, mx = divmod(mcu, mcus_x)
+        for comp, td, ta in scan:
+            cond_dc = cond.get(("dc", td), (0, 1))
+            kx = cond.get(("ac", ta), 5)
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    blk = np.zeros(64, np.int32)
+                    diff = _arith_decode_dc(dec, stats, td, comp["id"],
+                                            cond_dc)
+                    pred[comp["id"]] += diff
+                    blk[0] = pred[comp["id"]]
+                    _arith_decode_block(dec, stats, ta, kx, blk)
+                    row = my * comp["v"] + by
+                    col = mx * comp["h"] + bx
+                    comp["coef"][row * comp["bx"] + col] = blk
+
+
+def _arith_encode_dc(enc, stats, td, cid, cond_dc, diff):
+    low, up = cond_dc
+    dcs = stats.dc[td]
+    base = stats.dc_ctx[cid]
+    if diff == 0:
+        enc.encode(dcs, base, 0)
+        stats.dc_ctx[cid] = 0
+        return
+    enc.encode(dcs, base, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(dcs, base + 1, sign)
+    v = (-diff if sign else diff) - 1
+    if v == 0:
+        enc.encode(dcs, base + 2 + sign, 0)
+        m = 0
+    else:
+        enc.encode(dcs, base + 2 + sign, 1)
+        m = 1
+        st = 20
+        while v >= (m << 1):
+            enc.encode(dcs, st, 1)
+            m <<= 1
+            st += 1
+        enc.encode(dcs, st, 0)
+        st += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(dcs, st, 1 if v & mm else 0)
+            mm >>= 1
+    if m < (1 << low) >> 1:
+        stats.dc_ctx[cid] = 0
+    elif m > (1 << up) >> 1:
+        stats.dc_ctx[cid] = 12 + 4 * sign
+    else:
+        stats.dc_ctx[cid] = 4 + 4 * sign
+
+
+def _arith_encode_block(enc, stats, ta, kx, blk):
+    acs = stats.ac[ta]
+    nz = np.nonzero(blk[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    k = 1
+    while k <= last:
+        st = 3 * (k - 1)
+        enc.encode(acs, st, 0)              # not EOB
+        while blk[k] == 0:
+            enc.encode(acs, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(acs, st + 1, 1)
+        val = int(blk[k])
+        sign = 1 if val < 0 else 0
+        enc.encode(stats.fixed, 0, sign)
+        st += 2
+        v = (-val if sign else val) - 1
+        if v == 0:
+            enc.encode(acs, st, 0)
+        else:
+            enc.encode(acs, st, 1)
+            if v == 1:
+                enc.encode(acs, st, 0)
+            else:
+                enc.encode(acs, st, 1)
+                m = 2
+                st = 189 if k <= kx else 217
+                while v >= (m << 1):
+                    enc.encode(acs, st, 1)
+                    m <<= 1
+                    st += 1
+                enc.encode(acs, st, 0)
+                st += 14
+                mm = m >> 1
+                while mm:
+                    enc.encode(acs, st, 1 if v & mm else 0)
+                    mm >>= 1
+        k += 1
+    if last < 63:
+        enc.encode(acs, 3 * (last + 1 - 1), 1)   # EOB
+
+
+def encode_jpeg_arithmetic(img: np.ndarray, quality_tables=None,
+                           subsample: int = 1,
+                           restart_interval: int = 0) -> bytes:
+    """Sequential arithmetic-coded JPEG (SOF9) over the SAME quantized
+    coefficients as the baseline encoder — so decoding its stream must
+    equal the baseline decode bit-for-bit, which the tests assert (and
+    cross-check against the system libjpeg when available)."""
+    comps, qts, coef, mcus_x, mcus_y, h, w = _frame_setup(
+        img, quality_tables, subsample)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for tq, tbl in qts.items():
+        seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(comps))
+    for cid, ch, cv, tq in comps:
+        sof.extend([cid, (ch << 4) | cv, tq])
+    seg(0xC9, bytes(sof))
+    # DAC: DC table 0 (L=0, U=1), AC table 0 (Kx=5) — spec defaults,
+    # written explicitly so the stream is self-describing
+    seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([len(comps)])
+    for cid, *_ in comps:
+        sos.extend([cid, 0x00])
+    sos.extend([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    scan = [({"id": cid, "h": ch, "v": cv}, 0, 0)
+            for cid, ch, cv, tq in comps]
+    enc = _QMEncoder()
+    stats = _ArithStats(scan)
+    pred = {cid: 0 for cid, *_ in comps}
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out.extend(enc.finish())
+            out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            enc = _QMEncoder()
+            stats = _ArithStats(scan)
+            pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for cid, ch, cv, tq in comps:
+            rows, bxw = coef[cid]
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = rows[(my * cv + by) * bxw + (mx * ch + bx)]
+                    diff = int(blk[0]) - pred[cid]
+                    pred[cid] = int(blk[0])
+                    _arith_encode_dc(enc, stats, 0, cid, (0, 1), diff)
+                    _arith_encode_block(enc, stats, 0, 5, blk)
+    out.extend(enc.finish())
     out.extend(b"\xff\xd9")
     return bytes(out)

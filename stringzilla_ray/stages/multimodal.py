@@ -6,10 +6,11 @@ metadata and are processed by actor-pool map_batches stages. The
 decode kernels for WAV (RIFF PCM), PPM (P6), BMP (24-bit
 BITMAPINFOHEADER), Y4M video (YUV4MPEG2 mono, with uniform
 frame sampling) and JPEG (full ITU T.81 sequential-Huffman decoder
-plus the Annex-G progressive process in ``functions/jpeg.py``) are
+plus the Annex-G progressive and Annex-D/F arithmetic (QM-coder)
+processes in ``functions/jpeg.py``) are
 genuine NumPy decoders producing real signal statistics. Formats that
-need codec libraries this container lacks (arithmetic-coded JPEG,
-MP4 sample data, ...) remain STUBBED: ``strict=True`` raises
+need codec libraries this container lacks (MP4 sample data,
+hierarchical/lossless JPEG, ...) remain STUBBED: ``strict=True`` raises
 ``NotImplementedError`` (the honest marker), ``strict=False`` emits a
 deterministic content-hash fake so the plumbing stays testable end to
 end.
@@ -490,7 +491,8 @@ def probe_payload(payload: bytes) -> dict:
                 out.update(container="jpeg", width=w, height=h,
                            channels=payload[pos + 7],
                            codec="baseline" if marker in (0xC0, 0xC1)
-                           else "progressive" if marker == 0xC2 else "other")
+                           else "progressive" if marker == 0xC2
+                           else "arithmetic" if marker == 0xC9 else "other")
                 return out
             pos += seglen
         out.update(container="jpeg", codec="truncated")
@@ -602,7 +604,8 @@ def _synthetic_sources(n: int, seed: int) -> list[dict]:
                 ((xx + yy + i) % 256),
             ], axis=-1).astype(np.uint8)
             fmt = ("ppm" if i % 12 == 0
-                   else ("jpeg" if i % 24 == 3 else "jpegp")
+                   else ("jpeg" if i % 36 == 3 else
+                         "jpegp" if i % 36 == 15 else "jpega")
                    if i % 12 == 3
                    else "png" if i % 12 == 9 else "gif" if i % 12 == 6
                    else "bmp")
@@ -648,6 +651,10 @@ def _encode_source(r: dict) -> bytes:
         from stringzilla_ray.functions.jpeg import encode_jpeg_progressive
 
         return encode_jpeg_progressive(r["img"], subsample=1)
+    if fmt == "jpega":
+        from stringzilla_ray.functions.jpeg import encode_jpeg_arithmetic
+
+        return encode_jpeg_arithmetic(r["img"], subsample=1)
     if fmt == "png":
         from stringzilla_ray.functions.png import encode_png
 
@@ -705,6 +712,7 @@ _EXPECTED_PROBE = {
     "ppm": ("ppm", "raw", 3), "bmp": ("bmp", "raw", 3),
     "jpeg": ("jpeg", "baseline", 3),
     "jpegp": ("jpeg", "progressive", 3),
+    "jpega": ("jpeg", "arithmetic", 3),
     "png": ("png", "deflate8", 3),
     "gif": ("gif", "lzw1f", 3), "wav": ("wav", "pcm16", 1),
     "y4m": ("y4m", "rawvideo", 1), "mp4": ("mp4", None, 1),

@@ -164,12 +164,19 @@ def test_error_paths():
                    + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
     with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(prog)
-    # arithmetic coding (SOF9) stays the honest strict marker
+    # arithmetic (SOF9) decodes for real since r5; a SOF9 header with
+    # no scan data is now simply malformed, and the remaining
+    # genuinely-unsupported process markers stay honest strict stubs
     arith = (b"\xff\xd8" + _dqt_unit()
              + _seg(0xC9, bytes([8]) + (8).to_bytes(2, "big")
                     + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(arith)
+    lossless = (b"\xff\xd8" + _dqt_unit()
+                + _seg(0xC3, bytes([8]) + (8).to_bytes(2, "big")
+                       + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(lossless)
 
 
 def test_media_decoder_jpeg_branch():
@@ -237,3 +244,203 @@ def test_progressive_probe_codec():
     got = probe_payload(encode_jpeg_progressive(img))
     assert (got["container"], got["codec"]) == ("jpeg", "progressive")
     assert (got["width"], got["height"]) == (34, 21)
+
+
+# ------------------------------------------------ arithmetic (QM) codec
+
+
+def _read_coef_dump(path):
+    import struct
+
+    raw = open(path, "rb").read()
+    off = 0
+    nc = struct.unpack_from("<i", raw, off)[0]
+    off += 4
+    comps = []
+    for _ in range(nc):
+        wb, hb = struct.unpack_from("<ii", raw, off)
+        off += 8
+        blocks = np.frombuffer(raw, "<i2", wb * hb * 64, off) \
+            .reshape(hb * wb, 64).astype(np.int32)
+        off += wb * hb * 128
+        comps.append((wb, hb, blocks))
+    return comps
+
+
+def _decode_with_coefs(payload: bytes):
+    from stringzilla_ray.functions import jpeg as J
+
+    cap = {}
+    orig = J._reconstruct
+
+    def capture(frame, qt):
+        cap["frame"] = frame
+        return orig(frame, qt)
+
+    J._reconstruct = capture
+    try:
+        pix = J.decode_jpeg(payload)
+    finally:
+        J._reconstruct = orig
+    return cap["frame"], pix
+
+
+def test_arith_table_matches_system_libjpeg():
+    """The transcribed T.81 Table D.3 must equal the packed jpeg_aritab
+    baked into the system libjpeg62-turbo: value = (Qe<<16) |
+    (NMPS<<8)... — empirically, low byte = SWITCH<<7 | NLPS is NOT the
+    layout; the verified layout is bits 0-6 NLPS?  No: extraction below
+    is the layout this repo's table was produced from, and the
+    adaptation/conformance tests in this file independently pin the
+    semantics, so this test is a tamper/typo check on the literal."""
+    import glob
+    import struct
+
+    from stringzilla_ray.functions.jpeg import _ARITH_ROWS
+
+    libs = glob.glob("/lib/x86_64-linux-gnu/libjpeg.so.62*") + \
+        glob.glob("/usr/lib/x86_64-linux-gnu/libjpeg.so.62*")
+    libs = [p for p in libs if not p.endswith(".so.62")] or libs
+    if not libs:
+        pytest.skip("system libjpeg not present")
+    data = open(libs[0], "rb").read()
+    needle = struct.pack("<i", 0x5A1D0181)  # V(0, 0x5A1D, 1, 1, 1)
+    pos = data.find(needle)
+    if pos < 0:
+        pytest.skip("jpeg_aritab not found in this libjpeg build")
+    rows = []
+    for i in range(114):
+        v, hi = struct.unpack_from("<iI", data, pos + 8 * i)
+        assert hi == 0
+        qe = (v >> 16) & 0xFFFF
+        nlps = v & 0x7F                  # low 7 bits
+        sw = (v >> 7) & 1
+        nmps = (v >> 8) & 0xFF
+        rows.append((qe, nmps, nlps, sw))
+    assert rows == list(_ARITH_ROWS)
+
+
+def test_qm_coder_bit_roundtrip_and_adaptation():
+    """Raw coder: any decision sequence round-trips, and a biased
+    source compresses to near its entropy (the estimation state
+    machine adapts — the property the swapped-column bug broke)."""
+    import math
+
+    from stringzilla_ray.functions.jpeg import _QMDecoder, _QMEncoder
+
+    rng = np.random.default_rng(42)
+    for _ in range(3):
+        bits = rng.integers(0, 2, 1500).tolist()
+        enc = _QMEncoder()
+        st = bytearray(1)
+        for b in bits:
+            enc.encode(st, 0, int(b))
+        data = enc.finish().replace(b"\xff\x00", b"\xff")
+        dec = _QMDecoder(data)
+        st2 = bytearray(1)
+        assert [dec.decode(st2, 0) for _ in bits] == bits
+    p = 0.95
+    bits = (rng.random(20000) < p).astype(int).tolist()
+    enc = _QMEncoder()
+    st = bytearray(1)
+    for b in bits:
+        enc.encode(st, 0, int(b))
+    bpb = len(enc.finish()) * 8 / len(bits)
+    entropy = -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+    assert bpb < entropy * 1.25 + 0.02
+
+
+def test_arith_decodes_libjpeg_golden_streams():
+    """Conformance, decode direction: SOF9 streams produced by the
+    system libjpeg decode to EXACTLY the quantized coefficients
+    libjpeg itself reports (jpeg_read_coefficients dumps alongside
+    each golden .jpg) — gray/color, 4:4:4/4:2:0/4:2:2, restarts."""
+    import json
+    import os
+
+    from stringzilla_ray.functions.jpeg import ZIGZAG
+
+    root = os.path.join(os.path.dirname(__file__), "golden", "arith")
+    manifest = json.load(open(os.path.join(root, "manifest.json")))
+    for name in manifest:
+        payload = open(os.path.join(root, name + ".jpg"), "rb").read()
+        gold = _read_coef_dump(os.path.join(root, name + ".coef"))
+        frame, pix = _decode_with_coefs(payload)
+        assert pix.shape[:2] == (frame["h"], frame["w"])
+        for ci, comp in enumerate(frame["comps"]):
+            wb, hb, g = gold[ci]
+            ours = np.zeros_like(comp["coef"])
+            ours[:, ZIGZAG] = comp["coef"]
+            on = ours.reshape(comp["by"], comp["bx"], 64)[:hb, :wb]
+            assert (on.reshape(-1, 64) == g).all(), (name, ci)
+
+
+def test_arith_encode_equals_baseline_decode():
+    """encode_jpeg_arithmetic codes the SAME quantized coefficients as
+    the baseline encoder, so decoding its stream must equal the
+    baseline decode bit-for-bit — gray/color, subsampling, restarts,
+    odd geometries, 20 random seeds."""
+    from stringzilla_ray.functions.jpeg import encode_jpeg_arithmetic
+
+    cases = [((16, 16), 1, 0), ((24, 33, 3), 1, 0), ((24, 33, 3), 2, 0),
+             ((48, 48, 3), 2, 2), ((17, 19, 3), 2, 0), ((8, 8), 1, 0),
+             ((30, 30, 3), 1, 4), ((56, 24), 1, 3)]
+    rng = np.random.default_rng(7)
+    for shape, sub, rst in cases:
+        img = np.clip(rng.normal(128, 45, shape), 0, 255).astype(np.uint8)
+        arith = encode_jpeg_arithmetic(img, subsample=sub,
+                                       restart_interval=rst)
+        base = encode_jpeg(img, subsample=sub, restart_interval=rst)
+        assert (decode_jpeg(arith) == decode_jpeg(base)).all(), \
+            (shape, sub, rst)
+    for seed in range(20):
+        r = np.random.default_rng(seed)
+        shape = (int(r.integers(8, 40)), int(r.integers(8, 40)), 3)
+        img = r.integers(0, 256, shape, dtype=np.uint8)
+        sub = int(r.integers(1, 3))
+        arith = encode_jpeg_arithmetic(img, subsample=sub)
+        base = encode_jpeg(img, subsample=sub)
+        assert (decode_jpeg(arith) == decode_jpeg(base)).all(), seed
+
+
+def test_arith_cross_validation_with_system_libjpeg():
+    """Conformance, encode direction: when a compiler and jpeglib.h
+    are present, build the oracle shim and assert the system libjpeg
+    decodes our SOF9 streams to our own quantized coefficients (byte
+    parity of the entropy layer was verified during development; this
+    keeps the check alive wherever the toolchain exists)."""
+    import os
+    import shutil
+    import struct
+    import subprocess
+    import tempfile
+
+    from stringzilla_ray.functions import jpeg as J
+
+    if not (shutil.which("gcc") and os.path.exists("/usr/include/jpeglib.h")):
+        pytest.skip("no gcc/jpeglib.h — cross-validation needs the shim")
+    shim_src = os.path.join(os.path.dirname(__file__), "golden", "arith",
+                            "jshim.c")
+    tmp = tempfile.mkdtemp()
+    shim = os.path.join(tmp, "jshim")
+    r = subprocess.run(["gcc", "-O2", "-o", shim, shim_src, "-ljpeg"],
+                       capture_output=True)
+    if r.returncode != 0:
+        pytest.skip("shim build failed: " + r.stderr.decode()[:200])
+    rng = np.random.default_rng(3)
+    for shape, sub, rst in [((24, 33, 3), 2, 0), ((40, 28), 1, 2)]:
+        img = np.clip(rng.normal(128, 45, shape), 0, 255).astype(np.uint8)
+        mine = J.encode_jpeg_arithmetic(img, subsample=sub,
+                                        restart_interval=rst)
+        jp = os.path.join(tmp, "m.jpg")
+        cf = os.path.join(tmp, "m.coef")
+        open(jp, "wb").write(mine)
+        subprocess.run([shim, "coef", jp, cf], check=True)
+        gold = _read_coef_dump(cf)
+        frame, _ = _decode_with_coefs(mine)
+        for ci, comp in enumerate(frame["comps"]):
+            wb, hb, g = gold[ci]
+            ours = np.zeros_like(comp["coef"])
+            ours[:, J.ZIGZAG] = comp["coef"]
+            on = ours.reshape(comp["by"], comp["bx"], 64)[:hb, :wb]
+            assert (on.reshape(-1, 64) == g).all(), (shape, ci)
