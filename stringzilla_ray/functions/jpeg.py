@@ -9,10 +9,10 @@ Scope (exactly the baseline process, the overwhelmingly common subset):
 grayscale or 3-component YCbCr (JFIF), any integer chroma subsampling
 (4:4:4 / 4:2:2 / 4:2:0), restart intervals — plus the Annex-G
 progressive process (SOF2) and the Annex-D/F arithmetic (QM-coder)
-process (SOF9), both encode and decode, the QM layer verified
-byte-for-byte against the system libjpeg62-turbo.  12-bit,
-hierarchical, lossless and non-interleaved multi-component scans
-raise ``NotImplementedError`` — those payloads keep the documented
+processes, sequential (SOF9) AND progressive (SOF10), both encode
+and decode, the QM layer verified byte-for-byte against the system
+libjpeg62-turbo.  12-bit, hierarchical, lossless and non-interleaved
+multi-component scans raise ``NotImplementedError`` — those payloads keep the documented
 strict-mode stub behavior upstream (stages/multimodal.py).
 
 Decoding is table-driven from the file's own DQT/DHT segments — the
@@ -251,7 +251,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = list(body[i + 17:i + 17 + nsym])
                 huff[(tc, th)] = _decode_lut(counts, syms)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1, SOF2, SOF9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF9 sequential-
+            # arithmetic, SOF10 progressive-arithmetic
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes in-container")
@@ -263,8 +265,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2,
-                     "arith": marker == 0xC9}
+                     "progressive": marker in (0xC2, 0xCA),
+                     "arith": marker in (0xC9, 0xCA)}
         elif marker == 0xCC:        # DAC: arithmetic conditioning
             i = 0
             while i + 1 < len(body):
@@ -276,11 +278,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     arith_cond[("ac", tb)] = cs
                 i += 2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG process (progressive-arithmetic/"
-                "hierarchical/lossless) needs codec libraries not in "
-                "this container")
+                "non-baseline JPEG process (hierarchical/lossless) "
+                "needs codec libraries not in this container")
         elif marker == 0xDD:        # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:        # SOS
@@ -325,8 +326,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             # progressive: scans accumulate into the coefficient
             # stores; reconstruction happens at EOI
             _alloc_coef(frame)
-            _decode_scan_progressive(frame, scan, huff, segs,
-                                     restart_interval, ss, se, ah, al)
+            if frame.get("arith"):
+                _decode_scan_progressive_arith(frame, scan, arith_cond,
+                                               segs, restart_interval,
+                                               ss, se, ah, al)
+            else:
+                _decode_scan_progressive(frame, scan, huff, segs,
+                                         restart_interval, ss, se, ah, al)
     if frame is not None and frame.get("progressive") \
             and "coef_ready" in frame:
         return _reconstruct(frame, qt)
@@ -1442,5 +1448,340 @@ def encode_jpeg_arithmetic(img: np.ndarray, quality_tables=None,
                     _arith_encode_dc(enc, stats, 0, cid, (0, 1), diff)
                     _arith_encode_block(enc, stats, 0, 5, blk)
     out.extend(enc.finish())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ------------------------------------- progressive-arithmetic (SOF10)
+
+
+def _decode_scan_progressive_arith(frame, scan, cond, segs,
+                                   restart_interval, ss, se, ah, al):
+    """One progressive arithmetic scan (T.81 Annex G entropy-coded
+    with the Annex-D QM coder): DC first/refine and AC first/refine
+    accumulate into the frame's coefficient stores.  Statistics are
+    fresh per scan AND per restart (F.2.4); the coefficient-store
+    walk (interleaved DC MCUs, raster single-component AC bands) is
+    the progressive-Huffman walk with the QM entropy layer — model
+    shapes mirror the IJG arithmetic decoder, which this codec is
+    conformance-tested against."""
+    p1, m1 = 1 << al, -(1 << al)
+    seg_i = 0
+    dec = _QMDecoder(segs[0])
+    stats = _ArithStats(scan)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan requires Se=0")
+        interleaved = len(scan) > 1
+        pred = {c["id"]: 0 for c, _, _ in scan}
+        if interleaved:
+            total = frame["mcus_x"] * frame["mcus_y"]
+        else:
+            total = scan[0][0]["nbx"] * scan[0][0]["nby"]
+        for mcu in range(total):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart segment")
+                dec = _QMDecoder(segs[seg_i])
+                stats = _ArithStats(scan)
+                pred = {c["id"]: 0 for c, _, _ in scan}
+            blocks = []
+            if interleaved:
+                my, mx = divmod(mcu, frame["mcus_x"])
+                for comp, td, _ in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blocks.append(
+                                (comp, td,
+                                 (my * comp["v"] + by) * comp["bx"]
+                                 + mx * comp["h"] + bx))
+            else:
+                comp, td, _ = scan[0]
+                row, col = divmod(mcu, comp["nbx"])
+                blocks.append((comp, td, row * comp["bx"] + col))
+            for comp, td, bi in blocks:
+                coefrow = comp["coef"][bi]
+                if ah == 0:
+                    diff = _arith_decode_dc(
+                        dec, stats, td, comp["id"],
+                        cond.get(("dc", td), (0, 1)))
+                    pred[comp["id"]] += diff
+                    coefrow[0] = pred[comp["id"]] << al
+                elif dec.decode(stats.fixed, 0):
+                    coefrow[0] |= p1
+        return
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    comp, _, ta = scan[0]
+    kx = cond.get(("ac", ta), 5)
+    acs = stats.ac[ta]
+    for mcu in range(comp["nbx"] * comp["nby"]):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            dec = _QMDecoder(segs[seg_i])
+            stats = _ArithStats(scan)
+            acs = stats.ac[ta]
+        row, col = divmod(mcu, comp["nbx"])
+        coefrow = comp["coef"][row * comp["bx"] + col]
+        if ah == 0:                           # AC first pass
+            k = ss
+            while k <= se:
+                st = 3 * (k - 1)
+                if dec.decode(acs, st):       # EOB
+                    break
+                while dec.decode(acs, st + 1) == 0:
+                    st += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError("arithmetic AC run overflow")
+                sign = dec.decode(stats.fixed, 0)
+                st += 2
+                m = dec.decode(acs, st)
+                if m and dec.decode(acs, st):
+                    m = 2
+                    st = 189 if k <= kx else 217
+                    while dec.decode(acs, st):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError(
+                                "arithmetic AC magnitude overflow")
+                        st += 1
+                v = m
+                st += 14
+                mm = m >> 1
+                while mm:
+                    if dec.decode(acs, st):
+                        v |= mm
+                    mm >>= 1
+                v += 1
+                coefrow[k] = (-v if sign else v) << al
+                k += 1
+            continue
+        # AC refinement: corrections for known coefficients, newly
+        # significant bits, and the band EOB flag past the previous
+        # scan's end-of-band index
+        kex = se
+        while kex >= ss and coefrow[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex and dec.decode(acs, st):
+                break                         # EOB
+            while True:
+                cur = int(coefrow[k])
+                if cur:                       # previously nonzero
+                    if dec.decode(acs, st + 2):
+                        coefrow[k] = cur + (m1 if cur < 0 else p1)
+                    break
+                if dec.decode(acs, st + 1):   # newly significant
+                    coefrow[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                    break
+                st += 3
+                k += 1
+                if k > se:
+                    raise ValueError("arithmetic AC refine overflow")
+            k += 1
+
+
+def encode_jpeg_progressive_arithmetic(img: np.ndarray,
+                                       quality_tables=None,
+                                       subsample: int = 1) -> bytes:
+    """Progressive arithmetic-coded JPEG (SOF10) with the SAME scan
+    script as encode_jpeg_progressive (DC first Al=1, per-component AC
+    bands 1-5/6-63 at Al=1, DC refine, AC refine) over the SAME
+    quantized coefficients as the baseline encoder — decoding must
+    equal the baseline decode bit-for-bit, which tests assert and
+    cross-check against the system libjpeg."""
+    comps, qts, coef, mcus_x, mcus_y, h, w = _frame_setup(
+        img, quality_tables, subsample)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for tq, tbl in qts.items():
+        seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(comps))
+    for cid, ch, cv, tq in comps:
+        sof.extend([cid, (ch << 4) | cv, tq])
+    seg(0xCA, bytes(sof))
+    seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+
+    def sos_header(scan_comps, ss, se, ah, al) -> bytes:
+        b = bytearray([len(scan_comps)])
+        for cid, *_ in scan_comps:
+            b.extend([cid, 0x00])
+        b.extend([ss, se, (ah << 4) | al])
+        return bytes(b)
+
+    def nb_dims(ch, cv):
+        nbx = -(-(-(-w * ch // hmax)) // 8)
+        nby = -(-(-(-h * cv // vmax)) // 8)
+        return nbx, nby
+
+    def scan_stats(scan_comps):
+        return _ArithStats(
+            [({"id": cid, "h": ch, "v": cv}, 0, 0)
+             for cid, ch, cv, _ in scan_comps])
+
+    def dc_first(al: int):
+        seg(0xDA, sos_header(comps, 0, 0, 0, al))
+        enc = _QMEncoder()
+        stats = scan_stats(comps)
+        pred = {cid: 0 for cid, *_ in comps}
+        if len(comps) > 1:
+            walk = (
+                (cid, (my * cv + by) * coef[cid][1] + mx * ch + bx)
+                for mcu in range(mcus_x * mcus_y)
+                for my, mx in (divmod(mcu, mcus_x),)
+                for cid, ch, cv, tq in comps
+                for by in range(cv)
+                for bx in range(ch))
+        else:
+            cid0, ch0, cv0, _ = comps[0]
+            nbx, nby = nb_dims(ch0, cv0)
+            walk = ((cid0, r * coef[cid0][1] + c)
+                    for r in range(nby) for c in range(nbx))
+        for cid, bi in walk:
+            v = int(coef[cid][0][bi][0]) >> al   # DC: arithmetic shift
+            diff = v - pred[cid]
+            pred[cid] = v
+            _arith_encode_dc(enc, stats, 0, cid, (0, 1), diff)
+        out.extend(enc.finish())
+
+    def dc_refine(al: int):
+        seg(0xDA, sos_header(comps, 0, 0, al + 1, al))
+        enc = _QMEncoder()
+        stats = scan_stats(comps)
+        if len(comps) > 1:
+            walk = (
+                (cid, (my * cv + by) * coef[cid][1] + mx * ch + bx)
+                for mcu in range(mcus_x * mcus_y)
+                for my, mx in (divmod(mcu, mcus_x),)
+                for cid, ch, cv, tq in comps
+                for by in range(cv)
+                for bx in range(ch))
+        else:
+            cid0, ch0, cv0, _ = comps[0]
+            nbx, nby = nb_dims(ch0, cv0)
+            walk = ((cid0, r * coef[cid0][1] + c)
+                    for r in range(nby) for c in range(nbx))
+        for cid, bi in walk:
+            enc.encode(stats.fixed, 0,
+                       (int(coef[cid][0][bi][0]) >> al) & 1)
+        out.extend(enc.finish())
+
+    def ac_first(comp, ss, se, al: int, kx: int = 5):
+        cid, ch, cv, tq = comp
+        seg(0xDA, sos_header([comp], ss, se, 0, al))
+        enc = _QMEncoder()
+        stats = scan_stats([comp])
+        acs = stats.ac[0]
+        nbx, nby = nb_dims(ch, cv)
+        rows, bxw = coef[cid]
+        for r in range(nby):
+            for c in range(nbx):
+                blk = rows[r * bxw + c]
+                scaled = np.abs(blk[ss:se + 1]) >> al
+                nz = np.nonzero(scaled)[0]
+                last = ss + int(nz[-1]) if len(nz) else ss - 1
+                k = ss
+                while k <= last:
+                    st = 3 * (k - 1)
+                    enc.encode(acs, st, 0)        # not EOB
+                    while (abs(int(blk[k])) >> al) == 0:
+                        enc.encode(acs, st + 1, 0)
+                        st += 3
+                        k += 1
+                    enc.encode(acs, st + 1, 1)
+                    val = int(blk[k])
+                    sign = 1 if val < 0 else 0
+                    enc.encode(stats.fixed, 0, sign)
+                    st += 2
+                    v = (abs(val) >> al) - 1
+                    if v == 0:
+                        enc.encode(acs, st, 0)
+                    else:
+                        enc.encode(acs, st, 1)
+                        if v == 1:
+                            enc.encode(acs, st, 0)
+                        else:
+                            enc.encode(acs, st, 1)
+                            m = 2
+                            st = 189 if k <= kx else 217
+                            while v >= (m << 1):
+                                enc.encode(acs, st, 1)
+                                m <<= 1
+                                st += 1
+                            enc.encode(acs, st, 0)
+                            st += 14
+                            mm = m >> 1
+                            while mm:
+                                enc.encode(acs, st, 1 if v & mm else 0)
+                                mm >>= 1
+                    k += 1
+                if last < se:
+                    enc.encode(acs, 3 * (last + 1 - 1), 1)   # EOB
+        out.extend(enc.finish())
+
+    def ac_refine(comp, ss, se, al: int):
+        cid, ch, cv, tq = comp
+        seg(0xDA, sos_header([comp], ss, se, al + 1, al))
+        enc = _QMEncoder()
+        stats = scan_stats([comp])
+        acs = stats.ac[0]
+        nbx, nby = nb_dims(ch, cv)
+        rows, bxw = coef[cid]
+        for r in range(nby):
+            for c in range(nbx):
+                blk = rows[r * bxw + c]
+                temp = np.abs(blk[ss:se + 1]) >> al
+                # kex: previous scan's end-of-band (last temp > 1);
+                # EOB: after the last temp != 0
+                big = np.nonzero(temp > 1)[0]
+                kex = ss + int(big[-1]) if len(big) else ss - 1
+                nz = np.nonzero(temp)[0]
+                last = ss + int(nz[-1]) if len(nz) else ss - 1
+                k = ss
+                while k <= last:
+                    st = 3 * (k - 1)
+                    if k > kex:
+                        enc.encode(acs, st, 0)    # not EOB yet
+                    while True:
+                        t = abs(int(blk[k])) >> al
+                        if t > 1:                 # previously nonzero
+                            enc.encode(acs, st + 2, t & 1)
+                            break
+                        if t == 1:                # newly significant
+                            enc.encode(acs, st + 1, 1)
+                            enc.encode(stats.fixed, 0,
+                                       1 if int(blk[k]) < 0 else 0)
+                            break
+                        enc.encode(acs, st + 1, 0)
+                        st += 3
+                        k += 1
+                    k += 1
+                if last < se:
+                    enc.encode(acs, 3 * (max(last + 1, kex + 1) - 1), 1)
+        out.extend(enc.finish())
+
+    al0 = 1
+    dc_first(al0)
+    for comp in comps:
+        ac_first(comp, 1, 5, al0)
+        ac_first(comp, 6, 63, al0)
+    dc_refine(0)
+    for comp in comps:
+        ac_refine(comp, 1, 5, 0)
+        ac_refine(comp, 6, 63, 0)
     out.extend(b"\xff\xd9")
     return bytes(out)

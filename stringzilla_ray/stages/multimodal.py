@@ -7,7 +7,7 @@ decode kernels for WAV (RIFF PCM), PPM (P6), BMP (24-bit
 BITMAPINFOHEADER), Y4M video (YUV4MPEG2 mono, with uniform
 frame sampling) and JPEG (full ITU T.81 sequential-Huffman decoder
 plus the Annex-G progressive and Annex-D/F arithmetic (QM-coder)
-processes in ``functions/jpeg.py``) are
+processes, sequential and progressive, in ``functions/jpeg.py``) are
 genuine NumPy decoders producing real signal statistics. Formats that
 need codec libraries this container lacks (MP4 sample data,
 hierarchical/lossless JPEG, ...) remain STUBBED: ``strict=True`` raises
@@ -492,7 +492,9 @@ def probe_payload(payload: bytes) -> dict:
                            channels=payload[pos + 7],
                            codec="baseline" if marker in (0xC0, 0xC1)
                            else "progressive" if marker == 0xC2
-                           else "arithmetic" if marker == 0xC9 else "other")
+                           else "arithmetic" if marker == 0xC9
+                           else "progressive-arithmetic"
+                           if marker == 0xCA else "other")
                 return out
             pos += seglen
         out.update(container="jpeg", codec="truncated")
@@ -604,8 +606,9 @@ def _synthetic_sources(n: int, seed: int) -> list[dict]:
                 ((xx + yy + i) % 256),
             ], axis=-1).astype(np.uint8)
             fmt = ("ppm" if i % 12 == 0
-                   else ("jpeg" if i % 36 == 3 else
-                         "jpegp" if i % 36 == 15 else "jpega")
+                   else ("jpeg" if i % 48 == 3 else
+                         "jpegp" if i % 48 == 15 else
+                         "jpega" if i % 48 == 27 else "jpegpa")
                    if i % 12 == 3
                    else "png" if i % 12 == 9 else "gif" if i % 12 == 6
                    else "bmp")
@@ -655,6 +658,12 @@ def _encode_source(r: dict) -> bytes:
         from stringzilla_ray.functions.jpeg import encode_jpeg_arithmetic
 
         return encode_jpeg_arithmetic(r["img"], subsample=1)
+    if fmt == "jpegpa":
+        from stringzilla_ray.functions.jpeg import (
+            encode_jpeg_progressive_arithmetic,
+        )
+
+        return encode_jpeg_progressive_arithmetic(r["img"], subsample=1)
     if fmt == "png":
         from stringzilla_ray.functions.png import encode_png
 
@@ -713,6 +722,7 @@ _EXPECTED_PROBE = {
     "jpeg": ("jpeg", "baseline", 3),
     "jpegp": ("jpeg", "progressive", 3),
     "jpega": ("jpeg", "arithmetic", 3),
+    "jpegpa": ("jpeg", "progressive-arithmetic", 3),
     "png": ("png", "deflate8", 3),
     "gif": ("gif", "lzw1f", 3), "wav": ("wav", "pcm16", 1),
     "y4m": ("y4m", "rawvideo", 1), "mp4": ("mp4", None, 1),

@@ -444,3 +444,48 @@ def test_arith_cross_validation_with_system_libjpeg():
             ours[:, J.ZIGZAG] = comp["coef"]
             on = ours.reshape(comp["by"], comp["bx"], 64)[:hb, :wb]
             assert (on.reshape(-1, 64) == g).all(), (shape, ci)
+
+
+def test_progressive_arith_equals_baseline_decode():
+    """encode_jpeg_progressive_arithmetic (SOF10, same scan script as
+    the progressive-Huffman encoder) over the baseline coefficients:
+    decode must equal the baseline decode bit-for-bit."""
+    from stringzilla_ray.functions.jpeg import (
+        encode_jpeg_progressive_arithmetic,
+    )
+
+    rng = np.random.default_rng(9)
+    for shape, sub in [((16, 16), 1), ((24, 33, 3), 1), ((24, 33, 3), 2),
+                       ((41, 29, 3), 2), ((8, 8), 1)]:
+        img = np.clip(rng.normal(128, 45, shape), 0, 255).astype(np.uint8)
+        pa_ = encode_jpeg_progressive_arithmetic(img, subsample=sub)
+        base = encode_jpeg(img, subsample=sub)
+        assert (decode_jpeg(pa_) == decode_jpeg(base)).all(), (shape, sub)
+    for seed in range(10):
+        r = np.random.default_rng(1000 + seed)
+        shape = (int(r.integers(8, 40)), int(r.integers(8, 40)), 3)
+        img = r.integers(0, 256, shape, dtype=np.uint8)
+        sub = int(r.integers(1, 3))
+        pa_ = encode_jpeg_progressive_arithmetic(img, subsample=sub)
+        base = encode_jpeg(img, subsample=sub)
+        assert (decode_jpeg(pa_) == decode_jpeg(base)).all(), seed
+
+
+def test_arith_probe_codecs():
+    """probe_payload labels all four JPEG processes."""
+    from stringzilla_ray.functions.jpeg import (
+        encode_jpeg_arithmetic,
+        encode_jpeg_progressive,
+        encode_jpeg_progressive_arithmetic,
+    )
+    from stringzilla_ray.stages.multimodal import probe_payload
+
+    img = np.clip(np.random.default_rng(0).normal(128, 40, (16, 24, 3)),
+                  0, 255).astype(np.uint8)
+    assert probe_payload(encode_jpeg(img))["codec"] == "baseline"
+    assert probe_payload(
+        encode_jpeg_progressive(img))["codec"] == "progressive"
+    assert probe_payload(
+        encode_jpeg_arithmetic(img))["codec"] == "arithmetic"
+    assert probe_payload(encode_jpeg_progressive_arithmetic(img))[
+        "codec"] == "progressive-arithmetic"
