@@ -287,12 +287,12 @@ def _decode_with_coefs(payload: bytes):
 
 def test_arith_table_matches_system_libjpeg():
     """The transcribed T.81 Table D.3 must equal the packed jpeg_aritab
-    baked into the system libjpeg62-turbo: value = (Qe<<16) |
-    (NMPS<<8)... — empirically, low byte = SWITCH<<7 | NLPS is NOT the
-    layout; the verified layout is bits 0-6 NLPS?  No: extraction below
-    is the layout this repo's table was produced from, and the
-    adaptation/conformance tests in this file independently pin the
-    semantics, so this test is a tamper/typo check on the literal."""
+    baked into the system libjpeg62-turbo, whose verified layout is
+    value = Qe<<16 | NMPS<<8 | SWITCH<<7 | NLPS (8-byte slots, upper
+    int32 zero).  The adaptation/conformance tests in this file pin
+    the SEMANTICS independently (a column-swapped table still
+    round-trips but compresses ~2x worse than entropy); this test is
+    the tamper/typo check on the literal itself."""
     import glob
     import struct
 
