@@ -7803,6 +7803,88 @@ def _q_tpch_q21(sf_dir: str):
     })
 
 
+def _q_ascii_word_count(sf_dir: str):
+    """UAX-29 word counts oracle-checked on the subset where the full
+    TR29 rules provably collapse to [A-Za-z0-9]+ runs: pure-ASCII text
+    with no MidLetter/MidNum/MidNumLet/ExtendNumLet character BETWEEN
+    two alphanumerics (the only ASCII configurations where WB6/WB7/
+    WB11/WB12/WB13a-b join what the regex splits).  Same
+    subset-parity trick as grapheme_explode: the heavy spec kernel
+    (functions/segment.py uax29_word_count) gets a hash-green row
+    where the rules coincide, pytest pins the divergent cases."""
+    from stringzilla_ray.functions.segment import uax29_word_count
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            _ascii_mask(t),
+            pc.invert(pc.match_substring_regex(
+                t["text"], r"[A-Za-z0-9][',;:._][A-Za-z0-9]")))
+        f = t.filter(m)
+        return pa.table({
+            "doc_id": pc.cast(f["doc_id"], pa.int64()),
+            "n_words": uax29_word_count(
+                f["text"].combine_chunks()
+                if isinstance(f["text"], pa.ChunkedArray) else f["text"]),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+def _q_embedding_centroid(sf_dir: str):
+    """Exact per-(label, dimension) embedding sums as scaled int64 —
+    the hash-checkable twin of pool_embeddings_by_label: float32
+    values promote exactly to float64, floor(v * 2^20 + 0.5) is the
+    same IEEE op both sides, and integer sums are order-free, so the
+    distributed census hash-matches DuckDB's unnest twin.  Map-side
+    partials bound the exchange by |labels| x dim per block."""
+    from stringzilla_ray.functions.fingerprint import splitmix64
+    from stringzilla_ray.util import reduce_buckets
+
+    n_buckets = reduce_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(len(lab), 1) if len(lab) else 0
+        emb = flat.reshape(len(lab), dim) if len(lab) else \
+            np.zeros((0, 0), np.float32)
+        scaled = np.floor(emb.astype(np.float64) * 1048576 + 0.5) \
+            .astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), dim), np.int64)
+        np.add.at(sums, inv, scaled)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        lab_r = np.repeat(ul, dim)
+        dim_r = np.tile(np.arange(dim, dtype=np.int64), len(ul))
+        sh = (splitmix64((lab_r * 64 + dim_r).view(np.uint64))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "label": pa.array(lab_r, pa.int64()),
+            "dim": pa.array(dim_r, pa.int64()),
+            "sum_e20": pa.array(sums.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+            "shard": pa.array(sh, pa.int32()),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            g.select(["label", "dim", "sum_e20", "n"]),
+            ["label", "dim"]) \
+            .aggregate([("sum_e20", "sum"), ("n", "sum")]) \
+            .rename_columns(["label", "dim", "sum_e20", "n"])
+
+    return (
+        _read(sf_dir, "embeddings", columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "find_substring": _q_find_substring,
@@ -7981,6 +8063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_regression": _q_value_regression,
         "tpch_q9_profit": _q_tpch_q9_profit,
         "tpch_q2_mincost": _q_tpch_q2,
+        "ascii_word_count": _q_ascii_word_count,
+        "embedding_centroid_exact": _q_embedding_centroid,
         "tpch_q12_priority": _q_tpch_q12,
         "tpch_q20_dominant": _q_tpch_q20,
         "tpch_q21_waiting": _q_tpch_q21,
@@ -9105,6 +9189,31 @@ def oracle_sql() -> dict[str, str]:
             " AND p_size IN (1,5,9,13,17,21,25,29)"
             " GROUP BY p_brand, p_type, p_size"
             " ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "ascii_word_count": (
+            # subset where UAX-29 == alphanumeric runs: pure ASCII and
+            # no mid-character between two alphanumerics (WB6/WB7/
+            # WB11/WB12/WB13a-b are the only joining rules reachable
+            # in ASCII; '_' covers ExtendNumLet)
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+            " CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))"
+            "  AS BIGINT) AS n_words"
+            " FROM documents"
+            " WHERE length(text) = strlen(text)"
+            "  AND NOT regexp_matches(text,"
+            "   '[A-Za-z0-9]['',;:._][A-Za-z0-9]')"
+        ),
+        "embedding_centroid_exact": (
+            # float32 -> double promotion is exact; floor(v*2^20+0.5)
+            # is the same IEEE op both sides; int sums are order-free
+            "SELECT CAST(label AS BIGINT) AS label,"
+            " CAST(i - 1 AS BIGINT) AS dim,"
+            " CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576 + 0.5)"
+            "  AS BIGINT)) AS BIGINT) AS sum_e20,"
+            " CAST(count(*) AS BIGINT) AS n"
+            " FROM (SELECT label, unnest(embedding) AS v,"
+            "  generate_subscripts(embedding, 1) AS i FROM embeddings)"
+            " GROUP BY label, i"
         ),
         "tpch_q2_mincost": (
             # (part, supp) supply cost = min lineitem extendedprice in

@@ -780,3 +780,41 @@ def test_utf8_graphemes_column_explodes_clusters():
     # combining marks attach to their base; CRLF is one cluster
     assert "á" in vs and "x" in vs and "\r\n" in vs
     assert "é̂" in vs
+
+
+def test_uax29_word_count_vs_regex_subset_guard():
+    """The ascii_word_count oracle's subset guard is exactly the set
+    of ASCII configurations where UAX-29 joins what [A-Za-z0-9]+
+    splits: mid-characters between two alphanumerics (WB6/WB7/WB11/
+    WB12) and ExtendNumLet chains (WB13a-b).  Divergent cases pin why
+    the guard exists; guard-passing texts must agree exactly."""
+    import re
+
+    import pyarrow as pa
+
+    from stringzilla_ray.functions.segment import uax29_word_count
+
+    # (text, uax_count, regex_count) — all match the guard; the first
+    # four genuinely diverge, the last agrees (':' is MidLetter, which
+    # does NOT join numerics — the guard is conservative, never wrong)
+    guarded = [
+        ("don't stop", 2, 3),          # WB6/7 MidLetter '
+        ("pi is 3.14 here", 4, 5),     # WB11/12 MidNumLet .
+        ("1,000 items", 2, 3),         # WB11/12 MidNum ,
+        ("a_b c", 2, 3),               # WB13a-b ExtendNumLet
+        ("time 12:30 pm", 4, 4),       # MidLetter between numerics
+    ]
+    guard = re.compile(r"[A-Za-z0-9][',;:._][A-Za-z0-9]")
+    texts = [t for t, _, _ in guarded]
+    got = uax29_word_count(pa.array(texts)).to_pylist()
+    for (t, uax, rgx), g in zip(guarded, got):
+        assert g == uax, (t, g)
+        assert len(re.findall(r"[A-Za-z0-9]+", t)) == rgx, t
+        assert guard.search(t), t    # every divergence is guarded out
+    agree = ["plain words here.", "end. Next sentence!", "a b c",
+             "trailing dots.. ok", "'quoted' words", "(parens) too",
+             "x", "", "  ", "CR\r\nLF lines", "num 42 and 7"]
+    got = uax29_word_count(pa.array(agree)).to_pylist()
+    for t, g in zip(agree, got):
+        assert guard.search(t) is None, t
+        assert g == len(re.findall(r"[A-Za-z0-9]+", t)), (t, g)
