@@ -312,17 +312,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pos = j
                 break
             if not frame.get("progressive"):
-                if ns != len(frame["comps"]):
+                if ns == len(frame["comps"]):
+                    _alloc_coef(frame)
+                    if frame.get("arith"):
+                        _decode_scan_arith(frame, scan, arith_cond, segs,
+                                           restart_interval)
+                    else:
+                        _decode_scan(frame, scan, huff, segs,
+                                     restart_interval)
+                    return _reconstruct(frame, qt)
+                if ns != 1:
                     raise NotImplementedError(
-                        "non-interleaved multi-component scans are not baseline-"
-                        "typical; not decoded in-container")
+                        "sequential scans must be fully interleaved or "
+                        "single-component")
+                # non-interleaved sequential: one component per scan
+                # (the libjpeg scan-script shape); scans accumulate,
+                # reconstruction happens at EOI
                 _alloc_coef(frame)
-                if frame.get("arith"):
-                    _decode_scan_arith(frame, scan, arith_cond, segs,
-                                       restart_interval)
-                else:
-                    _decode_scan(frame, scan, huff, segs, restart_interval)
-                return _reconstruct(frame, qt)
+                _decode_scan_seq_single(frame, scan[0], huff, arith_cond,
+                                        segs, restart_interval)
+                frame["seq_scans"] = frame.get("seq_scans", 0) + 1
+                continue
             # progressive: scans accumulate into the coefficient
             # stores; reconstruction happens at EOI
             _alloc_coef(frame)
@@ -333,8 +343,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             else:
                 _decode_scan_progressive(frame, scan, huff, segs,
                                          restart_interval, ss, se, ah, al)
-    if frame is not None and frame.get("progressive") \
-            and "coef_ready" in frame:
+    if frame is not None and "coef_ready" in frame \
+            and (frame.get("progressive") or frame.get("seq_scans")):
         return _reconstruct(frame, qt)
     raise ValueError("no scan data found")
 
@@ -1785,3 +1795,62 @@ def encode_jpeg_progressive_arithmetic(img: np.ndarray,
         ac_refine(comp, 6, 63, 0)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def _decode_scan_seq_single(frame, scan_entry, huff, cond, segs,
+                            restart_interval):
+    """One NON-INTERLEAVED sequential scan (single component, full
+    band, no successive approximation — the shape libjpeg scan
+    scripts emit): the component's true-dimension blocks in raster
+    order, Huffman or arithmetic entropy per the frame, restart
+    intervals counted in blocks."""
+    comp, td, ta = scan_entry
+    total = comp["nbx"] * comp["nby"]
+    seg_i = 0
+    arith = frame.get("arith")
+    if arith:
+        dec = _QMDecoder(segs[0])
+        stats = _ArithStats([scan_entry])
+        cond_dc = cond.get(("dc", td), (0, 1))
+        kx = cond.get(("ac", ta), 5)
+    else:
+        br = _BitReader(segs[0])
+        dsym, dlen = huff[(0, td)]
+        asym, alen = huff[(1, ta)]
+    pred = 0
+    for b in range(total):
+        if restart_interval and b and b % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            pred = 0
+            if arith:
+                dec = _QMDecoder(segs[seg_i])
+                stats = _ArithStats([scan_entry])
+            else:
+                br = _BitReader(segs[seg_i])
+        row, col = divmod(b, comp["nbx"])
+        blk = np.zeros(64, np.int32)
+        if arith:
+            pred += _arith_decode_dc(dec, stats, td, comp["id"], cond_dc)
+            blk[0] = pred
+            _arith_decode_block(dec, stats, ta, kx, blk)
+        else:
+            t = _huff_dec(br, dsym, dlen)
+            pred += _extend(br.read(t), t) if t else 0
+            blk[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_dec(br, asym, alen)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 15
+                if k > 63:
+                    raise ValueError("AC run overflow")
+                blk[k] = _extend(br.read(s), s)
+                k += 1
+        comp["coef"][row * comp["bx"] + col] = blk

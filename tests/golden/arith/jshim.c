@@ -33,6 +33,7 @@ static void do_enc(int argc, char **argv) {
     int restart = atoi(argv[6]);
     int progressive = atoi(argv[7]);
     int arith = atoi(argv[8]);
+    int nonint = argc > 9 ? atoi(argv[9]) : 0;
     struct jpeg_compress_struct cinfo;
     struct jpeg_error_mgr jerr;
     cinfo.err = jpeg_std_error(&jerr);
@@ -59,6 +60,19 @@ static void do_enc(int argc, char **argv) {
     }
     if (progressive)
         jpeg_simple_progression(&cinfo);
+    if (nonint) {
+        /* sequential but non-interleaved: one full-band scan per
+         * component (Ss=0, Se=63, Ah=Al=0) */
+        static jpeg_scan_info scans[4];
+        for (int ci = 0; ci < nc; ci++) {
+            scans[ci].comps_in_scan = 1;
+            scans[ci].component_index[0] = ci;
+            scans[ci].Ss = 0; scans[ci].Se = 63;
+            scans[ci].Ah = 0; scans[ci].Al = 0;
+        }
+        cinfo.scan_info = scans;
+        cinfo.num_scans = nc;
+    }
     jpeg_start_compress(&cinfo, TRUE);
     while (cinfo.next_scanline < cinfo.image_height) {
         JSAMPROW row = img + (size_t)cinfo.next_scanline * w * nc;

@@ -489,3 +489,33 @@ def test_arith_probe_codecs():
         encode_jpeg_arithmetic(img))["codec"] == "arithmetic"
     assert probe_payload(encode_jpeg_progressive_arithmetic(img))[
         "codec"] == "progressive-arithmetic"
+
+
+def test_noninterleaved_sequential_scans():
+    """libjpeg scan-script streams (one full-band SOS per component,
+    Huffman AND arithmetic, with restarts) decode to exact coefficient
+    parity — covered by the golden manifest entries — and a
+    multi-component scan that is neither fully interleaved nor
+    single-component stays an honest error."""
+    from stringzilla_ray.functions.jpeg import ZIGZAG
+
+    # the goldens are exercised by test_arith_decodes_libjpeg_golden
+    # _streams (manifest-driven); here pin the shape directly
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "golden", "arith")
+    manifest = json.load(open(os.path.join(root, "manifest.json")))
+    names = [n for n, m in manifest.items() if m.get("noninterleaved")]
+    assert len(names) >= 2
+    for name in names:
+        payload = open(os.path.join(root, name + ".jpg"), "rb").read()
+        gold = _read_coef_dump(os.path.join(root, name + ".coef"))
+        frame, pix = _decode_with_coefs(payload)
+        assert frame.get("seq_scans") == len(frame["comps"])
+        for ci, comp in enumerate(frame["comps"]):
+            wb, hb, g = gold[ci]
+            ours = np.zeros_like(comp["coef"])
+            ours[:, ZIGZAG] = comp["coef"]
+            on = ours.reshape(comp["by"], comp["bx"], 64)[:hb, :wb]
+            assert (on.reshape(-1, 64) == g).all(), (name, ci)
