@@ -519,3 +519,38 @@ def test_noninterleaved_sequential_scans():
             ours[:, ZIGZAG] = comp["coef"]
             on = ours.reshape(comp["by"], comp["bx"], 64)[:hb, :wb]
             assert (on.reshape(-1, 64) == g).all(), (name, ci)
+
+
+def test_corrupt_stream_terminates_cleanly():
+    """Truncations, byte flips and garbage tails over every golden
+    stream (all four JPEG processes) must terminate promptly with a
+    Python exception — never hang: the QM decoder's zero-feed past a
+    marker is bounded by the MCU walk and the magnitude-overflow
+    guards."""
+    import json
+    import os
+
+    from stringzilla_ray.functions.jpeg import decode_jpeg
+
+    root = os.path.join(os.path.dirname(__file__), "golden", "arith")
+    manifest = json.load(open(os.path.join(root, "manifest.json")))
+    for name in manifest:
+        payload = open(os.path.join(root, name + ".jpg"), "rb").read()
+        rng = np.random.default_rng(hash(name) % 2 ** 32)
+        for trial in range(9):
+            mode = trial % 3
+            if mode == 0:
+                p = payload[: int(rng.integers(2, len(payload)))]
+            elif mode == 1:
+                pos = int(rng.integers(2, len(payload)))
+                p = payload[:pos] + bytes(
+                    [payload[pos] ^ int(rng.integers(1, 256))]
+                ) + payload[pos + 1:]
+            else:
+                p = payload[: int(rng.integers(2, len(payload)))] + bytes(
+                    rng.integers(0, 256, 64, dtype=np.uint8))
+            try:
+                decode_jpeg(p)
+            except (ValueError, NotImplementedError, IndexError,
+                    KeyError, StopIteration):
+                pass
