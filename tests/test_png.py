@@ -236,3 +236,57 @@ def test_media_decoder_png_branch():
     np.testing.assert_array_equal(feats[:, 3], [3.0, 1.0, 4.0])
     np.testing.assert_allclose(feats[0, 4], img.astype(np.float64).mean() / 255.0,
                                rtol=1e-6)
+
+
+def test_decodes_libpng_golden_streams():
+    """Third-party conformance: PNGs WRITTEN BY THE SYSTEM LIBPNG
+    (gray/RGB/RGBA x 8/16-bit x straight/Adam7, tests/golden/
+    png_libpng/) must decode to the exact source arrays — the
+    Adam7 and 16-bit paths get real foreign streams, not just
+    in-repo goldens."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "golden", "png_libpng")
+    manifest = json.load(open(os.path.join(root, "manifest.json")))
+    assert len(manifest) == 12
+    for name, meta in manifest.items():
+        payload = open(os.path.join(root, name + ".png"), "rb").read()
+        expect = np.load(os.path.join(root, name + ".npy"))
+        got = decode_png(payload)
+        assert got.shape == expect.shape and got.dtype == expect.dtype, name
+        np.testing.assert_array_equal(got, expect, err_msg=name)
+
+
+def test_libpng_decodes_our_streams():
+    """Reverse conformance (gcc-gated): the system libpng must read
+    encode_png output back to the source pixels."""
+    import os
+    import shutil
+    import struct
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    if not (shutil.which("gcc") and os.path.exists("/usr/include/png.h")):
+        pytest.skip("no gcc/png.h — cross-validation needs the shim")
+    src = os.path.join(os.path.dirname(__file__), "golden", "png_libpng",
+                       "pshim.c")
+    tmp = tempfile.mkdtemp()
+    shim = os.path.join(tmp, "pshim")
+    r = subprocess.run(["gcc", "-O2", "-o", shim, src, "-lpng"],
+                       capture_output=True)
+    if r.returncode != 0:
+        pytest.skip("shim build failed")
+    rng = np.random.default_rng(3)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, (23, 31, ch), dtype=np.uint8).squeeze()
+        open(os.path.join(tmp, "q.png"), "wb").write(encode_png(img))
+        subprocess.run([shim, "dec", os.path.join(tmp, "q.png"),
+                        os.path.join(tmp, "q.raw")], check=True)
+        raw = open(os.path.join(tmp, "q.raw"), "rb").read()
+        w2, h2, ct, dep, ch2 = struct.unpack("<5i", raw[:20])
+        arr = np.frombuffer(raw, np.uint8, h2 * w2 * ch2, 20) \
+            .reshape(h2, w2, ch2).squeeze()
+        np.testing.assert_array_equal(arr, img)
