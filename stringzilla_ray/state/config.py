@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from dataclasses import asdict, dataclass, field
 
 
@@ -86,7 +87,9 @@ class ERConfig:
 
     # Execution
     fingerprint_batch_size: int = 512
-    scoring_batch_size: int = 32768
+    scoring_batch_size: int = field(
+        default_factory=lambda: int(
+            os.environ.get("SZRAY_SCORING_BATCH", "32768")))
     fingerprint_concurrency: int | None = None  # None -> let Ray autoscale tasks
     scoring_concurrency: int | None = None
     join_num_partitions: int = 16
