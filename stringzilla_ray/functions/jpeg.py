@@ -705,11 +705,17 @@ def _frame_setup(img: np.ndarray, quality_tables, subsample: int):
 
 
 def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                noninterleaved: bool = False) -> bytes:
     """Encode uint8 (H, W) grayscale or (H, W, 3) RGB to baseline JPEG.
     ``subsample``: 1 = 4:4:4, 2 = 4:2:0 chroma.  ``quality_tables``:
     optional (luma, chroma) zigzag-order int tables; defaults to the
-    Annex-K-style tables above."""
+    Annex-K-style tables above.  ``noninterleaved`` emits one
+    full-band SOS per component (the libjpeg scan-script shape) over
+    the SAME quantized coefficients, so both layouts decode
+    identically; restart intervals are interleaved-only here."""
+    if noninterleaved and restart_interval:
+        raise ValueError("noninterleaved + restart_interval unsupported")
     comps, qts, coef, mcus_x, mcus_y, h, w = _frame_setup(
         img, quality_tables, subsample)
     dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
@@ -734,6 +740,24 @@ def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
         seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(syms))
     if restart_interval:
         seg(0xDD, restart_interval.to_bytes(2, "big"))
+    if noninterleaved:
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        for cid, ch, cv, tq in comps:
+            seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+            bw = _BitWriter()
+            rows, bxw = coef[cid]
+            nbx = -(-(-(-w * ch // hmax)) // 8)
+            nby = -(-(-(-h * cv // vmax)) // 8)
+            pred_c = 0
+            for r in range(nby):
+                for c_ in range(nbx):
+                    pred_c = _emit_block(bw, rows[r * bxw + c_], pred_c,
+                                         dc_codes, ac_codes)
+            bw.flush()
+            out.extend(bw.out)
+        out.extend(b"\xff\xd9")
+        return bytes(out)
     sos = bytearray([len(comps)])
     for cid, *_ in comps:
         sos.extend([cid, 0x00])     # DC table 0, AC table 0

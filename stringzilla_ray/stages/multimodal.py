@@ -606,9 +606,10 @@ def _synthetic_sources(n: int, seed: int) -> list[dict]:
                 ((xx + yy + i) % 256),
             ], axis=-1).astype(np.uint8)
             fmt = ("ppm" if i % 12 == 0
-                   else ("jpeg" if i % 48 == 3 else
-                         "jpegp" if i % 48 == 15 else
-                         "jpega" if i % 48 == 27 else "jpegpa")
+                   else ("jpeg" if i % 60 == 3 else
+                         "jpegp" if i % 60 == 15 else
+                         "jpega" if i % 60 == 27 else
+                         "jpegpa" if i % 60 == 39 else "jpegn")
                    if i % 12 == 3
                    else "png" if i % 12 == 9 else "gif" if i % 12 == 6
                    else "bmp")
@@ -664,6 +665,10 @@ def _encode_source(r: dict) -> bytes:
         )
 
         return encode_jpeg_progressive_arithmetic(r["img"], subsample=1)
+    if fmt == "jpegn":
+        from stringzilla_ray.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(r["img"], subsample=1, noninterleaved=True)
     if fmt == "png":
         from stringzilla_ray.functions.png import encode_png
 
@@ -723,6 +728,7 @@ _EXPECTED_PROBE = {
     "jpegp": ("jpeg", "progressive", 3),
     "jpega": ("jpeg", "arithmetic", 3),
     "jpegpa": ("jpeg", "progressive-arithmetic", 3),
+    "jpegn": ("jpeg", "baseline", 3),  # non-interleaved scans, same SOF0
     "png": ("png", "deflate8", 3),
     "gif": ("gif", "lzw1f", 3), "wav": ("wav", "pcm16", 1),
     "y4m": ("y4m", "rawvideo", 1), "mp4": ("mp4", None, 1),

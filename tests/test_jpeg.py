@@ -554,3 +554,20 @@ def test_corrupt_stream_terminates_cleanly():
             except (ValueError, NotImplementedError, IndexError,
                     KeyError, StopIteration):
                 pass
+
+
+def test_noninterleaved_encoder_option():
+    """encode_jpeg(noninterleaved=True) emits one SOS per component
+    over the same coefficients: decode == interleaved decode exactly,
+    and the stream carries N SOS markers."""
+    rng = np.random.default_rng(77)
+    for shape, sub in [((16, 16), 1), ((24, 33, 3), 1),
+                       ((24, 33, 3), 2), ((41, 29, 3), 2)]:
+        img = np.clip(rng.normal(128, 45, shape), 0, 255).astype(np.uint8)
+        ni = encode_jpeg(img, subsample=sub, noninterleaved=True)
+        base = encode_jpeg(img, subsample=sub)
+        assert ni.count(b"\xff\xda") >= (1 if img.ndim == 2 else 3)
+        assert (decode_jpeg(ni) == decode_jpeg(base)).all(), (shape, sub)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8), np.uint8), noninterleaved=True,
+                    restart_interval=2)
