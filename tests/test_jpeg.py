@@ -428,22 +428,34 @@ def test_arith_cross_validation_with_system_libjpeg():
     if r.returncode != 0:
         pytest.skip("shim build failed: " + r.stderr.decode()[:200])
     rng = np.random.default_rng(3)
-    for shape, sub, rst in [((24, 33, 3), 2, 0), ((40, 28), 1, 2)]:
+    cases = [
+        ("seq", ((24, 33, 3), 2, 0)),
+        ("seq", ((40, 28), 1, 2)),
+        ("prog", ((24, 33, 3), 2, 0)),
+        ("nonint", ((24, 33, 3), 2, 0)),
+    ]
+    for kind, (shape, sub, rst) in cases:
         img = np.clip(rng.normal(128, 45, shape), 0, 255).astype(np.uint8)
-        mine = J.encode_jpeg_arithmetic(img, subsample=sub,
-                                        restart_interval=rst)
+        if kind == "seq":
+            mine = J.encode_jpeg_arithmetic(img, subsample=sub,
+                                            restart_interval=rst)
+        elif kind == "prog":
+            mine = J.encode_jpeg_progressive_arithmetic(img, subsample=sub)
+        else:
+            mine = J.encode_jpeg(img, subsample=sub, noninterleaved=True)
         jp = os.path.join(tmp, "m.jpg")
         cf = os.path.join(tmp, "m.coef")
         open(jp, "wb").write(mine)
         subprocess.run([shim, "coef", jp, cf], check=True)
         gold = _read_coef_dump(cf)
-        frame, _ = _decode_with_coefs(mine)
+        # reference coefficients = our decode of the matching baseline
+        frame, _ = _decode_with_coefs(J.encode_jpeg(img, subsample=sub))
         for ci, comp in enumerate(frame["comps"]):
             wb, hb, g = gold[ci]
             ours = np.zeros_like(comp["coef"])
             ours[:, J.ZIGZAG] = comp["coef"]
             on = ours.reshape(comp["by"], comp["bx"], 64)[:hb, :wb]
-            assert (on.reshape(-1, 64) == g).all(), (shape, ci)
+            assert (on.reshape(-1, 64) == g).all(), (kind, shape, ci)
 
 
 def test_progressive_arith_equals_baseline_decode():
