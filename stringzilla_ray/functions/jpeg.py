@@ -255,8 +255,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             # SOF0/1 sequential, SOF2 progressive, SOF9 sequential-
             # arithmetic, SOF10 progressive-arithmetic
             prec = body[0]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG decodes in-container")
+            if not (prec == 8 or (prec == 12 and marker != 0xC0)):
+                # 12-bit is legal for every handled process EXCEPT
+                # baseline SOF0 (T.81 limits baseline to 8-bit)
+                raise NotImplementedError(
+                    "only 8-bit (any process) or 12-bit "
+                    "(extended/progressive/arithmetic) JPEG decodes "
+                    "in-container")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nf = body[5]
@@ -264,7 +269,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nf):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker in (0xC2, 0xCA),
                      "arith": marker in (0xC9, 0xCA)}
         elif marker == 0xCC:        # DAC: arithmetic conditioning
@@ -568,8 +573,14 @@ def _decode_scan_progressive(frame, scan, huff, segs, restart_interval,
 
 def _reconstruct(frame, qt):
     """Vectorized tail shared by the sequential and progressive
-    paths: dequant -> de-zigzag -> IDCT -> plane assembly."""
+    paths: dequant -> de-zigzag -> IDCT -> plane assembly.  Precision
+    drives the level shift and clip range (8-bit -> uint8, 12-bit ->
+    uint16 in 0..4095)."""
     h, w = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    ctr = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -581,7 +592,7 @@ def _reconstruct(frame, qt):
         blocks[:, ZIGZAG] = deq
         blocks = blocks.reshape(-1, 8, 8)
         spatial = np.einsum("ij,njk,kl->nil", _DCT.T, blocks, _DCT)
-        spatial = np.clip(np.round(spatial) + 128, 0, 255)
+        spatial = np.clip(np.round(spatial) + ctr, 0, maxv)
         plane = (spatial.reshape(c["by"], c["bx"], 8, 8)
                  .transpose(0, 2, 1, 3)
                  .reshape(c["by"] * 8, c["bx"] * 8))
@@ -590,14 +601,15 @@ def _reconstruct(frame, qt):
                           hmax // c["h"], axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)
+        return planes[0].astype(dtype)
     if len(planes) != 3:
         raise NotImplementedError("only 1- or 3-component JPEGs decode")
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - ctr)
+    g = y - 0.344136 * (cb - ctr) - 0.714136 * (cr - ctr)
+    b = y + 1.772 * (cb - ctr)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   maxv).astype(dtype)
 
 
 # -------------------------------------------------------------- encoder
@@ -664,9 +676,13 @@ def _emit_block(bw: _BitWriter, blk, pred: int, dc_codes, ac_codes) -> int:
 def _frame_setup(img: np.ndarray, quality_tables, subsample: int):
     """Shared encoder front-matter: color transform, subsampling,
     per-component quantized zigzag coefficients.  Returns
-    (comps, qts, coef, mcus_x, mcus_y, h, w) where comps rows are
-    (cid, ch, cv, tq) and coef[cid] = (rows, blocks_per_row)."""
+    (comps, qts, coef, mcus_x, mcus_y, h, w, prec) where comps rows
+    are (cid, ch, cv, tq) and coef[cid] = (rows, blocks_per_row).
+    uint8 input -> 8-bit; uint16 input (values 0..4095) -> the 12-bit
+    extended-sequential sample precision (level shift 2048)."""
     img = np.asarray(img)
+    prec = 12 if img.dtype == np.uint16 else 8
+    ctr = float(1 << (prec - 1))
     gray = img.ndim == 2
     if quality_tables is None:
         ql = QUANT_LUMA[ZIGZAG]
@@ -675,20 +691,20 @@ def _frame_setup(img: np.ndarray, quality_tables, subsample: int):
         ql, qc = (np.asarray(t, np.int32) for t in quality_tables)
     h, w = img.shape[:2]
     if gray:
-        planes = [(1, 1, 1, 0, img.astype(np.float64) - 128.0)]
+        planes = [(1, 1, 1, 0, img.astype(np.float64) - ctr)]
         qts = {0: ql}
     else:
         x = img.astype(np.float64)
         y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
-        cb = -0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2] + 128.0
-        cr = 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2] + 128.0
+        cb = -0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2] + ctr
+        cr = 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2] + ctr
         if subsample == 2:
             p = _pad_to(cb, 2, 2)
             cb = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
             p = _pad_to(cr, 2, 2)
             cr = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
-        planes = [(1, subsample, subsample, 0, y - 128.0),
-                  (2, 1, 1, 1, cb - 128.0), (3, 1, 1, 1, cr - 128.0)]
+        planes = [(1, subsample, subsample, 0, y - ctr),
+                  (2, 1, 1, 1, cb - ctr), (3, 1, 1, 1, cr - ctr)]
         qts = {0: ql, 1: qc}
     hmax = max(c[1] for c in planes)
     vmax = max(c[2] for c in planes)
@@ -701,7 +717,7 @@ def _frame_setup(img: np.ndarray, quality_tables, subsample: int):
         padded = _pad_to(plane, need_h, need_w)[:need_h, :need_w]
         coef[cid] = (_encode_blocks(padded, qts[tq]), need_w // 8)
     comps = [(cid, ch, cv, tq) for cid, ch, cv, tq, _ in planes]
-    return comps, qts, coef, mcus_x, mcus_y, h, w
+    return comps, qts, coef, mcus_x, mcus_y, h, w, prec
 
 
 def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
@@ -716,10 +732,16 @@ def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
     identically; restart intervals are interleaved-only here."""
     if noninterleaved and restart_interval:
         raise ValueError("noninterleaved + restart_interval unsupported")
-    comps, qts, coef, mcus_x, mcus_y, h, w = _frame_setup(
+    comps, qts, coef, mcus_x, mcus_y, h, w, prec = _frame_setup(
         img, quality_tables, subsample)
-    dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
-    ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
+    if prec == 8:
+        dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
+        ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
+    else:
+        # 12-bit: DC categories reach 16 and AC sizes 14 — the flat
+        # tables already carry every symbol
+        dc_codes = _canonical_codes(_FLAT_DC_COUNTS, _FLAT_DC_SYMBOLS)
+        ac_codes = _canonical_codes(_FLAT_AC_COUNTS, _FLAT_AC_SYMBOLS)
 
     out = bytearray(b"\xff\xd8")
 
@@ -730,13 +752,19 @@ def encode_jpeg(img: np.ndarray, quality_tables=None, subsample: int = 1,
 
     for tq, tbl in qts.items():
         seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
-    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof = bytearray([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof.append(len(comps))
     for cid, ch, cv, tq in comps:
         sof.extend([cid, (ch << 4) | cv, tq])
-    seg(0xC0, bytes(sof))
-    for tc, (counts, syms) in ((0, (_DC_COUNTS, _DC_SYMBOLS)),
-                               (1, (_AC_COUNTS, _AC_SYMBOLS))):
+    # 8-bit -> SOF0 baseline; 12-bit -> SOF1 extended sequential
+    seg(0xC0 if prec == 8 else 0xC1, bytes(sof))
+    if prec == 8:
+        dhts = ((0, (_DC_COUNTS, _DC_SYMBOLS)),
+                (1, (_AC_COUNTS, _AC_SYMBOLS)))
+    else:
+        dhts = ((0, (_FLAT_DC_COUNTS, _FLAT_DC_SYMBOLS)),
+                (1, (_FLAT_AC_COUNTS, _FLAT_AC_SYMBOLS)))
+    for tc, (counts, syms) in dhts:
         seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(syms))
     if restart_interval:
         seg(0xDD, restart_interval.to_bytes(2, "big"))
@@ -816,8 +844,11 @@ def encode_jpeg_progressive(img: np.ndarray, quality_tables=None,
     Same coefficient pipeline as the baseline encoder: decoding this
     stream must reproduce the baseline decode exactly.  T.81 Annex G
     scan rules; run/EOB bookkeeping as in the IJG encoder."""
-    comps, qts, coef, mcus_x, mcus_y, h, w = _frame_setup(
+    comps, qts, coef, mcus_x, mcus_y, h, w, prec = _frame_setup(
         img, quality_tables, subsample)
+    if prec != 8:
+        raise NotImplementedError("12-bit input: use encode_jpeg "
+                                  "(extended sequential)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     dc_codes = _canonical_codes(_FLAT_DC_COUNTS, _FLAT_DC_SYMBOLS)
@@ -1430,8 +1461,11 @@ def encode_jpeg_arithmetic(img: np.ndarray, quality_tables=None,
     coefficients as the baseline encoder — so decoding its stream must
     equal the baseline decode bit-for-bit, which the tests assert (and
     cross-check against the system libjpeg when available)."""
-    comps, qts, coef, mcus_x, mcus_y, h, w = _frame_setup(
+    comps, qts, coef, mcus_x, mcus_y, h, w, prec = _frame_setup(
         img, quality_tables, subsample)
+    if prec != 8:
+        raise NotImplementedError("12-bit input: use encode_jpeg "
+                                  "(extended sequential)")
     out = bytearray(b"\xff\xd8")
 
     def seg(marker: int, body: bytes):
@@ -1630,8 +1664,11 @@ def encode_jpeg_progressive_arithmetic(img: np.ndarray,
     quantized coefficients as the baseline encoder — decoding must
     equal the baseline decode bit-for-bit, which tests assert and
     cross-check against the system libjpeg."""
-    comps, qts, coef, mcus_x, mcus_y, h, w = _frame_setup(
+    comps, qts, coef, mcus_x, mcus_y, h, w, prec = _frame_setup(
         img, quality_tables, subsample)
+    if prec != 8:
+        raise NotImplementedError("12-bit input: use encode_jpeg "
+                                  "(extended sequential)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     out = bytearray(b"\xff\xd8")

@@ -583,3 +583,51 @@ def test_noninterleaved_encoder_option():
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((8, 8), np.uint8), noninterleaved=True,
                     restart_interval=2)
+
+
+def test_12bit_golden_and_roundtrip():
+    """12-bit (SOF1 extended sequential): a hand-assembled DC-only
+    golden (identity quant, diff +2048 = category 12 -> flat sample
+    2048/8 + 2048 = 2304 in uint16), plus encoder round-trips in
+    gray/color at the 0..4095 range; baseline SOF0 stays 8-bit-only
+    per T.81."""
+    def _s(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    stream = (b"\xff\xd8"
+              + _s(0xDB, bytes([0x00]) + bytes([1] * 64))
+              + _s(0xC1, bytes([12]) + (8).to_bytes(2, "big")
+                   + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+              + _s(0xC4, bytes([0x00]) + bytes([1] + [0] * 15)
+                   + bytes([12]))
+              + _s(0xC4, bytes([0x10]) + bytes([1] + [0] * 15)
+                   + bytes([0x00]))
+              + _s(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+              + bytes([0x40, 0x03]) + b"\xff\xd9")
+    img = decode_jpeg(stream)
+    assert img.dtype == np.uint16
+    np.testing.assert_array_equal(img, np.full((8, 8), 2304, np.uint16))
+
+    rng = np.random.default_rng(12)
+    for shape, bound in [((48, 64), 60.0), ((40, 56, 3), 45.0)]:
+        base = np.repeat(np.repeat(
+            rng.normal(size=(shape[0] // 8 + 2, shape[1] // 8 + 2)), 8, 0),
+            8, 1)[:shape[0], :shape[1]]
+        base = (base - base.min()) / base.ptp() * 4095
+        im = base.astype(np.uint16)
+        if len(shape) == 3:
+            im = np.stack([im, np.roll(im, 3, 0), np.roll(im, 5, 1)],
+                          axis=2)
+        enc = encode_jpeg(im)
+        assert b"\xff\xc1" in enc          # SOF1, not SOF0
+        dec = decode_jpeg(enc)
+        assert dec.dtype == np.uint16 and dec.shape == im.shape
+        mse = np.mean((dec.astype(np.float64) - im) ** 2)
+        assert 10 * np.log10(4095.0 ** 2 / max(mse, 1e-9)) > bound
+    # 12-bit header on baseline SOF0 is the documented error
+    bad = (b"\xff\xd8" + _s(0xDB, bytes([0x00]) + bytes([1] * 64))
+           + _s(0xC0, bytes([12]) + (8).to_bytes(2, "big")
+                + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bad)
