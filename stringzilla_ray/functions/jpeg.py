@@ -251,11 +251,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = list(body[i + 17:i + 17 + nsym])
                 huff[(tc, th)] = _decode_lut(counts, syms)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1 sequential, SOF2 progressive, SOF9 sequential-
-            # arithmetic, SOF10 progressive-arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless,
+            # SOF9 sequential-arithmetic, SOF10 progressive-arithmetic
             prec = body[0]
-            if not (prec == 8 or (prec == 12 and marker != 0xC0)):
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise ValueError("bad lossless precision")
+            elif not (prec == 8 or (prec == 12 and marker != 0xC0)):
                 # 12-bit is legal for every handled process EXCEPT
                 # baseline SOF0 (T.81 limits baseline to 8-bit)
                 raise NotImplementedError(
@@ -271,6 +274,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker in (0xC2, 0xCA),
+                     "lossless": marker == 0xC3,
                      "arith": marker in (0xC9, 0xCA)}
         elif marker == 0xCC:        # DAC: arithmetic conditioning
             i = 0
@@ -282,11 +286,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     arith_cond[("ac", tb)] = cs
                 i += 2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG process (hierarchical/lossless) "
-                "needs codec libraries not in this container")
+                "hierarchical / arithmetic-lossless JPEG processes "
+                "are not decoded in-container")
         elif marker == 0xDD:        # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:        # SOS
@@ -316,6 +320,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 segs.append(payload[seg_start:j].replace(b"\xff\x00", b"\xff"))
                 pos = j
                 break
+            if frame.get("lossless"):
+                _decode_scan_lossless(frame, scan, huff, segs,
+                                      restart_interval, ss, al)
+                pl = frame["lossless_planes"]
+                return pl[0] if len(pl) == 1 else np.stack(pl, axis=2)
             if not frame.get("progressive"):
                 if ns == len(frame["comps"]):
                     _alloc_coef(frame)
@@ -1915,3 +1924,143 @@ def _decode_scan_seq_single(frame, scan_entry, huff, cond, segs,
                 blk[k] = _extend(br.read(s), s)
                 k += 1
         comp["coef"][row * comp["bx"] + col] = blk
+
+
+# ------------------------------------------------ lossless (SOF3, Annex H)
+
+
+def _lossless_predict(recon: np.ndarray, x: int, y: int, psv: int,
+                      default: int) -> int:
+    """T.81 H.1.2.1 prediction for sample (y, x): a = left, b = above,
+    c = above-left; first sample -> default (2^(P-1-Pt)), rest of the
+    first line -> a, first column -> b, else the selected predictor."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(recon[y, x - 1])
+    if x == 0:
+        return int(recon[y - 1, x])
+    a = int(recon[y, x - 1])
+    b = int(recon[y - 1, x])
+    c = int(recon[y - 1, x - 1])
+    if psv == 1:
+        return a
+    if psv == 2:
+        return b
+    if psv == 3:
+        return c
+    if psv == 4:
+        return a + b - c
+    if psv == 5:
+        return a + ((b - c) >> 1)
+    if psv == 6:
+        return b + ((a - c) >> 1)
+    if psv == 7:
+        return (a + b) >> 1
+    raise ValueError(f"bad predictor {psv}")
+
+
+def _decode_scan_lossless(frame, scan, huff, segs, restart_interval,
+                          psv, pt):
+    """Lossless sequential scan (T.81 Annex H): per-sample predictive
+    differences in DC-category Huffman coding, modulo-2^16 sample
+    reconstruction, category 16 = diff 32768 with no extra bits.
+    Components must be 1:1 sampled (the overwhelmingly common lossless
+    shape); MCU = one sample per component, raster order."""
+    prec = frame.get("prec", 8)
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "subsampled lossless scans are not decoded in-container")
+    default = 1 << (prec - 1 - pt)
+    planes = {c["id"]: np.zeros((h, w), np.int64) for c in comps}
+    luts = {td: huff[(0, td)] for _, td, _ in
+            [(c, td, ta) for (c, td, ta) in scan]}
+    if restart_interval:
+        raise NotImplementedError(
+            "lossless restart intervals are not decoded in-container")
+    br = _BitReader(segs[0])
+    for y in range(h):
+        for x in range(w):
+            for comp, td, _ in scan:
+                sym, ln = luts[td]
+                t = _huff_dec(br, sym, ln)
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _extend(br.read(t), t)
+                else:
+                    diff = 0
+                pred = _lossless_predict(planes[comp["id"]], x, y, psv,
+                                         default)
+                planes[comp["id"]][y, x] = (pred + diff) & 0xFFFF
+    frame["lossless_planes"] = [
+        (planes[c["id"]] << pt).astype(
+            np.uint8 if prec <= 8 else np.uint16)
+        for c in comps]
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
+                         restart_interval: int = 0) -> bytes:
+    """Lossless JPEG (SOF3, T.81 Annex H): bit-exact for uint8 and
+    uint16 (up to 16-bit precision) gray or 3-channel images, any
+    predictor 1-7.  Differences code in DC-category Huffman (flat
+    17-symbol table incl. the category-16 escape); samples travel
+    component-interleaved, 1:1 sampling.  decode_jpeg(encode) == the
+    input EXACTLY — the defining self-check of a lossless codec."""
+    img = np.asarray(img)
+    if restart_interval:
+        raise NotImplementedError("lossless restart not emitted")
+    prec = 8 if img.dtype == np.uint8 else 16
+    if img.dtype not in (np.uint8, np.uint16):
+        raise ValueError("lossless input must be uint8 or uint16")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    chans = [img] if gray else [img[..., i] for i in range(img.shape[2])]
+    counts = [0, 0, 0, 0, 17] + [0] * 11     # 17 symbols at 5 bits
+    symbols = list(range(17))
+    codes = _canonical_codes(counts, symbols)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    sof = bytearray([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(chans))
+    for i in range(len(chans)):
+        sof.extend([i + 1, 0x11, 0])
+    seg(0xC3, bytes(sof))
+    seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(symbols))
+    sos = bytearray([len(chans)])
+    for i in range(len(chans)):
+        sos.extend([i + 1, 0x00])
+    sos.extend([predictor, 0, 0])            # Ss=psv, Se=0, Ah/Al=0
+    seg(0xDA, bytes(sos))
+
+    default = 1 << (prec - 1)
+    bw = _BitWriter()
+    planes = [c.astype(np.int64) for c in chans]
+    for y in range(h):
+        for x in range(w):
+            for p in planes:
+                pred = _lossless_predict(p, x, y, predictor, default)
+                diff = (int(p[y, x]) - pred) & 0xFFFF
+                if diff >= 0x8000:
+                    sdiff = diff - 0x10000   # smallest-magnitude rep
+                else:
+                    sdiff = diff
+                if diff == 0x8000:
+                    bw.write(*codes[16])     # category-16 escape
+                    continue
+                t = _cat(sdiff)
+                bw.write(*codes[t])
+                if t:
+                    v = sdiff if sdiff >= 0 else sdiff + (1 << t) - 1
+                    bw.write(v & ((1 << t) - 1), t)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -172,11 +172,11 @@ def test_error_paths():
                     + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
     with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(arith)
-    lossless = (b"\xff\xd8" + _dqt_unit()
-                + _seg(0xC3, bytes([8]) + (8).to_bytes(2, "big")
-                       + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
+    hier = (b"\xff\xd8" + _dqt_unit()
+            + _seg(0xC5, bytes([8]) + (8).to_bytes(2, "big")
+                   + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
     with pytest.raises(NotImplementedError):
-        decode_jpeg(lossless)
+        decode_jpeg(hier)
 
 
 def test_media_decoder_jpeg_branch():
@@ -631,3 +631,26 @@ def test_12bit_golden_and_roundtrip():
                 + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
     with pytest.raises(NotImplementedError):
         decode_jpeg(bad)
+
+
+def test_lossless_sof3_bit_exact():
+    """Lossless JPEG (SOF3, Annex H): encode -> decode must reproduce
+    the input EXACTLY — uint8 and uint16, gray and 3-channel, all
+    seven predictors, plus the category-16 escape (diff 32768) and
+    the honest errors for the unsupported subsets."""
+    from stringzilla_ray.functions.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(31)
+    for dt, hi in [(np.uint8, 256), (np.uint16, 65536)]:
+        for shape in [(9, 13), (16, 11, 3)]:
+            for psv in range(1, 8):
+                img = rng.integers(0, hi, shape).astype(dt)
+                dec = decode_jpeg(encode_jpeg_lossless(img, predictor=psv))
+                assert dec.dtype == img.dtype and dec.shape == img.shape
+                np.testing.assert_array_equal(dec, img, err_msg=str(psv))
+    img = np.array([[0, 32768]], np.uint16)     # forces the escape
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_lossless(img, predictor=1)), img)
+    with pytest.raises(NotImplementedError):
+        encode_jpeg_lossless(np.zeros((4, 4), np.uint8),
+                             restart_interval=2)
