@@ -494,7 +494,8 @@ def probe_payload(payload: bytes) -> dict:
                            else "progressive" if marker == 0xC2
                            else "arithmetic" if marker == 0xC9
                            else "progressive-arithmetic"
-                           if marker == 0xCA else "other")
+                           if marker == 0xCA
+                           else "lossless" if marker == 0xC3 else "other")
                 return out
             pos += seglen
         out.update(container="jpeg", codec="truncated")
@@ -606,10 +607,11 @@ def _synthetic_sources(n: int, seed: int) -> list[dict]:
                 ((xx + yy + i) % 256),
             ], axis=-1).astype(np.uint8)
             fmt = ("ppm" if i % 12 == 0
-                   else ("jpeg" if i % 60 == 3 else
-                         "jpegp" if i % 60 == 15 else
-                         "jpega" if i % 60 == 27 else
-                         "jpegpa" if i % 60 == 39 else "jpegn")
+                   else ("jpeg" if i % 72 == 3 else
+                         "jpegp" if i % 72 == 15 else
+                         "jpega" if i % 72 == 27 else
+                         "jpegpa" if i % 72 == 39 else
+                         "jpegn" if i % 72 == 51 else "jpegl")
                    if i % 12 == 3
                    else "png" if i % 12 == 9 else "gif" if i % 12 == 6
                    else "bmp")
@@ -669,6 +671,10 @@ def _encode_source(r: dict) -> bytes:
         from stringzilla_ray.functions.jpeg import encode_jpeg
 
         return encode_jpeg(r["img"], subsample=1, noninterleaved=True)
+    if fmt == "jpegl":
+        from stringzilla_ray.functions.jpeg import encode_jpeg_lossless
+
+        return encode_jpeg_lossless(r["img"], predictor=4)
     if fmt == "png":
         from stringzilla_ray.functions.png import encode_png
 
@@ -729,6 +735,7 @@ _EXPECTED_PROBE = {
     "jpega": ("jpeg", "arithmetic", 3),
     "jpegpa": ("jpeg", "progressive-arithmetic", 3),
     "jpegn": ("jpeg", "baseline", 3),  # non-interleaved scans, same SOF0
+    "jpegl": ("jpeg", "lossless", 3),
     "png": ("png", "deflate8", 3),
     "gif": ("gif", "lzw1f", 3), "wav": ("wav", "pcm16", 1),
     "y4m": ("y4m", "rawvideo", 1), "mp4": ("mp4", None, 1),
@@ -785,10 +792,11 @@ def expected_features_table(n: int = 32, seed: int = 0,
     ids, feats = [], []
     for r in rows:
         fmt = r["fmt"]
-        if fmt in ("ppm", "bmp", "png"):
+        if fmt in ("ppm", "bmp", "png", "jpegl"):
             f = _image_features(r["img"], {"ppm": _FMT_PPM,
                                            "bmp": _FMT_BMP,
-                                           "png": _FMT_PNG}[fmt])
+                                           "png": _FMT_PNG,
+                                           "jpegl": _FMT_JPG}[fmt])
         elif fmt == "gif":
             # gray-ramp palette on the red plane: decoded RGB is the
             # red channel replicated
